@@ -1,0 +1,287 @@
+"""Scalar function families (SURVEY §2.8): one wide projection per
+family so a single oracle hash covers many functions.
+
+All functions here are JVM-side built-ins inside whole-stage codegen —
+no Python UDFs in any of these paths.
+
+Dialect parity notes (verified against DuckDB 1.0.0):
+- DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+- DuckDB ceil/floor return DOUBLE (Spark: LONG) → cast both to BIGINT.
+- DuckDB date_trunc('month') returns DATE (Spark: TIMESTAMP) → to_date.
+- DuckDB log() is log10; natural log is ln() (Spark F.log is natural).
+- No initcap in DuckDB → covered by unit tests instead of the oracle.
+- Spark sha2(…, 256) ≡ DuckDB sha256; xxhash64/crc32/hash are
+  Spark-specific → unit-tested, excluded from the oracle projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, '|', c_mktsegment) AS cat,
+           upper(c_name) AS up, lower(c_mktsegment) AS lo,
+           substring(c_name, 1, 8) AS sub8,
+           trim(c_name) AS trimmed,
+           lpad(c_mktsegment, 12, '*') AS padded,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           length(c_name) AS name_len,
+           instr(c_name, '1') AS pos1,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS vowelled,
+           left(c_name, 4) AS l4, right(c_name, 3) AS r3,
+           repeat(c_mktsegment, 2) AS doubled,
+           reverse(c_mktsegment) AS rev
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).alias("cat"),
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.trim("c_name").alias("trimmed"),
+        F.lpad("c_mktsegment", 12, "*").alias("padded"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.length("c_name").alias("name_len"),
+        F.instr(F.col("c_name"), "1").alias("pos1"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("vowelled"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.expr("right(c_name, 3)").alias("r3"),
+        F.repeat("c_mktsegment", 2).alias("doubled"),
+        F.reverse("c_mktsegment").alias("rev"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom, hour(o_orderdate) AS hr,
+           quarter(o_orderdate) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS plus30,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS od,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           (year(o_orderdate) * 12 + month(o_orderdate)) AS month_index
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.hour(d).alias("hr"),
+        F.quarter(d).alias("qtr"),
+        # DATE-typed outputs are cast to TIMESTAMP on BOTH sides: engines
+        # surface DATE differently to the comparator (date vs datetime64).
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.to_date(d).cast("timestamp").alias("od"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date(d)).alias(
+            "days_to_2002"
+        ),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        (F.year(d) * 12 + F.month(d)).alias("month_index"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT event_id,
+           round(value, 2) AS r2,
+           abs(value - 50) AS dist50,
+           CAST(ceil(value) AS BIGINT) AS c,
+           CAST(floor(value) AS BIGINT) AS f,
+           round(pow(value, 2), 6) AS sq,
+           round(sqrt(value), 6) AS rt,
+           round(exp(value / 100), 6) AS e,
+           round(ln(value), 6) AS lg,
+           CAST(sign(value - 50) AS INT) AS sgn,
+           greatest(value, 50.0) AS hi,
+           least(value, 50.0) AS lo,
+           CAST(floor(value) AS BIGINT) % 7 AS m7
+    FROM events
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(v, 2).alias("r2"),
+        F.abs(v - 50).alias("dist50"),
+        F.ceil(v).cast("long").alias("c"),
+        F.floor(v).cast("long").alias("f"),
+        F.round(F.pow(v, 2), 6).alias("sq"),
+        F.round(F.sqrt(v), 6).alias("rt"),
+        F.round(F.exp(v / 100), 6).alias("e"),
+        F.round(F.log(v), 6).alias("lg"),
+        F.signum(v - 50).cast("int").alias("sgn"),
+        F.greatest(v, F.lit(50.0)).alias("hi"),
+        F.least(v, F.lit(50.0)).alias("lo"),
+        # explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+        (F.floor(v).cast("long") % 7).alias("m7"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_elem,
+           embedding[1:4] AS head4,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 5) AS vec_sum,
+           round(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE), 8) AS first_sq,
+           list_contains(embedding, embedding[3]) AS has_third
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions incl. higher-order aggregate (dot-product infra
+    for §2.11 similarity). Spark aggregate() sums left-to-right exactly
+    like DuckDB list_sum; rounded anyway for safety."""
+    em = table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return em.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        F.element_at(arr, 1).alias("first_elem"),
+        F.slice(arr, 1, 4).alias("head4"),
+        F.round(
+            F.aggregate(
+                arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            5,
+        ).alias("vec_sum"),
+        F.round(
+            F.element_at(arr, 1).cast("double") * F.element_at(arr, 1).cast("double"),
+            8,
+        ).alias("first_sq"),
+        F.array_contains(arr, F.element_at(arr, 3)).alias("has_third"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id, 'type' AS mk, event_type AS mv FROM events
+    UNION ALL
+    SELECT event_id, 'user' AS mk, CAST(user_id AS VARCHAR) AS mv FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map create/explode: builds a MAP column then explodes it back to
+    scalars (the oracle sees only the scalar result — DuckDB's MAP
+    dialect differs, the semantics compared are identical)."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    exploded = e.select("event_id", F.explode(m).alias("mk", "mv"))
+    return exploded
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int2,
+           (props->>'$.k') IS NOT NULL AS has_k,
+           (props->>'$.missing') IS NULL AS no_missing
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props ('{"k": <int>}' fixture).
+    from_json with explicit schema (oracle-comparable) — Spark 4's
+    VariantType intentionally not used here (SURVEY §1.2)."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        parsed.getField("k").alias("k_int2"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").isNull().alias("no_missing"),
+    )
+
+
+@register(
+    "fn_null",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P') AS status_np,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+           (nullif(o_orderstatus, 'P') IS NULL) AS was_p,
+           isnan('nan'::DOUBLE) AS always_nan,
+           CASE WHEN isnan('nan'::DOUBLE) THEN -1.0 ELSE 0.0 END AS nan_repl,
+           ifnull(nullif(o_orderpriority, '5-LOW'), 'LOW') AS prio_filled
+    FROM orders
+    """,
+)
+def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL handling: nullif/coalesce/nvl/isnan/nanvl. The fixture has
+    no physical NULLs, so NULLIF synthesizes them deterministically."""
+    o = table(spark, sf_dir, "orders")
+    status_np = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    nan = F.lit(float("nan"))
+    return o.select(
+        "o_orderkey",
+        status_np.alias("status_np"),
+        F.coalesce(status_np, F.lit("PENDING")).alias("status_filled"),
+        status_np.isNull().alias("was_p"),
+        F.isnan(nan).alias("always_nan"),
+        F.nanvl(nan, F.lit(-1.0)).alias("nan_repl"),
+        F.nvl(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")), F.lit("LOW")).alias(
+            "prio_filled"
+        ),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(concat(lang, ':', source)) AS key_md5
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-stable hashes (md5/sha256) — the dedup
+    infrastructure (§2.11 uses md5 for minhash signatures so the oracle
+    can reproduce them). Spark-only hashes (xxhash64, crc32, hash) are
+    exercised in unit tests."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("source"))).alias("key_md5"),
+    )

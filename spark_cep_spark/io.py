@@ -1,0 +1,52 @@
+"""Table loading. Parquet scans go through here so every query benefits
+from the same posture: explicit paths, Catalyst-pushed filters/pruning
+(we never pre-collect), and UTC session semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cep_spark.schemas import TABLES
+from spark_cep_spark.session import apply_runtime_confs
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table.
+
+    Plain `spark.read.parquet` — vectorized reader, predicate pushdown,
+    column pruning all apply.
+
+    events.ts is physically TIMESTAMP(NANOS) which Spark 4 refuses to
+    read as a timestamp; we read it as raw nanos (nanosAsLong) and
+    truncate to microseconds with integer division — exactly DuckDB's
+    nanos→micros truncation (verified: floor/double division would lose
+    precision past 2^53 and round differently).
+    """
+    apply_runtime_confs(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = False
+) -> dict[str, DataFrame]:
+    """Load all 10 fixture tables; optionally register temp views so the
+    SQL entry points (spark.sql) can use bare table names, mirroring the
+    reference's registered stream/static tables (SURVEY §1.1).
+    """
+    dfs = {name: table(spark, sf_dir, name) for name in TABLES}
+    if register_views:
+        for name, df in dfs.items():
+            df.createOrReplaceTempView(name)
+    return dfs

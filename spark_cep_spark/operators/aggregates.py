@@ -1,0 +1,216 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Spark performs partial (map-side) + final aggregation automatically for
+all of these — the 100 TB posture is simply "groupBy on the natural key
+and let AQE coalesce"; no manual combiners.
+
+Float discipline: accumulated aggregates (sum/avg/stddev/...) are
+rounded identically on both sides so engine summation order can't flip
+the driver's value hash. Counts / min / max are exact and left alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — single-row result, partials per partition."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@register(
+    "agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the bench `q1_pricing_summary`.
+
+    Hash aggregate over 2 low-cardinality keys; at 100 TB this is the
+    ideal Spark shape: map-side partials shrink 600M+ rows/task to 6
+    groups before the (tiny) shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           sum(DISTINCT o_custkey) AS sum_cust,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM DISTINCT — Spark expands to a two-phase aggregate."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.sum_distinct(F.col("o_custkey")).alias("sum_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx")  # approximate — no exact oracle → rows-only
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counting. Sketches merge
+    associatively, so this is the 100 TB-friendly distinct count (no
+    two-phase distinct shuffle). Accuracy asserted in tests vs exact."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstat,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (hierarchical grouping sets). Subtotal rows are surfaced
+    via COALESCE markers (group columns are non-null in the fixture)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("lstat"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(var_samp(value), 6) AS var_value,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+           round(quantile_cont(value, 0.5), 6) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Spark's exact `percentile` uses the same
+    linear interpolation as DuckDB's quantile_cont."""
+    e = table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT l_orderkey,
+           list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list wrapped in sort_array — Spark's collect order is
+    partition-dependent, sorting makes it deterministic (SURVEY §5)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "having",
+    oracle="""
+    SELECT c_nationkey AS nk, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(*) >= 50
+    """,
+)
+def having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a filter above the aggregate
+    node; Catalyst cannot push it below, which is the correct plan."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .filter(F.col("n_cust") >= 50)
+    )

@@ -1,0 +1,262 @@
+"""CEP pattern matching (SURVEY §2.10) — the "complex event" core.
+
+Spark has no MATCH_RECOGNIZE; this module provides a Flink-CEP-shaped
+`Pattern` builder that compiles to a batch DataFrame plan (this file)
+and to a streaming NFA over applyInPandasWithState
+(spark_cep_spark/streaming/nfa.py). The batch compiler is the
+executable specification the NFA is property-tested against.
+
+Semantics: skip-till-next-match with earliest-match policy — from each
+anchor event, each subsequent step binds to the EARLIEST qualifying
+event after the previous step and within the pattern's time bound.
+This is deterministic (oracle-expressible as nested min-joins) and is
+the standard relaxed-contiguity CEP semantics (cf. SASE/Flink-CEP
+literature, HYPERSONIC [PAPERS.md:5]).
+
+Scale: each step is an equi-join on the key column followed by a
+min-aggregation over the match columns — shuffle on user key only, no
+unbounded pair blowup beyond (anchors × step-candidates) within a key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+@dataclass
+class Step:
+    name: str
+    predicate: str  # SQL boolean expression over the event columns
+
+
+@dataclass
+class Pattern:
+    """Pattern.begin('v', "event_type='view'")
+             .followed_by('c', "event_type='click'")
+             .followed_by('p', "event_type='purchase'")
+             .within('1 hour')"""
+
+    steps: list[Step] = field(default_factory=list)
+    time_bound: str | None = None  # SQL interval literal body, e.g. "1 HOUR"
+
+    @staticmethod
+    def begin(name: str, predicate: str) -> "Pattern":
+        return Pattern(steps=[Step(name, predicate)])
+
+    def followed_by(self, name: str, predicate: str) -> "Pattern":
+        self.steps.append(Step(name, predicate))
+        return self
+
+    def within(self, bound: str) -> "Pattern":
+        self.time_bound = bound
+        return self
+
+    # -- batch compiler ----------------------------------------------------
+    def compile_batch(
+        self,
+        events: DataFrame,
+        key_col: str = "user_id",
+        time_col: str = "ts",
+        id_col: str = "event_id",
+    ) -> DataFrame:
+        """Compile to a batch DataFrame of matches.
+
+        Output: (key, anchor_id, t_<step> for every step) — one row per
+        anchor event that completes the whole sequence.
+        """
+        if not self.steps:
+            raise ValueError("empty pattern")
+        if self.time_bound is None:
+            raise ValueError("pattern needs .within(bound) for bounded state")
+
+        bound = F.expr(f"INTERVAL {self.time_bound}")
+        first = self.steps[0]
+        cur = events.filter(F.expr(first.predicate)).select(
+            F.col(key_col).alias("key"),
+            F.col(id_col).alias("anchor_id"),
+            F.col(time_col).alias(f"t_{first.name}"),
+        )
+        t_anchor = f"t_{first.name}"
+        prev_t = t_anchor
+        for step in self.steps[1:]:
+            cand = events.filter(F.expr(step.predicate)).select(
+                F.col(key_col).alias("cand_key"),
+                F.col(time_col).alias("cand_ts"),
+            )
+            group_cols = cur.columns
+            cur = (
+                cur.join(
+                    cand,
+                    (F.col("key") == F.col("cand_key"))
+                    & (F.col("cand_ts") > F.col(prev_t))
+                    & (F.col("cand_ts") <= F.col(t_anchor) + bound),
+                )
+                # earliest-match policy: bind the first qualifying event
+                .groupBy(*group_cols)
+                .agg(F.min("cand_ts").alias(f"t_{step.name}"))
+            )
+            prev_t = f"t_{step.name}"
+        return cur
+
+
+# ---------------------------------------------------------------------------
+# Registered CEP queries over the events fixture
+
+
+@register(
+    "cep_seq",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, min(c.ts) AS t_click
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts
+         ),
+         s3 AS (
+           SELECT s2.user_id, s2.event_id, s2.t_view, s2.t_click, min(p.ts) AS t_purchase
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.t_click AND p.ts <= s2.t_view + INTERVAL 24 HOUR
+           GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.t_click
+         )
+    SELECT user_id AS key, event_id AS anchor_id, t_view, t_click, t_purchase
+    FROM s3
+    """,
+)
+def cep_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel detection: view → click → purchase within 24h per user,
+    via the Pattern builder's batch compiler."""
+    events = table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+    )
+    return pat.compile_batch(events)
+
+
+@register(
+    "cep_absence",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts
+    FROM events s
+    WHERE s.event_type = 'signup'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = s.user_id
+          AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+      )
+    """,
+)
+def cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation pattern: signup NOT followed by purchase within 7 days.
+    Batch encoding: left-anti join with time predicate; streaming
+    encoding: per-key state + event-time timer (streaming/nfa.py)."""
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").alias("s")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    return (
+        s.join(
+            p,
+            (F.col("p.user_id") == F.col("s.user_id"))
+            & (F.col("p.ts") > F.col("s.ts"))
+            & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 7 DAYS")),
+            "left_anti",
+        )
+        .select(
+            F.col("s.user_id").alias("user_id"),
+            F.col("s.event_id").alias("signup_id"),
+            F.col("s.ts").alias("signup_ts"),
+        )
+    )
+
+
+@register(
+    "cep_kleene",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all
+      FROM events
+    ), err AS (
+      SELECT user_id, event_id, ts, rn_all,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_err
+      FROM seq WHERE event_type = 'error'
+    )
+    SELECT user_id, min(ts) AS run_start, max(ts) AS run_end, count(*) AS run_len
+    FROM err
+    GROUP BY user_id, rn_all - rn_err
+    HAVING count(*) >= 3
+    """,
+)
+def cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleene-plus: runs of ≥3 CONSECUTIVE errors in a user's event
+    sequence — gaps-and-islands (row_number difference trick)."""
+    e = table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("rn_all", F.row_number().over(w_all))
+    err = seq.filter(F.col("event_type") == "error").withColumn(
+        "rn_err", F.row_number().over(w_all)
+    )
+    return (
+        err.groupBy("user_id", (F.col("rn_all") - F.col("rn_err")).alias("island"))
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .drop("island")
+    )
+
+
+@register(
+    "cep_threshold",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, ts, value,
+             avg(value) OVER w AS trail_avg,
+             count(*) OVER w AS trail_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value, round(trail_avg, 6) AS trail_avg
+    FROM t
+    WHERE trail_n >= 3 AND value > 3 * trail_avg
+    """,
+)
+def cep_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike detection: value > 3× the user's trailing average (previous
+    5 events, ≥3 required) — rolling-state predicate; streaming twin is
+    a running aggregate in keyed state."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, -1)
+    t = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("trail_avg_raw"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    return (
+        t.filter((F.col("trail_n") >= 3) & (F.col("value") > 3 * F.col("trail_avg_raw")))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.round(F.col("trail_avg_raw"), 6).alias("trail_avg"),
+        )
+    )

@@ -1,0 +1,323 @@
+"""Join operators (SURVEY §2.3).
+
+Scale posture per join type:
+- equi-joins: let Catalyst/AQE pick sort-merge vs shuffled-hash; at
+  100 TB pre-bucketing both sides on the join key removes the shuffle.
+- dimension joins: explicit `F.broadcast` — deterministic broadcast
+  regardless of autoBroadcastJoinThreshold stats at scale.
+- range/theta joins: keep the small side broadcast (BroadcastNestedLoop)
+  or pre-bucket time into bands so the pair space is bounded.
+- as-of join: Spark has no native ASOF — implemented as a single-shuffle
+  union + last(ignorenulls) window (scales linearly; no n×m pair blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the bench `q3_join_agg_topk`. customer⋈orders⋈
+    lineitem with selective filters pushed below the joins by Catalyst;
+    AQE turns the customer side into a broadcast after filtering."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_cust, round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim join with explicit broadcast hints — at 100 TB
+    the fact side streams; no shuffle of the big table at all."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeping order-less customers (count=0 rows)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT n.n_name AS nation, count(s.s_suppkey) AS n_supp
+    FROM supplier s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — nations keep a row even with zero suppliers."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").alias("n_supp"))
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS nc FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS ns FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nk,
+           coalesce(c.nc, 0) AS n_cust,
+           coalesce(s.ns, 0) AS n_supp
+    FROM c FULL JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (nations present on either side)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full").select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nk"),
+        F.coalesce(F.col("nc"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("ns"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS — emits left rows once, never duplicates."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS (join key is non-null in fixture, so
+    NOT IN and NOT EXISTS agree)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT b.band AS band, count(*) AS n_parts, round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 1000.0),
+                 ('mid', 1000.0, 1500.0),
+                 ('premium', 1500.0, 1e9)) b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join. Small side broadcast → BroadcastNestedLoop;
+    at 100 TB the band table stays tiny so this remains a map-side join."""
+    p = table(spark, sf_dir, "part")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0), ("premium", 1500.0, 1e9)],
+            "band string, lo double, hi double",
+        )
+    )
+    return (
+        p.join(bands, (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region, s.st AS status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (both sides tiny by construction)."""
+    r = table(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    s = table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("st")).distinct()
+    return r.crossJoin(s).select("region", F.col("st").alias("status"))
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase ↔ the latest view at-or-before it.
+
+    Spark has no native ASOF join; the scalable encoding is the
+    union + last(ignorenulls) window trick — ONE shuffle on
+    (user_id), linear in events, no range-join pair explosion
+    (SURVEY §2.3 join_asof). Tie-break: views sort before purchases at
+    equal ts (kind 0 < 1), matching DuckDB ASOF's >= semantics.
+    """
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("vts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("timestamp").alias("vts"),
+        F.lit(1).alias("kind"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        v.unionByName(p)
+        .withColumn("last_view_ts", F.last("vts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_view_ts")
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT a.user_id AS user_id, count(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'error' AND b.event_type = 'error'
+    GROUP BY a.user_id
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: error pairs within 5 minutes per user.
+
+    Partitioned by user so the pair space is per-user-bounded; at 100 TB
+    add a coarse time-bucket equi-key (floor(ts/5min) self-join on
+    adjacent buckets) to keep it sort-merge-friendly instead of
+    nested-loop — noted in SCALE.md.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,256 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY §2.11).
+
+Family: exact (hash groupBy), MinHash signature match, n-gram Jaccard,
+SimHash, embedding-cosine near-dup. All hash primitives are md5-based
+so the DuckDB oracle can reproduce signatures bit-for-bit (Spark's
+xxhash64 has no DuckDB twin — md5's lexicographic order is just as
+uniform for min-hashing).
+
+100 TB posture: every operator here is a groupBy/join on a hash or
+signature key — shuffle-partitionable, no driver-side state. The
+Jaccard pair join is the only quadratic-risk op; at scale it must be
+preceded by LSH banding (dedup_near's signature buckets serve exactly
+that role — candidate pairs come from band buckets, Jaccard verifies).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+N_MINHASH = 6  # permutations; md5(seed:token) min per seed
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, text_hash FROM (
+        SELECT doc_id, md5(text) AS text_hash,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-first by doc_id. One shuffle on the text hash;
+    at 100 TB hash first (md5/xxhash64) so the shuffle moves 16-byte
+    keys, never full documents."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _minhash_signature(d: DataFrame) -> DataFrame:
+    """(doc_id, sig) — sig = concat of per-seed min(md5(seed:token))."""
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = toks.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.concat_ws("|", *[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("sig"),
+    )
+
+
+_MINHASH_SIG_SQL = """
+        SELECT doc_id,
+               concat_ws('|', {cols}) AS sig
+        FROM (
+          SELECT doc_id, {aggs}
+          FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents) t
+          GROUP BY doc_id) s
+""".format(
+    cols=", ".join(f"h{i}" for i in range(N_MINHASH)),
+    aggs=", ".join(
+        f"min(md5(concat('{i}:', tok))) AS h{i}" for i in range(N_MINHASH)
+    ),
+)
+
+
+@register(
+    "dedup_near",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_SIG_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via MinHash: token shingles → 6-permutation signature →
+    docs bucketed by full signature; pairs sharing a bucket are
+    near-duplicate candidates. Pure SQL-expressible minhash (md5 seeds),
+    so the oracle reproduces it exactly (SURVEY §2.11).
+
+    At 100 TB: band the signature (e.g. 2 hashes/band × 3 bands), join
+    per band, then Jaccard-verify candidates (dedup_jaccard below)."""
+    d = table(spark, sf_dir, "documents")
+    sigs = _minhash_signature(d)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+@register(
+    "dedup_jaccard",
+    oracle="""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         pair AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+    SELECT pair.da AS doc_a, pair.db AS doc_b,
+           round(pair.shared * 1.0 / (ca.n + cb.n - pair.shared), 6) AS jaccard
+    FROM pair
+    JOIN cnt ca ON ca.doc_id = pair.da
+    JOIN cnt cb ON cb.doc_id = pair.db
+    WHERE pair.shared * 1.0 / (ca.n + cb.n - pair.shared) >= 0.8
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (token-set) Jaccard similarity ≥ 0.8 pairs via the
+    token-inverted-index join. Quadratic in docs-per-token — at scale
+    this runs ONLY on LSH candidate pairs, never all-pairs."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pair = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("shared") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
+    return (
+        pair.join(ca, F.col("da") == F.col("ca.doc_id"))
+        .join(cb, F.col("db") == F.col("cb.doc_id"))
+        .filter(jac >= 0.8)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint (64-bit) per row, built from xxhash64 token
+    hashes entirely with JVM-side expressions (no UDF): for each bit,
+    sum ±1 over tokens and take the sign.
+
+    Spark-only hash → no DuckDB oracle; unit tests assert identical
+    texts ⇒ identical simhash and near-identical texts ⇒ small Hamming
+    distance. Spark-side this is the scalable near-dup primitive:
+    near-dups are found by exact-match on rotated simhash prefixes.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    # bit_i = sign(sum over tokens of (2*((xxhash64(tok)>>i)&1)-1)) > 0
+    bits = [
+        F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + (F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1).cast(
+                    "int"
+                ),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for i in range(16)  # 16 bits is plenty for fixture-scale tests
+    ]
+    fp = reduce(
+        lambda acc, pair: acc + pair[1] * (2 ** pair[0]), enumerate(bits), F.lit(0)
+    )
+    return df.withColumn("simhash", fp.cast("long"))
+
+
+@register("dedup_simhash")  # Spark-specific hash → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: pairs of docs with IDENTICAL 16-bit simhash.
+    (Fixture has only exact dups, so collisions ≈ exact dups + random
+    16-bit collisions; the operator's value is the scalable shape.)"""
+    d = table(spark, sf_dir, "documents")
+    s = simhash64(d.select("doc_id", "text"))
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash"),
+        )
+    )
+
+
+@register(
+    "dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (unit-norm fixture ⇒ cosine ≡
+    dot). Brute-force all-pairs here; the 100 TB path buckets by LSH
+    random-hyperplane sign-prefix first (same shape as dedup_simhash)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos_raw", dot)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over embeddings (SURVEY §2.11).
+
+Fixture vectors are unit-L2-norm (FIXTURES.md) ⇒ cosine ≡ dot product.
+
+Two execution paths:
+- SQL path (oracle-checkable): higher-order functions zip_with +
+  aggregate — pure JVM expressions, exact mirror of DuckDB
+  list_dot_product.
+- numpy path (the throughput path, `sim_topk_pandas`): broadcast the
+  query matrix, mapInPandas over candidate batches, one BLAS matmul per
+  Arrow batch. This is the shape that survives 100 TB: candidates
+  stream through executors, queries stay in memory, top-k via partial
+  heaps then a final groupBy.
+
+Scale beyond brute force: IVF — cluster candidates (KMeans fit on a
+sample), probe nearest cells only; LSH — random-hyperplane sign
+buckets. Both reduce the candidate set per query by orders of
+magnitude; bucket assignment is itself a dot-product mapInPandas pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+def _dot(a, b):
+    """Exact sequential dot product as a JVM-side expression (matches
+    DuckDB list_dot_product fold order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "sim_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])) AS sim_raw
+           FROM q CROSS JOIN embeddings e
+           WHERE e.vec_id <> q.qid
+         )
+    SELECT qid, vec_id AS neighbor_id, round(sim_raw, 6) AS sim, rk FROM (
+        SELECT qid, vec_id, sim_raw,
+               row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk
+        FROM scored) t
+    WHERE rk <= 10
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors (vec_id < 10)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _dot(F.col("qe"), F.col("embedding")).alias("sim_raw"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim_raw", 6).alias("sim"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "sim_knn_class",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
+         scored AS (
+           SELECT q.qid, e.vec_id, e.label,
+                  list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])) AS sim_raw
+           FROM q CROSS JOIN embeddings e
+           WHERE e.vec_id <> q.qid
+         ),
+         nn AS (
+           SELECT qid, label FROM (
+             SELECT qid, label,
+                    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk
+             FROM scored) t
+           WHERE rk <= 10
+         ),
+         votes AS (SELECT qid, label, count(*) AS c FROM nn GROUP BY qid, label)
+    SELECT qid, label AS pred_label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS r
+        FROM votes) t
+    WHERE r = 1
+    """,
+)
+def sim_knn_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label of the 10 nearest neighbors
+    (ties → smallest label; fully deterministic)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "label", _dot(F.col("qe"), F.col("embedding")).alias("sim_raw")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+    nn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    votes = nn.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("c"))
+    wv = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("label").alias("pred_label"))
+    )
+
+
+def topk_matmul(
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput ANN baseline: numpy matmul per Arrow batch.
+
+    Queries are collected to the driver (bounded: the query set is the
+    small side by contract) and broadcast; candidates stream through
+    mapInPandas. Each batch emits its LOCAL top-k per query; a final
+    window over (query, partial top-k) yields the global top-k — the
+    same partial-then-final shape Spark uses for TakeOrdered.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bq.value
+        for pdf in batches:
+            cand_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (C, D)
+            sims = cmat @ mat.T  # (C, Q)
+            out = []
+            for j in range(len(ids)):
+                col = sims[:, j]
+                mask = cand_ids != ids[j]
+                cids, csims = cand_ids[mask], col[mask]
+                if len(cids) > k:
+                    idx = np.argpartition(-csims, k)[:k]
+                    cids, csims = cids[idx], csims[idx]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": ids[j], "neighbor_id": cids, "sim_raw": csims}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(
+        score_batches, "qid long, neighbor_id long, sim_raw double"
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
+    )
+
+
+@register("sim_topk_pandas")  # float sum order differs from SQL fold → rows-only
+def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy/BLAS variant of sim_topk (same queries). Ranked set is
+    asserted equal to the SQL path in tests; sims differ only in last-ulp
+    summation order, hence rows-only for the driver."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return topk_matmul(spark, q, e, k=10)

@@ -1,0 +1,251 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY §2.11):
+language-ID heuristic, quality scoring, token counting, sentiment,
+document fingerprinting. All JVM-side expressions (split / higher-order
+functions / regex) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT source) AS n_sources,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language: doc counts, token/char distributions."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+           len(regexp_extract_all(text, '[aeiou]')) AS n_vowels,
+           n_chars
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex word pieces."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+"), 0)).alias(
+            "re_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[aeiou]"), 0)).alias(
+            "n_vowels"
+        ),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           n_chars,
+           round(len(string_split(text, ' ')) * 1.0 / n_chars, 6) AS tok_per_char,
+           round(len(list_filter(string_split(text, ' '),
+                                 t -> t = 'a' OR t = 'the')) * 1.0
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           CASE WHEN n_chars < 150 THEN 'short'
+                WHEN n_chars < 300 THEN 'medium'
+                ELSE 'long' END AS len_bucket
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token density, stopword ratio, length bucket —
+    the filter features a pretraining pipeline gates on."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: (t == "a") | (t == "the")))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        "n_chars",
+        F.round(n_tokens * F.lit(1.0) / F.col("n_chars"), 6).alias("tok_per_char"),
+        F.round(stop * F.lit(1.0) / n_tokens, 6).alias("stopword_ratio"),
+        F.when(F.col("n_chars") < 150, "short")
+        .when(F.col("n_chars") < 300, "medium")
+        .otherwise("long")
+        .alias("len_bucket"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN contains(text, 'the') THEN 'en'
+                WHEN contains(text, 'stream') THEN 'xx'
+                ELSE 'und' END AS lang_pred,
+           (CASE WHEN contains(text, 'the') THEN 'en'
+                 WHEN contains(text, 'stream') THEN 'xx'
+                 ELSE 'und' END = lang) AS is_match
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword/n-gram presence vote). The
+    fixture corpus shares one vocabulary across langs, so accuracy is
+    meaningless here — the operator shape (deterministic rule cascade
+    over token presence) is what's exercised; swap the rules for real
+    per-language stopword lists in production."""
+    d = table(spark, sf_dir, "documents")
+    pred = (
+        F.when(F.col("text").contains("the"), "en")
+        .when(F.col("text").contains("stream"), "xx")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id", "lang", pred.alias("lang_pred"), (pred == F.col("lang")).alias("is_match")
+    )
+
+
+@register(
+    "text_sentiment",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                t -> CASE t WHEN 'fast' THEN 2 WHEN 'slow' THEN -2
+                            WHEN 'big' THEN 1 WHEN 'small' THEN -1
+                            WHEN 'merge' THEN 1 WHEN 'filter' THEN -1
+                            ELSE 0 END)) AS BIGINT) AS score,
+           CASE WHEN list_sum(list_transform(string_split(text, ' '),
+                t -> CASE t WHEN 'fast' THEN 2 WHEN 'slow' THEN -2
+                            WHEN 'big' THEN 1 WHEN 'small' THEN -1
+                            WHEN 'merge' THEN 1 WHEN 'filter' THEN -1
+                            ELSE 0 END)) > 0 THEN 'pos'
+                WHEN list_sum(list_transform(string_split(text, ' '),
+                t -> CASE t WHEN 'fast' THEN 2 WHEN 'slow' THEN -2
+                            WHEN 'big' THEN 1 WHEN 'small' THEN -1
+                            WHEN 'merge' THEN 1 WHEN 'filter' THEN -1
+                            ELSE 0 END)) < 0 THEN 'neg'
+                ELSE 'neutral' END AS polarity
+    FROM documents
+    """,
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based polarity: per-token integer scores summed over the
+    doc (exact integer arithmetic → exact oracle). Expressed as a
+    higher-order transform/aggregate so the lexicon is evaluated
+    JVM-side; for big lexicons, the equivalent broadcast-join over
+    exploded tokens is provided as `sentiment_join` below."""
+    d = table(spark, sf_dir, "documents")
+    lex = (
+        F.when(F.col("t") == "fast", 2)
+        .when(F.col("t") == "slow", -2)
+        .when(F.col("t") == "big", 1)
+        .when(F.col("t") == "small", -1)
+        .when(F.col("t") == "merge", 1)
+        .when(F.col("t") == "filter", -1)
+        .otherwise(0)
+    )
+    score = F.aggregate(
+        F.transform(
+            F.split("text", " "),
+            lambda t: (
+                F.when(t == "fast", 2)
+                .when(t == "slow", -2)
+                .when(t == "big", 1)
+                .when(t == "small", -1)
+                .when(t == "merge", 1)
+                .when(t == "filter", -1)
+                .otherwise(0)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    _ = lex  # documented alternative path below
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        F.when(score > 0, "pos").when(score < 0, "neg").otherwise("neutral").alias(
+            "polarity"
+        ),
+    )
+
+
+LEXICON = [("fast", 2), ("slow", -2), ("big", 1), ("small", -1), ("merge", 1), ("filter", -1)]
+
+
+def sentiment_join(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Broadcast-lexicon variant: explode tokens ⋈ broadcast(lexicon) →
+    re-aggregate. The right shape when the lexicon is 100k+ entries
+    (too big for a CASE expression)."""
+    lex = F.broadcast(spark.createDataFrame(LEXICON, "tok string, s int"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.join(lex, "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("score"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(range(1, len(toks) - 1),
+                            i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))),
+             'min') AS fingerprint,
+           len(toks) - 2 AS n_shingles
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over 3-token shingles (rolling-
+    window content signature à la winnowing). Identical docs ⇒ identical
+    fingerprints; fingerprint equality is a cheap near-dup prefilter."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(shingles).alias("fingerprint"),
+        (F.size(toks) - 2).alias("n_shingles"),
+    )

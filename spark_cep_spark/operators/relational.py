@@ -1,0 +1,201 @@
+"""Projection / filter / predicate / sort / limit / set operators
+(SURVEY §2.2, §2.6, §2.7).
+
+All pure DataFrame API — Catalyst pushes the filters and the column
+pruning into the parquet scan (verified via .explain: PushedFilters +
+ReadSchema), so at 100 TB these queries read only the needed columns
+and row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+@register(
+    "project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_quantity AS qty
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+      AND l_quantity >= 10
+      AND NOT l_returnflag IN ('N')
+      AND (l_discount > 0.05 OR l_tax <= 0.03)
+      AND l_linestatus LIKE 'F%'
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT/WHERE with AND/OR/NOT, BETWEEN, IN, LIKE, IS NULL and a
+    computed column. Filter + pruning push down to the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1996-01-01", "1998-12-31")
+            & (F.col("l_quantity") >= 10)
+            & ~F.col("l_returnflag").isin("N")
+            & ((F.col("l_discount") > 0.05) | (F.col("l_tax") <= 0.03))
+            & F.col("l_linestatus").like("F%")
+            & F.col("l_shipdate").isNotNull()
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+                ELSE 'low' END AS priority_class,
+           CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS big_order
+    FROM orders
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional projection via F.when chains (CASE WHEN)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("low")
+        .alias("priority_class"),
+        F.when(F.col("o_totalprice") > 200000, 1).otherwise(0).alias("big_order"),
+    )
+
+
+@register(
+    "distinct_select",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — hash aggregate with map-side partials."""
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "sort_multi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC NULLS LAST, c_name ASC, c_custkey
+    LIMIT 100
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null ordering; LIMIT makes it a
+    TakeOrderedAndProject (no full global sort materialization)."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_name").asc(),
+            F.col("c_custkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY .. LIMIT k → Spark plans TakeOrderedAndProject: each
+    partition keeps a k-heap, driver merges — no global sort shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register("sample")  # nondeterministic vs oracle → rows-only check
+def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample (seeded). Spark's split-sampling is per-partition
+    so results differ from any SQL oracle — rows-only contract."""
+    e = table(spark, sf_dir, "events")
+    return e.sample(fraction=0.1, seed=42).select("event_id", "event_type")
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey AS k, 'F' AS src FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey AS k, 'O' AS src FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k"), F.lit("F").alias("src")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("k"), F.lit("O").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    # subtract == EXCEPT DISTINCT (exceptAll keeps multiplicities, which
+    # diverges from SQL EXCEPT when a row appears more often left than right)
+    return c.subtract(s)

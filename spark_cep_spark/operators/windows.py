@@ -1,0 +1,164 @@
+"""Window-function operators (SURVEY §2.5).
+
+Each window spec orders by a UNIQUE key chain (ties broken by the
+primary key) so ranks are deterministic and oracle-comparable.
+
+Scale note: a window `partitionBy(k)` is one shuffle on k; reusing the
+same partitioning across several window columns (as below — one Window
+spec, many functions) computes them all in a single pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey AS custkey, c_nationkey AS nk,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS tile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nk"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("tile"),
+    )
+
+
+@register(
+    "win_analytic",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wfull).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           sum(CAST(round(o_totalprice, 0) AS BIGINT)) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+           sum(CAST(round(o_totalprice, 0) AS BIGINT)) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling7_spend
+    FROM orders
+    """,
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running/rolling sums. Values are rounded to integer
+    units BEFORE summation so the window accumulation is exact integer
+    arithmetic in both engines (float frame-sums differ by summation
+    order — DuckDB uses segment trees)."""
+    o = table(spark, sf_dir, "orders")
+    spend = F.round(F.col("o_totalprice"), 0).cast("long")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.sum(spend).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "running_spend"
+        ),
+        F.sum(spend).over(w.rowsBetween(-6, W.currentRow)).alias("rolling7_spend"),
+    )
+
+
+@register(
+    "win_frame_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing 1-hour rolling aggregate.
+
+    Ordered on unix_micros so the Spark range boundary has microsecond
+    precision, exactly matching DuckDB's INTERVAL arithmetic (a cast to
+    seconds would truncate and shift boundary membership).
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT custkey, orderkey, price, rn FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               o_totalprice AS price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the bench `window_rank`. rank+filter;
+    Spark pushes the rn<=3 predicate into the window sort (WindowGroupLimit)
+    so each partition only tracks 3 rows — the scalable top-k-per-key."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

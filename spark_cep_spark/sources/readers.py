@@ -1,0 +1,101 @@
+"""Batch sources and sinks (SURVEY §2.1).
+
+Parquet is the primary format (vectorized reader, predicate pushdown,
+column pruning). CSV/JSON ingest is demonstrated via a lossless
+round-trip of a fixture table so it gets a FULL oracle (the round-trip
+re-produces `nation` exactly). Kafka is interface-stubbed — no broker
+in this environment (SURVEY §2.1); the streaming file source stands in
+(spark_cep_spark.streaming).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+from spark_cep_spark.schemas import NATION
+
+# Scratch space inside the repo (everything outside /root/repo is
+# off-limits for writes); gitignored.
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan — the baseline source every other
+    operator builds on."""
+    return table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+
+
+@register(
+    "scan_csv_json",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, n.n_regionkey, n.n_name AS j_name
+    FROM nation n
+    """,
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON ingest with explicit schemas: writes `nation` out as
+    CSV and JSON, reads both back, joins — result must equal the
+    original (lossless int/string round-trip), giving a full oracle."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    n = table(spark, sf_dir, "nation")
+    csv_dir = os.path.join(SCRATCH, "nation_csv")
+    json_dir = os.path.join(SCRATCH, "nation_json")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    n.coalesce(1).write.mode("overwrite").json(json_dir)
+    from_csv = spark.read.schema(NATION).option("header", True).csv(csv_dir)
+    from_json_src = (
+        spark.read.schema(NATION)
+        .json(json_dir)
+        .select(F.col("n_nationkey").alias("jk"), F.col("n_name").alias("j_name"))
+    )
+    return from_csv.join(from_json_src, from_csv.n_nationkey == from_json_src.jk).select(
+        "n_nationkey", "n_name", "n_regionkey", "j_name"
+    )
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source interface (reference-family standard source).
+
+    Returns an unbounded DataFrame with the payload parsed from the
+    Kafka `value` as JSON with the given schema. No broker exists in
+    this environment, so this is exercised only at plan-construction
+    level; the availableNow file source is the tested stand-in.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("payload")
+    ).select("payload.*")
+
+
+def kafka_stream_writer(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
+    """Kafka sink interface (INSERT INTO <sink> equivalent)."""
+    return (
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -1,0 +1,86 @@
+"""Deterministic streaming test harness (SURVEY §5.5).
+
+Runs any streaming DataFrame to completion with Trigger.AvailableNow
+into a memory sink and returns the result as a batch DataFrame. Tests
+split the fixture into several files + maxFilesPerTrigger to force
+multiple micro-batches, proving incremental state correctness (results
+must equal the batch twin regardless of batch boundaries).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_cep_spark.io import table
+from spark_cep_spark.schemas import EVENTS
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+def stage_events_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 8, subdir: str | None = None
+) -> str:
+    """Rewrite the events fixture as n parquet files (micro-batch fuel).
+
+    Spark rewrites the data itself so the streaming source sees
+    Spark-native timestamp encoding regardless of the fixture's
+    original physical type.
+    """
+    subdir = subdir or f"events_stream_{uuid.uuid4().hex[:8]}"
+    out = os.path.join(SCRATCH, subdir)
+    shutil.rmtree(out, ignore_errors=True)
+    table(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+def events_stream(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = 2
+) -> DataFrame:
+    """Unbounded events source over staged files (explicit schema —
+    required for streaming file sources)."""
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(staged_dir)
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute to completion (AvailableNow → drains all input honoring
+    maxFilesPerTrigger, then stops) into a memory sink; return results."""
+    spark = stream_df.sparkSession
+    name = name or f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(SCRATCH, "checkpoints", name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch_parquet(stream_df: DataFrame, out_dir: str) -> None:
+    """`INSERT INTO <sink>` equivalent via foreachBatch (the reference
+    family's sink clause, SURVEY §2.1): append each micro-batch to a
+    parquet sink transactionally per epoch."""
+    ckpt = os.path.join(SCRATCH, "checkpoints", f"fb_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,193 @@
+"""Streaming windowed operators (SURVEY §2.9) — the spark-cep core.
+
+Every operator exists twice over the SAME logic:
+- a *batch twin* registered in queries() (DuckDB-checkable oracle), and
+- a *streaming builder* (`*_stream`) taking an unbounded DataFrame,
+  executed under Trigger.AvailableNow in tests (streaming/harness.py)
+  and asserted equal to its batch twin — the streaming golden output.
+
+This is the modern replacement for the reference's incremental
+sliding-window aggregation over an external KV store: Structured
+Streaming keeps per-(window,key) partial aggregates in the embedded
+state store (RocksDB at scale) and updates them incrementally per
+micro-batch — no recompute, no network hop to Redis (SURVEY §0, §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Tumbling window
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1h tumbling counts+sums per event_type — works on bounded AND
+    unbounded inputs (identical plan, incremental state when streaming)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(table(spark, sf_dir, "events"))
+
+
+def tumbling_stream(events_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming face: watermark bounds state; late rows beyond it drop."""
+    return tumbling_agg(events_stream.withWatermark("ts", watermark))
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (1h window / 15m slide) — *the* spark-cep headline op.
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS win_start,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event belongs to 4 overlapping windows; the oracle expands
+    the 4 memberships explicitly (epoch-aligned starts, same as Spark)."""
+    return sliding_agg(table(spark, sf_dir, "events"))
+
+
+def sliding_stream(events_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return sliding_agg(events_stream.withWatermark("ts", watermark))
+
+
+# ---------------------------------------------------------------------------
+# Session window (30m gap, per user)
+
+SESSION_GAP = "30 minutes"
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """F.session_window works on bounded input too — same merge logic."""
+    return (
+        events.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), isl AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM seq
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM isl
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows; the oracle is the gaps-and-islands encoding.
+    Boundary semantics verified: Spark merges events whose [ts, ts+gap)
+    windows overlap, so a gap of EXACTLY 30min starts a new session —
+    hence `>=` in the oracle's new-session predicate (SURVEY §7 risk 4).
+    """
+    return session_agg(table(spark, sf_dir, "events"))
+
+
+def session_stream(events_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return session_agg(events_stream.withWatermark("ts", watermark))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup per (user, event_type). The
+    streaming face is dropDuplicates/dropDuplicatesWithinWatermark
+    (arbitrary-winner semantics — asserted on counts in tests); the
+    batch twin pins the winner so the oracle hash is stable."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def dedup_stream(events_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exactly-once dedup by event_id within the watermark —
+    state is bounded: old keys expire once the watermark passes."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
