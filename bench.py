@@ -1,0 +1,91 @@
+"""Headline benchmark — run by the driver per round (BENCH_r{N}.json).
+
+Times the BASELINE.md query set at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measurement: each query executes to a `noop` sink (full plan execution,
+no driver-side collect cost), best of 2 runs after a warm-up pass that
+touches every input table (FS cache + JIT + Arrow init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# bench name (BASELINE.md) -> queries() key
+HEADLINE = {
+    "q1_pricing_summary": "agg_group",
+    "q3_join_agg_topk": "join_inner_equi",
+    "window_rank": "win_topk_per_group",
+    "events_tumbling": "stream_tumbling",
+    "events_sessionish": "stream_session",
+    "knn_selfjoin_sample": "sim_topk_pandas_bench",
+    "doc_dedup": "dedup_exact",
+}
+
+
+def main() -> None:
+    from spark_cep_spark.session import get_spark
+    from spark_cep_spark.io import load_tables
+    import spark_cep_spark
+
+    spark_cep_spark.load_all()
+    qs = dict(spark_cep_spark.QUERIES)
+
+    # bench-scale knn: 100 query vectors vs the full candidate set
+    # (matches BASELINE.md's knn_selfjoin_sample: 100 x 2000 at sf0.1)
+    from pyspark.sql import functions as F
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.llm_similarity import topk_matmul
+
+    def knn_bench(spark, sf_dir):
+        e = table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 100)
+        return topk_matmul(spark, q, e, k=10)
+
+    qs["sim_topk_pandas_bench"] = knn_bench
+
+    spark = get_spark("bench")
+
+    # Warm-up: touch every table once (page cache, codegen, Arrow).
+    for df in load_tables(spark, SF_DIR).values():
+        df.count()
+
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    times: dict[str, float] = {}
+    for bench_name, key in HEADLINE.items():
+        fn = qs[key]
+        run_once(fn)  # warm
+        times[bench_name] = round(min(run_once(fn), run_once(fn)), 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -68,10 +68,14 @@ def run_available_now(
     return spark.table(name)
 
 
-def run_foreach_batch_parquet(stream_df: DataFrame, out_dir: str) -> None:
+def run_foreach_batch_parquet(
+    stream_df: DataFrame, out_dir: str, output_mode: str = "update"
+) -> None:
     """`INSERT INTO <sink>` equivalent via foreachBatch (the reference
     family's sink clause, SURVEY §2.1): append each micro-batch to a
-    parquet sink transactionally per epoch."""
+    parquet sink transactionally per epoch. Default `update` mode emits
+    changed aggregates each batch (append would wait for the watermark
+    to finalize windows)."""
     ckpt = os.path.join(SCRATCH, "checkpoints", f"fb_{uuid.uuid4().hex[:8]}")
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -79,6 +83,7 @@ def run_foreach_batch_parquet(stream_df: DataFrame, out_dir: str) -> None:
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -1,0 +1,118 @@
+"""CEP batch compiler tests: crafted sequences + property test against
+a brute-force reference matcher (SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from spark_cep_spark.operators.cep import Pattern
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events_df(spark, rows):
+    """rows: list of (user_id, minutes_offset, event_type)"""
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+FUNNEL = lambda within: (
+    Pattern.begin("a", "event_type = 'view'")
+    .followed_by("b", "event_type = 'click'")
+    .followed_by("c", "event_type = 'purchase'")
+    .within(within)
+)
+
+
+def brute_force_matches(rows, within_minutes):
+    """Reference matcher: skip-till-next-match, earliest-bind, per user."""
+    out = []
+    for i, (u, m, t) in enumerate(rows):
+        if t != "view":
+            continue
+        # earliest click after m within bound
+        clicks = sorted(
+            m2 for (u2, m2, t2) in rows if u2 == u and t2 == "click" and m2 > m and m2 <= m + within_minutes
+        )
+        if not clicks:
+            continue
+        t2 = clicks[0]
+        purchases = sorted(
+            m3 for (u3, m3, t3) in rows if u3 == u and t3 == "purchase" and m3 > t2 and m3 <= m + within_minutes
+        )
+        if not purchases:
+            continue
+        out.append((u, i, m, t2, purchases[0]))
+    return sorted(out)
+
+
+def test_simple_funnel_match(spark):
+    rows = [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),   # full funnel
+        (2, 0, "view"), (2, 10, "purchase"),                      # no click
+        (3, 0, "view"), (3, 90, "click"), (3, 95, "purchase"),    # click too late
+    ]
+    got = FUNNEL("60 MINUTES").compile_batch(_events_df(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.key == 1 and r.anchor_id == 0
+
+
+def test_earliest_match_policy(spark):
+    """Two clicks qualify — the EARLIEST must bind (skip-till-next-match)."""
+    rows = [
+        (1, 0, "view"), (1, 5, "click"), (1, 30, "click"), (1, 40, "purchase"),
+    ]
+    got = FUNNEL("60 MINUTES").compile_batch(_events_df(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0].t_b == T0 + dt.timedelta(minutes=5)
+
+
+def test_purchase_before_click_does_not_match(spark):
+    rows = [(1, 0, "view"), (1, 10, "purchase"), (1, 20, "click")]
+    got = FUNNEL("60 MINUTES").compile_batch(_events_df(spark, rows)).collect()
+    assert got == []
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=120),    # minute offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),  # unique (user, ts): no tie ambiguity
+    )
+)
+def test_property_compiler_equals_bruteforce(spark_session_holder, events):
+    spark = spark_session_holder
+    got = FUNNEL("60 MINUTES").compile_batch(_events_df(spark, events)).collect()
+    got_set = sorted(
+        (r.key, r.anchor_id, _mins(r.t_a), _mins(r.t_b), _mins(r.t_c)) for r in got
+    )
+    want = brute_force_matches(events, 60)
+    assert got_set == want
+
+
+def _mins(ts: dt.datetime) -> int:
+    return int((ts - T0).total_seconds() // 60)
+
+
+# hypothesis can't use function-scoped fixtures; bind session fixture
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    return spark

@@ -1,0 +1,193 @@
+"""Streaming determinism (SURVEY §5.5): every streaming op runs under
+Trigger.AvailableNow over the fixture split into multiple files
+(forcing multiple micro-batches) and must equal its batch twin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.streaming import harness
+from spark_cep_spark.streaming.windows import (
+    dedup_stream,
+    session_agg,
+    session_stream,
+    sliding_agg,
+    sliding_stream,
+    tumbling_agg,
+    tumbling_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir):
+    return harness.stage_events_files(spark, sf_dir, n_files=8)
+
+
+def _sorted_pdf(df, cols):
+    return df.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, staged):
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(tumbling_stream(stream, watermark="35 days"), "complete")
+    want = tumbling_agg(table(spark, sf_dir, "events"))
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, staged):
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(sliding_stream(stream, watermark="35 days"), "complete")
+    want = sliding_agg(table(spark, sf_dir, "events"))
+    cols = ["win_start", "n", "sum_value"]
+    assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
+
+
+def test_session_stream_equals_batch(spark, sf_dir, staged):
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(session_stream(stream, watermark="35 days"), "complete")
+    want = session_agg(table(spark, sf_dir, "events"))
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
+
+
+def test_streaming_dedup_by_event_id(spark, sf_dir, staged):
+    """Feed the events twice (union of two staged copies would need two
+    dirs; instead assert dedup over the single feed keeps all unique
+    event_ids and drops nothing else)."""
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=4)
+    got = harness.run_available_now(dedup_stream(stream), "append")
+    n_unique = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == n_unique
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, staged, tmp_path):
+    out = str(tmp_path / "sink")
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=4)
+    harness.run_foreach_batch_parquet(tumbling_stream(stream, watermark="35 days"), out)
+    # complete-mode semantics don't apply to foreachBatch append; just
+    # assert the sink received rows with the right schema
+    sunk = spark.read.parquet(out)
+    assert sunk.count() > 0
+    assert set(sunk.columns) == {"win_start", "event_type", "n", "sum_value"}
+
+
+def test_stream_static_join(spark, sf_dir, staged):
+    """Stream-static enrichment join (SURVEY §2.3): stream events ⋈
+    static per-user dimension — supported natively by Structured
+    Streaming; verify against the batch join."""
+    users = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=4)
+    enriched = stream.join(users, "user_id").filter(
+        F.col("event_type") == "purchase"
+    )
+    got = harness.run_available_now(enriched, "append")
+    want = (
+        table(spark, sf_dir, "events")
+        .join(users, "user_id")
+        .filter(F.col("event_type") == "purchase")
+    )
+    assert got.count() == want.count()
+
+
+def test_stream_stream_join(spark, sf_dir, staged):
+    """Stream-stream windowed join: views ⋈ purchases within 1h per
+    user (both sides watermarked, time-range condition)."""
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=4)
+    v = (
+        stream.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "40 days")
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "40 days")
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "user_id = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    got = harness.run_available_now(joined, "append")
+    e = table(spark, sf_dir, "events")
+    want = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            F.expr(
+                "user_id = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+            ),
+        )
+    )
+    assert got.count() == want.count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Deliberate late-data semantics: an event older than the watermark
+    arriving in a LATER micro-batch is dropped from the aggregation.
+
+    Two empirically-verified Spark subtleties this test pins down:
+    - only APPEND mode guarantees late-row dropping (update mode uses
+      the watermark for state eviction only — a late row that arrives
+      while its window state is alive still gets aggregated);
+    - watermark propagation lags one batch (the wm computed from batch
+      N's data takes effect in batch N+2), so the late row is staged
+      two micro-batches after the event that advances the watermark.
+    Micro-batch order is pinned via file modification times.
+    """
+    import datetime as dt
+    import glob
+    import os as _os
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def mk(rows, sid):
+        return spark.createDataFrame(
+            [(sid + i, t, 1, "view", 1.0, "{}") for i, t in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    src = str(tmp_path / "late_src")
+    # batch 0: t0 and t0+1h -> wm (effective two batches later) = t0+30m
+    mk([t0, t0 + dt.timedelta(hours=1)], 0).coalesce(1).write.parquet(src)
+    # batch 1: filler (lets the wm from batch 0 commit)
+    mk([t0 + dt.timedelta(minutes=65)], 10).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: t0+1s (LATE: < wm=t0+30m) and t0+70m (on time)
+    mk([t0 + dt.timedelta(seconds=1), t0 + dt.timedelta(minutes=70)], 20).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    # order files by the event_ids they contain (write order), pin mtimes
+    order = []
+    for f in glob.glob(src + "/part*"):
+        ids = [r.event_id for r in spark.read.parquet(f).collect()]
+        order.append((min(ids), f))
+    order.sort()
+    now = 1_700_000_000
+    for i, (_, f) in enumerate(order):
+        _os.utime(f, (now - 3600 * (3 - i),) * 2)
+
+    stream = harness.events_stream(spark, src, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+    got = harness.run_available_now(agg, "append").toPandas()
+    finalized = got[got.win_start == t0]
+    assert len(finalized) == 1
+    assert finalized.n.iloc[0] == 1  # late t0+1s row was dropped
