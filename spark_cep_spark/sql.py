@@ -1,0 +1,111 @@
+"""Continuous SQL over stream tables — the spark-cep user surface
+(SURVEY §0: "continuous SQL queries over event streams").
+
+The reference registered stream tables and re-executed a parsed SQL
+query per micro-batch [PK]. On Spark 4 this needs NO custom parser or
+per-batch re-binding: a streaming DataFrame registered as a temp view
+is directly queryable with spark.sql(...), and the result is itself a
+streaming DataFrame planned incrementally by the engine. This module
+is the thin registry + lifecycle wrapper that packages that as the
+reference-shaped API:
+
+    eng = StreamSQL(spark)
+    eng.register_stream("events_s", stream_df)       # stream table
+    eng.register_table("nation", nation_df)          # static table
+    q = eng.query(
+        "SELECT window(ts, '1 hour').start AS h, count(*) AS n "
+        "FROM events_s GROUP BY window(ts, '1 hour')",
+        sink="memory", name="hourly", output_mode="complete")
+    ...
+    eng.stop_all()
+
+`INSERT INTO <sink>` of the reference maps to sink= ('memory',
+'parquet:<path>', or a foreachBatch callable).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".tmp")
+
+
+class StreamSQL:
+    """Registry of stream + static tables with continuous-SQL queries."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._queries: dict[str, StreamingQuery] = {}
+
+    # -- registration ------------------------------------------------------
+    def register_stream(self, name: str, stream_df: DataFrame) -> None:
+        if not stream_df.isStreaming:
+            raise ValueError(f"{name}: not a streaming DataFrame")
+        stream_df.createOrReplaceTempView(name)
+
+    def register_table(self, name: str, df: DataFrame) -> None:
+        if df.isStreaming:
+            raise ValueError(f"{name}: is streaming; use register_stream")
+        df.createOrReplaceTempView(name)
+
+    # -- continuous query lifecycle ---------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Plan a (possibly streaming) SQL query against the registry."""
+        return self.spark.sql(query)
+
+    def query(
+        self,
+        sql: str,
+        sink: str | Callable = "memory",
+        name: str | None = None,
+        output_mode: str = "append",
+        trigger_available_now: bool = False,
+        checkpoint: str | None = None,
+    ) -> StreamingQuery:
+        """Start a continuous query: SQL → sink (the reference's
+        `SELECT ... INSERT INTO sink` loop, exactly-once per epoch)."""
+        df = self.spark.sql(sql)
+        if not df.isStreaming:
+            raise ValueError("query is fully static — use .sql() instead")
+        name = name or f"cq_{uuid.uuid4().hex[:8]}"
+        # fresh checkpoint per start unless the caller pins one: a reused
+        # checkpoint resumes the OLD query's source offsets/paths —
+        # exactly-once restart is opt-in via checkpoint=, not accidental
+        ckpt = checkpoint or os.path.join(
+            SCRATCH, "checkpoints", f"{name}_{uuid.uuid4().hex[:8]}"
+        )
+
+        if callable(sink):
+            writer = df.writeStream.foreachBatch(sink)
+        elif sink == "memory":
+            writer = df.writeStream.format("memory").queryName(name)
+        elif sink.startswith("parquet:"):
+            writer = df.writeStream.format("parquet").option(
+                "path", sink.split(":", 1)[1]
+            )
+        else:
+            raise ValueError(f"unknown sink: {sink}")
+
+        writer = writer.outputMode(output_mode).option("checkpointLocation", ckpt)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        self._queries[name] = q
+        return q
+
+    def results(self, name: str) -> DataFrame:
+        """Memory-sink results of a named continuous query."""
+        return self.spark.table(name)
+
+    def stop(self, name: str) -> None:
+        if name in self._queries:
+            self._queries.pop(name).stop()
+
+    def stop_all(self) -> None:
+        for name in list(self._queries):
+            self.stop(name)

@@ -37,6 +37,35 @@ def stage_events_files(
     return out
 
 
+def stage_events_files_sorted(
+    spark: SparkSession, sf_dir: str, n_files: int = 8, subdir: str | None = None
+) -> str:
+    """Stage events as n files RANGE-PARTITIONED AND SORTED by event
+    time, with file mtimes ascending in range order — arrival order ==
+    event-time order, so a zero-delay watermark drops nothing and the
+    whole stream matures by end-of-stream. This is the staging used for
+    exact streaming-vs-batch equivalence tests of order-sensitive
+    operators (CEP NFA); unordered staging + a real watermark delay is
+    the production shape."""
+    import pyspark.sql.functions as F  # local alias
+
+    subdir = subdir or f"events_sorted_{uuid.uuid4().hex[:8]}"
+    out = os.path.join(SCRATCH, subdir)
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(n_files, F.col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part"))
+    base = 1_700_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out, f), (base + i * 3600,) * 2)
+    return out
+
+
 def events_stream(
     spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = 2
 ) -> DataFrame:

@@ -1,0 +1,190 @@
+"""Streaming CEP: the Pattern NFA over applyInPandasWithState
+(SURVEY §2.10, §7 M3 — the batch compiler in operators/cep.py is the
+executable spec this is tested against).
+
+Design
+------
+- Step predicates are evaluated JVM-side BEFORE the stateful operator
+  (each event gets boolean columns m0..mk) — Python never parses SQL,
+  and predicate evaluation stays in whole-stage codegen.
+- Per key (user), the state holds (a) a buffer of events not yet
+  matured past the watermark, (b) open partial matches. Each batch:
+  new events are buffered; events with ts <= watermark are processed
+  IN EVENT-TIME ORDER (the watermark guarantees no earlier event can
+  still arrive, so order-sensitive semantics are safe); completed
+  matches are emitted.
+- Skip-till-next-match, earliest-bind: processing matured events in ts
+  order and binding the first qualifying event per open partial is
+  exactly the earliest-match policy of the batch compiler.
+- An event-time timeout re-invokes the function when the watermark
+  passes the earliest buffered event, so buffered events flush even if
+  the key receives no further input.
+
+Scale: state per key is O(buffered horizon + open partials within the
+pattern's time bound) — bounded by the watermark delay and .within().
+Keys shard across executors by the groupBy; RocksDB state store holds
+the serialized state at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # only for typing; avoid circular import
+    from spark_cep_spark.operators.cep import Pattern
+
+_US_PER_MS = 1000
+
+
+def _interval_to_ms(bound: str) -> int:
+    """'24 HOURS' / '30 MINUTES' / '7 DAYS' → milliseconds."""
+    qty_s, unit = bound.strip().split()
+    qty = float(qty_s)
+    unit = unit.upper().rstrip("S")
+    factor = {
+        "SECOND": 1_000,
+        "MINUTE": 60_000,
+        "HOUR": 3_600_000,
+        "DAY": 86_400_000,
+    }[unit]
+    return int(qty * factor)
+
+
+def compile_stream(
+    pattern: "Pattern",
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+    filter_nonmatching: bool = True,
+) -> DataFrame:
+    """Compile a Pattern to a streaming DataFrame of matches.
+
+    Output schema mirrors Pattern.compile_batch: (key, anchor_id,
+    t_<step>... as timestamps).
+    """
+    steps = pattern.steps
+    n_steps = len(steps)
+    if n_steps == 0:
+        raise ValueError("empty pattern")
+    if pattern.time_bound is None:
+        raise ValueError("pattern needs .within(bound)")
+    bound_ms = _interval_to_ms(pattern.time_bound)
+
+    flags = [
+        F.expr(s.predicate).cast("boolean").alias(f"m{i}") for i, s in enumerate(steps)
+    ]
+    prepared = events_stream.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        *flags,
+    )
+    if filter_nonmatching:
+        # Events matching no step never affect the NFA — drop them early
+        # (JVM-side, shrinks the shuffle AND the state). CAVEAT: Catalyst
+        # pushes this filter below the watermark node, so the watermark
+        # then advances only on MATCHING events. Pass
+        # filter_nonmatching=False if non-matching traffic must drive
+        # the event clock (costs shuffle volume, not correctness).
+        prepared = prepared.filter(" OR ".join(f"m{i}" for i in range(n_steps)))
+
+    out_fields = [
+        T.StructField("key", T.LongType()),
+        T.StructField("anchor_id", T.LongType()),
+    ] + [T.StructField(f"t_{s.name}", T.TimestampType()) for s in steps]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "partials": []}
+        buf = st["buf"]  # [[ts_us, eid, [m0..mk]], ...] not yet matured
+        partials = st["partials"]  # [[anchor_eid, [t0_us..ti_us]], ...]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for j in range(len(pdf)):
+                    buf.append(
+                        [
+                            int(ts_us.iloc[j]),
+                            int(pdf["eid"].iloc[j]),
+                            [bool(pdf[f"m{i}"].iloc[j]) for i in range(n_steps)],
+                        ]
+                    )
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        matches = []
+        for ts, eid, m in matured:
+            # advance open partials first (an event may both extend a
+            # partial and anchor a new one)
+            kept = []
+            for anchor_eid, bound_ts in partials:
+                nxt = len(bound_ts)
+                if ts > bound_ts[0] + bound_ms * _US_PER_MS:
+                    continue  # expired
+                if ts > bound_ts[-1] and m[nxt]:
+                    bound_ts = bound_ts + [ts]
+                    if len(bound_ts) == n_steps:
+                        matches.append((anchor_eid, bound_ts))
+                        continue
+                kept.append([anchor_eid, bound_ts])
+            partials = kept
+            if m[0]:
+                partials.append([eid, [ts]])
+
+        # drop partials that can never complete (deadline below watermark)
+        partials = [
+            p for p in partials if p[1][0] + bound_ms * _US_PER_MS > wm_us
+        ]
+
+        if buf or partials:
+            state.update((json.dumps({"buf": buf, "partials": partials}),))
+            # wake up when the watermark passes the earliest pending work
+            nxt_us = min(
+                [e[0] for e in buf]
+                + [p[1][0] + bound_ms * _US_PER_MS for p in partials]
+            )
+            state.setTimeoutTimestamp(max(nxt_us // _US_PER_MS + 1, wm_ms + 1))
+        elif state.exists:
+            state.remove()  # nothing pending — free the key's state
+
+        if matches:
+            cols: dict[str, list] = {
+                "key": [key[0]] * len(matches),
+                "anchor_id": [m0 for m0, _ in matches],
+            }
+            for i, s in enumerate(steps):
+                cols[f"t_{s.name}"] = pd.to_datetime(
+                    [bt[i] for _, bt in matches], unit="us"
+                )
+            yield pd.DataFrame(cols)
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

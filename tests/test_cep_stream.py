@@ -1,0 +1,95 @@
+"""Streaming CEP NFA vs the batch compiler (its executable spec).
+
+The NFA runs under availableNow over the fixture split into multiple
+micro-batches. With time-sorted staging + zero-delay watermark, every
+event matures by end-of-stream and nothing is watermark-dropped, so
+the NFA's output must EQUAL compile_batch on the same data — the
+strongest equivalence assertable (SURVEY §7 M3 risk 1). Out-of-order
+arrival within the watermark delay is exercised separately.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+import pytest
+
+from spark_cep_spark.io import table
+from spark_cep_spark.operators.cep import Pattern
+from spark_cep_spark.streaming import harness
+from spark_cep_spark.streaming.nfa import compile_stream
+
+
+def _funnel(within: str) -> Pattern:
+    return (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within(within)
+    )
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.parametrize("within", ["6 HOURS", "24 HOURS"])
+def test_nfa_equals_batch_compiler_on_fixture(spark, sf_dir, within):
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(_funnel(within), stream, watermark="0 seconds"), "append"
+    )
+    want = _funnel(within).compile_batch(table(spark, sf_dir, "events"))
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0  # non-vacuous
+
+
+def test_nfa_handles_out_of_order_arrival_within_watermark(spark):
+    """The click ARRIVES in an earlier micro-batch than the view (files
+    reversed), but both are within the watermark delay — event-time
+    order must win inside the NFA's buffer. A far-future sentinel view
+    event (different user) arrives last to flush the watermark forward —
+    it must match a step: the non-matching-event filter sits below the
+    watermark node, so only matching events advance the event clock."""
+    t0 = dt.datetime(2024, 6, 1)
+
+    def mk(rows, sid):
+        return spark.createDataFrame(
+            [(sid + i, t, u, ty, 1.0, "{}") for i, (u, t, ty) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    src = harness.SCRATCH + "/nfa_ooo"
+    shutil.rmtree(src, ignore_errors=True)
+    # arrival order: click(t0+10m) → view(t0) → sentinel(t0+10h)
+    mk([(1, t0 + dt.timedelta(minutes=10), "click")], 0).coalesce(1).write.parquet(src)
+    mk([(1, t0, "view")], 10).coalesce(1).write.mode("append").parquet(src)
+    mk([(99, t0 + dt.timedelta(hours=10), "view")], 20).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    order = []
+    for f in glob.glob(src + "/part*"):
+        ids = [r.event_id for r in spark.read.parquet(f).collect()]
+        order.append((min(ids), f))
+    order.sort()
+    now = 1_700_000_000
+    for i, (_, f) in enumerate(order):
+        os.utime(f, (now + 3600 * i,) * 2)
+
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .within("1 HOUR")
+    )
+    stream = harness.events_stream(spark, src, max_files_per_trigger=1)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="30 minutes"), "append"
+    ).collect()
+    # view(t0) then click(t0+10m): exactly one match, anchored at the view
+    assert len(got) == 1
+    assert got[0].anchor_id == 10
+    assert got[0].t_click == t0 + dt.timedelta(minutes=10)

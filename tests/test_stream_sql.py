@@ -1,0 +1,83 @@
+"""Continuous-SQL surface tests: stream tables registered by name,
+SQL windowed aggregation + stream⋈static SQL join running as a
+continuous query into a sink — the reference's end-user workflow."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.sql import StreamSQL
+from spark_cep_spark.streaming import harness
+
+
+def test_continuous_sql_windowed_agg(spark, sf_dir):
+    staged = harness.stage_events_files(spark, sf_dir, n_files=4)
+    eng = StreamSQL(spark)
+    eng.register_stream("events_s", harness.events_stream(spark, staged, 2))
+    q = eng.query(
+        """
+        SELECT window(ts, '1 hour').start AS win_start, event_type,
+               count(*) AS n
+        FROM events_s
+        GROUP BY window(ts, '1 hour'), event_type
+        """,
+        sink="memory",
+        name="cq_hourly",
+        output_mode="complete",
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    got = eng.results("cq_hourly")
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n")).first()[0] == table(spark, sf_dir, "events").count()
+    eng.stop_all()
+
+
+def test_continuous_sql_stream_static_join(spark, sf_dir):
+    staged = harness.stage_events_files(spark, sf_dir, n_files=4)
+    eng = StreamSQL(spark)
+    eng.register_stream("events_s", harness.events_stream(spark, staged, 2))
+    # static dimension: event_type -> weight
+    dim = spark.createDataFrame(
+        [("purchase", 10), ("click", 1), ("view", 1), ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    )
+    eng.register_table("type_weight", dim)
+    q = eng.query(
+        """
+        SELECT e.user_id, sum(w.weight) AS score
+        FROM events_s e JOIN type_weight w ON e.event_type = w.event_type
+        GROUP BY e.user_id
+        """,
+        sink="memory",
+        name="cq_scores",
+        output_mode="complete",
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    got = eng.results("cq_scores")
+    want = (
+        table(spark, sf_dir, "events")
+        .join(dim, "event_type")
+        .groupBy("user_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    g = {(r.user_id, r.score) for r in got.collect()}
+    w = {(r.user_id, r.score) for r in want.collect()}
+    assert g == w
+    eng.stop_all()
+
+
+def test_static_sql_rejected_for_query(spark, sf_dir):
+    import pytest
+
+    eng = StreamSQL(spark)
+    eng.register_table("nation_t", table(spark, sf_dir, "nation"))
+    with pytest.raises(ValueError, match="static"):
+        eng.query("SELECT * FROM nation_t")
