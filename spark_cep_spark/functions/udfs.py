@@ -1,0 +1,157 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.12).
+
+Demonstrates every user-function extension point with oracle-checkable
+semantics, plus SQL registration (`spark.udf.register`) so SQL-string
+users reach the same functions. The guidance stands: builtins first;
+when Python is unavoidable, Arrow-vectorized pandas UDFs — the
+row-at-a-time scalar UDF below exists to cover the API, and its unit
+test doubles as the "why not" benchmark.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+# -- scalar pandas UDF (Arrow-vectorized, the preferred Python path) -------
+@F.pandas_udf(T.DoubleType())
+def scale_shift(v: pd.Series) -> pd.Series:
+    """2x + 1 — deterministic IEEE arithmetic, exact oracle parity."""
+    return v * 2.0 + 1.0
+
+
+# -- row-at-a-time scalar UDF (API coverage; slow path) --------------------
+@F.udf(T.IntegerType())
+def type_len(s: str) -> int:
+    return len(s) if s is not None else None
+
+
+# -- grouped-agg pandas UDAF ----------------------------------------------
+@F.pandas_udf(T.DoubleType())
+def mean_udaf(v: pd.Series) -> float:
+    return float(v.mean())
+
+
+@register(
+    "udf_surface",
+    oracle="""
+    SELECT event_id,
+           value * 2.0 + 1.0 AS scaled,
+           length(event_type) AS type_len
+    FROM events
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas UDF + python UDF in one projection, SQL-registered so the
+    same query works as a SQL string (spark.udf.register)."""
+    spark.udf.register("scale_shift_sql", scale_shift)
+    spark.udf.register("type_len_sql", type_len)
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        scale_shift(F.col("value")).alias("scaled"),
+        type_len(F.col("event_type")).alias("type_len"),
+    )
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+    SELECT event_type, round(avg(value), 4) AS mean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas UDF (Arrow transfer,
+    one pandas Series per group per partition-merge)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(mean_udaf(F.col("value")), 4).alias("mean_value")
+    )
+
+
+@register(
+    "grouped_map",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_no
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-user pandas frame in/out (the
+    batch-side engine of the CEP NFA and custom per-entity transforms).
+    Computes a per-user sequence number — deterministic, oracle-checked
+    against the window-function equivalent."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+
+    def number(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["seq_no"] = range(1, len(pdf) + 1)
+        return pdf[["user_id", "event_id", "ts", "seq_no"]]
+
+    return e.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
+        number, "user_id long, event_id long, ts timestamp, seq_no int"
+    )
+
+
+@register(
+    "map_in_pandas",
+    oracle="""
+    SELECT doc_id, n_chars, n_chars * 2 AS doubled
+    FROM documents
+    """,
+)
+def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: whole-partition Arrow batch iterator (the embedding/
+    multimodal workhorse) — integer arithmetic for exact parity."""
+    d = table(spark, sf_dir, "documents")
+
+    def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[["doc_id", "n_chars"]].copy()
+            pdf["doubled"] = pdf["n_chars"] * 2
+            yield pdf
+
+    return d.mapInPandas(f, "doc_id long, n_chars long, doubled long")
+
+
+@register(
+    "udtf_tokens",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF: one row in, N rows out (tokenizer-as-table-function
+    — the pattern-match emitter shape). 1-based positions to match the
+    SQL subscripts."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, tok string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield doc_id, i, tok
+
+    spark.udtf.register("tokenize", Tokenize)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.tok "
+        "FROM docs_for_udtf d, LATERAL tokenize(d.doc_id, d.text) t"
+    )

@@ -214,3 +214,43 @@ def having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_cust") >= 50)
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide with explicit value list (explicit values keep
+    the plan a single pass; omitting them adds a distinct-scan job)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array→rows with 1-based position (generator output,
+    stays in codegen — no Python)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")

@@ -51,15 +51,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature(d: DataFrame) -> DataFrame:
-    """(doc_id, sig) — sig = concat of per-seed min(md5(seed:token))."""
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    """(doc_id, sig) — sig = concat of per-seed min(md5(seed:shingle))
+    over 3-token shingles.
+
+    Shingles (not single tokens) are essential on a small-vocabulary
+    corpus: token SETS collide for most long documents, while 3-gram
+    shingle sets are near-unique per text — signatures then collide
+    only for genuinely near-identical docs.
+    """
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
-    sig = toks.groupBy("doc_id").agg(*aggs)
+    sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id",
         F.concat_ws("|", *[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("sig"),
@@ -71,13 +89,18 @@ _MINHASH_SIG_SQL = """
                concat_ws('|', {cols}) AS sig
         FROM (
           SELECT doc_id, {aggs}
-          FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-                FROM documents) t
+          FROM (
+            SELECT DISTINCT doc_id, unnest(list_transform(
+                     range(1, len(toks) - 1),
+                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3) t
           GROUP BY doc_id) s
 """.format(
     cols=", ".join(f"h{i}" for i in range(N_MINHASH)),
     aggs=", ".join(
-        f"min(md5(concat('{i}:', tok))) AS h{i}" for i in range(N_MINHASH)
+        f"min(md5(concat('{i}:', sh))) AS h{i}" for i in range(N_MINHASH)
     ),
 )
 

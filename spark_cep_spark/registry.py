@@ -60,7 +60,7 @@ def load_all() -> None:
         llm_text,
         llm_multimodal,
     )
-    from spark_cep_spark.functions import families  # noqa: F401
+    from spark_cep_spark.functions import families, udfs  # noqa: F401
     from spark_cep_spark.streaming import windows as stream_windows  # noqa: F401
 
     _LOADED = True
