@@ -201,3 +201,107 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return topk_matmul(spark, q, e, k=10)
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: random-hyperplane LSH bucketing.
+#
+# Brute force is a crossJoin — O(Q·C) dot products and a full shuffle of
+# the C×Q score matrix. The LSH route replaces it with an EQUI-join on
+# (table, bucket): each side computes L b-bit sign signatures (one per
+# hash table), explodes to (id, t, bucket), and only same-bucket pairs
+# are ever scored. At 100 TB the crossJoin is impossible; the bucketed
+# join is an ordinary shuffle on (t, bucket) whose fan-in is tunable via
+# (b, L): recall for a pair at angle θ is 1-(1-(1-θ/π)^b)^L.
+
+def _plane_matrix(n_tables: int, n_planes: int, dim: int, seed: int):
+    """Deterministic hyperplanes (fixed seed → reproducible buckets)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_tables, n_planes, dim))
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes,  # (L, b, dim) ndarray
+) -> DataFrame:
+    """(id, vec, t, bucket) — one row per hash table, all JVM-side:
+    sign bits via the same zip_with/aggregate dot product as the exact
+    path, so bucketing adds no Python boundary to the plan."""
+    buckets = []
+    for t in range(planes.shape[0]):
+        bits = [
+            (
+                _dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in planes[t, p]]),
+                )
+                > 0
+            ).cast("long")
+            * (1 << p)
+            for p in range(planes.shape[1])
+        ]
+        buckets.append(sum(bits[1:], bits[0]))
+    return df.select(
+        id_col, vec_col, F.posexplode(F.array(*buckets)).alias("t", "bucket")
+    )
+
+
+def topk_lsh(
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH candidate generation + exact rescoring.
+
+    Same output schema as topk_matmul/sim_topk; neighbors missing a
+    shared bucket with the query are simply absent (that is the
+    approximation). Rescoring uses the exact JVM dot product, so every
+    returned sim is exact — only the candidate set is approximate.
+    """
+    planes = _plane_matrix(n_tables, n_planes, dim, seed)
+    qb = lsh_buckets(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")),
+        "qid",
+        "qe",
+        planes,
+    )
+    cb = lsh_buckets(candidates.select(id_col, vec_col), id_col, vec_col, planes)
+    pairs = (
+        qb.join(cb, ["t", "bucket"])
+        .filter(F.col(id_col) != F.col("qid"))
+        .dropDuplicates(["qid", id_col])
+    )
+    scored = pairs.select(
+        "qid",
+        F.col(id_col).alias("neighbor_id"),
+        _dot(F.col("qe"), F.col(vec_col)).alias("sim_raw"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
+    )
+
+
+@register("sim_ann_lsh")  # approximate candidate set → rows-only
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN over the fixture (same queries as sim_topk).
+    Fixture vectors are near-uniform on the sphere (no cluster
+    structure), the hardest case for LSH — recall guarantees are
+    asserted in tests on planted near-duplicates instead
+    (tests/test_llm_ops.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return topk_lsh(spark, q, e, k=10)

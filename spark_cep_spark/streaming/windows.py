@@ -191,3 +191,90 @@ def dedup_stream(events_stream: DataFrame, watermark: str = "10 minutes") -> Dat
     return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream ⋈ static (dimension enrichment) and stream ⋈ stream (windowed pair)
+
+def user_dim(events: DataFrame) -> DataFrame:
+    """Per-user dimension (first_seen) derived from events — stands in
+    for an external user table; broadcast-sized by construction."""
+    return events.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+
+
+def enrich_purchases(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Enrichment join: purchases ⋈ user dim. Streaming-legal as-is —
+    Structured Streaming natively joins an unbounded left side against
+    a static (broadcast) dimension with no state store involved."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(users), "user_id")
+        .select("user_id", "event_id", "ts", "value", "first_seen")
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH users AS (SELECT user_id, min(ts) AS first_seen FROM events GROUP BY user_id)
+    SELECT e.user_id, e.event_id, e.ts, e.value, u.first_seen
+    FROM events e JOIN users u USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return enrich_purchases(e, user_dim(e))
+
+
+def static_join_stream(events_stream: DataFrame, users: DataFrame) -> DataFrame:
+    """Streaming face of stream_static_join (same builder, unbounded left)."""
+    return enrich_purchases(events_stream, users)
+
+
+def view_purchase_pairs(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """view → purchase pairs within 1h per user: the stream-stream join
+    shape (equi-key + event-time range). On two unbounded sides both
+    must carry watermarks so the state store can evict expired rows;
+    the time-range condition bounds how long a view waits for a match."""
+    return views.join(
+        purchases,
+        F.expr("user_id = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+    ).select("user_id", "v_ts", "p_ts")
+
+
+def _views(events: DataFrame) -> DataFrame:
+    return events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+
+
+def _purchases(events: DataFrame) -> DataFrame:
+    return events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.v_ts, p.p_ts
+    FROM (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.p_user
+     AND p.p_ts > v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return view_purchase_pairs(_views(e), _purchases(e))
+
+
+def stream_stream_join_stream(
+    events_stream: DataFrame, watermark: str = "40 days"
+) -> DataFrame:
+    """Streaming face: both sides watermarked on their event-time col."""
+    return view_purchase_pairs(
+        _views(events_stream).withWatermark("v_ts", watermark),
+        _purchases(events_stream).withWatermark("p_ts", watermark),
+    )

@@ -87,6 +87,33 @@ def test_topk_matmul_multi_partition(spark):
     assert key(one) == key(many)
 
 
+def test_lsh_recall_on_planted_near_duplicates(spark):
+    """LSH ANN contract: for genuinely-near pairs (cos ≈ 0.95) the
+    bucketed join must recover the planted twin as the top-1 neighbor
+    for ≥90% of queries, while scoring only a fraction of the corpus.
+    (The fixture's vectors are near-uniform — no real neighbors — so
+    recall is asserted on planted pairs, the case LSH exists for.)"""
+    import numpy as np
+
+    from spark_cep_spark.operators.llm_similarity import topk_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(300, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant a near-duplicate of the first 30 vectors: total noise norm
+    # ~0.04*sqrt(64)=0.32 → cos ~ 0.95
+    twins = base[:30] + 0.04 * rng.normal(size=(30, 64))
+    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [
+        (1000 + i, v.tolist()) for i, v in enumerate(twins)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") >= 1000)
+    got = topk_lsh(spark, q, df, k=1).collect()
+    hits = sum(1 for r in got if r.rk == 1 and r.neighbor_id == r.qid - 1000)
+    assert hits >= 27  # ≥90% top-1 recall on planted twins
+
+
 def test_multimodal_roundtrip(spark, sf_dir):
     d = table(spark, sf_dir, "documents").limit(20)
     a = assets_from_documents(d)

@@ -80,58 +80,33 @@ def test_stream_static_join(spark, sf_dir, staged):
     """Stream-static enrichment join (SURVEY §2.3): stream events ⋈
     static per-user dimension — supported natively by Structured
     Streaming; verify against the batch join."""
-    users = (
-        table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_seen"))
+    from spark_cep_spark.streaming.windows import (
+        enrich_purchases,
+        static_join_stream,
+        user_dim,
     )
+
+    e = table(spark, sf_dir, "events")
+    users = user_dim(e)
     stream = harness.events_stream(spark, staged, max_files_per_trigger=4)
-    enriched = stream.join(users, "user_id").filter(
-        F.col("event_type") == "purchase"
-    )
-    got = harness.run_available_now(enriched, "append")
-    want = (
-        table(spark, sf_dir, "events")
-        .join(users, "user_id")
-        .filter(F.col("event_type") == "purchase")
-    )
+    got = harness.run_available_now(static_join_stream(stream, users), "append")
+    want = enrich_purchases(e, users)
     assert got.count() == want.count()
 
 
 def test_stream_stream_join(spark, sf_dir, staged):
     """Stream-stream windowed join: views ⋈ purchases within 1h per
     user (both sides watermarked, time-range condition)."""
+    from spark_cep_spark.streaming.windows import (
+        stream_stream_join,
+        stream_stream_join_stream,
+    )
+
     stream = harness.events_stream(spark, staged, max_files_per_trigger=4)
-    v = (
-        stream.filter(F.col("event_type") == "view")
-        .select("user_id", F.col("ts").alias("v_ts"))
-        .withWatermark("v_ts", "40 days")
+    got = harness.run_available_now(
+        stream_stream_join_stream(stream, watermark="40 days"), "append"
     )
-    p = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "40 days")
-    )
-    joined = v.join(
-        p,
-        F.expr(
-            "user_id = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
-        ),
-    )
-    got = harness.run_available_now(joined, "append")
-    e = table(spark, sf_dir, "events")
-    want = (
-        e.filter(F.col("event_type") == "view")
-        .select("user_id", F.col("ts").alias("v_ts"))
-        .join(
-            e.filter(F.col("event_type") == "purchase").select(
-                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-            ),
-            F.expr(
-                "user_id = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
-            ),
-        )
-    )
+    want = stream_stream_join(spark, sf_dir)
     assert got.count() == want.count()
 
 
