@@ -58,6 +58,48 @@ def _interval_to_ms(bound: str) -> int:
     return int(qty * factor)
 
 
+def advance_nfa(
+    partials: list,
+    matured: list,
+    n_steps: int,
+    bound_us: int,
+) -> tuple[list, list]:
+    """The NFA core, pure and incremental: feed matured events (in
+    event-time order) through the open partial matches.
+
+    partials: [[anchor_eid, [t0_us..ti_us]], ...] open partial matches
+    matured:  [[ts_us, eid, [m0..mk]], ...] events whose ts has passed
+              the watermark, sorted ascending
+    Returns (partials', matches) where matches = [(anchor_eid, [t0..tn])].
+
+    Semantics = the batch compiler's (operators/cep.py): skip-till-next-
+    match, earliest-bind, strict ts ordering between steps, whole match
+    within anchor_ts + bound. Chunking invariance — feeding events in
+    any split of the same ordered stream yields identical matches — is
+    property-tested (tests/test_cep_property.py), which is what makes
+    micro-batch boundaries semantically invisible.
+    """
+    matches = []
+    for ts, eid, m in matured:
+        # advance open partials first (an event may both extend a
+        # partial and anchor a new one)
+        kept = []
+        for anchor_eid, bound_ts in partials:
+            nxt = len(bound_ts)
+            if ts > bound_ts[0] + bound_us:
+                continue  # expired
+            if ts > bound_ts[-1] and m[nxt]:
+                bound_ts = bound_ts + [ts]
+                if len(bound_ts) == n_steps:
+                    matches.append((anchor_eid, bound_ts))
+                    continue
+            kept.append([anchor_eid, bound_ts])
+        partials = kept
+        if m[0]:
+            partials.append([eid, [ts]])
+    return partials, matches
+
+
 def compile_stream(
     pattern: "Pattern",
     events_stream: DataFrame,
@@ -135,24 +177,9 @@ def compile_stream(
         matured = [e for e in buf if e[0] <= wm_us]
         buf = [e for e in buf if e[0] > wm_us]
 
-        matches = []
-        for ts, eid, m in matured:
-            # advance open partials first (an event may both extend a
-            # partial and anchor a new one)
-            kept = []
-            for anchor_eid, bound_ts in partials:
-                nxt = len(bound_ts)
-                if ts > bound_ts[0] + bound_ms * _US_PER_MS:
-                    continue  # expired
-                if ts > bound_ts[-1] and m[nxt]:
-                    bound_ts = bound_ts + [ts]
-                    if len(bound_ts) == n_steps:
-                        matches.append((anchor_eid, bound_ts))
-                        continue
-                kept.append([anchor_eid, bound_ts])
-            partials = kept
-            if m[0]:
-                partials.append([eid, [ts]])
+        partials, matches = advance_nfa(
+            partials, matured, n_steps, bound_ms * _US_PER_MS
+        )
 
         # drop partials that can never complete (deadline below watermark)
         partials = [

@@ -1,0 +1,102 @@
+"""Property-based verification of the CEP NFA core (SURVEY §5.4).
+
+advance_nfa (streaming/nfa.py) is the pure matching kernel inside the
+stateful streaming operator. Hypothesis checks it against a brute-force
+matcher that literally implements the batch compiler's definition
+(operators/cep.py: per anchor, bind each step to the EARLIEST event
+with ts strictly after the previous step and within anchor+bound), and
+checks micro-batch invariance: feeding the same ordered stream in any
+chunking yields identical matches. No SparkSession involved — thousands
+of cases run in seconds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_cep_spark.streaming.nfa import advance_nfa
+
+N_TYPES = 3  # event types 0..2; pattern = type0 -> type1 [-> type2]
+
+
+def brute_force(events, n_steps, bound):
+    """Direct transcription of Pattern.compile_batch semantics."""
+    matches = []
+    for ts0, eid, m in events:
+        if not m[0]:
+            continue
+        bound_ts = [ts0]
+        ok = True
+        for step in range(1, n_steps):
+            cands = [
+                ts
+                for ts, _e, mm in events
+                if mm[step] and ts > bound_ts[-1] and ts <= ts0 + bound
+            ]
+            if not cands:
+                ok = False
+                break
+            bound_ts.append(min(cands))
+        if ok:
+            matches.append((eid, bound_ts))
+    return sorted(matches)
+
+
+@st.composite
+def event_streams(draw):
+    n = draw(st.integers(min_value=0, max_value=18))
+    rows = []
+    for eid in range(n):
+        ts = draw(st.integers(min_value=0, max_value=30))
+        typ = draw(st.integers(min_value=0, max_value=N_TYPES - 1))
+        rows.append((ts, eid, typ))
+    rows.sort()
+    return rows
+
+
+def with_flags(rows, steps):
+    return [(ts, eid, [typ == s for s in steps]) for ts, eid, typ in rows]
+
+
+@given(
+    rows=event_streams(),
+    steps=st.lists(
+        st.integers(min_value=0, max_value=N_TYPES - 1), min_size=2, max_size=3
+    ),
+    bound=st.integers(min_value=1, max_value=25),
+)
+@settings(max_examples=400, deadline=None)
+def test_nfa_matches_brute_force(rows, steps, bound):
+    events = with_flags(rows, steps)
+    _, matches = advance_nfa([], events, len(steps), bound)
+    assert sorted(matches) == brute_force(events, len(steps), bound)
+
+
+@given(
+    rows=event_streams(),
+    steps=st.lists(
+        st.integers(min_value=0, max_value=N_TYPES - 1), min_size=2, max_size=3
+    ),
+    bound=st.integers(min_value=1, max_value=25),
+    cuts=st.lists(st.integers(min_value=0, max_value=18), max_size=4),
+)
+@settings(max_examples=400, deadline=None)
+def test_nfa_chunking_invariance(rows, steps, bound, cuts):
+    """Micro-batch boundaries are semantically invisible: any split of
+    the ordered stream through the incremental kernel equals one shot.
+    (Partial matches carry across chunks via the state argument — this
+    is exactly what applyInPandasWithState persists between batches.)"""
+    events = with_flags(rows, steps)
+    _, want = advance_nfa([], events, len(steps), bound)
+
+    bounds = sorted({c for c in cuts if c <= len(events)})
+    chunks, prev = [], 0
+    for c in bounds + [len(events)]:
+        chunks.append(events[prev:c])
+        prev = c
+    partials, got = [], []
+    for ch in chunks:
+        partials, m = advance_nfa(partials, ch, len(steps), bound)
+        got.extend(m)
+    assert sorted(got) == sorted(want)
