@@ -285,3 +285,68 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("source"))).alias("key_md5"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey << 3 AS shl3,
+           o_orderkey >> 2 AS shr2,
+           o_orderkey & 255 AS lo_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           CAST(bit_count(o_orderkey) AS INT) AS popcnt,
+           ~o_orderkey AS flipped
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (hash/bucket/flag arithmetic — the LSH bucket and
+    SimHash substrate). All codegen-side; bit_count cast to INT on both
+    engines (DuckDB returns TINYINT)."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.bit_count(k).alias("popcnt"),
+        F.bitwise_not(k).alias("flipped"),
+    )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT e.event_id,
+           e.s.uid AS uid,
+           e.s.kind AS kind,
+           e.s.vx2 AS vx2
+    FROM (SELECT event_id,
+                 {'uid': user_id, 'kind': event_type, 'vx2': value * 2} AS s
+          FROM events) e
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT create + field access round-trip (nested types are the
+    multimodal-column substrate §1.2). Output is re-flattened to scalar
+    columns so the hash compare stays dialect-neutral."""
+    e = table(spark, sf_dir, "events")
+    nested = e.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("kind"),
+            (F.col("value") * 2).alias("vx2"),
+        ).alias("s"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("s.uid").alias("uid"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.vx2").alias("vx2"),
+    )

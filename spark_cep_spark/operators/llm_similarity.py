@@ -295,6 +295,96 @@ def topk_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# ANN scale path 2: IVF (inverted-file) — KMeans cells + nprobe.
+#
+# LSH is data-oblivious; IVF adapts to the data distribution: cluster
+# the corpus (distributed MLlib KMeans fit), store each vector in its
+# nearest-centroid cell, and probe only the nprobe cells closest to
+# each query. Candidate volume per query ≈ nprobe/n_cells of the
+# corpus. The cell assignment is a tiny dimension join; the scan of
+# probed cells is an equi-join on cell id — same shuffle shape as LSH.
+
+def topk_ivf(
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: exact rescoring inside probed cells.
+
+    The KMeans fit is the one driver-coordinated step (MLlib, seeded →
+    deterministic); at 100 TB it runs on a sample. Everything after is
+    joins: candidates carry a `cell` column (JVM-side assignment via
+    the model), queries explode to their nprobe nearest cells, and the
+    probe is an equi-join on cell.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand_vec = candidates.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell").fit(
+        cand_vec.select("_fv")
+    )
+    cb = model.transform(cand_vec).select(id_col, vec_col, "cell")
+
+    centers = np.array(model.clusterCenters())  # (n_cells, D)
+    bc = spark.sparkContext.broadcast(centers)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            qmat = np.array(list(pdf["qe"]), dtype=np.float64)  # (Q, D)
+            # nearest cells by euclidean distance (KMeans metric)
+            d2 = ((qmat[:, None, :] - C[None, :, :]) ** 2).sum(-1)  # (Q, cells)
+            near = np.argsort(d2, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy().repeat(nprobe),
+                    "qe": [v for v in pdf["qe"] for _ in range(nprobe)],
+                    "cell": near.ravel().astype("int32"),
+                }
+            )
+
+    qb = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qe")
+    ).mapInPandas(probe, "qid long, qe array<double>, cell int")
+
+    scored = (
+        qb.join(cb, "cell")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col).alias("neighbor_id"),
+            _dot(F.col("qe"), F.col(vec_col)).alias("sim_raw"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
+    )
+
+
+@register("sim_ann_ivf")  # approximate candidate set → rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the fixture (same queries as sim_topk). Recall
+    contract asserted on planted near-duplicates in tests, like LSH."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return topk_ivf(spark, q, e, k=10)
+
+
 @register("sim_ann_lsh")  # approximate candidate set → rows-only
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN over the fixture (same queries as sim_topk).
