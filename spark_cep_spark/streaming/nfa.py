@@ -100,6 +100,139 @@ def advance_nfa(
     return partials, matches
 
 
+def advance_absence(
+    pending: list,
+    matured: list,
+    wm_us: int,
+    bound_us: int,
+) -> tuple[list, list]:
+    """Absence-detection kernel (cep_absence's streaming face), pure and
+    incremental.
+
+    pending: [[anchor_ts_us, anchor_eid], ...] anchors awaiting their
+             deadline
+    matured: [[ts_us, eid, is_anchor, is_killer], ...] sorted ascending
+    Returns (pending', emissions) where emissions = [[anchor_ts, eid]]
+    for anchors whose (anchor_ts, anchor_ts + bound] window passed the
+    watermark with no killer — exactly the batch anti-join's NOT EXISTS
+    (operators/cep.py cep_absence). Emission waits for the watermark
+    because only then can no killer with ts <= deadline still arrive.
+    """
+    for ts, eid, is_anchor, is_killer in matured:
+        if is_killer:
+            pending = [p for p in pending if not (p[0] < ts <= p[0] + bound_us)]
+        if is_anchor:
+            pending.append([ts, eid])
+    emissions = [p for p in pending if p[0] + bound_us <= wm_us]
+    pending = [p for p in pending if p[0] + bound_us > wm_us]
+    return pending, emissions
+
+
+def absence_stream(
+    events_stream: DataFrame,
+    anchor_pred: str,
+    absent_pred: str,
+    bound: str,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming negation: anchor NOT followed by a matching event
+    within `bound`, per key — per-key state + event-time timer (the
+    timer wakes the key when the earliest deadline passes the
+    watermark, so silence on a key still produces emissions).
+
+    Output: (key, anchor_id, t_anchor). An anchor emits only once its
+    full window has passed the watermark; anchors whose window is still
+    open when the stream pauses remain pending (they are not yet
+    provably unmatched).
+    """
+    bound_ms = _interval_to_ms(bound)
+
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.expr(anchor_pred).cast("boolean").alias("is_anchor"),
+            F.expr(absent_pred).cast("boolean").alias("is_killer"),
+        )
+        .filter("is_anchor OR is_killer")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("anchor_id", T.LongType()),
+            T.StructField("t_anchor", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "pending": []}
+        buf, pending = st["buf"], st["pending"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for j in range(len(pdf)):
+                    buf.append(
+                        [
+                            int(ts_us.iloc[j]),
+                            int(pdf["eid"].iloc[j]),
+                            bool(pdf["is_anchor"].iloc[j]),
+                            bool(pdf["is_killer"].iloc[j]),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        pending, emissions = advance_absence(
+            pending, matured, wm_us, bound_ms * _US_PER_MS
+        )
+
+        if buf or pending:
+            state.update((json.dumps({"buf": buf, "pending": pending}),))
+            nxt_us = min(
+                [e[0] for e in buf] + [p[0] + bound_ms * _US_PER_MS for p in pending]
+            )
+            state.setTimeoutTimestamp(
+                max(nxt_us // _US_PER_MS + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        if emissions:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(emissions),
+                    "anchor_id": [eid for _, eid in emissions],
+                    "t_anchor": pd.to_datetime([ts for ts, _ in emissions], unit="us"),
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def compile_stream(
     pattern: "Pattern",
     events_stream: DataFrame,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from spark_cep_spark.streaming.nfa import advance_nfa
+from spark_cep_spark.streaming.nfa import advance_absence, advance_nfa
 
 N_TYPES = 3  # event types 0..2; pattern = type0 -> type1 [-> type2]
 
@@ -99,4 +99,76 @@ def test_nfa_chunking_invariance(rows, steps, bound, cuts):
     for ch in chunks:
         partials, m = advance_nfa(partials, ch, len(steps), bound)
         got.extend(m)
+    assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Absence kernel (cep_absence streaming face)
+
+
+def brute_force_absence(events, wm, bound):
+    """NOT EXISTS transcription: anchor emits iff no killer in
+    (anchor_ts, anchor_ts+bound] AND its deadline has passed the
+    watermark (otherwise a killer could still arrive)."""
+    out = []
+    for ts, eid, is_anchor, _ in events:
+        if not is_anchor or ts + bound > wm:
+            continue
+        killed = any(
+            k_ts
+            for k_ts, _e, _a, is_killer in events
+            if is_killer and ts < k_ts <= ts + bound
+        )
+        if not killed:
+            out.append([ts, eid])
+    return sorted(out)
+
+
+@st.composite
+def absence_streams(draw):
+    n = draw(st.integers(min_value=0, max_value=18))
+    rows = []
+    for eid in range(n):
+        ts = draw(st.integers(min_value=1, max_value=30))
+        is_anchor = draw(st.booleans())
+        is_killer = draw(st.booleans())
+        rows.append([ts, eid, is_anchor, is_killer])
+    rows.sort()
+    return rows
+
+
+@given(
+    rows=absence_streams(),
+    bound=st.integers(min_value=1, max_value=25),
+    wm=st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=400, deadline=None)
+def test_absence_matches_brute_force(rows, bound, wm):
+    matured = [e for e in rows if e[0] <= wm]
+    _, got = advance_absence([], matured, wm, bound)
+    assert sorted(got) == brute_force_absence(matured, wm, bound)
+
+
+@given(
+    rows=absence_streams(),
+    bound=st.integers(min_value=1, max_value=25),
+    wms=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=5),
+)
+@settings(max_examples=400, deadline=None)
+def test_absence_chunking_invariance(rows, bound, wms):
+    """Feeding the stream under any monotone watermark schedule emits
+    the same set as one shot at the final watermark (what makes the
+    micro-batch + timer execution correct)."""
+    wms = sorted(set(wms))
+    final_wm = wms[-1]
+    matured_all = [e for e in rows if e[0] <= final_wm]
+    _, want = advance_absence([], matured_all, final_wm, bound)
+
+    pending, got = [], []
+    fed_ids = set()
+    for wm in wms:
+        chunk = sorted(e for e in rows if e[0] <= wm and e[1] not in fed_ids)
+        fed_ids.update(e[1] for e in chunk)
+        pending, em = advance_absence(pending, chunk, wm, bound)
+        got.extend(em)
     assert sorted(got) == sorted(want)

@@ -17,6 +17,8 @@ import shutil
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from spark_cep_spark.io import table
 from spark_cep_spark.operators.cep import Pattern
 from spark_cep_spark.streaming import harness
@@ -44,6 +46,40 @@ def test_nfa_equals_batch_compiler_on_fixture(spark, sf_dir, within):
         compile_stream(_funnel(within), stream, watermark="0 seconds"), "append"
     )
     want = _funnel(within).compile_batch(table(spark, sf_dir, "events"))
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0  # non-vacuous
+
+
+def test_absence_stream_equals_batch_anti_join(spark, sf_dir):
+    """Streaming negation vs the batch anti-join (cep_absence): on the
+    time-sorted fixture with zero watermark delay, the stream must emit
+    exactly the batch result RESTRICTED to anchors whose full window
+    passed the final watermark — later anchors are not yet provably
+    unmatched (that is the correct streaming answer, not a defect)."""
+    import spark_cep_spark
+    from spark_cep_spark.streaming.nfa import absence_stream
+
+    spark_cep_spark.load_all()
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        absence_stream(
+            stream,
+            "event_type = 'signup'",
+            "event_type = 'purchase'",
+            "7 DAYS",
+            watermark="0 seconds",
+        ),
+        "append",
+    )
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg({"ts": "max"}).first()[0]
+    want = (
+        spark_cep_spark.QUERIES["cep_absence"](spark, sf_dir)
+        .filter(F.expr(f"signup_ts + INTERVAL 7 DAYS <= timestamp'{max_ts}'"))
+        .select("user_id", F.col("signup_id").alias("anchor_id"),
+                F.col("signup_ts").alias("t_anchor"))
+    )
     assert _norm(got.collect()) == _norm(want.collect())
     assert got.count() > 0  # non-vacuous
 
