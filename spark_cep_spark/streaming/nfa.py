@@ -100,6 +100,129 @@ def advance_nfa(
     return partials, matches
 
 
+def advance_kleene(
+    run: list | None,
+    matured: list,
+    min_len: int,
+) -> tuple[list | None, list]:
+    """Kleene-plus kernel (cep_kleene's streaming face), pure and
+    incremental: track the open run of CONSECUTIVE matching events per
+    key; a non-matching event closes the run, emitting it if long
+    enough.
+
+    run:     [start_us, end_us, len] of the open run, or None
+    matured: [[ts_us, eid, is_match], ...] sorted ascending — must
+             include NON-matching events (they are what break runs), so
+             the streaming wrapper never filters them out.
+    Returns (run', emissions) with emissions = [[start, end, len]].
+    An open run is not emitted — it could still grow (batch's
+    end-of-data flush corresponds to stream end, which never arrives);
+    state per key is O(1) regardless.
+    """
+    emissions = []
+    for ts, _eid, is_match in matured:
+        if is_match:
+            if run is None:
+                run = [ts, ts, 1]
+            else:
+                run = [run[0], ts, run[2] + 1]
+        else:
+            if run is not None and run[2] >= min_len:
+                emissions.append(run)
+            run = None
+    return run, emissions
+
+
+def kleene_stream(
+    events_stream: DataFrame,
+    predicate: str,
+    min_len: int = 3,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming Kleene-plus: emit (key, run_start, run_end, run_len)
+    for every maximal run of ≥min_len consecutive predicate-matching
+    events in the key's event-time sequence, as soon as the run is
+    broken by a non-matching event below the watermark."""
+    prepared = events_stream.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.expr(predicate).cast("boolean").alias("is_match"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("run_start", T.TimestampType()),
+            T.StructField("run_end", T.TimestampType()),
+            T.StructField("run_len", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "run": None}
+        buf, run = st["buf"], st["run"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for j in range(len(pdf)):
+                    buf.append(
+                        [
+                            int(ts_us.iloc[j]),
+                            int(pdf["eid"].iloc[j]),
+                            bool(pdf["is_match"].iloc[j]),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        run, emissions = advance_kleene(run, matured, min_len)
+
+        if buf or run is not None:
+            state.update((json.dumps({"buf": buf, "run": run}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if emissions:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(emissions),
+                    "run_start": pd.to_datetime([r[0] for r in emissions], unit="us"),
+                    "run_end": pd.to_datetime([r[1] for r in emissions], unit="us"),
+                    "run_len": [r[2] for r in emissions],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def advance_absence(
     pending: list,
     matured: list,

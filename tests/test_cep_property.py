@@ -172,3 +172,60 @@ def test_absence_chunking_invariance(rows, bound, wms):
         pending, em = advance_absence(pending, chunk, wm, bound)
         got.extend(em)
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Kleene kernel (cep_kleene streaming face)
+
+
+def brute_force_kleene(events, min_len):
+    """Gaps-and-islands transcription: maximal runs of consecutive
+    matches, emitted only when CLOSED by a non-matching event."""
+    out, run = [], None
+    for ts, _eid, m in events:
+        if m:
+            run = [ts, ts, 1] if run is None else [run[0], ts, run[2] + 1]
+        else:
+            if run is not None and run[2] >= min_len:
+                out.append(run)
+            run = None
+    return sorted(out)
+
+
+@st.composite
+def kleene_streams(draw):
+    n = draw(st.integers(min_value=0, max_value=20))
+    rows = []
+    for eid in range(n):
+        ts = draw(st.integers(min_value=1, max_value=30))
+        rows.append([ts, eid, draw(st.booleans())])
+    rows.sort()
+    return rows
+
+
+@given(rows=kleene_streams(), min_len=st.integers(min_value=1, max_value=4))
+@settings(max_examples=300, deadline=None)
+def test_kleene_matches_brute_force(rows, min_len):
+    from spark_cep_spark.streaming.nfa import advance_kleene
+
+    _, got = advance_kleene(None, rows, min_len)
+    assert sorted(got) == brute_force_kleene(rows, min_len)
+
+
+@given(
+    rows=kleene_streams(),
+    min_len=st.integers(min_value=1, max_value=4),
+    cuts=st.lists(st.integers(min_value=0, max_value=20), max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_kleene_chunking_invariance(rows, min_len, cuts):
+    from spark_cep_spark.streaming.nfa import advance_kleene
+
+    _, want = advance_kleene(None, rows, min_len)
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    run, got, prev = None, [], 0
+    for c in bounds + [len(rows)]:
+        run, em = advance_kleene(run, rows[prev:c], min_len)
+        got.extend(em)
+        prev = c
+    assert sorted(got) == sorted(want)

@@ -84,6 +84,40 @@ def test_absence_stream_equals_batch_anti_join(spark, sf_dir):
     assert got.count() > 0  # non-vacuous
 
 
+def test_kleene_stream_equals_batch_closed_runs(spark, sf_dir):
+    """Streaming Kleene-plus vs the batch gaps-and-islands (cep_kleene):
+    the stream emits a run when a non-matching event breaks it, so the
+    comparable batch set is runs with ANY later event for that user
+    (a user's final, still-open run stays in state — correct streaming
+    semantics, the run could still grow)."""
+    import spark_cep_spark
+    from spark_cep_spark.streaming.nfa import kleene_stream
+
+    spark_cep_spark.load_all()
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        kleene_stream(
+            stream, "event_type = 'error'", min_len=3, watermark="0 seconds"
+        ),
+        "append",
+    )
+    events = table(spark, sf_dir, "events")
+    later = events.select(F.col("user_id").alias("key"), F.col("ts").alias("later_ts"))
+    want = (
+        spark_cep_spark.QUERIES["cep_kleene"](spark, sf_dir)
+        .select(
+            F.col("user_id").alias("key"), "run_start", "run_end", "run_len"
+        )
+        .join(later, ["key"])
+        .filter(F.col("later_ts") > F.col("run_end"))
+        .drop("later_ts")
+        .distinct()
+    )
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0
+
+
 def test_nfa_handles_out_of_order_arrival_within_watermark(spark):
     """The click ARRIVES in an earlier micro-batch than the view (files
     reversed), but both are within the watermark delay — event-time
