@@ -223,6 +223,129 @@ def kleene_stream(
     )
 
 
+def advance_threshold(
+    tail: list,
+    matured: list,
+    factor: float = 3.0,
+    n_trail: int = 5,
+    min_trail: int = 3,
+) -> tuple[list, list]:
+    """Spike-detection kernel (cep_threshold's streaming face): emit an
+    event when its value exceeds factor × the average of the previous
+    ≤n_trail events of the key (at least min_trail required).
+
+    tail:    [[ts_us, value], ...] the key's last ≤n_trail events
+    matured: [[ts_us, eid, value], ...] sorted ascending
+    Returns (tail', emissions), emissions = [[ts, eid, value, trail_avg]].
+    Emission is decided purely from the past, so an event emits the
+    moment it matures — no closed/open-window asymmetry with batch.
+    State per key is O(n_trail).
+    """
+    emissions = []
+    for ts, eid, value in matured:
+        if len(tail) >= min_trail:
+            avg = sum(v for _, v in tail) / len(tail)
+            if value > factor * avg:
+                emissions.append([ts, eid, value, avg])
+        tail.append([ts, value])
+        if len(tail) > n_trail:
+            tail.pop(0)
+    return tail, emissions
+
+
+def threshold_stream(
+    events_stream: DataFrame,
+    factor: float = 3.0,
+    n_trail: int = 5,
+    min_trail: int = 3,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming spike detection over per-key rolling state — output
+    (key, event_id, ts, value, trail_avg) matches cep_threshold."""
+    prepared = events_stream.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(value_col).alias("value"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("trail_avg", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "tail": []}
+        buf, tail = st["buf"], st["tail"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for j in range(len(pdf)):
+                    buf.append(
+                        [
+                            int(ts_us.iloc[j]),
+                            int(pdf["eid"].iloc[j]),
+                            float(pdf["value"].iloc[j]),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        tail, emissions = advance_threshold(tail, matured, factor, n_trail, min_trail)
+
+        if buf:
+            state.update((json.dumps({"buf": buf, "tail": tail}),))
+            state.setTimeoutTimestamp(
+                max(
+                    min(e[0] for e in buf) // _US_PER_MS + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        elif tail:
+            state.update((json.dumps({"buf": [], "tail": tail}),))
+        elif state.exists:
+            state.remove()
+
+        if emissions:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(emissions),
+                    "event_id": [e[1] for e in emissions],
+                    "ts": pd.to_datetime([e[0] for e in emissions], unit="us"),
+                    "value": [e[2] for e in emissions],
+                    "trail_avg": [e[3] for e in emissions],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def advance_absence(
     pending: list,
     matured: list,

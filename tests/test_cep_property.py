@@ -229,3 +229,58 @@ def test_kleene_chunking_invariance(rows, min_len, cuts):
         got.extend(em)
         prev = c
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Threshold kernel (cep_threshold streaming face)
+
+
+def brute_force_threshold(events, factor, n_trail, min_trail):
+    """ROWS BETWEEN n_trail PRECEDING AND 1 PRECEDING transcription."""
+    out = []
+    for i, (ts, eid, v) in enumerate(events):
+        frame = events[max(0, i - n_trail): i]
+        if len(frame) >= min_trail:
+            avg = sum(x[2] for x in frame) / len(frame)
+            if v > factor * avg:
+                out.append([ts, eid, v, avg])
+    return sorted(out)
+
+
+@st.composite
+def value_streams(draw):
+    n = draw(st.integers(min_value=0, max_value=20))
+    rows = []
+    ts = 0
+    for eid in range(n):
+        ts += draw(st.integers(min_value=1, max_value=3))  # strictly increasing
+        rows.append([ts, eid, float(draw(st.integers(min_value=0, max_value=20)))])
+    return rows
+
+
+@given(rows=value_streams(), factor=st.sampled_from([1.5, 3.0]))
+@settings(max_examples=300, deadline=None)
+def test_threshold_matches_brute_force(rows, factor):
+    from spark_cep_spark.streaming.nfa import advance_threshold
+
+    _, got = advance_threshold([], rows, factor, 5, 3)
+    assert sorted(got) == brute_force_threshold(rows, factor, 5, 3)
+
+
+@given(
+    rows=value_streams(),
+    factor=st.sampled_from([1.5, 3.0]),
+    cuts=st.lists(st.integers(min_value=0, max_value=20), max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_threshold_chunking_invariance(rows, factor, cuts):
+    from spark_cep_spark.streaming.nfa import advance_threshold
+
+    _, want = advance_threshold([], rows, factor, 5, 3)
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    tail, got, prev = [], [], 0
+    for c in bounds + [len(rows)]:
+        tail, em = advance_threshold(tail, rows[prev:c], factor, 5, 3)
+        got.extend(em)
+        prev = c
+    assert sorted(got) == sorted(want)

@@ -118,6 +118,28 @@ def test_kleene_stream_equals_batch_closed_runs(spark, sf_dir):
     assert got.count() > 0
 
 
+def test_threshold_stream_equals_batch_window(spark, sf_dir):
+    """Streaming spike detection vs the batch trailing-window query
+    (cep_threshold). The spike decision depends only on PAST events, so
+    every matured event decides immediately — exact equality with batch,
+    no open-window remainder."""
+    import spark_cep_spark
+    from spark_cep_spark.streaming.nfa import threshold_stream
+
+    spark_cep_spark.load_all()
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        threshold_stream(stream, watermark="0 seconds"), "append"
+    ).select(
+        F.col("key").alias("user_id"), "event_id", "ts", "value",
+        F.round("trail_avg", 6).alias("trail_avg"),
+    )
+    want = spark_cep_spark.QUERIES["cep_threshold"](spark, sf_dir)
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0
+
+
 def test_nfa_handles_out_of_order_arrival_within_watermark(spark):
     """The click ARRIVES in an earlier micro-batch than the view (files
     reversed), but both are within the watermark delay — event-time
