@@ -32,3 +32,26 @@ def explode_salts(dim: DataFrame, n_salts: int = 16, salt_col: str = "_salt") ->
     per salt value so the salted equi-join still matches."""
     salts = F.array([F.lit(i) for i in range(n_salts)])
     return dim.withColumn(salt_col, F.explode(salts))
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: list[str],
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Persist bucketed+sorted on the join keys. Two tables bucketed
+    the same way join with NO shuffle exchange on either side — the
+    single biggest repeated-join win at 100 TB, paid once at write
+    time. Bucket count is a layout contract: both sides must match
+    (test_plans.py asserts the exchange-free plan)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)

@@ -65,6 +65,34 @@ def test_q1_partial_aggregation(spark):
     assert p.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
+    """The co-located-join contract: both sides bucketed on the join
+    key → sort-merge join with NO shuffle exchange in the plan (the
+    repeated-big-join layout for 100 TB). Broadcast is disabled so the
+    assertion can't be satisfied the easy way."""
+    from spark_cep_spark.io import table
+    from spark_cep_spark.plans.scale import write_bucketed
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 8, str(tmp_path / "o"))
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8, str(tmp_path / "l"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        p = plan_of(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in p
+        # and the layout is semantically invisible:
+        assert j.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_salting_helpers(spark):
     df = spark.range(100).withColumnRenamed("id", "k")
     salted = salt_skewed(df, "k", n_salts=4)
