@@ -216,15 +216,55 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", fp.cast("long"))
 
 
-@register("dedup_simhash")  # Spark-specific hash → rows-only check
+_N_SIMHASH_BITS = 16
+
+_SIMHASH_ORACLE = """
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(concat('0x', substring(md5(tok), 1, 4)) AS INTEGER) AS hv
+               FROM tok),
+         fp AS (SELECT doc_id, {terms} AS simhash FROM h GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+    FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+""".format(
+    terms=" + ".join(
+        f"(CASE WHEN sum(2 * ((hv >> {i}) & 1) - 1) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_N_SIMHASH_BITS)
+    )
+)
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: pairs of docs with IDENTICAL 16-bit simhash.
-    (Fixture has only exact dups, so collisions ≈ exact dups + random
-    16-bit collisions; the operator's value is the scalable shape.)"""
+    """SimHash near-dup: pairs of docs with IDENTICAL 16-bit simhash,
+    built from md5-prefix token hashes so DuckDB reproduces every bit
+    (the xxhash64 variant above, simhash64, is the faster scale
+    primitive — unit-tested instead). Shape: per-token explode →
+    groupBy(doc) partial-summed bit votes → self-join on fingerprint —
+    the shuffle carries 16-byte hashes and fingerprints, never text."""
     d = table(spark, sf_dir, "documents")
-    s = simhash64(d.select("doc_id", "text"))
-    a = s.alias("a")
-    b = s.alias("b")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    hv = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    votes = tok.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{i}")
+            for i in range(_N_SIMHASH_BITS)
+        ]
+    )
+    fp_terms = [
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_N_SIMHASH_BITS)
+    ]
+    fp = votes.select(
+        "doc_id", sum(fp_terms[1:], fp_terms[0]).cast("long").alias("simhash")
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
     return (
         a.join(
             b,

@@ -98,6 +98,52 @@ class StreamSQL:
         self._queries[name] = q
         return q
 
+    def pattern_query(
+        self,
+        stream_name: str,
+        pattern,
+        sink: str | Callable = "memory",
+        name: str | None = None,
+        watermark: str = "10 minutes",
+        **pattern_kwargs,
+    ) -> StreamingQuery:
+        """Run a CEP Pattern as a continuous query over a registered
+        stream table (the MATCH_RECOGNIZE-shaped entry point: SQL names
+        the stream, the Pattern builder supplies the pattern clause —
+        step predicates themselves are SQL expressions).
+
+            eng.pattern_query(
+                "events_s",
+                Pattern.begin("view", "event_type = 'view'")
+                       .followed_by("buy", "event_type = 'purchase'")
+                       .within("1 HOUR"),
+                sink="memory", name="funnels")
+        """
+        from spark_cep_spark.streaming.nfa import compile_stream
+
+        stream_df = self.spark.table(stream_name)
+        if not stream_df.isStreaming:
+            raise ValueError(f"{stream_name}: not a registered stream table")
+        matches = compile_stream(
+            pattern, stream_df, watermark=watermark, **pattern_kwargs
+        )
+        name = name or f"cep_{uuid.uuid4().hex[:8]}"
+        ckpt = os.path.join(SCRATCH, "checkpoints", f"{name}_{uuid.uuid4().hex[:8]}")
+        if callable(sink):
+            writer = matches.writeStream.foreachBatch(sink)
+        elif sink == "memory":
+            writer = matches.writeStream.format("memory").queryName(name)
+        elif sink.startswith("parquet:"):
+            writer = matches.writeStream.format("parquet").option(
+                "path", sink.split(":", 1)[1]
+            )
+        else:
+            raise ValueError(f"unknown sink: {sink}")
+        writer = writer.outputMode("append").option("checkpointLocation", ckpt)
+        q = writer.trigger(availableNow=True).start()
+        self._queries[name] = q
+        return q
+
     def results(self, name: str) -> DataFrame:
         """Memory-sink results of a named continuous query."""
         return self.spark.table(name)

@@ -81,3 +81,27 @@ def test_static_sql_rejected_for_query(spark, sf_dir):
     eng.register_table("nation_t", table(spark, sf_dir, "nation"))
     with pytest.raises(ValueError, match="static"):
         eng.query("SELECT * FROM nation_t")
+
+
+def test_pattern_query_over_registered_stream(spark, sf_dir):
+    """CEP through the continuous-SQL surface: a Pattern runs against a
+    registered stream table and lands in a queryable sink, equal to the
+    batch compiler on the same data."""
+    from spark_cep_spark.operators.cep import Pattern
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+    eng = StreamSQL(spark)
+    eng.register_stream("events_cep", harness.events_stream(spark, staged, 2))
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+    )
+    q = eng.pattern_query("events_cep", pat, name="cq_funnel", watermark="0 seconds")
+    q.awaitTermination()
+    got = {tuple(r) for r in eng.results("cq_funnel").collect()}
+    want = {
+        tuple(r) for r in pat.compile_batch(table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and len(got) > 0
+    eng.stop_all()

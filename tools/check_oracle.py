@@ -100,16 +100,28 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use an unconfigured SparkSession (no UTC/AQE confs), like the "
+        "driver does — queries must repair the session themselves",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from spark_cep_spark.session import get_spark
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
 
-    spark = get_spark("oracle_check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from spark_cep_spark.session import get_spark
+
+        spark = get_spark("oracle_check")
 
     con = duckdb.connect()
     for t in TABLES:
