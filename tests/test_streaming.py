@@ -166,3 +166,39 @@ def test_watermark_drops_late_data(spark, tmp_path):
     finalized = got[got.win_start == t0]
     assert len(finalized) == 1
     assert finalized.n.iloc[0] == 1  # late t0+1s row was dropped
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, staged):
+    """transformWithStateInPandas (Spark 4 stateful API): per-user
+    running totals accumulate across micro-batches; the LAST emission
+    per key must equal the batch groupBy over all events — the
+    incremental-aggregation contract.
+
+    Skips where the TWS driver-worker protocol can't run (its protobuf
+    dependency is absent in this container; applyInPandasWithState
+    operators carry the tested stateful surface here)."""
+    from spark_cep_spark.streaming.stateful import (
+        running_totals_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState cannot run here")
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=4)
+    got = harness.run_available_now(
+        running_totals_stream(stream, watermark="35 days"), "update"
+    )
+    # memory sink in update mode appends one row per key per batch;
+    # the final state of a key is its row in the LAST batch it appears
+    final = {}
+    for r in got.collect():
+        final[r.user_id] = (r.n_events, round(r.total_value, 6))
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == want
