@@ -156,30 +156,68 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (token-set) Jaccard similarity ≥ 0.8 pairs via the
     token-inverted-index join. Quadratic in docs-per-token — at scale
     this runs ONLY on LSH candidate pairs, never all-pairs."""
+    t = 0.8
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+
+    # Prefix filter (EXACT, output-preserving — the PPJoin bound): two
+    # sets with J >= t must share a token among each one's first
+    # n - ceil(t*n) + 1 tokens under a GLOBAL token order. Ordering by
+    # ascending global frequency puts the RAREST tokens in the prefix,
+    # so candidate generation joins only on rare tokens — this is what
+    # collapses the quadratic token join at scale (common stopwords
+    # never generate candidates).
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = W.partitionBy("doc_id").orderBy("freq", "tok")
+    ranked = (
+        tok.join(freq, "tok")
+        .join(cnt, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc_id", "tok", "n")
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= t implies t*|B| <= |A| (and vice versa)
+            & (F.col("a.n") * F.lit(t) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(t) <= F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+
+    # exact verification on the (small) candidate set only
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
     pair = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        cand.join(ta, F.col("da") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("db") == F.col("tb.doc_id")) & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("da", "db", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
-    jac = F.col("shared") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
-    return (
-        pair.join(ca, F.col("da") == F.col("ca.doc_id"))
-        .join(cb, F.col("db") == F.col("cb.doc_id"))
-        .filter(jac >= 0.8)
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    return pair.filter(jac >= t).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 

@@ -228,25 +228,35 @@ def lsh_buckets(
     vec_col: str,
     planes,  # (L, b, dim) ndarray
 ) -> DataFrame:
-    """(id, vec, t, bucket) — one row per hash table, all JVM-side:
-    sign bits via the same zip_with/aggregate dot product as the exact
-    path, so bucketing adds no Python boundary to the plan."""
-    buckets = []
-    for t in range(planes.shape[0]):
-        bits = [
-            (
-                _dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in planes[t, p]]),
-                )
-                > 0
-            ).cast("long")
-            * (1 << p)
-            for p in range(planes.shape[1])
-        ]
-        buckets.append(sum(bits[1:], bits[0]))
-    return df.select(
-        id_col, vec_col, F.posexplode(F.array(*buckets)).alias("t", "bucket")
+    """(id, vec, t, bucket) — one row per hash table. All L×b sign bits
+    come from ONE numpy matmul per Arrow batch (planes broadcast with
+    the closure): at any scale the bucketing pass is a single linear
+    scan of the vectors, the same BLAS kernel as topk_matmul."""
+    import numpy as np
+
+    L, b, _dim = planes.shape
+    flat = planes.reshape(L * b, -1)  # (L*b, dim)
+    weights = (1 << np.arange(b)).astype(np.int64)  # bit -> bucket value
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (N, dim)
+            bits = (mat @ flat.T > 0).reshape(len(pdf), L, b)  # (N, L, b)
+            buckets = bits @ weights  # (N, L)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(L),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(L)],
+                    "t": np.tile(np.arange(L, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    vec_type = dict(df.dtypes)[vec_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} {vec_type}, t int, bucket long"
     )
 
 
