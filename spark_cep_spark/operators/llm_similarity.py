@@ -193,11 +193,31 @@ def topk_matmul(
     )
 
 
-@register("sim_topk_pandas")  # float sum order differs from SQL fold → rows-only
+@register(
+    "sim_topk_pandas",
+    # Same oracle as sim_topk: the BLAS matmul reproduces the sequential
+    # fold bit-for-bit on the 64-dim fixture vectors (verified at
+    # sf0.001/0.01/0.1 — ranked sets AND rounded sims identical).
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])) AS sim_raw
+           FROM q CROSS JOIN embeddings e
+           WHERE e.vec_id <> q.qid
+         )
+    SELECT qid, vec_id AS neighbor_id, round(sim_raw, 6) AS sim, rk FROM (
+        SELECT qid, vec_id, sim_raw,
+               row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk
+        FROM scored) t
+    WHERE rk <= 10
+    """,
+)
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """numpy/BLAS variant of sim_topk (same queries). Ranked set is
-    asserted equal to the SQL path in tests; sims differ only in last-ulp
-    summation order, hence rows-only for the driver."""
+    """numpy/BLAS variant of sim_topk (same queries, same oracle).
+    The throughput path at scale: queries broadcast, candidates stream
+    through mapInPandas, one matmul per Arrow batch."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return topk_matmul(spark, q, e, k=10)
