@@ -241,6 +241,64 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(s).select("region", F.col("st").alias("status"))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_on: str = "ts",
+    right_on: str = "ts",
+    strict: bool = False,
+) -> DataFrame:
+    """Generic as-of join: every left row ↔ the latest right row whose
+    `right_on` is at-or-before (`strict=False`, pandas/DuckDB `>=`) or
+    strictly-before (`strict=True`) the left row's `left_on`, per `by`
+    key. Left rows with no prior right row keep NULLs (left-outer).
+
+    Spark has no native ASOF join; a range join explodes to
+    O(left × right-within-range) pairs. This is the scalable encoding:
+    union both sides, ONE shuffle on the key, and carry the right
+    side's columns forward with `last(ignorenulls)` over an ordered
+    window — linear in rows, no pair blowup, the same plan shape at any
+    scale. Right columns come back suffixed `_asof`
+    (`<right_on>_asof` for the time column).
+
+    Equal-timestamp semantics: at `strict=False` the right row sorts
+    BEFORE the left row (kind 0 < 1) so it is visible; at `strict=True`
+    after, so it is not. Multiple right rows at the same (key, ts):
+    ties are broken by whichever sorts last — make the right side
+    unique per (key, ts) if that matters (pandas merge_asof keeps the
+    last occurrence, which matches this window's `last`).
+    """
+    rcols = [c for c in right.columns if c != by]
+    lcols = [c for c in left.columns]
+    r = right.select(
+        F.col(by),
+        F.col(right_on).alias("_ord"),
+        F.lit(0 if not strict else 1).alias("_kind"),
+        *[F.col(c).alias(f"{c}_asof") for c in rcols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != by],
+    )
+    l = left.select(
+        F.col(by),
+        F.col(left_on).alias("_ord"),
+        F.lit(1 if not strict else 0).alias("_kind"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}_asof") for c in rcols],
+        *[F.col(c) for c in lcols if c != by],
+    )
+    w = (
+        W.partitionBy(by)
+        .orderBy("_ord", "_kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    left_kind = 1 if not strict else 0
+    out = r.unionByName(l)
+    for c in rcols:
+        out = out.withColumn(f"{c}_asof", F.last(f"{c}_asof", ignorenulls=True).over(w))
+    return out.filter(F.col("_kind") == left_kind).select(
+        by, *[c for c in lcols if c != by], *[f"{c}_asof" for c in rcols]
+    )
+
+
 @register(
     "join_asof",
     oracle="""
@@ -254,37 +312,19 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: each purchase ↔ the latest view at-or-before it.
 
-    Spark has no native ASOF join; the scalable encoding is the
-    union + last(ignorenulls) window trick — ONE shuffle on
-    (user_id), linear in events, no range-join pair explosion
-    (SURVEY §2.3 join_asof). Tie-break: views sort before purchases at
-    equal ts (kind 0 < 1), matching DuckDB ASOF's >= semantics.
+    Delegates to the generic `asof_join` (union + last(ignorenulls)
+    window — ONE shuffle on user_id, linear in events, no range-join
+    pair explosion; property-tested against pandas merge_asof in
+    tests/test_core.py). `strict=False` matches DuckDB ASOF's `>=`.
     """
     e = table(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type") == "view").select(
-        "user_id",
-        F.col("ts"),
-        F.col("ts").alias("vts"),
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts"),
-        F.lit(None).cast("timestamp").alias("vts"),
-        F.lit(1).alias("kind"),
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    return asof_join(p, v, by="user_id").select(
         "event_id",
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "kind")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        v.unionByName(p)
-        .withColumn("last_view_ts", F.last("vts", ignorenulls=True).over(w))
-        .filter(F.col("kind") == 1)
-        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_view_ts")
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_asof").alias("last_view_ts"),
     )
 
 

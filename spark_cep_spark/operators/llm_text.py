@@ -249,3 +249,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(shingles).alias("fingerprint"),
         (F.size(toks) - 2).alias("n_shingles"),
     )
+
+
+@register(
+    "corpus_split",
+    oracle="""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+        FROM documents
+      ) h
+    ) s
+    GROUP BY split
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-independent
+    key hash — the standard training-data-pipeline split that stays
+    stable as the corpus grows (a doc's split never changes when other
+    docs are added, unlike fraction sampling). md5 on the id so the
+    assignment is reproducible everywhere (and oracle-checkable —
+    Spark's xxhash64 has no DuckDB twin); pure per-row projection, no
+    shuffle except the final tiny audit aggregate."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
