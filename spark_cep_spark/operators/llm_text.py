@@ -6,7 +6,7 @@ functions / regex) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
@@ -288,4 +288,50 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("n_chars"), split.alias("split"))
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+@register(
+    "corpus_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    placed AS (
+      SELECT shard, tok,
+             sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS start_off
+      FROM t
+    )
+    SELECT shard, CAST(start_off // 2048 AS BIGINT) AS pack_id,
+           count(*) AS n_docs, sum(tok) AS tokens
+    FROM placed
+    GROUP BY shard, pack_id
+    """,
+)
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: shard the corpus, then within each
+    shard lay documents end-to-end in doc_id order and cut a pack
+    boundary every 2048 tokens — each doc joins the pack where it
+    starts. Per-shard windows keep the packing embarrassingly parallel
+    (no global sort: at 100 TB shards ≈ shuffle partitions, each packed
+    independently), deterministic, and incremental-friendly (append-only
+    shards never repack old docs). Emits the per-pack audit (doc count,
+    token fill)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).alias("tok"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    placed = t.withColumn("start_off", F.sum("tok").over(w) - F.col("tok"))
+    return (
+        placed.select(
+            "shard", F.floor(F.col("start_off") / 2048).alias("pack_id"), "tok"
+        )
+        .groupBy("shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens"))
     )
