@@ -1,0 +1,274 @@
+"""Training-data pipeline compositions (SURVEY §2.11 extensions).
+
+The single-purpose LLM ops (llm_dedup, llm_text, llm_similarity) are
+the primitives; this module adds the composed / corpus-management
+operators a real pretraining pipeline runs: stratified sampling for
+language mixes, n-gram statistics, redaction, embedding centroids and
+int8 quantization, and the end-to-end clean-corpus pipeline
+(dedup → quality filter → split).
+
+Scale posture: every op here is a projection or a single keyed
+aggregate — no op introduces more than one shuffle, nothing collects to
+the driver, and the sampling/split decisions are pure per-row hash
+functions (stable as the corpus grows; see SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+def _hash_bucket(col: str, n: int = 100):
+    """Deterministic per-row bucket in [0, n): first 6 hex digits of
+    md5 of the id — engine-portable (same trick as corpus_split)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 6), 16, 10)
+        .cast("bigint") % n
+    )
+
+
+_HASH_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 6)) AS BIGINT) % {n}"
+)
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             {_HASH_BUCKET_SQL.format(col="doc_id", n=100)} AS b
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_kept,
+           sum(n_chars) AS chars_kept
+    FROM t
+    WHERE b < (CASE WHEN lang = 'en' THEN 20 ELSE 80 END)
+    GROUP BY lang
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling for a training language mix: keep 20% of
+    the dominant language (en) and 80% of everything else, decided by a
+    per-doc md5 bucket. Hash sampling (vs `df.sample`) is deterministic,
+    join-free, and stable under corpus growth — a doc's keep/drop never
+    changes when new files arrive, so incremental pipeline runs are
+    consistent. One projection + one small aggregate; no shuffle of the
+    full corpus."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(80))
+    return (
+        d.withColumn("b", _hash_bucket("doc_id"))
+        .filter(F.col("b") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(
+               list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]),
+               x -> x[1] || ' ' || x[2])) AS bigram
+      FROM t
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM b
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams. Bigrams are built JVM-side with a
+    higher-order function over the token array (no Python, no
+    self-join): slice off the last token and zip each with its
+    successor. The only shuffle is the count aggregate; the top-20 is a
+    TakeOrderedAndProject (no global sort materialized). Deterministic
+    tie-break on the bigram string keeps the LIMIT oracle-stable."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (t, i) -> concat(t, ' ', element_at(split(text, ' '), i + 2)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        b.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_redact",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(props,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'),
+             '[0-9]+', '#', 'g') AS redacted,
+           len(props) - len(regexp_replace(props, '[0-9]', '', 'g'))
+             AS n_digit_chars
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-class redaction as a pure projection: mask email-shaped
+    spans, then collapse digit runs (phone/SSN/account stand-ins) to
+    '#', and report how many digit characters were scrubbed per record.
+    Runs over events.props (the fixture corpus has no synthetic PII, so
+    digits are the live pattern; the email branch exercises the
+    alternation). regexp_replace is JVM regex inside codegen — at
+    100 TB this is scan-speed, no shuffle at all."""
+    e = table(spark, sf_dir, "events")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("props"), email, "<EMAIL>"), r"[0-9]+", "#"
+        ).alias("redacted"),
+        (
+            F.length("props")
+            - F.length(F.regexp_replace(F.col("props"), r"[0-9]", ""))
+        ).alias("n_digit_chars"),
+    )
+
+
+@register(
+    "emb_centroid",
+    oracle="""
+    SELECT label, i.i AS dim,
+           round(avg(embedding[i.i + 1]), 6) AS centroid
+    FROM embeddings, range(64) i(i)
+    GROUP BY label, dim
+    """,
+)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space (the reduce step of
+    k-means / class prototypes). posexplode keeps the dim index
+    JVM-side; the aggregate shuffles (label, dim) pairs — 640 keys
+    regardless of corpus size, so the reduce side is O(labels×dims) and
+    the map side does all the work as partial aggregates. Rounded on
+    both sides (accumulation-order float discipline)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
+
+
+@register(
+    "emb_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(least(127, greatest(-127, round(v * 127))) AS INT))
+               AS qv
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+    FROM q
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column (the
+    storage/ANN-memory optimization: 4 bytes/dim → 1). Emits a per-
+    vector checksum (sum of quantized components — exact integers, so
+    the oracle hash is order-proof) and the saturation count. The
+    transform/aggregate lambdas are Catalyst higher-order functions —
+    whole-stage codegen, zero Python, no shuffle: at 100 TB this is a
+    pure map over the scan."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(least(127, greatest(-127, round(v * 127))) AS INT))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.expr("CAST(aggregate(qv, 0L, (a, x) -> a + x) AS BIGINT)").alias("qsum"),
+        F.expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS BIGINT)").alias("n_sat"),
+    )
+
+
+@register(
+    "pipeline_corpus_clean",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    filtered AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tok
+      FROM dedup
+      WHERE rn = 1
+        AND n_chars BETWEEN 100 AND 400
+        AND len(string_split(text, ' ')) >= 20
+    ),
+    split AS (
+      SELECT lang, n_tok,
+             CASE WHEN {_HASH_BUCKET_SQL.format(col="doc_id", n=100)} < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM filtered
+    )
+    SELECT lang, split, count(*) AS n_docs, sum(n_tok) AS tokens
+    FROM split
+    GROUP BY lang, split
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning pipeline in one plan: exact dedup
+    (keep lowest doc_id per text) → quality gate (length + token-count
+    bounds) → deterministic 90/10 train/val split (md5 bucket) → per
+    (lang, split) audit. One shuffle for the dedup window (partitioned
+    by text hash — uniform, skew-free), then projections, then the
+    final small aggregate; Catalyst pipelines the filter into the
+    window's output without rematerializing. This is the flagship
+    'would survive 100 TB' composition: no driver collection, no
+    fraction sampling, no global sort."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+    filtered = (
+        d.withColumn("rn", rn)
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("n_chars").between(100, 400)
+            & (F.col("n_tok") >= 20)
+        )
+    )
+    split = filtered.withColumn(
+        "split",
+        F.when(_hash_bucket("doc_id") < 90, F.lit("train")).otherwise(F.lit("val")),
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )

@@ -59,6 +59,8 @@ def load_all() -> None:
         llm_similarity,
         llm_text,
         llm_multimodal,
+        llm_pipeline,
+        sql_surface,
     )
     from spark_cep_spark.functions import families, udfs  # noqa: F401
     from spark_cep_spark.streaming import windows as stream_windows  # noqa: F401
