@@ -22,6 +22,16 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The static planner's post-filter size estimates are optimistic
+    # enough at bench scale to broadcast a 600k-row filtered fact table
+    # (measured: q3 builds a broadcast hash relation of filtered
+    # lineitem under the default 10 MB threshold — ~0.2 s slower than
+    # the shuffle join). 4 MB keeps every true dimension (region,
+    # nation, filtered customer, the lexicon) on the broadcast path and
+    # pushes fact-fact joins to shuffle, which is also the plan shape
+    # that is correct at 100 TB; AQE can still re-broadcast at runtime
+    # when the *measured* size is genuinely small.
+    "spark.sql.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
 }
 
 
