@@ -254,3 +254,39 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")
+
+
+@register(
+    "rollup_hypertable",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr, value
+      FROM events
+    )
+    SELECT day, hr,
+           CAST(grouping_id(day, hr) AS BIGINT) AS lvl,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM t
+    GROUP BY ROLLUP(day, hr)
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup over the event hypertable: one pass emits
+    hour-grain, day-grain, and grand-total aggregates (grouping_id
+    disambiguates the levels — Spark and DuckDB share the bit
+    convention). Spark expands the rollup map-side and partial-aggregates
+    each grain before the single shuffle, so the exchange carries
+    ~(days×25) rows regardless of input size — the materialized-rollup
+    pattern for continuous dashboards at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    t = e.select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("int").alias("hr"),
+        "value",
+    )
+    return t.rollup("day", "hr").agg(
+        F.grouping_id().cast("bigint").alias("lvl"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -361,3 +361,44 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, max(value) * 0.5 AS thresh
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n_above
+    FROM events e
+    JOIN dim d ON e.event_type = d.event_type
+    WHERE e.value > d.thresh
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated dimension join: events.event_type has a handful of
+    hot keys (power-law — the pathological shuffle-join case at 100 TB),
+    so the fact side gets a deterministic salt (hash of the unique id,
+    NOT rand() — reruns and retried tasks must salt identically) and the
+    dim side is exploded ×16; the equi-join on (event_type, _salt) then
+    spreads each hot key over 16 partitions. The oracle is the UNSALTED
+    join — proving the salting is a pure physical rewrite. The max-based
+    threshold keeps the float comparison accumulation-order-exact.
+    AQE's skew-join handles moderate skew without this; the helper is
+    for keys hot enough that a single salt-free partition would spill."""
+    from spark_cep_spark.plans.scale import explode_salts
+
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg((F.max("value") * 0.5).alias("thresh"))
+    n_salts = 16
+    salted = e.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int")
+    )
+    j = salted.join(explode_salts(dim, n_salts), ["event_type", "_salt"])
+    return (
+        j.filter(F.col("value") > F.col("thresh"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
