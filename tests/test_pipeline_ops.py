@@ -1,0 +1,132 @@
+"""Behavioral tests for the pipeline/sql_surface/scale additions —
+properties the DuckDB hash check can't express (invariance, physical
+rewrites, plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import spark_cep_spark
+from tests.conftest import SF_SMOKE
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a pure physical rewrite: result must be identical to
+    the unsalted join, and invariant to the salt fan-out."""
+    spark_cep_spark.load_all()
+    from spark_cep_spark.io import table
+    from spark_cep_spark.plans.scale import explode_salts
+
+    e = table(spark, SF_SMOKE, "events")
+    dim = e.groupBy("event_type").agg((F.max("value") * 0.5).alias("thresh"))
+    plain = (
+        e.join(dim, "event_type")
+        .filter(F.col("value") > F.col("thresh"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+    got = spark_cep_spark.QUERIES["join_skew_salted"](spark, SF_SMOKE)
+    assert _sorted_rows(got) == _sorted_rows(plain)
+    # a different fan-out must not change the result
+    n = 7
+    salted = e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(n)).cast("int"))
+    alt = (
+        salted.join(explode_salts(dim, n), ["event_type", "_salt"])
+        .filter(F.col("value") > F.col("thresh"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+    assert _sorted_rows(alt) == _sorted_rows(plain)
+
+
+def test_rollup_levels_are_consistent(spark):
+    """Hour-grain counts must sum to their day-grain row, and day rows
+    to the grand total — the rollup invariant."""
+    spark_cep_spark.load_all()
+    df = spark_cep_spark.QUERIES["rollup_hypertable"](spark, SF_SMOKE).collect()
+    hours = [r for r in df if r["lvl"] == 0]
+    days = {r["day"]: r["n_events"] for r in df if r["lvl"] == 1}
+    total = [r for r in df if r["lvl"] == 3]
+    assert len(total) == 1
+    assert sum(r["n_events"] for r in hours) == total[0]["n_events"]
+    by_day: dict = {}
+    for r in hours:
+        by_day[r["day"]] = by_day.get(r["day"], 0) + r["n_events"]
+    assert by_day == days
+
+
+def test_stratified_sample_is_stable_under_growth(spark):
+    """Hash sampling: appending new documents must not change the
+    keep/drop decision of any existing document (the property
+    `df.sample` does NOT have — its decisions shift with partitioning
+    and row order)."""
+    spark_cep_spark.load_all()
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.llm_pipeline import _hash_bucket
+
+    rate = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(80))
+
+    def kept(d):
+        return {
+            r["doc_id"]
+            for r in d.withColumn("b", _hash_bucket("doc_id"))
+            .filter(F.col("b") < rate)
+            .select("doc_id")
+            .collect()
+        }
+
+    d = table(spark, SF_SMOKE, "documents")
+    grown = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    original_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert kept(d) == {i for i in kept(grown) if i in original_ids}
+
+
+def test_corpus_pack_fill_bound(spark):
+    """No pack may contain more tokens than the boundary plus one
+    max-length document (a doc joins the pack where it STARTS)."""
+    spark_cep_spark.load_all()
+    from spark_cep_spark.io import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    max_tok = d.select(F.max(F.size(F.split("text", " ")))).first()[0]
+    packs = spark_cep_spark.QUERIES["corpus_pack"](spark, SF_SMOKE).collect()
+    assert packs
+    for r in packs:
+        assert r["tokens"] <= 2048 + max_tok
+
+
+def test_emb_quantize_bounds(spark):
+    """Quantized checksum is bounded by ±127×dim and saturation count
+    by dim."""
+    spark_cep_spark.load_all()
+    rows = spark_cep_spark.QUERIES["emb_quantize"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -127 * 64 <= r["qsum"] <= 127 * 64
+        assert 0 <= r["n_sat"] <= 64
+
+
+def test_sql_surface_parses_through_catalyst(spark):
+    """The SQL-string queries build real plans (semi-join rewrite for
+    EXISTS/IN) — assert the physical plan shows a semi join, not a
+    per-row subquery."""
+    spark_cep_spark.load_all()
+    df = spark_cep_spark.QUERIES["sql_subqueries"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_redact_masks_all_digits(spark):
+    spark_cep_spark.load_all()
+    rows = spark_cep_spark.QUERIES["text_redact"](spark, SF_SMOKE).collect()
+    assert rows
+    import re
+
+    for r in rows[:200]:
+        assert not re.search(r"[0-9]", r["redacted"])
+        assert r["n_digit_chars"] >= 0
