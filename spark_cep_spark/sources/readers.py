@@ -99,3 +99,29 @@ def kafka_stream_writer(df: DataFrame, bootstrap_servers: str, topic: str, check
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest (Spark's second columnar format, vectorized reader +
+    predicate pushdown like parquet): lossless round-trip of `supplier`
+    through ORC, so the scan gets a full oracle against the original
+    table. At scale ORC behaves like parquet here — same pushdown,
+    pruning, and split planning; format choice is an interop concern,
+    not a plan concern."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    s = table(spark, sf_dir, "supplier")
+    orc_dir = os.path.join(SCRATCH, "supplier_orc")
+    s.write.mode("overwrite").orc(orc_dir)
+    return spark.read.orc(orc_dir).select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
