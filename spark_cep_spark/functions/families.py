@@ -350,3 +350,52 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.kind").alias("kind"),
         F.col("s.vx2").alias("vx2"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH t AS (
+      SELECT 'https://data.example.com:8443/supplier/' || s_suppkey
+             || '?id=' || s_suppkey || '&nation=' || s_nationkey
+             || '#detail' AS url
+      FROM supplier
+    )
+    SELECT url,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM t
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (`parse_url` — log/clickstream analytics
+    staple in the reference family's event pipelines). URLs are built
+    from fixture columns, then every component is extracted JVM-side;
+    the oracle decomposes the same URLs with RFC-shaped regexes, so the
+    hash check pins Spark's parse_url component semantics. Pure
+    projection — scan-speed at any scale."""
+    s = table(spark, sf_dir, "supplier")
+    t = s.select(
+        F.concat(
+            F.lit("https://data.example.com:8443/supplier/"),
+            F.col("s_suppkey").cast("string"),
+            F.lit("?id="),
+            F.col("s_suppkey").cast("string"),
+            F.lit("&nation="),
+            F.col("s_nationkey").cast("string"),
+            F.lit("#detail"),
+        ).alias("url")
+    )
+    return t.select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

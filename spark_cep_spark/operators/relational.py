@@ -199,3 +199,70 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (exceptAll keeps multiplicities, which
     # diverges from SQL EXCEPT when a row appears more often left than right)
     return c.subtract(s)
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, round(o_totalprice + 10, 2) AS price, 'F' AS status
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             round(o_totalprice, 2) AS price, 'N' AS status
+      FROM orders WHERE o_orderkey % 37 = 0
+    ),
+    changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    merged AS (
+      SELECT coalesce(c.o_orderkey, t.o_orderkey) AS okey,
+             CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                  WHEN c.o_orderkey IS NULL THEN 'unchanged'
+                  ELSE 'update' END AS action,
+             coalesce(c.price, round(t.o_totalprice, 2)) AS price
+      FROM orders t
+      FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+    )
+    SELECT action, count(*) AS n, round(sum(price), 2) AS total_price
+    FROM merged
+    GROUP BY action
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (matched → update, not-matched → insert)
+    without a table format: one full-outer join of target and change
+    set, action derived from null-sides. (The change-set price is an
+    ADDITIVE bump: a multiplicative one creates true 3-decimal values at
+    .xx5 boundaries, where Spark's decimal-string round and DuckDB's
+    binary round legitimately disagree) — the reference family's
+    `INSERT INTO <sink>` maintenance pattern, expressed relationally.
+    Emits the merge audit. At 100 TB both sides shuffle once on the
+    merge key (or zero times if the target is bucketed on it — see
+    plans/scale.write_bucketed); with a lakehouse format the same plan
+    becomes MERGE INTO. The audit aggregate rides the join's
+    partitioning."""
+    o = table(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 10, 2).alias("price"),
+        F.lit("F").alias("status"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 37 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit("N").alias("status"),
+    )
+    changes = upd.unionByName(ins)
+    t = o.select(
+        F.col("o_orderkey").alias("t_key"), F.col("o_totalprice").alias("t_price")
+    )
+    merged = t.join(changes, t.t_key == changes.o_orderkey, "full_outer").select(
+        F.when(F.col("t_key").isNull(), F.lit("insert"))
+        .when(F.col("o_orderkey").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        F.coalesce("price", F.round("t_price", 2)).alias("price"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 2).alias("total_price")
+    )
