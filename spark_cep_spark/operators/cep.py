@@ -33,6 +33,7 @@ from spark_cep_spark.registry import register
 class Step:
     name: str
     predicate: str  # SQL boolean expression over the event columns
+    contiguity: str = "relaxed"  # relaxed | strict | absent
 
 
 @dataclass
@@ -40,7 +41,14 @@ class Pattern:
     """Pattern.begin('v', "event_type='view'")
              .followed_by('c', "event_type='click'")
              .followed_by('p', "event_type='purchase'")
-             .within('1 hour')"""
+             .within('1 hour')
+
+    Flink-CEP-shaped contiguity modes:
+      followed_by    — relaxed (skip-till-next-match)
+      next           — strict (the key's immediately-next event)
+      not_followed_by — terminal negation (no qualifying event within
+                        the bound; must be the last step)
+    """
 
     steps: list[Step] = field(default_factory=list)
     time_bound: str | None = None  # SQL interval literal body, e.g. "1 HOUR"
@@ -51,6 +59,18 @@ class Pattern:
 
     def followed_by(self, name: str, predicate: str) -> "Pattern":
         self.steps.append(Step(name, predicate))
+        return self
+
+    def next(self, name: str, predicate: str) -> "Pattern":
+        """Strict contiguity: binds only if the key's IMMEDIATELY next
+        event (by (ts, id) order) satisfies the predicate."""
+        self.steps.append(Step(name, predicate, contiguity="strict"))
+        return self
+
+    def not_followed_by(self, name: str, predicate: str) -> "Pattern":
+        """Terminal negation: the partial match survives only if NO
+        qualifying event follows within the time bound."""
+        self.steps.append(Step(name, predicate, contiguity="absent"))
         return self
 
     def within(self, bound: str) -> "Pattern":
@@ -74,35 +94,82 @@ class Pattern:
             raise ValueError("empty pattern")
         if self.time_bound is None:
             raise ValueError("pattern needs .within(bound) for bounded state")
+        for s in self.steps[:-1]:
+            if s.contiguity == "absent":
+                raise ValueError("not_followed_by must be the last step")
+        if self.steps[0].contiguity != "relaxed":
+            raise ValueError("pattern must start with begin()")
 
         bound = F.expr(f"INTERVAL {self.time_bound}")
+        has_strict = any(s.contiguity == "strict" for s in self.steps)
+        if has_strict:
+            # Strict contiguity needs each event's per-key sequence
+            # number — ONE window shuffle on the key, shared by every
+            # step of the pattern.
+            rn = F.row_number().over(
+                W.partitionBy(key_col).orderBy(time_col, id_col)
+            )
+            events = events.withColumn("_rn", rn)
+
         first = self.steps[0]
-        cur = events.filter(F.expr(first.predicate)).select(
+        sel = [
             F.col(key_col).alias("key"),
             F.col(id_col).alias("anchor_id"),
             F.col(time_col).alias(f"t_{first.name}"),
-        )
+        ]
+        if has_strict:
+            sel.append(F.col("_rn").alias("_prev_rn"))
+        cur = events.filter(F.expr(first.predicate)).select(*sel)
         t_anchor = f"t_{first.name}"
         prev_t = t_anchor
         for step in self.steps[1:]:
-            cand = events.filter(F.expr(step.predicate)).select(
+            cand_sel = [
                 F.col(key_col).alias("cand_key"),
                 F.col(time_col).alias("cand_ts"),
-            )
-            group_cols = cur.columns
-            cur = (
-                cur.join(
-                    cand,
+            ]
+            if has_strict:
+                cand_sel.append(F.col("_rn").alias("cand_rn"))
+            cand = events.filter(F.expr(step.predicate)).select(*cand_sel)
+            in_bound = F.col("cand_ts") <= F.col(t_anchor) + bound
+            if step.contiguity == "strict":
+                cond = (
+                    (F.col("key") == F.col("cand_key"))
+                    & (F.col("cand_rn") == F.col("_prev_rn") + 1)
+                    & in_bound
+                )
+            else:
+                cond = (
                     (F.col("key") == F.col("cand_key"))
                     & (F.col("cand_ts") > F.col(prev_t))
-                    & (F.col("cand_ts") <= F.col(t_anchor) + bound),
+                    & in_bound
                 )
-                # earliest-match policy: bind the first qualifying event
-                .groupBy(*group_cols)
-                .agg(F.min("cand_ts").alias(f"t_{step.name}"))
-            )
+            if step.contiguity == "absent":
+                # survives only if no qualifying follower exists
+                cur = cur.join(cand, cond, "left_anti")
+                break  # validated: absent is terminal
+            group_cols = cur.columns
+            if has_strict:
+                # earliest-match policy; carry the bound event's seq
+                # number for a later strict step ((ts, rn) lexicographic
+                # min ≡ min ts with deterministic tie-break)
+                cur = (
+                    cur.join(cand, cond)
+                    .groupBy(*group_cols)
+                    .agg(F.min(F.struct("cand_ts", "cand_rn")).alias("_m"))
+                    .withColumn(f"t_{step.name}", F.col("_m.cand_ts"))
+                    .withColumn("_next_rn", F.col("_m.cand_rn"))
+                    .drop("_m", "_prev_rn")
+                    .withColumnRenamed("_next_rn", "_prev_rn")
+                )
+            else:
+                cur = (
+                    cur.join(cand, cond)
+                    # earliest-match policy: bind the first qualifying event
+                    .groupBy(*group_cols)
+                    .agg(F.min("cand_ts").alias(f"t_{step.name}"))
+                )
             prev_t = f"t_{step.name}"
-        return cur
+        return cur.drop("_prev_rn") if has_strict else cur
 
 
 # ---------------------------------------------------------------------------
@@ -259,4 +326,74 @@ def cep_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.round(F.col("trail_avg_raw"), 6).alias("trail_avg"),
         )
+    )
+
+
+@register(
+    "cep_strict_next",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    )
+    SELECT a.user_id AS key, a.event_id AS anchor_id,
+           a.ts AS t_e1, b.ts AS t_e2
+    FROM e a
+    JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    WHERE a.event_type = 'error' AND b.event_type = 'error'
+      AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def cep_strict_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity CEP (`Pattern.next`): error whose key's
+    IMMEDIATELY next event is also an error within 1h — relaxed
+    followed_by would also match error→view→error, strict must not.
+    One window shuffle assigns per-key sequence numbers; the step join
+    is then an ordinary equi-join on (key, rn+1). Streaming twin: a
+    length-2 consecutive run in kleene_stream's per-key counter state."""
+    e = table(spark, sf_dir, "events")
+    return (
+        Pattern.begin("e1", "event_type = 'error'")
+        .next("e2", "event_type = 'error'")
+        .within("1 HOUR")
+        .compile_batch(e)
+    )
+
+
+@register(
+    "cep_funnel_abandon",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, min(c.ts) AS t_click
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts
+         )
+    SELECT s2.user_id AS key, s2.event_id AS anchor_id, s2.t_view, s2.t_click
+    FROM s2
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = s2.user_id
+        AND p.ts > s2.t_click AND p.ts <= s2.t_view + INTERVAL 6 HOUR
+    )
+    """,
+)
+def cep_funnel_abandon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel abandonment (`Pattern.not_followed_by`): view → click
+    completed, then NO purchase within the bound — the negation step
+    compiles to a left-anti join (absence at scale = anti-join, never a
+    per-row subquery)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .not_followed_by("purchase", "event_type = 'purchase'")
+        .within("6 HOUR")
+        .compile_batch(e)
     )

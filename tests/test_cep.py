@@ -116,3 +116,69 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+def test_next_is_strict_not_relaxed(spark):
+    """error→(view)→error matches followed_by but NOT next."""
+    import datetime as dt
+
+    from spark_cep_spark.operators.cep import Pattern
+
+    rows = [
+        (1, 100, dt.datetime(2024, 1, 1, 10, 0), "error"),
+        (1, 101, dt.datetime(2024, 1, 1, 10, 5), "view"),
+        (1, 102, dt.datetime(2024, 1, 1, 10, 10), "error"),
+        (2, 200, dt.datetime(2024, 1, 1, 11, 0), "error"),
+        (2, 201, dt.datetime(2024, 1, 1, 11, 1), "error"),
+        # out of bound for the 1 HOUR within
+        (3, 300, dt.datetime(2024, 1, 1, 12, 0), "error"),
+        (3, 301, dt.datetime(2024, 1, 1, 13, 30), "error"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    relaxed = (
+        Pattern.begin("a", "event_type='error'")
+        .followed_by("b", "event_type='error'")
+        .within("1 HOUR")
+        .compile_batch(e)
+    )
+    strict = (
+        Pattern.begin("a", "event_type='error'")
+        .next("b", "event_type='error'")
+        .within("1 HOUR")
+        .compile_batch(e)
+    )
+    assert {r["anchor_id"] for r in relaxed.collect()} == {100, 200}
+    assert {r["anchor_id"] for r in strict.collect()} == {200}
+
+
+def test_not_followed_by_terminal_negation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from spark_cep_spark.operators.cep import Pattern
+
+    rows = [
+        (1, 100, dt.datetime(2024, 1, 1, 10, 0), "view"),
+        (1, 101, dt.datetime(2024, 1, 1, 10, 5), "click"),
+        (1, 102, dt.datetime(2024, 1, 1, 10, 10), "purchase"),
+        (2, 200, dt.datetime(2024, 1, 1, 11, 0), "view"),
+        (2, 201, dt.datetime(2024, 1, 1, 11, 5), "click"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    p = (
+        Pattern.begin("v", "event_type='view'")
+        .followed_by("c", "event_type='click'")
+        .not_followed_by("p", "event_type='purchase'")
+        .within("1 HOUR")
+    )
+    assert {r["anchor_id"] for r in p.compile_batch(e).collect()} == {200}
+    # negation must be terminal
+    bad = (
+        Pattern.begin("v", "event_type='view'")
+        .not_followed_by("p", "event_type='purchase'")
+        .followed_by("c", "event_type='click'")
+        .within("1 HOUR")
+    )
+    with pytest.raises(ValueError, match="last step"):
+        bad.compile_batch(e)
