@@ -290,3 +290,70 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram with fixed-width buckets. The bucket expression
+    is the SAME floor arithmetic in both engines (width_bucket-style
+    builtins differ at boundary ulps across engines — identical
+    arithmetic on identical doubles cannot). Map-side partial
+    aggregation means the shuffle carries one row per bucket per task
+    regardless of input size."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 50).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "rollup_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY hr
+    ),
+    r AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM b),
+                                    (SELECT max(hr) FROM b),
+                                    INTERVAL 1 HOUR)) AS hr
+    )
+    SELECT r.hr, coalesce(b.n, 0) AS n
+    FROM r LEFT JOIN b ON b.hr = r.hr
+    """,
+)
+def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series (the dashboard/hypertable staple:
+    empty hours must appear as zeros, not missing rows). The hour
+    spine is generated with sequence()+explode from the aggregated
+    min/max — O(hours) rows broadcast to the left join, so the spine
+    costs nothing at any scale; the only real shuffle is the hourly
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr")
+        )
+    )
+    return spine.join(b, "hr", "left").select(
+        "hr", F.coalesce("n", F.lit(0)).alias("n")
+    )

@@ -162,3 +162,27 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_percentiles",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position analytics (percent_rank / cume_dist) per
+    priority class — both are exact rationals over ranks, so the
+    double values hash-match across engines. One shuffle on the
+    partition key; the o_orderkey tie-break keeps rank deterministic."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
