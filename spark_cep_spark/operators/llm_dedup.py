@@ -355,3 +355,107 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos_raw"), 6).alias("cosine"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Min-label propagation connected components (the cluster step of
+    every near-dup pipeline: pairs → duplicate GROUPS → one kept doc
+    per group).
+
+    Iterative DataFrame algorithm: every vertex starts labeled with its
+    own id; each round every vertex takes the min label in its
+    neighborhood; converged when no label changes. Rounds needed =
+    graph diameter (dedup clusters are shallow — small-star/large-star
+    variants bound it at log n for pathological chains). Per round:
+    one shuffle join edges⋈labels + one min-aggregate, with
+    localCheckpoint truncating the plan so lineage doesn't grow with
+    iterations. The driver-side loop holds only a changed-count per
+    round — no data ever collects to the driver."""
+    sym = edges.select(
+        F.col("src").alias("n"), F.col("dst").alias("m")
+    ).unionByName(edges.select(F.col("dst").alias("n"), F.col("src").alias("m")))
+    labels = vertices.select(F.col(id_col).alias("n"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, "n")
+            .groupBy(F.col("m").alias("n"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "n", "left")
+            .select("n", F.least("label", "nlabel").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
+@register(
+    "dedup_cluster",
+    oracle="""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    bands AS (
+      SELECT doc_id, 1 AS idx, substr(fp, 1, 3) AS b FROM docs
+      UNION ALL SELECT doc_id, 2, substr(fp, 9, 3) FROM docs
+      UNION ALL SELECT doc_id, 3, substr(fp, 17, 3) FROM docs
+      UNION ALL SELECT doc_id, 4, substr(fp, 25, 3) FROM docs
+    ),
+    edges AS (
+      SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+      FROM bands x JOIN bands y ON x.idx = y.idx AND x.b = y.b
+      WHERE x.doc_id <> y.doc_id
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM docs
+      UNION
+      SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_rep
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: LSH-band edges (docs sharing any
+    md5 band) → connected components → per-doc cluster representative
+    (min doc_id). This is the step between "candidate pairs" and "keep
+    one per group" in a production dedup pipeline; the oracle computes
+    the same transitive closure with a recursive CTE — an exact check
+    of an ITERATIVE distributed algorithm. The fixture graph has
+    multi-hop chains (clusters up to 9 docs), so propagation genuinely
+    iterates."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.md5("text").alias("fp"))
+    bands = reduce(
+        DataFrame.unionByName,
+        [
+            docs.select(
+                "doc_id",
+                F.lit(i + 1).alias("idx"),
+                F.substring("fp", 1 + 8 * i, 3).alias("b"),
+            )
+            for i in range(4)
+        ],
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    edges = (
+        x.join(y, (F.col("x.idx") == F.col("y.idx")) & (F.col("x.b") == F.col("y.b")))
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+        .distinct()
+    )
+    return connected_components(edges, d, "doc_id")

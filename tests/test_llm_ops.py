@@ -162,3 +162,16 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     approx = e.agg(F.approx_count_distinct("user_id", 0.01).alias("a")).first().a
     exact = e.select("user_id").distinct().count()
     assert abs(approx - exact) <= max(2, 0.05 * exact)
+
+
+def test_connected_components_chain(spark):
+    """A path graph a-b-c-d plus an isolated vertex must collapse to
+    one cluster (multi-hop propagation) and one singleton."""
+    from spark_cep_spark.operators.llm_dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    got = {r["doc_id"]: r["cluster_rep"] for r in connected_components(edges, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
