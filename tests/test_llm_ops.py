@@ -175,3 +175,30 @@ def test_connected_components_chain(spark):
     verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
     got = {r["doc_id"]: r["cluster_rep"] for r in connected_components(edges, verts).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_multimodal_frame_and_resize_pipeline(spark, sf_dir):
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.llm_multimodal import (
+        assets_from_documents,
+        decode_assets,
+        frame_sample,
+        resize_features,
+        size_bucket_repartition,
+    )
+
+    d = table(spark, sf_dir, "documents").limit(50)
+    assets = assets_from_documents(d)
+    # size-bucket repartition is a pure physical rewrite
+    re_assets = size_bucket_repartition(assets, n_partitions=4)
+    assert re_assets.count() == assets.count()
+    # resize never exceeds max_side and preserves integer dims
+    rz = resize_features(decode_assets(re_assets, fake=True), max_side=100)
+    for r in rz.collect():
+        assert r["out_w"] <= 100 and r["out_h"] <= 100
+    # frame fan-out: deterministic, >= 1 frame per asset, idempotent
+    f1 = frame_sample(re_assets, every_n=10).groupBy("doc_id").count()
+    f2 = frame_sample(assets, every_n=10).groupBy("doc_id").count()
+    a = {r["doc_id"]: r["count"] for r in f1.collect()}
+    b = {r["doc_id"]: r["count"] for r in f2.collect()}
+    assert a == b and len(a) == 50 and all(v >= 1 for v in a.values())
