@@ -182,3 +182,82 @@ def test_not_followed_by_terminal_negation(spark):
     )
     with pytest.raises(ValueError, match="last step"):
         bad.compile_batch(e)
+
+
+def test_strict_and_negation_match_brute_force_on_random_events(spark):
+    """Differential test of the batch compiler's strict (next) and
+    negation (not_followed_by) paths against a literal-transcription
+    brute force, on a seeded random event soup (20 users x ~20 events,
+    duplicate timestamps included to exercise the (ts, id) tie-break)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_cep_spark.operators.cep import Pattern
+
+    rng = np.random.RandomState(0)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(20):
+        t = 0
+        for _ in range(rng.randint(5, 25)):
+            t += int(rng.randint(0, 40))  # minutes; 0 => duplicate ts
+            rows.append(
+                (u, eid, base + dt.timedelta(minutes=t),
+                 ["a", "b", "c"][rng.randint(0, 3)])
+            )
+            eid += 1
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    bound = dt.timedelta(hours=1)
+
+    by_user: dict = {}
+    for u, i, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, i, et))
+    for seq in by_user.values():
+        seq.sort()  # (ts, id) order == the compiler's rn order
+
+    # strict: a whose immediately-next event is b, within 1h
+    want_strict = set()
+    for seq in by_user.values():
+        for j in range(len(seq) - 1):
+            if (seq[j][2] == "a" and seq[j + 1][2] == "b"
+                    and seq[j + 1][0] <= seq[j][0] + bound):
+                want_strict.add(seq[j][1])
+    got_strict = {
+        r["anchor_id"]
+        for r in Pattern.begin("x", "event_type='a'")
+        .next("y", "event_type='b'")
+        .within("1 HOUR")
+        .compile_batch(e)
+        .collect()
+    }
+    assert got_strict == want_strict
+
+    # negation: a followed_by b (earliest), then NO c within a+1h
+    want_neg = set()
+    for seq in by_user.values():
+        for ts0, i0, et0 in seq:
+            if et0 != "a":
+                continue
+            bs = [ts for ts, _i, et in seq if et == "b" and ts > ts0
+                  and ts <= ts0 + bound]
+            if not bs:
+                continue
+            tb = min(bs)
+            cs = [ts for ts, _i, et in seq if et == "c" and ts > tb
+                  and ts <= ts0 + bound]
+            if not cs:
+                want_neg.add(i0)
+    got_neg = {
+        r["anchor_id"]
+        for r in Pattern.begin("x", "event_type='a'")
+        .followed_by("y", "event_type='b'")
+        .not_followed_by("z", "event_type='c'")
+        .within("1 HOUR")
+        .compile_batch(e)
+        .collect()
+    }
+    assert got_neg == want_neg
