@@ -100,6 +100,98 @@ def advance_nfa(
     return partials, matches
 
 
+def advance_nfa_full(
+    partials: list,
+    matured: list,
+    contig: list,
+    bound_us: int,
+    wm_us: int,
+) -> tuple[list, list]:
+    """The generalized NFA kernel: relaxed (followed_by), strict (next)
+    and terminal-negation (not_followed_by) contiguity, matching
+    Pattern.compile_batch exactly (the executable spec).
+
+    partials: [[anchor_eid, [t0_us..ti_us], last_eid], ...] — last_eid
+              is the id of the most recently bound event (strict steps
+              need the (ts, eid) position, not just the ts, to identify
+              "the key's immediately-next event" under ts ties).
+              A partial with all positive steps bound is pending
+              negation (only possible when contig ends with 'absent').
+    matured:  [[ts_us, eid, [m0..mk]], ...] sorted by (ts, eid) —
+              for strict patterns this MUST include non-matching
+              events (they are what kill strict partials).
+    contig:   per-step contiguity ('relaxed' | 'strict' | 'absent');
+              'absent' may only be last (validated by Pattern).
+    Returns (partials', matches), matches = [(anchor_eid, [t0..tn])]
+    over POSITIVE steps only (compile_batch likewise emits no
+    timestamp for the absent step).
+
+    Semantics per step kind, transcribing compile_batch:
+    - relaxed: bind the earliest event with ts strictly after the
+      previous step's ts, matching, within anchor+bound.
+    - strict: the event at the key's next (ts, eid) position either
+      matches (and is in bound) and binds, or the partial dies.
+    - absent: the completed positives survive only if no matching
+      event lies in (t_last, t_anchor + bound]; emission waits until
+      the watermark passes t_anchor + bound (only then can no killer
+      still arrive) — same discipline as advance_absence.
+    """
+    n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
+    matches = []
+    for ts, eid, m in matured:
+        kept = []
+        for anchor_eid, bound_ts, last_eid in partials:
+            nxt = len(bound_ts)
+            if nxt == n_pos:
+                # pending negation: killed by a matching follower in
+                # (t_last, t_anchor + bound]
+                if (
+                    m[n_pos]
+                    and ts > bound_ts[-1]
+                    and ts <= bound_ts[0] + bound_us
+                ):
+                    continue
+                kept.append([anchor_eid, bound_ts, last_eid])
+                continue
+            if ts > bound_ts[0] + bound_us:
+                continue  # expired before completing
+            after = (ts, eid) > (bound_ts[-1], last_eid)
+            if contig[nxt] == "strict":
+                if after:
+                    # this IS the key's immediately-next event:
+                    # bind or die
+                    if m[nxt] and ts <= bound_ts[0] + bound_us:
+                        bound_ts = bound_ts + [ts]
+                        if len(bound_ts) == n_pos and n_pos == len(contig):
+                            matches.append((anchor_eid, bound_ts))
+                            continue
+                        kept.append([anchor_eid, bound_ts, eid])
+                    continue
+            elif ts > bound_ts[-1] and m[nxt]:
+                bound_ts = bound_ts + [ts]
+                if len(bound_ts) == n_pos and n_pos == len(contig):
+                    matches.append((anchor_eid, bound_ts))
+                    continue
+                kept.append([anchor_eid, bound_ts, eid])
+                continue
+            kept.append([anchor_eid, bound_ts, last_eid])
+        partials = kept
+        if m[0]:
+            partials.append([eid, [ts], eid])
+    # negation emission + expiry, both gated on the watermark
+    out = []
+    for p in partials:
+        anchor_eid, bound_ts, _last = p
+        if len(bound_ts) == n_pos and n_pos < len(contig):
+            if bound_ts[0] + bound_us <= wm_us:
+                matches.append((anchor_eid, bound_ts))
+                continue
+        elif bound_ts[0] + bound_us <= wm_us:
+            continue  # incomplete and past deadline — can never finish
+        out.append(p)
+    return out, matches
+
+
 def advance_kleene(
     run: list | None,
     matured: list,
@@ -488,10 +580,15 @@ def compile_stream(
     watermark: str = "10 minutes",
     filter_nonmatching: bool = True,
 ) -> DataFrame:
-    """Compile a Pattern to a streaming DataFrame of matches.
+    """Compile a Pattern to a streaming DataFrame of matches — all
+    three contiguity modes (followed_by / next / not_followed_by), same
+    semantics as Pattern.compile_batch.
 
     Output schema mirrors Pattern.compile_batch: (key, anchor_id,
-    t_<step>... as timestamps).
+    t_<step>... as timestamps) over the POSITIVE steps (a negation step
+    contributes no timestamp; its matches emit only once the anchor's
+    full window passes the watermark — before that no absence is
+    provable).
     """
     steps = pattern.steps
     n_steps = len(steps)
@@ -499,7 +596,19 @@ def compile_stream(
         raise ValueError("empty pattern")
     if pattern.time_bound is None:
         raise ValueError("pattern needs .within(bound)")
+    for s in steps[:-1]:
+        if s.contiguity == "absent":
+            raise ValueError("not_followed_by must be the last step")
+    if steps[0].contiguity != "relaxed":
+        raise ValueError("pattern must start with begin()")
     bound_ms = _interval_to_ms(pattern.time_bound)
+    contig = [s.contiguity for s in steps]
+    pos_steps = steps[:-1] if contig[-1] == "absent" else steps
+    if any(c == "strict" for c in contig):
+        # a strict partial is killed by whatever event sits at the
+        # key's next sequence position — non-matching events carry
+        # semantics and must reach the NFA
+        filter_nonmatching = False
 
     flags = [
         F.expr(s.predicate).cast("boolean").alias(f"m{i}") for i, s in enumerate(steps)
@@ -522,7 +631,7 @@ def compile_stream(
     out_fields = [
         T.StructField("key", T.LongType()),
         T.StructField("anchor_id", T.LongType()),
-    ] + [T.StructField(f"t_{s.name}", T.TimestampType()) for s in steps]
+    ] + [T.StructField(f"t_{s.name}", T.TimestampType()) for s in pos_steps]
     out_schema = T.StructType(out_fields)
     state_schema = T.StructType([T.StructField("payload", T.StringType())])
 
@@ -534,7 +643,7 @@ def compile_stream(
         else:
             st = {"buf": [], "partials": []}
         buf = st["buf"]  # [[ts_us, eid, [m0..mk]], ...] not yet matured
-        partials = st["partials"]  # [[anchor_eid, [t0_us..ti_us]], ...]
+        partials = st["partials"]  # [[anchor_eid, [t0_us..], last_eid], ...]
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -556,14 +665,9 @@ def compile_stream(
         matured = [e for e in buf if e[0] <= wm_us]
         buf = [e for e in buf if e[0] > wm_us]
 
-        partials, matches = advance_nfa(
-            partials, matured, n_steps, bound_ms * _US_PER_MS
+        partials, matches = advance_nfa_full(
+            partials, matured, contig, bound_ms * _US_PER_MS, wm_us
         )
-
-        # drop partials that can never complete (deadline below watermark)
-        partials = [
-            p for p in partials if p[1][0] + bound_ms * _US_PER_MS > wm_us
-        ]
 
         if buf or partials:
             state.update((json.dumps({"buf": buf, "partials": partials}),))
@@ -581,7 +685,7 @@ def compile_stream(
                 "key": [key[0]] * len(matches),
                 "anchor_id": [m0 for m0, _ in matches],
             }
-            for i, s in enumerate(steps):
+            for i, s in enumerate(pos_steps):
                 cols[f"t_{s.name}"] = pd.to_datetime(
                     [bt[i] for _, bt in matches], unit="us"
                 )

@@ -15,7 +15,11 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from spark_cep_spark.streaming.nfa import advance_absence, advance_nfa
+from spark_cep_spark.streaming.nfa import (
+    advance_absence,
+    advance_nfa,
+    advance_nfa_full,
+)
 
 N_TYPES = 3  # event types 0..2; pattern = type0 -> type1 [-> type2]
 
@@ -100,6 +104,136 @@ def test_nfa_chunking_invariance(rows, steps, bound, cuts):
         partials, m = advance_nfa(partials, ch, len(steps), bound)
         got.extend(m)
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Generalized kernel (advance_nfa_full): strict / relaxed / terminal
+# negation, against a literal transcription of compile_batch
+
+
+def brute_force_full(events, contig, bound, wm):
+    """Transcription of Pattern.compile_batch over the full (ts, eid)-
+    ordered key sequence: relaxed = earliest (ts, position) qualifying
+    follower; strict = the next sequence position binds or the match
+    dies; absent (terminal) = no qualifying follower in
+    (t_last, t_anchor+bound], emitted only once the deadline passed the
+    watermark."""
+    n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
+    has_neg = n_pos < len(contig)
+    out = []
+    for idx, (ts0, eid, m) in enumerate(events):
+        if not m[0]:
+            continue
+        bound_ts, last_pos, ok = [ts0], idx, True
+        for step in range(1, n_pos):
+            if contig[step] == "strict":
+                nxt = last_pos + 1
+                if (
+                    nxt < len(events)
+                    and events[nxt][2][step]
+                    and events[nxt][0] <= ts0 + bound
+                ):
+                    bound_ts.append(events[nxt][0])
+                    last_pos = nxt
+                else:
+                    ok = False
+                    break
+            else:
+                cands = [
+                    (t, j)
+                    for j, (t, _e, mm) in enumerate(events)
+                    if mm[step] and t > bound_ts[-1] and t <= ts0 + bound
+                ]
+                if not cands:
+                    ok = False
+                    break
+                t, j = min(cands)
+                bound_ts.append(t)
+                last_pos = j
+        if not ok:
+            continue
+        if has_neg:
+            if ts0 + bound > wm:
+                continue  # absence not yet provable
+            killed = any(
+                mm[n_pos] and bound_ts[-1] < t <= ts0 + bound
+                for t, _e, mm in events
+            )
+            if killed:
+                continue
+        out.append((eid, bound_ts))
+    return sorted(out)
+
+
+@st.composite
+def contiguities(draw):
+    n = draw(st.integers(min_value=2, max_value=3))
+    contig = ["relaxed"] + [
+        draw(st.sampled_from(["relaxed", "strict"])) for _ in range(n - 1)
+    ]
+    if draw(st.booleans()):
+        contig.append("absent")
+    return contig
+
+
+@given(
+    rows=event_streams(),
+    contig=contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wm=st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=600, deadline=None)
+def test_full_nfa_matches_brute_force(rows, contig, bound, wm):
+    steps = [(i * 7 + 3) % N_TYPES for i in range(len(contig))]
+    events = [e for e in with_flags(rows, steps) if e[0] <= wm]
+    _, got = advance_nfa_full([], events, contig, bound, wm)
+    assert sorted(got) == brute_force_full(events, contig, bound, wm)
+
+
+@given(
+    rows=event_streams(),
+    contig=contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wms=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=5),
+)
+@settings(max_examples=600, deadline=None)
+def test_full_nfa_chunking_invariance(rows, contig, bound, wms):
+    """Any monotone watermark schedule through the incremental kernel
+    equals one shot at the final watermark — micro-batch boundaries and
+    timer firings are semantically invisible for every contiguity mix."""
+    steps = [(i * 7 + 3) % N_TYPES for i in range(len(contig))]
+    events = with_flags(rows, steps)
+    wms = sorted(set(wms))
+    final_wm = wms[-1]
+    matured_all = [e for e in events if e[0] <= final_wm]
+    _, want = advance_nfa_full([], matured_all, contig, bound, final_wm)
+
+    partials, got, fed = [], [], set()
+    for wm in wms:
+        chunk = sorted(e for e in events if e[0] <= wm and e[1] not in fed)
+        fed.update(e[1] for e in chunk)
+        partials, m = advance_nfa_full(partials, chunk, contig, bound, wm)
+        got.extend(m)
+    assert sorted(got) == sorted(want)
+
+
+@given(
+    rows=event_streams(),
+    steps=st.lists(
+        st.integers(min_value=0, max_value=N_TYPES - 1), min_size=2, max_size=3
+    ),
+    bound=st.integers(min_value=1, max_value=25),
+)
+@settings(max_examples=300, deadline=None)
+def test_full_nfa_relaxed_equals_legacy_kernel(rows, steps, bound):
+    """All-relaxed patterns: the generalized kernel and the original
+    advance_nfa are the same machine."""
+    events = with_flags(rows, steps)
+    _, legacy = advance_nfa([], events, len(steps), bound)
+    _, full = advance_nfa_full(
+        [], events, ["relaxed"] * len(steps), bound, 10**9
+    )
+    assert sorted(full) == sorted(legacy)
 
 
 # ---------------------------------------------------------------------------

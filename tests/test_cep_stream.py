@@ -140,6 +140,85 @@ def test_threshold_stream_equals_batch_window(spark, sf_dir):
     assert got.count() > 0
 
 
+def test_strict_next_stream_equals_batch_compiler(spark, sf_dir):
+    """Streaming strict contiguity (`Pattern.next`) vs its batch
+    compilation (cep_strict_next). compile_stream must auto-disable the
+    non-matching-event filter: the key's immediately-next event decides
+    life or death of a strict partial, whatever its type. End-of-stream
+    watermark matures everything, so equality is exact (a last-event
+    anchor has no next event in EITHER engine)."""
+    pat = (
+        Pattern.begin("e1", "event_type = 'error'")
+        .next("e2", "event_type = 'error'")
+        .within("1 HOUR")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    want = pat.compile_batch(table(spark, sf_dir, "events"))
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0
+
+
+def test_strict_next_stream_rejects_interleaved(spark):
+    """error→view→error must NOT match error NEXT error (relaxed
+    followed_by would match it) — the discriminating case for strict
+    semantics in the stream, plus a flush sentinel."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, 1, t0, "error"),
+        (2, 1, t0 + dt.timedelta(minutes=5), "view"),
+        (3, 1, t0 + dt.timedelta(minutes=10), "error"),
+        (4, 2, t0 + dt.timedelta(minutes=20), "error"),
+        (5, 2, t0 + dt.timedelta(minutes=25), "error"),
+        (6, 99, t0 + dt.timedelta(hours=12), "view"),  # watermark flush
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, ty, 1.0, "{}") for i, u, t, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    src = harness.SCRATCH + "/strict_next"
+    shutil.rmtree(src, ignore_errors=True)
+    df.coalesce(1).write.parquet(src)
+    pat = (
+        Pattern.begin("e1", "event_type = 'error'")
+        .next("e2", "event_type = 'error'")
+        .within("1 HOUR")
+    )
+    stream = harness.events_stream(spark, src, max_files_per_trigger=1)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    ).collect()
+    assert [(r.key, r.anchor_id) for r in got] == [(2, 4)]
+
+
+def test_funnel_abandon_stream_equals_batch_compiler(spark, sf_dir):
+    """Streaming terminal negation (`Pattern.not_followed_by`) vs its
+    batch compilation (cep_funnel_abandon), restricted to anchors whose
+    full window passed the final watermark — the same discipline as the
+    absence test: a later anchor is not yet provably unmatched."""
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .not_followed_by("purchase", "event_type = 'purchase'")
+        .within("6 HOUR")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg({"ts": "max"}).first()[0]
+    want = pat.compile_batch(events).filter(
+        F.expr(f"t_view + INTERVAL 6 HOURS <= timestamp'{max_ts}'")
+    )
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0
+
+
 def test_nfa_handles_out_of_order_arrival_within_watermark(spark):
     """The click ARRIVES in an earlier micro-batch than the view (files
     reversed), but both are within the watermark delay — event-time
