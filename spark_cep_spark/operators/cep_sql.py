@@ -1,0 +1,251 @@
+"""SQL-string CEP syntax (SURVEY §8.4) — MATCH_RECOGNIZE-shaped text
+queries compiling to the Pattern builder.
+
+Spark has no MATCH_RECOGNIZE clause; the reference family exposed CEP
+through SQL text [PK]. This module closes that gap with a small,
+unambiguous dialect that compiles to `operators.cep.Pattern` — so the
+text surface inherits BOTH compilers for free: the batch DataFrame
+plan (oracle-checkable) and the streaming NFA (applyInPandasWithState).
+
+Dialect (clauses in any order, case-insensitive keywords):
+
+    PATTERN ( V -> C -> !P )
+    WITHIN 6 HOURS
+    DEFINE V AS event_type = 'view',
+           C AS event_type = 'click',
+           P AS event_type = 'purchase'
+    PARTITION BY user_id
+    ORDER BY ts
+
+Connectors (Flink-CEP contiguity modes, spelled infix):
+    A -> B   relaxed followed-by (skip-till-next-match)  — Pattern.followed_by
+    A => B   strict next (the key's immediately-next event) — Pattern.next
+    A -> !B  terminal negation (no B within the bound)    — Pattern.not_followed_by
+
+DEFINE predicates are ordinary Spark SQL boolean expressions over the
+event columns — the full expression language comes from Spark's own
+parser, not ours; this parser only handles the pattern algebra. The
+standard MATCH_RECOGNIZE spelling differs (juxtaposition = strict,
+regex quantifiers) — we use explicit connectors because our default
+semantics is skip-till-next-match and silent strictness flips would be
+a correctness trap.
+
+Scale: identical to the Pattern builder's (one window shuffle for
+strict sequence numbers, per-step equi-join + min-agg on the key) —
+the text layer adds zero execution surface.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_cep_spark.io import table
+from spark_cep_spark.operators.cep import Pattern
+from spark_cep_spark.registry import register
+
+_CLAUSE_KEYWORDS = ("PATTERN", "WITHIN", "DEFINE", "PARTITION BY", "ORDER BY")
+
+
+@dataclass
+class ParsedPatternQuery:
+    pattern: Pattern
+    key_col: str
+    time_col: str
+
+
+def _mask_literals(text: str) -> str:
+    """Blank out single-quoted SQL string literals (preserving length)
+    so clause keywords / commas inside them never act as delimiters."""
+
+    def blank(m: re.Match) -> str:
+        return "'" + " " * (len(m.group(0)) - 2) + "'"
+
+    return re.sub(r"'(?:[^']|'')*'", blank, text)
+
+
+def _split_clauses(text: str) -> dict[str, str]:
+    masked = _mask_literals(text)
+    kw_alt = "|".join(k.replace(" ", r"\s+") for k in _CLAUSE_KEYWORDS)
+    hits = [
+        (m.start(), m.end(), re.sub(r"\s+", " ", m.group(0).upper()))
+        for m in re.finditer(rf"\b({kw_alt})\b", masked, re.I)
+    ]
+    if not hits:
+        raise ValueError("no CEP clauses found (expected PATTERN/DEFINE/...)")
+    head = text[: hits[0][0]].strip()
+    if head:
+        raise ValueError(f"unexpected text before first clause: {head!r}")
+    clauses: dict[str, str] = {}
+    for i, (_, end, kw) in enumerate(hits):
+        body_end = hits[i + 1][0] if i + 1 < len(hits) else len(text)
+        if kw in clauses:
+            raise ValueError(f"duplicate {kw} clause")
+        clauses[kw] = text[end:body_end].strip()
+    return clauses
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    masked = _mask_literals(text)
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_STEP_TOKEN = re.compile(r"^(!?)([A-Za-z_][A-Za-z_0-9]*)$")
+
+
+def parse_pattern_sql(text: str) -> ParsedPatternQuery:
+    """Parse the dialect above into a Pattern + partition/order columns.
+
+    Raises ValueError with a pointed message on every malformed input —
+    this is a user-facing surface; silent misparses become silent wrong
+    matches.
+    """
+    clauses = _split_clauses(text)
+    for required in ("PATTERN", "DEFINE", "WITHIN"):
+        if required not in clauses:
+            raise ValueError(f"missing {required} clause")
+
+    pat_body = clauses["PATTERN"].strip()
+    if not (pat_body.startswith("(") and pat_body.endswith(")")):
+        raise ValueError("PATTERN clause must be parenthesized: PATTERN ( ... )")
+    pat_body = pat_body[1:-1].strip()
+
+    defines: dict[str, str] = {}
+    for item in _split_top_level_commas(clauses["DEFINE"]):
+        m = re.match(r"^([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$", item, re.I | re.S)
+        if not m:
+            raise ValueError(f"malformed DEFINE entry: {item!r} (want NAME AS expr)")
+        name, expr = m.group(1), m.group(2).strip()
+        if name in defines:
+            raise ValueError(f"step {name} defined twice")
+        defines[name] = expr
+
+    # Tokenize the pattern algebra: NAME (connector [!]NAME)*
+    toks = [t for t in re.split(r"(->|=>)|\s+", pat_body) if t]
+    if not toks:
+        raise ValueError("empty PATTERN")
+    seen: set[str] = set()
+
+    def lookup(tok: str, first: bool) -> tuple[str, bool]:
+        m = _STEP_TOKEN.match(tok)
+        if not m:
+            raise ValueError(f"bad pattern token: {tok!r}")
+        neg, name = m.group(1) == "!", m.group(2)
+        if first and neg:
+            raise ValueError("pattern cannot start with a negated step")
+        if name not in defines:
+            raise ValueError(f"step {name} has no DEFINE entry")
+        if name in seen:
+            raise ValueError(f"step {name} appears twice in PATTERN")
+        seen.add(name)
+        return name, neg
+
+    name, _ = lookup(toks[0], first=True)
+    pattern = Pattern.begin(name, defines[name])
+    rest = toks[1:]
+    if len(rest) % 2:
+        raise ValueError("pattern must alternate step, connector, step, ...")
+    for i, (conn, tok) in enumerate(zip(rest[::2], rest[1::2])):
+        if conn not in ("->", "=>"):
+            raise ValueError(f"expected -> or => connector, got {conn!r}")
+        name, neg = lookup(tok, first=False)
+        if neg:
+            if i * 2 + 2 != len(rest):
+                raise ValueError("a negated step must be the last step")
+            if conn == "=>":
+                raise ValueError("strict negation (=> !X) is not supported")
+            pattern.not_followed_by(name, defines[name])
+        elif conn == "=>":
+            pattern.next(name, defines[name])
+        else:
+            pattern.followed_by(name, defines[name])
+    unused = set(defines) - seen
+    if unused:
+        raise ValueError(f"DEFINE entries never used in PATTERN: {sorted(unused)}")
+
+    pattern.within(clauses["WITHIN"])
+    key_col = clauses.get("PARTITION BY", "user_id").strip() or "user_id"
+    time_col = clauses.get("ORDER BY", "ts").strip() or "ts"
+    for col, label in ((key_col, "PARTITION BY"), (time_col, "ORDER BY")):
+        if not re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", col):
+            raise ValueError(f"{label} must name a single column, got {col!r}")
+    return ParsedPatternQuery(pattern=pattern, key_col=key_col, time_col=time_col)
+
+
+def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
+    """Run a SQL-text CEP query against a batch OR streaming DataFrame.
+
+    Batch → Pattern.compile_batch (oracle-checkable plan); streaming →
+    the NFA via compile_stream (stream_kwargs: watermark=...). One text,
+    both engines — the continuous-query promise of the reference [PK].
+    """
+    parsed = parse_pattern_sql(text)
+    if df.isStreaming:
+        from spark_cep_spark.streaming.nfa import compile_stream
+
+        return compile_stream(parsed.pattern, df, **stream_kwargs)
+    return parsed.pattern.compile_batch(
+        df, key_col=parsed.key_col, time_col=parsed.time_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered query: all three connectors through the text surface
+
+
+@register(
+    "cep_sql_match",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    s2 AS (  -- strict step: signup whose immediately-next event is high-value
+      SELECT a.user_id, a.event_id, a.ts AS t_s, b.ts AS t_h
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      WHERE a.event_type = 'signup' AND b.value > 50
+        AND b.ts <= a.ts + INTERVAL 12 HOUR
+    )
+    SELECT s2.user_id AS key, s2.event_id AS anchor_id, s2.t_s, s2.t_h
+    FROM s2
+    WHERE NOT EXISTS (  -- terminal negation: no error within the bound
+      SELECT 1 FROM e x
+      WHERE x.event_type = 'error' AND x.user_id = s2.user_id
+        AND x.ts > s2.t_h AND x.ts <= s2.t_s + INTERVAL 12 HOUR
+    )
+    """,
+)
+def cep_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text CEP exercising strict (=>) and negation (!) connectors:
+    signup whose IMMEDIATELY next event has value > 50, with no error
+    following within 12h. Compiles through parse_pattern_sql →
+    Pattern.compile_batch — the oracle transcribes the same semantics
+    as window-rank join + NOT EXISTS."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( s => h -> !x )
+        WITHIN 12 HOURS
+        DEFINE s AS event_type = 'signup',
+               h AS value > 50,
+               x AS event_type = 'error'
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )

@@ -55,6 +55,7 @@ def load_all() -> None:
         aggregates,
         windows,
         cep,
+        cep_sql,
         llm_dedup,
         llm_similarity,
         llm_text,

@@ -118,8 +118,17 @@ class StreamSQL:
                        .followed_by("buy", "event_type = 'purchase'")
                        .within("1 HOUR"),
                 sink="memory", name="funnels")
+
+        `pattern` may also be SQL text in the operators.cep_sql dialect
+        (PATTERN/WITHIN/DEFINE clauses) — the fully-textual continuous
+        CEP query of the reference [PK].
         """
         from spark_cep_spark.streaming.nfa import compile_stream
+
+        if isinstance(pattern, str):
+            from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+            pattern = parse_pattern_sql(pattern).pattern
 
         stream_df = self.spark.table(stream_name)
         if not stream_df.isStreaming:

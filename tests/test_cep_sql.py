@@ -1,0 +1,143 @@
+"""SQL-text CEP surface (cep_sql.py): parser units, equivalence with
+the Pattern builder on both engines, and rejection of every malformed
+shape — a text surface that misparses silently produces silently wrong
+matches, so the error paths are product behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_cep_spark.io import table
+from spark_cep_spark.operators.cep import Pattern
+from spark_cep_spark.operators.cep_sql import match_recognize, parse_pattern_sql
+from spark_cep_spark.streaming import harness
+from spark_cep_spark.streaming.nfa import compile_stream
+
+FUNNEL_SQL = """
+PATTERN ( V -> C -> P )
+WITHIN 24 HOURS
+DEFINE V AS event_type = 'view',
+       C AS event_type = 'click',
+       P AS event_type = 'purchase'
+PARTITION BY user_id
+ORDER BY ts
+"""
+
+
+def test_parse_funnel_roundtrip():
+    parsed = parse_pattern_sql(FUNNEL_SQL)
+    assert [s.name for s in parsed.pattern.steps] == ["V", "C", "P"]
+    assert [s.contiguity for s in parsed.pattern.steps] == ["relaxed"] * 3
+    assert parsed.pattern.time_bound == "24 HOURS"
+    assert (parsed.key_col, parsed.time_col) == ("user_id", "ts")
+
+
+def test_parse_connectors_and_negation():
+    parsed = parse_pattern_sql(
+        """
+        PATTERN ( A => B -> !C )
+        WITHIN 1 HOUR
+        DEFINE A AS event_type = 'error',
+               B AS value > 50,
+               C AS event_type = 'view'
+        """
+    )
+    assert [s.contiguity for s in parsed.pattern.steps] == [
+        "relaxed",
+        "strict",
+        "absent",
+    ]
+    # defaults when PARTITION BY / ORDER BY omitted
+    assert (parsed.key_col, parsed.time_col) == ("user_id", "ts")
+
+
+def test_literals_do_not_break_parsing():
+    """Commas and clause keywords inside string literals are content,
+    not delimiters."""
+    parsed = parse_pattern_sql(
+        """
+        PATTERN ( A -> B )
+        WITHIN 1 HOUR
+        DEFINE A AS event_type = 'DEFINE, WITHIN',
+               B AS event_type IN ('a,b', 'PATTERN')
+        """
+    )
+    assert parsed.pattern.steps[0].predicate == "event_type = 'DEFINE, WITHIN'"
+    assert parsed.pattern.steps[1].predicate == "event_type IN ('a,b', 'PATTERN')"
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        ("WITHIN 1 HOUR DEFINE A AS x = 1", "missing PATTERN"),
+        ("PATTERN (A) DEFINE A AS x = 1", "missing WITHIN"),
+        ("PATTERN (A) WITHIN 1 HOUR", "missing DEFINE"),
+        (
+            "PATTERN (A -> B) WITHIN 1h DEFINE A AS x = 1",
+            "step B has no DEFINE entry",
+        ),
+        (
+            "PATTERN (A) WITHIN 1h DEFINE A AS x = 1, B AS y = 2",
+            "never used",
+        ),
+        (
+            "PATTERN (!A -> B) WITHIN 1h DEFINE A AS x = 1, B AS y = 2",
+            "cannot start with a negated step",
+        ),
+        (
+            "PATTERN (A => !B) WITHIN 1h DEFINE A AS x = 1, B AS y = 2",
+            "strict negation",
+        ),
+        (
+            "PATTERN (A -> !B -> C) WITHIN 1h "
+            "DEFINE A AS x = 1, B AS y = 2, C AS z = 3",
+            "must be the last step",
+        ),
+        (
+            "PATTERN (A -> A) WITHIN 1h DEFINE A AS x = 1",
+            "appears twice",
+        ),
+        (
+            "PATTERN (A B) WITHIN 1h DEFINE A AS x = 1, B AS y = 2",
+            "bad pattern token|alternate",
+        ),
+        (
+            "PATTERN (A -> B) WITHIN 1h DEFINE A AS x = 1, B AS y = 2 "
+            "PARTITION BY a.b",
+            "single column",
+        ),
+        ("SELECT 1", "no CEP clauses|unexpected text"),
+    ],
+)
+def test_malformed_patterns_rejected(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_pattern_sql(bad)
+
+
+def test_batch_equals_builder(spark, sf_dir):
+    """The text funnel is plan-equivalent to the hand-built Pattern."""
+    events = table(spark, sf_dir, "events")
+    got = match_recognize(events, FUNNEL_SQL)
+    want = (
+        Pattern.begin("V", "event_type = 'view'")
+        .followed_by("C", "event_type = 'click'")
+        .followed_by("P", "event_type = 'purchase'")
+        .within("24 HOURS")
+        .compile_batch(events)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_streaming_text_equals_batch_text(spark, sf_dir):
+    """One text, both engines: match_recognize on the streaming events
+    table equals match_recognize on the batch table (time-sorted
+    staging + zero-delay watermark matures everything)."""
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        match_recognize(stream, FUNNEL_SQL, watermark="0 seconds"), "append"
+    )
+    want = match_recognize(table(spark, sf_dir, "events"), FUNNEL_SQL)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0

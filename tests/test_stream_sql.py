@@ -105,3 +105,28 @@ def test_pattern_query_over_registered_stream(spark, sf_dir):
     }
     assert got == want and len(got) > 0
     eng.stop_all()
+
+
+def test_pattern_query_accepts_sql_text(spark, sf_dir):
+    """The fully-textual continuous CEP query: pattern given as SQL
+    text in the cep_sql dialect, run against a registered stream."""
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+    eng = StreamSQL(spark)
+    eng.register_stream("events_txt", harness.events_stream(spark, staged, 2))
+    text = """
+        PATTERN ( v -> p )
+        WITHIN 24 HOURS
+        DEFINE v AS event_type = 'view',
+               p AS event_type = 'purchase'
+    """
+    q = eng.pattern_query("events_txt", text, name="cq_txt", watermark="0 seconds")
+    q.awaitTermination()
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    got = {tuple(r) for r in eng.results("cq_txt").collect()}
+    want = {
+        tuple(r)
+        for r in match_recognize(table(spark, sf_dir, "events"), text).collect()
+    }
+    assert got == want and len(got) > 0
+    eng.stop_all()
