@@ -362,20 +362,35 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    algorithm: str = "two_phase",
 ) -> DataFrame:
-    """Min-label propagation connected components (the cluster step of
-    every near-dup pipeline: pairs → duplicate GROUPS → one kept doc
-    per group).
+    """Connected components (the cluster step of every near-dup
+    pipeline: pairs → duplicate GROUPS → one kept doc per group).
 
-    Iterative DataFrame algorithm: every vertex starts labeled with its
-    own id; each round every vertex takes the min label in its
-    neighborhood; converged when no label changes. Rounds needed =
-    graph diameter (dedup clusters are shallow — small-star/large-star
-    variants bound it at log n for pathological chains). Per round:
-    one shuffle join edges⋈labels + one min-aggregate, with
-    localCheckpoint truncating the plan so lineage doesn't grow with
-    iterations. The driver-side loop holds only a changed-count per
-    round — no data ever collects to the driver."""
+    algorithm='two_phase' (default): the small-star/large-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — converges in O(log n) rounds on ANY graph,
+    including pathological chains where plain label propagation needs
+    diameter rounds. algorithm='label_prop' keeps the simple min-label
+    propagation (rounds = diameter; fine for shallow dedup graphs,
+    retained as the differential-testing twin).
+
+    Both are pure DataFrame loops: each round is a bounded number of
+    shuffle joins/aggregates on the edge list, localCheckpoint truncates
+    lineage, and the driver holds only a convergence counter — no data
+    ever collects to the driver."""
+    if algorithm == "label_prop":
+        labels = _cc_label_prop(edges, vertices, id_col, max_iters)
+    elif algorithm == "two_phase":
+        labels, _rounds = _cc_two_phase(edges, vertices, id_col, max_iters)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm}")
+    return labels
+
+
+def _cc_label_prop(
+    edges: DataFrame, vertices: DataFrame, id_col: str, max_iters: int
+) -> DataFrame:
     sym = edges.select(
         F.col("src").alias("n"), F.col("dst").alias("m")
     ).unionByName(edges.select(F.col("dst").alias("n"), F.col("src").alias("m")))
@@ -402,6 +417,77 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("n").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
+def _cc_two_phase(
+    edges: DataFrame, vertices: DataFrame, id_col: str, max_iters: int
+) -> tuple[DataFrame, int]:
+    """Small-star/large-star rounds until the edge set is a fixed point
+    (then it IS the star forest: every edge points child → component
+    min). Returns (labels, rounds) — rounds exposed so tests can assert
+    the O(log n) bound.
+
+    Invariant kept throughout: edges canonical with u > v, no
+    self-loops, distinct. large-star hangs every strictly-larger
+    neighbor of u under min(Γ(u) ∪ u); small-star re-hangs u and its
+    smaller neighbors under their min. Each emission strictly shrinks
+    the potential Σ(u - label) — convergence is monotone."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star: per node u over the SYMMETRIZED neighborhood,
+        # m = min(Γ(u) ∪ {u}); emit (v, m) for neighbors v > u
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: canonical edges all have v < u, so per node u,
+        # m = min(Γ<(u)); emit (u, m) plus (v, m) for the other
+        # smaller neighbors
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            small.count() == e.count() and small.subtract(e).count() == 0
+        )
+        e = small
+        if converged:
+            break
+    # star forest → labels; roots and isolated vertices label themselves
+    child_labels = e.groupBy("u").agg(F.min("v").alias("label"))
+    labels = (
+        vertices.select(F.col(id_col).alias("n"))
+        .join(child_labels.withColumnRenamed("u", "n"), "n", "left")
+        .select("n", F.coalesce("label", "n").alias("label"))
+    )
+    return (
+        labels.select(F.col("n").alias(id_col), F.col("label").alias("cluster_rep")),
+        rounds,
+    )
 
 
 @register(

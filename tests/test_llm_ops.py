@@ -202,3 +202,46 @@ def test_multimodal_frame_and_resize_pipeline(spark, sf_dir):
     a = {r["doc_id"]: r["count"] for r in f1.collect()}
     b = {r["doc_id"]: r["count"] for r in f2.collect()}
     assert a == b and len(a) == 50 and all(v >= 1 for v in a.values())
+
+
+def test_connected_components_two_phase_equals_label_prop(spark):
+    """Differential check of the two CC algorithms on a graph mixing
+    chains, a clique, a star, and singletons."""
+    from spark_cep_spark.operators.llm_dedup import connected_components
+
+    edge_list = (
+        [(i, i + 1) for i in range(0, 8)]          # chain 0..8
+        + [(20, 21), (20, 22), (20, 23)]           # star at 20
+        + [(30, 31), (31, 32), (30, 32), (32, 33)] # clique + tail
+        + [(40, 41)]
+    )
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    verts = spark.createDataFrame(
+        [(i,) for i in range(0, 50)], "doc_id long"
+    )
+    two = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(edges, verts, algorithm="two_phase").collect()
+    }
+    prop = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(edges, verts, algorithm="label_prop").collect()
+    }
+    assert two == prop
+
+
+def test_connected_components_two_phase_logn_rounds_on_long_chain(spark):
+    """The pathological case SURVEY §8.3 flagged: a 64-node path needs
+    ~diameter rounds under label propagation but O(log n) under
+    small-star/large-star — assert both the answer and the bound."""
+    from spark_cep_spark.operators.llm_dedup import _cc_two_phase
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    labels, rounds = _cc_two_phase(edges, verts, "doc_id", max_iters=20)
+    got = {r["doc_id"]: r["cluster_rep"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10  # ~2·log2(64) with slack; diameter would be 63
