@@ -73,6 +73,25 @@ class Pattern:
         self.steps.append(Step(name, predicate, contiguity="absent"))
         return self
 
+    def times(
+        self, name: str, predicate: str, n: int, contiguity: str = "relaxed"
+    ) -> "Pattern":
+        """Bounded repetition (Flink-CEP `times(n)`): the step must
+        match n times. Compiles by EXPANSION into n sub-steps
+        `name_1..name_n` (each a timestamp column in the output), so
+        both engines — batch plan and streaming NFA — inherit it with
+        zero new kernel code. contiguity='relaxed' binds the n earliest
+        qualifying events in order; 'strict' requires the n events to be
+        the key's immediately-consecutive events (a bounded Kleene run).
+        """
+        if n < 1:
+            raise ValueError(f"times(n) needs n >= 1, got {n}")
+        if contiguity not in ("relaxed", "strict"):
+            raise ValueError(f"times contiguity must be relaxed|strict: {contiguity}")
+        for i in range(1, n + 1):
+            self.steps.append(Step(f"{name}_{i}", predicate, contiguity))
+        return self
+
     def within(self, bound: str) -> "Pattern":
         self.time_bound = bound
         return self
@@ -396,4 +415,47 @@ def cep_funnel_abandon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .not_followed_by("purchase", "event_type = 'purchase'")
         .within("6 HOUR")
         .compile_batch(e)
+    )
+
+
+@register(
+    "cep_times",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         s1 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_v, min(c.ts) AS t_click_1
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts
+         ),
+         s2 AS (
+           SELECT s1.*, min(c.ts) AS t_click_2
+           FROM s1 JOIN c ON c.user_id = s1.user_id
+                         AND c.ts > s1.t_click_1 AND c.ts <= s1.t_v + INTERVAL 24 HOUR
+           GROUP BY s1.user_id, s1.event_id, s1.t_v, s1.t_click_1
+         ),
+         s3 AS (
+           SELECT s2.*, min(c.ts) AS t_click_3
+           FROM s2 JOIN c ON c.user_id = s2.user_id
+                         AND c.ts > s2.t_click_2 AND c.ts <= s2.t_v + INTERVAL 24 HOUR
+           GROUP BY s2.user_id, s2.event_id, s2.t_v, s2.t_click_1, s2.t_click_2
+         )
+    SELECT user_id AS key, event_id AS anchor_id, t_v,
+           t_click_1, t_click_2, t_click_3
+    FROM s3
+    """,
+)
+def cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded repetition (`Pattern.times`): a view followed by THREE
+    clicks (the three earliest, in order) within 24h. times(n) expands
+    to n relaxed sub-steps, so the plan stays the per-step
+    equi-join + min-agg chain — no new execution machinery, and the
+    oracle is the same chained min-join transcribed in SQL."""
+    events = table(spark, sf_dir, "events")
+    return (
+        Pattern.begin("v", "event_type = 'view'")
+        .times("click", "event_type = 'click'", 3)
+        .within("24 HOURS")
+        .compile_batch(events)
     )

@@ -18,9 +18,13 @@ Dialect (clauses in any order, case-insensitive keywords):
     ORDER BY ts
 
 Connectors (Flink-CEP contiguity modes, spelled infix):
-    A -> B   relaxed followed-by (skip-till-next-match)  — Pattern.followed_by
-    A => B   strict next (the key's immediately-next event) — Pattern.next
-    A -> !B  terminal negation (no B within the bound)    — Pattern.not_followed_by
+    A -> B    relaxed followed-by (skip-till-next-match)  — Pattern.followed_by
+    A => B    strict next (the key's immediately-next event) — Pattern.next
+    A -> !B   terminal negation (no B within the bound)   — Pattern.not_followed_by
+    A -> B{3} bounded repetition (Pattern.times): the connector sets the
+              run's contiguity — `->` binds the 3 earliest qualifying
+              events in order, `=>` the 3 immediately-consecutive next
+              events; output gets one timestamp column per sub-step
 
 DEFINE predicates are ordinary Spark SQL boolean expressions over the
 event columns — the full expression language comes from Spark's own
@@ -102,7 +106,7 @@ def _split_top_level_commas(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-_STEP_TOKEN = re.compile(r"^(!?)([A-Za-z_][A-Za-z_0-9]*)$")
+_STEP_TOKEN = re.compile(r"^(!?)([A-Za-z_][A-Za-z_0-9]*)(?:\{(\d+)\})?$")
 
 
 def parse_pattern_sql(text: str) -> ParsedPatternQuery:
@@ -138,11 +142,16 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         raise ValueError("empty PATTERN")
     seen: set[str] = set()
 
-    def lookup(tok: str, first: bool) -> tuple[str, bool]:
+    def lookup(tok: str, first: bool) -> tuple[str, bool, int]:
         m = _STEP_TOKEN.match(tok)
         if not m:
             raise ValueError(f"bad pattern token: {tok!r}")
         neg, name = m.group(1) == "!", m.group(2)
+        reps = int(m.group(3)) if m.group(3) else 1
+        if reps < 1:
+            raise ValueError(f"step {name}: quantifier must be >= 1")
+        if neg and reps != 1:
+            raise ValueError(f"step {name}: a negated step cannot be quantified")
         if first and neg:
             raise ValueError("pattern cannot start with a negated step")
         if name not in defines:
@@ -150,23 +159,37 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         if name in seen:
             raise ValueError(f"step {name} appears twice in PATTERN")
         seen.add(name)
-        return name, neg
+        return name, neg, reps
 
-    name, _ = lookup(toks[0], first=True)
-    pattern = Pattern.begin(name, defines[name])
+    name, _, reps = lookup(toks[0], first=True)
+    # a quantified first step expands exactly like Pattern.times, with
+    # the leading sub-step as the anchor
+    pattern = Pattern.begin(name if reps == 1 else f"{name}_1", defines[name])
+    for i in range(2, reps + 1):
+        pattern.followed_by(f"{name}_{i}", defines[name])
     rest = toks[1:]
     if len(rest) % 2:
         raise ValueError("pattern must alternate step, connector, step, ...")
     for i, (conn, tok) in enumerate(zip(rest[::2], rest[1::2])):
         if conn not in ("->", "=>"):
             raise ValueError(f"expected -> or => connector, got {conn!r}")
-        name, neg = lookup(tok, first=False)
+        name, neg, reps = lookup(tok, first=False)
         if neg:
             if i * 2 + 2 != len(rest):
                 raise ValueError("a negated step must be the last step")
             if conn == "=>":
                 raise ValueError("strict negation (=> !X) is not supported")
             pattern.not_followed_by(name, defines[name])
+        elif reps > 1:
+            # the connector sets the WHOLE run's contiguity: => means
+            # the n immediately-consecutive next events, -> the n
+            # earliest qualifying events in order
+            pattern.times(
+                name,
+                defines[name],
+                reps,
+                contiguity="strict" if conn == "=>" else "relaxed",
+            )
         elif conn == "=>":
             pattern.next(name, defines[name])
         else:

@@ -141,3 +141,48 @@ def test_streaming_text_equals_batch_text(spark, sf_dir):
     want = match_recognize(table(spark, sf_dir, "events"), FUNNEL_SQL)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_parse_quantifier_expansion():
+    parsed = parse_pattern_sql(
+        """
+        PATTERN ( a -> b{3} => c{2} )
+        WITHIN 1 HOUR
+        DEFINE a AS event_type = 'view',
+               b AS event_type = 'click',
+               c AS event_type = 'error'
+        """
+    )
+    names = [s.name for s in parsed.pattern.steps]
+    modes = [s.contiguity for s in parsed.pattern.steps]
+    assert names == ["a", "b_1", "b_2", "b_3", "c_1", "c_2"]
+    assert modes == ["relaxed", "relaxed", "relaxed", "relaxed", "strict", "strict"]
+
+
+def test_parse_quantified_first_step():
+    parsed = parse_pattern_sql(
+        """
+        PATTERN ( a{2} -> b )
+        WITHIN 1 HOUR
+        DEFINE a AS event_type = 'error', b AS event_type = 'view'
+        """
+    )
+    assert [s.name for s in parsed.pattern.steps] == ["a_1", "a_2", "b"]
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        (
+            "PATTERN (a -> !b{2}) WITHIN 1h DEFINE a AS x = 1, b AS y = 2",
+            "cannot be quantified",
+        ),
+        (
+            "PATTERN (a -> b{0}) WITHIN 1h DEFINE a AS x = 1, b AS y = 2",
+            "must be >= 1",
+        ),
+    ],
+)
+def test_malformed_quantifiers_rejected(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_pattern_sql(bad)

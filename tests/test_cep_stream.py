@@ -264,3 +264,24 @@ def test_nfa_handles_out_of_order_arrival_within_watermark(spark):
     assert len(got) == 1
     assert got[0].anchor_id == 10
     assert got[0].t_click == t0 + dt.timedelta(minutes=10)
+
+
+def test_times_stream_equals_batch_compiler(spark, sf_dir):
+    """Pattern.times expands to plain sub-steps, so the streaming NFA
+    must agree with the batch compiler with no kernel changes — checked
+    for both contiguity modes of the run."""
+    for contiguity in ("relaxed", "strict"):
+        pat = (
+            Pattern.begin("v", "event_type = 'view'")
+            .times("c", "event_type = 'click'", 2, contiguity=contiguity)
+            .within("24 HOURS")
+        )
+        staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+        stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+        got = harness.run_available_now(
+            compile_stream(pat, stream, watermark="0 seconds"), "append"
+        )
+        want = pat.compile_batch(table(spark, sf_dir, "events"))
+        assert _norm(got.collect()) == _norm(want.collect())
+        if contiguity == "relaxed":
+            assert got.count() > 0
