@@ -92,6 +92,20 @@ class Pattern:
             self.steps.append(Step(f"{name}_{i}", predicate, contiguity))
         return self
 
+    def one_or_more(self, name: str, predicate: str) -> "Pattern":
+        """Greedy Kleene-plus (Flink-CEP `oneOrMore`): binds the
+        EARLIEST qualifying event after the previous step, then
+        greedily consumes the maximal run of IMMEDIATELY-CONSECUTIVE
+        further matching events (truncated at the pattern bound). An
+        event consumed by the run is not available to later steps —
+        greedy-run-wins, the standard policy. Contributes THREE output
+        columns: t_<name>_first, t_<name>_last, <name>_count. Cannot be
+        the first step (the anchor fixes the time window)."""
+        if not self.steps:
+            raise ValueError("one_or_more cannot be the first step")
+        self.steps.append(Step(name, predicate, contiguity="kleene"))
+        return self
+
     def within(self, bound: str) -> "Pattern":
         self.time_bound = bound
         return self
@@ -121,10 +135,13 @@ class Pattern:
 
         bound = F.expr(f"INTERVAL {self.time_bound}")
         has_strict = any(s.contiguity == "strict" for s in self.steps)
-        if has_strict:
-            # Strict contiguity needs each event's per-key sequence
-            # number — ONE window shuffle on the key, shared by every
-            # step of the pattern.
+        has_kleene = any(s.contiguity == "kleene" for s in self.steps)
+        if self.steps[0].contiguity == "kleene":
+            raise ValueError("one_or_more cannot be the first step")
+        if has_strict or has_kleene:
+            # Strict contiguity and Kleene runs need each event's
+            # per-key sequence number — ONE window shuffle on the key,
+            # shared by every step of the pattern.
             rn = F.row_number().over(
                 W.partitionBy(key_col).orderBy(time_col, id_col)
             )
@@ -142,6 +159,68 @@ class Pattern:
         t_anchor = f"t_{first.name}"
         prev_t = t_anchor
         for step in self.steps[1:]:
+            in_bound = F.col("cand_ts") <= F.col(t_anchor) + bound
+            if step.contiguity == "kleene":
+                # Maximal consecutive runs = gaps-and-islands over the
+                # predicate's events; entry = earliest member after the
+                # previous binding, run = the island suffix from there,
+                # truncated at the anchor bound.
+                w_m = W.partitionBy("cand_key").orderBy("cand_ts", "cand_rn")
+                mem = (
+                    events.filter(F.expr(step.predicate))
+                    .select(
+                        F.col(key_col).alias("cand_key"),
+                        F.col(time_col).alias("cand_ts"),
+                        F.col("_rn").alias("cand_rn"),
+                    )
+                    .withColumn(
+                        "isl", F.col("cand_rn") - F.row_number().over(w_m)
+                    )
+                )
+                group_cols = cur.columns
+                entry_cond = (
+                    (F.col("key") == F.col("cand_key"))
+                    & (F.col("cand_ts") > F.col(prev_t))
+                    & in_bound
+                )
+                entry = (
+                    cur.join(mem, entry_cond)
+                    .groupBy(*group_cols)
+                    .agg(
+                        F.min(F.struct("cand_ts", "cand_rn", "isl")).alias("_e")
+                    )
+                )
+                run_cond = (
+                    (F.col("key") == F.col("cand_key"))
+                    & (F.col("isl") == F.col("_e.isl"))
+                    & (F.col("cand_rn") >= F.col("_e.cand_rn"))
+                    & in_bound
+                )
+                cur = (
+                    entry.join(mem, run_cond)
+                    .groupBy(*group_cols, "_e")
+                    .agg(
+                        F.max(F.struct("cand_ts", "cand_rn")).alias("_l"),
+                        F.count(F.lit(1)).alias(f"{step.name}_count"),
+                    )
+                    .withColumn(f"t_{step.name}_first", F.col("_e.cand_ts"))
+                    .withColumn(f"t_{step.name}_last", F.col("_l.cand_ts"))
+                )
+                if has_strict:
+                    cur = cur.drop("_prev_rn").withColumn(
+                        "_prev_rn", F.col("_l.cand_rn")
+                    )
+                cur = cur.drop("_e", "_l")
+                # column order: first/last/count as documented
+                cur = cur.select(
+                    *[c for c in group_cols if c != "_prev_rn"],
+                    *(["_prev_rn"] if has_strict else []),
+                    f"t_{step.name}_first",
+                    f"t_{step.name}_last",
+                    f"{step.name}_count",
+                )
+                prev_t = f"t_{step.name}_last"
+                continue
             cand_sel = [
                 F.col(key_col).alias("cand_key"),
                 F.col(time_col).alias("cand_ts"),
@@ -149,7 +228,6 @@ class Pattern:
             if has_strict:
                 cand_sel.append(F.col("_rn").alias("cand_rn"))
             cand = events.filter(F.expr(step.predicate)).select(*cand_sel)
-            in_bound = F.col("cand_ts") <= F.col(t_anchor) + bound
             if step.contiguity == "strict":
                 cond = (
                     (F.col("key") == F.col("cand_key"))
@@ -457,5 +535,51 @@ def cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         Pattern.begin("v", "event_type = 'view'")
         .times("click", "event_type = 'click'", 3)
         .within("24 HOURS")
+        .compile_batch(events)
+    )
+
+
+@register(
+    "cep_kleene_plus",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, rn) AS isl
+      FROM e WHERE event_type = 'error'
+    ),
+    a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+    entry AS (
+      SELECT a.user_id, a.event_id, a.ts AS t_s, min(m.rn) AS e_rn
+      FROM a JOIN m ON m.user_id = a.user_id
+                   AND m.ts > a.ts AND m.ts <= a.ts + INTERVAL 7 DAY
+      GROUP BY a.user_id, a.event_id, a.ts
+    )
+    SELECT entry.user_id AS key, entry.event_id AS anchor_id, entry.t_s,
+           min(m2.ts) AS t_err_first, max(m2.ts) AS t_err_last,
+           count(*) AS err_count
+    FROM entry
+    JOIN m em ON em.user_id = entry.user_id AND em.rn = entry.e_rn
+    JOIN m m2 ON m2.user_id = entry.user_id AND m2.isl = em.isl
+             AND m2.rn >= entry.e_rn
+             AND m2.ts <= entry.t_s + INTERVAL 7 DAY
+    GROUP BY entry.user_id, entry.event_id, entry.t_s
+    """,
+)
+def cep_kleene_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy Kleene-plus inside a sequence (`Pattern.one_or_more`):
+    signup followed by the earliest error and its maximal consecutive
+    error run within 7 days. The plan is gaps-and-islands (one window
+    shuffle) + entry min-join + run aggregation — the oracle transcribes
+    the identical island arithmetic in SQL."""
+    events = table(spark, sf_dir, "events")
+    return (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .within("7 DAYS")
         .compile_batch(events)
     )

@@ -25,6 +25,9 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               run's contiguity — `->` binds the 3 earliest qualifying
               events in order, `=>` the 3 immediately-consecutive next
               events; output gets one timestamp column per sub-step
+    A -> B+   greedy Kleene-plus (Pattern.one_or_more): earliest entry,
+              then the maximal immediately-consecutive matching run;
+              output columns t_B_first, t_B_last, B_count
 
 DEFINE predicates are ordinary Spark SQL boolean expressions over the
 event columns — the full expression language comes from Spark's own
@@ -106,7 +109,7 @@ def _split_top_level_commas(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-_STEP_TOKEN = re.compile(r"^(!?)([A-Za-z_][A-Za-z_0-9]*)(?:\{(\d+)\})?$")
+_STEP_TOKEN = re.compile(r"^(!?)([A-Za-z_][A-Za-z_0-9]*)(?:\{(\d+)\}|(\+))?$")
 
 
 def parse_pattern_sql(text: str) -> ParsedPatternQuery:
@@ -142,26 +145,29 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         raise ValueError("empty PATTERN")
     seen: set[str] = set()
 
-    def lookup(tok: str, first: bool) -> tuple[str, bool, int]:
+    def lookup(tok: str, first: bool) -> tuple[str, bool, int, bool]:
         m = _STEP_TOKEN.match(tok)
         if not m:
             raise ValueError(f"bad pattern token: {tok!r}")
         neg, name = m.group(1) == "!", m.group(2)
         reps = int(m.group(3)) if m.group(3) else 1
+        plus = m.group(4) == "+"
         if reps < 1:
             raise ValueError(f"step {name}: quantifier must be >= 1")
-        if neg and reps != 1:
+        if neg and (reps != 1 or plus):
             raise ValueError(f"step {name}: a negated step cannot be quantified")
         if first and neg:
             raise ValueError("pattern cannot start with a negated step")
+        if first and plus:
+            raise ValueError("a + step cannot be the first step")
         if name not in defines:
             raise ValueError(f"step {name} has no DEFINE entry")
         if name in seen:
             raise ValueError(f"step {name} appears twice in PATTERN")
         seen.add(name)
-        return name, neg, reps
+        return name, neg, reps, plus
 
-    name, _, reps = lookup(toks[0], first=True)
+    name, _, reps, _ = lookup(toks[0], first=True)
     # a quantified first step expands exactly like Pattern.times, with
     # the leading sub-step as the anchor
     pattern = Pattern.begin(name if reps == 1 else f"{name}_1", defines[name])
@@ -173,13 +179,17 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     for i, (conn, tok) in enumerate(zip(rest[::2], rest[1::2])):
         if conn not in ("->", "=>"):
             raise ValueError(f"expected -> or => connector, got {conn!r}")
-        name, neg, reps = lookup(tok, first=False)
+        name, neg, reps, plus = lookup(tok, first=False)
         if neg:
             if i * 2 + 2 != len(rest):
                 raise ValueError("a negated step must be the last step")
             if conn == "=>":
                 raise ValueError("strict negation (=> !X) is not supported")
             pattern.not_followed_by(name, defines[name])
+        elif plus:
+            if conn == "=>":
+                raise ValueError("a + step takes -> (its entry is relaxed)")
+            pattern.one_or_more(name, defines[name])
         elif reps > 1:
             # the connector sets the WHOLE run's contiguity: => means
             # the n immediately-consecutive next events, -> the n

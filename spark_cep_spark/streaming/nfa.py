@@ -100,6 +100,13 @@ def advance_nfa(
     return partials, matches
 
 
+def _last_ts(bound: list) -> int:
+    """Previous-binding timestamp: scalar for plain steps, run-last for
+    a kleene entry [first, last, count]."""
+    e = bound[-1]
+    return e[1] if isinstance(e, list) else e
+
+
 def advance_nfa_full(
     partials: list,
     matured: list,
@@ -107,88 +114,145 @@ def advance_nfa_full(
     bound_us: int,
     wm_us: int,
 ) -> tuple[list, list]:
-    """The generalized NFA kernel: relaxed (followed_by), strict (next)
-    and terminal-negation (not_followed_by) contiguity, matching
-    Pattern.compile_batch exactly (the executable spec).
+    """The generalized NFA kernel: relaxed (followed_by), strict
+    (next), greedy Kleene-plus (one_or_more) and terminal negation
+    (not_followed_by), matching Pattern.compile_batch exactly (the
+    executable spec).
 
-    partials: [[anchor_eid, [t0_us..ti_us], last_eid], ...] — last_eid
-              is the id of the most recently bound event (strict steps
-              need the (ts, eid) position, not just the ts, to identify
-              "the key's immediately-next event" under ts ties).
-              A partial with all positive steps bound is pending
-              negation (only possible when contig ends with 'absent').
+    partials: [[anchor_eid, bound, last_eid, open_run], ...] where
+              bound holds one entry per bound step — a scalar ts_us for
+              plain steps, [first_us, last_us, count] for a kleene
+              step. last_eid is the id of the most recently bound event
+              (strict steps and run extension need the (ts, eid)
+              position, not just the ts, to identify "the key's
+              immediately-next event" under ts ties). open_run marks a
+              kleene run still absorbing consecutive events. A partial
+              with all positive steps bound and run closed is pending
+              negation (only when contig ends with 'absent').
     matured:  [[ts_us, eid, [m0..mk]], ...] sorted by (ts, eid) —
-              for strict patterns this MUST include non-matching
-              events (they are what kill strict partials).
-    contig:   per-step contiguity ('relaxed' | 'strict' | 'absent');
-              'absent' may only be last (validated by Pattern).
-    Returns (partials', matches), matches = [(anchor_eid, [t0..tn])]
-    over POSITIVE steps only (compile_batch likewise emits no
-    timestamp for the absent step).
+              for strict/kleene patterns this MUST include
+              non-matching events (they kill strict partials and close
+              runs).
+    contig:   per-step contiguity ('relaxed' | 'strict' | 'kleene' |
+              'absent'); 'absent' may only be last, 'kleene' never
+              first (validated by Pattern).
+    Returns (partials', matches), matches = [(anchor_eid, bound)] over
+    POSITIVE steps only (compile_batch likewise emits nothing for the
+    absent step); a kleene entry stays [first, last, count].
 
     Semantics per step kind, transcribing compile_batch:
     - relaxed: bind the earliest event with ts strictly after the
       previous step's ts, matching, within anchor+bound.
     - strict: the event at the key's next (ts, eid) position either
       matches (and is in bound) and binds, or the partial dies.
+    - kleene: entry is relaxed; the run then greedily absorbs the
+      key's immediately-consecutive matching events while in bound.
+      The event that fails to extend CLOSES the run and is immediately
+      offered to the following step (or the negation check). A run
+      still open at the bound's edge closes when the watermark passes
+      the deadline — only then is "no further extension" provable.
     - absent: the completed positives survive only if no matching
       event lies in (t_last, t_anchor + bound]; emission waits until
       the watermark passes t_anchor + bound (only then can no killer
       still arrive) — same discipline as advance_absence.
     """
     n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
+    has_neg = n_pos < len(contig)
     matches = []
     for ts, eid, m in matured:
         kept = []
-        for anchor_eid, bound_ts, last_eid in partials:
-            nxt = len(bound_ts)
+        for anchor_eid, bound, last_eid, open_run in partials:
+            t0 = bound[0]
+            if open_run:
+                k = len(bound) - 1
+                if (ts, eid) > (bound[k][1], last_eid):
+                    # this IS the run's immediately-next event:
+                    # extend, or close and fall through
+                    if m[k] and ts <= t0 + bound_us:
+                        kept.append(
+                            [
+                                anchor_eid,
+                                bound[:k] + [[bound[k][0], ts, bound[k][2] + 1]],
+                                eid,
+                                True,
+                            ]
+                        )
+                        continue
+                    open_run = False
+                    if len(bound) == n_pos and not has_neg:
+                        matches.append((anchor_eid, bound))
+                        continue
+                else:
+                    kept.append([anchor_eid, bound, last_eid, open_run])
+                    continue
+            nxt = len(bound)
             if nxt == n_pos:
                 # pending negation: killed by a matching follower in
                 # (t_last, t_anchor + bound]
                 if (
-                    m[n_pos]
-                    and ts > bound_ts[-1]
-                    and ts <= bound_ts[0] + bound_us
+                    has_neg
+                    and m[n_pos]
+                    and ts > _last_ts(bound)
+                    and ts <= t0 + bound_us
                 ):
                     continue
-                kept.append([anchor_eid, bound_ts, last_eid])
+                kept.append([anchor_eid, bound, last_eid, False])
                 continue
-            if ts > bound_ts[0] + bound_us:
+            if ts > t0 + bound_us:
                 continue  # expired before completing
-            after = (ts, eid) > (bound_ts[-1], last_eid)
-            if contig[nxt] == "strict":
-                if after:
+            kind = contig[nxt]
+            if kind == "strict":
+                if (ts, eid) > (_last_ts(bound), last_eid):
                     # this IS the key's immediately-next event:
                     # bind or die
-                    if m[nxt] and ts <= bound_ts[0] + bound_us:
-                        bound_ts = bound_ts + [ts]
-                        if len(bound_ts) == n_pos and n_pos == len(contig):
-                            matches.append((anchor_eid, bound_ts))
+                    if m[nxt]:
+                        bound = bound + [ts]
+                        if len(bound) == n_pos and not has_neg:
+                            matches.append((anchor_eid, bound))
                             continue
-                        kept.append([anchor_eid, bound_ts, eid])
+                        kept.append([anchor_eid, bound, eid, False])
                     continue
-            elif ts > bound_ts[-1] and m[nxt]:
-                bound_ts = bound_ts + [ts]
-                if len(bound_ts) == n_pos and n_pos == len(contig):
-                    matches.append((anchor_eid, bound_ts))
+                kept.append([anchor_eid, bound, last_eid, False])
+            elif kind == "kleene":
+                if ts > _last_ts(bound) and m[nxt]:
+                    kept.append([anchor_eid, bound + [[ts, ts, 1]], eid, True])
+                else:
+                    kept.append([anchor_eid, bound, last_eid, False])
+            elif ts > _last_ts(bound) and m[nxt]:
+                bound = bound + [ts]
+                if len(bound) == n_pos and not has_neg:
+                    matches.append((anchor_eid, bound))
                     continue
-                kept.append([anchor_eid, bound_ts, eid])
-                continue
-            kept.append([anchor_eid, bound_ts, last_eid])
+                kept.append([anchor_eid, bound, eid, False])
+            else:
+                kept.append([anchor_eid, bound, last_eid, False])
         partials = kept
         if m[0]:
-            partials.append([eid, [ts], eid])
-    # negation emission + expiry, both gated on the watermark
+            partials.append([eid, [ts], eid, False])
+    # watermark pass: close runs whose deadline passed, emit matured
+    # negation / terminal-run completions, expire dead partials
     out = []
-    for p in partials:
-        anchor_eid, bound_ts, _last = p
-        if len(bound_ts) == n_pos and n_pos < len(contig):
-            if bound_ts[0] + bound_us <= wm_us:
-                matches.append((anchor_eid, bound_ts))
+    for anchor_eid, bound, last_eid, open_run in partials:
+        deadline = bound[0] + bound_us
+        if open_run and deadline <= wm_us:
+            open_run = False  # no in-bound extension can ever arrive
+        if len(bound) == n_pos and not open_run:
+            if not has_neg:
+                # only reachable for a terminal kleene run closed by
+                # the watermark (event-closed runs emitted in-loop)
+                if deadline <= wm_us:
+                    matches.append((anchor_eid, bound))
+                    continue
+                out.append([anchor_eid, bound, last_eid, open_run])
                 continue
-        elif bound_ts[0] + bound_us <= wm_us:
+            if deadline <= wm_us:
+                matches.append((anchor_eid, bound))
+                continue
+            out.append([anchor_eid, bound, last_eid, open_run])
+            continue
+        if deadline <= wm_us:
             continue  # incomplete and past deadline — can never finish
-        out.append(p)
+        out.append([anchor_eid, bound, last_eid, open_run])
     return out, matches
 
 
@@ -604,10 +668,10 @@ def compile_stream(
     bound_ms = _interval_to_ms(pattern.time_bound)
     contig = [s.contiguity for s in steps]
     pos_steps = steps[:-1] if contig[-1] == "absent" else steps
-    if any(c == "strict" for c in contig):
-        # a strict partial is killed by whatever event sits at the
-        # key's next sequence position — non-matching events carry
-        # semantics and must reach the NFA
+    if any(c in ("strict", "kleene") for c in contig):
+        # a strict partial is killed — and a kleene run closed — by
+        # whatever event sits at the key's next sequence position:
+        # non-matching events carry semantics and must reach the NFA
         filter_nonmatching = False
 
     flags = [
@@ -631,7 +695,16 @@ def compile_stream(
     out_fields = [
         T.StructField("key", T.LongType()),
         T.StructField("anchor_id", T.LongType()),
-    ] + [T.StructField(f"t_{s.name}", T.TimestampType()) for s in pos_steps]
+    ]
+    for s in pos_steps:
+        if s.contiguity == "kleene":
+            out_fields += [
+                T.StructField(f"t_{s.name}_first", T.TimestampType()),
+                T.StructField(f"t_{s.name}_last", T.TimestampType()),
+                T.StructField(f"{s.name}_count", T.LongType()),
+            ]
+        else:
+            out_fields.append(T.StructField(f"t_{s.name}", T.TimestampType()))
     out_schema = T.StructType(out_fields)
     state_schema = T.StructType([T.StructField("payload", T.StringType())])
 
@@ -686,9 +759,18 @@ def compile_stream(
                 "anchor_id": [m0 for m0, _ in matches],
             }
             for i, s in enumerate(pos_steps):
-                cols[f"t_{s.name}"] = pd.to_datetime(
-                    [bt[i] for _, bt in matches], unit="us"
-                )
+                if s.contiguity == "kleene":
+                    cols[f"t_{s.name}_first"] = pd.to_datetime(
+                        [bt[i][0] for _, bt in matches], unit="us"
+                    )
+                    cols[f"t_{s.name}_last"] = pd.to_datetime(
+                        [bt[i][1] for _, bt in matches], unit="us"
+                    )
+                    cols[f"{s.name}_count"] = [bt[i][2] for _, bt in matches]
+                else:
+                    cols[f"t_{s.name}"] = pd.to_datetime(
+                        [bt[i] for _, bt in matches], unit="us"
+                    )
             yield pd.DataFrame(cols)
 
     return prepared.groupBy("key").applyInPandasWithState(

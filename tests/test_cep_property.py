@@ -111,13 +111,20 @@ def test_nfa_chunking_invariance(rows, steps, bound, cuts):
 # negation, against a literal transcription of compile_batch
 
 
+def _last(bound_entry):
+    return bound_entry[1] if isinstance(bound_entry, list) else bound_entry
+
+
 def brute_force_full(events, contig, bound, wm):
     """Transcription of Pattern.compile_batch over the full (ts, eid)-
     ordered key sequence: relaxed = earliest (ts, position) qualifying
     follower; strict = the next sequence position binds or the match
-    dies; absent (terminal) = no qualifying follower in
-    (t_last, t_anchor+bound], emitted only once the deadline passed the
-    watermark."""
+    dies; kleene = earliest qualifying entry then the maximal
+    immediately-consecutive matching run truncated at the bound (a
+    TERMINAL run emits only once provably closed: a next-position event
+    exists, or the deadline passed the watermark); absent (terminal) =
+    no qualifying follower in (t_last, t_anchor+bound], emitted only
+    once the deadline passed the watermark."""
     n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
     has_neg = n_pos < len(contig)
     out = []
@@ -138,11 +145,31 @@ def brute_force_full(events, contig, bound, wm):
                 else:
                     ok = False
                     break
+            elif contig[step] == "kleene":
+                cands = [
+                    (t, j)
+                    for j, (t, _e, mm) in enumerate(events)
+                    if mm[step] and t > _last(bound_ts[-1]) and t <= ts0 + bound
+                ]
+                if not cands:
+                    ok = False
+                    break
+                t, j = min(cands)
+                first, last, count, last_pos = t, t, 1, j
+                while (
+                    last_pos + 1 < len(events)
+                    and events[last_pos + 1][2][step]
+                    and events[last_pos + 1][0] <= ts0 + bound
+                ):
+                    last_pos += 1
+                    last = events[last_pos][0]
+                    count += 1
+                bound_ts.append([first, last, count])
             else:
                 cands = [
                     (t, j)
                     for j, (t, _e, mm) in enumerate(events)
-                    if mm[step] and t > bound_ts[-1] and t <= ts0 + bound
+                    if mm[step] and t > _last(bound_ts[-1]) and t <= ts0 + bound
                 ]
                 if not cands:
                     ok = False
@@ -152,11 +179,16 @@ def brute_force_full(events, contig, bound, wm):
                 last_pos = j
         if not ok:
             continue
+        if contig[n_pos - 1] == "kleene" and n_pos == len(contig):
+            # terminal run: emitted only once provably closed
+            closed = last_pos + 1 < len(events) or ts0 + bound <= wm
+            if not closed:
+                continue
         if has_neg:
             if ts0 + bound > wm:
                 continue  # absence not yet provable
             killed = any(
-                mm[n_pos] and bound_ts[-1] < t <= ts0 + bound
+                mm[n_pos] and _last(bound_ts[-1]) < t <= ts0 + bound
                 for t, _e, mm in events
             )
             if killed:
@@ -169,7 +201,8 @@ def brute_force_full(events, contig, bound, wm):
 def contiguities(draw):
     n = draw(st.integers(min_value=2, max_value=3))
     contig = ["relaxed"] + [
-        draw(st.sampled_from(["relaxed", "strict"])) for _ in range(n - 1)
+        draw(st.sampled_from(["relaxed", "strict", "kleene"]))
+        for _ in range(n - 1)
     ]
     if draw(st.booleans()):
         contig.append("absent")

@@ -186,3 +186,42 @@ def test_parse_quantified_first_step():
 def test_malformed_quantifiers_rejected(bad, msg):
     with pytest.raises(ValueError, match=msg):
         parse_pattern_sql(bad)
+
+
+def test_parse_kleene_plus():
+    parsed = parse_pattern_sql(
+        """
+        PATTERN ( s -> e+ -> v )
+        WITHIN 7 DAYS
+        DEFINE s AS event_type = 'signup',
+               e AS event_type = 'error',
+               v AS event_type = 'view'
+        """
+    )
+    assert [(st.name, st.contiguity) for st in parsed.pattern.steps] == [
+        ("s", "relaxed"),
+        ("e", "kleene"),
+        ("v", "relaxed"),
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        (
+            "PATTERN (a+ -> b) WITHIN 1h DEFINE a AS x = 1, b AS y = 2",
+            "cannot be the first step",
+        ),
+        (
+            "PATTERN (a => b+) WITHIN 1h DEFINE a AS x = 1, b AS y = 2",
+            "takes ->",
+        ),
+        (
+            "PATTERN (a -> !b+) WITHIN 1h DEFINE a AS x = 1, b AS y = 2",
+            "cannot be quantified",
+        ),
+    ],
+)
+def test_malformed_kleene_rejected(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_pattern_sql(bad)

@@ -285,3 +285,61 @@ def test_times_stream_equals_batch_compiler(spark, sf_dir):
         assert _norm(got.collect()) == _norm(want.collect())
         if contiguity == "relaxed":
             assert got.count() > 0
+
+
+def test_kleene_middle_stream_equals_batch_compiler(spark, sf_dir):
+    """one_or_more in the middle of a sequence: the event that binds
+    the following step is the one that closes the run, so streaming
+    equals batch exactly at end-of-stream (every match's closing event
+    matured)."""
+    pat = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .followed_by("v", "event_type = 'view'")
+        .within("7 DAYS")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    want = pat.compile_batch(table(spark, sf_dir, "events"))
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0
+
+
+def test_kleene_terminal_stream_greedy_run(spark):
+    """Terminal one_or_more: the run must absorb ALL consecutive
+    matching events (greedy) and emit once closed — by a following
+    event (user 1) or by the watermark passing the deadline (user 2,
+    flushed by the sentinel)."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, 1, t0, "signup"),
+        (2, 1, t0 + dt.timedelta(minutes=5), "error"),
+        (3, 1, t0 + dt.timedelta(minutes=6), "error"),
+        (4, 1, t0 + dt.timedelta(minutes=7), "view"),   # closes run
+        (5, 2, t0 + dt.timedelta(minutes=20), "signup"),
+        (6, 2, t0 + dt.timedelta(minutes=25), "error"),  # run open at end
+        (7, 99, t0 + dt.timedelta(days=2), "view"),      # watermark flush
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, ty, 1.0, "{}") for i, u, t, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    src = harness.SCRATCH + "/kleene_term"
+    shutil.rmtree(src, ignore_errors=True)
+    df.orderBy("ts").coalesce(1).write.parquet(src)
+    pat = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .within("1 HOUR")
+    )
+    stream = harness.events_stream(spark, src, max_files_per_trigger=1)
+    got = sorted(
+        (r.key, r.anchor_id, r.err_count)
+        for r in harness.run_available_now(
+            compile_stream(pat, stream, watermark="0 seconds"), "append"
+        ).collect()
+    )
+    assert got == [(1, 1, 2), (2, 5, 1)]
