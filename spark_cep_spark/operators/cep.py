@@ -583,3 +583,102 @@ def cep_kleene_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within("7 DAYS")
         .compile_batch(events)
     )
+
+
+def select_non_overlapping(
+    matches: DataFrame,
+    start_col: str,
+    end_col: str,
+    key_col: str = "key",
+    tiebreak_col: str = "anchor_id",
+) -> DataFrame:
+    """AFTER MATCH SKIP PAST LAST ROW (MATCH_RECOGNIZE / Flink-CEP
+    match-selection policy) as a composable operator: from a per-key
+    set of matches, keep the greedy non-overlapping subset — scan in
+    (start, end) order, keep a match iff its start lies strictly after
+    the last kept match's end. The default emission policy (every
+    anchor matches: skip-to-next-row) composes with this selector to
+    give the non-overlapping policy.
+
+    A running-maximum-with-conditional-update recurrence is not
+    expressible in window SQL, so this is a per-key applyInPandas scan
+    — over MATCHES, not events (typically orders of magnitude fewer;
+    keys parallelize across executors, the per-key scan is linear)."""
+    import pandas as pd  # local: keep module import-light
+
+    schema = matches.schema
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # tiebreak_col makes equal-(start, end) ordering deterministic —
+        # without it the kept match under a tie is partition-order luck
+        pdf = pdf.sort_values([start_col, end_col, tiebreak_col], kind="mergesort")
+        keep, last_end = [], None
+        for s, e in zip(pdf[start_col], pdf[end_col]):
+            ok = last_end is None or s > last_end
+            keep.append(ok)
+            if ok:
+                last_end = e
+        return pdf[keep]
+
+    return matches.repartition(key_col).groupBy(key_col).applyInPandas(
+        lambda pdf: pick(pdf), schema=schema
+    )
+
+
+@register(
+    "cep_skip_past",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s2 AS (
+      SELECT v.user_id, v.event_id, v.ts AS t_view, min(c.ts) AS t_click
+      FROM v JOIN c ON c.user_id = v.user_id
+                   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+      GROUP BY v.user_id, v.event_id, v.ts
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.event_id, s2.t_view, s2.t_click, min(p.ts) AS t_purchase
+      FROM s2 JOIN p ON p.user_id = s2.user_id
+                    AND p.ts > s2.t_click AND p.ts <= s2.t_view + INTERVAL 24 HOUR
+      GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.t_click
+    ),
+    numbered AS (
+      SELECT user_id, event_id, t_view, t_click, t_purchase,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t_view, t_purchase, event_id) AS rn
+      FROM s3
+    ),
+    sel AS (
+      SELECT user_id, event_id, t_view, t_click, t_purchase, rn,
+             true AS kept, t_purchase AS last_end
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.t_view, n.t_click, n.t_purchase, n.rn,
+             n.t_view > s.last_end AS kept,
+             CASE WHEN n.t_view > s.last_end THEN n.t_purchase
+                  ELSE s.last_end END AS last_end
+      FROM sel s JOIN numbered n
+        ON n.user_id = s.user_id AND n.rn = s.rn + 1
+    )
+    SELECT user_id AS key, event_id AS anchor_id, t_view, t_click, t_purchase
+    FROM sel WHERE kept
+    """,
+)
+def cep_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The view→click→purchase funnel under AFTER MATCH SKIP PAST LAST
+    ROW: every-anchor matches (cep_seq) composed with greedy
+    non-overlapping selection — the next kept match must start after
+    the previous one's purchase. The oracle replays the identical
+    greedy recurrence with a recursive CTE (an EXACT check of a
+    sequential policy no window function can express)."""
+    events = table(spark, sf_dir, "events")
+    matches = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+        .compile_batch(events)
+    )
+    return select_non_overlapping(matches, "t_view", "t_purchase")

@@ -261,3 +261,35 @@ def test_strict_and_negation_match_brute_force_on_random_events(spark):
         .collect()
     }
     assert got_neg == want_neg
+
+
+def test_select_non_overlapping_greedy(spark):
+    """AFTER MATCH SKIP PAST LAST ROW: overlapping funnel matches per
+    key collapse to the greedy non-overlapping chain; ties on
+    (start, end) break by anchor_id."""
+    import datetime as dt
+
+    from spark_cep_spark.operators.cep import select_non_overlapping
+
+    t = lambda m: dt.datetime(2024, 6, 1) + dt.timedelta(minutes=m)
+    rows = [
+        # key 1: [0,10] overlaps [5,15]; [12,20] follows the kept [0,10]
+        (1, 10, t(0), t(10)),
+        (1, 11, t(5), t(15)),
+        (1, 12, t(12), t(20)),
+        # key 2: tie on (start, end) — anchor 20 wins; [25,30] follows
+        (2, 21, t(0), t(8)),
+        (2, 20, t(0), t(8)),
+        (2, 22, t(25), t(30)),
+        # key 3: back-to-back boundary: start == prev end is an overlap
+        (3, 30, t(0), t(5)),
+        (3, 31, t(5), t(9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, anchor_id long, t_s timestamp, t_e timestamp"
+    )
+    got = sorted(
+        (r.key, r.anchor_id)
+        for r in select_non_overlapping(df, "t_s", "t_e").collect()
+    )
+    assert got == [(1, 10), (1, 12), (2, 20), (2, 22), (3, 30)]
