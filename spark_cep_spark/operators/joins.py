@@ -402,3 +402,82 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_above"))
     )
+
+
+def interval_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lo_us: int,
+    hi_us: int,
+) -> DataFrame:
+    """Interval join as a PURE equi-join: pairs where
+    right_ts − left_ts ∈ (lo_us, hi_us] microseconds, with matching
+    `keys` columns. The band becomes an equi-key: rights land in
+    fixed-width time buckets (width = band span), lefts explode to the
+    ≤2 buckets their band can touch, the join runs sort-merge/hash on
+    (keys…, bucket), and the exact predicate filters afterwards.
+
+    This is the 100 TB posture for interval joins: the naive range
+    condition rides along an equi-join only while a keys column exists
+    and its groups stay small; a hot key degrades to a per-key
+    cartesian. Bucketing bounds every join group by (keys × width)
+    regardless of skew, keeps the plan in SortMergeJoin/ShuffledHash
+    (never BroadcastNestedLoop), and each qualifying pair meets exactly
+    once (the right's single bucket picks exactly one left expansion).
+    Non-key column names must be disjoint — project before joining.
+    """
+    if hi_us <= lo_us:
+        raise ValueError(f"empty band: ({lo_us}, {hi_us}]")
+    width = hi_us - lo_us
+    l = left.withColumn("_lus", F.unix_micros(F.col(left_ts)))
+    r = right.withColumn("_rus", F.unix_micros(F.col(right_ts))).withColumn(
+        "_bkt", F.floor(F.col("_rus") / F.lit(width))
+    )
+    lb = l.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("_lus") + F.lit(lo_us)) / F.lit(width)),
+                F.floor((F.col("_lus") + F.lit(hi_us)) / F.lit(width)),
+            )
+        ),
+    )
+    return (
+        lb.join(r, keys + ["_bkt"])
+        .filter(
+            (F.col("_rus") > F.col("_lus") + F.lit(lo_us))
+            & (F.col("_rus") <= F.col("_lus") + F.lit(hi_us))
+        )
+        .drop("_bkt", "_lus", "_rus")
+    )
+
+
+@register(
+    "join_interval_banded",
+    oracle="""
+    SELECT a.user_id AS user_id, count(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'error' AND b.event_type = 'error'
+    GROUP BY a.user_id
+    """,
+)
+def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_interval's scale rewrite: identical semantics (error pairs
+    within 5 minutes per user — same oracle), but the band is an
+    equi-key so the plan is a plain SortMergeJoin on
+    (user_id, bucket) with no range condition in the join itself."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    a = e.select("user_id", F.col("ts").alias("a_ts"))
+    b = e.select("user_id", F.col("ts").alias("b_ts"))
+    five_min_us = 5 * 60 * 1_000_000
+    return (
+        interval_join_banded(a, b, ["user_id"], "a_ts", "b_ts", 0, five_min_us)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -130,3 +130,45 @@ def test_redact_masks_all_digits(spark):
     for r in rows[:200]:
         assert not re.search(r"[0-9]", r["redacted"])
         assert r["n_digit_chars"] >= 0
+
+
+def test_interval_join_banded_equals_naive_range_join(spark):
+    """The banded equi-join rewrite returns exactly the naive range
+    join's pairs (dense random data incl. bucket-boundary times), and
+    its plan joins on equi-keys — no BroadcastNestedLoop."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_cep_spark.operators.joins import interval_join_banded
+
+    rng = random.Random(7)
+    base = 1_700_000_000_000_000  # µs epoch
+    W = 300 * 1_000_000  # 5-minute band
+    rows = [
+        (k, base + rng.randrange(0, 4 * W))
+        for k in (1, 2)
+        for _ in range(60)
+    ] + [(1, base + i * W) for i in range(4)]  # exact boundaries
+    df = spark.createDataFrame(rows, "k long, us long").withColumn(
+        "ts", F.timestamp_micros(F.col("us"))
+    )
+    a = df.select("k", F.col("ts").alias("a_ts"))
+    b = df.select("k", F.col("ts").alias("b_ts"))
+    banded = interval_join_banded(a, b, ["k"], "a_ts", "b_ts", 0, W)
+    naive = (
+        a.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(F.col("x.k").alias("k"), "a_ts", "b_ts")
+    )
+    got = sorted(map(tuple, banded.select("k", "a_ts", "b_ts").collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want and len(got) > 0
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "_bkt" in plan
