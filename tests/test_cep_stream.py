@@ -343,3 +343,57 @@ def test_kleene_terminal_stream_greedy_run(spark):
         ).collect()
     )
     assert got == [(1, 1, 2), (2, 5, 1)]
+
+
+def test_nfa_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for the stateful CEP operator: drain half the
+    source files into a parquet sink, then add the rest and restart
+    from the same checkpoint. The NFA's partials/buffer state and the
+    watermark must resume exactly — the two-run output equals an
+    uninterrupted run (incl. matches SPANNING the restart boundary),
+    with no duplicates."""
+    import os
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    pat = _funnel("24 HOURS")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+    assert len(parts) >= 8
+
+    def run(src_dir, out, ckpt):
+        stream = harness.events_stream(spark, src_dir, max_files_per_trigger=2)
+        q = (
+            compile_stream(pat, stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for f in parts[:4]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run(src, out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    for f in parts[4:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run(src, out, ckpt)
+
+    got = spark.read.parquet(out)
+    uninterrupted = harness.run_available_now(
+        compile_stream(
+            pat,
+            harness.events_stream(spark, staged, max_files_per_trigger=2),
+            watermark="0 seconds",
+        ),
+        "append",
+    )
+    assert _norm(got.collect()) == _norm(uninterrupted.collect())
+    assert got.count() == got.dropDuplicates(["key", "anchor_id"]).count()
+    # non-vacuous: matches exist on both sides of the restart boundary
+    assert 0 < n_first < got.count()
