@@ -278,3 +278,47 @@ def stream_stream_join_stream(
         _views(events_stream).withWatermark("v_ts", watermark),
         _purchases(events_stream).withWatermark("p_ts", watermark),
     )
+
+
+def view_purchase_left_pairs(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view emits — joined when a
+    purchase follows within 1h, null-extended otherwise. On two
+    unbounded sides the OUTER result for an unmatched view can only
+    emit once the watermark passes v_ts + 1h (before that a matching
+    purchase could still arrive); Structured Streaming does that
+    eviction-time emission natively once both sides carry watermarks
+    and the join condition bounds the wait."""
+    return views.join(
+        purchases,
+        F.expr("user_id = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+        "left_outer",
+    ).select("user_id", "v_ts", "p_ts")
+
+
+@register(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT v.user_id, v.v_ts, p.p_ts
+    FROM (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts FROM events
+               WHERE event_type = 'purchase') p
+      ON v.user_id = p.p_user
+     AND p.p_ts > v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream left-outer join (same builder,
+    bounded inputs)."""
+    e = table(spark, sf_dir, "events")
+    return view_purchase_left_pairs(_views(e), _purchases(e))
+
+
+def stream_stream_left_join_stream(
+    events_stream: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming face: both sides watermarked; outer rows emit at state
+    eviction (watermark past v_ts + 1h)."""
+    return view_purchase_left_pairs(
+        _views(events_stream).withWatermark("v_ts", watermark),
+        _purchases(events_stream).withWatermark("p_ts", watermark),
+    )

@@ -376,12 +376,19 @@ def test_nfa_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
         q.awaitTermination(180)
 
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-    for f in parts[:4]:
-        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    def copy_ordered(names):
+        # ascending mtimes keep the file source's arrival order equal to
+        # event-time order (a same-ms mtime tie can reorder files and
+        # late-drop under the 0s watermark)
+        for f in names:
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    copy_ordered(parts[:4])
     run(src, out, ckpt)
     n_first = spark.read.parquet(out).count()
-    for f in parts[4:]:
-        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    copy_ordered(parts[4:])
     run(src, out, ckpt)
 
     got = spark.read.parquet(out)

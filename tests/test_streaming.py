@@ -253,3 +253,85 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, staged, tmp_path):
     want = spark.read.parquet(staged)
     assert got.count() == want.count()  # nothing reprocessed, nothing lost
     assert got.select("event_id").distinct().count() == want.count()
+
+
+def test_stream_stream_left_join_outer_rows_emit_at_eviction(spark, sf_dir, tmp_path):
+    """Stream-stream LEFT OUTER: null-extended rows emit at state
+    eviction, i.e. once the watermark passes v_ts + 1h. Run 1 drains
+    the fixture (outer rows near end-of-stream stay pending — not yet
+    provably unmatched); run 2 on the same checkpoint feeds a far-
+    future sentinel that closes every join window, after which the
+    streamed result must EQUAL the batch left join."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_cep_spark.streaming.windows import (
+        stream_stream_left_join,
+        stream_stream_left_join_stream,
+    )
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # copy preserving the harness's ascending-mtime arrival order — a
+    # same-millisecond mtime tie lets the file source list files out of
+    # event-time order, which late-drops whole files under a 0s watermark
+    for i, f in enumerate(sorted(os.listdir(staged))):
+        if f.startswith("part"):
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = harness.events_stream(spark, src, max_files_per_trigger=2)
+        q = (
+            stream_stream_left_join_stream(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    pending_after_run1 = spark.read.parquet(out).filter(F.col("p_ts").isNull()).count()
+    # the flush must reach BOTH event-time columns: the global watermark
+    # is min(views_wm, purchases_wm), and each side's watermark node
+    # sits above its event_type filter — a sentinel of any other type
+    # advances neither
+    sentinel = spark.createDataFrame(
+        [
+            (10**9, dt.datetime(2099, 1, 1), 10**6, "view", 0.0, "{}"),
+            (10**9 + 1, dt.datetime(2099, 1, 1), 10**6, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    run()
+    # eviction uses the PREVIOUS batch's watermark — one more data-bearing
+    # tick applies the sentinel-advanced watermark
+    sentinel2 = spark.createDataFrame(
+        [
+            (10**9 + 2, dt.datetime(2099, 6, 1), 10**6, "view", 0.0, "{}"),
+            (10**9 + 3, dt.datetime(2099, 6, 1), 10**6, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel2.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = spark.read.parquet(out)
+    want = stream_stream_left_join(spark, sf_dir)
+    norm = lambda df: sorted(
+        map(tuple, df.filter(F.col("user_id") < 10**6).collect())
+    )
+    assert norm(got) == norm(want)
+    # non-vacuous: the sentinel flushed outer rows run 1 couldn't prove
+    assert got.filter(F.col("p_ts").isNull()).count() > pending_after_run1 > 0
