@@ -335,3 +335,58 @@ def test_stream_stream_left_join_outer_rows_emit_at_eviction(spark, sf_dir, tmp_
     assert norm(got) == norm(want)
     # non-vacuous: the sentinel flushed outer rows run 1 couldn't prove
     assert got.filter(F.col("p_ts").isNull()).count() > pending_after_run1 > 0
+
+
+def test_materialized_aggregate_upserts_to_current_state(spark, sf_dir, tmp_path):
+    """Continuously-maintained aggregate table: hourly counts+sums per
+    event_type materialize into parquet via update-mode + foreachBatch
+    merge. After draining half the source the target is a CORRECT
+    aggregate of what was ingested; after the rest (a separate run,
+    same checkpoint — exactly-once across restart) it equals the batch
+    aggregate over everything."""
+    import os
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from spark_cep_spark.streaming.materialize import materialize_aggregate
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            _sh.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    target, ckpt = str(tmp_path / "mv"), str(tmp_path / "ckpt")
+
+    def agg_of(df):
+        return df.groupBy(
+            F.window("ts", "1 hour").start.alias("h"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+
+    def run():
+        stream = harness.events_stream(spark, src, max_files_per_trigger=2)
+        q = materialize_aggregate(
+            agg_of(stream), ["h", "event_type"], target, ckpt
+        )
+        q.awaitTermination(180)
+
+    norm = lambda df: sorted(map(tuple, df.collect()))
+
+    copy_ordered(parts[:3])
+    run()
+    got_half = spark.read.parquet(target)
+    want_half = agg_of(spark.read.parquet(*[os.path.join(src, f) for f in parts[:3]]))
+    assert norm(got_half) == norm(want_half)
+
+    copy_ordered(parts[3:])
+    run()
+    got_full = spark.read.parquet(target)
+    want_full = agg_of(table(spark, sf_dir, "events"))
+    assert norm(got_full) == norm(want_full)
+    assert got_full.count() > 0
