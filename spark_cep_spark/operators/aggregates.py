@@ -357,3 +357,30 @@ def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(b, "hr", "left").select(
         "hr", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+@register("agg_sketches")  # rows-only: sketch estimates are approximate
+def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregation (Datasketches HLL, Spark 3.5+):
+    per-event_type distinct-user sketches UNIONED into a global
+    estimate without rescanning — the 100 TB cardinality pattern
+    (sketch once at the finest grain, roll up by merging binaries; an
+    exact count(DISTINCT) re-shuffles raw keys at every grain).
+    Approximate by nature → rows-only for the driver; the accuracy
+    bound vs exact counts is asserted in tests/test_llm_ops.py."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.approx_count_distinct("user_id").alias("acd_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+    )
+    return (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("merged"),
+            F.sum(F.lit(1)).alias("n_types"),
+        )
+        .select(
+            F.hll_sketch_estimate("merged").alias("est_total_users"),
+            "n_types",
+        )
+    )

@@ -186,3 +186,59 @@ def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "win_ewma",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, ts, value, rn, value AS ewma
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.ts, e.value, e.rn,
+             0.3 * e.value + 0.7 * r.ewma
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ewma
+    FROM r
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user
+    (y_i = 0.3·x_i + 0.7·y_{i-1}, y_1 = x_1) — the standard
+    monitoring/CEP smoothing primitive. The recurrence is inherently
+    sequential, so no window frame expresses it; per-key applyInPandas
+    runs the scan (keys parallelize across executors, per-key cost is
+    linear — same scale shape as cep_skip_past). The recurrence is
+    written operation-for-operation identically to the recursive-CTE
+    oracle so the doubles agree bit-for-bit — no rounding anywhere
+    (Python, Spark and DuckDB round() disagree at true half-way
+    decimals; identical IEEE op order needs no absorption)."""
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out, prev = [], None
+        for x in pdf["value"]:
+            prev = x if prev is None else 0.3 * x + 0.7 * prev
+            out.append(prev)
+        pdf["ewma"] = out
+        return pdf
+
+    return (
+        events.repartition("user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            ewma,
+            "user_id long, event_id long, ts timestamp, value double, ewma double",
+        )
+    )

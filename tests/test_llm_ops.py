@@ -245,3 +245,16 @@ def test_connected_components_two_phase_logn_rounds_on_long_chain(spark):
     got = {r["doc_id"]: r["cluster_rep"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 10  # ~2·log2(64) with slack; diameter would be 63
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    """Merged per-group HLL sketches estimate the GLOBAL distinct count
+    within HLL error bounds — the re-aggregatable rollup contract."""
+    from spark_cep_spark.operators.aggregates import agg_sketches
+
+    est = agg_sketches(spark, sf_dir).first()
+    exact = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert abs(est.est_total_users - exact) <= max(2, 0.05 * exact)
+    assert est.n_types == 5
