@@ -384,3 +384,35 @@ def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types",
         )
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val
+    FROM (
+      UNPIVOT (SELECT p_partkey,
+                      p_retailprice,
+                      CAST(p_size AS DOUBLE) AS p_size
+               FROM part)
+      ON p_retailprice, p_size
+      INTO NAME metric VALUE val
+    )
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide→long reshape (the inverse of agg_pivot):
+    each part row becomes one row per measure column. Spark's unpivot
+    is a zero-shuffle narrow transform (row expansion in the scan
+    stage); at 100 TB it only multiplies row count, never shuffles."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -125,3 +125,27 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.round("s_acctbal", 2).alias("acctbal"),
     )
+
+
+def rate_source(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 1
+) -> DataFrame:
+    """Built-in rate source — dev/smoke stream (timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Socket text source (reference-family standard [PK]) — one STRING
+    column `value` per line; parse with from_json/split downstream. Dev
+    only: no replay, not fault-tolerant (same caveat as upstream Spark)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )

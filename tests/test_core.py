@@ -51,3 +51,11 @@ def test_query_columns_match_oracle_aliases(spark, key):
         )
     odf = con.execute(spark_cep_spark.ORACLES[key]).fetchdf()
     assert sorted(sdf.columns) == sorted(odf.columns)
+
+
+def test_rate_source_smoke(spark):
+    """Rate source plans as a valid streaming DataFrame (dev source)."""
+    from spark_cep_spark.sources.readers import rate_source
+
+    df = rate_source(spark, rows_per_second=10)
+    assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
