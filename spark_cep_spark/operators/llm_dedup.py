@@ -135,6 +135,67 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signature_arrow(d: DataFrame) -> DataFrame:
+    """The 100 TB signature path SCALE.md prescribes: signatures
+    computed per document INSIDE an Arrow-batched mapInPandas — no
+    shingle explode, no shuffle of the (doc x shingle) intermediate;
+    the only shuffled data is (doc_id, sig). Hash-identical to
+    _minhash_signature (same md5(seed:shingle) min per seed), so the
+    two paths are interchangeable under the same oracle. At real scale
+    swap hashlib.md5 for a vectorized 64-bit hash; the md5 here keeps
+    bit-parity with the SQL-expressible variant."""
+    import hashlib
+
+    import pandas as pd
+
+    def sig_batch(it):
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) < 3:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+                encoded = [sh.encode() for sh in shingles]
+                mins = [
+                    min(
+                        hashlib.md5(b"%d:" % seed + sh).hexdigest()
+                        for sh in encoded
+                    )
+                    for seed in range(N_MINHASH)
+                ]
+                ids.append(doc_id)
+                sigs.append("|".join(mins))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return d.select("doc_id", "text").mapInPandas(
+        sig_batch, "doc_id long, sig string"
+    )
+
+
+@register(
+    "dedup_near_arrow",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_SIG_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_near_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_near through the Arrow signature path — same oracle as
+    dedup_near, proving the scale variant is drop-in equivalent."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signature_arrow(d)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+
 @register(
     "dedup_jaccard",
     oracle="""
