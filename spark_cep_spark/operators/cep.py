@@ -117,11 +117,15 @@ class Pattern:
         key_col: str = "user_id",
         time_col: str = "ts",
         id_col: str = "event_id",
+        emit_ids: bool = False,
     ) -> DataFrame:
         """Compile to a batch DataFrame of matches.
 
         Output: (key, anchor_id, t_<step> for every step) — one row per
-        anchor event that completes the whole sequence.
+        anchor event that completes the whole sequence. emit_ids=True
+        adds id_<step> columns naming the exact event each step bound
+        (deterministic min-(ts, id) tie-break, matching the streaming
+        NFA) — the exact join-back handle when timestamps tie.
         """
         if not self.steps:
             raise ValueError("empty pattern")
@@ -153,6 +157,8 @@ class Pattern:
             F.col(id_col).alias("anchor_id"),
             F.col(time_col).alias(f"t_{first.name}"),
         ]
+        if emit_ids:
+            sel.append(F.col(id_col).alias(f"id_{first.name}"))
         if has_strict:
             sel.append(F.col("_rn").alias("_prev_rn"))
         cur = events.filter(F.expr(first.predicate)).select(*sel)
@@ -166,13 +172,16 @@ class Pattern:
                 # previous binding, run = the island suffix from there,
                 # truncated at the anchor bound.
                 w_m = W.partitionBy("cand_key").orderBy("cand_ts", "cand_rn")
+                mem_sel = [
+                    F.col(key_col).alias("cand_key"),
+                    F.col(time_col).alias("cand_ts"),
+                    F.col("_rn").alias("cand_rn"),
+                ]
+                if emit_ids:
+                    mem_sel.append(F.col(id_col).alias("cand_eid"))
                 mem = (
                     events.filter(F.expr(step.predicate))
-                    .select(
-                        F.col(key_col).alias("cand_key"),
-                        F.col(time_col).alias("cand_ts"),
-                        F.col("_rn").alias("cand_rn"),
-                    )
+                    .select(*mem_sel)
                     .withColumn(
                         "isl", F.col("cand_rn") - F.row_number().over(w_m)
                     )
@@ -183,12 +192,13 @@ class Pattern:
                     & (F.col("cand_ts") > F.col(prev_t))
                     & in_bound
                 )
+                struct_cols = ["cand_ts", "cand_rn"] + (
+                    ["cand_eid"] if emit_ids else []
+                )
                 entry = (
                     cur.join(mem, entry_cond)
                     .groupBy(*group_cols)
-                    .agg(
-                        F.min(F.struct("cand_ts", "cand_rn", "isl")).alias("_e")
-                    )
+                    .agg(F.min(F.struct(*struct_cols, "isl")).alias("_e"))
                 )
                 run_cond = (
                     (F.col("key") == F.col("cand_key"))
@@ -200,24 +210,31 @@ class Pattern:
                     entry.join(mem, run_cond)
                     .groupBy(*group_cols, "_e")
                     .agg(
-                        F.max(F.struct("cand_ts", "cand_rn")).alias("_l"),
+                        F.max(F.struct(*struct_cols)).alias("_l"),
                         F.count(F.lit(1)).alias(f"{step.name}_count"),
                     )
                     .withColumn(f"t_{step.name}_first", F.col("_e.cand_ts"))
                     .withColumn(f"t_{step.name}_last", F.col("_l.cand_ts"))
                 )
+                id_cols = []
+                if emit_ids:
+                    cur = cur.withColumn(
+                        f"id_{step.name}_first", F.col("_e.cand_eid")
+                    ).withColumn(f"id_{step.name}_last", F.col("_l.cand_eid"))
+                    id_cols = [f"id_{step.name}_first", f"id_{step.name}_last"]
                 if has_strict:
                     cur = cur.drop("_prev_rn").withColumn(
                         "_prev_rn", F.col("_l.cand_rn")
                     )
                 cur = cur.drop("_e", "_l")
-                # column order: first/last/count as documented
+                # column order: first/last/count(/ids) as documented
                 cur = cur.select(
                     *[c for c in group_cols if c != "_prev_rn"],
                     *(["_prev_rn"] if has_strict else []),
                     f"t_{step.name}_first",
                     f"t_{step.name}_last",
                     f"{step.name}_count",
+                    *id_cols,
                 )
                 prev_t = f"t_{step.name}_last"
                 continue
@@ -227,6 +244,8 @@ class Pattern:
             ]
             if has_strict:
                 cand_sel.append(F.col("_rn").alias("cand_rn"))
+            if emit_ids:
+                cand_sel.append(F.col(id_col).alias("cand_eid"))
             cand = events.filter(F.expr(step.predicate)).select(*cand_sel)
             if step.contiguity == "strict":
                 cond = (
@@ -245,19 +264,34 @@ class Pattern:
                 cur = cur.join(cand, cond, "left_anti")
                 break  # validated: absent is terminal
             group_cols = cur.columns
-            if has_strict:
-                # earliest-match policy; carry the bound event's seq
-                # number for a later strict step ((ts, rn) lexicographic
-                # min ≡ min ts with deterministic tie-break)
+            if has_strict or emit_ids:
+                # earliest-match policy via lexicographic struct-min:
+                # (ts, rn) min ≡ min ts with deterministic tie-break
+                # (rn order == (ts, id) order); cand_eid rides along to
+                # name the bound event when emit_ids
+                struct_cols = (
+                    ["cand_ts"]
+                    + (["cand_rn"] if has_strict else [])
+                    + (["cand_eid"] if emit_ids else [])
+                )
                 cur = (
                     cur.join(cand, cond)
                     .groupBy(*group_cols)
-                    .agg(F.min(F.struct("cand_ts", "cand_rn")).alias("_m"))
+                    .agg(F.min(F.struct(*struct_cols)).alias("_m"))
                     .withColumn(f"t_{step.name}", F.col("_m.cand_ts"))
-                    .withColumn("_next_rn", F.col("_m.cand_rn"))
-                    .drop("_m", "_prev_rn")
-                    .withColumnRenamed("_next_rn", "_prev_rn")
                 )
+                if emit_ids:
+                    cur = cur.withColumn(
+                        f"id_{step.name}", F.col("_m.cand_eid")
+                    )
+                if has_strict:
+                    cur = (
+                        cur.withColumn("_next_rn", F.col("_m.cand_rn"))
+                        .drop("_m", "_prev_rn")
+                        .withColumnRenamed("_next_rn", "_prev_rn")
+                    )
+                else:
+                    cur = cur.drop("_m")
             else:
                 cur = (
                     cur.join(cand, cond)
@@ -306,6 +340,50 @@ def cep_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within("24 HOURS")
     )
     return pat.compile_batch(events)
+
+
+@register(
+    "cep_seq_ids",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view,
+                  min({'ts': c.ts, 'id': c.event_id}) AS mc
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts
+         ),
+         s3 AS (
+           SELECT s2.user_id, s2.event_id, s2.t_view, s2.mc,
+                  min({'ts': p.ts, 'id': p.event_id}) AS mp
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.mc.ts AND p.ts <= s2.t_view + INTERVAL 24 HOUR
+           GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.mc
+         )
+    SELECT user_id AS key, event_id AS anchor_id,
+           t_view, event_id AS id_view,
+           mc.ts AS t_click, mc.id AS id_click,
+           mp.ts AS t_purchase, mp.id AS id_purchase
+    FROM s3
+    """,
+)
+def cep_seq_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cep_seq with per-step EVENT-ID capture (emit_ids=True): each
+    id_<step> column names the exact event the step bound, under the
+    deterministic lexicographic-(ts, event_id) earliest-match policy —
+    the exact join-back-to-attributes handle when timestamps tie.
+    Oracle: DuckDB min over a named struct {'ts','id'} is the same
+    lexicographic min as Spark's min(struct(ts, id))."""
+    events = table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+    )
+    return pat.compile_batch(events, emit_ids=True)
 
 
 @register(

@@ -100,11 +100,12 @@ def advance_nfa(
     return partials, matches
 
 
-def _last_ts(bound: list) -> int:
-    """Previous-binding timestamp: scalar for plain steps, run-last for
-    a kleene entry [first, last, count]."""
+def _last_pos(bound: list) -> tuple[int, int]:
+    """(ts, eid) of the most recently bound event: a plain entry is
+    [ts, eid], a kleene entry [first_ts, first_eid, last_ts, last_eid,
+    count] — the run's last event is the binding position."""
     e = bound[-1]
-    return e[1] if isinstance(e, list) else e
+    return (e[0], e[1]) if len(e) == 2 else (e[2], e[3])
 
 
 def advance_nfa_full(
@@ -119,16 +120,16 @@ def advance_nfa_full(
     (not_followed_by), matching Pattern.compile_batch exactly (the
     executable spec).
 
-    partials: [[anchor_eid, bound, last_eid, open_run], ...] where
-              bound holds one entry per bound step — a scalar ts_us for
-              plain steps, [first_us, last_us, count] for a kleene
-              step. last_eid is the id of the most recently bound event
-              (strict steps and run extension need the (ts, eid)
-              position, not just the ts, to identify "the key's
-              immediately-next event" under ts ties). open_run marks a
-              kleene run still absorbing consecutive events. A partial
-              with all positive steps bound and run closed is pending
-              negation (only when contig ends with 'absent').
+    partials: [[bound, open_run], ...] where bound holds one entry per
+              bound step — [ts_us, eid] for plain steps,
+              [first_us, first_eid, last_us, last_eid, count] for a
+              kleene step. Entries carry the bound event's id so (a)
+              strict steps and run extension can identify "the key's
+              immediately-next event" under ts ties, and (b) matches
+              name the exact events they bound (emit_ids). open_run
+              marks a kleene run still absorbing consecutive events. A
+              partial with all positive steps bound and run closed is
+              pending negation (only when contig ends with 'absent').
     matured:  [[ts_us, eid, [m0..mk]], ...] sorted by (ts, eid) —
               for strict/kleene patterns this MUST include
               non-matching events (they kill strict partials and close
@@ -138,7 +139,7 @@ def advance_nfa_full(
               first (validated by Pattern).
     Returns (partials', matches), matches = [(anchor_eid, bound)] over
     POSITIVE steps only (compile_batch likewise emits nothing for the
-    absent step); a kleene entry stays [first, last, count].
+    absent step), anchor_eid = bound[0][1].
 
     Semantics per step kind, transcribing compile_batch:
     - relaxed: bind the earliest event with ts strictly after the
@@ -161,29 +162,25 @@ def advance_nfa_full(
     matches = []
     for ts, eid, m in matured:
         kept = []
-        for anchor_eid, bound, last_eid, open_run in partials:
-            t0 = bound[0]
+        for bound, open_run in partials:
+            t0 = bound[0][0]
             if open_run:
                 k = len(bound) - 1
-                if (ts, eid) > (bound[k][1], last_eid):
+                if (ts, eid) > (bound[k][2], bound[k][3]):
                     # this IS the run's immediately-next event:
                     # extend, or close and fall through
                     if m[k] and ts <= t0 + bound_us:
+                        e = bound[k]
                         kept.append(
-                            [
-                                anchor_eid,
-                                bound[:k] + [[bound[k][0], ts, bound[k][2] + 1]],
-                                eid,
-                                True,
-                            ]
+                            [bound[:k] + [[e[0], e[1], ts, eid, e[4] + 1]], True]
                         )
                         continue
                     open_run = False
                     if len(bound) == n_pos and not has_neg:
-                        matches.append((anchor_eid, bound))
+                        matches.append((bound[0][1], bound))
                         continue
                 else:
-                    kept.append([anchor_eid, bound, last_eid, open_run])
+                    kept.append([bound, open_run])
                     continue
             nxt = len(bound)
             if nxt == n_pos:
@@ -192,67 +189,62 @@ def advance_nfa_full(
                 if (
                     has_neg
                     and m[n_pos]
-                    and ts > _last_ts(bound)
+                    and ts > _last_pos(bound)[0]
                     and ts <= t0 + bound_us
                 ):
                     continue
-                kept.append([anchor_eid, bound, last_eid, False])
+                kept.append([bound, False])
                 continue
             if ts > t0 + bound_us:
                 continue  # expired before completing
             kind = contig[nxt]
             if kind == "strict":
-                if (ts, eid) > (_last_ts(bound), last_eid):
+                if (ts, eid) > _last_pos(bound):
                     # this IS the key's immediately-next event:
                     # bind or die
                     if m[nxt]:
-                        bound = bound + [ts]
+                        bound = bound + [[ts, eid]]
                         if len(bound) == n_pos and not has_neg:
-                            matches.append((anchor_eid, bound))
+                            matches.append((bound[0][1], bound))
                             continue
-                        kept.append([anchor_eid, bound, eid, False])
+                        kept.append([bound, False])
                     continue
-                kept.append([anchor_eid, bound, last_eid, False])
+                kept.append([bound, False])
             elif kind == "kleene":
-                if ts > _last_ts(bound) and m[nxt]:
-                    kept.append([anchor_eid, bound + [[ts, ts, 1]], eid, True])
+                if ts > _last_pos(bound)[0] and m[nxt]:
+                    kept.append([bound + [[ts, eid, ts, eid, 1]], True])
                 else:
-                    kept.append([anchor_eid, bound, last_eid, False])
-            elif ts > _last_ts(bound) and m[nxt]:
-                bound = bound + [ts]
+                    kept.append([bound, False])
+            elif ts > _last_pos(bound)[0] and m[nxt]:
+                bound = bound + [[ts, eid]]
                 if len(bound) == n_pos and not has_neg:
-                    matches.append((anchor_eid, bound))
+                    matches.append((bound[0][1], bound))
                     continue
-                kept.append([anchor_eid, bound, eid, False])
+                kept.append([bound, False])
             else:
-                kept.append([anchor_eid, bound, last_eid, False])
+                kept.append([bound, False])
         partials = kept
         if m[0]:
-            partials.append([eid, [ts], eid, False])
+            partials.append([[[ts, eid]], False])
     # watermark pass: close runs whose deadline passed, emit matured
     # negation / terminal-run completions, expire dead partials
     out = []
-    for anchor_eid, bound, last_eid, open_run in partials:
-        deadline = bound[0] + bound_us
+    for bound, open_run in partials:
+        deadline = bound[0][0] + bound_us
         if open_run and deadline <= wm_us:
             open_run = False  # no in-bound extension can ever arrive
         if len(bound) == n_pos and not open_run:
-            if not has_neg:
-                # only reachable for a terminal kleene run closed by
-                # the watermark (event-closed runs emitted in-loop)
-                if deadline <= wm_us:
-                    matches.append((anchor_eid, bound))
-                    continue
-                out.append([anchor_eid, bound, last_eid, open_run])
-                continue
             if deadline <= wm_us:
-                matches.append((anchor_eid, bound))
+                # no-negation case only reachable for a terminal kleene
+                # run closed by the watermark (event-closed runs
+                # emitted in-loop); negation case = absence now proven
+                matches.append((bound[0][1], bound))
                 continue
-            out.append([anchor_eid, bound, last_eid, open_run])
+            out.append([bound, open_run])
             continue
         if deadline <= wm_us:
             continue  # incomplete and past deadline — can never finish
-        out.append([anchor_eid, bound, last_eid, open_run])
+        out.append([bound, open_run])
     return out, matches
 
 
@@ -643,16 +635,19 @@ def compile_stream(
     id_col: str = "event_id",
     watermark: str = "10 minutes",
     filter_nonmatching: bool = True,
+    emit_ids: bool = False,
 ) -> DataFrame:
     """Compile a Pattern to a streaming DataFrame of matches — all
-    three contiguity modes (followed_by / next / not_followed_by), same
-    semantics as Pattern.compile_batch.
+    contiguity modes (followed_by / next / one_or_more /
+    not_followed_by), same semantics as Pattern.compile_batch.
 
     Output schema mirrors Pattern.compile_batch: (key, anchor_id,
     t_<step>... as timestamps) over the POSITIVE steps (a negation step
     contributes no timestamp; its matches emit only once the anchor's
     full window passes the watermark — before that no absence is
-    provable).
+    provable). emit_ids=True adds id_<step> columns naming the exact
+    bound events (exact join-back under timestamp ties), matching
+    compile_batch(emit_ids=True).
     """
     steps = pattern.steps
     n_steps = len(steps)
@@ -703,8 +698,15 @@ def compile_stream(
                 T.StructField(f"t_{s.name}_last", T.TimestampType()),
                 T.StructField(f"{s.name}_count", T.LongType()),
             ]
+            if emit_ids:
+                out_fields += [
+                    T.StructField(f"id_{s.name}_first", T.LongType()),
+                    T.StructField(f"id_{s.name}_last", T.LongType()),
+                ]
         else:
             out_fields.append(T.StructField(f"t_{s.name}", T.TimestampType()))
+            if emit_ids:
+                out_fields.append(T.StructField(f"id_{s.name}", T.LongType()))
     out_schema = T.StructType(out_fields)
     state_schema = T.StructType([T.StructField("payload", T.StringType())])
 
@@ -716,7 +718,7 @@ def compile_stream(
         else:
             st = {"buf": [], "partials": []}
         buf = st["buf"]  # [[ts_us, eid, [m0..mk]], ...] not yet matured
-        partials = st["partials"]  # [[anchor_eid, [t0_us..], last_eid], ...]
+        partials = st["partials"]  # [[bound, open_run], ...] (see advance_nfa_full)
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -747,7 +749,7 @@ def compile_stream(
             # wake up when the watermark passes the earliest pending work
             nxt_us = min(
                 [e[0] for e in buf]
-                + [p[1][0] + bound_ms * _US_PER_MS for p in partials]
+                + [p[0][0][0] + bound_ms * _US_PER_MS for p in partials]
             )
             state.setTimeoutTimestamp(max(nxt_us // _US_PER_MS + 1, wm_ms + 1))
         elif state.exists:
@@ -764,13 +766,22 @@ def compile_stream(
                         [bt[i][0] for _, bt in matches], unit="us"
                     )
                     cols[f"t_{s.name}_last"] = pd.to_datetime(
-                        [bt[i][1] for _, bt in matches], unit="us"
+                        [bt[i][2] for _, bt in matches], unit="us"
                     )
-                    cols[f"{s.name}_count"] = [bt[i][2] for _, bt in matches]
+                    cols[f"{s.name}_count"] = [bt[i][4] for _, bt in matches]
+                    if emit_ids:
+                        cols[f"id_{s.name}_first"] = [
+                            bt[i][1] for _, bt in matches
+                        ]
+                        cols[f"id_{s.name}_last"] = [
+                            bt[i][3] for _, bt in matches
+                        ]
                 else:
                     cols[f"t_{s.name}"] = pd.to_datetime(
-                        [bt[i] for _, bt in matches], unit="us"
+                        [bt[i][0] for _, bt in matches], unit="us"
                     )
+                    if emit_ids:
+                        cols[f"id_{s.name}"] = [bt[i][1] for _, bt in matches]
             yield pd.DataFrame(cols)
 
     return prepared.groupBy("key").applyInPandasWithState(

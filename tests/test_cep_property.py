@@ -112,7 +112,9 @@ def test_nfa_chunking_invariance(rows, steps, bound, cuts):
 
 
 def _last(bound_entry):
-    return bound_entry[1] if isinstance(bound_entry, list) else bound_entry
+    """Last-bound ts of an entry: [ts, eid] or [f_ts, f_eid, l_ts,
+    l_eid, count]."""
+    return bound_entry[2] if len(bound_entry) == 5 else bound_entry[0]
 
 
 def brute_force_full(events, contig, bound, wm):
@@ -131,7 +133,7 @@ def brute_force_full(events, contig, bound, wm):
     for idx, (ts0, eid, m) in enumerate(events):
         if not m[0]:
             continue
-        bound_ts, last_pos, ok = [ts0], idx, True
+        bound_ts, last_pos, ok = [[ts0, eid]], idx, True
         for step in range(1, n_pos):
             if contig[step] == "strict":
                 nxt = last_pos + 1
@@ -140,7 +142,7 @@ def brute_force_full(events, contig, bound, wm):
                     and events[nxt][2][step]
                     and events[nxt][0] <= ts0 + bound
                 ):
-                    bound_ts.append(events[nxt][0])
+                    bound_ts.append([events[nxt][0], events[nxt][1]])
                     last_pos = nxt
                 else:
                     ok = False
@@ -155,16 +157,17 @@ def brute_force_full(events, contig, bound, wm):
                     ok = False
                     break
                 t, j = min(cands)
-                first, last, count, last_pos = t, t, 1, j
+                first, f_eid, count, last_pos = t, events[j][1], 1, j
+                last, l_eid = t, f_eid
                 while (
                     last_pos + 1 < len(events)
                     and events[last_pos + 1][2][step]
                     and events[last_pos + 1][0] <= ts0 + bound
                 ):
                     last_pos += 1
-                    last = events[last_pos][0]
+                    last, l_eid = events[last_pos][0], events[last_pos][1]
                     count += 1
-                bound_ts.append([first, last, count])
+                bound_ts.append([first, f_eid, last, l_eid, count])
             else:
                 cands = [
                     (t, j)
@@ -175,7 +178,7 @@ def brute_force_full(events, contig, bound, wm):
                     ok = False
                     break
                 t, j = min(cands)
-                bound_ts.append(t)
+                bound_ts.append([t, events[j][1]])
                 last_pos = j
         if not ok:
             continue
@@ -266,7 +269,9 @@ def test_full_nfa_relaxed_equals_legacy_kernel(rows, steps, bound):
     _, full = advance_nfa_full(
         [], events, ["relaxed"] * len(steps), bound, 10**9
     )
-    assert sorted(full) == sorted(legacy)
+    # full-kernel entries are [ts, eid]; legacy carries ts only
+    full_ts = [(eid, [e[0] for e in bound_ts]) for eid, bound_ts in full]
+    assert sorted(full_ts) == sorted(legacy)
 
 
 # ---------------------------------------------------------------------------

@@ -308,6 +308,38 @@ def test_kleene_middle_stream_equals_batch_compiler(spark, sf_dir):
     assert got.count() > 0
 
 
+def test_emit_ids_stream_equals_batch_compiler(spark, sf_dir):
+    """emit_ids parity across both engines on a pattern mixing a plain
+    step, a Kleene run (id_first/id_last), and a strict step: every
+    id_<step> column the NFA emits must equal the batch compiler's —
+    the ids are the join-back-to-attributes handle, so they must agree
+    under ts ties (both sides break ties by (ts, event_id))."""
+    pat = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .followed_by("v", "event_type = 'view'")
+        .within("7 DAYS")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds", emit_ids=True),
+        "append",
+    )
+    want = pat.compile_batch(table(spark, sf_dir, "events"), emit_ids=True)
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(want.columns)
+    assert _norm(got.select(*cols).collect()) == _norm(
+        want.select(*cols).collect()
+    )
+    assert got.count() > 0
+    # ids must reference real events of the right type (join-back check)
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    joined = want.join(ev, want.id_v == ev.event_id, "left")
+    assert joined.filter(F.col("event_type") != "view").count() == 0
+    assert joined.filter(F.col("event_type").isNull()).count() == 0
+
+
 def test_kleene_terminal_stream_greedy_run(spark):
     """Terminal one_or_more: the run must absorb ALL consecutive
     matching events (greedy) and emit once closed — by a following
