@@ -20,6 +20,7 @@ unbounded pair blowup beyond (anchors × step-candidates) within a key.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -28,12 +29,29 @@ from pyspark.sql import functions as F
 from spark_cep_spark.io import table
 from spark_cep_spark.registry import register
 
+# step-qualified column reference inside a correlation clause: `view.value`
+_WHERE_REF = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
+
+
+def _translate_where_sql(where: str, cur_name: str) -> str:
+    """Rewrite a correlation clause for the batch join condition:
+    current-step refs → the candidate's _c_<col> columns, earlier-step
+    refs → the carried _v_<step>_<col> columns."""
+
+    def repl(mo: re.Match) -> str:
+        s, c = mo.group(1), mo.group(2)
+        return f"_c_{c}" if s == cur_name else f"_v_{s}_{c}"
+
+    return _WHERE_REF.sub(repl, where)
+
 
 @dataclass
 class Step:
     name: str
     predicate: str  # SQL boolean expression over the event columns
     contiguity: str = "relaxed"  # relaxed | strict | absent
+    where: str | None = None  # cross-step correlation (SASE-style); every
+    # column ref must be step-qualified: "purchase.value > view.value"
 
 
 @dataclass
@@ -57,20 +75,37 @@ class Pattern:
     def begin(name: str, predicate: str) -> "Pattern":
         return Pattern(steps=[Step(name, predicate)])
 
-    def followed_by(self, name: str, predicate: str) -> "Pattern":
-        self.steps.append(Step(name, predicate))
+    def followed_by(
+        self, name: str, predicate: str, where: str | None = None
+    ) -> "Pattern":
+        """Relaxed contiguity. `where` adds a SASE-style cross-step
+        correlation clause evaluated at bind time — a SQL boolean over
+        STEP-QUALIFIED column refs only, e.g.
+        "click.value > 2 * view.value" (current step's columns
+        qualified by its own name; earlier steps' by theirs). The step
+        binds the earliest event satisfying predicate AND where.
+        Restricted grammar (so batch SQL and the streaming kernel agree):
+        comparisons, arithmetic, AND/OR/NOT, abs() — no SQL functions,
+        no BETWEEN/LIKE/IN. NULL in any comparison → not satisfied."""
+        self.steps.append(Step(name, predicate, where=where))
         return self
 
-    def next(self, name: str, predicate: str) -> "Pattern":
+    def next(
+        self, name: str, predicate: str, where: str | None = None
+    ) -> "Pattern":
         """Strict contiguity: binds only if the key's IMMEDIATELY next
-        event (by (ts, id) order) satisfies the predicate."""
-        self.steps.append(Step(name, predicate, contiguity="strict"))
+        event (by (ts, id) order) satisfies the predicate (AND the
+        correlation clause, if given) — otherwise the partial dies."""
+        self.steps.append(Step(name, predicate, contiguity="strict", where=where))
         return self
 
-    def not_followed_by(self, name: str, predicate: str) -> "Pattern":
+    def not_followed_by(
+        self, name: str, predicate: str, where: str | None = None
+    ) -> "Pattern":
         """Terminal negation: the partial match survives only if NO
-        qualifying event follows within the time bound."""
-        self.steps.append(Step(name, predicate, contiguity="absent"))
+        qualifying event (predicate AND where) follows within the
+        time bound."""
+        self.steps.append(Step(name, predicate, contiguity="absent", where=where))
         return self
 
     def times(
@@ -110,6 +145,80 @@ class Pattern:
         self.time_bound = bound
         return self
 
+    def corr_plan(self) -> dict:
+        """Parse + validate every step's correlation clause (shared by
+        the batch compiler and the streaming NFA, so both enforce
+        identical rules). Returns:
+          wheres   — [str | None] per step
+          cur_refs — [set of cols referencing the step's own event]
+          refs     — {earlier step name: sorted cols later wheres read}
+                     (these values must be CARRIED through the match)
+          all_cols — sorted union of every referenced column
+        """
+        names = [s.name for s in self.steps]
+        kinds = {s.name: s.contiguity for s in self.steps}
+        wheres: list = []
+        cur_refs: list = []
+        refs: dict[str, set] = {}
+        _ALLOWED_BARE = {"and", "or", "not", "abs", "true", "false"}
+        for i, s in enumerate(self.steps):
+            wheres.append(s.where)
+            cur: set = set()
+            if s.where is None:
+                cur_refs.append(cur)
+                continue
+            if s.contiguity == "kleene":
+                raise ValueError(
+                    f"one_or_more step '{s.name}' cannot carry a "
+                    "correlation clause (a run has no single value)"
+                )
+            if i == 0:
+                raise ValueError(
+                    "the anchor step cannot correlate (fold the "
+                    "condition into its predicate)"
+                )
+            for ref_step, col in _WHERE_REF.findall(s.where):
+                if ref_step not in names:
+                    raise ValueError(
+                        f"unknown step '{ref_step}' in where of "
+                        f"'{s.name}' (all column refs must be "
+                        "step-qualified)"
+                    )
+                if names.index(ref_step) > i:
+                    raise ValueError(
+                        f"where of '{s.name}' references later step "
+                        f"'{ref_step}'"
+                    )
+                if ref_step == s.name:
+                    cur.add(col)
+                else:
+                    if kinds[ref_step] == "kleene":
+                        raise ValueError(
+                            f"where of '{s.name}' references "
+                            f"one_or_more step '{ref_step}' (a run "
+                            "has no single value)"
+                        )
+                    refs.setdefault(ref_step, set()).add(col)
+            # any bare identifier left after stripping refs is a
+            # misspelled/unqualified column — fail at compile, not at run
+            residue = _WHERE_REF.sub(" ", s.where)
+            for tok in re.findall(r"[A-Za-z_]\w*", residue):
+                if tok.lower() not in _ALLOWED_BARE:
+                    raise ValueError(
+                        f"unqualified identifier '{tok}' in where of "
+                        f"'{s.name}' — qualify every column as "
+                        "<step>.<col>"
+                    )
+            cur_refs.append(cur)
+        return {
+            "wheres": wheres,
+            "cur_refs": cur_refs,
+            "refs": {k: sorted(v) for k, v in refs.items()},
+            "all_cols": sorted(
+                set().union(*cur_refs, *[set(v) for v in refs.values()])
+            ),
+        }
+
     # -- batch compiler ----------------------------------------------------
     def compile_batch(
         self,
@@ -126,6 +235,12 @@ class Pattern:
         adds id_<step> columns naming the exact event each step bound
         (deterministic min-(ts, id) tie-break, matching the streaming
         NFA) — the exact join-back handle when timestamps tie.
+
+        Correlation (`where` on a step): values a later step reads are
+        carried as hidden _v_<step>_<col> columns; a referenced step
+        binds via the lexicographic (ts, event_id) struct-min so the
+        carried value is the one deterministic tie-break winner — the
+        same event the streaming NFA binds.
         """
         if not self.steps:
             raise ValueError("empty pattern")
@@ -136,6 +251,8 @@ class Pattern:
                 raise ValueError("not_followed_by must be the last step")
         if self.steps[0].contiguity != "relaxed":
             raise ValueError("pattern must start with begin()")
+        corr = self.corr_plan()
+        refs = corr["refs"]  # step name -> cols later wheres read
 
         bound = F.expr(f"INTERVAL {self.time_bound}")
         has_strict = any(s.contiguity == "strict" for s in self.steps)
@@ -159,12 +276,14 @@ class Pattern:
         ]
         if emit_ids:
             sel.append(F.col(id_col).alias(f"id_{first.name}"))
+        for c in refs.get(first.name, []):
+            sel.append(F.col(c).alias(f"_v_{first.name}_{c}"))
         if has_strict:
             sel.append(F.col("_rn").alias("_prev_rn"))
         cur = events.filter(F.expr(first.predicate)).select(*sel)
         t_anchor = f"t_{first.name}"
         prev_t = t_anchor
-        for step in self.steps[1:]:
+        for idx, step in enumerate(self.steps[1:], start=1):
             in_bound = F.col("cand_ts") <= F.col(t_anchor) + bound
             if step.contiguity == "kleene":
                 # Maximal consecutive runs = gaps-and-islands over the
@@ -238,14 +357,17 @@ class Pattern:
                 )
                 prev_t = f"t_{step.name}_last"
                 continue
+            carried = refs.get(step.name, [])  # cols later steps read
             cand_sel = [
                 F.col(key_col).alias("cand_key"),
                 F.col(time_col).alias("cand_ts"),
             ]
             if has_strict:
                 cand_sel.append(F.col("_rn").alias("cand_rn"))
-            if emit_ids:
+            if emit_ids or carried:
                 cand_sel.append(F.col(id_col).alias("cand_eid"))
+            for c in sorted(set(corr["cur_refs"][idx]) | set(carried)):
+                cand_sel.append(F.col(c).alias(f"_c_{c}"))
             cand = events.filter(F.expr(step.predicate)).select(*cand_sel)
             if step.contiguity == "strict":
                 cond = (
@@ -259,20 +381,29 @@ class Pattern:
                     & (F.col("cand_ts") > F.col(prev_t))
                     & in_bound
                 )
+            if step.where:
+                cond = cond & F.expr(_translate_where_sql(step.where, step.name))
             if step.contiguity == "absent":
                 # survives only if no qualifying follower exists
                 cur = cur.join(cand, cond, "left_anti")
                 break  # validated: absent is terminal
             group_cols = cur.columns
-            if has_strict or emit_ids:
+            if has_strict or emit_ids or carried:
                 # earliest-match policy via lexicographic struct-min:
                 # (ts, rn) min ≡ min ts with deterministic tie-break
                 # (rn order == (ts, id) order); cand_eid rides along to
-                # name the bound event when emit_ids
+                # name the bound event when emit_ids; carried values
+                # trail the (unique) (ts, rn/eid) prefix, so they never
+                # influence WHICH event wins — they are the winner's
                 struct_cols = (
-                    ["cand_ts"]
-                    + (["cand_rn"] if has_strict else [])
-                    + (["cand_eid"] if emit_ids else [])
+                    [F.col("cand_ts")]
+                    + ([F.col("cand_rn")] if has_strict else [])
+                    + (
+                        [F.col("cand_eid")]
+                        if (emit_ids or carried)
+                        else []
+                    )
+                    + [F.col(f"_c_{c}").alias(f"v_{c}") for c in carried]
                 )
                 cur = (
                     cur.join(cand, cond)
@@ -283,6 +414,10 @@ class Pattern:
                 if emit_ids:
                     cur = cur.withColumn(
                         f"id_{step.name}", F.col("_m.cand_eid")
+                    )
+                for c in carried:
+                    cur = cur.withColumn(
+                        f"_v_{step.name}_{c}", F.col(f"_m.v_{c}")
                     )
                 if has_strict:
                     cur = (
@@ -300,7 +435,10 @@ class Pattern:
                     .agg(F.min("cand_ts").alias(f"t_{step.name}"))
                 )
             prev_t = f"t_{step.name}"
-        return cur.drop("_prev_rn") if has_strict else cur
+        internal = [
+            c for c in cur.columns if c.startswith("_v_") or c == "_prev_rn"
+        ]
+        return cur.drop(*internal) if internal else cur
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +522,54 @@ def cep_seq_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within("24 HOURS")
     )
     return pat.compile_batch(events, emit_ids=True)
+
+
+@register(
+    "cep_seq_corr",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, v.value AS v_view,
+                  min({'ts': c.ts, 'id': c.event_id, 'v': c.value}) AS mc
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts, v.value
+         ),
+         s3 AS (
+           SELECT s2.user_id, s2.event_id, s2.t_view, s2.mc, min(p.ts) AS t_purchase
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.mc.ts AND p.ts <= s2.t_view + INTERVAL 24 HOUR
+                         AND p.value > s2.v_view AND p.value > s2.mc.v
+           GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.mc
+         )
+    SELECT user_id AS key, event_id AS anchor_id,
+           t_view, mc.ts AS t_click, t_purchase
+    FROM s3
+    """,
+)
+def cep_seq_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SASE-style cross-step value correlation: the funnel completes
+    only with a purchase whose value exceeds BOTH the anchor view's
+    and the bound click's value. Earlier-step values are carried
+    through the match (hidden _v_ columns batch-side, the env dict in
+    the streaming NFA); the referenced click binds via the
+    deterministic (ts, event_id) struct-min so the carried value is
+    well-defined under timestamp ties. Oracle carries the same values
+    through DuckDB named-struct mins."""
+    events = table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by(
+            "purchase",
+            "event_type = 'purchase'",
+            where="purchase.value > view.value AND purchase.value > click.value",
+        )
+        .within("24 HOURS")
+    )
+    return pat.compile_batch(events)
 
 
 @register(

@@ -37,6 +37,20 @@ regex quantifiers) — we use explicit connectors because our default
 semantics is skip-till-next-match and silent strictness flips would be
 a correctness trap.
 
+Cross-step correlation (MATCH_RECOGNIZE's defining feature) is
+supported exactly as in standard DEFINE clauses — a step's expression
+may reference other steps' columns by step name:
+
+    DEFINE V AS event_type = 'view',
+           P AS event_type = 'purchase' AND P.value > V.value
+
+Top-level AND-conjuncts containing a step-qualified reference are
+routed to the Pattern step's `where=` (bind-time correlation, both
+engines); the remaining conjuncts stay the per-event predicate
+(JVM-evaluated m-flags). Inside a correlation conjunct EVERY column
+must be step-qualified (Pattern.corr_plan's restricted grammar).
+Correlation is not supported on quantified ({n}/+) steps.
+
 Scale: identical to the Pattern builder's (one window shuffle for
 strict sequence numbers, per-step equi-join + min-agg on the key) —
 the text layer adds zero execution surface.
@@ -50,7 +64,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_cep_spark.io import table
-from spark_cep_spark.operators.cep import Pattern
+from spark_cep_spark.operators.cep import Pattern, _WHERE_REF
 from spark_cep_spark.registry import register
 
 _CLAUSE_KEYWORDS = ("PATTERN", "WITHIN", "DEFINE", "PARTITION BY", "ORDER BY")
@@ -112,6 +126,59 @@ def _split_top_level_commas(text: str) -> list[str]:
 _STEP_TOKEN = re.compile(r"^(!?)([A-Za-z_][A-Za-z_0-9]*)(?:\{(\d+)\}|(\+))?$")
 
 
+def _split_top_level_and(expr: str) -> list[str]:
+    """Split a boolean expression at top-level ANDs (outside parens and
+    string literals) — the granularity at which per-event predicate and
+    cross-step correlation conjuncts are separated."""
+    masked = _mask_literals(expr)
+    up = masked.upper()
+    parts, depth, start, i = [], 0, 0, 0
+
+    def _is_word_char(c: str) -> bool:
+        return c.isalnum() or c == "_"
+
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not _is_word_char(masked[i - 1]))
+            and (i + 3 >= len(masked) or not _is_word_char(masked[i + 3]))
+        ):
+            parts.append(expr[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(expr[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _split_define(expr: str, step_names: set[str]) -> tuple[str, str | None]:
+    """Separate a DEFINE expression into (per-event predicate,
+    correlation where-clause): an AND-conjunct mentioning any
+    step-qualified column goes to the where (validated further by
+    Pattern.corr_plan); the rest stays the predicate. All-correlation
+    expressions get the always-true predicate."""
+    conjs = _split_top_level_and(expr)
+    wrap = (lambda c: f"({c})") if len(conjs) > 1 else (lambda c: c)
+    pred, corr = [], []
+    for c in conjs:
+        masked = _mask_literals(c)
+        if any(q in step_names for q, _ in _WHERE_REF.findall(masked)):
+            corr.append(wrap(c))
+        else:
+            pred.append(wrap(c))
+    return (
+        " AND ".join(pred) if pred else "true",
+        " AND ".join(corr) if corr else None,
+    )
+
+
 def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     """Parse the dialect above into a Pattern + partition/order columns.
 
@@ -167,12 +234,21 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         seen.add(name)
         return name, neg, reps, plus
 
+    step_names = set(defines)
+    split = {n: _split_define(e, step_names) for n, e in defines.items()}
+
     name, _, reps, _ = lookup(toks[0], first=True)
+    f_pred, f_where = split[name]
+    if f_where:
+        raise ValueError(
+            f"step {name}: the first step cannot correlate "
+            "(no earlier step to reference)"
+        )
     # a quantified first step expands exactly like Pattern.times, with
     # the leading sub-step as the anchor
-    pattern = Pattern.begin(name if reps == 1 else f"{name}_1", defines[name])
+    pattern = Pattern.begin(name if reps == 1 else f"{name}_1", f_pred)
     for i in range(2, reps + 1):
-        pattern.followed_by(f"{name}_{i}", defines[name])
+        pattern.followed_by(f"{name}_{i}", f_pred)
     rest = toks[1:]
     if len(rest) % 2:
         raise ValueError("pattern must alternate step, connector, step, ...")
@@ -180,35 +256,42 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         if conn not in ("->", "=>"):
             raise ValueError(f"expected -> or => connector, got {conn!r}")
         name, neg, reps, plus = lookup(tok, first=False)
+        pred, where = split[name]
+        if where and (plus or reps > 1):
+            raise ValueError(
+                f"step {name}: correlation is not supported on "
+                "quantified ({n}/+) steps"
+            )
         if neg:
             if i * 2 + 2 != len(rest):
                 raise ValueError("a negated step must be the last step")
             if conn == "=>":
                 raise ValueError("strict negation (=> !X) is not supported")
-            pattern.not_followed_by(name, defines[name])
+            pattern.not_followed_by(name, pred, where=where)
         elif plus:
             if conn == "=>":
                 raise ValueError("a + step takes -> (its entry is relaxed)")
-            pattern.one_or_more(name, defines[name])
+            pattern.one_or_more(name, pred)
         elif reps > 1:
             # the connector sets the WHOLE run's contiguity: => means
             # the n immediately-consecutive next events, -> the n
             # earliest qualifying events in order
             pattern.times(
                 name,
-                defines[name],
+                pred,
                 reps,
                 contiguity="strict" if conn == "=>" else "relaxed",
             )
         elif conn == "=>":
-            pattern.next(name, defines[name])
+            pattern.next(name, pred, where=where)
         else:
-            pattern.followed_by(name, defines[name])
+            pattern.followed_by(name, pred, where=where)
     unused = set(defines) - seen
     if unused:
         raise ValueError(f"DEFINE entries never used in PATTERN: {sorted(unused)}")
 
     pattern.within(clauses["WITHIN"])
+    pattern.corr_plan()  # surface correlation errors at parse time
     key_col = clauses.get("PARTITION BY", "user_id").strip() or "user_id"
     time_col = clauses.get("ORDER BY", "ts").strip() or "ts"
     for col, label in ((key_col, "PARTITION BY"), (time_col, "ORDER BY")):

@@ -29,6 +29,7 @@ the serialized state at 100 TB.
 from __future__ import annotations
 
 import json
+import re
 from typing import TYPE_CHECKING, Iterator
 
 import pandas as pd
@@ -56,6 +57,16 @@ def _interval_to_ms(bound: str) -> int:
         "DAY": 86_400_000,
     }[unit]
     return int(qty * factor)
+
+
+def _py(x):
+    """Pandas/numpy scalar → JSON-serializable Python value (state is
+    a JSON payload, so correlation columns must be numeric / string /
+    bool; NaN/NaT → None, which makes every comparison unsatisfied —
+    SQL three-valued logic)."""
+    if pd.isna(x):
+        return None
+    return x.item() if hasattr(x, "item") else x
 
 
 def advance_nfa(
@@ -100,6 +111,45 @@ def advance_nfa(
     return partials, matches
 
 
+def _compile_where_py(where: str, cur_name: str):
+    """Compile a correlation clause to a Python predicate
+    fn(cand_vals: dict, env: dict[step, dict]) -> bool for the NFA
+    kernel — the Python twin of operators.cep._translate_where_sql
+    (batch). The restricted grammar (comparison / arithmetic / AND /
+    OR / NOT / abs, every column step-qualified — enforced by
+    Pattern.corr_plan) is what keeps the two translations provably
+    aligned; the batch compiler is the spec, and the fixture parity
+    test compares the two end-to-end. NULL in any comparison → not
+    satisfied (SQL three-valued logic)."""
+    from spark_cep_spark.operators.cep import _WHERE_REF
+
+    def repl(mo: re.Match) -> str:
+        s, c = mo.group(1), mo.group(2)
+        return f"__c[{c!r}]" if s == cur_name else f"__e[{s!r}][{c!r}]"
+
+    expr = _WHERE_REF.sub(repl, where)
+    expr = re.sub(r"(?i)\bAND\b", " and ", expr)
+    expr = re.sub(r"(?i)\bOR\b", " or ", expr)
+    expr = re.sub(r"(?i)\bNOT\b", " not ", expr)
+    expr = expr.replace("<>", "!=")
+    expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
+    code = compile(expr, "<where>", "eval")
+
+    def fn(cand: dict, env: dict) -> bool:
+        try:
+            return bool(
+                eval(  # noqa: S307 — grammar restricted by corr_plan
+                    code,
+                    {"__builtins__": {}, "abs": abs},
+                    {"__c": cand, "__e": env},
+                )
+            )
+        except TypeError:
+            return False  # a NULL operand: comparison not satisfied
+
+    return fn
+
+
 def _last_pos(bound: list) -> tuple[int, int]:
     """(ts, eid) of the most recently bound event: a plain entry is
     [ts, eid], a kleene entry [first_ts, first_eid, last_ts, last_eid,
@@ -114,14 +164,17 @@ def advance_nfa_full(
     contig: list,
     bound_us: int,
     wm_us: int,
+    corr: list | None = None,
+    val_cols: tuple = (),
+    env_names: list | None = None,
 ) -> tuple[list, list]:
     """The generalized NFA kernel: relaxed (followed_by), strict
     (next), greedy Kleene-plus (one_or_more) and terminal negation
     (not_followed_by), matching Pattern.compile_batch exactly (the
     executable spec).
 
-    partials: [[bound, open_run], ...] where bound holds one entry per
-              bound step — [ts_us, eid] for plain steps,
+    partials: [[bound, open_run, env], ...] where bound holds one entry
+              per bound step — [ts_us, eid] for plain steps,
               [first_us, first_eid, last_us, last_eid, count] for a
               kleene step. Entries carry the bound event's id so (a)
               strict steps and run extension can identify "the key's
@@ -130,13 +183,22 @@ def advance_nfa_full(
               marks a kleene run still absorbing consecutive events. A
               partial with all positive steps bound and run closed is
               pending negation (only when contig ends with 'absent').
-    matured:  [[ts_us, eid, [m0..mk]], ...] sorted by (ts, eid) —
+              env maps referenced step name → that bound event's value
+              dict (cross-step correlation; {} when unused).
+    matured:  [[ts_us, eid, [m0..mk]], ...] sorted by (ts, eid), plus
+              a 4th element [v per val_cols] when correlation is on —
               for strict/kleene patterns this MUST include
               non-matching events (they kill strict partials and close
               runs).
     contig:   per-step contiguity ('relaxed' | 'strict' | 'kleene' |
               'absent'); 'absent' may only be last, 'kleene' never
               first (validated by Pattern).
+    corr:     optional per-step correlation predicates
+              fn(cand_vals, env) -> bool (None per step without one);
+              a step binds only if its m-flag AND its corr predicate
+              hold. val_cols names the columns of matured[i][3];
+              env_names[i] is step i's name if a later corr reads its
+              values (its binding is then recorded in env), else None.
     Returns (partials', matches), matches = [(anchor_eid, bound)] over
     POSITIVE steps only (compile_batch likewise emits nothing for the
     absent step), anchor_eid = bound[0][1].
@@ -160,9 +222,25 @@ def advance_nfa_full(
     n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
     has_neg = n_pos < len(contig)
     matches = []
-    for ts, eid, m in matured:
+    # normalize legacy 2-element partials (pre-correlation state)
+    partials = [p if len(p) == 3 else [p[0], p[1], {}] for p in partials]
+    for ev in matured:
+        ts, eid, m = ev[0], ev[1], ev[2]
+        vd = dict(zip(val_cols, ev[3])) if corr else None
+
+        def _ok(i: int, env: dict) -> bool:
+            if not m[i]:
+                return False
+            f = corr[i] if corr else None
+            return f is None or f(vd, env)
+
+        def _bind_env(env: dict, i: int) -> dict:
+            if env_names and env_names[i]:
+                return {**env, env_names[i]: vd}
+            return env
+
         kept = []
-        for bound, open_run in partials:
+        for bound, open_run, env in partials:
             t0 = bound[0][0]
             if open_run:
                 k = len(bound) - 1
@@ -172,7 +250,11 @@ def advance_nfa_full(
                     if m[k] and ts <= t0 + bound_us:
                         e = bound[k]
                         kept.append(
-                            [bound[:k] + [[e[0], e[1], ts, eid, e[4] + 1]], True]
+                            [
+                                bound[:k] + [[e[0], e[1], ts, eid, e[4] + 1]],
+                                True,
+                                env,
+                            ]
                         )
                         continue
                     open_run = False
@@ -180,7 +262,7 @@ def advance_nfa_full(
                         matches.append((bound[0][1], bound))
                         continue
                 else:
-                    kept.append([bound, open_run])
+                    kept.append([bound, open_run, env])
                     continue
             nxt = len(bound)
             if nxt == n_pos:
@@ -188,12 +270,12 @@ def advance_nfa_full(
                 # (t_last, t_anchor + bound]
                 if (
                     has_neg
-                    and m[n_pos]
+                    and _ok(n_pos, env)
                     and ts > _last_pos(bound)[0]
                     and ts <= t0 + bound_us
                 ):
                     continue
-                kept.append([bound, False])
+                kept.append([bound, False, env])
                 continue
             if ts > t0 + bound_us:
                 continue  # expired before completing
@@ -201,35 +283,37 @@ def advance_nfa_full(
             if kind == "strict":
                 if (ts, eid) > _last_pos(bound):
                     # this IS the key's immediately-next event:
-                    # bind or die
-                    if m[nxt]:
+                    # bind or die (predicate AND correlation)
+                    if _ok(nxt, env):
                         bound = bound + [[ts, eid]]
                         if len(bound) == n_pos and not has_neg:
                             matches.append((bound[0][1], bound))
                             continue
-                        kept.append([bound, False])
+                        kept.append([bound, False, _bind_env(env, nxt)])
                     continue
-                kept.append([bound, False])
+                kept.append([bound, False, env])
             elif kind == "kleene":
                 if ts > _last_pos(bound)[0] and m[nxt]:
-                    kept.append([bound + [[ts, eid, ts, eid, 1]], True])
+                    kept.append(
+                        [bound + [[ts, eid, ts, eid, 1]], True, env]
+                    )
                 else:
-                    kept.append([bound, False])
-            elif ts > _last_pos(bound)[0] and m[nxt]:
+                    kept.append([bound, False, env])
+            elif ts > _last_pos(bound)[0] and _ok(nxt, env):
                 bound = bound + [[ts, eid]]
                 if len(bound) == n_pos and not has_neg:
                     matches.append((bound[0][1], bound))
                     continue
-                kept.append([bound, False])
+                kept.append([bound, False, _bind_env(env, nxt)])
             else:
-                kept.append([bound, False])
+                kept.append([bound, False, env])
         partials = kept
-        if m[0]:
-            partials.append([[[ts, eid]], False])
+        if _ok(0, {}):
+            partials.append([[[ts, eid]], False, _bind_env({}, 0)])
     # watermark pass: close runs whose deadline passed, emit matured
     # negation / terminal-run completions, expire dead partials
     out = []
-    for bound, open_run in partials:
+    for bound, open_run, env in partials:
         deadline = bound[0][0] + bound_us
         if open_run and deadline <= wm_us:
             open_run = False  # no in-bound extension can ever arrive
@@ -240,11 +324,11 @@ def advance_nfa_full(
                 # emitted in-loop); negation case = absence now proven
                 matches.append((bound[0][1], bound))
                 continue
-            out.append([bound, open_run])
+            out.append([bound, open_run, env])
             continue
         if deadline <= wm_us:
             continue  # incomplete and past deadline — can never finish
-        out.append([bound, open_run])
+        out.append([bound, open_run, env])
     return out, matches
 
 
@@ -669,6 +753,20 @@ def compile_stream(
         # non-matching events carry semantics and must reach the NFA
         filter_nonmatching = False
 
+    corr_plan = pattern.corr_plan()
+    has_corr = any(w is not None for w in corr_plan["wheres"])
+    val_cols = tuple(corr_plan["all_cols"])
+    corr_fns = None
+    env_names = None
+    if has_corr:
+        corr_fns = [
+            _compile_where_py(w, steps[i].name) if w else None
+            for i, w in enumerate(corr_plan["wheres"])
+        ]
+        env_names = [
+            s.name if s.name in corr_plan["refs"] else None for s in steps
+        ]
+
     flags = [
         F.expr(s.predicate).cast("boolean").alias(f"m{i}") for i, s in enumerate(steps)
     ]
@@ -677,6 +775,7 @@ def compile_stream(
         F.col(time_col).alias("ts"),
         F.col(id_col).alias("eid"),
         *flags,
+        *[F.col(c).alias(f"v_{c}") for c in val_cols],
     )
     if filter_nonmatching:
         # Events matching no step never affect the NFA — drop them early
@@ -718,7 +817,7 @@ def compile_stream(
         else:
             st = {"buf": [], "partials": []}
         buf = st["buf"]  # [[ts_us, eid, [m0..mk]], ...] not yet matured
-        partials = st["partials"]  # [[bound, open_run], ...] (see advance_nfa_full)
+        partials = st["partials"]  # [[bound, open_run, env], ...] (see advance_nfa_full)
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -726,13 +825,16 @@ def compile_stream(
                     continue
                 ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
                 for j in range(len(pdf)):
-                    buf.append(
-                        [
-                            int(ts_us.iloc[j]),
-                            int(pdf["eid"].iloc[j]),
-                            [bool(pdf[f"m{i}"].iloc[j]) for i in range(n_steps)],
-                        ]
-                    )
+                    entry = [
+                        int(ts_us.iloc[j]),
+                        int(pdf["eid"].iloc[j]),
+                        [bool(pdf[f"m{i}"].iloc[j]) for i in range(n_steps)],
+                    ]
+                    if has_corr:
+                        entry.append(
+                            [_py(pdf[f"v_{c}"].iloc[j]) for c in val_cols]
+                        )
+                    buf.append(entry)
 
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * _US_PER_MS
@@ -741,7 +843,14 @@ def compile_stream(
         buf = [e for e in buf if e[0] > wm_us]
 
         partials, matches = advance_nfa_full(
-            partials, matured, contig, bound_ms * _US_PER_MS, wm_us
+            partials,
+            matured,
+            contig,
+            bound_ms * _US_PER_MS,
+            wm_us,
+            corr=corr_fns,
+            val_cols=val_cols,
+            env_names=env_names,
         )
 
         if buf or partials:

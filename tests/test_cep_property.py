@@ -117,7 +117,7 @@ def _last(bound_entry):
     return bound_entry[2] if len(bound_entry) == 5 else bound_entry[0]
 
 
-def brute_force_full(events, contig, bound, wm):
+def brute_force_full(events, contig, bound, wm, corr_idx=None, corr_fn=None):
     """Transcription of Pattern.compile_batch over the full (ts, eid)-
     ordered key sequence: relaxed = earliest (ts, position) qualifying
     follower; strict = the next sequence position binds or the match
@@ -126,13 +126,26 @@ def brute_force_full(events, contig, bound, wm):
     TERMINAL run emits only once provably closed: a next-position event
     exists, or the deadline passed the watermark); absent (terminal) =
     no qualifying follower in (t_last, t_anchor+bound], emitted only
-    once the deadline passed the watermark."""
+    once the deadline passed the watermark.
+
+    Cross-step correlation: corr_idx names one step whose binding
+    additionally requires corr_fn(cand_value, anchor_value) — events
+    then carry a 4th element (the value). corr_idx may be the absent
+    step (a killer must also satisfy the correlation)."""
     n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
     has_neg = n_pos < len(contig)
+
+    def _corr(step, j, v0):
+        if corr_idx is None or step != corr_idx:
+            return True
+        return corr_fn(events[j][3][0], v0[0])
+
     out = []
-    for idx, (ts0, eid, m) in enumerate(events):
+    for idx, ev in enumerate(events):
+        ts0, eid, m = ev[0], ev[1], ev[2]
         if not m[0]:
             continue
+        v0 = ev[3] if len(ev) > 3 else None
         bound_ts, last_pos, ok = [[ts0, eid]], idx, True
         for step in range(1, n_pos):
             if contig[step] == "strict":
@@ -141,6 +154,7 @@ def brute_force_full(events, contig, bound, wm):
                     nxt < len(events)
                     and events[nxt][2][step]
                     and events[nxt][0] <= ts0 + bound
+                    and _corr(step, nxt, v0)
                 ):
                     bound_ts.append([events[nxt][0], events[nxt][1]])
                     last_pos = nxt
@@ -149,9 +163,11 @@ def brute_force_full(events, contig, bound, wm):
                     break
             elif contig[step] == "kleene":
                 cands = [
-                    (t, j)
-                    for j, (t, _e, mm) in enumerate(events)
-                    if mm[step] and t > _last(bound_ts[-1]) and t <= ts0 + bound
+                    (e[0], j)
+                    for j, e in enumerate(events)
+                    if e[2][step]
+                    and e[0] > _last(bound_ts[-1])
+                    and e[0] <= ts0 + bound
                 ]
                 if not cands:
                     ok = False
@@ -170,9 +186,12 @@ def brute_force_full(events, contig, bound, wm):
                 bound_ts.append([first, f_eid, last, l_eid, count])
             else:
                 cands = [
-                    (t, j)
-                    for j, (t, _e, mm) in enumerate(events)
-                    if mm[step] and t > _last(bound_ts[-1]) and t <= ts0 + bound
+                    (e[0], j)
+                    for j, e in enumerate(events)
+                    if e[2][step]
+                    and e[0] > _last(bound_ts[-1])
+                    and e[0] <= ts0 + bound
+                    and _corr(step, j, v0)
                 ]
                 if not cands:
                     ok = False
@@ -191,8 +210,10 @@ def brute_force_full(events, contig, bound, wm):
             if ts0 + bound > wm:
                 continue  # absence not yet provable
             killed = any(
-                mm[n_pos] and _last(bound_ts[-1]) < t <= ts0 + bound
-                for t, _e, mm in events
+                e[2][n_pos]
+                and _last(bound_ts[-1]) < e[0] <= ts0 + bound
+                and _corr(n_pos, j, v0)
+                for j, e in enumerate(events)
             )
             if killed:
                 continue
@@ -249,6 +270,114 @@ def test_full_nfa_chunking_invariance(rows, contig, bound, wms):
         chunk = sorted(e for e in events if e[0] <= wm and e[1] not in fed)
         fed.update(e[1] for e in chunk)
         partials, m = advance_nfa_full(partials, chunk, contig, bound, wm)
+        got.extend(m)
+    assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Cross-step correlation (where clauses): kernel vs brute force
+
+_OPS = {
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "==": lambda a, b: a == b,
+}
+
+
+def _corr_setup(rows, contig, values, op_name, ci_seed):
+    """Pick a correlation-eligible step (non-kleene, non-anchor —
+    possibly the absent step) and build the kernel-side corr/env
+    arrays plus valued events. Returns None if the contiguity mix has
+    no eligible step."""
+    eligible = [i for i in range(1, len(contig)) if contig[i] != "kleene"]
+    if not eligible:
+        return None
+    ci = eligible[ci_seed % len(eligible)]
+    op = _OPS[op_name]
+    steps = [(i * 7 + 3) % N_TYPES for i in range(len(contig))]
+    events = [
+        (ts, eid, [typ == s for s in steps], [values[eid % len(values)]])
+        for ts, eid, typ in rows
+    ]
+    corr = [None] * len(contig)
+    corr[ci] = lambda cand, env: op(cand["value"], env["a"]["value"])
+    env_names = [None] * len(contig)
+    env_names[0] = "a"
+    return ci, op, events, corr, env_names
+
+
+@given(
+    rows=event_streams(),
+    contig=contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wm=st.integers(min_value=0, max_value=60),
+    values=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=6
+    ),
+    op_name=st.sampled_from(sorted(_OPS)),
+    ci_seed=st.integers(min_value=0, max_value=7),
+)
+@settings(max_examples=600, deadline=None)
+def test_full_nfa_corr_matches_brute_force(
+    rows, contig, bound, wm, values, op_name, ci_seed
+):
+    """Correlated binding (cand.value OP anchor.value on one step —
+    relaxed, strict, or the negation step) against the brute-force
+    transcription of the batch compiler's join-condition semantics."""
+    setup = _corr_setup(rows, contig, values, op_name, ci_seed)
+    if setup is None:
+        return
+    ci, op, events, corr, env_names = setup
+    events = [e for e in events if e[0] <= wm]
+    _, got = advance_nfa_full(
+        [],
+        events,
+        contig,
+        bound,
+        wm,
+        corr=corr,
+        val_cols=("value",),
+        env_names=env_names,
+    )
+    want = brute_force_full(
+        events, contig, bound, wm, corr_idx=ci, corr_fn=op
+    )
+    assert sorted(got) == want
+
+
+@given(
+    rows=event_streams(),
+    contig=contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wms=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=5),
+    values=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=6
+    ),
+    op_name=st.sampled_from(sorted(_OPS)),
+    ci_seed=st.integers(min_value=0, max_value=7),
+)
+@settings(max_examples=400, deadline=None)
+def test_full_nfa_corr_chunking_invariance(
+    rows, contig, bound, wms, values, op_name, ci_seed
+):
+    """Correlation state (the env of bound values) must survive
+    micro-batch boundaries: any watermark schedule equals one shot."""
+    setup = _corr_setup(rows, contig, values, op_name, ci_seed)
+    if setup is None:
+        return
+    _ci, _op, events, corr, env_names = setup
+    kw = {"corr": corr, "val_cols": ("value",), "env_names": env_names}
+    wms = sorted(set(wms))
+    final_wm = wms[-1]
+    matured_all = [e for e in events if e[0] <= final_wm]
+    _, want = advance_nfa_full([], matured_all, contig, bound, final_wm, **kw)
+
+    partials, got, fed = [], [], set()
+    for wm in wms:
+        chunk = sorted(e for e in events if e[0] <= wm and e[1] not in fed)
+        fed.update(e[1] for e in chunk)
+        partials, m = advance_nfa_full(partials, chunk, contig, bound, wm, **kw)
         got.extend(m)
     assert sorted(got) == sorted(want)
 

@@ -225,3 +225,78 @@ def test_parse_kleene_plus():
 def test_malformed_kleene_rejected(bad, msg):
     with pytest.raises(ValueError, match=msg):
         parse_pattern_sql(bad)
+
+
+# ---------------------------------------------------------------------------
+# Cross-step correlation in DEFINE (MATCH_RECOGNIZE's defining feature)
+
+CORR_SQL = """
+PATTERN ( V -> C -> P )
+WITHIN 24 HOURS
+DEFINE V AS event_type = 'view',
+       C AS event_type = 'click',
+       P AS event_type = 'purchase' AND P.value > V.value
+            AND P.value > C.value
+PARTITION BY user_id
+ORDER BY ts
+"""
+
+
+def test_parse_correlation_split():
+    """AND-conjuncts with step-qualified refs route to the step's
+    where; the per-event predicate keeps the rest."""
+    parsed = parse_pattern_sql(CORR_SQL)
+    p = parsed.pattern.steps[2]
+    assert p.predicate.strip() == "(event_type = 'purchase')"
+    assert "P.value > V.value" in p.where and "P.value > C.value" in p.where
+    assert parsed.pattern.steps[0].where is None
+
+
+def test_correlation_text_equals_builder(spark, sf_dir):
+    """Text-dialect correlation is plan-equivalent to the builder's
+    where= (the cep_seq_corr query, modulo step names)."""
+    events = table(spark, sf_dir, "events")
+    got = match_recognize(events, CORR_SQL)
+    want = (
+        Pattern.begin("V", "event_type = 'view'")
+        .followed_by("C", "event_type = 'click'")
+        .followed_by(
+            "P",
+            "event_type = 'purchase'",
+            where="P.value > V.value AND P.value > C.value",
+        )
+        .within("24 HOURS")
+        .compile_batch(events)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        (  # correlation on the anchor step
+            "PATTERN (a -> b) WITHIN 1h "
+            "DEFINE a AS a.value > b.value, b AS x = 1",
+            "first step cannot correlate",
+        ),
+        (  # correlation on a quantified step
+            "PATTERN (a -> b{2}) WITHIN 1h "
+            "DEFINE a AS x = 1, b AS b.value > a.value",
+            "not supported on",
+        ),
+        (  # correlation on a kleene step
+            "PATTERN (a -> b+) WITHIN 1h "
+            "DEFINE a AS x = 1, b AS b.value > a.value",
+            "not supported on",
+        ),
+        (  # unqualified column inside a correlation conjunct
+            "PATTERN (a -> b) WITHIN 1h "
+            "DEFINE a AS x = 1, b AS value > a.value",
+            "qualify every column",
+        ),
+    ],
+)
+def test_malformed_correlation_rejected(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_pattern_sql(bad)

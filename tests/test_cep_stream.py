@@ -340,6 +340,45 @@ def test_emit_ids_stream_equals_batch_compiler(spark, sf_dir):
     assert joined.filter(F.col("event_type").isNull()).count() == 0
 
 
+def test_corr_stream_equals_batch_compiler(spark, sf_dir):
+    """Cross-step correlation on the fixture: the purchase step binds
+    only when its value exceeds BOTH the anchor view's and the bound
+    click's — exercising anchor env capture AND the struct-carried
+    intermediate binding. Streaming (Python-translated where inside
+    the NFA) must equal batch (SQL-translated where in the join
+    condition) exactly — this parity is what proves the two
+    translations of the same clause agree."""
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by(
+            "purchase",
+            "event_type = 'purchase'",
+            where="purchase.value > view.value AND purchase.value > click.value",
+        )
+        .within("24 HOURS")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    want = pat.compile_batch(table(spark, sf_dir, "events"))
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0
+    # the correlation must actually bite: strictly fewer matches than
+    # the uncorrelated funnel
+    plain = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+    )
+    assert got.count() < plain.compile_batch(
+        table(spark, sf_dir, "events")
+    ).count()
+
+
 def test_kleene_terminal_stream_greedy_run(spark):
     """Terminal one_or_more: the run must absorb ALL consecutive
     matching events (greedy) and emit once closed — by a following
