@@ -32,17 +32,46 @@ from spark_cep_spark.registry import register
 # step-qualified column reference inside a correlation clause: `view.value`
 _WHERE_REF = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
 
+# aggregate over a Kleene run's bound events: `max(err.value)` — the
+# MATCH_RECOGNIZE aggregate-over-pattern-variable form. Only valid on
+# one_or_more steps; plain steps are referenced directly.
+_RUN_AGGS = ("first", "last", "min", "max", "sum", "avg", "count")
+_AGG_REF = re.compile(
+    r"\b(" + "|".join(_RUN_AGGS) + r")\s*\(\s*"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*\)",
+    re.I,
+)
+
+
+def _sub_agg_refs(expr: str) -> str:
+    """Rewrite run-aggregate refs agg(K.col) → the carried
+    _v_<K>_<agg>_<col> column (shared by where and measure
+    translation; must run BEFORE the plain-ref pass)."""
+    return _AGG_REF.sub(
+        lambda mo: f"_v_{mo.group(2)}_{mo.group(1).lower()}_{mo.group(3)}",
+        expr,
+    )
+
 
 def _translate_where_sql(where: str, cur_name: str) -> str:
     """Rewrite a correlation clause for the batch join condition:
     current-step refs → the candidate's _c_<col> columns, earlier-step
-    refs → the carried _v_<step>_<col> columns."""
+    refs → the carried _v_<step>_<col> columns, run aggregates → the
+    carried _v_<step>_<agg>_<col> columns."""
 
     def repl(mo: re.Match) -> str:
         s, c = mo.group(1), mo.group(2)
         return f"_c_{c}" if s == cur_name else f"_v_{s}_{c}"
 
-    return _WHERE_REF.sub(repl, where)
+    return _WHERE_REF.sub(repl, _sub_agg_refs(where))
+
+
+def _translate_measure_sql(expr: str) -> str:
+    """Rewrite a MEASURES expression over the carried _v_ columns —
+    every ref is to an already-bound step (validated by corr_plan)."""
+    return _WHERE_REF.sub(
+        lambda mo: f"_v_{mo.group(1)}_{mo.group(2)}", _sub_agg_refs(expr)
+    )
 
 
 @dataclass
@@ -70,6 +99,7 @@ class Pattern:
 
     steps: list[Step] = field(default_factory=list)
     time_bound: str | None = None  # SQL interval literal body, e.g. "1 HOUR"
+    measures: list = field(default_factory=list)  # [(alias, expr)], see measure()
 
     @staticmethod
     def begin(name: str, predicate: str) -> "Pattern":
@@ -145,6 +175,20 @@ class Pattern:
         self.time_bound = bound
         return self
 
+    def measure(self, alias: str, expr: str) -> "Pattern":
+        """MATCH_RECOGNIZE-style MEASURES projection: an output column
+        `alias` computed from bound events' values, e.g.
+        measure("uplift", "purchase.value - view.value"). Same
+        restricted, fully step-qualified grammar as `where=`; may
+        reference any positive non-kleene step (including the last).
+        Both engines emit it: batch computes over the carried _v_
+        columns, the streaming NFA over the match's env of bound
+        values."""
+        if not re.match(r"^[A-Za-z_]\w*$", alias):
+            raise ValueError(f"bad measure alias: {alias!r}")
+        self.measures.append((alias, expr))
+        return self
+
     def corr_plan(self) -> dict:
         """Parse + validate every step's correlation clause (shared by
         the batch compiler and the streaming NFA, so both enforce
@@ -160,12 +204,72 @@ class Pattern:
         wheres: list = []
         cur_refs: list = []
         refs: dict[str, set] = {}
+        run_refs: dict[str, set] = {}
         _ALLOWED_BARE = {"and", "or", "not", "abs", "true", "false"}
+
+        def _scan(expr: str, desc: str, i_pos: int | None, cur_name: str | None):
+            """Collect refs of one where/measure expression. i_pos set
+            (a where): refs must target the current or earlier steps;
+            None (a measure): any positive step. Returns the current-
+            step cols (wheres only)."""
+            cur: set = set()
+            for agg, ref_step, col in _AGG_REF.findall(expr):
+                if ref_step not in names:
+                    raise ValueError(f"unknown step '{ref_step}' in {desc}")
+                if kinds[ref_step] != "kleene":
+                    raise ValueError(
+                        f"{desc}: {agg}({ref_step}.{col}) aggregates a "
+                        f"non-one_or_more step — reference "
+                        f"{ref_step}.{col} directly"
+                    )
+                if i_pos is not None and names.index(ref_step) >= i_pos:
+                    raise ValueError(
+                        f"{desc} references step '{ref_step}' that is "
+                        "not strictly earlier"
+                    )
+                run_refs.setdefault(ref_step, set()).add((agg.lower(), col))
+            stripped = _AGG_REF.sub(" ", expr)
+            for ref_step, col in _WHERE_REF.findall(stripped):
+                if ref_step not in names:
+                    raise ValueError(
+                        f"unknown step '{ref_step}' in {desc} (all "
+                        "column refs must be step-qualified)"
+                    )
+                if i_pos is not None and names.index(ref_step) > i_pos:
+                    raise ValueError(
+                        f"{desc} references later step '{ref_step}'"
+                    )
+                if ref_step == cur_name:
+                    cur.add(col)
+                    continue
+                if kinds[ref_step] == "kleene":
+                    raise ValueError(
+                        f"{desc} references one_or_more step "
+                        f"'{ref_step}' without an aggregate (a run has "
+                        "no single value — use first/last/min/max/sum/"
+                        "avg/count(step.col))"
+                    )
+                if kinds[ref_step] == "absent":
+                    raise ValueError(
+                        f"{desc} references negated step '{ref_step}' "
+                        "(it never binds an event)"
+                    )
+                refs.setdefault(ref_step, set()).add(col)
+            # any bare identifier left after stripping refs is a
+            # misspelled/unqualified column — fail at compile, not run
+            residue = _WHERE_REF.sub(" ", stripped)
+            for tok in re.findall(r"[A-Za-z_]\w*", residue):
+                if tok.lower() not in _ALLOWED_BARE:
+                    raise ValueError(
+                        f"unqualified identifier '{tok}' in {desc} — "
+                        "qualify every column as <step>.<col>"
+                    )
+            return cur
+
         for i, s in enumerate(self.steps):
             wheres.append(s.where)
-            cur: set = set()
             if s.where is None:
-                cur_refs.append(cur)
+                cur_refs.append(set())
                 continue
             if s.contiguity == "kleene":
                 raise ValueError(
@@ -177,45 +281,37 @@ class Pattern:
                     "the anchor step cannot correlate (fold the "
                     "condition into its predicate)"
                 )
-            for ref_step, col in _WHERE_REF.findall(s.where):
-                if ref_step not in names:
-                    raise ValueError(
-                        f"unknown step '{ref_step}' in where of "
-                        f"'{s.name}' (all column refs must be "
-                        "step-qualified)"
-                    )
-                if names.index(ref_step) > i:
-                    raise ValueError(
-                        f"where of '{s.name}' references later step "
-                        f"'{ref_step}'"
-                    )
-                if ref_step == s.name:
-                    cur.add(col)
-                else:
-                    if kinds[ref_step] == "kleene":
-                        raise ValueError(
-                            f"where of '{s.name}' references "
-                            f"one_or_more step '{ref_step}' (a run "
-                            "has no single value)"
-                        )
-                    refs.setdefault(ref_step, set()).add(col)
-            # any bare identifier left after stripping refs is a
-            # misspelled/unqualified column — fail at compile, not at run
-            residue = _WHERE_REF.sub(" ", s.where)
-            for tok in re.findall(r"[A-Za-z_]\w*", residue):
-                if tok.lower() not in _ALLOWED_BARE:
-                    raise ValueError(
-                        f"unqualified identifier '{tok}' in where of "
-                        f"'{s.name}' — qualify every column as "
-                        "<step>.<col>"
-                    )
-            cur_refs.append(cur)
+            cur_refs.append(_scan(s.where, f"where of '{s.name}'", i, s.name))
+        # MEASURES refs: any positive non-kleene step (incl. the last);
+        # their values join the carry set exactly like where-refs
+        reserved = {"key", "anchor_id"}
+        for s in self.steps:
+            reserved |= {
+                f"t_{s.name}",
+                f"id_{s.name}",
+                f"t_{s.name}_first",
+                f"t_{s.name}_last",
+                f"id_{s.name}_first",
+                f"id_{s.name}_last",
+                f"{s.name}_count",
+            }
+        for alias, expr in self.measures:
+            if alias in reserved:
+                raise ValueError(
+                    f"measure alias {alias!r} collides with an output column"
+                )
+            _scan(expr, f"measure {alias!r}", None, None)
         return {
             "wheres": wheres,
             "cur_refs": cur_refs,
             "refs": {k: sorted(v) for k, v in refs.items()},
+            "run_refs": {k: sorted(v) for k, v in run_refs.items()},
             "all_cols": sorted(
-                set().union(*cur_refs, *[set(v) for v in refs.values()])
+                set().union(
+                    *cur_refs,
+                    *[set(v) for v in refs.values()],
+                    *[{c for _a, c in v} for v in run_refs.values()],
+                )
             ),
         }
 
@@ -290,6 +386,11 @@ class Pattern:
                 # predicate's events; entry = earliest member after the
                 # previous binding, run = the island suffix from there,
                 # truncated at the anchor bound.
+                raggs = [
+                    (a, c)
+                    for a, c in corr["run_refs"].get(step.name, [])
+                ]  # aggregates later wheres/measures read off this run
+                rcols = sorted({c for _a, c in raggs})
                 w_m = W.partitionBy("cand_key").orderBy("cand_ts", "cand_rn")
                 mem_sel = [
                     F.col(key_col).alias("cand_key"),
@@ -298,6 +399,7 @@ class Pattern:
                 ]
                 if emit_ids:
                     mem_sel.append(F.col(id_col).alias("cand_eid"))
+                mem_sel += [F.col(c).alias(f"_c_{c}") for c in rcols]
                 mem = (
                     events.filter(F.expr(step.predicate))
                     .select(*mem_sel)
@@ -314,10 +416,22 @@ class Pattern:
                 struct_cols = ["cand_ts", "cand_rn"] + (
                     ["cand_eid"] if emit_ids else []
                 )
+                # run-member values trail the unique (ts, rn) prefix in
+                # both structs: _e carries the run's FIRST values, _l
+                # its LAST — they never influence which row wins
+                val_fields = [F.col(f"_c_{c}").alias(f"v_{c}") for c in rcols]
                 entry = (
                     cur.join(mem, entry_cond)
                     .groupBy(*group_cols)
-                    .agg(F.min(F.struct(*struct_cols, "isl")).alias("_e"))
+                    .agg(
+                        F.min(
+                            F.struct(
+                                *[F.col(x) for x in struct_cols],
+                                F.col("isl"),
+                                *val_fields,
+                            )
+                        ).alias("_e")
+                    )
                 )
                 run_cond = (
                     (F.col("key") == F.col("cand_key"))
@@ -325,16 +439,32 @@ class Pattern:
                     & (F.col("cand_rn") >= F.col("_e.cand_rn"))
                     & in_bound
                 )
+                agg_exprs = [
+                    F.max(
+                        F.struct(*[F.col(x) for x in struct_cols], *val_fields)
+                    ).alias("_l"),
+                    F.count(F.lit(1)).alias(f"{step.name}_count"),
+                ]
+                run_v_cols: list[str] = []
+                for a, c in raggs:
+                    if a in ("first", "last"):
+                        continue  # extracted from _e/_l below
+                    vname = f"_v_{step.name}_{a}_{c}"
+                    agg_exprs.append(getattr(F, a)(F.col(f"_c_{c}")).alias(vname))
+                    run_v_cols.append(vname)
                 cur = (
                     entry.join(mem, run_cond)
                     .groupBy(*group_cols, "_e")
-                    .agg(
-                        F.max(F.struct(*struct_cols)).alias("_l"),
-                        F.count(F.lit(1)).alias(f"{step.name}_count"),
-                    )
+                    .agg(*agg_exprs)
                     .withColumn(f"t_{step.name}_first", F.col("_e.cand_ts"))
                     .withColumn(f"t_{step.name}_last", F.col("_l.cand_ts"))
                 )
+                for a, c in raggs:
+                    if a in ("first", "last"):
+                        vname = f"_v_{step.name}_{a}_{c}"
+                        src = "_e" if a == "first" else "_l"
+                        cur = cur.withColumn(vname, F.col(f"{src}.v_{c}"))
+                        run_v_cols.append(vname)
                 id_cols = []
                 if emit_ids:
                     cur = cur.withColumn(
@@ -354,6 +484,7 @@ class Pattern:
                     f"t_{step.name}_last",
                     f"{step.name}_count",
                     *id_cols,
+                    *run_v_cols,
                 )
                 prev_t = f"t_{step.name}_last"
                 continue
@@ -435,6 +566,8 @@ class Pattern:
                     .agg(F.min("cand_ts").alias(f"t_{step.name}"))
                 )
             prev_t = f"t_{step.name}"
+        for alias, expr in self.measures:
+            cur = cur.withColumn(alias, F.expr(_translate_measure_sql(expr)))
         internal = [
             c for c in cur.columns if c.startswith("_v_") or c == "_prev_rn"
         ]
@@ -568,6 +701,57 @@ def cep_seq_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             where="purchase.value > view.value AND purchase.value > click.value",
         )
         .within("24 HOURS")
+    )
+    return pat.compile_batch(events)
+
+
+@register(
+    "cep_seq_measures",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, v.value AS v_view,
+                  min({'ts': c.ts, 'id': c.event_id, 'v': c.value}) AS mc
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts, v.value
+         ),
+         s3 AS (
+           SELECT s2.user_id, s2.event_id, s2.t_view, s2.v_view, s2.mc,
+                  min({'ts': p.ts, 'id': p.event_id, 'v': p.value}) AS mp
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.mc.ts AND p.ts <= s2.t_view + INTERVAL 24 HOUR
+                         AND p.value > s2.v_view
+           GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.v_view, s2.mc
+         )
+    SELECT user_id AS key, event_id AS anchor_id,
+           t_view, mc.ts AS t_click, mp.ts AS t_purchase,
+           mp.v - v_view AS uplift, mc.v AS click_val
+    FROM s3
+    """,
+)
+def cep_seq_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style MEASURES projection: the correlated funnel
+    additionally emits computed columns from the bound events' values
+    (uplift = purchase minus view value; the bound click's value).
+    Values are carried through the match (hidden _v_ columns / NFA
+    env); the measure-referenced purchase step binds via the
+    deterministic (ts, event_id) struct-min so the emitted value is
+    exact under ties — mirrored in the oracle's named-struct mins."""
+    events = table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by(
+            "purchase",
+            "event_type = 'purchase'",
+            where="purchase.value > view.value",
+        )
+        .within("24 HOURS")
+        .measure("uplift", "purchase.value - view.value")
+        .measure("click_val", "click.value")
     )
     return pat.compile_batch(events)
 
@@ -847,6 +1031,64 @@ def cep_kleene_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within("7 DAYS")
         .compile_batch(events)
     )
+
+
+@register(
+    "cep_kleene_measures",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, rn, value,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, rn) AS isl
+      FROM e WHERE event_type = 'error'
+    ),
+    a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+    entry AS (
+      SELECT a.user_id, a.event_id, a.ts AS t_s, min(m.rn) AS e_rn
+      FROM a JOIN m ON m.user_id = a.user_id
+                   AND m.ts > a.ts AND m.ts <= a.ts + INTERVAL 7 DAY
+      GROUP BY a.user_id, a.event_id, a.ts
+    )
+    SELECT entry.user_id AS key, entry.event_id AS anchor_id, entry.t_s,
+           min(m2.ts) AS t_err_first, max(m2.ts) AS t_err_last,
+           count(*) AS err_count,
+           max(m2.value) AS err_max,
+           arg_min(m2.value, m2.rn) AS err_first,
+           arg_max(m2.value, m2.rn) AS err_last,
+           count(m2.value) AS err_n,
+           round(sum(m2.value), 6) AS err_sum_r
+    FROM entry
+    JOIN m em ON em.user_id = entry.user_id AND em.rn = entry.e_rn
+    JOIN m m2 ON m2.user_id = entry.user_id AND m2.isl = em.isl
+             AND m2.rn >= entry.e_rn
+             AND m2.ts <= entry.t_s + INTERVAL 7 DAY
+    GROUP BY entry.user_id, entry.event_id, entry.t_s
+    """,
+)
+def cep_kleene_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over a Kleene run (MATCH_RECOGNIZE agg-over-variable):
+    the error run's max/first/last/count/sum emitted as measures. The
+    run aggregation rides the same gaps-and-islands pass that builds
+    the run — zero extra shuffles. The sum is rounded on BOTH sides
+    (registry float discipline: engine-order float addition must not
+    flip the hash); the other aggregates are order-free exact."""
+    events = table(spark, sf_dir, "events")
+    df = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .within("7 DAYS")
+        .measure("err_max", "max(err.value)")
+        .measure("err_first", "first(err.value)")
+        .measure("err_last", "last(err.value)")
+        .measure("err_n", "count(err.value)")
+        .measure("err_sum", "sum(err.value)")
+        .compile_batch(events)
+    )
+    return df.withColumn("err_sum_r", F.round("err_sum", 6)).drop("err_sum")
 
 
 def select_non_overlapping(

@@ -51,6 +51,15 @@ engines); the remaining conjuncts stay the per-event predicate
 must be step-qualified (Pattern.corr_plan's restricted grammar).
 Correlation is not supported on quantified ({n}/+) steps.
 
+A MEASURES clause (standard MATCH_RECOGNIZE) projects computed output
+columns from the bound events' values:
+
+    MEASURES P.value - V.value AS uplift, C.value AS click_val
+
+Same step-qualified grammar; may reference any positive non-kleene
+step. Both engines emit the columns (batch via carried values, the
+streaming NFA via the match's env of bound values).
+
 Scale: identical to the Pattern builder's (one window shuffle for
 strict sequence numbers, per-step equi-join + min-agg on the key) —
 the text layer adds zero execution surface.
@@ -67,7 +76,14 @@ from spark_cep_spark.io import table
 from spark_cep_spark.operators.cep import Pattern, _WHERE_REF
 from spark_cep_spark.registry import register
 
-_CLAUSE_KEYWORDS = ("PATTERN", "WITHIN", "DEFINE", "PARTITION BY", "ORDER BY")
+_CLAUSE_KEYWORDS = (
+    "PATTERN",
+    "WITHIN",
+    "DEFINE",
+    "MEASURES",
+    "PARTITION BY",
+    "ORDER BY",
+)
 
 
 @dataclass
@@ -290,8 +306,17 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     if unused:
         raise ValueError(f"DEFINE entries never used in PATTERN: {sorted(unused)}")
 
+    if "MEASURES" in clauses:
+        for item in _split_top_level_commas(clauses["MEASURES"]):
+            m = re.match(r"^(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.I | re.S)
+            if not m:
+                raise ValueError(
+                    f"malformed MEASURES entry: {item!r} (want expr AS alias)"
+                )
+            pattern.measure(m.group(2), m.group(1).strip())
+
     pattern.within(clauses["WITHIN"])
-    pattern.corr_plan()  # surface correlation errors at parse time
+    pattern.corr_plan()  # surface correlation/measure errors at parse time
     key_col = clauses.get("PARTITION BY", "user_id").strip() or "user_id"
     time_col = clauses.get("ORDER BY", "ts").strip() or "ts"
     for col, label in ((key_col, "PARTITION BY"), (time_col, "ORDER BY")):

@@ -127,7 +127,7 @@ def _compile_where_py(where: str, cur_name: str):
         s, c = mo.group(1), mo.group(2)
         return f"__c[{c!r}]" if s == cur_name else f"__e[{s!r}][{c!r}]"
 
-    expr = _WHERE_REF.sub(repl, where)
+    expr = _WHERE_REF.sub(repl, _sub_agg_refs_py(where))
     expr = re.sub(r"(?i)\bAND\b", " and ", expr)
     expr = re.sub(r"(?i)\bOR\b", " or ", expr)
     expr = re.sub(r"(?i)\bNOT\b", " not ", expr)
@@ -144,10 +144,80 @@ def _compile_where_py(where: str, cur_name: str):
                     {"__c": cand, "__e": env},
                 )
             )
-        except TypeError:
+        except (TypeError, ZeroDivisionError):
             return False  # a NULL operand: comparison not satisfied
 
     return fn
+
+
+def _compile_measure_py(expr: str):
+    """Compile a MEASURES expression to fn(env) -> value for the NFA —
+    the Python twin of operators.cep._translate_measure_sql. Every ref
+    targets a bound step recorded in env (validated by corr_plan).
+    A NULL operand yields NULL (TypeError → None)."""
+    from spark_cep_spark.operators.cep import _WHERE_REF
+
+    py = _WHERE_REF.sub(
+        lambda mo: f"__e[{mo.group(1)!r}][{mo.group(2)!r}]",
+        _sub_agg_refs_py(expr),
+    )
+    py = re.sub(r"(?i)\bAND\b", " and ", py)
+    py = re.sub(r"(?i)\bOR\b", " or ", py)
+    py = re.sub(r"(?i)\bNOT\b", " not ", py)
+    py = py.replace("<>", "!=")
+    py = re.sub(r"(?<![<>!=])=(?!=)", "==", py)
+    code = compile(py, "<measure>", "eval")
+
+    def fn(env: dict):
+        try:
+            return eval(  # noqa: S307 — grammar restricted by corr_plan
+                code, {"__builtins__": {}, "abs": abs}, {"__e": env}
+            )
+        except (TypeError, ZeroDivisionError):
+            return None
+
+    return fn
+
+
+# run-aggregate state per tracked column: [first, last, min, max, sum,
+# count] — every slot one-pass mergeable; first/last include NULLs
+# (positional), min/max/sum/count skip them (SQL semantics)
+_AGG_IDX = {"first": 0, "last": 1, "min": 2, "max": 3, "sum": 4, "count": 5}
+
+
+def _run_init(v):
+    if v is None:
+        return [None, None, None, None, None, 0]
+    return [v, v, v, v, v, 1]
+
+
+def _run_extend(st: list, v) -> list:
+    if v is None:
+        return [st[0], None, st[2], st[3], st[4], st[5]]
+    return [
+        st[0],
+        v,
+        v if st[2] is None else min(st[2], v),
+        v if st[3] is None else max(st[3], v),
+        v if st[4] is None else st[4] + v,
+        st[5] + 1,
+    ]
+
+
+def _sub_agg_refs_py(expr: str) -> str:
+    """Rewrite run-aggregate refs agg(K.col) to env accessors — the
+    Python twin of operators.cep._sub_agg_refs. avg reads sum/count
+    (division by a 0 count yields NULL via the caller's except)."""
+    from spark_cep_spark.operators.cep import _AGG_REF
+
+    def repl(mo: re.Match) -> str:
+        agg, s, c = mo.group(1).lower(), mo.group(2), mo.group(3)
+        base = f"__e[{s!r}][{c!r}]"
+        if agg == "avg":
+            return f"({base}[4] / {base}[5])"
+        return f"{base}[{_AGG_IDX[agg]}]"
+
+    return _AGG_REF.sub(repl, expr)
 
 
 def _last_pos(bound: list) -> tuple[int, int]:
@@ -167,6 +237,8 @@ def advance_nfa_full(
     corr: list | None = None,
     val_cols: tuple = (),
     env_names: list | None = None,
+    emit_env: bool = False,
+    run_cols: list | None = None,
 ) -> tuple[list, list]:
     """The generalized NFA kernel: relaxed (followed_by), strict
     (next), greedy Kleene-plus (one_or_more) and terminal negation
@@ -197,8 +269,15 @@ def advance_nfa_full(
               fn(cand_vals, env) -> bool (None per step without one);
               a step binds only if its m-flag AND its corr predicate
               hold. val_cols names the columns of matured[i][3];
-              env_names[i] is step i's name if a later corr reads its
-              values (its binding is then recorded in env), else None.
+              env_names[i] is step i's name if a later corr — or a
+              MEASURES expression — reads its values (its binding is
+              then recorded in env), else None. emit_env=True widens
+              matches to (anchor_eid, bound, env) so the caller can
+              evaluate measures over the bound values. run_cols[i]
+              (kleene steps only) lists columns whose one-pass
+              aggregate state ([first, last, min, max, sum, count] per
+              col) the run maintains in env — read back via
+              agg(step.col) refs in later wheres and measures.
     Returns (partials', matches), matches = [(anchor_eid, bound)] over
     POSITIVE steps only (compile_batch likewise emits nothing for the
     absent step), anchor_eid = bound[0][1].
@@ -222,22 +301,42 @@ def advance_nfa_full(
     n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
     has_neg = n_pos < len(contig)
     matches = []
+
+    def _emit(bound: list, env: dict):
+        return (bound[0][1], bound, env) if emit_env else (bound[0][1], bound)
+
+    # hoisted per-event hooks (closure creation inside the event loop
+    # would tax the ~1M events/s kernel even with no correlation); vd
+    # is threaded via a one-slot cell
+    _cell = [None]  # vd of the event being processed
+
+    if corr or env_names:
+
+        def _ok(i: int, m: list, env: dict) -> bool:
+            if not m[i]:
+                return False
+            f = corr[i] if corr else None
+            return f is None or f(_cell[0], env)
+
+        def _bind_env(env: dict, i: int) -> dict:
+            if env_names and env_names[i]:
+                return {**env, env_names[i]: _cell[0]}
+            return env
+
+    else:
+
+        def _ok(i: int, m: list, env: dict) -> bool:
+            return m[i]
+
+        def _bind_env(env: dict, i: int) -> dict:
+            return env
+
     # normalize legacy 2-element partials (pre-correlation state)
     partials = [p if len(p) == 3 else [p[0], p[1], {}] for p in partials]
     for ev in matured:
         ts, eid, m = ev[0], ev[1], ev[2]
-        vd = dict(zip(val_cols, ev[3])) if corr else None
-
-        def _ok(i: int, env: dict) -> bool:
-            if not m[i]:
-                return False
-            f = corr[i] if corr else None
-            return f is None or f(vd, env)
-
-        def _bind_env(env: dict, i: int) -> dict:
-            if env_names and env_names[i]:
-                return {**env, env_names[i]: vd}
-            return env
+        vd = dict(zip(val_cols, ev[3])) if val_cols else None
+        _cell[0] = vd
 
         kept = []
         for bound, open_run, env in partials:
@@ -249,17 +348,27 @@ def advance_nfa_full(
                     # extend, or close and fall through
                     if m[k] and ts <= t0 + bound_us:
                         e = bound[k]
+                        env2 = env
+                        if run_cols and run_cols[k]:
+                            nm = env_names[k]
+                            env2 = {
+                                **env,
+                                nm: {
+                                    c: _run_extend(env[nm][c], vd[c])
+                                    for c in run_cols[k]
+                                },
+                            }
                         kept.append(
                             [
                                 bound[:k] + [[e[0], e[1], ts, eid, e[4] + 1]],
                                 True,
-                                env,
+                                env2,
                             ]
                         )
                         continue
                     open_run = False
                     if len(bound) == n_pos and not has_neg:
-                        matches.append((bound[0][1], bound))
+                        matches.append(_emit(bound, env))
                         continue
                 else:
                     kept.append([bound, open_run, env])
@@ -270,7 +379,7 @@ def advance_nfa_full(
                 # (t_last, t_anchor + bound]
                 if (
                     has_neg
-                    and _ok(n_pos, env)
+                    and _ok(n_pos, m, env)
                     and ts > _last_pos(bound)[0]
                     and ts <= t0 + bound_us
                 ):
@@ -284,31 +393,39 @@ def advance_nfa_full(
                 if (ts, eid) > _last_pos(bound):
                     # this IS the key's immediately-next event:
                     # bind or die (predicate AND correlation)
-                    if _ok(nxt, env):
+                    if _ok(nxt, m, env):
                         bound = bound + [[ts, eid]]
                         if len(bound) == n_pos and not has_neg:
-                            matches.append((bound[0][1], bound))
+                            matches.append(_emit(bound, _bind_env(env, nxt)))
                             continue
                         kept.append([bound, False, _bind_env(env, nxt)])
                     continue
                 kept.append([bound, False, env])
             elif kind == "kleene":
                 if ts > _last_pos(bound)[0] and m[nxt]:
+                    env2 = env
+                    if run_cols and run_cols[nxt]:
+                        env2 = {
+                            **env,
+                            env_names[nxt]: {
+                                c: _run_init(vd[c]) for c in run_cols[nxt]
+                            },
+                        }
                     kept.append(
-                        [bound + [[ts, eid, ts, eid, 1]], True, env]
+                        [bound + [[ts, eid, ts, eid, 1]], True, env2]
                     )
                 else:
                     kept.append([bound, False, env])
-            elif ts > _last_pos(bound)[0] and _ok(nxt, env):
+            elif ts > _last_pos(bound)[0] and _ok(nxt, m, env):
                 bound = bound + [[ts, eid]]
                 if len(bound) == n_pos and not has_neg:
-                    matches.append((bound[0][1], bound))
+                    matches.append(_emit(bound, _bind_env(env, nxt)))
                     continue
                 kept.append([bound, False, _bind_env(env, nxt)])
             else:
                 kept.append([bound, False, env])
         partials = kept
-        if _ok(0, {}):
+        if _ok(0, m, {}):
             partials.append([[[ts, eid]], False, _bind_env({}, 0)])
     # watermark pass: close runs whose deadline passed, emit matured
     # negation / terminal-run completions, expire dead partials
@@ -322,7 +439,7 @@ def advance_nfa_full(
                 # no-negation case only reachable for a terminal kleene
                 # run closed by the watermark (event-closed runs
                 # emitted in-loop); negation case = absence now proven
-                matches.append((bound[0][1], bound))
+                matches.append(_emit(bound, env))
                 continue
             out.append([bound, open_run, env])
             continue
@@ -755,17 +872,75 @@ def compile_stream(
 
     corr_plan = pattern.corr_plan()
     has_corr = any(w is not None for w in corr_plan["wheres"])
-    val_cols = tuple(corr_plan["all_cols"])
+    val_cols = tuple(corr_plan["all_cols"])  # non-empty iff where/measures
     corr_fns = None
     env_names = None
+    if val_cols:
+        env_names = [
+            s.name
+            if (s.name in corr_plan["refs"] or s.name in corr_plan["run_refs"])
+            else None
+            for s in steps
+        ]
+    run_cols = None
+    if corr_plan["run_refs"]:
+        run_cols = [
+            sorted({c for _a, c in corr_plan["run_refs"].get(s.name, [])})
+            or None
+            for s in steps
+        ]
     if has_corr:
         corr_fns = [
             _compile_where_py(w, steps[i].name) if w else None
             for i, w in enumerate(corr_plan["wheres"])
         ]
-        env_names = [
-            s.name if s.name in corr_plan["refs"] else None for s in steps
+    measures = list(pattern.measures)
+    measure_fns = [(a, _compile_measure_py(e)) for a, e in measures]
+    measure_fields: list[T.StructField] = []
+    if measures:
+        # infer each measure's Spark type by planning the batch-side
+        # translation over an empty frame of the carried columns
+        from spark_cep_spark.operators.cep import _translate_measure_sql
+
+        ev_types = {f.name: f.dataType for f in events_stream.schema.fields}
+
+        def _carried_type(agg: str, dt_: T.DataType) -> T.DataType:
+            # mirror Spark's aggregate result types (F.sum widens
+            # integrals to long and float to double; F.avg is double)
+            if agg == "count":
+                return T.LongType()
+            if agg == "avg":
+                return T.DoubleType()
+            if agg == "sum":
+                if isinstance(
+                    dt_,
+                    (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+                ):
+                    return T.LongType()
+                if isinstance(dt_, T.FloatType):
+                    return T.DoubleType()
+            return dt_
+
+        probe_fields = [
+            T.StructField(f"_v_{s}_{c}", ev_types[c])
+            for s, cols in corr_plan["refs"].items()
+            for c in cols
+        ] + [
+            T.StructField(f"_v_{s}_{a}_{c}", _carried_type(a, ev_types[c]))
+            for s, acs in corr_plan["run_refs"].items()
+            for a, c in acs
         ]
+        probe = events_stream.sparkSession.createDataFrame(
+            [], T.StructType(probe_fields)
+        )
+        measure_fields = list(
+            probe.selectExpr(
+                *[
+                    f"{_translate_measure_sql(e)} AS {a}"
+                    for a, e in measures
+                ]
+            ).schema.fields
+        )
 
     flags = [
         F.expr(s.predicate).cast("boolean").alias(f"m{i}") for i, s in enumerate(steps)
@@ -806,6 +981,7 @@ def compile_stream(
             out_fields.append(T.StructField(f"t_{s.name}", T.TimestampType()))
             if emit_ids:
                 out_fields.append(T.StructField(f"id_{s.name}", T.LongType()))
+    out_fields += measure_fields
     out_schema = T.StructType(out_fields)
     state_schema = T.StructType([T.StructField("payload", T.StringType())])
 
@@ -830,7 +1006,7 @@ def compile_stream(
                         int(pdf["eid"].iloc[j]),
                         [bool(pdf[f"m{i}"].iloc[j]) for i in range(n_steps)],
                     ]
-                    if has_corr:
+                    if val_cols:
                         entry.append(
                             [_py(pdf[f"v_{c}"].iloc[j]) for c in val_cols]
                         )
@@ -851,6 +1027,8 @@ def compile_stream(
             corr=corr_fns,
             val_cols=val_cols,
             env_names=env_names,
+            emit_env=bool(measures),
+            run_cols=run_cols,
         )
 
         if buf or partials:
@@ -865,32 +1043,31 @@ def compile_stream(
             state.remove()  # nothing pending — free the key's state
 
         if matches:
+            bts = [mt[1] for mt in matches]
             cols: dict[str, list] = {
                 "key": [key[0]] * len(matches),
-                "anchor_id": [m0 for m0, _ in matches],
+                "anchor_id": [mt[0] for mt in matches],
             }
             for i, s in enumerate(pos_steps):
                 if s.contiguity == "kleene":
                     cols[f"t_{s.name}_first"] = pd.to_datetime(
-                        [bt[i][0] for _, bt in matches], unit="us"
+                        [bt[i][0] for bt in bts], unit="us"
                     )
                     cols[f"t_{s.name}_last"] = pd.to_datetime(
-                        [bt[i][2] for _, bt in matches], unit="us"
+                        [bt[i][2] for bt in bts], unit="us"
                     )
-                    cols[f"{s.name}_count"] = [bt[i][4] for _, bt in matches]
+                    cols[f"{s.name}_count"] = [bt[i][4] for bt in bts]
                     if emit_ids:
-                        cols[f"id_{s.name}_first"] = [
-                            bt[i][1] for _, bt in matches
-                        ]
-                        cols[f"id_{s.name}_last"] = [
-                            bt[i][3] for _, bt in matches
-                        ]
+                        cols[f"id_{s.name}_first"] = [bt[i][1] for bt in bts]
+                        cols[f"id_{s.name}_last"] = [bt[i][3] for bt in bts]
                 else:
                     cols[f"t_{s.name}"] = pd.to_datetime(
-                        [bt[i][0] for _, bt in matches], unit="us"
+                        [bt[i][0] for bt in bts], unit="us"
                     )
                     if emit_ids:
-                        cols[f"id_{s.name}"] = [bt[i][1] for _, bt in matches]
+                        cols[f"id_{s.name}"] = [bt[i][1] for bt in bts]
+            for alias, fn in measure_fns:
+                cols[alias] = [fn(mt[2]) for mt in matches]
             yield pd.DataFrame(cols)
 
     return prepared.groupBy("key").applyInPandasWithState(

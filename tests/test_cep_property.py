@@ -117,7 +117,42 @@ def _last(bound_entry):
     return bound_entry[2] if len(bound_entry) == 5 else bound_entry[0]
 
 
-def brute_force_full(events, contig, bound, wm, corr_idx=None, corr_fn=None):
+def env_from_bound(events, bound_ts, env_names):
+    """Rebuild the kernel's env (bound values per referenced step) from
+    a brute-force binding: plain entries [ts, eid] → that event's value
+    dict; kleene entries [f_ts, f_eid, l_ts, l_eid, n] → the one-pass
+    aggregate state [first, last, min, max, sum, count] over the run's
+    members (everything between entry and close matches by
+    construction — a non-matching event would have closed the run)."""
+    env = {}
+    if not env_names:
+        return env
+    by_eid = {e[1]: e for e in events}
+    for si, entry in enumerate(bound_ts):
+        nm = env_names[si] if si < len(env_names) else None
+        if not nm:
+            continue
+        if len(entry) == 5:
+            lo, hi = (entry[0], entry[1]), (entry[2], entry[3])
+            vals = [e[3][0] for e in events if lo <= (e[0], e[1]) <= hi]
+            env[nm] = {
+                "value": [
+                    vals[0],
+                    vals[-1],
+                    min(vals),
+                    max(vals),
+                    sum(vals),
+                    len(vals),
+                ]
+            }
+        else:
+            env[nm] = {"value": by_eid[entry[1]][3][0]}
+    return env
+
+
+def brute_force_full(
+    events, contig, bound, wm, corr_idx=None, corr_fn=None, env_names=None
+):
     """Transcription of Pattern.compile_batch over the full (ts, eid)-
     ordered key sequence: relaxed = earliest (ts, position) qualifying
     follower; strict = the next sequence position binds or the match
@@ -129,23 +164,26 @@ def brute_force_full(events, contig, bound, wm, corr_idx=None, corr_fn=None):
     once the deadline passed the watermark.
 
     Cross-step correlation: corr_idx names one step whose binding
-    additionally requires corr_fn(cand_value, anchor_value) — events
-    then carry a 4th element (the value). corr_idx may be the absent
-    step (a killer must also satisfy the correlation)."""
+    additionally requires corr_fn(cand_vals, env) — the kernel's exact
+    predicate signature, with env rebuilt from the partial binding via
+    env_from_bound. Events then carry a 4th element [value]. corr_idx
+    may be the absent step (a killer must also satisfy it)."""
     n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
     has_neg = n_pos < len(contig)
 
-    def _corr(step, j, v0):
+    def _corr(step, j, bound_ts):
         if corr_idx is None or step != corr_idx:
             return True
-        return corr_fn(events[j][3][0], v0[0])
+        return corr_fn(
+            {"value": events[j][3][0]},
+            env_from_bound(events, bound_ts, env_names),
+        )
 
     out = []
     for idx, ev in enumerate(events):
         ts0, eid, m = ev[0], ev[1], ev[2]
         if not m[0]:
             continue
-        v0 = ev[3] if len(ev) > 3 else None
         bound_ts, last_pos, ok = [[ts0, eid]], idx, True
         for step in range(1, n_pos):
             if contig[step] == "strict":
@@ -154,7 +192,7 @@ def brute_force_full(events, contig, bound, wm, corr_idx=None, corr_fn=None):
                     nxt < len(events)
                     and events[nxt][2][step]
                     and events[nxt][0] <= ts0 + bound
-                    and _corr(step, nxt, v0)
+                    and _corr(step, nxt, bound_ts)
                 ):
                     bound_ts.append([events[nxt][0], events[nxt][1]])
                     last_pos = nxt
@@ -191,7 +229,7 @@ def brute_force_full(events, contig, bound, wm, corr_idx=None, corr_fn=None):
                     if e[2][step]
                     and e[0] > _last(bound_ts[-1])
                     and e[0] <= ts0 + bound
-                    and _corr(step, j, v0)
+                    and _corr(step, j, bound_ts)
                 ]
                 if not cands:
                     ok = False
@@ -212,7 +250,7 @@ def brute_force_full(events, contig, bound, wm, corr_idx=None, corr_fn=None):
             killed = any(
                 e[2][n_pos]
                 and _last(bound_ts[-1]) < e[0] <= ts0 + bound
-                and _corr(n_pos, j, v0)
+                and _corr(n_pos, j, bound_ts)
                 for j, e in enumerate(events)
             )
             if killed:
@@ -341,7 +379,13 @@ def test_full_nfa_corr_matches_brute_force(
         env_names=env_names,
     )
     want = brute_force_full(
-        events, contig, bound, wm, corr_idx=ci, corr_fn=op
+        events,
+        contig,
+        bound,
+        wm,
+        corr_idx=ci,
+        corr_fn=corr[ci],
+        env_names=env_names,
     )
     assert sorted(got) == want
 
@@ -380,6 +424,139 @@ def test_full_nfa_corr_chunking_invariance(
         partials, m = advance_nfa_full(partials, chunk, contig, bound, wm, **kw)
         got.extend(m)
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Run aggregates (agg(K.col) over Kleene runs): kernel env state and
+# correlated binding vs the brute force + env_from_bound recomputation
+
+from spark_cep_spark.streaming.nfa import _AGG_IDX  # noqa: E402
+
+
+def _runagg_setup(rows, contig, values, op_name, agg_name, seed):
+    """Pick a kleene step and a later non-kleene step correlating on
+    one of its run aggregates. None if the contiguity mix has no such
+    pair."""
+    kis = [i for i, c in enumerate(contig) if c == "kleene"]
+    if not kis:
+        return None
+    ki = kis[seed % len(kis)]
+    later = [i for i in range(ki + 1, len(contig)) if contig[i] != "kleene"]
+    if not later:
+        return None
+    ci = later[seed % len(later)]
+    op = _OPS[op_name]
+    if agg_name == "avg":
+        acc = lambda stt: stt[4] / stt[5]  # noqa: E731
+    else:
+        ai = _AGG_IDX[agg_name]
+        acc = lambda stt: stt[ai]  # noqa: E731
+    fn = lambda cand, env: op(cand["value"], acc(env["K"]["value"]))  # noqa: E731
+    steps = [(i * 7 + 3) % N_TYPES for i in range(len(contig))]
+    events = [
+        (ts, eid, [typ == s for s in steps], [values[eid % len(values)]])
+        for ts, eid, typ in rows
+    ]
+    corr = [None] * len(contig)
+    corr[ci] = fn
+    env_names = [None] * len(contig)
+    env_names[ki] = "K"
+    run_cols = [None] * len(contig)
+    run_cols[ki] = ["value"]
+    return ci, events, corr, env_names, run_cols
+
+
+@given(
+    rows=event_streams(),
+    contig=contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wm=st.integers(min_value=0, max_value=60),
+    values=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=6
+    ),
+    op_name=st.sampled_from(sorted(_OPS)),
+    agg_name=st.sampled_from(["first", "last", "min", "max", "sum", "count", "avg"]),
+    seed=st.integers(min_value=0, max_value=7),
+)
+@settings(max_examples=600, deadline=None)
+def test_full_nfa_run_agg_corr_matches_brute_force(
+    rows, contig, bound, wm, values, op_name, agg_name, seed
+):
+    """A later step correlating on a Kleene run's aggregate (all seven
+    aggregate kinds) — kernel one-pass run state vs brute force with
+    aggregates recomputed from the full run membership."""
+    setup = _runagg_setup(rows, contig, values, op_name, agg_name, seed)
+    if setup is None:
+        return
+    ci, events, corr, env_names, run_cols = setup
+    events = [e for e in events if e[0] <= wm]
+    _, got = advance_nfa_full(
+        [],
+        events,
+        contig,
+        bound,
+        wm,
+        corr=corr,
+        val_cols=("value",),
+        env_names=env_names,
+        run_cols=run_cols,
+    )
+    want = brute_force_full(
+        events,
+        contig,
+        bound,
+        wm,
+        corr_idx=ci,
+        corr_fn=corr[ci],
+        env_names=env_names,
+    )
+    assert sorted(got) == want
+
+
+@given(
+    rows=event_streams(),
+    contig=contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wm=st.integers(min_value=0, max_value=60),
+    values=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=6
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_full_nfa_run_agg_env_matches_recomputation(
+    rows, contig, bound, wm, values
+):
+    """Every emitted match's env (measures input) must equal the
+    aggregate state recomputed from the run's full membership — for
+    every kleene position, including terminal runs closed by the
+    watermark."""
+    kis = [i for i, c in enumerate(contig) if c == "kleene"]
+    if not kis:
+        return
+    steps = [(i * 7 + 3) % N_TYPES for i in range(len(contig))]
+    events = [
+        (ts, eid, [typ == s for s in steps], [values[eid % len(values)]])
+        for ts, eid, typ in rows
+        if ts <= wm
+    ]
+    env_names = [
+        f"K{i}" if c == "kleene" else None for i, c in enumerate(contig)
+    ]
+    env_names[0] = "A"  # plain-step env capture alongside runs
+    run_cols = [["value"] if c == "kleene" else None for c in contig]
+    _, got = advance_nfa_full(
+        [],
+        events,
+        contig,
+        bound,
+        wm,
+        val_cols=("value",),
+        env_names=env_names,
+        emit_env=True,
+        run_cols=run_cols,
+    )
+    for _eid, bound_ts, env in got:
+        assert env == env_from_bound(events, bound_ts, env_names)
 
 
 @given(

@@ -300,3 +300,99 @@ def test_correlation_text_equals_builder(spark, sf_dir):
 def test_malformed_correlation_rejected(bad, msg):
     with pytest.raises(ValueError, match=msg):
         parse_pattern_sql(bad)
+
+
+MEASURES_SQL = """
+PATTERN ( V -> C -> P )
+WITHIN 24 HOURS
+MEASURES P.value - V.value AS uplift, C.value AS click_val
+DEFINE V AS event_type = 'view',
+       C AS event_type = 'click',
+       P AS event_type = 'purchase' AND P.value > V.value
+"""
+
+
+def test_parse_measures():
+    parsed = parse_pattern_sql(MEASURES_SQL)
+    assert parsed.pattern.measures == [
+        ("uplift", "P.value - V.value"),
+        ("click_val", "C.value"),
+    ]
+
+
+def test_measures_text_equals_builder(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    got = match_recognize(events, MEASURES_SQL)
+    assert got.columns[-2:] == ["uplift", "click_val"]
+    want = (
+        Pattern.begin("V", "event_type = 'view'")
+        .followed_by("C", "event_type = 'click'")
+        .followed_by(
+            "P", "event_type = 'purchase'", where="P.value > V.value"
+        )
+        .within("24 HOURS")
+        .measure("uplift", "P.value - V.value")
+        .measure("click_val", "C.value")
+        .compile_batch(events)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        (  # measure referencing the negated step
+            "PATTERN (a -> !b) WITHIN 1h MEASURES b.value AS x "
+            "DEFINE a AS x = 1, b AS y = 2",
+            "never binds",
+        ),
+        (  # measure referencing a kleene run
+            "PATTERN (a -> b+) WITHIN 1h MEASURES b.value AS x "
+            "DEFINE a AS x = 1, b AS y = 2",
+            "has no single value",
+        ),
+        (  # malformed entry
+            "PATTERN (a -> b) WITHIN 1h MEASURES b.value "
+            "DEFINE a AS x = 1, b AS y = 2",
+            "want expr AS alias",
+        ),
+        (  # alias collides with an output column
+            "PATTERN (a -> b) WITHIN 1h MEASURES b.value AS t_a "
+            "DEFINE a AS x = 1, b AS y = 2",
+            "collides",
+        ),
+    ],
+)
+def test_malformed_measures_rejected(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_pattern_sql(bad)
+
+
+def test_run_aggregates_in_text_dialect(spark, sf_dir):
+    """agg(K.col) refs flow through DEFINE (correlation) and MEASURES
+    unchanged — the text surface inherits run aggregates."""
+    text = """
+    PATTERN ( S -> E+ -> V )
+    WITHIN 7 DAYS
+    MEASURES max(E.value) AS err_max, count(E.value) AS err_n
+    DEFINE S AS event_type = 'signup',
+           E AS event_type = 'error',
+           V AS event_type = 'view' AND V.value < max(E.value)
+    """
+    parsed = parse_pattern_sql(text)
+    assert parsed.pattern.steps[2].where == "(V.value < max(E.value))"
+    got = match_recognize(table(spark, sf_dir, "events"), text)
+    want = (
+        Pattern.begin("S", "event_type = 'signup'")
+        .one_or_more("E", "event_type = 'error'")
+        .followed_by(
+            "V", "event_type = 'view'", where="V.value < max(E.value)"
+        )
+        .within("7 DAYS")
+        .measure("err_max", "max(E.value)")
+        .measure("err_n", "count(E.value)")
+        .compile_batch(table(spark, sf_dir, "events"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0

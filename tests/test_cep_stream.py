@@ -379,6 +379,94 @@ def test_corr_stream_equals_batch_compiler(spark, sf_dir):
     ).count()
 
 
+def test_measures_stream_equals_batch_compiler(spark, sf_dir):
+    """MEASURES projection parity: computed columns (final-step and
+    intermediate-step values, an arithmetic combination) must be
+    identical between the batch carried-value projection and the NFA's
+    env-based evaluation — including under the where-correlation that
+    shares the same carried values."""
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by(
+            "purchase",
+            "event_type = 'purchase'",
+            where="purchase.value > view.value",
+        )
+        .within("24 HOURS")
+        .measure("uplift", "purchase.value - view.value")
+        .measure("click_val", "click.value")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    want = pat.compile_batch(table(spark, sf_dir, "events"))
+    assert got.columns == want.columns
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0
+
+
+def test_measures_on_negation_pattern_stream(spark, sf_dir):
+    """Measures on a not_followed_by pattern: emission happens on the
+    WATERMARK path (absence proven), so the env must survive in the
+    partial's state — the other emission path from the in-loop binds."""
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .not_followed_by("purchase", "event_type = 'purchase'")
+        .within("6 HOUR")
+        .measure("combo", "view.value + 2 * click.value")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg({"ts": "max"}).first()[0]
+    want = pat.compile_batch(events).filter(
+        F.expr(f"t_view + INTERVAL 6 HOURS <= timestamp'{max_ts}'")
+    )
+    assert _norm(got.collect()) == _norm(want.collect())
+    assert got.count() > 0
+
+
+def test_run_agg_measures_stream_equals_batch(spark, sf_dir):
+    """Aggregates over a Kleene run, both as a later step's correlation
+    input (where on max(err.value)) and as measures: the NFA's one-pass
+    run state must equal the batch gaps-and-islands aggregation. sum
+    and avg are rounded on both sides (engine-order float addition);
+    max/first/count are compared exactly."""
+    pat = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .followed_by("v", "event_type = 'view'", where="v.value < max(err.value)")
+        .within("7 DAYS")
+        .measure("err_max", "max(err.value)")
+        .measure("err_first", "first(err.value)")
+        .measure("err_n", "count(err.value)")
+        .measure("err_sum", "sum(err.value)")
+        .measure("err_avg", "avg(err.value)")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    want = pat.compile_batch(table(spark, sf_dir, "events"))
+    assert got.columns == want.columns
+
+    def rounded(df):
+        return df.withColumn("err_sum", F.round("err_sum", 6)).withColumn(
+            "err_avg", F.round("err_avg", 6)
+        )
+
+    assert _norm(rounded(got).collect()) == _norm(rounded(want).collect())
+    assert got.count() > 0
+
+
 def test_kleene_terminal_stream_greedy_run(spark):
     """Terminal one_or_more: the run must absorb ALL consecutive
     matching events (greedy) and emit once closed — by a following
