@@ -115,9 +115,9 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(value) AS BIGINT) AS c,
            CAST(floor(value) AS BIGINT) AS f,
            round(pow(value, 2), 6) AS sq,
-           round(sqrt(value), 6) AS rt,
+           CASE WHEN value >= 0 THEN round(sqrt(value), 6) END AS rt,
            round(exp(value / 100), 6) AS e,
-           round(ln(value), 6) AS lg,
+           CASE WHEN value > 0 THEN round(ln(value), 6) END AS lg,
            CAST(sign(value - 50) AS INT) AS sgn,
            greatest(value, 50.0) AS hi,
            least(value, 50.0) AS lo,
@@ -135,9 +135,11 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(v).cast("long").alias("c"),
         F.floor(v).cast("long").alias("f"),
         F.round(F.pow(v, 2), 6).alias("sq"),
-        F.round(F.sqrt(v), 6).alias("rt"),
+        # domain guards mirrored in the oracle: Spark yields NULL/NaN
+        # outside the domain where DuckDB raises (ln(0), sqrt(<0))
+        F.when(v >= 0, F.round(F.sqrt(v), 6)).alias("rt"),
         F.round(F.exp(v / 100), 6).alias("e"),
-        F.round(F.log(v), 6).alias("lg"),
+        F.when(v > 0, F.round(F.log(v), 6)).alias("lg"),
         F.signum(v - 50).cast("int").alias("sgn"),
         F.greatest(v, F.lit(50.0)).alias("hi"),
         F.least(v, F.lit(50.0)).alias("lo"),
