@@ -1077,3 +1077,249 @@ def compile_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def compile_stream_multi(
+    patterns: dict[str, "Pattern"],
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Evaluate MANY patterns over ONE pass of the stream — the
+    reference family's deployment shape (a registry of continuous
+    queries against a shared stream [PK]). One shuffle on the key, one
+    state store entry per key, one Python worker invocation per
+    micro-batch amortized across every registered pattern; running N
+    patterns as N compile_stream queries would cost N× all three.
+
+    All per-pattern features participate (contiguity modes,
+    correlation, run aggregates, measures). Output is normalized
+    across patterns: (pattern, key, anchor_id, t_anchor, t_last,
+    match) where match is a JSON object {step: binding} — a plain
+    entry binds {"ts": us, "id": eid}, a kleene entry
+    {"first_ts": .., "first_id": .., "last_ts": .., "last_id": ..,
+    "count": n} — plus {"measures": {alias: value}} when the pattern
+    declares measures. The per-pattern TYPED face stays
+    compile_stream; this face trades column typing for shared-scan
+    economics.
+    """
+    if not patterns:
+        raise ValueError("no patterns")
+    specs = []
+    all_cols: set = set()
+    any_sk = False
+    for pidx, (pname, pat) in enumerate(patterns.items()):
+        steps = pat.steps
+        if not steps:
+            raise ValueError(f"{pname}: empty pattern")
+        if pat.time_bound is None:
+            raise ValueError(f"{pname}: pattern needs .within(bound)")
+        for s in steps[:-1]:
+            if s.contiguity == "absent":
+                raise ValueError(f"{pname}: not_followed_by must be last")
+        if steps[0].contiguity != "relaxed":
+            raise ValueError(f"{pname}: pattern must start with begin()")
+        plan = pat.corr_plan()
+        all_cols |= set(plan["all_cols"])
+        contig = [s.contiguity for s in steps]
+        any_sk = any_sk or any(c in ("strict", "kleene") for c in contig)
+        specs.append(
+            {
+                "name": pname,
+                "steps": steps,
+                "contig": contig,
+                "n": len(steps),
+                "bound_us": _interval_to_ms(pat.time_bound) * _US_PER_MS,
+                "plan": plan,
+                "measures": [
+                    (a, _compile_measure_py(e)) for a, e in pat.measures
+                ],
+            }
+        )
+    val_cols = tuple(sorted(all_cols))
+    off = 0
+    for sp in specs:
+        sp["off"] = off
+        off += sp["n"]
+        plan = sp["plan"]
+        sp["corr"] = (
+            [
+                _compile_where_py(w, sp["steps"][i].name) if w else None
+                for i, w in enumerate(plan["wheres"])
+            ]
+            if any(w is not None for w in plan["wheres"])
+            else None
+        )
+        sp["env_names"] = (
+            [
+                s.name
+                if (s.name in plan["refs"] or s.name in plan["run_refs"])
+                else None
+                for s in sp["steps"]
+            ]
+            if val_cols
+            else None
+        )
+        sp["run_cols"] = (
+            [
+                sorted({c for _a, c in plan["run_refs"].get(s.name, [])})
+                or None
+                for s in sp["steps"]
+            ]
+            if plan["run_refs"]
+            else None
+        )
+    n_flags = off
+
+    flags = [
+        F.expr(s.predicate).cast("boolean").alias(f"m_{sp['off'] + i}")
+        for sp in specs
+        for i, s in enumerate(sp["steps"])
+    ]
+    prepared = events_stream.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        *flags,
+        *[F.col(c).alias(f"v_{c}") for c in val_cols],
+    )
+    if not any_sk:
+        # an event matching NO step of ANY pattern is globally inert
+        prepared = prepared.filter(
+            " OR ".join(f"m_{i}" for i in range(n_flags))
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("pattern", T.StringType()),
+            T.StructField("key", T.LongType()),
+            T.StructField("anchor_id", T.LongType()),
+            T.StructField("t_anchor", T.TimestampType()),
+            T.StructField("t_last", T.TimestampType()),
+            T.StructField("match", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def _match_json(sp: dict, bound: list, env: dict | None) -> str:
+        doc: dict = {}
+        for i, s in enumerate(sp["steps"]):
+            if i >= len(bound):
+                break  # absent step binds nothing
+            e = bound[i]
+            if len(e) == 5:
+                doc[s.name] = {
+                    "first_ts": e[0],
+                    "first_id": e[1],
+                    "last_ts": e[2],
+                    "last_id": e[3],
+                    "count": e[4],
+                }
+            else:
+                doc[s.name] = {"ts": e[0], "id": e[1]}
+        if sp["measures"]:
+            doc["measures"] = {a: fn(env) for a, fn in sp["measures"]}
+        return json.dumps(doc)
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "p": {sp["name"]: [] for sp in specs}}
+        buf = st["buf"]
+        per_pat = st["p"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for j in range(len(pdf)):
+                    entry = [
+                        int(ts_us.iloc[j]),
+                        int(pdf["eid"].iloc[j]),
+                        [bool(pdf[f"m_{i}"].iloc[j]) for i in range(n_flags)],
+                    ]
+                    if val_cols:
+                        entry.append(
+                            [_py(pdf[f"v_{c}"].iloc[j]) for c in val_cols]
+                        )
+                    buf.append(entry)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        rows = []
+        for sp in specs:
+            o, n = sp["off"], sp["n"]
+            matured_p = [
+                [e[0], e[1], e[2][o : o + n]] + ([e[3]] if val_cols else [])
+                for e in matured
+            ]
+            partials, matches = advance_nfa_full(
+                per_pat.get(sp["name"], []),
+                matured_p,
+                sp["contig"],
+                sp["bound_us"],
+                wm_us,
+                corr=sp["corr"],
+                val_cols=val_cols,
+                env_names=sp["env_names"],
+                emit_env=bool(sp["measures"]),
+                run_cols=sp["run_cols"],
+            )
+            per_pat[sp["name"]] = partials
+            for mt in matches:
+                bound = mt[1]
+                env = mt[2] if len(mt) > 2 else None
+                rows.append(
+                    (
+                        sp["name"],
+                        key[0],
+                        mt[0],
+                        bound[0][0],
+                        _last_pos(bound)[0],
+                        _match_json(sp, bound, env),
+                    )
+                )
+
+        if buf or any(per_pat.values()):
+            state.update((json.dumps({"buf": buf, "p": per_pat}),))
+            nxt_us = min(
+                [e[0] for e in buf]
+                + [
+                    p[0][0][0] + sp["bound_us"]
+                    for sp in specs
+                    for p in per_pat[sp["name"]]
+                ]
+            )
+            state.setTimeoutTimestamp(max(nxt_us // _US_PER_MS + 1, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "pattern": [r[0] for r in rows],
+                    "key": [r[1] for r in rows],
+                    "anchor_id": [r[2] for r in rows],
+                    "t_anchor": pd.to_datetime([r[3] for r in rows], unit="us"),
+                    "t_last": pd.to_datetime([r[4] for r in rows], unit="us"),
+                    "match": [r[5] for r in rows],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -563,3 +563,72 @@ def test_nfa_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     assert got.count() == got.dropDuplicates(["key", "anchor_id"]).count()
     # non-vacuous: matches exist on both sides of the restart boundary
     assert 0 < n_first < got.count()
+
+
+def test_multi_pattern_single_pass_equals_individual_runs(spark, sf_dir):
+    """compile_stream_multi: three heterogeneous patterns (relaxed
+    funnel with a measure, strict pair, kleene run with aggregate
+    correlation) evaluated in ONE stream pass must produce, per
+    pattern, exactly the matches of its individual compile_stream run
+    — one shuffle and one state store shared by the whole registry."""
+    import json as _json
+
+    from spark_cep_spark.streaming.nfa import compile_stream_multi
+
+    pats = {
+        "funnel": (
+            Pattern.begin("view", "event_type = 'view'")
+            .followed_by("click", "event_type = 'click'")
+            .followed_by("purchase", "event_type = 'purchase'")
+            .within("24 HOURS")
+            .measure("uplift", "purchase.value - view.value")
+        ),
+        "errpair": (
+            Pattern.begin("e1", "event_type = 'error'")
+            .next("e2", "event_type = 'error'")
+            .within("1 HOUR")
+        ),
+        "errburst": (
+            Pattern.begin("s", "event_type = 'signup'")
+            .one_or_more("err", "event_type = 'error'")
+            .followed_by(
+                "v", "event_type = 'view'", where="v.value < max(err.value)"
+            )
+            .within("7 DAYS")
+        ),
+    }
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream_multi(pats, stream, watermark="0 seconds"), "append"
+    ).collect()
+    by_pat = {}
+    for r in got:
+        by_pat.setdefault(r.pattern, []).append(r)
+
+    for pname, pat in pats.items():
+        stream_i = harness.events_stream(
+            spark,
+            harness.stage_events_files_sorted(spark, sf_dir, n_files=6),
+            max_files_per_trigger=2,
+        )
+        want = harness.run_available_now(
+            compile_stream(pat, stream_i, watermark="0 seconds"), "append"
+        ).collect()
+        got_keys = sorted((r.key, r.anchor_id) for r in by_pat.get(pname, []))
+        want_keys = sorted((r.key, r.anchor_id) for r in want)
+        assert got_keys == want_keys, pname
+        assert len(got_keys) > 0, pname
+
+    # measures flow into the normalized JSON: funnel uplift must match
+    # the typed batch output
+    want_uplift = {
+        (r.key, r.anchor_id): r.uplift
+        for r in pats["funnel"].compile_batch(
+            table(spark, sf_dir, "events")
+        ).collect()
+    }
+    for r in by_pat["funnel"]:
+        doc = _json.loads(r.match)
+        assert doc["measures"]["uplift"] == want_uplift[(r.key, r.anchor_id)]
+        assert set(doc) == {"view", "click", "purchase", "measures"}
