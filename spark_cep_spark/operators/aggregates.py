@@ -88,7 +88,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_cust,
-           sum(DISTINCT o_custkey) AS sum_cust,
+           CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sum_cust,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_orderstatus
@@ -177,7 +177,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT l_orderkey,
-           list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+             AS line_numbers,
            count(*) AS n_lines
     FROM lineitem
     GROUP BY l_orderkey
@@ -185,10 +186,16 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list wrapped in sort_array — Spark's collect order is
-    partition-dependent, sorting makes it deterministic (SURVEY §5)."""
+    partition-dependent, sorting makes it deterministic (SURVEY §5).
+    The list is emitted as a canonical comma-joined STRING: the driver's
+    value-hasher cannot canonicalize array-typed output columns
+    (round-1 ERR), and the string keeps the collect+sort exercise while
+    staying hashable on both engines."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+        ).alias("line_numbers"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

@@ -46,7 +46,7 @@ _HASH_BUCKET_SQL = (
     )
     SELECT lang,
            count(*) AS n_kept,
-           sum(n_chars) AS chars_kept
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
     FROM t
     WHERE b < (CASE WHEN lang = 'en' THEN 20 ELSE 80 END)
     GROUP BY lang
@@ -237,7 +237,7 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 'train' ELSE 'val' END AS split
       FROM filtered
     )
-    SELECT lang, split, count(*) AS n_docs, sum(n_tok) AS tokens
+    SELECT lang, split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
     FROM split
     GROUP BY lang, split
     """,

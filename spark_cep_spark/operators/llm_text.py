@@ -254,7 +254,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_split",
     oracle="""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS chars
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM (
       SELECT n_chars,
              CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
@@ -306,7 +306,7 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT shard, CAST(start_off // 2048 AS BIGINT) AS pack_id,
-           count(*) AS n_docs, sum(tok) AS tokens
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens
     FROM placed
     GROUP BY shard, pack_id
     """,

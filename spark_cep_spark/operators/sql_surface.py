@@ -45,7 +45,7 @@ def _views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
     )
     SELECT c.c_mktsegment AS segment,
            count(*) AS n_cust,
-           sum(co.n_orders) AS orders_total,
+           CAST(sum(co.n_orders) AS BIGINT) AS orders_total,
            round(avg(co.spend), 2) AS avg_spend
     FROM cust_orders co
     JOIN customer c ON c.c_custkey = co.o_custkey

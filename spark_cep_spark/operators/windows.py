@@ -76,12 +76,14 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_rows",
     oracle="""
     SELECT o_orderkey AS orderkey, o_custkey AS custkey,
-           sum(CAST(round(o_totalprice, 0) AS BIGINT)) OVER
+           CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
-           sum(CAST(round(o_totalprice, 0) AS BIGINT)) OVER
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_spend,
+           CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling7_spend
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling7_spend
     FROM orders
     """,
 )

@@ -12,6 +12,28 @@ computed column is aliased identically in the Spark plan and the oracle
 SQL. Float discipline: aggregate outputs that accumulate (sum/avg/
 stddev) are rounded on BOTH sides so engine-order float noise cannot
 flip the hash.
+
+STANDING ORACLE RULES (learned from round-1 driver failures — the
+driver's value-hash is representation-sensitive, not `==`-tolerant):
+  1. DuckDB ``sum()`` over any INTEGER-typed argument returns HUGEINT,
+     which pandas materializes as float64 while Spark returns int64 —
+     ALWAYS wrap integer-argument sums in ``CAST(sum(...) AS BIGINT)``
+     in the oracle SQL (windowed sums included).
+  2. No query may output a list/array/map-typed column — the driver's
+     canonicalizer crashes on numpy arrays. Emit arrays as canonical
+     strings (``array_join`` / ``array_to_string``), scaling floats to
+     exact integers first (float→string formatting differs across
+     engines). ``tools/check_oracle.py`` hard-errors on these.
+  3. Match dtype KIND (int vs float) and prefer matching width (cast
+     Spark ``size()``/INT outputs to BIGINT when the oracle emits
+     BIGINT) — ``tools/check_oracle.py`` fails kind mismatches and
+     warns on width mismatches.
+
+DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
+round (registration order). ``DRIVER_PRIORITY`` below pins the window;
+keys absent from it follow in module-import order. Round 2 window =
+the 9 round-1 hash-fix keys + every §2 contract key the driver has
+never confirmed; round-1-green keys are pushed past position 50.
 """
 
 from __future__ import annotations
@@ -66,4 +88,80 @@ def load_all() -> None:
     from spark_cep_spark.functions import families, udfs  # noqa: F401
     from spark_cep_spark.streaming import windows as stream_windows  # noqa: F401
 
+    _reorder_for_driver_window()
     _LOADED = True
+
+
+# The first 50 keys the driver will check this round, in order. See the
+# module docstring ("DRIVER WINDOW") for the selection rationale.
+DRIVER_PRIORITY: list[str] = [
+    # (a) round-1 driver failures + latent same-class fixes — must re-prove
+    "agg_distinct",
+    "win_frame_rows",
+    "agg_collect",
+    "fn_array",
+    "corpus_split",
+    "corpus_pack",
+    "corpus_sample_stratified",
+    "pipeline_corpus_clean",
+    "sql_cte",
+    # (b) §2 contract keys with zero driver evidence
+    "cep_absence",
+    "cep_kleene",
+    "cep_threshold",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_map",
+    "fn_json",
+    "fn_null",
+    "fn_hash",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "dedup_exact",
+    "dedup_near",
+    "sim_topk",
+    "sim_knn_class",
+    "text_stats",
+    "text_sentiment",
+    "udf_surface",
+    "udaf_grouped",
+    "grouped_map",
+    "map_in_pandas",
+    "udtf_tokens",
+    "multimodal_ingest",
+    # (c) highest-value oracle-backed extras with zero driver evidence
+    "dedup_near_arrow",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "dedup_embed",
+    "dedup_cluster",
+    "sim_topk_pandas",
+    "text_tokens",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "emb_centroid",
+    "emb_quantize",
+    "cep_kleene_plus",
+]
+
+
+def _reorder_for_driver_window() -> None:
+    """Rebuild QUERIES/ORACLES so DRIVER_PRIORITY keys come first (in
+    listed order), then everything else in registration order. dict()
+    preserves insertion order, which is what the driver iterates."""
+    missing = [k for k in DRIVER_PRIORITY if k not in QUERIES]
+    if missing:
+        raise ValueError(f"DRIVER_PRIORITY keys not registered: {missing}")
+    ordered = list(DRIVER_PRIORITY) + [
+        k for k in QUERIES if k not in set(DRIVER_PRIORITY)
+    ]
+    for d in (QUERIES, ORACLES):
+        snapshot = dict(d)
+        d.clear()
+        d.update({k: snapshot[k] for k in ordered if k in snapshot})

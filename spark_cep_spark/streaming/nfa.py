@@ -28,6 +28,7 @@ the serialized state at 100 TB.
 
 from __future__ import annotations
 
+import ast
 import json
 import re
 from typing import TYPE_CHECKING, Iterator
@@ -111,6 +112,123 @@ def advance_nfa(
     return partials, matches
 
 
+def _cmp3(fa, op: str, fb):
+    """SQL three-valued comparison: evaluate each operand expression
+    (a NULL operand inside arithmetic raises TypeError → NULL), then
+    compare — any NULL operand makes the comparison UNKNOWN (None),
+    including NULL = NULL (Python would say True)."""
+    try:
+        a = fa()
+    except (TypeError, ZeroDivisionError):
+        return None
+    try:
+        b = fb()
+    except (TypeError, ZeroDivisionError):
+        return None
+    if a is None or b is None:
+        return None
+    try:
+        return _CMP_OPS[op](a, b)
+    except TypeError:
+        return None
+
+
+_CMP_OPS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _and3(*vs):
+    """Kleene AND over True/False/None (UNKNOWN)."""
+    if any(v is False for v in vs):
+        return False
+    if any(v is None for v in vs):
+        return None
+    return True
+
+
+def _or3(*vs):
+    """Kleene OR over True/False/None (UNKNOWN)."""
+    if any(v is True for v in vs):
+        return True
+    if any(v is None for v in vs):
+        return None
+    return False
+
+
+def _not3(v):
+    return None if v is None else not v
+
+
+class _ThreeValTransform(ast.NodeTransformer):
+    """Rewrite a restricted boolean expression for SQL three-valued
+    logic: comparisons route through _cmp3 (operands deferred in
+    lambdas so NULL arithmetic is caught per-comparison), and/or/not
+    become the Kleene combinators. The grammar (enforced by
+    Pattern.corr_plan) guarantees booleans appear only at comparison /
+    and / or / not level, never inside arithmetic."""
+
+    def visit_BoolOp(self, node: ast.BoolOp):
+        values = [self.visit(v) for v in node.values]
+        name = "_and3" if isinstance(node.op, ast.And) else "_or3"
+        return ast.Call(
+            func=ast.Name(id=name, ctx=ast.Load()), args=values, keywords=[]
+        )
+
+    def visit_UnaryOp(self, node: ast.UnaryOp):
+        if isinstance(node.op, ast.Not):
+            return ast.Call(
+                func=ast.Name(id="_not3", ctx=ast.Load()),
+                args=[self.visit(node.operand)],
+                keywords=[],
+            )
+        return node  # arithmetic unary (e.g. -x): leave untouched
+
+    def visit_Compare(self, node: ast.Compare):
+        # pairwise expansion keeps chained comparisons (a < b < c) SQL-true
+        _OPMAP = {
+            ast.Eq: "==",
+            ast.NotEq: "!=",
+            ast.Lt: "<",
+            ast.LtE: "<=",
+            ast.Gt: ">",
+            ast.GtE: ">=",
+        }
+        operands = [node.left] + node.comparators
+        calls = []
+        for left, op, right in zip(operands, node.ops, operands[1:]):
+            calls.append(
+                ast.Call(
+                    func=ast.Name(id="_cmp3", ctx=ast.Load()),
+                    args=[
+                        _lambda0(left),
+                        ast.Constant(value=_OPMAP[type(op)]),
+                        _lambda0(right),
+                    ],
+                    keywords=[],
+                )
+            )
+        if len(calls) == 1:
+            return calls[0]
+        return ast.Call(
+            func=ast.Name(id="_and3", ctx=ast.Load()), args=calls, keywords=[]
+        )
+
+
+def _lambda0(body: ast.expr) -> ast.Lambda:
+    return ast.Lambda(
+        args=ast.arguments(
+            posonlyargs=[], args=[], kwonlyargs=[], kw_defaults=[], defaults=[]
+        ),
+        body=body,
+    )
+
+
 def _compile_where_py(where: str, cur_name: str):
     """Compile a correlation clause to a Python predicate
     fn(cand_vals: dict, env: dict[step, dict]) -> bool for the NFA
@@ -119,8 +237,13 @@ def _compile_where_py(where: str, cur_name: str):
     OR / NOT / abs, every column step-qualified — enforced by
     Pattern.corr_plan) is what keeps the two translations provably
     aligned; the batch compiler is the spec, and the fixture parity
-    test compares the two end-to-end. NULL in any comparison → not
-    satisfied (SQL three-valued logic)."""
+    test compares the two end-to-end.
+
+    NULL handling is FULL SQL three-valued logic, matching the batch
+    F.expr semantics: each comparison with a NULL operand is UNKNOWN,
+    and/or/not combine per Kleene logic (NULL OR TRUE = TRUE — a NULL
+    in one disjunct must not veto another), and a top-level UNKNOWN
+    does not satisfy the step."""
     from spark_cep_spark.operators.cep import _WHERE_REF
 
     def repl(mo: re.Match) -> str:
@@ -133,19 +256,27 @@ def _compile_where_py(where: str, cur_name: str):
     expr = re.sub(r"(?i)\bNOT\b", " not ", expr)
     expr = expr.replace("<>", "!=")
     expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
-    code = compile(expr, "<where>", "eval")
+    tree = ast.parse(expr.strip(), mode="eval")
+    tree = ast.fix_missing_locations(_ThreeValTransform().visit(tree))
+    code = compile(tree, "<where>", "eval")
 
     def fn(cand: dict, env: dict) -> bool:
-        try:
-            return bool(
-                eval(  # noqa: S307 — grammar restricted by corr_plan
-                    code,
-                    {"__builtins__": {}, "abs": abs},
-                    {"__c": cand, "__e": env},
-                )
-            )
-        except (TypeError, ZeroDivisionError):
-            return False  # a NULL operand: comparison not satisfied
+        # __c/__e go in GLOBALS: the deferred-operand lambdas resolve
+        # free names through the eval's globals, not its locals.
+        result = eval(  # noqa: S307 — grammar restricted by corr_plan
+            code,
+            {
+                "__builtins__": {},
+                "abs": abs,
+                "_cmp3": _cmp3,
+                "_and3": _and3,
+                "_or3": _or3,
+                "_not3": _not3,
+                "__c": cand,
+                "__e": env,
+            },
+        )
+        return result is True
 
     return fn
 
@@ -218,6 +349,30 @@ def _sub_agg_refs_py(expr: str) -> str:
         return f"{base}[{_AGG_IDX[agg]}]"
 
     return _AGG_REF.sub(repl, expr)
+
+
+# Checkpoint payload version for the partials-carrying NFA states
+# (compile_stream / multi-pattern). v2 = {"v": 2, "buf": ...,
+# "partials"/"p": [[bound, open_run, env], ...]}. A payload without
+# "v" is the v1 era: [bound, open_run] 2-element partials (upgraded by
+# appending an empty env) — while the PRE-v1 shape [anchor_eid,
+# [ts...]] (int first element) recorded no per-step event ids and
+# cannot be reconstructed: restoring it must fail loudly, not
+# TypeError deep inside the kernel.
+_STATE_VERSION = 2
+
+
+def _upgrade_partials(partials: list, where: str) -> list:
+    out = []
+    for p in partials:
+        if p and not isinstance(p[0], list):
+            raise ValueError(
+                f"incompatible NFA checkpoint state ({where}): the "
+                "pre-upgrade [anchor_eid, [ts...]] format cannot be "
+                "restored — restart the query from a fresh checkpoint"
+            )
+        out.append(p if len(p) == 3 else [p[0], p[1], {}])
+    return out
 
 
 def _last_pos(bound: list) -> tuple[int, int]:
@@ -331,8 +486,6 @@ def advance_nfa_full(
         def _bind_env(env: dict, i: int) -> dict:
             return env
 
-    # normalize legacy 2-element partials (pre-correlation state)
-    partials = [p if len(p) == 3 else [p[0], p[1], {}] for p in partials]
     for ev in matured:
         ts, eid, m = ev[0], ev[1], ev[2]
         vd = dict(zip(val_cols, ev[3])) if val_cols else None
@@ -990,6 +1143,10 @@ def compile_stream(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             st = json.loads(state.get[0])
+            if st.get("v") != _STATE_VERSION:
+                st["partials"] = _upgrade_partials(
+                    st.get("partials", []), "compile_stream"
+                )
         else:
             st = {"buf": [], "partials": []}
         buf = st["buf"]  # [[ts_us, eid, [m0..mk]], ...] not yet matured
@@ -1032,7 +1189,9 @@ def compile_stream(
         )
 
         if buf or partials:
-            state.update((json.dumps({"buf": buf, "partials": partials}),))
+            state.update(
+                (json.dumps({"v": _STATE_VERSION, "buf": buf, "partials": partials}),)
+            )
             # wake up when the watermark passes the earliest pending work
             nxt_us = min(
                 [e[0] for e in buf]
@@ -1228,6 +1387,11 @@ def compile_stream_multi(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             st = json.loads(state.get[0])
+            if st.get("v") != _STATE_VERSION:
+                st["p"] = {
+                    name: _upgrade_partials(ps, f"multi_pattern[{name}]")
+                    for name, ps in st.get("p", {}).items()
+                }
         else:
             st = {"buf": [], "p": {sp["name"]: [] for sp in specs}}
         buf = st["buf"]
@@ -1291,7 +1455,9 @@ def compile_stream_multi(
                 )
 
         if buf or any(per_pat.values()):
-            state.update((json.dumps({"buf": buf, "p": per_pat}),))
+            state.update(
+                (json.dumps({"v": _STATE_VERSION, "buf": buf, "p": per_pat}),)
+            )
             nxt_us = min(
                 [e[0] for e in buf]
                 + [

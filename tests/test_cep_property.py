@@ -762,3 +762,25 @@ def test_threshold_chunking_invariance(rows, factor, cuts):
         got.extend(em)
         prev = c
     assert sorted(got) == sorted(want)
+
+
+def test_checkpoint_state_upgrade_and_incompatible_detection():
+    """Versioned NFA checkpoint payloads: v1 partials ([bound,
+    open_run], no env) upgrade in place; the pre-v1 shape
+    ([anchor_eid, [ts...]] — int first element) must fail with a clear
+    incompatible-checkpoint error, not a TypeError inside the kernel."""
+    import pytest
+
+    from spark_cep_spark.streaming.nfa import _upgrade_partials
+
+    # v1: [bound, open_run] → env {} appended
+    v1 = [[[[100, 7]], False], [[[100, 7], [200, 8, 250, 9, 3]], True]]
+    up = _upgrade_partials(v1, "test")
+    assert [len(p) for p in up] == [3, 3]
+    assert all(p[2] == {} for p in up)
+    # already-v2 partials pass through untouched
+    v2 = [[[[100, 7]], False, {"view": {"value": 1.0}}]]
+    assert _upgrade_partials(v2, "test") == v2
+    # pre-v1: [anchor_eid, [ts...]] → loud failure
+    with pytest.raises(ValueError, match="incompatible NFA checkpoint"):
+        _upgrade_partials([[7, [100, 200]]], "test")

@@ -379,6 +379,54 @@ def test_corr_stream_equals_batch_compiler(spark, sf_dir):
     ).count()
 
 
+def test_corr_null_with_or_stream_equals_batch(spark):
+    """SQL three-valued logic parity on NULL correlation values: a NULL
+    operand in ONE disjunct must not veto a true OTHER disjunct
+    (NULL OR TRUE = TRUE), and the result must not depend on disjunct
+    order (the old whole-expression try/except made it Python-
+    short-circuit-order-dependent). Batch F.expr is the spec."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        # user 1: view.value NULL, second disjunct true → MUST match
+        (1, 1, t0, "view", None),
+        (2, 1, t0 + dt.timedelta(minutes=5), "click", 2.0),
+        (3, 1, t0 + dt.timedelta(minutes=10), "purchase", 5.0),
+        # user 2: NULL OR FALSE → UNKNOWN → no match on either engine
+        (4, 2, t0, "view", None),
+        (5, 2, t0 + dt.timedelta(minutes=5), "click", 10.0),
+        (6, 2, t0 + dt.timedelta(minutes=10), "purchase", 5.0),
+        # user 3: no NULLs, first disjunct true → match (control)
+        (7, 3, t0, "view", 1.0),
+        (8, 3, t0 + dt.timedelta(minutes=5), "click", 10.0),
+        (9, 3, t0 + dt.timedelta(minutes=10), "purchase", 5.0),
+        (10, 99, t0 + dt.timedelta(hours=12), "view", 1.0),  # flush
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, ty, v, "{}") for i, u, t, ty, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    src = harness.SCRATCH + "/corr_null_or"
+    shutil.rmtree(src, ignore_errors=True)
+    df.coalesce(1).write.parquet(src)
+    for where in (
+        "purchase.value > view.value OR purchase.value > click.value",
+        "purchase.value > click.value OR purchase.value > view.value",
+    ):
+        pat = (
+            Pattern.begin("view", "event_type = 'view'")
+            .followed_by("click", "event_type = 'click'")
+            .followed_by("purchase", "event_type = 'purchase'", where=where)
+            .within("24 HOURS")
+        )
+        stream = harness.events_stream(spark, src, max_files_per_trigger=1)
+        got = harness.run_available_now(
+            compile_stream(pat, stream, watermark="0 seconds"), "append"
+        )
+        want = pat.compile_batch(spark.read.parquet(src))
+        assert _norm(got.collect()) == _norm(want.collect())
+        assert sorted(r.key for r in got.collect()) == [1, 3]
+
+
 def test_measures_stream_equals_batch_compiler(spark, sf_dir):
     """MEASURES projection parity: computed columns (final-step and
     intermediate-step values, an arithmetic combination) must be

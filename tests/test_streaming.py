@@ -390,3 +390,61 @@ def test_materialized_aggregate_upserts_to_current_state(spark, sf_dir, tmp_path
     want_full = agg_of(table(spark, sf_dir, "events"))
     assert norm(got_full) == norm(want_full)
     assert got_full.count() > 0
+
+
+def test_merge_into_parquet_crash_recovery(spark, tmp_path):
+    """The versioned-dir + atomic-symlink swap heals every crash point:
+    a missing link with complete versions on disk re-links the newest
+    one (half-written versions without _SUCCESS are never chosen), and
+    a legacy real-directory state migrates in place without a window
+    where the target is unreadable."""
+    import os
+    import shutil as _sh
+
+    from spark_cep_spark.streaming.materialize import merge_into_parquet
+
+    target = str(tmp_path / "tbl")
+    norm = lambda df: sorted(map(tuple, df.collect()))
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    # normal path: create, then upsert — target must stay a readable
+    # symlink to a complete version and old versions must be GC'd
+    merge_into_parquet(mk([(1, "a"), (2, "b")]), target, ["k"])
+    assert os.path.islink(target)
+    merge_into_parquet(mk([(2, "B"), (3, "c")]), target, ["k"])
+    assert norm(spark.read.parquet(target)) == [(1, "a"), (2, "B"), (3, "c")]
+    import glob as _glob
+
+    assert len(_glob.glob(target + "__v_*")) == 1
+
+    # crash between "write new version" and "repoint": link is gone,
+    # two complete versions exist → recovery must pick the NEWER one
+    # and never a half-written (_SUCCESS-less) directory
+    cur = os.path.realpath(target)
+    stale = target + "__v_stale"
+    _sh.copytree(cur, stale)
+    os.utime(stale, (os.path.getmtime(cur) - 100,) * 2)
+    half = target + "__v_half"
+    _sh.copytree(cur, half)
+    os.remove(os.path.join(half, "_SUCCESS"))
+    os.utime(half, (os.path.getmtime(cur) + 100,) * 2)
+    os.remove(target)  # the crash: link never landed
+    merge_into_parquet(mk([(4, "d")]), target, ["k"])
+    assert norm(spark.read.parquet(target)) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+        (4, "d"),
+    ]
+    assert len(_glob.glob(target + "__v_*")) == 1  # stale+half GC'd
+
+    # legacy layout: target is a REAL directory from the pre-versioned
+    # format — one merge migrates it and keeps every pre-existing key
+    legacy_target = str(tmp_path / "legacy")
+    mk([(7, "x")]).coalesce(1).write.parquet(legacy_target)
+    assert not os.path.islink(legacy_target)
+    merge_into_parquet(mk([(8, "y")]), legacy_target, ["k"])
+    assert os.path.islink(legacy_target)
+    assert norm(spark.read.parquet(legacy_target)) == [(7, "x"), (8, "y")]

@@ -27,17 +27,23 @@ TABLES = [
 ]
 
 
+class ListColumnError(Exception):
+    """An output column is list/array-typed — the DRIVER's canonicalizer
+    crashes on these (round-1 `agg_collect` ERR: `unhashable type:
+    numpy.ndarray`). Queries must emit arrays as canonical strings."""
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
     df = df.reindex(sorted(df.columns), axis=1)
-    # lists/arrays/ndarrays → tuples so they sort/compare
     for c in df.columns:
+        # list-typed outputs crash the driver's hasher — refuse them here
+        # so the failure is caught locally, not in CORRECTNESS_r{N}.
         if df[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
-            df[c] = df[c].map(
-                lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
-                if isinstance(v, (list, tuple, np.ndarray))
-                else v
+            raise ListColumnError(
+                f"column {c!r} is list-typed — driver hasher would crash; "
+                "emit it as a canonical string (array_join/array_to_string)"
             )
         # python date objects → Timestamps (Spark DATE cols arrive as object)
         if df[c].dtype == object and df[c].map(
@@ -51,14 +57,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             except (TypeError, AttributeError):
                 pass
             df[c] = df[c].astype("datetime64[us]")
-        if str(df[c].dtype) in ("float32",):
-            df[c] = df[c].astype("float64")
-        if str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
-            df[c] = df[c].astype("int64")
     key = list(df.columns)
     if key:
         df = df.sort_values(key, kind="mergesort").reset_index(drop=True)
     return df
+
+
+def _kind(dtype) -> str:
+    """Dtype kind with unsigned folded into signed int."""
+    k = dtype.kind
+    return "i" if k == "u" else k
 
 
 def values_equal(a, b, tol=0.0):
@@ -82,18 +90,47 @@ def values_equal(a, b, tol=0.0):
     return a == b
 
 
-def frames_equal(a: pd.DataFrame, b: pd.DataFrame, tol=0.0) -> tuple[bool, str]:
+def frames_equal(
+    a: pd.DataFrame, b: pd.DataFrame, tol=0.0
+) -> tuple[bool, str, list[str]]:
+    """Driver-faithful compare: the driver's value-hash is
+    REPRESENTATION-sensitive (round 1: DuckDB HUGEINT → float64 vs Spark
+    int64 hash-mismatched on identical values), so a dtype-KIND mismatch
+    (int vs float vs object...) is a hard fail even when `==` holds.
+    Same-kind width differences (int32 vs int64, float32 vs float64) are
+    unified for the value compare but surfaced as warnings."""
+    warns: list[str] = []
     if list(a.columns) != list(b.columns):
-        return False, f"columns {list(a.columns)} vs {list(b.columns)}"
+        return False, f"columns {list(a.columns)} vs {list(b.columns)}", warns
     if len(a) != len(b):
-        return False, f"rows {len(a)} vs {len(b)}"
+        return False, f"rows {len(a)} vs {len(b)}", warns
+    for c in a.columns:
+        ka, kb = _kind(a[c].dtype), _kind(b[c].dtype)
+        if ka != kb:
+            return (
+                False,
+                f"col {c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype} "
+                "(driver hash is representation-sensitive)",
+                warns,
+            )
+        if str(a[c].dtype) != str(b[c].dtype):
+            warns.append(f"col {c}: dtype {a[c].dtype} vs {b[c].dtype}")
+    a = a.copy()
+    b = b.copy()
+    for df in (a, b):
+        for c in df.columns:
+            k = _kind(df[c].dtype)
+            if k == "i":
+                df[c] = df[c].astype("int64")
+            elif k == "f" and str(df[c].dtype) != "float64":
+                df[c] = df[c].astype("float64")
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             ok = values_equal(x, y, tol)
             if not ok:
-                return False, f"col {c} row {i}: {x!r} vs {y!r}"
-    return True, ""
+                return False, f"col {c} row {i}: {x!r} vs {y!r}", warns
+    return True, "", warns
 
 
 def main() -> int:
@@ -153,13 +190,21 @@ def main() -> int:
             n_fail += 1
             failures.append(key)
             continue
-        a, b = normalize(sdf), normalize(odf)
-        ok, why = frames_equal(a, b, tol=0.0)
+        try:
+            a, b = normalize(sdf), normalize(odf)
+        except ListColumnError as e:
+            print(f"FAIL  {key:24s} {e}")
+            n_fail += 1
+            failures.append(key)
+            continue
+        ok, why, warns = frames_equal(a, b, tol=0.0)
+        for w in warns:
+            print(f"WARN  {key:24s} {w}")
         if ok:
             print(f"PASS  {key:24s} ({len(a)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
         else:
-            ok2, _ = frames_equal(a, b, tol=1e-9)
+            ok2, _, _ = frames_equal(a, b, tol=1e-9)
             if ok2:
                 print(f"FUZZ  {key:24s} exact-mismatch but within 1e-9: {why}")
                 n_fuzzy += 1
