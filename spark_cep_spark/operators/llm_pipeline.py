@@ -272,3 +272,54 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens")
     )
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 3),
+                                   i -> array_to_string(w[i:i+4], ' '))) AS gram
+      FROM t
+      WHERE len(w) >= 5
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+    tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+    SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared
+    FROM tr
+    JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word 5-gram with a held-out benchmark set (here the deterministic
+    doc_id % 7 == 0 slice stands in for the eval suite), reporting how
+    many distinct benchmark 5-grams each contaminated doc contains —
+    the standard n-gram-overlap contamination check run before
+    training (cf. GPT-3 appx. C / PaLM-style 8-gram decontamination;
+    5-grams here because fixture docs are 10-99 words).
+
+    Shape for 100 TB: the benchmark gram set is small by construction
+    (eval suites are tiny next to a training corpus), so it BROADCASTS
+    to every executor and the check is a map-side semi-join over the
+    exploded training grams — the corpus is scanned once, never
+    shuffled on text. Dedup of (doc, gram) pairs before counting keys
+    the only shuffle by gram hash — uniform, skew-free."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = F.when(
+        F.size("w") >= 5,
+        F.expr("transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))"),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    ev = g.filter(F.col("doc_id") % 7 == 0).select("gram").distinct()
+    tr = g.filter(F.col("doc_id") % 7 != 0).select("doc_id", "gram").distinct()
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )

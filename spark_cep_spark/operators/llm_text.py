@@ -335,3 +335,92 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard", "pack_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens"))
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wc AS (
+      SELECT doc_id, u AS word, count(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS u FROM t)
+      GROUP BY doc_id, u
+    ),
+    ws AS (
+      SELECT doc_id, count(*) AS n_distinct, max(c) AS top_cnt
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> array_to_string(w[i:i+1], ' '))) AS g
+      FROM t
+    ),
+    bs AS (
+      SELECT doc_id, count(*) AS n_bi, count(DISTINCT g) AS d_bi
+      FROM bg GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.w) AS n_words,
+           ws.n_distinct,
+           round(CAST(ws.top_cnt AS DOUBLE) / len(t.w), 6) AS top_word_ratio,
+           round(1 - CAST(ws.n_distinct AS DOUBLE) / len(t.w), 6) AS dup_word_ratio,
+           round(1 - CAST(bs.d_bi AS DOUBLE) / bs.n_bi, 6) AS dup_bigram_ratio
+    FROM t
+    JOIN ws USING (doc_id)
+    JOIN bs USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the share
+    of the doc taken by its most frequent word, the duplicate-word
+    ratio, and the duplicate-bigram ratio — the standard filters for
+    boilerplate / degenerate repetition in training corpora (cf. Rae et
+    al. 2021 "Scaling Language Models", repetition heuristics).
+
+    Shape for 100 TB: explode → (doc_id, token) hash aggregate with
+    map-side partial combine, then a per-doc aggregate and a
+    co-keyed join — no per-row Python anywhere. Tokens within a doc
+    land in one partition only for the final per-doc rollup; the wide
+    (doc, token) stage is uniformly keyed, skew-free."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    words = d.select("doc_id", F.explode("w").alias("word"))
+    ws = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))")
+        ).alias("g"),
+    )
+    bs = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bi"), F.countDistinct("g").alias("d_bi")
+    )
+    base = d.select("doc_id", F.size("w").cast("long").alias("n_words"))
+    return (
+        base.join(ws, "doc_id")
+        .join(bs, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(F.col("top_cnt").cast("double") / F.col("n_words"), 6).alias(
+                "top_word_ratio"
+            ),
+            F.round(
+                F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+            ).alias("dup_word_ratio"),
+            F.round(
+                F.lit(1) - F.col("d_bi").cast("double") / F.col("n_bi"), 6
+            ).alias("dup_bigram_ratio"),
+        )
+    )

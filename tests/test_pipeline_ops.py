@@ -172,3 +172,65 @@ def test_interval_join_banded_equals_naive_range_join(spark):
     plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "_bkt" in plan
+
+
+def test_text_repetition_flags_degenerate_docs(spark):
+    """Repetition metrics on constructed docs: an all-same-word doc
+    scores maximal ratios, an all-distinct doc scores zero — and the
+    metrics are exactly computable by hand."""
+    spark_cep_spark.load_all()
+    import os
+    import tempfile
+
+    from spark_cep_spark.operators.llm_text import text_repetition
+
+    rows = [
+        (1, "a a a a", "en", "s", 7),       # degenerate: 1 word repeated
+        (2, "a b c d", "en", "s", 7),       # all distinct
+        (3, "a b a b", "en", "s", 7),       # bigrams: ab,ba,ab → 1 dup of 3
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        sf = os.path.join(tmp)
+        df.write.parquet(os.path.join(sf, "documents.parquet"))
+        got = {r.doc_id: r for r in text_repetition(spark, sf).collect()}
+    assert got[1].top_word_ratio == 1.0 and got[1].dup_word_ratio == 0.75
+    assert got[1].dup_bigram_ratio == round(1 - 1 / 3, 6)
+    assert got[2].top_word_ratio == 0.25 and got[2].dup_word_ratio == 0.0
+    assert got[2].dup_bigram_ratio == 0.0
+    assert got[3].n_distinct == 2
+    assert got[3].dup_bigram_ratio == round(1 - 2 / 3, 6)
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    """A training doc sharing a 5-gram with a benchmark doc (doc_id %
+    7 == 0) is flagged with the exact distinct-gram count; disjoint
+    docs are not flagged; short docs (<5 words) never produce grams."""
+    spark_cep_spark.load_all()
+    import os
+    import tempfile
+
+    from spark_cep_spark.operators.llm_pipeline import pipeline_decontaminate
+
+    bench = "alpha beta gamma delta epsilon zeta"  # doc 0: benchmark
+    rows = [
+        (0, bench, "en", "s", 9),
+        # doc 1: contains the benchmark's first 5-gram once
+        (1, "x y alpha beta gamma delta epsilon q r", "en", "s", 9),
+        # doc 2: disjoint vocabulary
+        (2, "one two three four five six seven", "en", "s", 9),
+        # doc 3: shares both benchmark 5-grams
+        (3, bench + " tail", "en", "s", 9),
+        # doc 4: too short for any 5-gram
+        (4, "alpha beta gamma", "en", "s", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        sf = os.path.join(tmp)
+        df.write.parquet(os.path.join(sf, "documents.parquet"))
+        got = {r.doc_id: r.n_shared for r in pipeline_decontaminate(spark, sf).collect()}
+    assert got == {1: 1, 3: 2}
