@@ -784,3 +784,60 @@ def test_checkpoint_state_upgrade_and_incompatible_detection():
     # pre-v1: [anchor_eid, [ts...]] → loud failure
     with pytest.raises(ValueError, match="incompatible NFA checkpoint"):
         _upgrade_partials([[7, [100, 200]]], "test")
+
+
+@st.composite
+def where_clauses(draw):
+    """Random restricted-grammar correlation clauses over steps p
+    (current), v and c (bound), with values drawn from ints and NULL."""
+    refs = ["p.value", "p.flag", "v.value", "c.flag"]
+
+    def atom():
+        a, b = draw(st.sampled_from(refs)), draw(st.sampled_from(refs))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+        if draw(st.booleans()):
+            b = str(draw(st.integers(min_value=-3, max_value=3)))
+        return f"{a} {op} {b}"
+
+    expr = atom()
+    for _ in range(draw(st.integers(min_value=0, max_value=3))):
+        conn = draw(st.sampled_from(["AND", "OR"]))
+        nxt = atom()
+        if draw(st.booleans()):
+            expr = f"NOT ({expr}) {conn} {nxt}"
+        else:
+            expr = f"({expr}) {conn} {nxt}"
+    vals = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+    env = {
+        "p": {"value": draw(vals), "flag": draw(vals)},
+        "v": {"value": draw(vals)},
+        "c": {"flag": draw(vals)},
+    }
+    return expr, env
+
+
+@given(wc=where_clauses())
+@settings(max_examples=300, deadline=None)
+def test_where_compiler_matches_sql_three_valued_logic(wc):
+    """The NFA's compiled where-predicate must agree with real SQL
+    evaluation (DuckDB) of the same clause under NULLs — full Kleene
+    three-valued logic, with top-level UNKNOWN not satisfying the
+    step. This is the differential guard for the batch F.expr parity
+    (both engines implement standard SQL 3VL)."""
+    import duckdb
+
+    from spark_cep_spark.streaming.nfa import _compile_where_py
+
+    expr, env = wc
+    fn = _compile_where_py(expr, "p")
+    cand = env["p"]
+    bound_env = {k: v for k, v in env.items() if k != "p"}
+    got = fn(cand, bound_env)
+
+    sql = expr
+    for step, cols in env.items():
+        for col, val in cols.items():
+            lit = "NULL" if val is None else str(val)
+            sql = sql.replace(f"{step}.{col}", lit)
+    want = duckdb.sql(f"SELECT ({sql})").fetchone()[0]
+    assert got == (want is True), (expr, env, sql, got, want)
