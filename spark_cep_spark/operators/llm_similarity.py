@@ -425,3 +425,144 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return topk_lsh(spark, q, e, k=10)
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path 3: PQ (product quantization) — the memory-bound route.
+#
+# LSH/IVF bound WHICH candidates get scored; PQ bounds the BYTES per
+# candidate: each vector is stored as n_sub codeword ids (64 float32
+# dims = 256 B → 8 B at 8 sub-quantizers, a 32× compression) and
+# scoring is n_sub table lookups instead of a dim-length dot product
+# (ADC — asymmetric distance computation; Jégou et al. 2011). At
+# 100 TB the candidate scan is bandwidth-bound, which is exactly the
+# cost PQ compresses away; codebooks are KB-sized and broadcast. The
+# ADC pass emits a per-query shortlist that is exactly re-ranked
+# against the raw vectors (an equi-join on id touching only shortlist
+# rows), so returned sims are exact — only the shortlist is
+# approximate, the same contract as topk_lsh.
+
+
+def _train_codebooks(sample, n_sub: int, n_codes: int, seed: int, iters: int = 15):
+    """Per-subspace Lloyd's k-means on a bounded driver-side sample —
+    the standard PQ recipe (codebooks are n_sub×n_codes×dsub floats,
+    KBs; the corpus itself never moves for training)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n, dim = sample.shape
+    dsub = dim // n_sub
+    books = np.empty((n_sub, n_codes, dsub))
+    for s in range(n_sub):
+        x = sample[:, s * dsub : (s + 1) * dsub]
+        centers = x[rng.choice(n, n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_codes):
+                m = assign == c
+                if m.any():
+                    centers[c] = x[m].mean(0)
+        books[s] = centers
+    return books
+
+
+def topk_pq(
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    seed: int = 7,
+    train_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ codes + ADC scan + exact re-ranking.
+
+    Same output schema as topk_matmul/topk_lsh/topk_ivf. Distributed
+    shape: train on a bounded sample (driver), broadcast codebooks,
+    encode + ADC-score candidates in mapInPandas (each batch touches
+    only the 8-byte codes), global per-query shortlist via window,
+    then ONE equi-join back to the raw vectors re-ranks the shortlist
+    exactly — the only rows whose full vectors ever move."""
+    import numpy as np
+
+    sample_rows = (
+        candidates.select(vec_col).orderBy(id_col).limit(train_cap).collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    books = _train_codebooks(sample, n_sub, n_codes, seed)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
+    dsub = qmat.shape[1] // n_sub
+    # ADC tables: tables[q, s, c] = q_s · book[s, c]
+    tables = np.einsum(
+        "qsd,scd->qsc", qmat.reshape(len(qids), n_sub, dsub), books
+    )
+    bc = spark.sparkContext.broadcast((qids, tables, books))
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tabs, bks = bc.value
+        sub_idx = np.arange(n_sub)
+        for pdf in batches:
+            cand_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            csub = cmat.reshape(len(pdf), n_sub, dsub)
+            # encode: nearest codeword per subspace (the stored 8-byte code)
+            d2 = ((csub[:, :, None, :] - bks[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(-1)  # (C, n_sub)
+            out = []
+            for j in range(len(ids)):
+                approx = tabs[j][sub_idx[None, :], codes].sum(1)  # (C,)
+                mask = cand_ids != ids[j]
+                cids, appr = cand_ids[mask], approx[mask]
+                if len(cids) > shortlist:
+                    idx = np.argpartition(-appr, shortlist)[:shortlist]
+                    cids, appr = cids[idx], appr[idx]
+                out.append(
+                    pd.DataFrame({"qid": ids[j], "neighbor_id": cids, "approx": appr})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(
+        adc_scan, "qid long, neighbor_id long, approx double"
+    )
+    wa = W.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    short = (
+        partial.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= shortlist)
+        .select("qid", "neighbor_id")
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qe")
+    )
+    rescored = (
+        short.join(
+            candidates.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", "neighbor_id", _dot(F.col("qe"), F.col("ce")).alias("sim_raw"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
+    )
+
+
+@register("sim_ann_pq")  # approximate shortlist → rows-only
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over the fixture (same queries as sim_topk). Recall
+    contract asserted on planted near-duplicates in tests, like
+    LSH/IVF; returned sims are exact (shortlist re-ranked)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return topk_pq(spark, q, e, k=10)

@@ -258,3 +258,15 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     )
     assert abs(est.est_total_users - exact) <= max(2, 0.05 * exact)
     assert est.n_types == 5
+
+
+def test_pq_recall_on_planted_near_duplicates(spark):
+    """PQ contract: ADC over 8-byte codes shortlists the planted twin
+    (cos ≈ 0.95) and exact re-ranking returns it as top-1 for ≥90% of
+    queries — while the scan itself touches only quantized codes."""
+    from spark_cep_spark.operators.llm_similarity import topk_pq
+
+    df = _planted_corpus(spark)
+    q = df.filter(F.col("vec_id") >= 1000)
+    got = topk_pq(spark, q, df, k=1).collect()
+    assert _twin_hits(got) >= 27
