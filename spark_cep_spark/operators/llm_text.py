@@ -219,35 +219,44 @@ def sentiment_join(spark: SparkSession, docs: DataFrame) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
-           list_aggregate(
+           CASE WHEN len(toks) >= 3 THEN list_aggregate(
              list_transform(range(1, len(toks) - 1),
                             i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))),
-             'min') AS fingerprint,
-           len(toks) - 2 AS n_shingles
+             'min') END AS fingerprint,
+           greatest(len(toks) - 2, 0) AS n_shingles
     FROM t
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash over 3-token shingles (rolling-
     window content signature à la winnowing). Identical docs ⇒ identical
-    fingerprints; fingerprint equality is a cheap near-dup prefilter."""
+    fingerprints; fingerprint equality is a cheap near-dup prefilter.
+
+    Docs shorter than one shingle (< 3 tokens) have no content window
+    to fingerprint: they stay in the output with a NULL fingerprint and
+    n_shingles = 0 (the guard matters — unguarded ``sequence(1,
+    size-2)`` runs DESCENDING for short docs and feeds invalid indices
+    to ``element_at``, a crash on any real web corpus)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            )
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                )
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     return d.select(
         "doc_id",
         F.array_min(shingles).alias("fingerprint"),
-        (F.size(toks) - 2).alias("n_shingles"),
+        F.greatest(F.size(toks) - 2, F.lit(0)).alias("n_shingles"),
     )
 
 
@@ -368,7 +377,7 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1 - CAST(bs.d_bi AS DOUBLE) / bs.n_bi, 6) AS dup_bigram_ratio
     FROM t
     JOIN ws USING (doc_id)
-    JOIN bs USING (doc_id)
+    LEFT JOIN bs USING (doc_id)
     """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,7 +391,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial combine, then a per-doc aggregate and a
     co-keyed join — no per-row Python anywhere. Tokens within a doc
     land in one partition only for the final per-doc rollup; the wide
-    (doc, token) stage is uniformly keyed, skew-free."""
+    (doc, token) stage is uniformly keyed, skew-free.
+
+    One-word docs have no bigrams: they keep their word-level signals
+    and get a NULL dup_bigram_ratio (LEFT join against the bigram
+    aggregate; the bigram transform is guarded so ``sequence(1,
+    size-1)`` never runs descending on a single-token doc)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
@@ -396,19 +410,18 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("top_cnt"),
         )
     )
-    bg = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))")
-        ).alias("g"),
-    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("g"))
     bs = bg.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bi"), F.countDistinct("g").alias("d_bi")
     )
     base = d.select("doc_id", F.size("w").cast("long").alias("n_words"))
     return (
         base.join(ws, "doc_id")
-        .join(bs, "doc_id")
+        .join(bs, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
