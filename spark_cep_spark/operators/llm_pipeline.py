@@ -149,7 +149,7 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.length("props")
             - F.length(F.regexp_replace(F.col("props"), r"[0-9]", ""))
-        ).alias("n_digit_chars"),
+        ).cast("long").alias("n_digit_chars"),
     )
 
 

@@ -31,9 +31,10 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
-keys absent from it follow in module-import order. Round 2 window =
-the 9 round-1 hash-fix keys + every §2 contract key the driver has
-never confirmed; round-1-green keys are pushed past position 50.
+keys absent from it follow in module-import order. Round 4 window =
+the 24 keys with zero driver evidence after rounds 1-3 (20 oracle-
+backed + 4 rows-only), then keys whose code changed in rounds 3-4,
+then a backfill of §2 contract keys whose only evidence is round 1.
 """
 
 from __future__ import annotations
@@ -95,59 +96,66 @@ def load_all() -> None:
 # The first 50 keys the driver will check this round, in order. See the
 # module docstring ("DRIVER WINDOW") for the selection rationale.
 DRIVER_PRIORITY: list[str] = [
-    # (a) round-1 driver failures + latent same-class fixes — must re-prove
-    "agg_distinct",
-    "win_frame_rows",
-    "agg_collect",
-    "fn_array",
-    "corpus_split",
-    "corpus_pack",
-    "corpus_sample_stratified",
-    "pipeline_corpus_clean",
-    "sql_cte",
-    # (b) §2 contract keys with zero driver evidence
-    "cep_absence",
-    "cep_kleene",
-    "cep_threshold",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_map",
-    "fn_json",
-    "fn_null",
-    "fn_hash",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "dedup_exact",
-    "dedup_near",
-    "sim_topk",
-    "sim_knn_class",
-    "text_stats",
-    "text_sentiment",
-    "udf_surface",
-    "udaf_grouped",
-    "grouped_map",
-    "map_in_pandas",
-    "udtf_tokens",
-    "multimodal_ingest",
-    # (c) highest-value oracle-backed extras with zero driver evidence
-    "dedup_near_arrow",
-    "dedup_jaccard",
-    "dedup_simhash",
-    "dedup_embed",
-    "dedup_cluster",
-    "sim_topk_pandas",
-    "text_tokens",
-    "text_quality",
-    "text_lang_id",
+    # (a) the 20 oracle-backed keys with ZERO driver evidence after
+    # rounds 1-3 (the whole CEP correlation/measures arc, the newest
+    # text/pipeline operators, the sql_* surface, fn extras, and the
+    # stream-stream left join)
+    "cep_seq_ids",
+    "cep_seq_corr",
+    "cep_seq_measures",
+    "cep_strict_next",
+    "cep_funnel_abandon",
+    "cep_times",
+    "cep_kleene_measures",
+    "cep_skip_past",
+    "cep_sql_match",
+    "text_repetition",
+    "text_ngrams",
+    "text_redact",
+    "pipeline_decontaminate",
+    "sql_subqueries",
+    "sql_subquery_correlated",
+    "sql_lateral_explode",
+    "fn_bitwise",
+    "fn_struct",
+    "fn_url",
+    "stream_stream_left_join",
+    # (b) the 4 rows-only keys with zero driver evidence (ANN paths
+    # have no SQL oracle by nature; decode has no media fixture)
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    "multimodal_decode",
+    # (c) keys whose code changed in rounds 3-4 — re-prove under the
+    # guarded short-doc semantics
     "text_fingerprint",
-    "emb_centroid",
-    "emb_quantize",
-    "cep_kleene_plus",
+    "dedup_near",
+    # (d) backfill: §2 contract keys whose only driver evidence is
+    # round 1 (oldest), refreshed under the current codebase
+    "scan_parquet",
+    "scan_csv_json",
+    "project_filter",
+    "case_when",
+    "distinct_select",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_asof",
+    "join_interval",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "agg_global",
+    "agg_group",
+    "agg_grouping_sets",
+    "agg_stats",
+    "having",
+    "win_rank",
+    "win_analytic",
+    "win_frame_range",
+    "win_topk_per_group",
+    "cep_seq",
+    "sort_multi",
+    "limit_topk",
 ]
 
 
