@@ -31,10 +31,21 @@ _INPUT_CACHE: dict[tuple, DataFrame] = {}
 
 def _raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
+        # events.ts has shipped in two physical layouts: TIMESTAMP(NANOS)
+        # (Spark 4 refuses to read it as a timestamp — read raw nanos via
+        # nanosAsLong and truncate to micros, exactly DuckDB's nanos→micros
+        # truncation) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives
+        # as TIMESTAMP_NTZ — rebase to TIMESTAMP under the UTC session,
+        # wall-clock-preserving, so time functions like unix_micros()
+        # resolve and instants match DuckDB's naive reading). Either way
+        # downstream operators always see `ts: timestamp`.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -60,15 +60,22 @@ def _minhash_signature(d: DataFrame) -> DataFrame:
     only for genuinely near-identical docs.
     """
     toks = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+    # The >= 3 filter already excludes short docs, but the expression is
+    # guarded anyway: unguarded sequence(1, size-2) runs DESCENDING for
+    # <3-token docs (Spark sequence(1,0) == [1,0]) and would crash
+    # element_at if Catalyst ever evaluated it before the filter.
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     sh = (
         d.filter(F.size(toks) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
