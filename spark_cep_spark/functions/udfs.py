@@ -146,6 +146,8 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, pos int, tok string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # NULL text -> no rows, matching unnest(NULL)
+                return
             for i, tok in enumerate(text.split(" "), start=1):
                 yield doc_id, i, tok
 

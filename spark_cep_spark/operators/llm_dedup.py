@@ -159,6 +159,8 @@ def minhash_signature_arrow(d: DataFrame) -> DataFrame:
         for pdf in it:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # NULL text: no shingles, drop — same
+                    continue      # as the SQL variant's size>=3 filter
                 toks = text.split(" ")
                 if len(toks) < 3:
                     continue

@@ -841,3 +841,96 @@ def test_where_compiler_matches_sql_three_valued_logic(wc):
             sql = sql.replace(f"{step}.{col}", lit)
     want = duckdb.sql(f"SELECT ({sql})").fetchone()[0]
     assert got == (want is True), (expr, env, sql, got, want)
+
+
+@st.composite
+def agg_where_clauses(draw):
+    """Random where clauses referencing Kleene-run aggregates
+    first/last/min/max/sum/avg/count(K.value) — with NULL run members
+    — alongside the current step p.value. The run state is built
+    through the kernel's own _run_init/_run_extend fold."""
+    members = draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    aggs = ["first", "last", "min", "max", "sum", "avg", "count"]
+
+    def atom():
+        a = f"{draw(st.sampled_from(aggs))}(K.value)"
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+        b = draw(
+            st.sampled_from(
+                [f"{draw(st.sampled_from(aggs))}(K.value)", "p.value"]
+                + [str(i) for i in range(-3, 4)]
+            )
+        )
+        return f"{a} {op} {b}"
+
+    expr = atom()
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        conn = draw(st.sampled_from(["AND", "OR"]))
+        nxt = atom()
+        if draw(st.booleans()):
+            expr = f"NOT ({expr}) {conn} {nxt}"
+        else:
+            expr = f"({expr}) {conn} {nxt}"
+    p_val = draw(st.one_of(st.none(), st.integers(min_value=-3, max_value=3)))
+    return expr, members, p_val
+
+
+@given(wc=agg_where_clauses())
+@settings(max_examples=300, deadline=None)
+def test_agg_where_compiler_matches_sql_three_valued_logic(wc):
+    """Kleene-run aggregate refs under NULL members must agree with
+    real SQL aggregate semantics (DuckDB): first/last are positional
+    (NULL included), min/max/sum/count skip NULLs, sum over an
+    all-NULL run is NULL, avg = sum/count is NULL on a 0 count
+    (division catches in _cmp3), and every comparison then combines
+    per 3VL."""
+    import duckdb
+
+    from spark_cep_spark.streaming.nfa import (
+        _compile_where_py,
+        _run_extend,
+        _run_init,
+    )
+
+    expr, members, p_val = wc
+    state = _run_init(members[0])
+    for v in members[1:]:
+        state = _run_extend(state, v)
+    env = {"K": {"value": state}}
+    fn = _compile_where_py(expr, "p")
+    got = fn({"value": p_val}, env)
+
+    # DuckDB ground truth: aggregate the same run with real SQL
+    # aggregates, then evaluate the clause with the results inlined.
+    vals = ", ".join(
+        f"({i}, {'NULL' if v is None else v})" for i, v in enumerate(members)
+    )
+    agg_row = duckdb.sql(
+        "SELECT first(v ORDER BY i) AS f, last(v ORDER BY i) AS l, "
+        "min(v) AS mn, max(v) AS mx, sum(v) AS s, count(v) AS c "
+        f"FROM (VALUES {vals}) t(i, v)"
+    ).fetchone()
+    f, l, mn, mx, s, c = agg_row
+
+    def lit(x):
+        return "NULL" if x is None else str(x)
+
+    sql = expr
+    # avg as exact double division of the integer sum/count so both
+    # engines do the identical IEEE operation (a decimal literal would
+    # be parsed as DECIMAL and compare differently)
+    sql = sql.replace("avg(K.value)", f"(CAST({lit(s)} AS DOUBLE) / {lit(c)})")
+    for name, v in [
+        ("first", f), ("last", l), ("min", mn),
+        ("max", mx), ("sum", s), ("count", c),
+    ]:
+        sql = sql.replace(f"{name}(K.value)", lit(v))
+    sql = sql.replace("p.value", lit(p_val))
+    want = duckdb.sql(f"SELECT ({sql})").fetchone()[0]
+    assert got == (want is True), (expr, members, p_val, sql, got, want)

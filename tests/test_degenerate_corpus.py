@@ -28,6 +28,7 @@ DEGENERATE_DOCS = [
     (7, "word"),                     # exact dup of doc 1
     (8, "  "),                       # whitespace only -> ['', '', '']
     (9, "one two three four five six seven eight nine ten"),  # normal
+    (10, None),                      # NULL text (real corpora have them)
 ]
 
 # Every registry key that consumes the documents/embeddings tables —
@@ -47,7 +48,7 @@ def degenerate_dir(spark, tmp_path_factory):
         if f != "documents.parquet":
             os.symlink(os.path.join(src, f), dst / f)
     rows = [
-        (doc_id, text, "en", "synthetic", len(text))
+        (doc_id, text, "en", "synthetic", len(text) if text is not None else None)
         for doc_id, text in DEGENERATE_DOCS
     ]
     df = spark.createDataFrame(
@@ -64,11 +65,16 @@ def degenerate_dir(spark, tmp_path_factory):
     return str(dst)
 
 
+EXTRA_DOC_KEYS = ("udtf_tokens", "map_in_pandas")  # doc-table UDF surfaces
+
+
 def _llm_keys():
     import __spark_entry__ as entry
 
     return sorted(
-        k for k in entry.queries() if k.startswith(LLM_PREFIXES)
+        k
+        for k in entry.queries()
+        if k.startswith(LLM_PREFIXES) or k in EXTRA_DOC_KEYS
     )
 
 
