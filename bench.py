@@ -34,10 +34,16 @@ HEADLINE = {
 
 
 def main() -> None:
-    # Warm-cache bench: repartition+persist each input table during
-    # warm-up (see io.py _INPUT_CACHE) so measured queries aren't
-    # serialized on the fixtures' single-row-group parquet layout.
-    os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "1"
+    # Warm-cache bench (default): repartition+persist each input table
+    # during warm-up (see io.py _INPUT_CACHE) so measured queries
+    # aren't serialized on the fixtures' single-row-group parquet
+    # layout. `--cold` disables the input cache so every measured query
+    # pays the parquet decode — the apples-to-apples number for
+    # round-over-round plan comparisons (recorded in SCALE.md; the
+    # driver parses the default warm line only).
+    cold = "--cold" in sys.argv
+    if not cold:
+        os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "1"
 
     from spark_cep_spark.session import get_spark
     from spark_cep_spark.io import load_tables
@@ -82,7 +88,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_total_cold"
+                if cold
+                else "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": times,

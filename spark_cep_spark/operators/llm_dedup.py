@@ -50,9 +50,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(d: DataFrame) -> DataFrame:
-    """(doc_id, sig) — sig = concat of per-seed min(md5(seed:shingle))
-    over 3-token shingles.
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, sh) — DISTINCT 3-token shingles per document.
 
     Shingles (not single tokens) are essential on a small-vocabulary
     corpus: token SETS collide for most long documents, while 3-gram
@@ -76,39 +75,56 @@ def _minhash_signature(d: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    sh = (
+    return (
         d.filter(F.size(toks) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
     )
+
+
+def _minhash_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N-1}) — per-seed min(md5(seed:shingle))."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
+    return _doc_shingles(d).groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signature(d: DataFrame) -> DataFrame:
+    """(doc_id, sig) — sig = concat of the per-seed minhashes."""
+    return _minhash_hashes(d).select(
         "doc_id",
         F.concat_ws("|", *[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("sig"),
     )
 
 
-_MINHASH_SIG_SQL = """
-        SELECT doc_id,
-               concat_ws('|', {cols}) AS sig
-        FROM (
-          SELECT doc_id, {aggs}
-          FROM (
+_SHINGLES_SQL = """
             SELECT DISTINCT doc_id, unnest(list_transform(
                      range(1, len(toks) - 1),
                      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents)
-            WHERE len(toks) >= 3) t
-          GROUP BY doc_id) s
+            WHERE len(toks) >= 3
+"""
+
+_MINHASH_HASHES_SQL = """
+          SELECT doc_id, {aggs}
+          FROM ({shingles}) t
+          GROUP BY doc_id
 """.format(
-    cols=", ".join(f"h{i}" for i in range(N_MINHASH)),
+    shingles=_SHINGLES_SQL,
     aggs=", ".join(
         f"min(md5(concat('{i}:', sh))) AS h{i}" for i in range(N_MINHASH)
     ),
+)
+
+_MINHASH_SIG_SQL = """
+        SELECT doc_id,
+               concat_ws('|', {cols}) AS sig
+        FROM ({hashes}) s
+""".format(
+    cols=", ".join(f"h{i}" for i in range(N_MINHASH)),
+    hashes=_MINHASH_HASHES_SQL,
 )
 
 
@@ -615,3 +631,113 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return connected_components(edges, d, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Banded MinHash-LSH with Jaccard verification — the canonical scalable
+# near-dedup pipeline (signature -> bands -> candidate pairs -> verify)
+
+N_BANDS = 3  # 3 bands x 2 rows over the 6 minhashes
+
+_LSH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(concat(h{2 * b}, '|', h{2 * b + 1})) AS band_key"
+    f" FROM hashes"
+    for b in range(N_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH hashes AS ({_MINHASH_HASHES_SQL}),
+         bands AS ({_LSH_BANDS_SQL}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+         sh AS ({_SHINGLES_SQL}),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         verified AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS shared
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+           GROUP BY c.doc_a, c.doc_b)
+    SELECT v.doc_a, v.doc_b,
+           round(v.shared * 1.0 / (ca.n + cb.n - v.shared), 6) AS jaccard
+    FROM verified v
+    JOIN cnt ca ON ca.doc_id = v.doc_a
+    JOIN cnt cb ON cb.doc_id = v.doc_b
+    WHERE v.shared * 1.0 / (ca.n + cb.n - v.shared) >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dedup, end to end: 6 minhashes -> 3
+    bands x 2 rows -> candidate pairs share at least one band bucket ->
+    exact shingle-Jaccard >= 0.7 verification on candidates ONLY.
+
+    This is the shape that scales to 100 TB where dedup_near (full-
+    signature equality) is too strict and dedup_jaccard (token-inverted
+    index) touches too many pairs: banding bounds the candidate count
+    (P[candidate] = 1-(1-J^r)^b, steep around the 0.7 threshold), the
+    verify join runs only on band-bucket collisions, and every stage is
+    an equi-shuffle on a hash key — no all-pairs product anywhere.
+    Band buckets can skew if a bucket collects many docs; at scale cap
+    bucket size (drop buckets > N docs: they are near-identical spam
+    clusters better handled by dedup_exact) — not needed at fixture
+    scale."""
+    d = table(spark, sf_dir, "documents")
+    hashes = _minhash_hashes(d)
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"h{2 * b}"), F.lit("|"), F.col(f"h{2 * b + 1}")
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = _doc_shingles(d)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    shared = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("shared") / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
+    return (
+        shared.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -323,3 +323,52 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared"))
     )
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle="""
+    SELECT doc_id,
+           keep,
+           CASE WHEN reasons = '' THEN NULL ELSE reasons END AS reasons
+    FROM (
+      SELECT doc_id,
+             n_chars BETWEEN 100 AND 400
+               AND len(string_split(text, ' ')) >= 20
+               AND lang IN ('en', 'de', 'fr', 'es') AS keep,
+             concat_ws(',',
+               CASE WHEN n_chars < 100 THEN 'too_short' END,
+               CASE WHEN n_chars > 400 THEN 'too_long' END,
+               CASE WHEN len(string_split(text, ' ')) < 20
+                    THEN 'low_token_count' END,
+               CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+                    THEN 'lang_excluded' END) AS reasons
+      FROM documents) t
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate with drop-reason logging — real pipelines never
+    silently drop: every document gets keep/drop plus the comma-joined
+    list of rules it violated (audit trail for filter-rate dashboards
+    and threshold tuning). Pure projection: no shuffle at any scale;
+    the downstream keep-filter pushes to the scan."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    langs = ["en", "de", "fr", "es"]
+    keep = (
+        F.col("n_chars").between(100, 400)
+        & (n_tok >= 20)
+        & F.col("lang").isin(langs)
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_chars") < 100, "too_short"),
+        F.when(F.col("n_chars") > 400, "too_long"),
+        F.when(n_tok < 20, "low_token_count"),
+        F.when(~F.col("lang").isin(langs), "lang_excluded"),
+    )
+    return d.select(
+        "doc_id",
+        keep.alias("keep"),
+        F.when(reasons == "", None).otherwise(reasons).alias("reasons"),
+    )

@@ -437,3 +437,121 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_bigram_ratio"),
         )
     )
+
+
+@register(
+    "text_surprisal",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(n * 1.0 / c)), 6) AS avg_surprisal
+    FROM tok JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram surprisal per document — the deterministic stand-in for
+    LM-perplexity quality filtering (docs whose tokens are corpus-rare
+    score high; boilerplate/stopword salad scores low). avg over the
+    doc of ln(N_total / count(token)).
+
+    100 TB shape: the token-frequency table is vocabulary-sized (≪
+    corpus), so it BROADCASTS to the token stream — the corpus is
+    scanned once; the only corpus-sized shuffle is the per-doc
+    aggregate, keyed uniformly by doc_id. The N_total scalar rides the
+    same broadcast (1-row cross join)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") * 1.0 / F.col("c"))), 6).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
+
+
+@register(
+    "text_boilerplate",
+    oracle="""
+    WITH g AS (SELECT DISTINCT doc_id,
+                      unnest(CASE WHEN len(w) >= 5 THEN list_transform(
+                               range(1, len(w) - 3),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2],
+                                              w[i+3], w[i+4]))
+                             ELSE [] END) AS gram
+               FROM (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents)),
+         df AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+         per_doc AS (
+           SELECT g.doc_id,
+                  count(*) AS n_grams,
+                  CAST(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_common
+           FROM g JOIN df USING (gram)
+           GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           coalesce(p.n_common, 0) AS n_common,
+           round(p.n_common * 1.0 / p.n_grams, 6) AS boilerplate_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate score (C4/RefinedWeb-style): the
+    fraction of a doc's distinct 5-grams that appear in >= 3 distinct
+    documents — headers, footers, templates and licence blocks score
+    near 1, original prose near 0. Docs too short for a 5-gram stay in
+    the output with 0 grams and a NULL ratio (the guarded-gram
+    pattern; see text_fingerprint).
+
+    100 TB shape: one (doc, gram) explode keyed by gram hash (uniform
+    — no skew because grams are distinct per doc), the document-
+    frequency aggregate, then a per-doc rollup keyed by doc_id. The
+    gram->doc_freq table is NOT broadcast (it is corpus-sized); both
+    joins are equi-shuffles on their keys."""
+    d = table(spark, sf_dir, "documents")
+    grams = F.when(
+        F.size("w") >= 5,
+        F.expr(
+            "transform(sequence(1, size(w) - 4),"
+            " i -> concat_ws(' ', slice(w, i, 5)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    g = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+    df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        g.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(F.col("n_common") * 1.0 / F.col("n_grams"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )

@@ -130,13 +130,16 @@ DRIVER_PRIORITY: list[str] = [
     # guarded short-doc semantics
     "text_fingerprint",
     "dedup_near",
+    # (c') operators NEW in round 4
+    "dedup_minhash_lsh",
+    "text_surprisal",
+    "text_boilerplate",
+    "pipeline_quality_filter",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
     "scan_csv_json",
     "project_filter",
-    "case_when",
-    "distinct_select",
     "join_inner_equi",
     "join_broadcast",
     "join_asof",
@@ -154,8 +157,6 @@ DRIVER_PRIORITY: list[str] = [
     "win_frame_range",
     "win_topk_per_group",
     "cep_seq",
-    "sort_multi",
-    "limit_topk",
 ]
 
 
