@@ -372,3 +372,66 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         F.when(reasons == "", None).otherwise(reasons).alias("reasons"),
     )
+
+
+@register(
+    "corpus_mix",
+    oracle=f"""
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+         per_lang AS (SELECT lang, count(*) AS n_lang
+                      FROM documents GROUP BY lang),
+         rates AS (
+           SELECT lang,
+                  least(1.0,
+                        (CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END)
+                          * tot.n / n_lang) AS rate
+           FROM per_lang CROSS JOIN tot),
+         kept AS (
+           SELECT d.lang
+           FROM documents d JOIN rates r ON d.lang = r.lang
+           WHERE {_HASH_BUCKET_SQL.format(col="d.doc_id", n=1000000)}
+                   < CAST(floor(r.rate * 1000000) AS BIGINT))
+    SELECT lang, count(*) AS n_kept
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven mixture sampling: hit a TARGET language share
+    (en 40%, others 15% each) regardless of the corpus's actual skew.
+    Unlike corpus_sample_stratified (fixed per-group rates), the keep
+    rate is computed FROM the data: rate(lang) = min(1, target_share x
+    N_total / N_lang) — oversampled languages are thinned toward the
+    target, under-represented ones are kept whole (capped at 1: this
+    op never upsamples; repeat-epoch upweighting belongs to the
+    training loader).
+
+    Scale shape: the rate table is |langs| rows — computed by one
+    small aggregate and BROADCAST back; the keep decision is a pure
+    per-row md5-bucket comparison (deterministic, stable as the corpus
+    grows — a doc's fate never changes when new files arrive, so
+    incremental runs are consistent). The corpus is scanned once, no
+    corpus-sized shuffle before the final per-lang audit aggregate."""
+    d = table(spark, sf_dir, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    share = F.when(F.col("lang") == "en", F.lit(0.40)).otherwise(F.lit(0.15))
+    rates = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .join(F.broadcast(tot))
+        .select(
+            "lang",
+            F.least(F.lit(1.0), share * F.col("n") / F.col("n_lang")).alias(
+                "rate"
+            ),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(
+            _hash_bucket("doc_id", 1_000_000)
+            < F.floor(F.col("rate") * 1_000_000).cast("bigint")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )

@@ -135,10 +135,10 @@ DRIVER_PRIORITY: list[str] = [
     "text_surprisal",
     "text_boilerplate",
     "pipeline_quality_filter",
+    "corpus_mix",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
-    "scan_csv_json",
     "project_filter",
     "join_inner_equi",
     "join_broadcast",

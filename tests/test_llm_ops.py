@@ -270,3 +270,57 @@ def test_pq_recall_on_planted_near_duplicates(spark):
     q = df.filter(F.col("vec_id") >= 1000)
     got = topk_pq(spark, q, df, k=1).collect()
     assert _twin_hits(got) >= 27
+
+
+def test_minhash_lsh_catches_near_dup_that_full_signature_misses(
+    spark, tmp_path
+):
+    """The reason dedup_minhash_lsh exists: a single-token edit that
+    flips SOME minhash seeds breaks full-signature equality
+    (dedup_near's bucket), but banding (3 bands x 2 rows) still pairs
+    the docs as long as one band survives, and the exact Jaccard
+    verify confirms them. Doc 3 = doc 1 with token 12 changed: seeds
+    h2/h3/h4 flip (verified constant — md5 is deterministic), band 0
+    survives, true 3-shingle Jaccard = 25/31 ~= 0.806."""
+    import __spark_entry__ as entry
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    toks = base.split()
+    near = toks.copy()
+    near[12] = "CHANGED"
+    rows = [
+        (1, base, "en", "t", len(base)),
+        (2, base, "en", "t", len(base)),          # exact dup of 1
+        (3, " ".join(near), "en", "t", len(base)),  # near dup of 1
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fx = str(tmp_path / "lsh_fx")
+    import os
+    import shutil
+
+    os.makedirs(fx)
+    out = str(tmp_path / "docs_out")
+    d.coalesce(1).write.parquet(out)
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    shutil.move(os.path.join(out, part), os.path.join(fx, "documents.parquet"))
+
+    full_sig_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in entry.queries()["dedup_near"](spark, fx).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in entry.queries()["dedup_minhash_lsh"](spark, fx).collect()
+    }
+    # full-signature equality sees only the exact pair
+    assert full_sig_pairs == {(1, 2)}
+    # banding sees the exact pair (J=1.0) AND the near pair
+    assert set(lsh) == {(1, 2), (1, 3), (2, 3)}
+    assert lsh[(1, 2)] == 1.0
+    assert abs(lsh[(1, 3)] - round(25 / 31, 6)) < 1e-9
