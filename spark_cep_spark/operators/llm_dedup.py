@@ -741,3 +741,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.7)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming near-dedup: minhash signature dedup with bounded state
+
+@register(
+    "stream_dedup_near",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_SIG_SQL})
+    SELECT doc_id, sig FROM (
+      SELECT doc_id, sig,
+             row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+      FROM sigs) t
+    WHERE rn = 1
+    """,
+)
+def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING near-dedup: keep-first document per
+    minhash signature (deterministic winner so the oracle hash is
+    stable; the streaming face keeps an arbitrary first-arrival winner
+    — tests assert count equality, the weaker invariant streaming
+    semantics guarantee).
+
+    Streaming face: near_dedup_sig_stream below — per-doc signatures
+    inside mapInPandas (no shingle shuffle, streaming-legal), then
+    dropDuplicatesWithinWatermark on the signature, so dedup state is
+    BOUNDED: a signature expires once the watermark passes it. At
+    100 TB/day this is the only tractable online near-dedup — state
+    holds one 96-byte signature per unique doc per watermark horizon,
+    never the text."""
+    sigs = _minhash_signature(table(spark, sf_dir, "documents"))
+    w = W.partitionBy("sig").orderBy("doc_id")
+    return (
+        sigs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def near_dedup_sig_stream(
+    docs_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming near-dedup face: (doc_id, ts, sig) via Arrow-batched
+    per-doc minhash, then signature dedup within the watermark. Input
+    must carry an event-time `ts` column (stage_documents_files adds
+    one)."""
+    import hashlib
+
+    import pandas as pd
+
+    def sig_batch(it):
+        for pdf in it:
+            out = {"doc_id": [], "ts": [], "sig": []}
+            for doc_id, ts, text in zip(
+                pdf["doc_id"], pdf["ts"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < 3:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+                encoded = [sh.encode() for sh in shingles]
+                mins = [
+                    min(
+                        hashlib.md5(b"%d:" % seed + sh).hexdigest()
+                        for sh in encoded
+                    )
+                    for seed in range(N_MINHASH)
+                ]
+                out["doc_id"].append(doc_id)
+                out["ts"].append(ts)
+                out["sig"].append("|".join(mins))
+            yield pd.DataFrame(out)
+
+    sigs = docs_stream.select("doc_id", "ts", "text").mapInPandas(
+        sig_batch, "doc_id long, ts timestamp, sig string"
+    )
+    return sigs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["sig"]
+    )

@@ -136,6 +136,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_boilerplate",
     "pipeline_quality_filter",
     "corpus_mix",
+    "stream_dedup_near",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
@@ -150,7 +151,6 @@ DRIVER_PRIORITY: list[str] = [
     "agg_global",
     "agg_group",
     "agg_grouping_sets",
-    "agg_stats",
     "having",
     "win_rank",
     "win_analytic",

@@ -118,3 +118,53 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+DOCUMENTS_TS = None  # built lazily from the documents schema + ts
+
+
+def _documents_ts_schema():
+    global DOCUMENTS_TS
+    if DOCUMENTS_TS is None:
+        from pyspark.sql import types as T
+
+        from spark_cep_spark.schemas import DOCUMENTS
+
+        DOCUMENTS_TS = T.StructType(
+            list(DOCUMENTS.fields) + [T.StructField("ts", T.TimestampType())]
+        )
+    return DOCUMENTS_TS
+
+
+def stage_documents_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 6, subdir: str | None = None
+) -> str:
+    """Stage the documents fixture as an unbounded-source directory with
+    a synthetic arrival timestamp (ts = epoch + doc_id seconds) — the
+    fuel for streaming near-dedup tests. Deterministic: the same doc
+    always gets the same ts."""
+    import pyspark.sql.functions as F  # local alias
+
+    subdir = subdir or f"documents_stream_{uuid.uuid4().hex[:8]}"
+    out = os.path.join(SCRATCH, subdir)
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        table(spark, sf_dir, "documents")
+        .withColumn(
+            "ts", F.expr("timestamp_seconds(1700000000 + doc_id)")
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def documents_stream(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = 2
+) -> DataFrame:
+    """Unbounded documents source over staged files."""
+    reader = spark.readStream.schema(_documents_ts_schema())
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(staged_dir)

@@ -65,7 +65,11 @@ def degenerate_dir(spark, tmp_path_factory):
     return str(dst)
 
 
-EXTRA_DOC_KEYS = ("udtf_tokens", "map_in_pandas")  # doc-table UDF surfaces
+EXTRA_DOC_KEYS = (  # doc-table keys outside the llm_* prefixes
+    "udtf_tokens",
+    "map_in_pandas",
+    "stream_dedup_near",
+)
 
 
 def _llm_keys():

@@ -448,3 +448,26 @@ def test_merge_into_parquet_crash_recovery(spark, tmp_path):
     merge_into_parquet(mk([(8, "y")]), legacy_target, ["k"])
     assert os.path.islink(legacy_target)
     assert norm(spark.read.parquet(legacy_target)) == [(7, "x"), (8, "y")]
+
+
+def test_streaming_near_dedup_counts_match_batch_twin(spark, sf_dir):
+    """Streaming minhash near-dedup (signature dedup within watermark)
+    over multiple micro-batches keeps exactly one doc per signature —
+    count-equal to the batch twin (winners are arrival-order-arbitrary,
+    so only counts are asserted; the twin pins winners for the
+    oracle)."""
+    import __spark_entry__ as entry
+    from spark_cep_spark.operators.llm_dedup import near_dedup_sig_stream
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_documents_files(spark, sf_dir, n_files=6)
+    stream = harness.documents_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        near_dedup_sig_stream(stream, watermark="365 days"), "append"
+    )
+    batch = entry.queries()["stream_dedup_near"](spark, sf_dir)
+    assert got.count() == batch.count()
+    # and signatures themselves agree as a set
+    assert {r["sig"] for r in got.select("sig").collect()} == {
+        r["sig"] for r in batch.select("sig").collect()
+    }
