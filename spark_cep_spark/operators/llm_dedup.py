@@ -98,34 +98,46 @@ def _minhash_signature(d: DataFrame) -> DataFrame:
     )
 
 
-_SHINGLES_SQL = """
+def shingles_sql(rel: str = "documents") -> str:
+    """DuckDB SQL for (doc_id, sh) distinct 3-token shingles of `rel`
+    (any relation with doc_id + text)."""
+    return f"""
             SELECT DISTINCT doc_id, unnest(list_transform(
                      range(1, len(toks) - 1),
                      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                  FROM documents)
+                  FROM {rel})
             WHERE len(toks) >= 3
 """
 
-_MINHASH_HASHES_SQL = """
+
+def minhash_hashes_sql(rel: str = "documents") -> str:
+    return """
           SELECT doc_id, {aggs}
           FROM ({shingles}) t
           GROUP BY doc_id
 """.format(
-    shingles=_SHINGLES_SQL,
-    aggs=", ".join(
-        f"min(md5(concat('{i}:', sh))) AS h{i}" for i in range(N_MINHASH)
-    ),
-)
+        shingles=shingles_sql(rel),
+        aggs=", ".join(
+            f"min(md5(concat('{i}:', sh))) AS h{i}" for i in range(N_MINHASH)
+        ),
+    )
 
-_MINHASH_SIG_SQL = """
+
+def minhash_sig_sql(rel: str = "documents") -> str:
+    return """
         SELECT doc_id,
                concat_ws('|', {cols}) AS sig
         FROM ({hashes}) s
 """.format(
-    cols=", ".join(f"h{i}" for i in range(N_MINHASH)),
-    hashes=_MINHASH_HASHES_SQL,
-)
+        cols=", ".join(f"h{i}" for i in range(N_MINHASH)),
+        hashes=minhash_hashes_sql(rel),
+    )
+
+
+_SHINGLES_SQL = shingles_sql()
+_MINHASH_HASHES_SQL = minhash_hashes_sql()
+_MINHASH_SIG_SQL = minhash_sig_sql()
 
 
 @register(

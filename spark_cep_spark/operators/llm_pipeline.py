@@ -435,3 +435,172 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=None,  # set below — needs the minhash SQL builder
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data composition, ONE plan end to end:
+    quality gate -> benchmark decontamination -> minhash near-dedup
+    (keep-first per signature) -> mixture sampling toward a target
+    language share — with a per-language audit of survivors at every
+    stage (n_input / n_quality / n_decontam / n_dedup / n_mixed).
+    Every real pretraining pipeline runs exactly this chain and audits
+    exactly these counts.
+
+    Single-pass shape: per-doc stage FLAGS are computed in one scan
+    (quality = projection; decontamination = broadcast semi-join of
+    the tiny eval-gram set against exploded corpus grams; dedup
+    winner = row_number over (sig, eligible); mix = md5-bucket vs a
+    broadcast |langs|-row rate table computed from dedup winners), and
+    the only corpus-sized shuffles are the signature aggregate, the
+    flags<-sigs doc_id join, and the (sig, eligible) window. No stage
+    rescans the corpus; counts fall out of one final per-lang
+    aggregate. At 100 TB: identical plan, with the gram dedup keyed by
+    gram hash and the window partitioned by signature — both uniform."""
+    from pyspark.sql import Window as W
+
+    from spark_cep_spark.operators.llm_dedup import _minhash_signature
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+
+    grams = F.when(
+        F.size("w") >= 5,
+        F.expr(
+            "transform(sequence(1, size(w) - 4),"
+            " i -> concat_ws(' ', slice(w, i, 5)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    ev_grams = (
+        ev.select(F.split("text", " ").alias("w"))
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = (
+        corpus.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(ev_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+
+    n_tok = F.size(F.split("text", " "))
+    flags = (
+        corpus.select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars").between(100, 400) & (n_tok >= 20)).alias("q"),
+        )
+        .join(contaminated, "doc_id", "left")
+        .join(_minhash_signature(corpus), "doc_id", "left")
+        .withColumn("elig", F.col("q") & F.col("contam").isNull())
+    )
+    w = W.partitionBy("sig", "elig").orderBy("doc_id")
+    flags = flags.withColumn(
+        "winner", F.col("elig") & (F.row_number().over(w) == 1)
+    )
+
+    share = F.when(F.col("lang") == "en", F.lit(0.40)).otherwise(F.lit(0.15))
+    lang_w = flags.filter("winner").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    tot_w = flags.filter("winner").agg(F.count(F.lit(1)).alias("n_tot"))
+    rates = lang_w.join(F.broadcast(tot_w)).select(
+        "lang",
+        F.least(F.lit(1.0), share * F.col("n_tot") / F.col("n_lang")).alias(
+            "rate"
+        ),
+    )
+    flags = flags.join(F.broadcast(rates), "lang", "left").withColumn(
+        "mixed",
+        F.col("winner")
+        & (
+            _hash_bucket("doc_id", 1_000_000)
+            < F.floor(F.col("rate") * 1_000_000).cast("bigint")
+        ),
+    )
+
+    def n(c):
+        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        n("q").alias("n_quality"),
+        n("elig").alias("n_decontam"),
+        n("winner").alias("n_dedup"),
+        n("mixed").alias("n_mixed"),
+    )
+
+
+def _e2e_oracle() -> str:
+    from spark_cep_spark.operators.llm_dedup import minhash_sig_sql
+
+    g5 = (
+        "CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) "
+        "ELSE [] END"
+    )
+    bucket = _HASH_BUCKET_SQL.format(col="f.doc_id", n=1000000)
+    return f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 != 0),
+         ev_grams AS (
+           SELECT DISTINCT unnest({g5}) AS gram
+           FROM (SELECT string_split(text, ' ') AS w
+                 FROM documents WHERE doc_id % 7 = 0)),
+         doc_grams AS (
+           SELECT DISTINCT doc_id, unnest({g5}) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+         contam AS (SELECT DISTINCT dg.doc_id
+                    FROM doc_grams dg JOIN ev_grams USING (gram)),
+         sigs AS ({minhash_sig_sql("corpus")}),
+         flags AS (
+           SELECT c.doc_id, c.lang,
+                  (c.n_chars BETWEEN 100 AND 400
+                   AND len(string_split(c.text, ' ')) >= 20) AS q,
+                  (c.n_chars BETWEEN 100 AND 400
+                   AND len(string_split(c.text, ' ')) >= 20
+                   AND ct.doc_id IS NULL) AS elig,
+                  s.sig
+           FROM corpus c
+           LEFT JOIN contam ct ON ct.doc_id = c.doc_id
+           LEFT JOIN sigs s ON s.doc_id = c.doc_id),
+         winners AS (
+           SELECT *,
+                  elig AND row_number() OVER (
+                    PARTITION BY sig, elig ORDER BY doc_id) = 1 AS winner
+           FROM flags),
+         lang_w AS (SELECT lang, count(*) AS n_lang
+                    FROM winners WHERE winner GROUP BY lang),
+         tot_w AS (SELECT count(*) AS n_tot FROM winners WHERE winner),
+         rates AS (
+           SELECT lang,
+                  least(1.0,
+                        (CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END)
+                          * tot_w.n_tot / n_lang) AS rate
+           FROM lang_w CROSS JOIN tot_w),
+         final AS (
+           SELECT f.*,
+                  f.winner AND {bucket}
+                    < CAST(floor(r.rate * 1000000) AS BIGINT) AS mixed
+           FROM winners f LEFT JOIN rates r ON f.lang = r.lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_input,
+           CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN elig THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+           CAST(sum(CASE WHEN winner THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
+    FROM final
+    GROUP BY lang
+    """
+
+
+from spark_cep_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["pipeline_end_to_end"] = _e2e_oracle()

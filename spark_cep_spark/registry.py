@@ -137,6 +137,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_quality_filter",
     "corpus_mix",
     "stream_dedup_near",
+    "pipeline_end_to_end",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
@@ -150,7 +151,6 @@ DRIVER_PRIORITY: list[str] = [
     "join_theta_range",
     "agg_global",
     "agg_group",
-    "agg_grouping_sets",
     "having",
     "win_rank",
     "win_analytic",

@@ -37,6 +37,7 @@ NESTED_LOOP_OK = {
     "text_surprisal",  # 1-row total-count scalar broadcast (cross join
     # with a single-row aggregate — build side is constant-size)
     "corpus_mix",  # same 1-row N_total broadcast into the rate table
+    "pipeline_end_to_end",  # same 1-row winner-total broadcast
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
