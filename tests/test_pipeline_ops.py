@@ -234,3 +234,25 @@ def test_decontaminate_finds_planted_overlap(spark):
         df.write.parquet(os.path.join(sf, "documents.parquet"))
         got = {r.doc_id: r.n_shared for r in pipeline_decontaminate(spark, sf).collect()}
     assert got == {1: 1, 3: 2}
+
+
+def test_end_to_end_pipeline_stage_counts_monotonic(spark, sf_dir):
+    """Each stage can only shed documents: input >= quality >=
+    decontaminated >= deduped >= mixed, per language — and the corpus
+    is non-trivially filtered at every stage on the fixture."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["pipeline_end_to_end"](spark, sf_dir).collect()
+    assert rows, "no languages in audit"
+    for r in rows:
+        assert (
+            r["n_input"]
+            >= r["n_quality"]
+            >= r["n_decontam"]
+            >= r["n_dedup"]
+            >= r["n_mixed"]
+            >= 0
+        ), r
+    total = {k: sum(r[k] for r in rows) for k in rows[0].asDict() if k != "lang"}
+    assert total["n_mixed"] > 0  # something survives
+    assert total["n_mixed"] < total["n_input"]  # something was filtered
