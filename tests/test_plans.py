@@ -102,3 +102,33 @@ def test_salting_helpers(spark):
     assert exploded.count() == 12
     j = salted.join(exploded, ["k", "_salt"])
     assert j.count() == 3  # keys 0,1,2 match across all salts exactly once
+
+
+def test_lsh_dedup_has_no_cartesian_stage(spark):
+    """The whole point of banding: candidate generation is an
+    equi-join on (band_id, band_key), never an all-pairs product."""
+    p = plan_of(_q(spark, "dedup_minhash_lsh"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_surprisal_broadcasts_vocab(spark):
+    """The vocabulary-frequency join must be broadcast (map-side), not
+    a corpus shuffle."""
+    p = plan_of(_q(spark, "text_surprisal"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_end_to_end_pipeline_single_corpus_scan_shape(spark):
+    """The flagship composition: decontamination gram set is broadcast,
+    dedup is ONE window over (sig, elig) — no cartesian anywhere."""
+    p = plan_of(_q(spark, "pipeline_end_to_end"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # eval-gram semi-join + rate table
+    assert p.count("Window") >= 1  # the (sig, elig) keep-first window
+
+
+def test_quality_filter_is_pure_projection(spark):
+    """No shuffle exchange at all — scan-speed at any size."""
+    p = plan_of(_q(spark, "pipeline_quality_filter"))
+    assert "Exchange" not in p
