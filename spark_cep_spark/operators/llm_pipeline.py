@@ -604,3 +604,47 @@ def _e2e_oracle() -> str:
 from spark_cep_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["pipeline_end_to_end"] = _e2e_oracle()
+
+
+@register(
+    "corpus_epochs",
+    oracle="""
+    WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         tot AS (SELECT count(*) AS n FROM documents)
+    SELECT lang,
+           n_docs,
+           CAST(floor((CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END) * tot.n)
+                AS BIGINT) AS n_needed,
+           CAST(ceil((CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END) * tot.n
+                     / n_docs) AS BIGINT) AS n_epochs,
+           round((CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END) * tot.n
+                 / (n_docs * ceil((CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END)
+                                  * tot.n / n_docs)), 6) AS epoch_keep_rate
+    FROM per CROSS JOIN tot
+    """,
+)
+def corpus_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsampling twin of corpus_mix: per-language epoch plan to
+    hit a target mixture share (en 40%, others 15%) when a language is
+    UNDER-represented — n_epochs = ceil(needed / available) full
+    passes, thinned inside the last-epoch boundary by epoch_keep_rate
+    (the repeat-factor table a training loader consumes; cf. data
+    mixing by repeat sampling in published LM data recipes).
+
+    Pure |langs|-row arithmetic off one aggregate — the corpus itself
+    is never shuffled; the loader applies the plan at read time."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    share = F.when(F.col("lang") == "en", F.lit(0.40)).otherwise(F.lit(0.15))
+    needed = share * F.col("n")
+    epochs = F.ceil(needed / F.col("n_docs"))
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.floor(needed).cast("long").alias("n_needed"),
+        epochs.cast("long").alias("n_epochs"),
+        F.round(needed / (F.col("n_docs") * epochs), 6).alias(
+            "epoch_keep_rate"
+        ),
+    )

@@ -555,3 +555,39 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents WHERE len(text) > 0
+    ),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+    n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id,
+           n.n AS n_chars_counted,
+           round(-sum((k * 1.0 / n.n) * ln(k * 1.0 / n.n)), 6) AS char_entropy
+    FROM cnt JOIN n USING (doc_id)
+    GROUP BY cnt.doc_id, n.n
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/binary-blob detector (natural language sits in a narrow
+    entropy band; base64 blobs and aaaa-spam fall far outside it).
+
+    Shape: explode to (doc, char) — uniform keys — one count
+    aggregate, one per-doc entropy rollup. Empty docs are excluded on
+    both sides (no chars to measure)."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    n = cnt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
+    p = F.col("k") * 1.0 / F.col("n")
+    return (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_chars_counted"))
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"))
+    )

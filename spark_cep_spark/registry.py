@@ -138,6 +138,8 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_mix",
     "stream_dedup_near",
     "pipeline_end_to_end",
+    "text_entropy",
+    "corpus_epochs",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
@@ -152,8 +154,6 @@ DRIVER_PRIORITY: list[str] = [
     "agg_global",
     "agg_group",
     "having",
-    "win_rank",
-    "win_analytic",
     "win_frame_range",
     "win_topk_per_group",
     "cep_seq",

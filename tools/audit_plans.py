@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
     # with a single-row aggregate — build side is constant-size)
     "corpus_mix",  # same 1-row N_total broadcast into the rate table
     "pipeline_end_to_end",  # same 1-row winner-total broadcast
+    "corpus_epochs",  # same 1-row N_total broadcast
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
