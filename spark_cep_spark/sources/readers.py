@@ -64,6 +64,32 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark's default JSON timestamp format is millisecond-precision —
+# a silent 999 µs loss per event on round-trip. Pin microseconds.
+_KAFKA_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def parse_kafka_payload(raw: DataFrame, schema) -> DataFrame:
+    """Decode the Kafka wire format: JSON in `value` → typed columns.
+
+    Pure DataFrame transform — works on any relation with a `value`
+    column (streaming Kafka source OR a batch stand-in), which is how
+    it is tested without a broker: to_kafka_payload ∘
+    parse_kafka_payload must be identity on typed rows."""
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"), schema, _KAFKA_JSON_OPTS
+        ).alias("payload")
+    ).select("payload.*")
+
+
+def to_kafka_payload(df: DataFrame) -> DataFrame:
+    """Encode typed columns to the Kafka wire format (JSON `value`)."""
+    return df.select(
+        F.to_json(F.struct(*df.columns), _KAFKA_JSON_OPTS).alias("value")
+    )
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -74,9 +100,11 @@ def kafka_stream_reader(
     """Kafka source interface (reference-family standard source).
 
     Returns an unbounded DataFrame with the payload parsed from the
-    Kafka `value` as JSON with the given schema. No broker exists in
-    this environment, so this is exercised only at plan-construction
-    level; the availableNow file source is the tested stand-in.
+    Kafka `value` as JSON with the given schema. No broker (or Kafka
+    connector jar) exists in this environment, so the connector load
+    is untestable here; the payload codec (parse_kafka_payload /
+    to_kafka_payload) is round-trip-tested on batch stand-ins, and the
+    availableNow file source is the tested streaming stand-in.
     """
     raw = (
         spark.readStream.format("kafka")
@@ -85,15 +113,13 @@ def kafka_stream_reader(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("payload")
-    ).select("payload.*")
+    return parse_kafka_payload(raw, schema)
 
 
 def kafka_stream_writer(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
     """Kafka sink interface (INSERT INTO <sink> equivalent)."""
     return (
-        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        to_kafka_payload(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

@@ -471,3 +471,26 @@ def test_streaming_near_dedup_counts_match_batch_twin(spark, sf_dir):
     assert {r["sig"] for r in got.select("sig").collect()} == {
         r["sig"] for r in batch.select("sig").collect()
     }
+
+
+def test_kafka_payload_codec_roundtrip(spark, sf_dir):
+    """The Kafka wire codec (to_json value <-> from_json payload) must
+    be lossless on the events schema — tested on a batch stand-in
+    since no broker exists; the connector wrapper reuses exactly these
+    two transforms."""
+    from pyspark.sql import functions as F
+
+    from spark_cep_spark.io import table
+    from spark_cep_spark.sources.readers import (
+        parse_kafka_payload,
+        to_kafka_payload,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).limit(200)
+    back = parse_kafka_payload(to_kafka_payload(e), e.schema)
+    assert back.schema == e.schema
+    a = {tuple(r) for r in e.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
