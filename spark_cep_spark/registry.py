@@ -140,6 +140,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_end_to_end",
     "text_entropy",
     "corpus_epochs",
+    "stream_sliding_panes",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
@@ -150,7 +151,6 @@ DRIVER_PRIORITY: list[str] = [
     "join_interval",
     "join_semi",
     "join_anti",
-    "join_theta_range",
     "agg_global",
     "agg_group",
     "having",

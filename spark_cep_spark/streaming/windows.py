@@ -322,3 +322,81 @@ def stream_stream_left_join_stream(
         _views(events_stream).withWatermark("v_ts", watermark),
         _purchases(events_stream).withWatermark("p_ts", watermark),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pane-based sliding aggregation — the reference family's headline
+# optimization (slice windows into disjoint panes, aggregate each pane
+# once, assemble windows from pane partials), expressed Spark-first.
+
+def sliding_agg_panes(events: DataFrame) -> DataFrame:
+    """Sliding 1h/15m aggregate via 15-minute PANES: each input row is
+    aggregated into exactly ONE pane (vs 4 window replicas in the
+    direct plan), then each pane partial is fanned out to the 4
+    windows it covers and merged.
+
+    Why this is the 100 TB plan: the corpus-sized shuffle carries one
+    partial row per (pane) instead of window/slide copies of every
+    event — a 4x shuffle-volume reduction here, window/slide-x in
+    general (a 24h window sliding by 15m = 96x). The second aggregate
+    is over #panes x 4 rows — negligible. Same mergeable-partial idea
+    as agg_sketches; count/sum merge exactly, so results are
+    bit-identical to the direct plan (same oracle)."""
+    panes = (
+        events.groupBy(F.window("ts", "15 minutes").alias("pane"))
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
+        .select(F.col("pane.start").alias("pane_start"), "pn", "psum")
+    )
+    k = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("k")
+    fan = panes.select("pane_start", "pn", "psum", k)
+    return (
+        fan.select(
+            F.expr("pane_start - k * INTERVAL '15' MINUTE").alias("win_start"),
+            "pn",
+            "psum",
+        )
+        .groupBy("win_start")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.round(F.sum("psum"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "stream_sliding_panes",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS win_start,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pane-based twin of stream_sliding — identical results (same
+    oracle), shuffle-volume-optimal plan."""
+    return sliding_agg_panes(table(spark, sf_dir, "events"))
+
+
+def sliding_panes_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face of the pane plan: CHAINED windowed aggregations
+    (Spark >= 3.4 multiple-stateful-operator support) — a 15m tumbling
+    pane aggregate feeding a 1h/15m sliding merge keyed on
+    window_time(pane). State per operator is panes, not event replicas."""
+    panes = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("pane"))
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
+    )
+    return (
+        panes.groupBy(
+            F.window(F.window_time("pane"), "1 hour", "15 minutes").alias("win")
+        )
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.round(F.sum("psum"), 2).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n", "sum_value")
+    )

@@ -494,3 +494,45 @@ def test_kafka_payload_codec_roundtrip(spark, sf_dir):
     a = {tuple(r) for r in e.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_chained_pane_sliding_equals_batch_sliding(spark, sf_dir):
+    """Pane-based streaming sliding agg (chained windowed aggregates,
+    Spark's multiple-stateful-operator support) over multiple
+    micro-batches == the direct batch sliding aggregate, for every
+    window the zero-delay watermark provably closed (sorted staging =>
+    arrival order is event-time order; windows ending after the final
+    watermark legitimately stay open in append mode)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.windows import (
+        sliding_agg,
+        sliding_panes_stream,
+    )
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        sliding_panes_stream(stream, watermark="0 seconds"), "append"
+    )
+    events = harness.table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    want = sliding_agg(events)
+    g = {r["win_start"]: (r["n"], r["sum_value"]) for r in got.collect()}
+    w = {
+        r["win_start"]: (r["n"], r["sum_value"])
+        for r in want.collect()
+        # outer-agg watermark closes a window once pane event-times pass
+        # its end; the final watermark is the max pane time seen
+        if r["win_start"] + datetime.timedelta(hours=1) <= max_ts
+    }
+    assert w  # the cutoff must leave a non-trivial comparison set
+    missing = {k: v for k, v in w.items() if g.get(k) != v}
+    assert not missing
+    # nothing emitted may disagree with batch (late-window extras allowed)
+    full = {r["win_start"]: (r["n"], r["sum_value"]) for r in want.collect()}
+    wrong = {k: v for k, v in g.items() if full.get(k) != v}
+    assert not wrong
