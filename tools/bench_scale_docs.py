@@ -1,0 +1,88 @@
+"""Scaling probe for the document-pipeline operators.
+
+Stages an amplified copy of the sf0.1 documents table (N exact copies
+with shifted doc_ids — near-dup structure preserved, corpus N× larger)
+and times the heavyweight LLM operators at 1× and N×. The point is the
+GROWTH FACTOR, not the absolute number: a bucket-then-verify operator
+whose runtime grows ~linearly with the corpus is scale-safe; anything
+super-linear means a candidate-generation stage is quadratic and would
+not survive 100 TB.
+
+Usage: python tools/bench_scale_docs.py [--mult 8] [--sf-dir DIR]
+Writes a markdown table to stdout (recorded in SCALE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+OPS = [
+    "dedup_exact",
+    "dedup_near",
+    "dedup_minhash_lsh",
+    "text_surprisal",
+    "text_boilerplate",
+    "pipeline_end_to_end",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=8)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--scratch", default="/root/repo/.tmp/scale_docs")
+    args = ap.parse_args()
+
+    import spark_cep_spark
+    from pyspark.sql import functions as F
+    from spark_cep_spark.io import table
+    from spark_cep_spark.session import get_spark
+
+    spark_cep_spark.load_all()
+    spark = get_spark("scale-docs")
+
+    d = table(spark, args.sf_dir, "documents")
+    n1 = d.count()
+
+    shutil.rmtree(args.scratch, ignore_errors=True)
+    os.makedirs(args.scratch)
+    big_dir = os.path.join(args.scratch, "big")
+    os.makedirs(big_dir)
+    copies = [
+        d.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(i * 10_000_000)).cast("long")
+        )
+        for i in range(args.mult)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(big_dir, "documents.parquet")
+    )
+    nN = args.mult * n1
+
+    def run(key: str, sf_dir: str) -> float:
+        fn = spark_cep_spark.QUERIES[key]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    print(f"| op | {n1} docs (s) | {nN} docs (s) | growth (x{args.mult} data) |")
+    print("| --- | --- | --- | --- |")
+    for key in OPS:
+        run(key, args.sf_dir)  # warm
+        t1 = min(run(key, args.sf_dir), run(key, args.sf_dir))
+        tN = run(key, big_dir)
+        tN = min(tN, run(key, big_dir))
+        print(f"| {key} | {t1:.2f} | {tN:.2f} | {tN / t1:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
