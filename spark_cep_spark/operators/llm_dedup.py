@@ -699,7 +699,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters better handled by dedup_exact) — not needed at fixture
     scale."""
     d = table(spark, sf_dir, "documents")
-    hashes = _minhash_hashes(d)
+    # The tokenize + shingle + explode subtree is this operator's most
+    # expensive map stage and has FOUR consumers shuffling on different
+    # keys (the minhash aggregate, the per-doc count, and both sides of
+    # the verify join) — persist it so it runs once, not four times. At
+    # real scale: MEMORY_AND_DISK (or a checkpoint) on the shingle
+    # relation, or recompute if executor memory is the tighter budget.
+    sh = _doc_shingles(d).persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    hashes = sh.groupBy("doc_id").agg(*aggs)
     bands = hashes.select(
         "doc_id",
         F.explode(
@@ -731,7 +742,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh = _doc_shingles(d)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     shared = (

@@ -36,6 +36,30 @@ _HASH_BUCKET_SQL = (
 )
 
 
+def grams_expr(col: str = "w", n: int = 5):
+    """Guarded word n-gram array over a token-array column — the ONE
+    definition of the gram window (round-2's crash class was an
+    unguarded sequence(1, size-k) going descending on short docs; every
+    gram site must share this guard)."""
+    return F.when(
+        F.size(col) >= n,
+        F.expr(
+            f"transform(sequence(1, size({col}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({col}, i, {n})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def grams_sql_case(col: str = "w", n: int = 5) -> str:
+    """DuckDB twin of grams_expr (CASE-guarded list_transform)."""
+    parts = ", ".join(f"{col}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({col}) >= {n} THEN list_transform("
+        f"range(1, len({col}) - {n - 2}), i -> concat_ws(' ', {parts})) "
+        f"ELSE [] END"
+    )
+
+
 @register(
     "corpus_sample_stratified",
     oracle=f"""
@@ -311,11 +335,7 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    grams = F.when(
-        F.size("w") >= 5,
-        F.expr("transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))"),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = d.select("doc_id", F.explode(grams_expr("w", 5)).alias("gram"))
     ev = g.filter(F.col("doc_id") % 7 == 0).select("gram").distinct()
     tr = g.filter(F.col("doc_id") % 7 != 0).select("doc_id", "gram").distinct()
     return (
@@ -378,19 +398,17 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_mix",
     oracle=f"""
     WITH tot AS (SELECT count(*) AS n FROM documents),
-         per_lang AS (SELECT lang, count(*) AS n_lang
-                      FROM documents GROUP BY lang),
          rates AS (
-           SELECT lang,
-                  least(1.0,
-                        (CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END)
-                          * tot.n / n_lang) AS rate
-           FROM per_lang CROSS JOIN tot),
+           SELECT lang, count(*) AS n_lang, any_value(tot.n) AS n
+           FROM documents CROSS JOIN tot GROUP BY lang),
          kept AS (
            SELECT d.lang
            FROM documents d JOIN rates r ON d.lang = r.lang
            WHERE {_HASH_BUCKET_SQL.format(col="d.doc_id", n=1000000)}
-                   < CAST(floor(r.rate * 1000000) AS BIGINT))
+                   * 20 * r.n_lang
+                 < least(20 * r.n_lang,
+                         (CASE d.lang WHEN 'en' THEN 8 ELSE 3 END) * r.n)
+                   * 1000000)
     SELECT lang, count(*) AS n_kept
     FROM kept
     GROUP BY lang
@@ -398,13 +416,21 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven mixture sampling: hit a TARGET language share
-    (en 40%, others 15% each) regardless of the corpus's actual skew.
-    Unlike corpus_sample_stratified (fixed per-group rates), the keep
-    rate is computed FROM the data: rate(lang) = min(1, target_share x
-    N_total / N_lang) — oversampled languages are thinned toward the
-    target, under-represented ones are kept whole (capped at 1: this
-    op never upsamples; repeat-epoch upweighting belongs to the
-    training loader).
+    (en 40% = 8/20, others 15% = 3/20 each) regardless of the corpus's
+    actual skew. Unlike corpus_sample_stratified (fixed per-group
+    rates), the keep rate is computed FROM the data: rate(lang) =
+    min(1, target_share x N_total / N_lang) — oversampled languages
+    are thinned toward the target, under-represented ones are kept
+    whole (capped at 1: this op never upsamples; repeat-epoch
+    upweighting belongs to the training loader).
+
+    The keep decision `bucket < rate * 1e6` is evaluated in EXACT
+    integer arithmetic — bucket * 20 * n_lang < min(20 * n_lang,
+    share_num * N) * 1e6 — because the float path (floor of a double
+    product) computes DIFFERENT floors in Spark vs the oracle engine
+    for some count combinations (double(0.15)*N/n vs exact-decimal
+    division straddle an integer; found in round-4 review, verified
+    by brute force). Integers are bit-identical everywhere.
 
     Scale shape: the rate table is |langs| rows — computed by one
     small aggregate and BROADCAST back; the keep decision is a pure
@@ -414,139 +440,28 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle before the final per-lang audit aggregate."""
     d = table(spark, sf_dir, "documents")
     tot = d.agg(F.count(F.lit(1)).alias("n"))
-    share = F.when(F.col("lang") == "en", F.lit(0.40)).otherwise(F.lit(0.15))
-    rates = (
+    stats = (
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_lang"))
         .join(F.broadcast(tot))
-        .select(
-            "lang",
-            F.least(F.lit(1.0), share * F.col("n") / F.col("n_lang")).alias(
-                "rate"
-            ),
-        )
     )
+    share_num = F.when(F.col("lang") == "en", F.lit(8)).otherwise(F.lit(3))
     return (
-        d.join(F.broadcast(rates), "lang")
+        d.join(F.broadcast(stats), "lang")
         .filter(
-            _hash_bucket("doc_id", 1_000_000)
-            < F.floor(F.col("rate") * 1_000_000).cast("bigint")
+            _hash_bucket("doc_id", 1_000_000) * 20 * F.col("n_lang")
+            < F.least(20 * F.col("n_lang"), share_num * F.col("n"))
+            * 1_000_000
         )
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
 
 
-@register(
-    "pipeline_end_to_end",
-    oracle=None,  # set below — needs the minhash SQL builder
-)
-def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship training-data composition, ONE plan end to end:
-    quality gate -> benchmark decontamination -> minhash near-dedup
-    (keep-first per signature) -> mixture sampling toward a target
-    language share — with a per-language audit of survivors at every
-    stage (n_input / n_quality / n_decontam / n_dedup / n_mixed).
-    Every real pretraining pipeline runs exactly this chain and audits
-    exactly these counts.
-
-    Single-pass shape: per-doc stage FLAGS are computed in one scan
-    (quality = projection; decontamination = broadcast semi-join of
-    the tiny eval-gram set against exploded corpus grams; dedup
-    winner = row_number over (sig, eligible); mix = md5-bucket vs a
-    broadcast |langs|-row rate table computed from dedup winners), and
-    the only corpus-sized shuffles are the signature aggregate, the
-    flags<-sigs doc_id join, and the (sig, eligible) window. No stage
-    rescans the corpus; counts fall out of one final per-lang
-    aggregate. At 100 TB: identical plan, with the gram dedup keyed by
-    gram hash and the window partitioned by signature — both uniform."""
-    from pyspark.sql import Window as W
-
-    from spark_cep_spark.operators.llm_dedup import _minhash_signature
-
-    d = table(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 7 != 0)
-    ev = d.filter(F.col("doc_id") % 7 == 0)
-
-    grams = F.when(
-        F.size("w") >= 5,
-        F.expr(
-            "transform(sequence(1, size(w) - 4),"
-            " i -> concat_ws(' ', slice(w, i, 5)))"
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    ev_grams = (
-        ev.select(F.split("text", " ").alias("w"))
-        .select(F.explode(grams).alias("gram"))
-        .distinct()
-    )
-    corpus_grams = (
-        corpus.select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", F.explode(grams).alias("gram"))
-    )
-    contaminated = (
-        corpus_grams.join(F.broadcast(ev_grams), "gram")
-        .select("doc_id")
-        .distinct()
-        .withColumn("contam", F.lit(True))
-    )
-
-    n_tok = F.size(F.split("text", " "))
-    flags = (
-        corpus.select(
-            "doc_id",
-            "lang",
-            (F.col("n_chars").between(100, 400) & (n_tok >= 20)).alias("q"),
-        )
-        .join(contaminated, "doc_id", "left")
-        .join(_minhash_signature(corpus), "doc_id", "left")
-        .withColumn("elig", F.col("q") & F.col("contam").isNull())
-    )
-    w = W.partitionBy("sig", "elig").orderBy("doc_id")
-    flags = flags.withColumn(
-        "winner", F.col("elig") & (F.row_number().over(w) == 1)
-    )
-
-    share = F.when(F.col("lang") == "en", F.lit(0.40)).otherwise(F.lit(0.15))
-    lang_w = flags.filter("winner").groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_lang")
-    )
-    tot_w = flags.filter("winner").agg(F.count(F.lit(1)).alias("n_tot"))
-    rates = lang_w.join(F.broadcast(tot_w)).select(
-        "lang",
-        F.least(F.lit(1.0), share * F.col("n_tot") / F.col("n_lang")).alias(
-            "rate"
-        ),
-    )
-    flags = flags.join(F.broadcast(rates), "lang", "left").withColumn(
-        "mixed",
-        F.col("winner")
-        & (
-            _hash_bucket("doc_id", 1_000_000)
-            < F.floor(F.col("rate") * 1_000_000).cast("bigint")
-        ),
-    )
-
-    def n(c):
-        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
-
-    return flags.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_input"),
-        n("q").alias("n_quality"),
-        n("elig").alias("n_decontam"),
-        n("winner").alias("n_dedup"),
-        n("mixed").alias("n_mixed"),
-    )
-
-
 def _e2e_oracle() -> str:
     from spark_cep_spark.operators.llm_dedup import minhash_sig_sql
 
-    g5 = (
-        "CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w) - 3), "
-        "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) "
-        "ELSE [] END"
-    )
+    g5 = grams_sql_case("w", 5)
     bucket = _HASH_BUCKET_SQL.format(col="f.doc_id", n=1000000)
     return f"""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 != 0),
@@ -579,17 +494,15 @@ def _e2e_oracle() -> str:
          lang_w AS (SELECT lang, count(*) AS n_lang
                     FROM winners WHERE winner GROUP BY lang),
          tot_w AS (SELECT count(*) AS n_tot FROM winners WHERE winner),
-         rates AS (
-           SELECT lang,
-                  least(1.0,
-                        (CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END)
-                          * tot_w.n_tot / n_lang) AS rate
-           FROM lang_w CROSS JOIN tot_w),
          final AS (
            SELECT f.*,
-                  f.winner AND {bucket}
-                    < CAST(floor(r.rate * 1000000) AS BIGINT) AS mixed
-           FROM winners f LEFT JOIN rates r ON f.lang = r.lang)
+                  f.winner AND {bucket} * 20 * lw.n_lang
+                    < least(20 * lw.n_lang,
+                            (CASE f.lang WHEN 'en' THEN 8 ELSE 3 END)
+                              * tw.n_tot) * 1000000 AS mixed
+           FROM winners f
+           LEFT JOIN lang_w lw ON f.lang = lw.lang
+           CROSS JOIN tot_w tw)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_input,
            CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -601,50 +514,162 @@ def _e2e_oracle() -> str:
     """
 
 
-from spark_cep_spark.registry import ORACLES as _ORACLES  # noqa: E402
+@register("pipeline_end_to_end", oracle=_e2e_oracle())
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data composition, ONE plan end to end:
+    quality gate -> benchmark decontamination -> minhash near-dedup
+    (keep-first per signature) -> mixture sampling toward a target
+    language share — with a per-language audit of survivors at every
+    stage (n_input / n_quality / n_decontam / n_dedup / n_mixed).
+    Every real pretraining pipeline runs exactly this chain and audits
+    exactly these counts.
 
-_ORACLES["pipeline_end_to_end"] = _e2e_oracle()
+    Single-pass shape: per-doc stage FLAGS are computed in one scan
+    (quality = projection; decontamination = broadcast semi-join of
+    the tiny eval-gram set against exploded corpus grams; dedup
+    winner = row_number over (sig, eligible); mix = md5-bucket vs
+    broadcast winner counts in EXACT integer arithmetic — the float
+    floor(rate*1e6) path diverges between engines, see corpus_mix),
+    and the flags relation is persisted before fan-out so its three
+    consumers (per-lang winner counts, the winner total, the final
+    audit) share one computation instead of re-running the signature
+    aggregate and dedup window. The only corpus-sized shuffles are the
+    signature aggregate, the flags<-sigs doc_id join, and the
+    (sig, eligible) window — each keyed uniformly. At 100 TB:
+    identical plan with the persist traded for a checkpoint (or
+    recompute, if executor memory is tighter than recompute cost)."""
+    from pyspark.sql import Window as W
+
+    from spark_cep_spark.operators.llm_dedup import _minhash_signature
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+
+    ev_grams = (
+        ev.select(F.split("text", " ").alias("w"))
+        .select(F.explode(grams_expr("w", 5)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = (
+        corpus.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(grams_expr("w", 5)).alias("gram"))
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(ev_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+
+    n_tok = F.size(F.split("text", " "))
+    flags = (
+        corpus.select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars").between(100, 400) & (n_tok >= 20)).alias("q"),
+        )
+        .join(contaminated, "doc_id", "left")
+        .join(_minhash_signature(corpus), "doc_id", "left")
+        .withColumn("elig", F.col("q") & F.col("contam").isNull())
+    )
+    w = W.partitionBy("sig", "elig").orderBy("doc_id")
+    # three consumers below (lang_w, tot_w, final audit) — persist so
+    # the signature aggregate + dedup window run once, not three times
+    flags = flags.withColumn(
+        "winner", F.col("elig") & (F.row_number().over(w) == 1)
+    ).persist()
+
+    lang_w = flags.filter("winner").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    tot_w = flags.agg(
+        F.sum(F.when(F.col("winner"), 1).otherwise(0)).alias("n_tot")
+    )
+    stats = lang_w.join(F.broadcast(tot_w))
+    share_num = F.when(F.col("lang") == "en", F.lit(8)).otherwise(F.lit(3))
+    flags = flags.join(F.broadcast(stats), "lang", "left").withColumn(
+        "mixed",
+        F.col("winner")
+        & (
+            _hash_bucket("doc_id", 1_000_000) * 20 * F.col("n_lang")
+            < F.least(20 * F.col("n_lang"), share_num * F.col("n_tot"))
+            * 1_000_000
+        ),
+    )
+
+    def n(c):
+        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        n("q").alias("n_quality"),
+        n("elig").alias("n_decontam"),
+        n("winner").alias("n_dedup"),
+        n("mixed").alias("n_mixed"),
+    )
 
 
 @register(
     "corpus_epochs",
     oracle="""
     WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-         tot AS (SELECT count(*) AS n FROM documents)
+         tot AS (SELECT count(*) AS n FROM documents),
+         x AS (SELECT lang, n_docs, tot.n,
+                      (CASE lang WHEN 'en' THEN 8 ELSE 3 END) * tot.n AS num
+               FROM per CROSS JOIN tot)
     SELECT lang,
            n_docs,
-           CAST(floor((CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END) * tot.n)
-                AS BIGINT) AS n_needed,
-           CAST(ceil((CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END) * tot.n
-                     / n_docs) AS BIGINT) AS n_epochs,
-           round((CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END) * tot.n
-                 / (n_docs * ceil((CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END)
-                                  * tot.n / n_docs)), 6) AS epoch_keep_rate
-    FROM per CROSS JOIN tot
+           num // 20 AS n_needed,
+           (num + 20 * n_docs - 1) // (20 * n_docs) AS n_epochs,
+           round(num / (20.0 * n_docs
+                        * ((num + 20 * n_docs - 1) // (20 * n_docs))), 6)
+             AS epoch_keep_rate
+    FROM x
     """,
 )
 def corpus_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The upsampling twin of corpus_mix: per-language epoch plan to
-    hit a target mixture share (en 40%, others 15%) when a language is
-    UNDER-represented — n_epochs = ceil(needed / available) full
-    passes, thinned inside the last-epoch boundary by epoch_keep_rate
-    (the repeat-factor table a training loader consumes; cf. data
-    mixing by repeat sampling in published LM data recipes).
+    hit a target mixture share (en 40% = 8/20, others 15% = 3/20) when
+    a language is UNDER-represented — n_epochs = ceil(needed /
+    available) full passes, thinned inside the last-epoch boundary by
+    epoch_keep_rate (the repeat-factor table a training loader
+    consumes; cf. data mixing by repeat sampling in published LM data
+    recipes).
+
+    floor/ceil are computed in EXACT integer arithmetic (num = 8|3 x
+    N twentieths; floor = num DIV 20, ceil = (num + d - 1) DIV d) —
+    floor/ceil of a double share*N can straddle an integer differently
+    across engines (same defect class as corpus_mix, round-4 review).
+    The only float, epoch_keep_rate, is one double division of
+    identical integers on both sides, then rounded.
 
     Pure |langs|-row arithmetic off one aggregate — the corpus itself
     is never shuffled; the loader applies the plan at read time."""
     d = table(spark, sf_dir, "documents")
     per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = d.agg(F.count(F.lit(1)).alias("n"))
-    share = F.when(F.col("lang") == "en", F.lit(0.40)).otherwise(F.lit(0.15))
-    needed = share * F.col("n")
-    epochs = F.ceil(needed / F.col("n_docs"))
-    return per.join(F.broadcast(tot)).select(
-        "lang",
-        "n_docs",
-        F.floor(needed).cast("long").alias("n_needed"),
-        epochs.cast("long").alias("n_epochs"),
-        F.round(needed / (F.col("n_docs") * epochs), 6).alias(
-            "epoch_keep_rate"
-        ),
+    num = F.when(F.col("lang") == "en", F.lit(8)).otherwise(F.lit(3)) * F.col(
+        "n"
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .withColumn("num", num)
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("num DIV 20").alias("n_needed"),
+            F.expr("(num + 20 * n_docs - 1) DIV (20 * n_docs)").alias(
+                "n_epochs"
+            ),
+            F.round(
+                F.col("num")
+                / (
+                    20.0
+                    * F.col("n_docs")
+                    * F.expr("(num + 20 * n_docs - 1) DIV (20 * n_docs)")
+                ),
+                6,
+            ).alias("epoch_keep_rate"),
+        )
     )

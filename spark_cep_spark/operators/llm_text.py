@@ -520,17 +520,15 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency aggregate, then a per-doc rollup keyed by doc_id. The
     gram->doc_freq table is NOT broadcast (it is corpus-sized); both
     joins are equi-shuffles on their keys."""
+    from spark_cep_spark.operators.llm_pipeline import grams_expr
+
     d = table(spark, sf_dir, "documents")
-    grams = F.when(
-        F.size("w") >= 5,
-        F.expr(
-            "transform(sequence(1, size(w) - 4),"
-            " i -> concat_ws(' ', slice(w, i, 5)))"
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     g = (
         d.select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(grams_expr("w", 5))).alias("gram"),
+        )
     )
     df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (

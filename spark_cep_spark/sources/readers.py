@@ -64,9 +64,14 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Spark's default JSON timestamp format is millisecond-precision —
-# a silent 999 µs loss per event on round-trip. Pin microseconds.
-_KAFKA_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+# Spark's default JSON timestamp WRITE format is millisecond-precision
+# — a silent 999 µs loss per event on round-trip — so the writer pins
+# microseconds. The READER must stay lenient: a pinned SSSSSS parse
+# format would NULL-out whole-second ISO timestamps from external
+# producers (DateTimeFormatter fractions are not optional), so it uses
+# an optional-fraction pattern instead.
+_KAFKA_WRITE_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+_KAFKA_READ_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"}
 
 
 def parse_kafka_payload(raw: DataFrame, schema) -> DataFrame:
@@ -75,10 +80,11 @@ def parse_kafka_payload(raw: DataFrame, schema) -> DataFrame:
     Pure DataFrame transform — works on any relation with a `value`
     column (streaming Kafka source OR a batch stand-in), which is how
     it is tested without a broker: to_kafka_payload ∘
-    parse_kafka_payload must be identity on typed rows."""
+    parse_kafka_payload must be identity on typed rows, and external
+    whole-second / millisecond ISO timestamps must parse too."""
     return raw.select(
         F.from_json(
-            F.col("value").cast("string"), schema, _KAFKA_JSON_OPTS
+            F.col("value").cast("string"), schema, _KAFKA_READ_OPTS
         ).alias("payload")
     ).select("payload.*")
 
@@ -86,7 +92,7 @@ def parse_kafka_payload(raw: DataFrame, schema) -> DataFrame:
 def to_kafka_payload(df: DataFrame) -> DataFrame:
     """Encode typed columns to the Kafka wire format (JSON `value`)."""
     return df.select(
-        F.to_json(F.struct(*df.columns), _KAFKA_JSON_OPTS).alias("value")
+        F.to_json(F.struct(*df.columns), _KAFKA_WRITE_OPTS).alias("value")
     )
 
 

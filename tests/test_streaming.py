@@ -495,6 +495,19 @@ def test_kafka_payload_codec_roundtrip(spark, sf_dir):
     b = {tuple(r) for r in back.collect()}
     assert a == b
 
+    # external producers commonly emit whole-second / millisecond ISO
+    # timestamps — the reader must parse them, not NULL them out
+    ext = spark.createDataFrame(
+        [
+            ('{"event_id": 1, "ts": "2024-01-01T00:00:00Z"}',),
+            ('{"event_id": 2, "ts": "2024-01-01T00:00:00.123Z"}',),
+            ('{"event_id": 3, "ts": "2024-01-01T00:00:00.123456Z"}',),
+        ],
+        "value string",
+    )
+    got = parse_kafka_payload(ext, "event_id long, ts timestamp").collect()
+    assert all(r["ts"] is not None for r in got), got
+
 
 def test_chained_pane_sliding_equals_batch_sliding(spark, sf_dir):
     """Pane-based streaming sliding agg (chained windowed aggregates,
