@@ -157,7 +157,9 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: band the signature (e.g. 2 hashes/band × 3 bands), join
     per band, then Jaccard-verify candidates (dedup_jaccard below)."""
     d = table(spark, sf_dir, "documents")
-    sigs = _minhash_signature(d)
+    # both sides of the self-join consume the signature aggregate —
+    # persist so the shingle explode + minhash run once, not twice
+    sigs = _minhash_signature(d).persist()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -224,7 +226,9 @@ def dedup_near_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_near through the Arrow signature path — same oracle as
     dedup_near, proving the scale variant is drop-in equivalent."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signature_arrow(d)
+    # persist: the Arrow signature pass is the expensive stage and the
+    # self-join would otherwise run the Python workers twice
+    sigs = minhash_signature_arrow(d).persist()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return a.join(
@@ -256,9 +260,11 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this runs ONLY on LSH candidate pairs, never all-pairs."""
     t = 0.8
     d = table(spark, sf_dir, "documents")
+    # five consumers of the token explode (cnt, freq, the ranked join,
+    # and both verify sides) — persist so it tokenizes once
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
+    ).persist()
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     # Prefix filter (EXACT, output-preserving — the PPJoin bound): two
@@ -396,9 +402,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(_N_SIMHASH_BITS)
     ]
+    # self-join: persist so the token explode + bit-vote aggregate run
+    # once, not once per join side
     fp = votes.select(
         "doc_id", sum(fp_terms[1:], fp_terms[0]).cast("long").alias("simhash")
-    )
+    ).persist()
     a = fp.alias("a")
     b = fp.alias("b")
     return (

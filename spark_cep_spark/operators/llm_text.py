@@ -465,7 +465,11 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, keyed uniformly by doc_id. The N_total scalar rides the
     same broadcast (1-row cross join)."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # three consumers (freq, total, the scoring join) — persist the
+    # token explode so the corpus tokenizes once
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).persist()
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = tok.agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -523,13 +527,15 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_cep_spark.operators.llm_pipeline import grams_expr
 
     d = table(spark, sf_dir, "documents")
+    # two consumers (the doc-frequency aggregate and the per-doc join)
+    # — persist the gram explode so the corpus tokenizes once
     g = (
         d.select("doc_id", F.split("text", " ").alias("w"))
         .select(
             "doc_id",
             F.explode(F.array_distinct(grams_expr("w", 5))).alias("gram"),
         )
-    )
+    ).persist()
     df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
         g.join(df_counts, "gram")
@@ -581,7 +587,9 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides (no chars to measure)."""
     d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
-    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    # two consumers (the per-doc total and the entropy join) — persist
+    # the char-count aggregate so the char explode runs once
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k")).persist()
     n = cnt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
     p = F.col("k") * 1.0 / F.col("n")
     return (
