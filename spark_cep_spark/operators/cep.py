@@ -1188,3 +1188,86 @@ def cep_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
         .compile_batch(events)
     )
     return select_non_overlapping(matches, "t_view", "t_purchase")
+
+
+@register(
+    "cep_alert_throttle",
+    oracle="""
+    WITH RECURSIVE
+    spikes AS (
+      SELECT user_id, event_id, ts, value, trail_avg, trail_n FROM (
+        SELECT user_id, event_id, ts, value,
+               avg(value) OVER w AS trail_avg,
+               count(*) OVER w AS trail_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) t
+      WHERE trail_n >= 3 AND value > 3 * trail_avg
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts, value, trail_avg,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM spikes
+    ),
+    sel AS (
+      SELECT user_id, event_id, ts, value, trail_avg, rn,
+             true AS kept, ts + INTERVAL 30 MINUTE AS cool_end
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.ts, n.value, n.trail_avg, n.rn,
+             n.ts > s.cool_end AS kept,
+             CASE WHEN n.ts > s.cool_end THEN n.ts + INTERVAL 30 MINUTE
+                  ELSE s.cool_end END AS cool_end
+      FROM sel s JOIN numbered n
+        ON n.user_id = s.user_id AND n.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, round(trail_avg, 6) AS trail_avg
+    FROM sel WHERE kept
+    """,
+)
+def cep_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert throttling / suppression — the alerting-side CEP policy
+    every production deployment needs: from the cep_threshold spike
+    stream, emit at most ONE alert per user per 30-minute cooldown
+    (an alert opens a cooldown; spikes inside it are suppressed; the
+    next alert is the first spike strictly after it ends). This is
+    the same greedy sequential recurrence as AFTER MATCH SKIP PAST —
+    composed from select_non_overlapping with the cooldown as the
+    interval end — and the oracle replays it with a recursive CTE
+    (EXACT check of a policy no window function expresses).
+
+    Scale: the sequential scan runs over ALERTS, not events (orders of
+    magnitude fewer), keys parallelize, per-key state is one
+    timestamp. Streaming face = the same recurrence in keyed state
+    (threshold_stream's tail state + a last-alert timestamp)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, -1)
+    spikes = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.avg("value").over(w).alias("trail_avg_raw"),
+            F.count(F.lit(1)).over(w).alias("trail_n"),
+        )
+        .filter(
+            (F.col("trail_n") >= 3)
+            & (F.col("value") > 3 * F.col("trail_avg_raw"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.col("ts").alias("alert_start"),
+            F.expr("ts + INTERVAL 30 MINUTES").alias("cool_end"),
+            F.round(F.col("trail_avg_raw"), 6).alias("trail_avg"),
+        )
+    )
+    kept = select_non_overlapping(
+        spikes, "alert_start", "cool_end", key_col="user_id",
+        tiebreak_col="event_id",
+    )
+    return kept.select("user_id", "event_id", "ts", "value", "trail_avg")

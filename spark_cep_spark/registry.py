@@ -141,6 +141,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_entropy",
     "corpus_epochs",
     "stream_sliding_panes",
+    "cep_alert_throttle",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
@@ -149,7 +150,6 @@ DRIVER_PRIORITY: list[str] = [
     "join_broadcast",
     "join_asof",
     "join_interval",
-    "join_semi",
     "join_anti",
     "agg_global",
     "agg_group",

@@ -1489,3 +1489,21 @@ def compile_stream_multi(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_throttle(
+    last_cool_end: int | None, alerts: list, cooldown_us: int
+) -> tuple[int | None, list]:
+    """Alert-throttle kernel (cep_alert_throttle's streaming face):
+    greedy cooldown suppression over a (ts-ordered) chunk of per-key
+    alerts. State is ONE integer (the open cooldown's end, or None) —
+    the recurrence is chunking-invariant, so micro-batch boundaries
+    are semantically invisible (property-tested like advance_nfa).
+
+    alerts: [[ts_us, alert_id], ...]; returns (state', kept)."""
+    kept = []
+    for ts, aid in alerts:
+        if last_cool_end is None or ts > last_cool_end:
+            kept.append([ts, aid])
+            last_cool_end = ts + cooldown_us
+    return last_cool_end, kept

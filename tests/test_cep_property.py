@@ -934,3 +934,36 @@ def test_agg_where_compiler_matches_sql_three_valued_logic(wc):
     sql = sql.replace("p.value", lit(p_val))
     want = duckdb.sql(f"SELECT ({sql})").fetchone()[0]
     assert got == (want is True), (expr, members, p_val, sql, got, want)
+
+
+@given(
+    ts_list=st.lists(st.integers(min_value=0, max_value=300), max_size=25),
+    cooldown=st.integers(min_value=1, max_value=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=25), max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_throttle_kernel_chunking_invariance(ts_list, cooldown, cuts):
+    """The throttle recurrence must be micro-batch-invariant and match
+    the brute-force greedy suppression."""
+    from spark_cep_spark.streaming.nfa import advance_throttle
+
+    alerts = [[ts, i] for i, ts in enumerate(sorted(ts_list))]
+
+    # brute force greedy
+    want, cool = [], None
+    for ts, aid in alerts:
+        if cool is None or ts > cool:
+            want.append([ts, aid])
+            cool = ts + cooldown
+
+    _, one_shot = advance_throttle(None, alerts, cooldown)
+    assert one_shot == want
+
+    bounds = sorted({c for c in cuts if c <= len(alerts)})
+    state, got = None, []
+    prev = 0
+    for c in bounds + [len(alerts)]:
+        state, kept = advance_throttle(state, alerts[prev:c], cooldown)
+        got.extend(kept)
+        prev = c
+    assert got == want
