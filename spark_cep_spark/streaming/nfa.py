@@ -1507,3 +1507,110 @@ def advance_throttle(
             kept.append([ts, aid])
             last_cool_end = ts + cooldown_us
     return last_cool_end, kept
+
+
+def alert_throttle_stream(
+    events_stream: DataFrame,
+    factor: float = 3.0,
+    n_trail: int = 5,
+    min_trail: int = 3,
+    cooldown: str = "30 minutes",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of cep_alert_throttle: spike detection AND
+    cooldown suppression in ONE keyed state (the spike tail plus the
+    open cooldown's end — O(n_trail) + one integer per key). Output
+    (key, event_id, ts, value, trail_avg) matches the batch operator
+    up to trail_avg rounding."""
+    cooldown_us = _interval_to_ms(cooldown) * _US_PER_MS
+
+    prepared = events_stream.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(value_col).alias("value"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("trail_avg", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "tail": [], "cool": None}
+        buf, tail, cool = st["buf"], st["tail"], st["cool"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for j in range(len(pdf)):
+                    buf.append(
+                        [
+                            int(ts_us.iloc[j]),
+                            int(pdf["eid"].iloc[j]),
+                            float(pdf["value"].iloc[j]),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        tail, spikes = advance_threshold(
+            tail, matured, factor, n_trail, min_trail
+        )
+        kept = []
+        for ts, eid, value, avg in spikes:
+            if cool is None or ts > cool:
+                kept.append([ts, eid, value, avg])
+                cool = ts + cooldown_us
+
+        if buf or tail or cool is not None:
+            state.update(
+                (json.dumps({"buf": buf, "tail": tail, "cool": cool}),)
+            )
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if kept:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(kept),
+                    "event_id": [e[1] for e in kept],
+                    "ts": pd.to_datetime([e[0] for e in kept], unit="us"),
+                    "value": [e[2] for e in kept],
+                    "trail_avg": [e[3] for e in kept],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

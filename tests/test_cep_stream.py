@@ -680,3 +680,30 @@ def test_multi_pattern_single_pass_equals_individual_runs(spark, sf_dir):
         doc = _json.loads(r.match)
         assert doc["measures"]["uplift"] == want_uplift[(r.key, r.anchor_id)]
         assert set(doc) == {"view", "click", "purchase", "measures"}
+
+
+def test_streaming_alert_throttle_equals_batch(spark, sf_dir):
+    """Spike detection + cooldown suppression in one keyed state over
+    multiple micro-batches == the batch cep_alert_throttle (sorted
+    staging + zero-delay watermark matures the whole stream)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import alert_throttle_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        alert_throttle_stream(stream, watermark="0 seconds"), "append"
+    )
+    want = entry.queries()["cep_alert_throttle"](spark, sf_dir)
+    g = {
+        (r["key"], r["event_id"]): round(r["trail_avg"], 6)
+        for r in got.collect()
+    }
+    w = {
+        (r["user_id"], r["event_id"]): r["trail_avg"]
+        for r in want.collect()
+    }
+    assert g == w
