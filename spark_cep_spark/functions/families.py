@@ -416,3 +416,41 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("REF")).alias("fragment"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber = 4 THEN NULL
+                ELSE round(l_extendedprice / (l_linenumber - 4), 6) END
+             AS safe_ratio,
+           CASE WHEN l_orderkey > 7 THEN NULL
+                ELSE l_orderkey + 9223372036854775800 END AS safe_add,
+           TRY_CAST(concat(CAST(l_linenumber AS VARCHAR),
+                           CASE WHEN l_orderkey % 2 = 0 THEN 'x' ELSE '' END)
+                    AS INTEGER) AS safe_int
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY function family — the error-tolerant arithmetic a
+    production pipeline needs under ANSI mode: try_divide (÷0 → NULL
+    instead of error), try_add (bigint overflow → NULL), try_cast
+    (malformed string → NULL). The oracle expresses the identical
+    semantics with guards/TRY_CAST since DuckDB errors where Spark's
+    TRY returns NULL. Pure projection — codegen, no shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_extendedprice", F.col("l_linenumber") - 4), 6
+        ).alias("safe_ratio"),
+        F.try_add("l_orderkey", F.lit(9223372036854775800)).alias("safe_add"),
+        F.expr(
+            "try_cast(concat(cast(l_linenumber AS string),"
+            " CASE WHEN l_orderkey % 2 = 0 THEN 'x' ELSE '' END) AS INT)"
+        ).alias("safe_int"),
+    )

@@ -142,6 +142,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_epochs",
     "stream_sliding_panes",
     "cep_alert_throttle",
+    "fn_try",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
@@ -151,7 +152,6 @@ DRIVER_PRIORITY: list[str] = [
     "join_asof",
     "join_interval",
     "join_anti",
-    "agg_global",
     "agg_group",
     "having",
     "win_frame_range",
