@@ -1,0 +1,84 @@
+"""Degenerate-events sweep: the events-family twin of the degenerate-
+corpus sweep — every registered operator that reads the events table
+must survive NULL timestamps / users / types / values, duplicate event
+ids, exact timestamp ties, and single-event keys. Real event streams
+contain all of these; none of the fixture generators produce them.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pytest
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+DEGENERATE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (0, None, 1, "view", 1.0, "{}"),            # NULL event time
+    (1, _ts(0), None, "view", 2.0, "{}"),       # NULL key
+    (2, _ts(0), 1, None, None, None),           # NULL type/value/props
+    (3, _ts(0), 1, "view", 3.0, "{}"),          # exact tie with 4/5
+    (4, _ts(0), 1, "click", 4.0, "{}"),
+    (5, _ts(0), 1, "purchase", 5.0, "{}"),
+    (7, _ts(5), 1, "error", -1.0, ""),          # duplicate id below
+    (7, _ts(6), 1, "error", 0.0, ""),           # duplicate event_id
+    (8, _ts(7), 1, "error", 1e308, "{}"),       # extreme value
+    (9, _ts(1), 2, "view", 0.0, "x"),           # single-event user 2
+    (10, _ts(1), 3, "error", None, '{"k":1}'),  # NULL value spike input
+    (11, _ts(2), 3, "error", -5.0, "{}"),
+    (12, _ts(3), 3, "error", -5.0, "{}"),       # identical values
+    (13, _ts(4), 3, "error", -5.0, "{}"),
+]
+
+EVENTS_KEYS = [
+    "agg_approx", "agg_histogram", "agg_sketches", "agg_stats",
+    "cep_absence", "cep_alert_throttle", "cep_funnel_abandon",
+    "cep_kleene", "cep_kleene_measures", "cep_kleene_plus", "cep_seq",
+    "cep_seq_corr", "cep_seq_ids", "cep_seq_measures", "cep_skip_past",
+    "cep_sql_match", "cep_strict_next", "cep_threshold", "cep_times",
+    "fn_json", "fn_map", "fn_math", "fn_struct", "grouped_map",
+    "join_asof", "join_interval", "join_interval_banded",
+    "join_skew_salted", "rollup_gapfill", "rollup_hypertable", "sample",
+    "stream_dedup", "stream_session", "stream_sliding",
+    "stream_sliding_panes", "stream_static_join", "stream_stream_join",
+    "stream_stream_left_join", "stream_tumbling", "text_redact",
+    "udaf_grouped", "udf_surface", "win_ewma", "win_frame_range",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_events_dir(spark, tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("degenerate_events_sf")
+    for f in os.listdir(src):
+        if f != "events.parquet":
+            os.symlink(os.path.join(src, f), dst / f)
+    df = spark.createDataFrame(
+        DEGENERATE_EVENTS,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(dst / "_ev_out")
+    df.coalesce(1).write.parquet(out)
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    shutil.move(os.path.join(out, part), dst / "events.parquet")
+    shutil.rmtree(out)
+    return str(dst)
+
+
+@pytest.mark.parametrize("key", EVENTS_KEYS)
+def test_operator_survives_degenerate_events(
+    spark, degenerate_events_dir, key
+):
+    import __spark_entry__ as entry
+
+    n = entry.queries()[key](spark, degenerate_events_dir).count()
+    assert n >= 0
