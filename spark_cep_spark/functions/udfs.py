@@ -143,7 +143,7 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL subscripts."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, pos int, tok string")
+    @udtf(returnType="doc_id bigint, pos bigint, tok string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
             if text is None:  # NULL text -> no rows, matching unnest(NULL)

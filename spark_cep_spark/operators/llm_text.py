@@ -256,7 +256,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_min(shingles).alias("fingerprint"),
-        F.greatest(F.size(toks) - 2, F.lit(0)).alias("n_shingles"),
+        F.greatest(F.size(toks) - 2, F.lit(0)).cast("long").alias("n_shingles"),
     )
 
 

@@ -35,10 +35,10 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         F.col("c_custkey").alias("custkey"),
         F.col("c_nationkey").alias("nk"),
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("tile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("tile"),
     )
 
 
@@ -160,7 +160,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_totalprice").alias("price"),
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )
