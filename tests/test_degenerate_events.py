@@ -82,3 +82,40 @@ def test_operator_survives_degenerate_events(
 
     n = entry.queries()[key](spark, degenerate_events_dir).count()
     assert n >= 0
+
+
+EMPTY_SWEEP_KEYS = [
+    "stream_tumbling", "stream_session", "cep_seq", "cep_alert_throttle",
+    "rollup_gapfill", "rollup_hypertable", "join_asof", "join_interval",
+    "win_frame_range", "win_ewma", "agg_histogram", "cep_kleene_plus",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(spark, tmp_path_factory):
+    """sf0.001 with a ZERO-ROW events table — aggregates over nothing,
+    gapfill spines from NULL min/max, pattern matching with no input."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("empty_events_sf")
+    for f in os.listdir(src):
+        if f != "events.parquet":
+            os.symlink(os.path.join(src, f), dst / f)
+    df = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(dst / "_ev_out")
+    df.coalesce(1).write.parquet(out)
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    shutil.move(os.path.join(out, part), dst / "events.parquet")
+    shutil.rmtree(out)
+    return str(dst)
+
+
+@pytest.mark.parametrize("key", EMPTY_SWEEP_KEYS)
+def test_operator_survives_empty_events(spark, empty_events_dir, key):
+    import __spark_entry__ as entry
+
+    n = entry.queries()[key](spark, empty_events_dir).count()
+    assert n >= 0
