@@ -147,14 +147,21 @@ class Pattern:
         both engines — batch plan and streaming NFA — inherit it with
         zero new kernel code. contiguity='relaxed' binds the n earliest
         qualifying events in order; 'strict' requires the n events to be
-        the key's immediately-consecutive events (a bounded Kleene run).
+        the key's immediately-consecutive events (a bounded Kleene run:
+        the run's ENTRY is relaxed — like one_or_more and Flink's
+        times(n).consecutive() — then events 2..n must each be the
+        key's immediately-next event. Round-4 review: the first
+        sub-step previously inherited strict contiguity against the
+        PREVIOUS pattern step, wrongly demanding the run start
+        immediately after it).
         """
         if n < 1:
             raise ValueError(f"times(n) needs n >= 1, got {n}")
         if contiguity not in ("relaxed", "strict"):
             raise ValueError(f"times contiguity must be relaxed|strict: {contiguity}")
         for i in range(1, n + 1):
-            self.steps.append(Step(f"{name}_{i}", predicate, contiguity))
+            step_contig = "relaxed" if i == 1 else contiguity
+            self.steps.append(Step(f"{name}_{i}", predicate, step_contig))
         return self
 
     def one_or_more(self, name: str, predicate: str) -> "Pattern":
@@ -200,6 +207,13 @@ class Pattern:
           all_cols — sorted union of every referenced column
         """
         names = [s.name for s in self.steps]
+        if len(set(names)) != len(names):
+            dup = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"duplicate step name(s) {dup}: step names must be "
+                "unique — refs resolve by name, and duplicate names "
+                "silently bind to the first occurrence"
+            )
         kinds = {s.name: s.contiguity for s in self.steps}
         wheres: list = []
         cur_refs: list = []
@@ -301,6 +315,24 @@ class Pattern:
                     f"measure alias {alias!r} collides with an output column"
                 )
             _scan(expr, f"measure {alias!r}", None, None)
+        # carried-column names are underscore-joined (_v_<step>[_<agg>]
+        # _<col>) — different (step, agg, col) splits can produce the
+        # SAME string (step 'err' + max(value) vs step 'err_max' +
+        # value). Fail at compile time instead of a silent misread.
+        carried = [
+            f"_v_{s}_{c}" for s, cols in refs.items() for c in sorted(cols)
+        ] + [
+            f"_v_{s}_{a}_{c}"
+            for s, acs in run_refs.items()
+            for a, c in sorted(acs)
+        ]
+        if len(set(carried)) != len(carried):
+            dup = sorted({n for n in carried if carried.count(n) > 1})
+            raise ValueError(
+                f"carried-column name collision {dup}: rename the "
+                "involved step or column (underscore-joined hidden "
+                "columns must be unique)"
+            )
         return {
             "wheres": wheres,
             "cur_refs": cur_refs,
@@ -1126,9 +1158,8 @@ def select_non_overlapping(
                 last_end = e
         return pdf[keep]
 
-    return matches.repartition(key_col).groupBy(key_col).applyInPandas(
-        lambda pdf: pick(pdf), schema=schema
-    )
+    # groupBy already shuffles by the grouping key — no pre-repartition
+    return matches.groupBy(key_col).applyInPandas(pick, schema=schema)
 
 
 @register(

@@ -289,9 +289,10 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 raise ValueError("a + step takes -> (its entry is relaxed)")
             pattern.one_or_more(name, pred)
         elif reps > 1:
-            # the connector sets the WHOLE run's contiguity: => means
-            # the n immediately-consecutive next events, -> the n
-            # earliest qualifying events in order
+            # the connector sets the run's INTERNAL contiguity: => means
+            # events 2..n are each the key's immediately-next event
+            # (entry relaxed, like a + step), -> the n earliest
+            # qualifying events in order
             pattern.times(
                 name,
                 pred,

@@ -293,3 +293,45 @@ def test_select_non_overlapping_greedy(spark):
         for r in select_non_overlapping(df, "t_s", "t_e").collect()
     )
     assert got == [(1, 10), (1, 12), (2, 20), (2, 22), (3, 30)]
+
+
+def test_times_strict_run_entry_is_relaxed(spark):
+    """times(n, 'strict') is a bounded Kleene run: its ENTRY is relaxed
+    (non-matching events may sit between the previous step and the
+    run), and only events 2..n must be immediately consecutive —
+    round-4 review fixed the first sub-step wrongly being strict
+    against the previous step."""
+    import datetime as dt
+
+    from spark_cep_spark.operators.cep import Pattern
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 10, "other", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 10, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 10, "click", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    pat = (
+        Pattern.begin("v", "event_type = 'view'")
+        .times("c", "event_type = 'click'", 2, contiguity="strict")
+        .within("24 HOURS")
+    )
+    got = pat.compile_batch(events).collect()
+    assert len(got) == 1  # the run starts at event 3, after the 'other'
+    # but a non-click BETWEEN the two clicks must still kill the run
+    rows2 = rows[:3] + [
+        (5, t0 + dt.timedelta(minutes=4), 10, "other", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=5), 10, "click", 1.0, "{}"),
+    ]
+    events2 = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    assert pat.compile_batch(events2).count() == 0

@@ -967,3 +967,83 @@ def test_throttle_kernel_chunking_invariance(ts_list, cooldown, cuts):
         got.extend(kept)
         prev = c
     assert got == want
+
+
+def test_where_compiler_binds_bare_boolean_literals():
+    """TRUE/FALSE/NULL literals are whitelisted by corr_plan and must
+    be bound by the compilers (an unrewritten TRUE was a NameError in
+    the streaming worker — round-4 review)."""
+    from spark_cep_spark.streaming.nfa import _compile_where_py
+
+    fn = _compile_where_py("c.value > v.value OR TRUE", "c")
+    assert fn({"value": None}, {"v": {"value": None}}) is True
+    fn2 = _compile_where_py("FALSE AND c.value > 0", "c")
+    assert fn2({"value": 5}, {}) is False
+    fn3 = _compile_where_py("c.value = NULL", "c")
+    assert fn3({"value": 5}, {}) is False  # UNKNOWN does not satisfy
+
+
+def test_measure_compiler_uses_three_valued_logic():
+    """A NULL in one disjunct must not void the whole boolean measure
+    (batch F.expr returns TRUE for UNKNOWN OR TRUE)."""
+    from spark_cep_spark.streaming.nfa import _compile_measure_py
+
+    fn = _compile_measure_py("v.value > c.value OR c.value > 0")
+    assert fn({"v": {"value": None}, "c": {"value": 5}}) is True
+    # arithmetic NULL still yields NULL
+    fn2 = _compile_measure_py("v.value + c.value")
+    assert fn2({"v": {"value": None}, "c": {"value": 5}}) is None
+
+
+def test_py_serializes_timestamps_as_microseconds():
+    """Correlation refs to timestamp columns must round-trip the JSON
+    state payload (a raw pd.Timestamp crashed state.update)."""
+    import json
+
+    import pandas as pd
+
+    from spark_cep_spark.streaming.nfa import _py
+
+    t = pd.Timestamp("2024-01-01 00:00:00.123456")
+    v = _py(t)
+    assert isinstance(v, int)
+    json.dumps(v)  # must not raise
+    assert _py(pd.Timestamp("2024-01-01 00:00:00.123457")) == v + 1
+    assert _py(pd.NaT) is None
+
+
+def test_duplicate_step_names_rejected():
+    import pytest as _pytest
+
+    from spark_cep_spark.operators.cep import Pattern
+
+    p = (
+        Pattern.begin("a", "event_type = 'view'")
+        .followed_by("a", "event_type = 'click'")
+        .within("1 HOURS")
+    )
+    with _pytest.raises(ValueError, match="duplicate step name"):
+        p.corr_plan()
+
+
+def test_carried_column_name_collision_rejected():
+    import pytest as _pytest
+
+    from spark_cep_spark.operators.cep import Pattern
+
+    # step 'err' with max(err.value) carries _v_err_max_value; a plain
+    # step 'err_max' whose col 'value' is referenced carries the SAME
+    # string
+    p = (
+        Pattern.begin("a", "event_type = 'view'")
+        .one_or_more("err", "event_type = 'error'")
+        .followed_by("err_max", "event_type = 'click'")
+        .followed_by(
+            "z",
+            "event_type = 'purchase'",
+            where="z.value > max(err.value) AND z.value > err_max.value",
+        )
+        .within("1 HOURS")
+    )
+    with _pytest.raises(ValueError, match="collision"):
+        p.corr_plan()

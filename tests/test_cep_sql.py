@@ -156,7 +156,9 @@ def test_parse_quantifier_expansion():
     names = [s.name for s in parsed.pattern.steps]
     modes = [s.contiguity for s in parsed.pattern.steps]
     assert names == ["a", "b_1", "b_2", "b_3", "c_1", "c_2"]
-    assert modes == ["relaxed", "relaxed", "relaxed", "relaxed", "strict", "strict"]
+    # a strict run's ENTRY is relaxed (like one_or_more / Flink's
+    # times(n).consecutive()); only events 2..n are strict
+    assert modes == ["relaxed", "relaxed", "relaxed", "relaxed", "relaxed", "strict"]
 
 
 def test_parse_quantified_first_step():
