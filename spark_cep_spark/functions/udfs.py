@@ -31,7 +31,7 @@ def scale_shift(v: pd.Series) -> pd.Series:
 
 # -- row-at-a-time scalar UDF (API coverage; slow path) --------------------
 # (no type hints: F.udf warns it cannot infer an eval type from them)
-@F.udf(T.IntegerType())
+@F.udf(T.LongType())
 def type_len(s):
     return len(s) if s is not None else None
 

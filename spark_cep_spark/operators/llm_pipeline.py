@@ -673,3 +673,121 @@ def corpus_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epoch_keep_rate"),
         )
     )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) AS i,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings)
+    SELECT CAST(i AS BIGINT) AS dim,
+           round(avg(v), 6) AS mean,
+           round(stddev_samp(v), 6) AS std,
+           round(min(v), 6) AS vmin,
+           round(max(v), 6) AS vmax
+    FROM ex GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution statistics over the embedding corpus
+    (mean/std/min/max per coordinate) — the diagnostics pass before
+    whitening, scalar quantization range selection, or dead-dimension
+    pruning in an embedding pipeline.
+
+    Shape: posexplode keeps the dim index JVM-side; the aggregate
+    shuffles (dim) keys — at most |dims| reduce keys regardless of
+    corpus size, so partial (map-side) aggregation does all the work
+    and the reduce side is O(dims). Accumulation-order float
+    discipline: avg/std rounded on both sides; min/max are exact."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "v0"))
+        .select(
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.col("v0").cast("double").alias("v"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev_samp("v"), 6).alias("std"),
+            F.round(F.min("v"), 6).alias("vmin"),
+            F.round(F.max("v"), 6).alias("vmax"),
+        )
+    )
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(concat('shuffle:', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, k,
+             CAST(('0x' || substr(k, 1, 6)) AS BIGINT) % 8 AS shard
+      FROM keyed)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (ORDER BY shard, k, doc_id) AS BIGINT)
+             AS global_pos
+    FROM sharded
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a pseudo-random but reproducible (shard, global_pos) so a training
+    loader can stream the corpus in a fixed shuffled order from any
+    worker without coordination (re-runs give byte-identical order —
+    the property data-loading recipes need for resumable training).
+
+    100 TB shape — this is the scale-literate distributed total order,
+    NOT a single-partition row_number: the md5 sort key buckets docs
+    into shards (uniform — 6 hex digits mod n), each shard orders
+    independently under a PARTITIONED window, and global positions
+    come from adding per-shard offsets computed off an n_shards-row
+    size table (driver-scale metadata, broadcast back). No stage ever
+    sees more than one shard's rows in one partition. The oracle's
+    single ORDER BY (shard, k, doc_id) is semantically identical."""
+    from pyspark.sql.window import Window
+
+    n_shards = 8
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias(
+            "k"
+        ),
+    )
+    d = d.withColumn(
+        "shard",
+        F.conv(F.substring("k", 1, 6), 16, 10).cast("bigint") % n_shards,
+    )
+    in_shard = F.row_number().over(
+        Window.partitionBy("shard").orderBy("k", "doc_id")
+    )
+    pos = d.withColumn("in_shard", in_shard)
+    # per-shard offsets: an n_shards-row aggregate; the cumulative
+    # window runs over <= n_shards rows (metadata-scale, not data-scale)
+    sizes = d.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    offsets = sizes.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("shard", "offset")
+    return (
+        pos.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("offset") + F.col("in_shard")).cast("bigint").alias(
+                "global_pos"
+            ),
+        )
+    )

@@ -56,13 +56,13 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+"), 0)).alias(
-            "re_tokens"
-        ),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[aeiou]"), 0)).alias(
-            "n_vowels"
-        ),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[aeiou]"), 0))
+        .cast("long")
+        .alias("n_vowels"),
         "n_chars",
     )
 

@@ -22,6 +22,7 @@ sides.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
 from spark_cep_spark.registry import register
@@ -157,5 +158,81 @@ def sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(split(text, ' ')) t AS token
         GROUP BY token
         HAVING count(*) > 50
+        """
+    )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.25
+    ),
+    reach(vec_id, hops) AS (
+      SELECT vec_id, 0 FROM embeddings WHERE vec_id % 20 = 0
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.vec_id
+      WHERE r.hops < 3
+    )
+    SELECT vec_id, CAST(min(hops) AS BIGINT) AS hops
+    FROM reach GROUP BY vec_id
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.x) — depth-bounded BFS over the
+    embedding near-neighbour graph: hop distance from a seed set
+    through edges with cosine >= 0.25, the reachability query behind
+    "everything transitively similar to these seeds" (dedup cluster
+    expansion, contamination spread analysis).
+
+    The edge list is materialized ONCE as a temp view before the
+    recursion (at 100 TB you would never recompute an all-pairs
+    similarity join per iteration — candidate pairs come from the
+    LSH-bucketed path, cf. dedup_minhash_lsh, and land in a table);
+    each recursive step is then one equi-join of the current frontier
+    against the edge table keyed on src — the standard distributed
+    BFS round. Depth bound 3 caps the iteration count; the final
+    min(hops) aggregate dedups multiple discovery paths. Exact
+    integer output (no float discipline needed beyond the edge
+    threshold, which both engines evaluate as an identical
+    sequential-order dot product — same contract as dedup_embed)."""
+    e = table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # persist: the recursive UnionLoop re-evaluates its plan every
+    # iteration — without this the all-pairs similarity join would run
+    # once per BFS round instead of once (the "materialize the edge
+    # table first" rule stated above, enforced)
+    (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(dot >= 0.25)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .persist()
+        .createOrReplaceTempView("nn_edges")
+    )
+    e.createOrReplaceTempView("embeddings")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(vec_id, hops) AS (
+          SELECT vec_id, 0 FROM embeddings WHERE vec_id % 20 = 0
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN nn_edges e ON e.src = r.vec_id
+          WHERE r.hops < 3
+        )
+        SELECT vec_id, CAST(min(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY vec_id
         """
     )

@@ -143,6 +143,9 @@ DRIVER_PRIORITY: list[str] = [
     "stream_sliding_panes",
     "cep_alert_throttle",
     "fn_try",
+    "sql_recursive_cte",
+    "emb_dim_stats",
+    "corpus_shuffle",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
@@ -151,10 +154,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_broadcast",
     "join_asof",
     "join_interval",
-    "join_anti",
     "agg_group",
-    "having",
-    "win_frame_range",
     "win_topk_per_group",
     "cep_seq",
 ]

@@ -256,3 +256,56 @@ def test_end_to_end_pipeline_stage_counts_monotonic(spark, sf_dir):
     total = {k: sum(r[k] for r in rows) for k in rows[0].asDict() if k != "lang"}
     assert total["n_mixed"] > 0  # something survives
     assert total["n_mixed"] < total["n_input"]  # something was filtered
+
+
+def test_corpus_shuffle_is_a_deterministic_permutation(spark):
+    """global_pos must be exactly 1..N (a permutation — no gaps, no
+    ties), shard consistent with md5 bucketing, and a re-run must give
+    byte-identical order (the resumable-training property)."""
+    spark_cep_spark.load_all()
+    q = spark_cep_spark.QUERIES["corpus_shuffle"]
+    got = q(spark, SF_SMOKE).collect()
+    n = len(got)
+    assert sorted(r.global_pos for r in got) == list(range(1, n + 1))
+    # order is (shard asc, key asc): positions within a shard form a
+    # contiguous block
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r.global_pos)
+    flat = []
+    for shard in sorted(by_shard):
+        ps = sorted(by_shard[shard])
+        assert ps == list(range(ps[0], ps[0] + len(ps)))
+        flat.extend(ps)
+    assert flat == list(range(1, n + 1))
+    again = q(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_emb_dim_stats_covers_every_dimension(spark):
+    spark_cep_spark.load_all()
+    rows = spark_cep_spark.QUERIES["emb_dim_stats"](spark, SF_SMOKE).collect()
+    dims = sorted(r.dim for r in rows)
+    assert dims == list(range(1, len(dims) + 1))  # every dim, 1-based
+    for r in rows:
+        assert r.vmin <= r.mean <= r.vmax
+        assert r.std is None or r.std >= 0
+
+
+def test_recursive_cte_bfs_invariants(spark):
+    """Seeds at hop 0; every non-seed reached row must have a
+    neighbour one hop closer (BFS frontier property); hops bounded by
+    the recursion depth guard."""
+    spark_cep_spark.load_all()
+    rows = spark_cep_spark.QUERIES["sql_recursive_cte"](spark, SF_SMOKE).collect()
+    hops = {r.vec_id: r.hops for r in rows}
+    assert all(0 <= h <= 3 for h in hops.values())
+    seeds = {v for v, h in hops.items() if h == 0}
+    assert seeds and all(v % 20 == 0 for v in seeds)
+    edges = spark.table("nn_edges").collect()  # view left by the query
+    nbrs = {}
+    for e in edges:
+        nbrs.setdefault(e.dst, set()).add(e.src)
+    for v, h in hops.items():
+        if h > 0:
+            assert any(hops.get(u) == h - 1 for u in nbrs.get(v, ()))

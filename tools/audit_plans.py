@@ -33,6 +33,8 @@ NESTED_LOOP_OK = {
     "sim_topk",
     "sim_knn_class",
     "dedup_embed",
+    "sql_recursive_cte",  # same all-pairs edge generation as dedup_embed
+    # (toy-scale face; scale path is LSH-bucketed candidates)
     "sql_subqueries",  # uncorrelated scalar subquery broadcast
     "text_surprisal",  # 1-row total-count scalar broadcast (cross join
     # with a single-row aggregate — build side is constant-size)
