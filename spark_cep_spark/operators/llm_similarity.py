@@ -41,6 +41,48 @@ def _dot(a, b):
     )
 
 
+def valid_vectors(df: DataFrame, vec_col: str = "embedding", dim=None) -> DataFrame:
+    """Drop malformed vectors BEFORE any Arrow/numpy stage: NULL
+    embeddings, empty arrays, wrong-dimension (ragged) vectors, and
+    vectors containing NULL or non-finite elements. Real embedding
+    stores contain all of these (failed encoder calls, schema drift);
+    ``np.array(list(col))`` hard-crashes on ragged/None input, so the
+    numpy-backed paths (matmul/LSH/IVF/PQ) would die on one bad row.
+
+    Pure Catalyst expressions — the filter runs JVM-side inside the
+    scan stage, costs one pass over the array, and pushes nothing to
+    Python. The SQL-path ops (sim_topk, dedup_embed, ...) don't need
+    it: 3VL NULL propagation drops malformed rows for free."""
+    c = F.col(vec_col)
+    cond = c.isNotNull() & (F.size(c) > 0)
+    if dim is not None:
+        cond = cond & (F.size(c) == F.lit(int(dim)))
+    finite = lambda x: x.isNull() | F.isnan(x.cast("double")) | (
+        F.abs(x.cast("double")) == float("inf")
+    )
+    return df.filter(cond & ~F.exists(c, finite))
+
+
+def _valid_rows(rows, vec_idx: int = 1, dim=None):
+    """Driver-side twin of valid_vectors for collected query/sample
+    rows (bounded by contract). Returns (rows, dim)."""
+    import math
+
+    out, d = [], dim
+    for r in rows:
+        v = r[vec_idx]
+        if v is None or len(v) == 0:
+            continue
+        if any(x is None or not math.isfinite(x) for x in v):
+            continue
+        if d is None:
+            d = len(v)
+        if len(v) != d:
+            continue
+        out.append(r)
+    return out, d
+
+
 @register(
     "sim_topk",
     oracle="""
@@ -156,7 +198,12 @@ def topk_matmul(
     """
     import numpy as np
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows, dim = _valid_rows(queries.select(id_col, vec_col).collect())
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, sim double, rk integer"
+        )
+    candidates = valid_vectors(candidates, vec_col, dim)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
     bq = spark.sparkContext.broadcast((qids, qmat))
@@ -299,6 +346,8 @@ def topk_lsh(
     approximation). Rescoring uses the exact JVM dot product, so every
     returned sim is exact — only the candidate set is approximate.
     """
+    queries = valid_vectors(queries, vec_col, dim)
+    candidates = valid_vectors(candidates, vec_col, dim)
     planes = _plane_matrix(n_tables, n_planes, dim, seed)
     qb = lsh_buckets(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")),
@@ -358,6 +407,25 @@ def topk_ivf(
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    # KMeans requires fixed-dimension finite vectors; infer the corpus
+    # dim as the MODAL vector length (one tiny aggregate — a ragged
+    # minority must not decide the dimension), then filter both sides
+    # JVM-side (see valid_vectors).
+    probe = (
+        valid_vectors(candidates, vec_col)
+        .groupBy(F.size(vec_col).alias("d"))
+        .count()
+        .orderBy(F.desc("count"), "d")
+        .first()
+    )
+    if probe is None:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, sim double, rk integer"
+        )
+    dim = probe.d
+    candidates = valid_vectors(candidates, vec_col, dim)
+    queries = valid_vectors(queries, vec_col, dim)
 
     cand_vec = candidates.select(
         id_col, vec_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv")
@@ -490,12 +558,17 @@ def topk_pq(
     exactly — the only rows whose full vectors ever move."""
     import numpy as np
 
+    qrows, dim = _valid_rows(queries.select(id_col, vec_col).collect())
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, sim double, rk integer"
+        )
+    candidates = valid_vectors(candidates, vec_col, dim)
     sample_rows = (
         candidates.select(vec_col).orderBy(id_col).limit(train_cap).collect()
     )
     sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
     books = _train_codebooks(sample, n_sub, n_codes, seed)
-    qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
     dsub = qmat.shape[1] // n_sub
