@@ -854,3 +854,84 @@ def near_dedup_sig_stream(
     return sigs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["sig"]
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+                      range(1, len(w) - 1),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                    ELSE [] END) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY doc_a, doc_b)
+    SELECT i.doc_a, i.doc_b, i.n_shared,
+           CAST(sa.n AS BIGINT) AS n_a,
+           round(i.n_shared * 1.0 / sa.n, 6) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE i.n_shared * 2 >= sa.n
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder): for an ordered pair
+    (a, b), |S_a ∩ S_b| / |S_a| over distinct 3-shingles — the
+    quote/subset detector Jaccard misses (a short doc fully embedded
+    in a long one has high containment but low Jaccard). Emits pairs
+    with containment >= 0.5; docs too short for a shingle have no
+    shingle set and cannot be contained (excluded, matching the
+    guarded-gram convention).
+
+    100 TB shape: same bucket-then-verify skeleton as dedup_jaccard —
+    the intersection count comes from ONE equi-join on the shingle key
+    (never an all-pairs comparison), grouped by the ordered pair; the
+    per-doc size table joins on doc_id. At real scale the shingle join
+    adds the standard guards: stop-shingle removal (document-frequency
+    cap bounds the fan-out of template shingles, cf. the prefix filter
+    in dedup_jaccard) and the threshold pushed into a HAVING on the
+    exact integer count (n_shared * 2 >= n_a), which is how it is
+    expressed here — no float compare decides membership."""
+    d = table(spark, sf_dir, "documents")
+    from spark_cep_spark.operators.llm_pipeline import grams_expr
+
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(grams_expr("w", 3))).alias("shingle"),
+        )
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(F.col("n_shared") * 2 >= F.col("n"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("n").cast("long").alias("n_a"),
+            F.round(F.col("n_shared") * 1.0 / F.col("n"), 6).alias(
+                "containment"
+            ),
+        )
+    )

@@ -597,3 +597,77 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("n").alias("n_chars_counted"))
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"))
     )
+
+
+@register(
+    "text_perplexity",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+                      range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1]))
+                    ELSE [] END) AS g
+      FROM w),
+    toks AS (SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM pairs),
+    c2 AS (SELECT g, count(*) AS c2 FROM toks GROUP BY g),
+    c1 AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             avg(ln(c1.c1 * 1.0 / c2.c2)) AS nll
+      FROM toks t JOIN c2 USING (g) JOIN c1 USING (w1)
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           round(s.nll, 6) AS avg_nll,
+           round(exp(s.nll), 6) AS ppl
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document (CCNet-style perplexity
+    filtering, one model class up from text_surprisal's unigram):
+    P(w2|w1) = c(w1 w2) / c(w1·) from corpus-wide bigram counts, doc
+    score = exp(mean negative log-likelihood). Repetitive/templated
+    text scores near ppl 1; incoherent token salad scores high. Docs
+    too short for a bigram stay in the output with NULL scores (the
+    guarded-gram convention, cf. text_fingerprint).
+
+    Scoring the training corpus itself means every scored bigram has a
+    positive count — no smoothing branch, so both engines compute
+    identical exact-integer ratios. 100 TB shape: bigram explode via
+    the shared guarded-gram builder; the bigram-count and prefix-count
+    tables are corpus-derived (NOT broadcast — bigram vocabulary grows
+    with the corpus); both scoring joins are uniform equi-shuffles on
+    the gram/prefix keys, then one per-doc rollup. The corpus
+    tokenizes once (persisted explode, three consumers)."""
+    from spark_cep_spark.operators.llm_pipeline import grams_expr
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(grams_expr("w", 2)).alias("g"))
+        .withColumn("w1", F.expr("split_part(g, ' ', 1)"))
+    ).persist()
+    c2 = toks.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        toks.join(c2, "g")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.avg(F.log(F.col("c1") * 1.0 / F.col("c2"))).alias("nll"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round("nll", 6).alias("avg_nll"),
+            F.round(F.exp("nll"), 6).alias("ppl"),
+        )
+    )

@@ -146,15 +146,15 @@ DRIVER_PRIORITY: list[str] = [
     "sql_recursive_cte",
     "emb_dim_stats",
     "corpus_shuffle",
+    "text_perplexity",
+    "dedup_containment",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
-    "project_filter",
     "join_inner_equi",
     "join_broadcast",
     "join_asof",
     "join_interval",
-    "agg_group",
     "win_topk_per_group",
     "cep_seq",
 ]

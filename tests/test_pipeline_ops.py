@@ -309,3 +309,37 @@ def test_recursive_cte_bfs_invariants(spark):
     for v, h in hops.items():
         if h > 0:
             assert any(hops.get(u) == h - 1 for u in nbrs.get(v, ()))
+
+
+def test_containment_detects_planted_subset(spark):
+    """A short doc that is an exact excerpt of a long doc must show
+    containment 1.0 toward it; the long doc's containment of the short
+    one must be the (much lower) exact shingle ratio; unrelated docs
+    never pair."""
+    spark_cep_spark.load_all()
+    import os
+    import tempfile
+
+    from spark_cep_spark.operators.llm_dedup import dedup_containment
+
+    long_doc = " ".join(f"tok{i}" for i in range(30))
+    excerpt = " ".join(f"tok{i}" for i in range(10, 18))  # 8 tokens inside
+    rows = [
+        (0, long_doc, "en", "s", len(long_doc)),
+        (1, excerpt, "en", "s", len(excerpt)),
+        (2, "zebra yak xray walrus vulture toucan", "en", "s", 36),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b): (r.containment, r.n_shared, r.n_a)
+            for r in dedup_containment(spark, tmp).collect()
+        }
+    # excerpt: 8 tokens -> 6 distinct shingles, all present in long doc
+    assert got[(1, 0)] == (1.0, 6, 6)
+    # long doc: 30 tokens -> 28 shingles, 6 shared = 0.214286 < 0.5 cut
+    assert (0, 1) not in got
+    assert not any(2 in pair for pair in got)
