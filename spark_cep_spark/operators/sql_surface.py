@@ -174,7 +174,7 @@ def sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(vec_id, hops) AS (
       SELECT vec_id, 0 FROM embeddings WHERE vec_id % 20 = 0
       UNION ALL
-      SELECT e.dst, r.hops + 1
+      SELECT DISTINCT e.dst, r.hops + 1
       FROM reach r JOIN edges e ON e.src = r.vec_id
       WHERE r.hops < 3
     )
@@ -195,8 +195,15 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed path, cf. dedup_minhash_lsh, and land in a table);
     each recursive step is then one equi-join of the current frontier
     against the edge table keyed on src — the standard distributed
-    BFS round. Depth bound 3 caps the iteration count; the final
-    min(hops) aggregate dedups multiple discovery paths. Exact
+    BFS round. The recursive member is SELECT DISTINCT: without
+    frontier dedup an unpruned UNION ALL BFS fans out as
+    degree^depth (verified to blow up at 10x the fixture), while the
+    deduped frontier is bounded by |V| rows per level — the
+    level-synchronous BFS that survives scale. (Spark 4.1 rejects
+    recursive UNION-distinct, so the dedup lives inside the member —
+    identical semantics on both engines.) Depth bound 3 caps the
+    iteration count; the final min(hops) aggregate dedups multiple
+    discovery paths. Exact
     integer output (no float discipline needed beyond the edge
     threshold, which both engines evaluate as an identical
     sequential-order dot product — same contract as dedup_embed)."""
@@ -228,7 +235,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE reach(vec_id, hops) AS (
           SELECT vec_id, 0 FROM embeddings WHERE vec_id % 20 = 0
           UNION ALL
-          SELECT e.dst, r.hops + 1
+          SELECT DISTINCT e.dst, r.hops + 1
           FROM reach r JOIN nn_edges e ON e.src = r.vec_id
           WHERE r.hops < 3
         )
