@@ -791,3 +791,103 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_interleave",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, coalesce(source, '') AS src,
+             md5(concat('interleave:', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, src, k,
+             CAST(('0x' || substr(k, 1, 6)) AS BIGINT) % 8 AS shard
+      FROM keyed),
+    ranked AS (
+      SELECT doc_id, src, shard,
+             row_number() OVER (PARTITION BY src ORDER BY shard, k, doc_id)
+               AS src_rank,
+             count(*) OVER (PARTITION BY src) AS n_src
+      FROM sharded),
+    vt AS (
+      SELECT doc_id, src, src_rank, src_rank * 1.0 / n_src AS vtime
+      FROM ranked)
+    SELECT doc_id, src AS source,
+           CAST(src_rank AS BIGINT) AS src_rank,
+           round(vtime, 6) AS vtime,
+           CAST(row_number() OVER (ORDER BY vtime, src, src_rank) AS BIGINT)
+             AS global_pos
+    FROM vt
+    """,
+)
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled source interleaving: a deterministic global
+    training order in which every source appears at a uniform rate
+    proportional to its size throughout the epoch (doc i of a source
+    with n docs gets virtual time i/n; sorting by virtual time yields
+    the smooth mixture a training loader wants — no "all of source A,
+    then all of B" clumping, no RNG).
+
+    100 TB shape: two applications of the bucketed distributed total
+    order (cf. corpus_shuffle — no data-scale single-partition
+    window): within-source rank comes from a PARTITION BY
+    (source, md5-shard) window plus a per-(source, shard) offset table
+    (|sources| x 8 rows, broadcast); the global position buckets the
+    uniform virtual time into deciles — bucketing by floor(vt*10) is
+    order-consistent with vt, so per-decile windows plus a 10-row
+    offset table reproduce the oracle's single ORDER BY exactly.
+    vtime is one double division of identical integers on both
+    engines, so ordering cannot diverge."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("source", F.lit("")).alias("src"),
+        F.md5(
+            F.concat(F.lit("interleave:"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    d = d.withColumn(
+        "shard", F.conv(F.substring("k", 1, 6), 16, 10).cast("bigint") % 8
+    )
+    # within-source rank via (src, shard) buckets + per-source offsets
+    w_in = Window.partitionBy("src", "shard").orderBy("k", "doc_id")
+    pos = d.withColumn("in_shard", F.row_number().over(w_in))
+    sizes = d.groupBy("src", "shard").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.partitionBy("src")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.withColumn(
+        "off", F.coalesce(F.sum("n").over(w_off), F.lit(0))
+    ).select("src", "shard", "off")
+    n_src = d.groupBy("src").agg(F.count(F.lit(1)).alias("n_src"))
+    ranked = (
+        pos.join(F.broadcast(offsets), ["src", "shard"])
+        .withColumn("src_rank", (F.col("off") + F.col("in_shard")).cast("long"))
+        .join(F.broadcast(n_src), "src")
+        .withColumn("vtime", F.col("src_rank") * 1.0 / F.col("n_src"))
+    )
+    # global position via virtual-time deciles + a 10-row offset table
+    ranked = ranked.withColumn(
+        "vb", F.least(F.lit(9), F.floor(F.col("vtime") * 10)).cast("int")
+    )
+    w_g = Window.partitionBy("vb").orderBy("vtime", "src", "src_rank")
+    gpos = ranked.withColumn("in_vb", F.row_number().over(w_g))
+    vb_sizes = ranked.groupBy("vb").agg(F.count(F.lit(1)).alias("vn"))
+    w_vb = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    vb_off = vb_sizes.withColumn(
+        "voff", F.coalesce(F.sum("vn").over(w_vb), F.lit(0))
+    ).select("vb", "voff")
+    return (
+        gpos.join(F.broadcast(vb_off), "vb")
+        .select(
+            "doc_id",
+            F.col("src").alias("source"),
+            "src_rank",
+            F.round("vtime", 6).alias("vtime"),
+            (F.col("voff") + F.col("in_vb")).cast("long").alias("global_pos"),
+        )
+    )

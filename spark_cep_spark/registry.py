@@ -148,11 +148,11 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_shuffle",
     "text_perplexity",
     "dedup_containment",
+    "corpus_interleave",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
     "join_inner_equi",
-    "join_broadcast",
     "join_asof",
     "join_interval",
     "win_topk_per_group",

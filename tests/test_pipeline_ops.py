@@ -343,3 +343,28 @@ def test_containment_detects_planted_subset(spark):
     # long doc: 30 tokens -> 28 shingles, 6 shared = 0.214286 < 0.5 cut
     assert (0, 1) not in got
     assert not any(2 in pair for pair in got)
+
+
+def test_interleave_mixes_sources_smoothly(spark):
+    """Stride-scheduling property: in every prefix of the global
+    order, each source's document count tracks its proportional share
+    to within a couple of documents (no source clumping), and
+    global_pos is a permutation."""
+    spark_cep_spark.load_all()
+    rows = sorted(
+        spark_cep_spark.QUERIES["corpus_interleave"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.global_pos,
+    )
+    n = len(rows)
+    assert [r.global_pos for r in rows] == list(range(1, n + 1))
+    totals = {}
+    for r in rows:
+        totals[r.source] = totals.get(r.source, 0) + 1
+    seen = {s: 0 for s in totals}
+    for i, r in enumerate(rows, start=1):
+        seen[r.source] += 1
+        for s, cnt in seen.items():
+            expected = i * totals[s] / n
+            assert abs(cnt - expected) <= 2 + totals[s] * 0.02, (
+                f"source {s} drifted at prefix {i}: {cnt} vs {expected:.1f}"
+            )
