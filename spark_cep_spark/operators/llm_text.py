@@ -92,7 +92,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.size(F.filter(toks, lambda t: (t == "a") | (t == "the")))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         "n_chars",
         F.round(n_tokens * F.lit(1.0) / F.col("n_chars"), 6).alias("tok_per_char"),
         F.round(stop * F.lit(1.0) / n_tokens, 6).alias("stopword_ratio"),

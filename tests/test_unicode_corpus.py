@@ -1,0 +1,103 @@
+"""Unicode-corpus oracle parity: every text operator must agree with
+its DuckDB oracle on non-ASCII input — CJK, accents, astral-plane
+emoji (surrogate pairs in UTF-16 JVM strings vs UTF-8 DuckDB), combining
+marks, RTL script, and embedded tab/newline whitespace.
+
+The driver fixture is ASCII-only, so an engine divergence in length
+semantics (code points vs code units), regex classes, or string split
+would pass the gate silently and bite the first real multilingual
+corpus. This test runs the same compare the driver does (reusing
+tools/check_oracle's normalize + frames_equal) over a unicode fixture.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from check_oracle import frames_equal, normalize  # noqa: E402
+
+UNICODE_DOCS = [
+    (0, "hello 世界 tokens here", "en", "s"),           # CJK
+    (1, "café naïve résumé test", "fr", "s"),           # latin accents
+    (2, "emoji \U0001F600 \U0001F680 mix", "en", "s"),  # astral plane
+    (3, "é combining acute here", "en", "s"),     # combining mark
+    (4, "مرحبا rtl text here", "ar", "s"),              # RTL script
+    (5, "tab\tand\nnewline mix", "en", "s"),            # embedded ws
+    (6, "ＡＢＣ fullwidth ｆｏｒｍｓ", "en", "s"),        # fullwidth forms
+    (7, "ß ς ﬁ casefold edge", "de", "s"),              # case-fold edges
+]
+
+# text-family keys with a SQL oracle (prefix families that read text)
+KEYS = [
+    "text_stats",
+    "text_tokens",
+    "text_quality",
+    "text_lang_id",
+    "text_entropy",
+    "text_fingerprint",
+    "text_ngrams",
+    "text_redact",
+    "text_repetition",
+    "text_surprisal",
+    "text_perplexity",
+    "text_boilerplate",
+    "udtf_tokens",
+    "dedup_exact",
+    "dedup_near",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "dedup_containment",
+    "corpus_shuffle",
+    "corpus_interleave",
+    "pipeline_corpus_clean",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("unicode_sf")
+    for f in os.listdir(src):
+        if f != "documents.parquet":
+            os.symlink(os.path.join(src, f), dst / f)
+    rows = [(i, t, l, s, len(t)) for i, t, l, s in UNICODE_DOCS]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(dst / "_o")
+    df.coalesce(1).write.parquet(out)
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    shutil.move(os.path.join(out, part), dst / "documents.parquet")
+    shutil.rmtree(out)
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def duck(unicode_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{unicode_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_unicode_oracle_parity(spark, unicode_dir, duck, key):
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()[key](spark, unicode_dir).toPandas()
+    odf = duck.execute(entry.oracle_sql()[key]).fetchdf()
+    a, b = normalize(sdf), normalize(odf)
+    ok, why, _warns = frames_equal(a, b, tol=0.0)
+    assert ok, f"{key}: {why}"
