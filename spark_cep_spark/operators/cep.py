@@ -1302,3 +1302,114 @@ def cep_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
     )
     return kept.select("user_id", "event_id", "ts", "value", "trail_avg")
+
+
+@register(
+    "cep_permute",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         cp2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, min(c.ts) AS t_click
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         cp3 AS (
+           SELECT cp2.user_id, cp2.event_id, cp2.t_view, cp2.t_click,
+                  min(p.ts) AS t_purchase
+           FROM cp2 JOIN p ON p.user_id = cp2.user_id
+                          AND p.ts > cp2.t_click
+                          AND p.ts <= cp2.t_view + INTERVAL 24 HOUR
+           GROUP BY cp2.user_id, cp2.event_id, cp2.t_view, cp2.t_click),
+         pc2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, min(p.ts) AS t_purchase
+           FROM v JOIN p ON p.user_id = v.user_id
+                        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         pc3 AS (
+           SELECT pc2.user_id, pc2.event_id, pc2.t_view, pc2.t_purchase,
+                  min(c.ts) AS t_click
+           FROM pc2 JOIN c ON c.user_id = pc2.user_id
+                          AND c.ts > pc2.t_purchase
+                          AND c.ts <= pc2.t_view + INTERVAL 24 HOUR
+           GROUP BY pc2.user_id, pc2.event_id, pc2.t_view, pc2.t_purchase),
+         branches AS (
+           SELECT user_id, event_id, t_view, t_click, t_purchase,
+                  t_purchase AS t_done, 1 AS rk
+           FROM cp3
+           UNION ALL
+           SELECT user_id, event_id, t_view, t_click, t_purchase,
+                  t_click AS t_done, 2 AS rk
+           FROM pc3),
+         best AS (
+           SELECT user_id, event_id, t_view,
+                  min({'td': t_done, 'rk': rk,
+                       'tc': t_click, 'tp': t_purchase}) AS m
+           FROM branches GROUP BY user_id, event_id, t_view)
+    SELECT user_id AS key, event_id AS anchor_id, t_view,
+           m.tc AS t_click, m.tp AS t_purchase,
+           CASE WHEN m.rk = 1 THEN 'click_first' ELSE 'purchase_first' END
+             AS branch
+    FROM best
+    """,
+)
+def cep_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTE step matching (SQL MATCH_RECOGNIZE `PATTERN
+    (V PERMUTE(C, P))`): after a view anchor, a click AND a purchase
+    must both occur within 24h — in EITHER order. Implemented by
+    expansion, the standard rewrite (PERMUTE(a, b) ≡ alternation of
+    the n! orderings): each ordering compiles through the existing
+    Pattern batch plan, the branches union, and per anchor the
+    earliest-COMPLETING ordering wins (min over a (t_done, branch)
+    struct — deterministic under ties, first-declared branch
+    preferred), which is exactly first-match semantics over the
+    alternation.
+
+    100 TB shape: n! compiled branches share the same per-key
+    shuffled layout (each is the proven earliest-match join-agg
+    chain); the final winner pick is one more groupBy on the same
+    (key, anchor) key. Expansion is exponential in the permuted step
+    count — fine for the 2-4 steps real patterns permute, and each
+    branch is a plan Catalyst can optimize independently."""
+    events = table(spark, sf_dir, "events")
+    orderings = [
+        ("click_first", ["click", "purchase"], 1),
+        ("purchase_first", ["purchase", "click"], 2),
+    ]
+    branches = []
+    for name, steps, rk in orderings:
+        pat = Pattern.begin("view", "event_type = 'view'")
+        for s in steps:
+            pat = pat.followed_by(s, f"event_type = '{s}'")
+        df = pat.within("24 HOURS").compile_batch(events)
+        done_col = f"t_{steps[-1]}"
+        branches.append(
+            df.withColumn("t_done", F.col(done_col)).withColumn(
+                "rk", F.lit(rk)
+            )
+        )
+    allb = branches[0].unionByName(branches[1])
+    best = (
+        allb.groupBy("key", "anchor_id", "t_view")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("t_done").alias("td"),
+                    F.col("rk").alias("rk"),
+                    F.col("t_click").alias("tc"),
+                    F.col("t_purchase").alias("tp"),
+                )
+            ).alias("m")
+        )
+    )
+    return best.select(
+        "key",
+        "anchor_id",
+        "t_view",
+        F.col("m.tc").alias("t_click"),
+        F.col("m.tp").alias("t_purchase"),
+        F.when(F.col("m.rk") == 1, "click_first")
+        .otherwise("purchase_first")
+        .alias("branch"),
+    )

@@ -326,13 +326,71 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     return ParsedPatternQuery(pattern=pattern, key_col=key_col, time_col=time_col)
 
 
+_PERMUTE_RE = re.compile(r"PERMUTE\s*\(([^)]*)\)", re.I)
+
+
+def expand_permute_sql(text: str):
+    """Detect a trailing `PERMUTE(A, B, ...)` group in the PATTERN
+    clause and expand it into the n! variant texts (the standard
+    rewrite: PERMUTE ≡ alternation of all orderings). Returns
+    None when the text has no PERMUTE, else a list of
+    (ordering, variant_text) pairs in declaration-first order —
+    the tie-break order for the winner pick."""
+    from itertools import permutations
+
+    m = _PERMUTE_RE.search(text)
+    if m is None:
+        return None
+    if _PERMUTE_RE.search(text, m.end()):
+        raise ValueError("only one PERMUTE group is supported")
+    if not re.match(r"\s*\)", text[m.end() :]):
+        raise ValueError(
+            "PERMUTE group must be the last element of the PATTERN clause"
+        )
+    names = [t.strip() for t in m.group(1).split(",") if t.strip()]
+    if len(names) < 2:
+        raise ValueError("PERMUTE needs at least two step names")
+    if len(names) > 4:
+        raise ValueError(
+            "PERMUTE supports at most 4 steps (n! pattern expansion)"
+        )
+    for n in names:
+        if not re.match(r"^[A-Za-z_]\w*$", n):
+            raise ValueError(
+                f"PERMUTE steps must be plain step names, got {n!r} "
+                "(no !/{{n}}/+ inside a PERMUTE group)"
+            )
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate step name inside PERMUTE")
+    return [
+        (perm, text[: m.start()] + " -> ".join(perm) + text[m.end() :])
+        for perm in permutations(names)
+    ]
+
+
 def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     """Run a SQL-text CEP query against a batch OR streaming DataFrame.
 
     Batch → Pattern.compile_batch (oracle-checkable plan); streaming →
     the NFA via compile_stream (stream_kwargs: watermark=...). One text,
     both engines — the continuous-query promise of the reference [PK].
+
+    A trailing `PERMUTE(A, B)` group (standard MATCH_RECOGNIZE) is
+    supported batch-side by expansion: every ordering compiles to its
+    own Pattern plan, the branches union, and per match anchor the
+    earliest-COMPLETING ordering wins (ties prefer declaration order —
+    first-match-in-alternation semantics). The winning ordering is
+    emitted as `permute_order`. Streaming PERMUTE is rejected with an
+    error (the winner pick is a final aggregate the NFA does not carry).
     """
+    expanded = expand_permute_sql(text)
+    if expanded is not None:
+        if df.isStreaming:
+            raise ValueError(
+                "PERMUTE is batch-only: the expansion winner pick needs a "
+                "final aggregate over all orderings"
+            )
+        return _compile_permute_batch(df, expanded)
     parsed = parse_pattern_sql(text)
     if df.isStreaming:
         from spark_cep_spark.streaming.nfa import compile_stream
@@ -340,6 +398,55 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
         return compile_stream(parsed.pattern, df, **stream_kwargs)
     return parsed.pattern.compile_batch(
         df, key_col=parsed.key_col, time_col=parsed.time_col
+    )
+
+
+def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
+    """Union the n! expanded plans and keep, per anchor, the earliest-
+    completing ordering (min over a (t_done, declaration_rank) struct).
+    Scale: each branch is the proven per-key join-agg chain; the winner
+    pick is one extra groupBy on the shared (key, anchor) columns."""
+    from pyspark.sql import functions as F
+
+    perm_names = sorted(expanded[0][0])
+    branches = []
+    for rk, (perm, vtext) in enumerate(expanded, start=1):
+        parsed = parse_pattern_sql(vtext)
+        if parsed.pattern.measures:
+            raise ValueError("MEASURES is not supported with PERMUTE")
+        bdf = parsed.pattern.compile_batch(
+            df, key_col=parsed.key_col, time_col=parsed.time_col
+        )
+        branches.append(
+            bdf.withColumn("_t_done", F.col(f"t_{perm[-1]}")).withColumn(
+                "_rk", F.lit(rk)
+            )
+        )
+    allb = branches[0]
+    for b in branches[1:]:
+        allb = allb.unionByName(b)
+    perm_t_cols = [f"t_{n}" for n in perm_names]
+    group_cols = [
+        c
+        for c in branches[0].columns
+        if c not in perm_t_cols and not c.startswith("_")
+    ]
+    struct_fields = [
+        F.col("_t_done").alias("td"),
+        F.col("_rk").alias("rk"),
+    ] + [F.col(f"t_{n}").alias(f"t_{n}") for n in perm_names]
+    best = allb.groupBy(*group_cols).agg(
+        F.min(F.struct(*struct_fields)).alias("_m")
+    )
+    order_label = F.lit(None).cast("string")
+    for rk, (perm, _) in reversed(list(enumerate(expanded, start=1))):
+        order_label = F.when(
+            F.col("_m.rk") == rk, "->".join(perm)
+        ).otherwise(order_label)
+    return best.select(
+        *group_cols,
+        *[F.col(f"_m.t_{n}").alias(f"t_{n}") for n in perm_names],
+        order_label.alias("permute_order"),
     )
 
 
@@ -389,5 +496,69 @@ def cep_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                x AS event_type = 'error'
         PARTITION BY user_id
         ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_permute",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         cp2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_v, min(c.ts) AS t_c
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         cp3 AS (
+           SELECT cp2.user_id, cp2.event_id, cp2.t_v, cp2.t_c,
+                  min(p.ts) AS t_p
+           FROM cp2 JOIN p ON p.user_id = cp2.user_id
+                          AND p.ts > cp2.t_c
+                          AND p.ts <= cp2.t_v + INTERVAL 24 HOUR
+           GROUP BY cp2.user_id, cp2.event_id, cp2.t_v, cp2.t_c),
+         pc2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_v, min(p.ts) AS t_p
+           FROM v JOIN p ON p.user_id = v.user_id
+                        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         pc3 AS (
+           SELECT pc2.user_id, pc2.event_id, pc2.t_v, pc2.t_p,
+                  min(c.ts) AS t_c
+           FROM pc2 JOIN c ON c.user_id = pc2.user_id
+                          AND c.ts > pc2.t_p
+                          AND c.ts <= pc2.t_v + INTERVAL 24 HOUR
+           GROUP BY pc2.user_id, pc2.event_id, pc2.t_v, pc2.t_p),
+         branches AS (
+           SELECT user_id, event_id, t_v, t_c, t_p, t_p AS t_done, 1 AS rk
+           FROM cp3
+           UNION ALL
+           SELECT user_id, event_id, t_v, t_c, t_p, t_c AS t_done, 2 AS rk
+           FROM pc3),
+         best AS (
+           SELECT user_id, event_id, t_v,
+                  min({'td': t_done, 'rk': rk, 'tc': t_c, 'tp': t_p}) AS m
+           FROM branches GROUP BY user_id, event_id, t_v)
+    SELECT user_id AS key, event_id AS anchor_id, t_v AS t_V,
+           m.tc AS t_C, m.tp AS t_P,
+           CASE WHEN m.rk = 1 THEN 'C->P' ELSE 'P->C' END AS permute_order
+    FROM best
+    """,
+)
+def cep_sql_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTE through the SQL-text surface — same semantics as
+    cep_permute (view anchor, click and purchase in either order
+    within 24h) but entering via the MATCH_RECOGNIZE-shaped dialect,
+    proving the text layer's expansion path end-to-end."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( V -> PERMUTE(C, P) )
+        WITHIN 24 HOURS
+        DEFINE V AS event_type = 'view',
+               C AS event_type = 'click',
+               P AS event_type = 'purchase'
         """,
     )

@@ -149,13 +149,13 @@ DRIVER_PRIORITY: list[str] = [
     "text_perplexity",
     "dedup_containment",
     "corpus_interleave",
+    "cep_permute",
+    "cep_sql_permute",
     # (d) backfill: §2 contract keys whose only driver evidence is
     # round 1 (oldest), refreshed under the current codebase
     "scan_parquet",
     "join_inner_equi",
     "join_asof",
-    "join_interval",
-    "win_topk_per_group",
     "cep_seq",
 ]
 

@@ -398,3 +398,74 @@ def test_run_aggregates_in_text_dialect(spark, sf_dir):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_permute_text_equals_dataframe_face(spark, sf_dir):
+    """The SQL-text PERMUTE route and the hand-expanded cep_permute
+    operator must produce identical matches (same anchors, same bound
+    timestamps, same winning ordering) — two surfaces, one semantics."""
+    import spark_cep_spark
+
+    spark_cep_spark.load_all()
+    sql_rows = {
+        (r.key, r.anchor_id): (r.t_V, r.t_C, r.t_P, r.permute_order)
+        for r in spark_cep_spark.QUERIES["cep_sql_permute"](
+            spark, sf_dir
+        ).collect()
+    }
+    df_rows = {
+        (r.key, r.anchor_id): (
+            r.t_view,
+            r.t_click,
+            r.t_purchase,
+            {"click_first": "C->P", "purchase_first": "P->C"}[r.branch],
+        )
+        for r in spark_cep_spark.QUERIES["cep_permute"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sql_rows == df_rows
+    assert sql_rows  # non-vacuous
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        ("PATTERN ( V -> PERMUTE(C) )", "at least two"),
+        ("PATTERN ( V -> PERMUTE(C, P) -> X )", "last element"),
+        ("PATTERN ( V -> PERMUTE(C, C) )", "duplicate"),
+        ("PATTERN ( V -> PERMUTE(C, !P) )", "plain step names"),
+        (
+            "PATTERN ( PERMUTE(A, B) -> PERMUTE(C, D) )",
+            "only one PERMUTE",
+        ),
+        (
+            "PATTERN ( V -> PERMUTE(A, B, C, D, E) )",
+            "at most 4",
+        ),
+    ],
+)
+def test_malformed_permute_rejected(bad, msg):
+    from spark_cep_spark.operators.cep_sql import expand_permute_sql
+
+    text = (
+        bad
+        + " WITHIN 1 HOURS DEFINE V AS true, C AS true, P AS true, "
+        "A AS true, B AS true, D AS true, E AS true, X AS true"
+    )
+    with pytest.raises(ValueError, match=msg):
+        expand_permute_sql(text)
+
+
+def test_permute_rejected_on_streams(spark, sf_dir):
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize(
+            stream,
+            "PATTERN ( V -> PERMUTE(C, P) ) WITHIN 1 HOURS "
+            "DEFINE V AS true, C AS true, P AS true",
+        )
