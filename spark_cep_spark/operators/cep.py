@@ -1413,3 +1413,147 @@ def cep_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("purchase_first")
         .alias("branch"),
     )
+
+
+@register(
+    "cep_optional",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'signup'),
+         e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         b1a AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup, min(e.ts) AS t_error
+           FROM s JOIN e ON e.user_id = s.user_id
+                        AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts),
+         b1 AS (
+           SELECT b1a.user_id, b1a.event_id, b1a.t_signup, b1a.t_error,
+                  min(p.ts) AS t_purchase
+           FROM b1a JOIN p ON p.user_id = b1a.user_id
+                          AND p.ts > b1a.t_error
+                          AND p.ts <= b1a.t_signup + INTERVAL 24 HOUR
+           GROUP BY b1a.user_id, b1a.event_id, b1a.t_signup, b1a.t_error),
+         b2 AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup, min(p.ts) AS t_purchase
+           FROM s JOIN p ON p.user_id = s.user_id
+                        AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts)
+    SELECT user_id AS key, event_id AS anchor_id,
+           t_signup, t_error, t_purchase
+    FROM b1
+    UNION ALL
+    SELECT b2.user_id AS key, b2.event_id AS anchor_id, b2.t_signup,
+           CAST(NULL AS TIMESTAMP) AS t_error, b2.t_purchase
+    FROM b2
+    WHERE NOT EXISTS (SELECT 1 FROM b1
+                      WHERE b1.user_id = b2.user_id
+                        AND b1.event_id = b2.event_id)
+    """,
+)
+def cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional step (MATCH_RECOGNIZE `B?`, greedy): signup → error? →
+    purchase within 24h. The standard rewrite: `A B? C` ≡ alternation
+    of (A B C | A C) with the WITH-B branch preferred (greedy — the
+    quantified variant wins whenever it matches at all, regardless of
+    which branch completes earlier; the reluctant variant `B??` would
+    flip the preference, which here is just swapping the anti-join
+    side). A skipped optional emits t_error = NULL, so the output
+    schema is branch-independent.
+
+    100 TB shape: both branches are the proven per-key earliest-match
+    join-agg chain over the SAME key layout; the greedy preference is
+    ONE left-anti join on (key, anchor_id) — AQE broadcasts the
+    with-branch match set when it is small, and no text/value columns
+    travel through the preference step."""
+    events = table(spark, sf_dir, "events")
+    with_e = (
+        Pattern.begin("signup", "event_type = 'signup'")
+        .followed_by("error", "event_type = 'error'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+        .compile_batch(events)
+    )
+    without_e = (
+        Pattern.begin("signup", "event_type = 'signup'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+        .compile_batch(events)
+    )
+    skipped = without_e.join(
+        with_e.select("key", "anchor_id"), ["key", "anchor_id"], "left_anti"
+    ).withColumn("t_error", F.lit(None).cast("timestamp"))
+    return with_e.unionByName(skipped.select(*with_e.columns))
+
+
+@register(
+    "cep_times_range",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         r1 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, min(c.ts) AS t1
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         r2 AS (
+           SELECT r1.user_id, r1.event_id, r1.t_view, r1.t1, min(c.ts) AS t2
+           FROM r1 JOIN c ON c.user_id = r1.user_id
+                         AND c.ts > r1.t1 AND c.ts <= r1.t_view + INTERVAL 12 HOUR
+           GROUP BY r1.user_id, r1.event_id, r1.t_view, r1.t1),
+         r3 AS (
+           SELECT r2.user_id, r2.event_id, r2.t_view, r2.t1, r2.t2,
+                  min(c.ts) AS t3
+           FROM r2 JOIN c ON c.user_id = r2.user_id
+                         AND c.ts > r2.t2 AND c.ts <= r2.t_view + INTERVAL 12 HOUR
+           GROUP BY r2.user_id, r2.event_id, r2.t_view, r2.t1, r2.t2)
+    SELECT user_id AS key, event_id AS anchor_id, t_view,
+           t1 AS t_click_1, t2 AS t_click_2, t3 AS t_click_3,
+           CAST(3 AS BIGINT) AS reps
+    FROM r3
+    UNION ALL
+    SELECT r2.user_id AS key, r2.event_id AS anchor_id, r2.t_view,
+           r2.t1 AS t_click_1, r2.t2 AS t_click_2,
+           CAST(NULL AS TIMESTAMP) AS t_click_3, CAST(2 AS BIGINT) AS reps
+    FROM r2
+    WHERE NOT EXISTS (SELECT 1 FROM r3
+                      WHERE r3.user_id = r2.user_id
+                        AND r3.event_id = r2.event_id)
+    """,
+)
+def cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range repetition (MATCH_RECOGNIZE `B{n,m}`, greedy): view →
+    click{2,3} within 12h. Rewrite: alternation of the fixed-arity
+    expansions times(3) | times(2), LONGEST preferred (greedy). Under
+    relaxed contiguity the k-chain binds the k earliest qualifying
+    clicks, so the 2-chain is always a prefix of the 3-chain when both
+    exist — the greedy pick is exactly "keep the 3-match, emit the
+    2-match only where no third click fits the bound", i.e. one
+    left-anti join. The unbound tail sub-step emits NULL; `reps` names
+    the arity that matched.
+
+    100 TB shape: the m-n+1 branches share one per-key layout (each is
+    the earliest-match join-agg chain); preference is one anti join on
+    (key, anchor_id). Expansion is linear in m, and m is small by
+    construction in real patterns."""
+    events = table(spark, sf_dir, "events")
+    b3 = (
+        Pattern.begin("view", "event_type = 'view'")
+        .times("click", "event_type = 'click'", 3)
+        .within("12 HOURS")
+        .compile_batch(events)
+    )
+    b2 = (
+        Pattern.begin("view", "event_type = 'view'")
+        .times("click", "event_type = 'click'", 2)
+        .within("12 HOURS")
+        .compile_batch(events)
+    )
+    b3 = b3.withColumn("reps", F.lit(3).cast("long"))
+    b2only = (
+        b2.join(b3.select("key", "anchor_id"), ["key", "anchor_id"], "left_anti")
+        .withColumn("t_click_3", F.lit(None).cast("timestamp"))
+        .withColumn("reps", F.lit(2).cast("long"))
+    )
+    return b3.unionByName(b2only.select(*b3.columns))

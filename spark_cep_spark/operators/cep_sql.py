@@ -28,6 +28,13 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
     A -> B+   greedy Kleene-plus (Pattern.one_or_more): earliest entry,
               then the maximal immediately-consecutive matching run;
               output columns t_B_first, t_B_last, B_count
+    A -> B?   optional step (greedy, batch-only): expansion into the
+              with/without variants, with-B preferred whenever it
+              matches; a skipped step emits t_B = NULL and the winning
+              spelling lands in the `variant` column
+    A -> B{n,m}  range repetition (greedy, batch-only): expansion into
+              the {m}..{n} arities, longest preferred; unbound tail
+              sub-steps emit NULL
 
 DEFINE predicates are ordinary Spark SQL boolean expressions over the
 event columns — the full expression language comes from Spark's own
@@ -228,16 +235,17 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         raise ValueError("empty PATTERN")
     seen: set[str] = set()
 
-    def lookup(tok: str, first: bool) -> tuple[str, bool, int, bool]:
+    def lookup(tok: str, first: bool) -> tuple[str, bool, int, bool, bool]:
         m = _STEP_TOKEN.match(tok)
         if not m:
             raise ValueError(f"bad pattern token: {tok!r}")
         neg, name = m.group(1) == "!", m.group(2)
+        braced = m.group(3) is not None
         reps = int(m.group(3)) if m.group(3) else 1
         plus = m.group(4) == "+"
         if reps < 1:
             raise ValueError(f"step {name}: quantifier must be >= 1")
-        if neg and (reps != 1 or plus):
+        if neg and (braced or plus):
             raise ValueError(f"step {name}: a negated step cannot be quantified")
         if first and neg:
             raise ValueError("pattern cannot start with a negated step")
@@ -248,12 +256,12 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         if name in seen:
             raise ValueError(f"step {name} appears twice in PATTERN")
         seen.add(name)
-        return name, neg, reps, plus
+        return name, neg, reps, plus, braced
 
     step_names = set(defines)
     split = {n: _split_define(e, step_names) for n, e in defines.items()}
 
-    name, _, reps, _ = lookup(toks[0], first=True)
+    name, _, reps, _, braced = lookup(toks[0], first=True)
     f_pred, f_where = split[name]
     if f_where:
         raise ValueError(
@@ -261,8 +269,9 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
             "(no earlier step to reference)"
         )
     # a quantified first step expands exactly like Pattern.times, with
-    # the leading sub-step as the anchor
-    pattern = Pattern.begin(name if reps == 1 else f"{name}_1", f_pred)
+    # the leading sub-step as the anchor; an EXPLICIT {k} always uses
+    # sub-step naming ({1} included) so arities are schema-compatible
+    pattern = Pattern.begin(f"{name}_1" if braced else name, f_pred)
     for i in range(2, reps + 1):
         pattern.followed_by(f"{name}_{i}", f_pred)
     rest = toks[1:]
@@ -271,9 +280,9 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     for i, (conn, tok) in enumerate(zip(rest[::2], rest[1::2])):
         if conn not in ("->", "=>"):
             raise ValueError(f"expected -> or => connector, got {conn!r}")
-        name, neg, reps, plus = lookup(tok, first=False)
+        name, neg, reps, plus, braced = lookup(tok, first=False)
         pred, where = split[name]
-        if where and (plus or reps > 1):
+        if where and (plus or braced):
             raise ValueError(
                 f"step {name}: correlation is not supported on "
                 "quantified ({n}/+) steps"
@@ -288,11 +297,13 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
             if conn == "=>":
                 raise ValueError("a + step takes -> (its entry is relaxed)")
             pattern.one_or_more(name, pred)
-        elif reps > 1:
+        elif braced:
             # the connector sets the run's INTERNAL contiguity: => means
             # events 2..n are each the key's immediately-next event
             # (entry relaxed, like a + step), -> the n earliest
-            # qualifying events in order
+            # qualifying events in order. An explicit {k} always uses
+            # sub-step naming ({1} included: t_<name>_1), keeping every
+            # arity of a {n,m} expansion schema-compatible.
             pattern.times(
                 name,
                 pred,
@@ -368,6 +379,177 @@ def expand_permute_sql(text: str):
     ]
 
 
+_QUANT_TOKEN = re.compile(
+    r"^([A-Za-z_]\w*)(?:(\?)|\{(\d+),(\d+)\})$"
+)
+
+
+def expand_quantifier_sql(text: str):
+    """Detect `B?` (optional step) / `B{n,m}` (range repetition) tokens
+    in the PATTERN clause and expand the query into its fixed-shape
+    variant texts — the standard rewrite (`A B? C` ≡ `A B C | A C`,
+    `B{n,m}` ≡ `B{m} | ... | B{n}`), GREEDY preference order: the
+    first variant keeps every optional present at its maximal arity,
+    and the declaration-first cross-product order makes earlier
+    quantifiers outrank later ones. Returns None when the text has no
+    such token, else a list of (desc, variant_text) pairs where desc
+    is the variant's connector-joined step spelling (the `variant`
+    output column). A skipped step's DEFINE entry is dropped from the
+    variant so each variant parses standalone."""
+    from itertools import product
+
+    clauses = _split_clauses(text)
+    body = clauses.get("PATTERN", "").strip()
+    if not (body.startswith("(") and body.endswith(")")):
+        # let parse_pattern_sql produce its pointed error
+        return None
+    inner = body[1:-1].strip()
+    toks = [t for t in re.split(r"(->|=>)|\s+", inner) if t]
+    if not any(_QUANT_TOKEN.match(t) for t in toks):
+        return None
+    if "MEASURES" in clauses:
+        raise ValueError(
+            "MEASURES is not supported with ?/{n,m} quantifiers "
+            "(variants have different bound steps)"
+        )
+    # token stream = step (connector step)*; walk steps with their
+    # PRECEDING connector so an absent optional drops its connector
+    if not toks or toks[0] in ("->", "=>"):
+        raise ValueError("PATTERN must start with a step")
+    steps: list[tuple[str | None, str]] = [(None, toks[0])]
+    rest = toks[1:]
+    if len(rest) % 2:
+        raise ValueError("pattern must alternate step, connector, step, ...")
+    for conn, tok in zip(rest[::2], rest[1::2]):
+        steps.append((conn, tok))
+
+    options: list[list[tuple[str | None, str | None]]] = []
+    for i, (conn, tok) in enumerate(steps):
+        m = _QUANT_TOKEN.match(tok)
+        if m is None:
+            options.append([(conn, tok)])
+            continue
+        name, opt, lo, hi = m.group(1), m.group(2), m.group(3), m.group(4)
+        if i == 0:
+            raise ValueError(
+                f"step {name}: the first step cannot be optional/ranged "
+                "(it anchors the match window)"
+            )
+        if opt:
+            options.append([(conn, name), (conn, None)])
+        else:
+            lo_i, hi_i = int(lo), int(hi)
+            if lo_i < 1:
+                raise ValueError(f"step {name}: {{n,m}} needs n >= 1")
+            if hi_i <= lo_i:
+                raise ValueError(f"step {name}: {{n,m}} needs m > n")
+            if hi_i - lo_i > 7:
+                raise ValueError(
+                    f"step {name}: {{n,m}} span capped at 8 variants"
+                )
+            # every arity keeps the explicit {k} spelling — {1} included
+            # — so sub-step columns are t_<name>_1..k in EVERY variant
+            # and lower arities are schema-subsets of the maximal one
+            options.append(
+                [(conn, f"{name}{{{k}}}") for k in range(hi_i, lo_i - 1, -1)]
+            )
+    variants = []
+    n_variants = 1
+    for opts in options:
+        n_variants *= len(opts)
+    if n_variants > 16:
+        raise ValueError(
+            f"quantifier expansion yields {n_variants} variants (max 16)"
+        )
+    for combo in product(*options):
+        parts: list[str] = []
+        used: set[str] = set()
+        for conn, tok in combo:
+            if tok is None:
+                continue
+            if parts:
+                parts.append(conn if conn else "->")
+            parts.append(tok)
+            sm = _STEP_TOKEN.match(tok)
+            if sm:  # garbage tokens fall through to parse's pointed error
+                used.add(sm.group(2))
+        desc = "".join(parts)
+        kept_defines = [
+            item
+            for item in _split_top_level_commas(clauses["DEFINE"])
+            if re.match(r"^([A-Za-z_]\w*)", item).group(1) in used
+        ]
+        vtext = f"PATTERN ( {' '.join(parts)} )\nWITHIN {clauses['WITHIN']}\n"
+        vtext += "DEFINE " + ",\n       ".join(kept_defines)
+        for kw in ("PARTITION BY", "ORDER BY"):
+            if kw in clauses:
+                vtext += f"\n{kw} {clauses[kw]}"
+        variants.append((desc, vtext))
+    return variants
+
+
+def _compile_quantifier_batch(df: DataFrame, variants) -> DataFrame:
+    """Union the expanded variant plans and keep, per anchor, the
+    FIRST variant (declaration/greedy order) that matched — greedy
+    quantifier semantics, implemented as one groupBy taking the min
+    over a (rank, ...) struct. Branch schemas differ (a skipped step
+    has no t_ column); every branch is padded to the first — maximal —
+    variant's schema with typed NULLs, so the output schema is
+    variant-independent.
+
+    Scale: each variant is the proven per-key join-agg chain over the
+    same key layout; the greedy pick is ONE extra groupBy on the
+    shared (key, anchor, t_anchor) columns — no text columns travel."""
+    from pyspark.sql import functions as F
+
+    branches = []
+    full_schema = None  # (name -> dtype) of the maximal first variant
+    full_cols: list[str] = []
+    for rk, (desc, vtext) in enumerate(variants, start=1):
+        parsed = parse_pattern_sql(vtext)
+        bdf = parsed.pattern.compile_batch(
+            df, key_col=parsed.key_col, time_col=parsed.time_col
+        )
+        if full_schema is None:
+            full_schema = dict(bdf.dtypes)
+            full_cols = list(bdf.columns)
+            missing = []
+        else:
+            missing = [c for c in full_cols if c not in bdf.columns]
+            extra = [c for c in bdf.columns if c not in full_schema]
+            if extra:
+                raise ValueError(
+                    f"variant {desc!r} emits columns outside the maximal "
+                    f"variant's schema: {extra}"
+                )
+        for c in missing:
+            bdf = bdf.withColumn(c, F.lit(None).cast(full_schema[c]))
+        branches.append(
+            bdf.select(*full_cols).withColumn("_rk", F.lit(rk))
+        )
+    allb = branches[0]
+    for b in branches[1:]:
+        allb = allb.unionByName(b)
+    group_cols = full_cols[:3]  # key, anchor_id, t_<anchor>
+    rest_cols = full_cols[3:]
+    best = allb.groupBy(*group_cols).agg(
+        F.min(
+            F.struct(
+                F.col("_rk").alias("rk"),
+                *[F.col(c).alias(c) for c in rest_cols],
+            )
+        ).alias("_m")
+    )
+    label = F.lit(None).cast("string")
+    for rk, (desc, _) in reversed(list(enumerate(variants, start=1))):
+        label = F.when(F.col("_m.rk") == rk, desc).otherwise(label)
+    return best.select(
+        *group_cols,
+        *[F.col(f"_m.{c}").alias(c) for c in rest_cols],
+        label.alias("variant"),
+    )
+
+
 def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     """Run a SQL-text CEP query against a batch OR streaming DataFrame.
 
@@ -391,6 +573,14 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "final aggregate over all orderings"
             )
         return _compile_permute_batch(df, expanded)
+    quant = expand_quantifier_sql(text)
+    if quant is not None:
+        if df.isStreaming:
+            raise ValueError(
+                "?/{n,m} quantifiers are batch-only: the greedy winner "
+                "pick is a final aggregate over all variants"
+            )
+        return _compile_quantifier_batch(df, quant)
     parsed = parse_pattern_sql(text)
     if df.isStreaming:
         from spark_cep_spark.streaming.nfa import compile_stream
@@ -560,5 +750,63 @@ def cep_sql_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
         DEFINE V AS event_type = 'view',
                C AS event_type = 'click',
                P AS event_type = 'purchase'
+        """,
+    )
+
+
+@register(
+    "cep_sql_optional",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'signup'),
+         e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         b1a AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup, min(e.ts) AS t_error
+           FROM s JOIN e ON e.user_id = s.user_id
+                        AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts),
+         b1 AS (
+           SELECT b1a.user_id, b1a.event_id, b1a.t_signup, b1a.t_error,
+                  min(p.ts) AS t_purchase
+           FROM b1a JOIN p ON p.user_id = b1a.user_id
+                          AND p.ts > b1a.t_error
+                          AND p.ts <= b1a.t_signup + INTERVAL 24 HOUR
+           GROUP BY b1a.user_id, b1a.event_id, b1a.t_signup, b1a.t_error),
+         b2 AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup, min(p.ts) AS t_purchase
+           FROM s JOIN p ON p.user_id = s.user_id
+                        AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts)
+    SELECT user_id AS key, event_id AS anchor_id,
+           t_signup, t_error, t_purchase,
+           'signup->error->purchase' AS variant
+    FROM b1
+    UNION ALL
+    SELECT b2.user_id AS key, b2.event_id AS anchor_id, b2.t_signup,
+           CAST(NULL AS TIMESTAMP) AS t_error, b2.t_purchase,
+           'signup->purchase' AS variant
+    FROM b2
+    WHERE NOT EXISTS (SELECT 1 FROM b1
+                      WHERE b1.user_id = b2.user_id
+                        AND b1.event_id = b2.event_id)
+    """,
+)
+def cep_sql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional step through the SQL-text surface — same semantics as
+    cep_optional (signup → error? → purchase, greedy: the with-error
+    variant wins whenever it matches) but entering via the dialect's
+    `E?` token, proving the quantifier-expansion path end-to-end. The
+    winning variant's connector-joined spelling is emitted as
+    `variant`."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( signup -> error? -> purchase )
+        WITHIN 24 HOURS
+        DEFINE signup AS event_type = 'signup',
+               error AS event_type = 'error',
+               purchase AS event_type = 'purchase'
         """,
     )

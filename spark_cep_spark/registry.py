@@ -151,11 +151,11 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_interleave",
     "cep_permute",
     "cep_sql_permute",
-    # (d) backfill: §2 contract keys whose only driver evidence is
-    # round 1 (oldest), refreshed under the current codebase
-    "scan_parquet",
-    "join_inner_equi",
-    "join_asof",
+    "cep_optional",
+    "cep_times_range",
+    "cep_sql_optional",
+    # (d) backfill: a §2 contract key whose only driver evidence is
+    # round 1 (oldest), refreshed under the current CEP compiler
     "cep_seq",
 ]
 

@@ -1,0 +1,223 @@
+"""Optional (`B?`) and range-repetition (`B{n,m}`) quantifiers: greedy
+alternation semantics on crafted sequences, the SQL-dialect expansion
+path, and rejection of every malformed quantifier shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from spark_cep_spark.operators.cep import Pattern
+from spark_cep_spark.operators.cep_sql import (
+    expand_quantifier_sql,
+    match_recognize,
+    parse_pattern_sql,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events_df(spark, rows):
+    """rows: list of (user_id, minutes_offset, event_type)"""
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+OPTIONAL_SQL = """
+PATTERN ( A -> B? -> C )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'signup',
+       B AS event_type = 'error',
+       C AS event_type = 'purchase'
+"""
+
+
+def test_optional_expansion_shape():
+    variants = expand_quantifier_sql(OPTIONAL_SQL)
+    assert [d for d, _ in variants] == ["A->B->C", "A->C"]
+    # each variant parses standalone (skipped step's DEFINE dropped)
+    for _, vtext in variants:
+        parse_pattern_sql(vtext)
+
+
+def test_optional_greedy_prefers_present(spark):
+    rows = [
+        (1, 0, "signup"), (1, 10, "error"), (1, 20, "purchase"),
+        # user 2: no error — optional skipped, t_B NULL
+        (2, 0, "signup"), (2, 15, "purchase"),
+        # user 3: error AFTER purchase — with-B variant can't complete
+        # (no purchase after the error), greedy falls back to A->C
+        (3, 0, "signup"), (3, 30, "purchase"), (3, 40, "error"),
+        # user 4: error but no purchase at all — no match
+        (4, 0, "signup"), (4, 10, "error"),
+    ]
+    out = match_recognize(_events_df(spark, rows), OPTIONAL_SQL)
+    got = {
+        r["key"]: (r["t_B"], r["t_C"], r["variant"])
+        for r in out.collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (T0 + dt.timedelta(minutes=10),
+                      T0 + dt.timedelta(minutes=20), "A->B->C")
+    assert got[2] == (None, T0 + dt.timedelta(minutes=15), "A->C")
+    assert got[3] == (None, T0 + dt.timedelta(minutes=30), "A->C")
+
+
+def test_optional_greedy_wins_even_when_slower(spark):
+    """Greedy semantics: the with-B variant wins although the skip
+    variant completes EARLIER (purchase at 5' precedes the error)."""
+    rows = [
+        (1, 0, "signup"), (1, 5, "purchase"),
+        (1, 10, "error"), (1, 20, "purchase"),
+    ]
+    out = match_recognize(_events_df(spark, rows), OPTIONAL_SQL).collect()
+    assert len(out) == 1
+    assert out[0]["variant"] == "A->B->C"
+    assert out[0]["t_C"] == T0 + dt.timedelta(minutes=20)
+
+
+RANGE_SQL = """
+PATTERN ( A -> B{1,3} )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'view',
+       B AS event_type = 'click'
+"""
+
+
+def test_range_expansion_greedy_order():
+    variants = expand_quantifier_sql(RANGE_SQL)
+    assert [d for d, _ in variants] == ["A->B{3}", "A->B{2}", "A->B{1}"]
+
+
+def test_range_binds_longest_available(spark):
+    rows = [
+        (1, 0, "view"), (1, 5, "click"), (1, 10, "click"), (1, 15, "click"),
+        (2, 0, "view"), (2, 5, "click"), (2, 10, "click"),
+        (3, 0, "view"), (3, 5, "click"),
+        (4, 0, "view"),
+    ]
+    out = match_recognize(_events_df(spark, rows), RANGE_SQL)
+    got = {
+        r["key"]: (r["t_B_1"], r["t_B_2"], r["t_B_3"], r["variant"])
+        for r in out.collect()
+    }
+    m = lambda k: T0 + dt.timedelta(minutes=k)
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (m(5), m(10), m(15), "A->B{3}")
+    assert got[2] == (m(5), m(10), None, "A->B{2}")
+    assert got[3] == (m(5), None, None, "A->B{1}")
+
+
+def test_builder_rewrite_matches_dialect(spark):
+    """The hand-written alternation (times(3) | times(2) with anti-join
+    preference — the cep_times_range recipe) agrees with the dialect's
+    {2,3} expansion on the same input."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (u, m, t)
+        for u in range(1, 8)
+        for m, t in [(0, "view"), (7, "click"), (9, "click")]
+    ] + [(u, 11, "click") for u in range(1, 4)]
+    df = _events_df(spark, rows)
+    via_sql = match_recognize(
+        df,
+        """
+        PATTERN ( V -> B{2,3} )
+        WITHIN 1 HOUR
+        DEFINE V AS event_type = 'view', B AS event_type = 'click'
+        """,
+    )
+    b3 = (
+        Pattern.begin("V", "event_type = 'view'")
+        .times("B", "event_type = 'click'", 3)
+        .within("1 HOUR")
+        .compile_batch(df)
+    )
+    b2 = (
+        Pattern.begin("V", "event_type = 'view'")
+        .times("B", "event_type = 'click'", 2)
+        .within("1 HOUR")
+        .compile_batch(df)
+    )
+    manual = b3.unionByName(
+        b2.join(b3.select("key", "anchor_id"), ["key", "anchor_id"], "left_anti")
+        .withColumn("t_B_3", F.lit(None).cast("timestamp"))
+        .select(*b3.columns)
+    )
+    got = sorted(
+        (r["key"], r["t_B_1"], r["t_B_2"], r["t_B_3"])
+        for r in via_sql.collect()
+    )
+    want = sorted(
+        (r["key"], r["t_B_1"], r["t_B_2"], r["t_B_3"])
+        for r in manual.collect()
+    )
+    assert got == want
+
+
+def test_quantifiers_on_empty_input(spark):
+    empty = _events_df(spark, []).limit(0)
+    assert match_recognize(empty, OPTIONAL_SQL).count() == 0
+    assert match_recognize(empty, RANGE_SQL).count() == 0
+
+
+def test_plain_pattern_is_not_expanded():
+    assert expand_quantifier_sql(
+        """
+        PATTERN ( A -> B{3} -> C+ )
+        WITHIN 1 HOUR
+        DEFINE A AS event_type = 'view',
+               B AS event_type = 'click',
+               C AS event_type = 'purchase'
+        """
+    ) is None
+
+
+@pytest.mark.parametrize(
+    "pattern, msg",
+    [
+        ("( A? -> B )", "first step cannot be optional"),
+        ("( A -> B{0,2} )", "needs n >= 1"),
+        ("( A -> B{3,2} )", "needs m > n"),
+        ("( A -> B{1,9} )", "span capped"),
+        ("( A -> B? -> C? -> D? -> E? -> F? )", "max 16"),
+    ],
+)
+def test_malformed_quantifiers_rejected(pattern, msg):
+    defines = ", ".join(
+        f"{s} AS event_type = '{s}'" for s in "ABCDEF"
+    )
+    with pytest.raises(ValueError, match=msg):
+        expand_quantifier_sql(
+            f"PATTERN {pattern} WITHIN 1 HOUR DEFINE {defines}"
+        )
+
+
+def test_measures_with_quantifier_rejected():
+    with pytest.raises(ValueError, match="MEASURES is not supported"):
+        expand_quantifier_sql(
+            """
+            PATTERN ( A -> B? )
+            WITHIN 1 HOUR
+            MEASURES A.value AS av
+            DEFINE A AS event_type = 'view', B AS event_type = 'click'
+            """
+        )
+
+
+def test_streaming_quantifier_rejected(spark, tmp_path):
+    df = _events_df(spark, [(1, 0, "signup")])
+    p = str(tmp_path / "q_ev")
+    df.write.parquet(p)
+    sdf = spark.readStream.schema(df.schema).parquet(p)
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize(sdf, OPTIONAL_SQL)
