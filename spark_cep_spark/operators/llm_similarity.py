@@ -639,3 +639,220 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return topk_pq(spark, q, e, k=10)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    add_one: float = 0.0,
+) -> DataFrame:
+    """One k-means assignment pass as a pure JVM expression: for each
+    row, argmin over k centroids of the squared-L2 surrogate
+    |c|^2 (+ add_one) - 2·x·c, tie-broken by cluster id (min over a
+    (dist, cluster) struct). With unit-norm inputs add_one=1.0 makes
+    `dist` the true squared distance.
+
+    100 TB shape: centroids are a KB-size driver-side list compiled
+    into literal arrays (the broadcast-variable pattern without a
+    Python UDF) — the whole pass is one whole-stage-codegen projection
+    over the scan, no shuffle, no Python. k·dim multiply-adds per row
+    is the same FLOP count any BLAS assignment would do."""
+    structs = []
+    for j, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        nrm = 0.0
+        for x in c:
+            nrm += float(x) * float(x)
+        d = F.lit(nrm + add_one) - F.lit(2.0) * _dot(F.col(vec_col), carr)
+        structs.append(
+            F.struct(d.alias("d"), F.lit(j).cast("long").alias("cl"))
+        )
+    return emb.withColumn("_m", F.array_min(F.array(*structs)))
+
+
+def kmeans_fit_assign(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Deterministic k-means fit (init = embeddings of the k smallest
+    valid vec_ids, one Lloyd update with 6-decimal-rounded centroids)
+    + the final assignment pass. Returns the input columns plus `_m`
+    (struct d=squared L2, cl=cluster). Malformed vectors (NULL /
+    ragged / non-finite — valid_vectors) are dropped before any
+    arithmetic, like the other numpy/expression vector paths. Driver-
+    side collects are the k init rows and the k·dim rounded means —
+    bounded by contract."""
+    cand = (
+        emb.orderBy("vec_id").limit(8 * k).select("vec_id", "embedding").collect()
+    )  # bounded over-fetch; validation may discard some
+    rows, dim = _valid_rows(cand, vec_idx=1)
+    if not rows:
+        return emb.limit(0).withColumn(
+            "_m",
+            F.struct(
+                F.lit(0.0).alias("d"), F.lit(0).cast("long").alias("cl")
+            ),
+        )
+    emb = valid_vectors(emb, dim=dim)
+    c0 = [[float(x) for x in r.embedding] for r in rows[:k]]
+    k = len(c0)
+    a1 = kmeans_assign(emb, c0)
+    upd = (
+        a1.select(
+            F.col("_m.cl").alias("cl"),
+            F.posexplode(F.col("embedding").cast("array<double>")),
+        )
+        .groupBy("cl", "pos")
+        .agg(F.avg("col").alias("cv"))
+        .collect()
+    )  # bounded: k*dim rows
+    c1 = [[0.0] * len(c0[0]) for _ in range(k)]
+    for r in upd:
+        c1[r.cl][r.pos] = round(r.cv, 6)
+    return kmeans_assign(emb, c1, add_one=1.0)
+
+
+@register(
+    "emb_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         first8 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
+                FROM first8),
+         n0 AS (SELECT cl, c, list_dot_product(c, c) AS nrm FROM c0),
+         a1 AS (
+           SELECT e.vec_id, e.v,
+                  min({'d': n0.nrm - 2 * list_dot_product(e.v, n0.c),
+                       'cl': n0.cl}) AS m
+           FROM e CROSS JOIN n0
+           GROUP BY e.vec_id, e.v),
+         u1 AS (
+           SELECT cl, pos, round(avg(val), 6) AS cv
+           FROM (SELECT m.cl AS cl, unnest(v) AS val,
+                        unnest(range(1, len(v) + 1)) AS pos
+                 FROM a1)
+           GROUP BY cl, pos),
+         c1 AS (SELECT cl, list(cv ORDER BY pos) AS c FROM u1 GROUP BY cl),
+         n1 AS (SELECT cl, c, list_dot_product(c, c) AS nrm FROM c1),
+         a2 AS (
+           SELECT e.vec_id,
+                  min({'d': n1.nrm + 1.0 - 2 * list_dot_product(e.v, n1.c),
+                       'cl': n1.cl}) AS m
+           FROM e CROSS JOIN n1
+           GROUP BY e.vec_id)
+    SELECT vec_id, m.cl AS cluster, round(m.d, 6) AS dist2 FROM a2
+    """,
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8) with DETERMINISTIC semantics so the
+    whole trajectory is oracle-checkable: init = the embeddings of the
+    k smallest vec_ids (no RNG), one Lloyd update with centroid
+    coordinates ROUNDED to 6 decimals (pinning the floats both engines
+    iterate from — the same discipline as the repo's other float
+    oracles), then a final assignment emitting (vec_id, cluster,
+    squared L2 distance). The rounding also bounds cross-engine sum-
+    order drift in the avg() before it can compound across passes.
+
+    100 TB shape: the scalable half of k-means is exactly what this
+    plan does — centroids broadcast (k·dim doubles, KB-size), each
+    assignment is a shuffle-free codegen projection over one scan, and
+    the update is posexplode → partial-agg groupBy(cluster, pos) whose
+    shuffle carries only k·dim partial (sum, count) pairs per
+    partition, not vectors. Driver-side collects are the k init rows
+    and the k·dim rounded means — bounded by contract, independent of
+    row count. More Lloyd passes = repeating the same two stages."""
+    a2 = kmeans_fit_assign(table(spark, sf_dir, "embeddings"))
+    return a2.select(
+        "vec_id",
+        F.col("_m.cl").alias("cluster"),
+        F.round(F.col("_m.d"), 6).alias("dist2"),
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         first8 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
+                FROM first8),
+         n0 AS (SELECT cl, c, list_dot_product(c, c) AS nrm FROM c0),
+         a1 AS (
+           SELECT e.vec_id, e.v,
+                  min({'d': n0.nrm - 2 * list_dot_product(e.v, n0.c),
+                       'cl': n0.cl}) AS m
+           FROM e CROSS JOIN n0
+           GROUP BY e.vec_id, e.v),
+         u1 AS (
+           SELECT cl, pos, round(avg(val), 6) AS cv
+           FROM (SELECT m.cl AS cl, unnest(v) AS val,
+                        unnest(range(1, len(v) + 1)) AS pos
+                 FROM a1)
+           GROUP BY cl, pos),
+         c1 AS (SELECT cl, list(cv ORDER BY pos) AS c FROM u1 GROUP BY cl),
+         n1 AS (SELECT cl, c, list_dot_product(c, c) AS nrm FROM c1),
+         a2 AS (
+           SELECT e.vec_id, e.v,
+                  min({'d': n1.nrm + 1.0 - 2 * list_dot_product(e.v, n1.c),
+                       'cl': n1.cl}) AS m
+           FROM e CROSS JOIN n1
+           GROUP BY e.vec_id, e.v),
+         cand AS (
+           SELECT a.vec_id AS i, b.vec_id AS j,
+                  list_dot_product(a.v, b.v) AS cos
+           FROM a2 a JOIN a2 b
+             ON a.m.cl = b.m.cl AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) >= 0.35)
+    SELECT j AS vec_id, m.i AS kept_id, round(m.c, 6) AS sim
+    FROM (SELECT j, min({'i': i, 'c': cos}) AS m FROM cand GROUP BY j) t
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dedup that bounds
+    the pairwise search by k-means cluster — embed, cluster, then
+    compare only WITHIN each cluster and drop all but the lowest-id
+    member of each cosine-≥τ pair (τ=0.35 here; unit-norm fixture, so
+    cosine ≡ dot). Output = the dropped rows with their keeper and the
+    similarity that killed them. Clustering is the deterministic
+    oracle-checkable kmeans_fit_assign, so the whole pipeline — fit,
+    assign, pair, drop — hash-matches the DuckDB replay end-to-end.
+
+    100 TB shape: this is THE trick that makes embedding dedup scale —
+    the O(n²) all-pairs never happens; pairs exist only inside a
+    cluster (n²/k per cluster in expectation), reached by ONE
+    hash-shuffle on cluster id. Skewed/huge clusters are the known
+    failure mode; the production knob is raising k (n/k rows per
+    cluster stays bounded), and the assignment pass stays shuffle-free
+    either way. The final keep-lowest pick is a groupBy on the dropped
+    id — same layout the pair join already produced."""
+    emb = table(spark, sf_dir, "embeddings")
+    a2 = kmeans_fit_assign(emb).select(
+        "vec_id",
+        F.col("_m.cl").alias("cl"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    i, j = a2.alias("i"), a2.alias("j")
+    cos = _dot(F.col("i.v"), F.col("j.v"))
+    cand = (
+        i.join(
+            j,
+            (F.col("i.cl") == F.col("j.cl"))
+            & (F.col("i.vec_id") < F.col("j.vec_id")),
+        )
+        .select(
+            F.col("i.vec_id").alias("i"),
+            F.col("j.vec_id").alias("j"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+    best = cand.groupBy("j").agg(
+        F.min(F.struct(F.col("i").alias("i"), F.col("cos").alias("c"))).alias(
+            "m"
+        )
+    )
+    return best.select(
+        F.col("j").alias("vec_id"),
+        F.col("m.i").alias("kept_id"),
+        F.round(F.col("m.c"), 6).alias("sim"),
+    )

@@ -671,3 +671,51 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp("nll"), 6).alias("ppl"),
         )
     )
+
+
+@register(
+    "text_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    x AS (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) + 1, 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, start, start + 31)) AS BIGINT) AS n_tok,
+           array_to_string(list_slice(toks, start, start + 31), ' ')
+             AS chunk_text
+    FROM x
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the pretraining/RAG
+    windowing op: each document becomes ceil(n/stride) chunks of up to
+    32 whitespace tokens starting every 24 (8-token overlap), so no
+    token is more than one window from a chunk boundary. Trailing
+    partial chunks are kept (a doc shorter than one window emits one
+    chunk = itself), so content is never dropped.
+
+    100 TB shape: pure per-row expression work — split, sequence,
+    posexplode, slice, array_join, all JVM builtins inside one
+    whole-stage-codegen pass; no shuffle at all, and the ~32/24 output
+    amplification is streamed, never materialized per-doc. Chunk ids
+    are derived (doc_id, chunk_idx), not a global counter, so the op
+    is embarrassingly parallel at any scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(24))
+    e = d.select("doc_id", toks.alias("toks"), F.posexplode(starts))
+    chunk = F.slice("toks", F.col("col"), 32)
+    return e.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("chunk_idx"),
+        F.col("col").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -126,11 +126,8 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ann_ivf",
     "sim_ann_pq",
     "multimodal_decode",
-    # (c) keys whose code changed in rounds 3-4 — re-prove under the
-    # guarded short-doc semantics
-    "text_fingerprint",
-    "dedup_near",
-    # (c') operators NEW in round 4
+    # (c') operators NEW in round 4 (text_fingerprint/dedup_near left
+    # the window: r03 already re-proved them under guarded semantics)
     "dedup_minhash_lsh",
     "text_surprisal",
     "text_boilerplate",
@@ -154,9 +151,9 @@ DRIVER_PRIORITY: list[str] = [
     "cep_optional",
     "cep_times_range",
     "cep_sql_optional",
-    # (d) backfill: a §2 contract key whose only driver evidence is
-    # round 1 (oldest), refreshed under the current CEP compiler
-    "cep_seq",
+    "text_chunk",
+    "emb_kmeans",
+    "dedup_semantic",
 ]
 
 

@@ -44,7 +44,7 @@ def degenerate_vectors():
 
 
 EMB_KEYS_PREFIXES = ("sim_", "emb_")
-EMB_KEYS_EXTRA = ("dedup_embed", "sql_recursive_cte")
+EMB_KEYS_EXTRA = ("dedup_embed", "dedup_semantic", "sql_recursive_cte")
 
 
 def _emb_keys():
