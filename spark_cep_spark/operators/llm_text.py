@@ -719,3 +719,117 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tok"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "text_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             count(*) AS tf,
+             count(DISTINCT doc_id) AS df
+      FROM tok GROUP BY token
+    )
+    SELECT token, tf, df, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT token, tf, df,
+             row_number() OVER (ORDER BY tf DESC, token) AS rank
+      FROM counts) t
+    WHERE rank <= 256
+    """,
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the top-256 corpus tokens by term
+    frequency (ties → lexicographic), with document frequency — the
+    seed table for a tokenizer build or stopword list.
+
+    100 TB shape: explode → partial-agg groupBy(token) is the word-
+    count plan: the shuffle carries (token, partial tf, partial df)
+    pairs, bounded by vocabulary size per partition, never raw text.
+    The final top-256 is a single-column sort over vocab-size rows
+    (TakeOrdered, no full sort). Zipf skew on hot tokens is absorbed
+    by the map-side combine — the hot key arrives pre-summed from
+    each partition."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = W.orderBy(F.col("tf").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 256)
+        .select("token", "tf", "df", "rank")
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, token, tf, df, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rk
+      FROM scored) t
+    WHERE rk <= 10
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-10 terms by
+    tf·ln(N/df), rank ties broken on the ROUNDED score then token so
+    both engines order identically (raw doubles may differ by an ulp
+    across libm implementations).
+
+    100 TB shape: two word-count aggs (per-doc tf, corpus df) that
+    share the exploded layout; the df table is vocabulary-sized, so
+    the score join broadcasts it; N arrives as a broadcast 1-row
+    crossJoin, not a driver-side action embedded in the plan. The
+    per-doc top-10 is WindowGroupLimit — partial top-k per partition,
+    never a full per-doc sort."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rk")
+    )

@@ -156,6 +156,14 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_semantic",
 ]
 
+# Keys registered after the round-4 window filled (locally exact-pass
+# via tools/check_oracle.py): rotate these into DRIVER_PRIORITY at the
+# start of round 5, ahead of any backfill.
+NEXT_ROTATION: list[str] = [
+    "text_vocab",
+    "text_tfidf",
+]
+
 
 def _reorder_for_driver_window() -> None:
     """Rebuild QUERIES/ORACLES so DRIVER_PRIORITY keys come first (in
