@@ -454,3 +454,72 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CASE WHEN l_orderkey % 2 = 0 THEN 'x' ELSE '' END) AS INT)"
         ).alias("safe_int"),
     )
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(p_name, '[aeiou]{2}') AS has_double_vowel,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',')
+             AS all_words,
+           split_part(p_name, ' ', 2) AS second_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS masked
+    FROM part
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family: match test, capture-group extract,
+    extract-all, split_part, character-class replace — all JVM regex
+    (codegen'd), the pattern-heavy slice of ETL cleansing."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").rlike("[aeiou]{2}").alias("has_double_vowel"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit(r"[aeiou]+"), 0))
+        .cast("long")
+        .alias("n_vowel_runs"),
+        F.array_join(
+            F.regexp_extract_all(F.col("p_name"), F.lit(r"[a-z]+"), 0), ","
+        ).alias("all_words"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("masked"),
+    )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%08d', o_orderkey) AS fmt_key,
+           concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+           chr(CAST(65 + o_orderkey % 26 AS INT)) AS letter,
+           ascii(o_orderstatus) AS status_code,
+           rpad(o_orderpriority, 15, '.') AS padded,
+           repeat('*', CAST(o_orderkey % 5 AS INT)) AS stars
+    FROM orders
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: printf-style templates, separator
+    concat, chr/ascii, padding, repetition — report/export shaping.
+    Integer-only printf directives keep both engines' C-style
+    formatters bit-identical (float %f rounding modes differ between
+    the JVM and fmt, so money formatting belongs in round()+cast)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", F.col("o_orderkey")).alias("fmt_key"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.char(F.lit(65) + F.col("o_orderkey") % 26).alias("letter"),
+        F.ascii("o_orderstatus").alias("status_code"),
+        F.rpad(F.col("o_orderpriority"), 15, ".").alias("padded"),
+        F.expr("repeat('*', CAST(o_orderkey % 5 AS INT))").alias("stars"),
+    )

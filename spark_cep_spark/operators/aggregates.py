@@ -423,3 +423,80 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_ohlc",
+    oracle="""
+    SELECT user_id,
+           date_trunc('day', ts) AS day,
+           arg_min(value, printf('%020d%012d', epoch_us(ts), event_id))
+             AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, printf('%020d%012d', epoch_us(ts), event_id))
+             AS close,
+           count(*) AS volume,
+           round(sum(value), 6) AS turnover
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle rollup (the time-series downsample every monitoring
+    /finance pipeline runs): per user per day, the first/last values
+    by (ts, event_id) via min_by/max_by over a struct ordering — exact
+    arg_min/arg_max parity with deterministic tie-breaks — plus
+    high/low/volume/turnover. The ordering key is a zero-padded
+    (epoch-micros, event_id) string because DuckDB's arg_min cannot
+    order by a struct — lexicographic on the padded string ≡ the
+    (ts, id) sort, on both engines.
+
+    100 TB shape: one partial-aggregated groupBy; min_by/max_by carry
+    a single (value, key-struct) pair per group per partition, so the
+    shuffle is group-count-bounded like any sum. This is the
+    downsample-to-candles pattern that turns raw ticks into a
+    1000×-smaller hypertable before further rollups."""
+    e = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.round(F.sum("value"), 6).alias("turnover"),
+    )
+
+
+@register(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 6) AS med_qty,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / interpolated percentiles per group — the exact
+    twins of agg_approx's sketches (use these when the group count is
+    small enough to afford a per-group sort; the approx path when it
+    is not). Spark percentile() and DuckDB quantile_cont both
+    linearly interpolate, so values match to rounding."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("med_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias(
+            "p90_price"
+        ),
+    )

@@ -162,6 +162,10 @@ DRIVER_PRIORITY: list[str] = [
 NEXT_ROTATION: list[str] = [
     "text_vocab",
     "text_tfidf",
+    "fn_regexp",
+    "fn_format",
+    "agg_ohlc",
+    "agg_median",
 ]
 
 
