@@ -166,6 +166,7 @@ NEXT_ROTATION: list[str] = [
     "fn_format",
     "agg_ohlc",
     "agg_median",
+    "stream_trending",
 ]
 
 

@@ -400,3 +400,64 @@ def sliding_panes_stream(
         )
         .select(F.col("win.start").alias("win_start"), "n", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending top-k: windowed counts + per-window rank — the canonical
+# continuous-query demo of the reference family ("top hashtags per
+# window" [PK]).
+
+def trending_counts(events: DataFrame) -> DataFrame:
+    """6h tumbling counts per event_type — the streamable half (plain
+    windowed aggregation, incremental state per (window, type))."""
+    return (
+        events.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def trending_rank(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k by count (ties → event_type asc). Batch-side
+    (or foreachBatch-side): rank is not incrementally maintainable, so
+    streaming pipelines compute it per micro-batch over the maintained
+    counts — exactly how the tests drive it."""
+    w = W.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+@register(
+    "stream_trending",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT win_start, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT win_start, event_type, n,
+                 row_number() OVER (PARTITION BY win_start
+                                    ORDER BY n DESC, event_type) AS rk
+          FROM w) t
+    WHERE rk <= 3
+    """,
+)
+def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per 6h window. 100 TB shape: the
+    count agg is partial-aggregated (shuffle carries (window, type,
+    partial n)); the rank is WindowGroupLimit over type-cardinality
+    rows per window — never a full sort. Streaming: the counts half
+    runs incrementally under a watermark; the rank half runs per
+    micro-batch over the maintained counts (foreachBatch), the
+    standard split for non-incremental finishers."""
+    return trending_rank(trending_counts(table(spark, sf_dir, "events")))
+
+
+def trending_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face of the counts half; rank via trending_rank in
+    foreachBatch (see tests/test_streaming.py)."""
+    return trending_counts(events_stream.withWatermark("ts", watermark))

@@ -549,3 +549,23 @@ def test_chained_pane_sliding_equals_batch_sliding(spark, sf_dir):
     full = {r["win_start"]: (r["n"], r["sum_value"]) for r in want.collect()}
     wrong = {k: v for k, v in g.items() if full.get(k) != v}
     assert not wrong
+
+
+def test_trending_stream_equals_batch(spark, sf_dir, staged):
+    """Counts maintained incrementally in the stream; top-k ranked over
+    the sunk counts (the foreachBatch finisher) — equals the batch
+    twin's ranked output."""
+    from spark_cep_spark.streaming.windows import (
+        trending_counts,
+        trending_rank,
+        trending_stream,
+    )
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    counts = harness.run_available_now(
+        trending_stream(stream, watermark="35 days"), "complete"
+    )
+    got = trending_rank(counts)
+    want = trending_rank(trending_counts(table(spark, sf_dir, "events")))
+    cols = ["win_start", "event_type", "n", "rk"]
+    assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
