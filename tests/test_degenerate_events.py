@@ -39,6 +39,8 @@ DEGENERATE_EVENTS = [
 ]
 
 EVENTS_KEYS = [
+    "agg_ohlc", "stream_trending", "cep_optional", "cep_times_range",
+    "cep_sql_optional",
     "agg_approx", "agg_histogram", "agg_sketches", "agg_stats",
     "cep_absence", "cep_alert_throttle", "cep_funnel_abandon",
     "cep_kleene", "cep_kleene_measures", "cep_kleene_plus", "cep_seq",
@@ -85,6 +87,7 @@ def test_operator_survives_degenerate_events(
 
 
 EMPTY_SWEEP_KEYS = [
+    "agg_ohlc", "stream_trending", "cep_optional", "cep_times_range",
     "stream_tumbling", "stream_session", "cep_seq", "cep_alert_throttle",
     "rollup_gapfill", "rollup_hypertable", "join_asof", "join_interval",
     "win_frame_range", "win_ewma", "agg_histogram", "cep_kleene_plus",
