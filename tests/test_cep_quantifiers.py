@@ -221,3 +221,121 @@ def test_streaming_quantifier_rejected(spark, tmp_path):
     sdf = spark.readStream.schema(df.schema).parquet(p)
     with pytest.raises(ValueError, match="batch-only"):
         match_recognize(sdf, OPTIONAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: greedy expansion semantics vs brute-force references
+# on randomized sequences (per-user interleavings, ties impossible by
+# construction: one event per minute offset).
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _brute_optional(rows, within):
+    """A -> B? -> C greedy: per signup anchor, prefer the A-B-C chain
+    (earliest B after A, earliest C after B), else A-C."""
+    out = []
+    for i, (u, m, t) in enumerate(rows):
+        if t != "signup":
+            continue
+        bs = sorted(m2 for (u2, m2, t2) in rows
+                    if u2 == u and t2 == "error" and m < m2 <= m + within)
+        hit = None
+        if bs:
+            cs = sorted(m3 for (u3, m3, t3) in rows
+                        if u3 == u and t3 == "purchase"
+                        and bs[0] < m3 <= m + within)
+            if cs:
+                hit = (u, i, m, bs[0], cs[0])
+        if hit is None:
+            cs = sorted(m3 for (u3, m3, t3) in rows
+                        if u3 == u and t3 == "purchase" and m < m3 <= m + within)
+            if cs:
+                hit = (u, i, m, None, cs[0])
+        if hit:
+            out.append(hit)
+    return sorted(out, key=lambda x: (x[0], x[1]))
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.sampled_from(["signup", "error", "purchase"]),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(events_strategy)
+def test_optional_matches_brute_force(spark_session_holder, seq):
+    spark = spark_session_holder
+    rows = [(u, i, t) for i, (u, t) in enumerate(seq)]  # minute = index
+    out = match_recognize(_events_df(spark, rows), OPTIONAL_SQL).collect()
+    got = sorted(
+        (
+            r["key"],
+            r["anchor_id"],
+            int((r["t_A"] - T0).total_seconds() // 60),
+            None if r["t_B"] is None
+            else int((r["t_B"] - T0).total_seconds() // 60),
+            int((r["t_C"] - T0).total_seconds() // 60),
+        )
+        for r in out
+    )
+    assert got == _brute_optional(rows, within=120)
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    return spark
+
+
+def _brute_range(rows, lo, hi, within):
+    """A -> B{lo,hi} greedy: the longest chain of earliest clicks."""
+    out = []
+    for i, (u, m, t) in enumerate(rows):
+        if t != "view":
+            continue
+        chain, cur = [], m
+        while len(chain) < hi:
+            nxt = sorted(m2 for (u2, m2, t2) in rows
+                         if u2 == u and t2 == "click"
+                         and cur < m2 <= m + within)
+            if not nxt:
+                break
+            chain.append(nxt[0])
+            cur = nxt[0]
+        if len(chain) >= lo:
+            padded = chain + [None] * (hi - len(chain))
+            out.append((u, i, m, *padded))
+    return sorted(out, key=lambda x: (x[0], x[1]))
+
+
+range_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.sampled_from(["view", "click"]),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(range_strategy)
+def test_range_matches_brute_force(spark_session_holder, seq):
+    spark = spark_session_holder
+    rows = [(u, i, t) for i, (u, t) in enumerate(seq)]
+    out = match_recognize(_events_df(spark, rows), RANGE_SQL).collect()
+
+    def m(ts):
+        return None if ts is None else int((ts - T0).total_seconds() // 60)
+
+    got = sorted(
+        (r["key"], r["anchor_id"], m(r["t_A"]),
+         m(r["t_B_1"]), m(r["t_B_2"]), m(r["t_B_3"]))
+        for r in out
+    )
+    assert got == _brute_range(rows, lo=1, hi=3, within=120)

@@ -122,3 +122,54 @@ def test_semantic_dedup_empty_when_threshold_unreachable(spark):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Property: chunking any corpus (empty strings included) matches the
+# plain-Python windowing reference.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_holder(spark):
+    return spark
+
+
+token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+doc = st.lists(token, min_size=0, max_size=80).map(" ".join)
+
+
+def _py_chunks(text, size=32, stride=24):
+    toks = text.split(" ")  # '' splits to [''] — one 1-token chunk
+    out = []
+    for idx, start in enumerate(range(0, len(toks), stride)):
+        w = toks[start : start + size]
+        out.append((idx, start + 1, len(w), " ".join(w)))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(doc, min_size=0, max_size=6))
+def test_chunk_matches_python_reference(spark_holder, texts):
+    spark = spark_holder
+    from spark_cep_spark.operators.llm_text import text_chunk
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = os.path.join(d, "documents.parquet")
+        tmp = os.path.join(d, "_out")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), out)
+        got: dict[int, list] = {}
+        for r in text_chunk(spark, d).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_text"])
+            )
+        for i, t in enumerate(texts):
+            assert sorted(got.get(i, [])) == _py_chunks(t), f"doc {i}: {t!r}"
