@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "corpus_mix",  # same 1-row N_total broadcast into the rate table
     "pipeline_end_to_end",  # same 1-row winner-total broadcast
     "corpus_epochs",  # same 1-row N_total broadcast
+    "text_tfidf",  # same 1-row corpus-count broadcast into tf·idf
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
