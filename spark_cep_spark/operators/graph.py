@@ -1,0 +1,320 @@
+"""Graph operators over fixture-derived graphs (SURVEY §2.13 added
+surface).
+
+Two graphs are derived deterministically from the fixtures:
+
+- The **event-transition graph**: directed edges (prev event_type ->
+  event_type) from each user's time-ordered event sequence — the
+  Markov-chain view of user behaviour that CEP patterns query
+  imperatively.
+- The **part co-occurrence graph** (market-basket): an undirected edge
+  between two parts that appear in the same order (lineitem self-join
+  on l_orderkey). Restricted to l_orderkey % 4 == 0 so the toy-scale
+  edge set stays bounded; the restriction is a deterministic sample,
+  not a semantic.
+
+100 TB posture: all three non-trivial ops (triangles, PageRank,
+co-occurrence edges) are expressed as equi-joins + hash aggregates on
+node/edge keys — shuffle-partitionable, no driver-side adjacency. The
+triangle count uses the degree-ordered node-iterator (orient every
+edge from the lexicographically-smaller (degree, node) endpoint), which
+bounds the wedge join by sum(min-deg per edge) instead of sum(deg^2) —
+the standard MapReduce triangle trick (Suri & Vassilvitskii, WWW'11).
+PageRank uses exact fixed-point integer arithmetic (pr scaled by 1e12,
+integer division for the per-neighbor share) so Spark and the DuckDB
+oracle agree bit-for-bit — float summation order is engine-dependent,
+integer sums are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+# --------------------------------------------------------------------
+# event-transition graph
+# --------------------------------------------------------------------
+
+
+@register(
+    "graph_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def graph_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the edge list of the behaviour
+    Markov chain). One window shuffle on user_id (thousands of users
+    per partition — no skew), one hash aggregate on the (prev, next)
+    pair — 25 output rows regardless of input scale, so the aggregate
+    is map-side-combinable down to almost nothing."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------
+# part co-occurrence graph (shared edge derivation)
+# --------------------------------------------------------------------
+
+_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % 4 = 0 AND a.l_partkey < b.l_partkey
+"""
+
+
+def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges (u < v) between parts sharing an
+    order. The self-join is on l_orderkey (bounded fan-out: ~7 lines
+    per order max in TPC-H-shaped data, so pairs-per-key is O(49) —
+    safe at any scale; a pathological multi-thousand-line order would
+    need a per-key cap first)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+@register(
+    "graph_degrees",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT u AS node, v AS other FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY node)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph (degree ->
+    node count). Two cheap hash aggregates after the edge join; the
+    classic first look at any web-scale graph (power-law check,
+    skew-hazard census before heavier algorithms)."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+# degree-ordered orientation: TRUE iff (deg_a, a) < (deg_b, b)
+def _rank_lt(deg_a, a, deg_b, b):
+    return (deg_a < deg_b) | ((deg_a == deg_b) & (a < b))
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    -- orient each edge from the smaller (degree, node) endpoint
+    oriented AS (
+      SELECT CASE WHEN (du.d < dv.d OR (du.d = dv.d AND e.u < e.v))
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d < dv.d OR (du.d = dv.d AND e.u < e.v))
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    ranked AS (
+      SELECT o.src, o.dst, ds.d AS dd FROM oriented o
+      JOIN deg ds ON ds.node = o.dst),
+    -- wedges at the lowest-rank corner; close with a third oriented edge
+    tri AS (
+      SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+      FROM ranked w1 JOIN ranked w2
+        ON w1.src = w2.src
+       AND (w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.dst < w2.dst))
+      JOIN oriented e3 ON e3.src = w1.dst AND e3.dst = w2.dst),
+    members AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+    FROM members GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-occurrence graph via the
+    degree-ordered node-iterator. Orienting every edge from its
+    lexicographically-smaller (degree, node) endpoint makes each
+    triangle enumerate exactly once (at its lowest-rank corner) and
+    bounds the wedge join: high-degree hubs only ever appear as
+    destinations, so no reducer receives a hub's full neighborhood
+    squared. Plain equi-joins throughout — Catalyst picks
+    broadcast/SMJ freely and AQE handles residual skew."""
+    edges = cooccurrence_edges(spark, sf_dir).persist()
+    und = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lt = _rank_lt(F.col("du"), F.col("u"), F.col("dv"), F.col("v"))
+    oriented = e.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).persist()
+
+    ranked = oriented.join(
+        deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "dd"), "dst"
+    )
+    w1 = ranked.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("dd").alias("db")
+    )
+    w2 = ranked.select(
+        F.col("src"), F.col("dst").alias("c"), F.col("dd").alias("dc")
+    )
+    wedge_lt = _rank_lt(F.col("db"), F.col("b"), F.col("dc"), F.col("c"))
+    tri = (
+        w1.join(w2, "src")
+        .filter(wedge_lt)
+        .join(
+            oriented.select(
+                F.col("src").alias("b"), F.col("dst").alias("c")
+            ),
+            ["b", "c"],
+        )
+        .select(F.col("src").alias("a"), "b", "c")
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+
+
+# --------------------------------------------------------------------
+# PageRank — exact fixed-point integer arithmetic
+# --------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled {iters}-iteration integer PageRank as a CTE chain.
+    Teleport and damping are integer expressions so the oracle matches
+    Spark's result exactly (see module docstring)."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        """adj AS (SELECT u AS src, v AS dst FROM edges
+               UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT src AS node, count(*) AS d FROM adj GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    pr0 AS (SELECT node, d, CAST({scale} // n_nodes AS BIGINT) AS pr
+            FROM deg, n)""".format(scale=_PR_SCALE),
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(
+            """,
+    pr{next} AS (
+      SELECT p.node, p.d,
+             CAST(({t15} * {scale}) // (100 * n.n_nodes)
+                  + (85 * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS pr
+      FROM pr{cur} p
+      LEFT JOIN (
+        SELECT a.dst AS node, sum(p2.pr // p2.d) AS incoming
+        FROM adj a JOIN pr{cur} p2 ON p2.node = a.src
+        GROUP BY a.dst) s ON s.node = p.node
+      CROSS JOIN n)""".format(
+                next=i + 1, cur=i, scale=_PR_SCALE, t15=15
+            )
+        )
+    parts.append(
+        f"\n    SELECT node, pr AS pr_fixed FROM pr{_PR_ITERS}"
+    )
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (d=0.85) on the undirected co-occurrence
+    graph, in fixed-point integers (pr scaled by 1e12; per-neighbor
+    share = pr // degree; damping = (85*sum)//100) so the result is
+    bit-exact across engines — float PageRank differs in the last
+    ulps by summation order.
+
+    100 TB shape: each iteration is one equi-join (adjacency x ranks,
+    shuffled on the node key) + one hash aggregate — the standard
+    Pregel-as-joins encoding. The adjacency list is persisted once and
+    reused across iterations; rank updates never leave the JVM. At
+    real scale the join would be pre-bucketed on node so iterations
+    reuse the exchange (SCALE.md bucketed-join posture)."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n_nodes = deg.count()  # scalar graph size — one job, not per-row
+
+    pr = deg.withColumn(
+        "pr", F.lit(_PR_SCALE // n_nodes).cast("long")
+    )
+    teleport = (15 * _PR_SCALE) // (100 * n_nodes)
+    for _ in range(_PR_ITERS):
+        # `pr div d`: exact integer floor division (a double-division
+        # + cast would round through the mantissa and diverge from the
+        # oracle's `//` on large fixed-point values)
+        shares = adj.join(
+            pr.select(F.col("node").alias("src"), "pr", "d"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("pr div d").alias("share"),
+        )
+        incoming = shares.groupBy("node").agg(F.sum("share").alias("incoming"))
+        pr = (
+            pr.select("node", "d")
+            .join(incoming, "node", "left")
+            .select(
+                "node",
+                "d",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(incoming, 0L) div 100")
+                ).cast("long").alias("pr"),
+            )
+        )
+    return pr.select("node", F.col("pr").alias("pr_fixed"))

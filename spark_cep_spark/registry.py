@@ -85,6 +85,7 @@ def load_all() -> None:
         llm_multimodal,
         llm_pipeline,
         sql_surface,
+        graph,
     )
     from spark_cep_spark.functions import families, udfs  # noqa: F401
     from spark_cep_spark.streaming import windows as stream_windows  # noqa: F401
@@ -167,6 +168,10 @@ NEXT_ROTATION: list[str] = [
     "agg_ohlc",
     "agg_median",
     "stream_trending",
+    "graph_transitions",
+    "graph_degrees",
+    "graph_triangles",
+    "graph_pagerank",
 ]
 
 
