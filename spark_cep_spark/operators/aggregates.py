@@ -11,7 +11,7 @@ the driver's value hash. Counts / min / max are exact and left alone.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
@@ -499,4 +499,134 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias(
             "p90_price"
         ),
+    )
+
+
+@register(
+    "rollup_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY hr, event_type
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM b),
+                                    (SELECT max(hr) FROM b),
+                                    INTERVAL 1 HOUR)) AS hr
+    ),
+    grid AS (
+      SELECT s.hr, t.event_type, b.v,
+             CAST(epoch(s.hr) // 3600 AS BIGINT) AS i
+      FROM spine s
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      LEFT JOIN b ON b.hr = s.hr AND b.event_type = t.event_type
+    ),
+    ctx AS (
+      SELECT hr, event_type, v, i,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+               OVER w_prev AS pi,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+               OVER w_next AS ni
+      FROM grid
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hr, event_type,
+           -- exact integer interpolation: the endpoints have exactly 2
+           -- decimals, so scaling to BIGINT centi-units and doing the
+           -- line arithmetic in integers makes the single final double
+           -- division bit-identical across engines (a round(double, 4)
+           -- here diverged at a .xxxx5 boundary — caught at sf0.001)
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN (CAST(round(pv * 100) AS BIGINT) * (ni - i)
+                        + CAST(round(nv * 100) AS BIGINT) * (i - pi))
+                       / (100.0 * (ni - pi))
+                ELSE coalesce(pv, nv) END AS value_filled,
+           CASE WHEN v IS NOT NULL THEN 'present'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS fill_kind
+    FROM ctx
+    """,
+)
+def rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a gap-filled hourly grid (the
+    time-series `interpolate()` of hypertable engines): hours with no
+    events for a given event_type get the straight line between the
+    nearest observed hours (ties to the hourly sum rounded to cents —
+    the module's established cross-engine float discipline); leading/
+    trailing gaps carry the nearest edge value.
+
+    100 TB shape: the hour x type spine is generated (never scanned),
+    the hourly aggregate is the only data-sized shuffle, and the
+    prev/next scan is two frame-bounded window passes partitioned by
+    event_type — series count partitions the work, series length
+    streams through each partition in hour order. The interpolation
+    itself is pure arithmetic on two already-aggregated doubles, so
+    both engines execute the identical IEEE expression."""
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"),
+        "event_type",
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+
+    spine = (
+        b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr")
+        )
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        spine.crossJoin(types)
+        .join(b, ["hr", "event_type"], "left")
+        .withColumn(
+            "i", F.expr("unix_timestamp(hr) div 3600").cast("long")
+        )
+    )
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    i_if_v = F.when(F.col("v").isNotNull(), F.col("i"))
+    ctx = (
+        grid.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("pi", F.last(i_if_v, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("ni", F.first(i_if_v, ignorenulls=True).over(w_next))
+    )
+    both = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    # exact integer interpolation — see the oracle comment: endpoints
+    # scaled to centi-units, line arithmetic in BIGINT, one double
+    # division at the end (identical IEEE operands on both engines)
+    p100 = F.round(F.col("pv") * 100).cast("long")
+    n100 = F.round(F.col("nv") * 100).cast("long")
+    interp = (
+        p100 * (F.col("ni") - F.col("i")) + n100 * (F.col("i") - F.col("pi"))
+    ) / (F.lit(100.0) * (F.col("ni") - F.col("pi")))
+    return ctx.select(
+        "hr",
+        "event_type",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(both, interp)
+        .otherwise(F.coalesce("pv", "nv"))
+        .alias("value_filled"),
+        F.when(F.col("v").isNotNull(), F.lit("present"))
+        .when(both, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("fill_kind"),
     )

@@ -857,6 +857,72 @@ def near_dedup_sig_stream(
 
 
 @register(
+    "dedup_edit_nn",
+    oracle="""
+    WITH blocked AS (
+      SELECT doc_id, text,
+             concat(string_split(text, ' ')[1], '|',
+                    CAST(length(text) // 64 AS VARCHAR)) AS blk
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id, b.doc_id AS nn_doc_id,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id <> b.doc_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY edit_dist, nn_doc_id) AS rn
+      FROM pairs)
+    SELECT doc_id, nn_doc_id, edit_dist FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_edit_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance nearest neighbor within blocking buckets — the
+    fuzzy-dedup primitive for OCR noise / template variants that
+    token-set methods (MinHash, SimHash) miss because they ignore
+    character-level edits. Block key = (first token, length(text)//64):
+    a candidate pair must agree on both, so Levenshtein — O(n*m) per
+    pair — runs only inside blocks, never all-pairs. Emits each doc's
+    nearest in-block neighbor (ties broken by doc_id); docs alone in
+    their block have no candidate and drop out.
+
+    100 TB posture: the block join is a plain equi-shuffle on the block
+    key; block sizes are bounded by construction (prefix+length double
+    filter), and at real scale the block key would add a third
+    component (e.g. a MinHash band) to cap the quadratic-in-block
+    verify. Levenshtein evaluates JVM-side (built-in), no Python."""
+    d = table(spark, sf_dir, "documents")
+    blocked = d.select(
+        "doc_id",
+        "text",
+        F.concat_ws(
+            "|",
+            F.split("text", " ").getItem(0),
+            F.expr("CAST(length(text) div 64 AS STRING)"),
+        ).alias("blk"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("b.doc_id").alias("nn_doc_id"),
+        F.levenshtein(F.col("a.text"), F.col("b.text"))
+        .cast("long")
+        .alias("edit_dist"),
+    )
+    w = W.partitionBy("doc_id").orderBy("edit_dist", "nn_doc_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "dedup_containment",
     oracle="""
     WITH sh AS (

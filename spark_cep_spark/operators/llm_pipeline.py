@@ -891,3 +891,118 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("voff") + F.col("in_vb")).cast("long").alias("global_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# boilerplate scrubbing — remove spans repeated across documents
+# --------------------------------------------------------------------
+
+_SCRUB_CHUNK = 3  # tokens per non-overlapping chunk
+_SCRUB_DF = 2  # chunks seen in >= this many distinct docs are dropped
+
+
+@register(
+    "pipeline_scrub_boilerplate",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, i,
+             array_to_string(w[(i*{_SCRUB_CHUNK}+1):((i+1)*{_SCRUB_CHUNK})], ' ')
+               AS chunk
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE length(text) > 0) t,
+           unnest(range(0, CAST(ceil(len(w) / {_SCRUB_CHUNK}.0) AS BIGINT)))
+             AS u(i)),
+    df AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs
+           FROM chunks GROUP BY chunk),
+    kept AS (
+      SELECT c.doc_id, c.i, c.chunk
+      FROM chunks c JOIN df ON df.chunk = c.chunk
+      WHERE df.n_docs < {_SCRUB_DF}),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(chunk, ' ' ORDER BY i) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      FROM chunks GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(t.n_chunks, 0) AS n_chunks,
+           coalesce(t.n_chunks, 0) - coalesce(r.n_kept, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN totals t ON t.doc_id = d.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """,
+)
+def pipeline_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (the destructive sibling of
+    text_boilerplate's score): split each doc into non-overlapping
+    3-token chunks, compute each chunk's document frequency across the
+    corpus, drop chunks appearing in >= 2 distinct docs (headers,
+    footers, licence blocks), and reassemble the surviving chunks in
+    order. Every doc stays in the output — fully-scrubbed docs emit
+    clean_text = '' with n_dropped = n_chunks, so downstream length
+    filters (pipeline_corpus_clean) see them.
+
+    100 TB shape: one (doc, chunk) explode -> document-frequency hash
+    aggregate keyed by the chunk (hash the chunk string at real scale
+    so the shuffle moves 16-byte keys) -> one equi-join back -> per-doc
+    reassembly via collect_list over (pos, chunk) structs, sorted
+    in-memory per doc (docs are KB-sized; the sort is array_sort, not
+    a shuffle). No all-pairs stage anywhere."""
+    d = table(spark, sf_dir, "documents")
+    k = _SCRUB_CHUNK
+    w = F.split("text", " ")
+    n_chunks_expr = F.ceil(F.size(w) / F.lit(float(k))).cast("long")
+    chunks = (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks_expr - 1),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(
+                            " ", F.slice(w, i * k + 1, k)
+                        ).alias("chunk"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", F.col("c.i").alias("i"), F.col("c.chunk").alias("chunk"))
+    ).persist()
+    df_counts = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = chunks.join(df_counts, "chunk").filter(
+        F.col("n_docs") < _SCRUB_DF
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    return (
+        d.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            (
+                F.coalesce("n_chunks", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_dropped"),
+        )
+    )

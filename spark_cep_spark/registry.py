@@ -172,6 +172,9 @@ NEXT_ROTATION: list[str] = [
     "graph_degrees",
     "graph_triangles",
     "graph_pagerank",
+    "dedup_edit_nn",
+    "pipeline_scrub_boilerplate",
+    "rollup_interpolate",
 ]
 
 

@@ -1,0 +1,139 @@
+"""Semantic tests for the round-4 additions: edit-distance NN dedup,
+boilerplate scrubbing, linear interpolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def _with_docs(spark, module, rows):
+    """Run `fn` with documents replaced by an in-memory table."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = module.table
+    module.table = lambda s, d, n: df
+    return orig
+
+
+def test_edit_nn_prefers_the_one_edit_neighbor(spark):
+    import spark_cep_spark.operators.llm_dedup as D
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s", 0),
+        (2, "alpha beta gamma delpa", "en", "s", 0),  # 1 substitution from 1
+        (3, "alpha zzz yyy xxx www", "en", "s", 0),  # same block, far
+    ]
+    orig = _with_docs(spark, D, rows)
+    try:
+        out = {
+            r["doc_id"]: (r["nn_doc_id"], r["edit_dist"])
+            for r in D.dedup_edit_nn(spark, "x").collect()
+        }
+    finally:
+        D.table = orig
+    assert out[1] == (2, 1)  # one substitution: 't' -> 'p'
+    assert out[2][0] == 1
+    # 3 shares the block (same first token, similar length) and gets
+    # its nearest-in-block even though it is far
+    assert out[3][0] in (1, 2)
+
+
+def test_edit_nn_isolated_blocks_drop_out(spark):
+    import spark_cep_spark.operators.llm_dedup as D
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s", 0),
+        (2, "omega beta gamma", "en", "s", 0),  # different first token
+    ]
+    orig = _with_docs(spark, D, rows)
+    try:
+        assert D.dedup_edit_nn(spark, "x").count() == 0
+    finally:
+        D.table = orig
+
+
+def test_scrub_removes_planted_boilerplate_and_keeps_prose(spark):
+    import spark_cep_spark.operators.llm_pipeline as P
+
+    footer = "subscribe to newsletter"  # one 3-token chunk
+    rows = [
+        (1, f"unique prose one {footer}", "en", "s", 0),
+        (2, f"other words here {footer}", "en", "s", 0),
+        (3, f"third body text {footer}", "en", "s", 0),
+        (4, "completely original sentence", "en", "s", 0),
+    ]
+    orig = _with_docs(spark, P, rows)
+    try:
+        out = {
+            r["doc_id"]: r
+            for r in P.pipeline_scrub_boilerplate(spark, "x").collect()
+        }
+    finally:
+        P.table = orig
+    # the shared footer chunk (df=3) is scrubbed from every doc
+    assert out[1]["clean_text"] == "unique prose one"
+    assert out[2]["clean_text"] == "other words here"
+    assert out[3]["clean_text"] == "third body text"
+    assert out[1]["n_dropped"] == 1 and out[1]["n_chunks"] == 2
+    # a unique doc is untouched
+    assert out[4]["clean_text"] == "completely original sentence"
+    assert out[4]["n_dropped"] == 0
+
+
+def test_scrub_keeps_fully_scrubbed_and_empty_docs(spark):
+    import spark_cep_spark.operators.llm_pipeline as P
+
+    rows = [
+        (1, "dup dup dup", "en", "s", 0),
+        (2, "dup dup dup", "en", "s", 0),
+        (3, "", "en", "s", 0),
+    ]
+    orig = _with_docs(spark, P, rows)
+    try:
+        out = {
+            r["doc_id"]: r
+            for r in P.pipeline_scrub_boilerplate(spark, "x").collect()
+        }
+    finally:
+        P.table = orig
+    assert len(out) == 3  # nothing dropped from the corpus
+    assert out[1]["clean_text"] == "" and out[1]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_chunks"] == 0
+
+
+def test_interpolate_fills_the_straight_line(spark):
+    import spark_cep_spark.operators.aggregates as A
+
+    def ev(eid, hour, etype, value):
+        return (eid, dt.datetime(2024, 1, 1, hour), 1, etype, value, "{}")
+
+    rows = [
+        ev(1, 0, "click", 10.0),
+        ev(2, 3, "click", 40.0),  # hours 1, 2 missing -> 20, 30
+        ev(3, 0, "view", 5.0),  # 'view' present only at hour 0
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = A.table
+    A.table = lambda s, d, n: df
+    try:
+        out = {
+            (r["event_type"], r["hr"].hour): (r["value_filled"], r["fill_kind"])
+            for r in A.rollup_interpolate(spark, "x").collect()
+        }
+    finally:
+        A.table = orig
+    assert out[("click", 0)] == (10.0, "present")
+    assert out[("click", 1)] == (20.0, "interp")
+    assert out[("click", 2)] == (30.0, "interp")
+    assert out[("click", 3)] == (40.0, "present")
+    # 'view' has no later observation: trailing hours carry the edge
+    assert out[("view", 2)] == (5.0, "edge")
+    # grid is complete: 2 types x 4 hours
+    assert len(out) == 8

@@ -42,6 +42,9 @@ NESTED_LOOP_OK = {
     "pipeline_end_to_end",  # same 1-row winner-total broadcast
     "corpus_epochs",  # same 1-row N_total broadcast
     "text_tfidf",  # same 1-row corpus-count broadcast into tf·idf
+    "rollup_interpolate",  # hour-spine x event-type grid: both sides are
+    # generated/aggregated to O(hours)/O(types) rows — the cross join
+    # materializes the grid, never data-sized input
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
