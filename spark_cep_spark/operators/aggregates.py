@@ -630,3 +630,38 @@ def rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("edge"))
         .alias("fill_kind"),
     )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT event_type,
+           (max({'v': value, 'id': event_id})).id AS peak_event_id,
+           max(value) AS peak_value,
+           (min({'v': value, 'id': event_id})).id AS trough_event_id,
+           min(value) AS trough_value,
+           (min({'t': ts, 'id': event_id})).id AS first_event_id,
+           (max({'t': ts, 'id': event_id})).id AS last_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregation (max_by/min_by): per event type, the
+    event id at the extreme value and at the time-range edges. Every
+    ordering key is a composite (value_or_ts, event_id) so ties are
+    deterministic — a bare max_by(id, value) is free to pick either of
+    two equal-valued rows, which is exactly the kind of
+    engine-dependent nondeterminism the driver's value hash would
+    catch. One map-side-combinable hash aggregate; 5 output rows at
+    any input scale."""
+    e = table(spark, sf_dir, "events")
+    v_key = F.struct("value", "event_id")
+    t_key = F.struct("ts", "event_id")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", v_key).alias("peak_event_id"),
+        F.max("value").alias("peak_value"),
+        F.min_by("event_id", v_key).alias("trough_event_id"),
+        F.min("value").alias("trough_value"),
+        F.min_by("event_id", t_key).alias("first_event_id"),
+        F.max_by("event_id", t_key).alias("last_event_id"),
+    )

@@ -596,9 +596,10 @@ def _cc_two_phase(
     )
 
 
-@register(
-    "dedup_cluster",
-    oracle="""
+# Shared recursive-CTE transitive closure over LSH-band edges — the
+# oracle twin of connected_components over the md5-band graph. Ends in
+# a `clusters(doc_id, cluster_rep)` relation.
+_CLUSTER_CTE = """
     WITH RECURSIVE
     docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
     bands AS (
@@ -616,21 +617,16 @@ def _cc_two_phase(
       SELECT doc_id AS node, doc_id AS label FROM docs
       UNION
       SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(label) AS cluster_rep
+      FROM reach GROUP BY node
     )
-    SELECT node AS doc_id, min(label) AS cluster_rep
-    FROM reach GROUP BY node
-    """,
-)
-def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: LSH-band edges (docs sharing any
-    md5 band) → connected components → per-doc cluster representative
-    (min doc_id). This is the step between "candidate pairs" and "keep
-    one per group" in a production dedup pipeline; the oracle computes
-    the same transitive closure with a recursive CTE — an exact check
-    of an ITERATIVE distributed algorithm. The fixture graph has
-    multi-hop chains (clusters up to 9 docs), so propagation genuinely
-    iterates."""
-    d = table(spark, sf_dir, "documents")
+"""
+
+
+def _cluster_edges(d: DataFrame) -> DataFrame:
+    """Spark twin of _CLUSTER_CTE's `edges`: docs sharing any md5 band."""
     docs = d.select("doc_id", F.md5("text").alias("fp"))
     bands = reduce(
         DataFrame.unionByName,
@@ -644,13 +640,80 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     x, y = bands.alias("x"), bands.alias("y")
-    edges = (
+    return (
         x.join(y, (F.col("x.idx") == F.col("y.idx")) & (F.col("x.b") == F.col("y.b")))
         .filter(F.col("x.doc_id") != F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
         .distinct()
     )
-    return connected_components(edges, d, "doc_id")
+
+
+@register(
+    "dedup_cluster",
+    oracle=_CLUSTER_CTE
+    + """
+    SELECT doc_id, cluster_rep FROM clusters
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: LSH-band edges (docs sharing any
+    md5 band) → connected components → per-doc cluster representative
+    (min doc_id). This is the step between "candidate pairs" and "keep
+    one per group" in a production dedup pipeline; the oracle computes
+    the same transitive closure with a recursive CTE — an exact check
+    of an ITERATIVE distributed algorithm. The fixture graph has
+    multi-hop chains (clusters up to 9 docs), so propagation genuinely
+    iterates."""
+    d = table(spark, sf_dir, "documents")
+    return connected_components(_cluster_edges(d), d, "doc_id")
+
+
+@register(
+    "pipeline_dedup_keep_best",
+    oracle=_CLUSTER_CTE
+    + """
+    , scored AS (
+      SELECT c.cluster_rep, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_rep
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT cluster_rep, doc_id AS kept_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           n_chars AS kept_n_chars
+    FROM scored WHERE rn = 1
+    """,
+)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-keep-best: the production form of near-dedup.
+    dedup_cluster's LSH-band connected components assign every doc a
+    cluster; this keeps ONE representative per cluster — the longest
+    doc (ties to the smallest doc_id), the standard keep-the-most-
+    complete-variant heuristic (truncated mirrors and snippets lose to
+    the full text they duplicate).
+
+    100 TB shape: CC is the O(log n)-round two-phase algorithm, the
+    keep-best step is one windowed top-1 per cluster key
+    (WindowGroupLimit pushes the rank-1 filter below the sort at
+    scale) — no new quadratic stage on top of the candidate graph."""
+    d = table(spark, sf_dir, "documents")
+    clusters = connected_components(_cluster_edges(d), d, "doc_id")
+    scored = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    wc = W.partitionBy("cluster_rep")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_members",
+            F.col("n_chars").alias("kept_n_chars"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1006,3 +1006,50 @@ def pipeline_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_dropped"),
         )
     )
+
+
+@register(
+    "corpus_sample_weighted",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(least(1.0, n_chars / 400.0), 6) AS keep_p
+    FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) AS u,
+             CAST(floor(least(1.0, n_chars / 400.0) * 16777216) AS BIGINT)
+               AS thr
+      FROM documents) t
+    WHERE u < thr
+    """,
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli downsampling: keep each doc with
+    probability proportional to a quality proxy (here the length score
+    min(1, n_chars/400) — substitute any per-doc score column), decided
+    by a deterministic content-independent hash. The keep decision is
+    an exact integer compare (24-bit hash vs floor(p * 2^24)) so both
+    engines agree bit-for-bit and a doc's fate never changes as the
+    corpus grows — the property fraction-based sample() lacks.
+
+    100 TB shape: pure per-row projection + filter, no shuffle at all;
+    the sampler composes with any upstream score (text_quality,
+    text_perplexity) as a column swap."""
+    d = table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    p = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    thr = F.floor(p * 16777216).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(p, 6).alias("keep_p"),
+            u.alias("u"),
+            thr.alias("thr"),
+        )
+        .filter(F.col("u") < F.col("thr"))
+        .drop("u", "thr")
+    )

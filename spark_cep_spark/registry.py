@@ -175,6 +175,9 @@ NEXT_ROTATION: list[str] = [
     "dedup_edit_nn",
     "pipeline_scrub_boilerplate",
     "rollup_interpolate",
+    "pipeline_dedup_keep_best",
+    "agg_argminmax",
+    "corpus_sample_weighted",
 ]
 
 

@@ -1649,3 +1649,112 @@ def alert_throttle_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_transitions(
+    last: list | None, events: list
+) -> tuple[list | None, list]:
+    """Transition kernel (graph_transitions' streaming face): fold a
+    ts-ordered chunk of one user's events into (prev_type, next_type)
+    pairs. State is the single last-seen event [ts_us, eid, etype] —
+    the recurrence is chunking-invariant, so micro-batch boundaries
+    are semantically invisible (property-tested like advance_nfa).
+
+    events: [[ts_us, eid, etype], ...]; returns (state', transitions)
+    where transitions = [[ts_us, eid, prev_type, next_type], ...] (one
+    per event that HAS a predecessor)."""
+    out = []
+    for ev in events:
+        if last is not None:
+            out.append([ev[0], ev[1], last[2], ev[2]])
+        last = ev
+    return last, out
+
+
+def transition_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of graph_transitions: per-key last-event state
+    (ONE event per key — O(1) state however long the stream runs)
+    emits a (prev_type, next_type) edge per matured event. Downstream
+    a stateless groupBy(prev,next).count() — or stream_trending's
+    incremental counts — turns the edge stream into the live
+    transition matrix; the batch twin aggregates the same pairs."""
+    prepared = events_stream.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "last": None}
+        buf, last = st["buf"], st["last"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, et in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["etype"].tolist()
+                ):
+                    buf.append([int(ts), int(eid), str(et)])
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        last, edges = advance_transitions(last, matured)
+
+        if buf or last is not None:
+            state.update((json.dumps({"buf": buf, "last": last}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if edges:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(edges),
+                    "event_id": [e[1] for e in edges],
+                    "ts": pd.to_datetime([e[0] for e in edges], unit="us"),
+                    "prev_type": [e[2] for e in edges],
+                    "next_type": [e[3] for e in edges],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

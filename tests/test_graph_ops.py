@@ -93,3 +93,57 @@ def test_transitions_count_ordered_pairs(spark):
     finally:
         G.table = orig
     assert out == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_streaming_transitions_equal_batch(spark):
+    """Per-key last-event state over multiple micro-batches emits the
+    same transition multiset as the batch graph_transitions."""
+    import spark_cep_spark.operators.graph as G
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import transition_stream
+
+    import datetime as dt
+    import glob
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    # far-future sentinel (lone event for a user outside the fixture:
+    # emits no transition itself) flushes the watermark past the real
+    # tail — without it the last-millisecond event never matures and
+    # one transition is legitimately still buffered at stream end
+    sentinel = spark.createDataFrame(
+        [(10**9, dt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime)
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        transition_stream(stream, watermark="0 seconds"), "append"
+    )
+    g = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in got.groupBy("prev_type", "next_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    w = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in G.graph_transitions(spark, sf_dir).collect()
+    }
+    assert g == w
+
+
+def test_transition_kernel_chunking_invariance():
+    from spark_cep_spark.streaming.nfa import advance_transitions
+
+    evs = [[i * 10, i, t] for i, t in enumerate("abcabbca")]
+    _, whole = advance_transitions(None, evs)
+    for cut in range(len(evs) + 1):
+        st, out1 = advance_transitions(None, evs[:cut])
+        st, out2 = advance_transitions(st, evs[cut:])
+        assert out1 + out2 == whole
