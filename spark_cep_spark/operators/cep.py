@@ -1557,3 +1557,95 @@ def cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("reps", F.lit(2).cast("long"))
     )
     return b3.unionByName(b2only.select(*b3.columns))
+
+
+@register(
+    "cep_reluctant_optional",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    without_b AS (
+      SELECT a.user_id AS key, a.event_id AS anchor_id,
+             a.ts AS t_signup, c.ts AS t_purchase
+      FROM e a JOIN e c ON c.user_id = a.user_id AND c.rn = a.rn + 1
+      WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
+        AND c.ts <= a.ts + INTERVAL 6 HOUR
+    ),
+    with_b AS (
+      SELECT a.user_id AS key, a.event_id AS anchor_id,
+             a.ts AS t_signup, b.ts AS t_click, c.ts AS t_purchase
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      JOIN e c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+      WHERE a.event_type = 'signup' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.ts <= a.ts + INTERVAL 6 HOUR
+        AND c.ts <= a.ts + INTERVAL 6 HOUR
+    )
+    SELECT key, anchor_id, t_signup, CAST(NULL AS TIMESTAMP) AS t_click,
+           t_purchase, false AS took_optional
+    FROM without_b
+    UNION ALL
+    SELECT w.key, w.anchor_id, w.t_signup, w.t_click, w.t_purchase,
+           true AS took_optional
+    FROM with_b w
+    WHERE NOT EXISTS (SELECT 1 FROM without_b o
+                      WHERE o.key = w.key AND o.anchor_id = w.anchor_id)
+    """,
+)
+def cep_reluctant_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELUCTANT optional (MATCH_RECOGNIZE `B??`) under STRICT
+    contiguity: signup (click??) purchase within 6h — prefer the
+    skip-B branch, take signup→click→purchase only where
+    signup→purchase is not adjacent. The rewrite is cep_optional's
+    alternation with the anti-join side swapped (reluctant = prefer
+    the shorter branch).
+
+    Semantic note, documented because it is easy to get wrong: under
+    RELAXED contiguity (skip-till-next-match), reluctant quantifiers
+    COLLAPSE — `A B?? C` always skips B (any C completing the with-B
+    branch completes the without-B branch earlier or equally, since
+    the B binding only delays the C search), and `B{n,m}?` always
+    matches n. Strict contiguity is the one regime where the
+    preference changes the match set, so that is the face exposed
+    here; the greedy duals are cep_optional / cep_times_range.
+
+    100 TB shape: identical to cep_optional — two strict-chain
+    compiles over one per-key rn layout, preference = one anti join
+    on (key, anchor_id)."""
+    events = table(spark, sf_dir, "events")
+    with_b = (
+        Pattern.begin("signup", "event_type = 'signup'")
+        .next("click", "event_type = 'click'")
+        .next("purchase", "event_type = 'purchase'")
+        .within("6 HOURS")
+        .compile_batch(events)
+    )
+    without_b = (
+        Pattern.begin("signup", "event_type = 'signup'")
+        .next("purchase", "event_type = 'purchase'")
+        .within("6 HOURS")
+        .compile_batch(events)
+    )
+    skipped = without_b.select(
+        "key",
+        "anchor_id",
+        "t_signup",
+        F.lit(None).cast("timestamp").alias("t_click"),
+        "t_purchase",
+        F.lit(False).alias("took_optional"),
+    )
+    took = (
+        with_b.join(
+            without_b.select("key", "anchor_id"),
+            ["key", "anchor_id"],
+            "left_anti",
+        )
+        .withColumn("took_optional", F.lit(True))
+        .select(*skipped.columns)
+    )
+    return skipped.unionByName(took)

@@ -35,6 +35,11 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
     A -> B{n,m}  range repetition (greedy, batch-only): expansion into
               the {m}..{n} arities, longest preferred; unbound tail
               sub-steps emit NULL
+    A => B??  reluctant optional (batch-only): the without-B variant is
+              preferred — only meaningful under strict (`=>`)
+              contiguity; with `->` the skip branch always wins (see
+              cep_reluctant_optional's docstring)
+    A => B{n,m}?  reluctant range: ascending arities, shortest preferred
 
 DEFINE predicates are ordinary Spark SQL boolean expressions over the
 event columns — the full expression language comes from Spark's own
@@ -380,7 +385,7 @@ def expand_permute_sql(text: str):
 
 
 _QUANT_TOKEN = re.compile(
-    r"^([A-Za-z_]\w*)(?:(\?)|\{(\d+),(\d+)\})$"
+    r"^([A-Za-z_]\w*)(?:(\?\??)|\{(\d+),(\d+)\}(\?)?)$"
 )
 
 
@@ -429,14 +434,20 @@ def expand_quantifier_sql(text: str):
         if m is None:
             options.append([(conn, tok)])
             continue
-        name, opt, lo, hi = m.group(1), m.group(2), m.group(3), m.group(4)
+        name, opt, lo, hi, rng_rel = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        )
         if i == 0:
             raise ValueError(
                 f"step {name}: the first step cannot be optional/ranged "
                 "(it anchors the match window)"
             )
         if opt:
-            options.append([(conn, name), (conn, None)])
+            # `B?` greedy prefers the with-B variant; `B??` reluctant
+            # flips the pair — the winner picker is declaration-order,
+            # so preference IS the expansion order
+            pair = [(conn, name), (conn, None)]
+            options.append(pair[::-1] if opt == "??" else pair)
         else:
             lo_i, hi_i = int(lo), int(hi)
             if lo_i < 1:
@@ -449,10 +460,13 @@ def expand_quantifier_sql(text: str):
                 )
             # every arity keeps the explicit {k} spelling — {1} included
             # — so sub-step columns are t_<name>_1..k in EVERY variant
-            # and lower arities are schema-subsets of the maximal one
-            options.append(
-                [(conn, f"{name}{{{k}}}") for k in range(hi_i, lo_i - 1, -1)]
+            # and lower arities are schema-subsets of the maximal one.
+            # `{n,m}` greedy = descending arity; `{n,m}?` reluctant =
+            # ascending (shortest preferred)
+            ks = range(hi_i, lo_i - 1, -1) if not rng_rel else range(
+                lo_i, hi_i + 1
             )
+            options.append([(conn, f"{name}{{{k}}}") for k in ks])
     variants = []
     n_variants = 1
     for opts in options:
@@ -502,28 +516,33 @@ def _compile_quantifier_batch(df: DataFrame, variants) -> DataFrame:
     shared (key, anchor, t_anchor) columns — no text columns travel."""
     from pyspark.sql import functions as F
 
-    branches = []
-    full_schema = None  # (name -> dtype) of the maximal first variant
+    # two passes: compile every variant, then pad each to the UNION
+    # schema (in order of first appearance). Greedy expansions put the
+    # maximal variant first, but reluctant (`??` / `{n,m}?`) order the
+    # minimal variant first — the union schema covers both directions.
+    compiled = []
+    full_schema: dict[str, str] = {}
     full_cols: list[str] = []
-    for rk, (desc, vtext) in enumerate(variants, start=1):
+    for desc, vtext in variants:
         parsed = parse_pattern_sql(vtext)
         bdf = parsed.pattern.compile_batch(
             df, key_col=parsed.key_col, time_col=parsed.time_col
         )
-        if full_schema is None:
-            full_schema = dict(bdf.dtypes)
-            full_cols = list(bdf.columns)
-            missing = []
-        else:
-            missing = [c for c in full_cols if c not in bdf.columns]
-            extra = [c for c in bdf.columns if c not in full_schema]
-            if extra:
+        for c, t in bdf.dtypes:
+            if c not in full_schema:
+                full_schema[c] = t
+                full_cols.append(c)
+            elif full_schema[c] != t:
                 raise ValueError(
-                    f"variant {desc!r} emits columns outside the maximal "
-                    f"variant's schema: {extra}"
+                    f"variant {desc!r} emits {c} as {t}, earlier variant "
+                    f"emitted {full_schema[c]}"
                 )
-        for c in missing:
-            bdf = bdf.withColumn(c, F.lit(None).cast(full_schema[c]))
+        compiled.append(bdf)
+    branches = []
+    for rk, bdf in enumerate(compiled, start=1):
+        for c in full_cols:
+            if c not in bdf.columns:
+                bdf = bdf.withColumn(c, F.lit(None).cast(full_schema[c]))
         branches.append(
             bdf.select(*full_cols).withColumn("_rk", F.lit(rk))
         )
@@ -807,6 +826,66 @@ def cep_sql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITHIN 24 HOURS
         DEFINE signup AS event_type = 'signup',
                error AS event_type = 'error',
+               purchase AS event_type = 'purchase'
+        """,
+    )
+
+
+@register(
+    "cep_sql_reluctant",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    without_b AS (
+      SELECT a.user_id AS key, a.event_id AS anchor_id,
+             a.ts AS t_signup, c.ts AS t_purchase
+      FROM e a JOIN e c ON c.user_id = a.user_id AND c.rn = a.rn + 1
+      WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
+        AND c.ts <= a.ts + INTERVAL 6 HOUR
+    ),
+    with_b AS (
+      SELECT a.user_id AS key, a.event_id AS anchor_id,
+             a.ts AS t_signup, b.ts AS t_click, c.ts AS t_purchase
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      JOIN e c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+      WHERE a.event_type = 'signup' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.ts <= a.ts + INTERVAL 6 HOUR
+        AND c.ts <= a.ts + INTERVAL 6 HOUR
+    )
+    SELECT key, anchor_id, t_signup, t_purchase,
+           CAST(NULL AS TIMESTAMP) AS t_click,
+           'signup=>purchase' AS variant
+    FROM without_b
+    UNION ALL
+    SELECT w.key, w.anchor_id, w.t_signup, w.t_purchase, w.t_click,
+           'signup=>click=>purchase' AS variant
+    FROM with_b w
+    WHERE NOT EXISTS (SELECT 1 FROM without_b o
+                      WHERE o.key = w.key AND o.anchor_id = w.anchor_id)
+    """,
+)
+def cep_sql_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reluctant optional through the SQL-text surface: the `B??`
+    token under strict (`=>`) connectors — same semantics as
+    cep_reluctant_optional (prefer skipping the optional; see that
+    docstring for why relaxed-contiguity reluctant collapses), entering
+    via the dialect so the flipped expansion order and the
+    union-schema padding are proven end-to-end. `{n,m}?` (ascending-
+    arity reluctant ranges) rides the same expansion path."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( signup => click?? => purchase )
+        WITHIN 6 HOURS
+        DEFINE signup AS event_type = 'signup',
+               click AS event_type = 'click',
                purchase AS event_type = 'purchase'
         """,
     )

@@ -481,3 +481,42 @@ def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR THEN v.ts END
+             AS last_view_ts,
+           v.ts IS NOT NULL AND v.ts >= p.ts - INTERVAL 1 HOUR
+             AS attributed
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a tolerance (pandas merge_asof `tolerance=`):
+    each purchase ↔ the latest view at-or-before it, but only if that
+    view is within 1 hour — the attribution-window join. Tolerance
+    composes on top of the linear asof_join encoding as a post-filter
+    (the latest-before row is unaffected by discarding older ones), so
+    the plan is still ONE shuffle on user_id, no range-join pair
+    explosion. Left rows keep NULL + attributed=false when the match
+    is stale or absent — attribution reports need the unattributed
+    denominator."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(p, v, by="user_id")
+    in_window = F.col("ts_asof") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("ts_asof")).alias("last_view_ts"),
+        F.coalesce(in_window, F.lit(False)).alias("attributed"),
+    )

@@ -244,3 +244,63 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, event_id long, ts timestamp, value double, ewma double",
         )
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id,
+             min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id),
+    new_per_day AS (
+      SELECT event_type, first_day AS day,
+             count(*) AS n_new
+      FROM firsts GROUP BY event_type, first_day),
+    days AS (
+      SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events)
+    SELECT d.event_type, d.day,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (
+                 PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM days d LEFT JOIN new_per_day n
+      ON n.event_type = d.event_type AND n.day = d.day
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count (cumulative unique users per event type
+    by day) — the growth-dashboard staple. A naive
+    `count(DISTINCT) OVER (ROWS UNBOUNDED PRECEDING)` re-scans every
+    prefix (quadratic, and Spark refuses DISTINCT in windows anyway);
+    the scalable form is first-seen reduction: min(first day) per
+    (type, user) — one hash aggregate on data-sized input — then a
+    cumulative sum over the tiny (type, day) series. At 100 TB the
+    heavy shuffle is the per-user aggregate; the window pass runs over
+    O(types x days) rows."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(day).alias("first_day")
+    )
+    new_per_day = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    days = e.select("event_type", day.alias("day")).distinct()
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        days.join(new_per_day, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_users"),
+        )
+    )

@@ -178,6 +178,10 @@ NEXT_ROTATION: list[str] = [
     "pipeline_dedup_keep_best",
     "agg_argminmax",
     "corpus_sample_weighted",
+    "win_running_distinct",
+    "join_asof_tolerance",
+    "cep_reluctant_optional",
+    "cep_sql_reluctant",
 ]
 
 

@@ -339,3 +339,81 @@ def test_range_matches_brute_force(spark_session_holder, seq):
         for r in out
     )
     assert got == _brute_range(rows, lo=1, hi=3, within=120)
+
+
+# ------------------------------------------------------------------
+# reluctant (`B??`, `{n,m}?`) quantifiers
+# ------------------------------------------------------------------
+
+RELUCTANT_SQL = """
+PATTERN ( A => B?? => C )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'signup',
+       B AS event_type = 'click',
+       C AS event_type = 'purchase'
+"""
+
+
+def test_reluctant_expansion_flips_order():
+    variants = expand_quantifier_sql(RELUCTANT_SQL)
+    assert [d for d, _ in variants] == ["A=>C", "A=>B=>C"]
+
+
+def test_reluctant_range_ascending_order():
+    variants = expand_quantifier_sql(
+        """
+PATTERN ( A -> B{2,4}? )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'signup', B AS event_type = 'click'
+"""
+    )
+    assert [d for d, _ in variants] == ["A->B{2}", "A->B{3}", "A->B{4}"]
+
+
+def test_reluctant_prefers_skip_under_strict_contiguity(spark):
+    rows = [
+        # user 1: signup, purchase adjacent -> skip branch wins
+        (1, 0, "signup"), (1, 10, "purchase"),
+        # user 2: signup, click, purchase — only the with-B strict
+        # chain completes, reluctant takes it as the fallback
+        (2, 0, "signup"), (2, 5, "click"), (2, 10, "purchase"),
+        # user 3: signup, view, purchase — neither strict chain
+        (3, 0, "signup"), (3, 5, "view"), (3, 10, "purchase"),
+    ]
+    out = match_recognize(_events_df(spark, rows), RELUCTANT_SQL)
+    got = {r["key"]: (r["variant"], r["t_B"]) for r in out.collect()}
+    assert got[1] == ("A=>C", None)
+    assert got[2][0] == "A=>B=>C" and got[2][1] is not None
+    assert 3 not in got
+
+
+def test_reluctant_optional_collapses_under_relaxed_contiguity(spark):
+    """Documented semantics: with `->` connectors the skip branch
+    matches whenever the with branch does, so `B??` always skips."""
+    relaxed = RELUCTANT_SQL.replace("=>", "->")
+    rows = [
+        (1, 0, "signup"), (1, 5, "click"), (1, 10, "purchase"),
+    ]
+    out = match_recognize(_events_df(spark, rows), relaxed)
+    got = {r["key"]: r["variant"] for r in out.collect()}
+    assert got[1] == "A->C"
+
+
+def test_greedy_and_reluctant_agree_when_unambiguous(spark):
+    """Where only one branch can match, preference order is moot: the
+    greedy and reluctant forms produce identical rows."""
+    greedy = RELUCTANT_SQL.replace("??", "?")
+    rows = [
+        (2, 0, "signup"), (2, 5, "click"), (2, 10, "purchase"),
+        (3, 0, "signup"), (3, 5, "view"), (3, 10, "purchase"),
+    ]
+    df = _events_df(spark, rows)
+    g = {
+        (r["key"], r["t_B"], r["t_C"])
+        for r in match_recognize(df, greedy).collect()
+    }
+    r_ = {
+        (r["key"], r["t_B"], r["t_C"])
+        for r in match_recognize(df, RELUCTANT_SQL).collect()
+    }
+    assert g == r_
