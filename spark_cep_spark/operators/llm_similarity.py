@@ -856,3 +856,97 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.i").alias("kept_id"),
         F.round(F.col("m.c"), 6).alias("sim"),
     )
+
+
+# --------------------------------------------------------------------
+# MaxSim late interaction (multi-vector retrieval)
+# --------------------------------------------------------------------
+
+_MS_SUB = 4  # sub-vectors per embedding
+_MS_DIM = 16  # dims per sub-vector (4 x 16 = the fixture's 64)
+
+
+def _maxsim_oracle() -> str:
+    """Programmatically unrolled MaxSim: score = sum over query
+    sub-vectors of the max dot product against any candidate
+    sub-vector — identical expression shape to the Spark plan so the
+    doubles agree bit-for-bit before the final round."""
+
+    def sub(col: str, i: int) -> str:
+        lo, hi = i * _MS_DIM + 1, (i + 1) * _MS_DIM
+        return f"(CAST({col} AS DOUBLE[]))[{lo}:{hi}]"
+
+    terms = []
+    for i in range(_MS_SUB):
+        dots = ", ".join(
+            f"list_dot_product({sub('q.qe', i)}, {sub('e.embedding', j)})"
+            for j in range(_MS_SUB)
+        )
+        terms.append(f"greatest({dots})")
+    score = " + ".join(terms)
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id, {score} AS score_raw
+           FROM q CROSS JOIN embeddings e
+           WHERE e.vec_id <> q.qid)
+    SELECT qid, vec_id AS neighbor_id, round(score_raw, 6) AS maxsim, rk
+    FROM (
+        SELECT qid, vec_id, score_raw,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_raw DESC, vec_id) AS rk
+        FROM scored) t
+    WHERE rk <= 5
+    """
+
+
+@register("sim_maxsim", oracle=_maxsim_oracle())
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: each vector
+    is treated as 4 sub-vectors of 16 dims (the fixture is
+    single-vector, so sub-vectors are slices — with a true multi-vector
+    column the slices become the token vectors); score(q, d) =
+    sum over query sub-vectors of the best-matching candidate
+    sub-vector. MaxSim rewards local agreement a single pooled dot
+    product averages away — the standard retrieval-quality upgrade
+    over bi-encoders.
+
+    100 TB shape: same as sim_topk — broadcast the (small by contract)
+    query set, stream candidates, per-pair score is a fixed 16-dot
+    expression evaluated JVM-side, top-k per query via window rank
+    (WindowGroupLimit). The numpy escalation (one batched einsum per
+    Arrow batch, exactly sim_topk_pandas' skeleton) applies unchanged
+    when the sub-vector count grows."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+
+    def sub(col, i):
+        return F.slice(F.col(col), i * _MS_DIM + 1, _MS_DIM)
+
+    score = None
+    for i in range(_MS_SUB):
+        best = F.greatest(
+            *[_dot(sub("qe", i), sub("embedding", j)) for j in range(_MS_SUB)]
+        )
+        score = best if score is None else score + best
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", score.alias("score_raw"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("score_raw", 6).alias("maxsim"),
+            "rk",
+        )
+    )

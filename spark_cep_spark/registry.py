@@ -182,6 +182,7 @@ NEXT_ROTATION: list[str] = [
     "join_asof_tolerance",
     "cep_reluctant_optional",
     "cep_sql_reluctant",
+    "sim_maxsim",
 ]
 
 

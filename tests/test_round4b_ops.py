@@ -137,3 +137,35 @@ def test_interpolate_fills_the_straight_line(spark):
     assert out[("view", 2)] == (5.0, "edge")
     # grid is complete: 2 types x 4 hours
     assert len(out) == 8
+
+
+def test_maxsim_rewards_local_agreement_over_pooled_dot(spark):
+    """A candidate matching one query sub-vector perfectly (and
+    orthogonal elsewhere) must outrank a candidate that is uniformly
+    mediocre, even when the POOLED dot product says otherwise."""
+    import spark_cep_spark.operators.llm_similarity as S
+    import math
+
+    dim, sub = 64, 16
+    q = [0.0] * dim
+    for i in range(sub):  # energy concentrated in sub-vector 0
+        q[i] = 1.0 / math.sqrt(sub)
+    # candidate A: identical to q in sub-vector 0, zero elsewhere
+    a = list(q)
+    # candidate B: small positive everywhere -> pooled dot comparable,
+    # but every sub-vector match is weak
+    b = [1.0 / math.sqrt(dim)] * dim
+    rows = [(0, q, 0), (1, a, 0), (2, b, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = S.table
+    S.table = lambda s, d, n: df
+    try:
+        out = {
+            r["rk"]: r["neighbor_id"]
+            for r in S.sim_maxsim(spark, "x").collect()
+            if r["qid"] == 0
+        }
+    finally:
+        S.table = orig
+    assert out[1] == 1  # exact local match wins
+    assert out[2] == 2

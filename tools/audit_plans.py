@@ -32,6 +32,7 @@ NESTED_LOOP_OK = {
     "join_interval",
     "sim_topk",
     "sim_knn_class",
+    "sim_maxsim",  # same broadcast query-set x candidates scan as sim_topk
     "dedup_embed",
     "sql_recursive_cte",  # same all-pairs edge generation as dedup_embed
     # (toy-scale face; scale path is LSH-bucketed candidates)
