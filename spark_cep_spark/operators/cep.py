@@ -81,6 +81,11 @@ class Step:
     contiguity: str = "relaxed"  # relaxed | strict | absent
     where: str | None = None  # cross-step correlation (SASE-style); every
     # column ref must be step-qualified: "purchase.value > view.value"
+    gap: str | None = None  # optional per-step max gap (SQL interval
+    # body, e.g. "30 MINUTES"): this step's event must fall within gap
+    # of the PREVIOUS step's binding — tighter than the whole-match
+    # .within() bound. On an absent step the gap bounds the negation
+    # window instead (no killer within gap of the last positive step).
 
 
 @dataclass
@@ -106,7 +111,11 @@ class Pattern:
         return Pattern(steps=[Step(name, predicate)])
 
     def followed_by(
-        self, name: str, predicate: str, where: str | None = None
+        self,
+        name: str,
+        predicate: str,
+        where: str | None = None,
+        gap: str | None = None,
     ) -> "Pattern":
         """Relaxed contiguity. `where` adds a SASE-style cross-step
         correlation clause evaluated at bind time — a SQL boolean over
@@ -116,26 +125,47 @@ class Pattern:
         binds the earliest event satisfying predicate AND where.
         Restricted grammar (so batch SQL and the streaming kernel agree):
         comparisons, arithmetic, AND/OR/NOT, abs() — no SQL functions,
-        no BETWEEN/LIKE/IN. NULL in any comparison → not satisfied."""
-        self.steps.append(Step(name, predicate, where=where))
+        no BETWEEN/LIKE/IN. NULL in any comparison → not satisfied.
+        `gap` (SQL interval body, e.g. "30 MINUTES") additionally
+        requires this step's event within gap of the previous step's
+        binding — the per-transition deadline Esper/Siddhi expose,
+        tighter than the whole-match .within()."""
+        self.steps.append(Step(name, predicate, where=where, gap=gap))
         return self
 
     def next(
-        self, name: str, predicate: str, where: str | None = None
+        self,
+        name: str,
+        predicate: str,
+        where: str | None = None,
+        gap: str | None = None,
     ) -> "Pattern":
         """Strict contiguity: binds only if the key's IMMEDIATELY next
         event (by (ts, id) order) satisfies the predicate (AND the
-        correlation clause, if given) — otherwise the partial dies."""
-        self.steps.append(Step(name, predicate, contiguity="strict", where=where))
+        correlation clause, if given) — otherwise the partial dies.
+        With `gap`, the next event must also fall within gap of the
+        previous binding or the partial dies."""
+        self.steps.append(
+            Step(name, predicate, contiguity="strict", where=where, gap=gap)
+        )
         return self
 
     def not_followed_by(
-        self, name: str, predicate: str, where: str | None = None
+        self,
+        name: str,
+        predicate: str,
+        where: str | None = None,
+        gap: str | None = None,
     ) -> "Pattern":
         """Terminal negation: the partial match survives only if NO
         qualifying event (predicate AND where) follows within the
-        time bound."""
-        self.steps.append(Step(name, predicate, contiguity="absent", where=where))
+        time bound. With `gap`, the negation window is narrowed to
+        (t_last, t_last + gap] ∩ (t_last, t_anchor + bound] — 'no B
+        within 30 minutes OF THE LAST STEP', the timeout-detection
+        shape."""
+        self.steps.append(
+            Step(name, predicate, contiguity="absent", where=where, gap=gap)
+        )
         return self
 
     def times(
@@ -543,6 +573,13 @@ class Pattern:
                     (F.col("key") == F.col("cand_key"))
                     & (F.col("cand_ts") > F.col(prev_t))
                     & in_bound
+                )
+            if step.gap is not None:
+                # per-transition deadline: within gap of the previous
+                # step's binding (for absent: narrows the kill window)
+                cond = cond & (
+                    F.col("cand_ts")
+                    <= F.col(prev_t) + F.expr(f"INTERVAL {step.gap}")
                 )
             if step.where:
                 cond = cond & F.expr(_translate_where_sql(step.where, step.name))
@@ -1649,3 +1686,51 @@ def cep_reluctant_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*skipped.columns)
     )
     return skipped.unionByName(took)
+
+
+@register(
+    "cep_gap_timeout",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, min(c.ts) AS t_click
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts
+                        AND c.ts <= v.ts + INTERVAL 24 HOUR
+                        AND c.ts <= v.ts + INTERVAL 30 MINUTE
+           GROUP BY v.user_id, v.event_id, v.ts)
+    SELECT s2.user_id AS key, s2.event_id AS anchor_id, s2.t_view, s2.t_click
+    FROM s2
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = s2.user_id
+        AND p.ts > s2.t_click
+        AND p.ts <= s2.t_view + INTERVAL 24 HOUR
+        AND p.ts <= s2.t_click + INTERVAL 1 HOUR
+    )
+    """,
+)
+def cep_gap_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition gap deadlines (Esper/Siddhi `within` between
+    steps, vs the whole-match window): a view followed by a click
+    within 30 MINUTES OF THE VIEW (not just anywhere in the 24h match
+    window), then NO purchase within 1 hour OF THE CLICK — the cart-
+    timeout / SLA-breach detector. The whole-match .within(24h) still
+    bounds NFA state retention; the gaps tighten each transition.
+
+    100 TB shape: identical to cep_funnel_abandon — the gap is one
+    extra AND-conjunct on each step's equi-join, no new join or
+    shuffle; streaming-side it is one integer compare in the kernel
+    (state is freed EARLIER, never later, since gaps only shrink
+    windows)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'", gap="30 MINUTES")
+        .not_followed_by("purchase", "event_type = 'purchase'", gap="1 HOUR")
+        .within("24 HOURS")
+        .compile_batch(e)
+    )

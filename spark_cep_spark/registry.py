@@ -183,6 +183,7 @@ NEXT_ROTATION: list[str] = [
     "cep_reluctant_optional",
     "cep_sql_reluctant",
     "sim_maxsim",
+    "cep_gap_timeout",
 ]
 
 

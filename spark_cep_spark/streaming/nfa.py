@@ -425,6 +425,7 @@ def advance_nfa_full(
     env_names: list | None = None,
     emit_env: bool = False,
     run_cols: list | None = None,
+    gaps: list | None = None,
 ) -> tuple[list, list]:
     """The generalized NFA kernel: relaxed (followed_by), strict
     (next), greedy Kleene-plus (one_or_more) and terminal negation
@@ -487,6 +488,12 @@ def advance_nfa_full(
     n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
     has_neg = n_pos < len(contig)
     matches = []
+
+    def _in_gap(i: int, ts: int, last_ts: int) -> bool:
+        """Per-transition deadline (Step.gap): step i's event must fall
+        within gaps[i] of the previous binding; None = unconstrained.
+        Mirrors compile_batch's `cand_ts <= prev_t + INTERVAL gap`."""
+        return gaps is None or gaps[i] is None or ts <= last_ts + gaps[i]
 
     def _emit(bound: list, env: dict):
         return (bound[0][1], bound, env) if emit_env else (bound[0][1], bound)
@@ -566,6 +573,7 @@ def advance_nfa_full(
                     and _ok(n_pos, m, env)
                     and ts > _last_pos(bound)[0]
                     and ts <= t0 + bound_us
+                    and _in_gap(n_pos, ts, _last_pos(bound)[0])
                 ):
                     continue
                 kept.append([bound, False, env])
@@ -576,8 +584,10 @@ def advance_nfa_full(
             if kind == "strict":
                 if (ts, eid) > _last_pos(bound):
                     # this IS the key's immediately-next event:
-                    # bind or die (predicate AND correlation)
-                    if _ok(nxt, m, env):
+                    # bind or die (predicate AND correlation AND gap)
+                    if _ok(nxt, m, env) and _in_gap(
+                        nxt, ts, _last_pos(bound)[0]
+                    ):
                         bound = bound + [[ts, eid]]
                         if len(bound) == n_pos and not has_neg:
                             matches.append(_emit(bound, _bind_env(env, nxt)))
@@ -600,7 +610,11 @@ def advance_nfa_full(
                     )
                 else:
                     kept.append([bound, False, env])
-            elif ts > _last_pos(bound)[0] and _ok(nxt, m, env):
+            elif (
+                ts > _last_pos(bound)[0]
+                and _ok(nxt, m, env)
+                and _in_gap(nxt, ts, _last_pos(bound)[0])
+            ):
                 bound = bound + [[ts, eid]]
                 if len(bound) == n_pos and not has_neg:
                     matches.append(_emit(bound, _bind_env(env, nxt)))
@@ -1044,6 +1058,17 @@ def compile_stream(
         raise ValueError("pattern must start with begin()")
     bound_ms = _interval_to_ms(pattern.time_bound)
     contig = [s.contiguity for s in steps]
+    for s in steps:
+        if s.gap is not None and s.contiguity == "kleene":
+            raise ValueError("gap= is not supported on one_or_more steps")
+    gaps_us = (
+        [
+            _interval_to_ms(s.gap) * _US_PER_MS if s.gap else None
+            for s in steps
+        ]
+        if any(s.gap for s in steps)
+        else None
+    )
     pos_steps = steps[:-1] if contig[-1] == "absent" else steps
     if any(c in ("strict", "kleene") for c in contig):
         # a strict partial is killed — and a kleene run closed — by
@@ -1218,6 +1243,7 @@ def compile_stream(
             env_names=env_names,
             emit_env=bool(measures),
             run_cols=run_cols,
+            gaps=gaps_us,
         )
 
         if buf or partials:

@@ -707,3 +707,85 @@ def test_streaming_alert_throttle_equals_batch(spark, sf_dir):
         for r in want.collect()
     }
     assert g == w
+
+
+def test_gap_stream_equals_batch_compiler(spark, sf_dir):
+    """Per-transition gap deadlines (Step.gap) in the NFA vs the batch
+    compilation: view -> click within 30min OF THE VIEW -> no purchase
+    within 1h OF THE CLICK, whole match in 24h. Same final-watermark
+    discipline as the other negation tests."""
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'", gap="30 MINUTES")
+        .not_followed_by("purchase", "event_type = 'purchase'", gap="1 HOUR")
+        .within("24 HOURS")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg({"ts": "max"}).first()[0]
+    want = pat.compile_batch(events).filter(
+        F.expr(f"t_view + INTERVAL 24 HOURS <= timestamp'{max_ts}'")
+    )
+    assert _norm(got.collect()) == _norm(want.collect())
+
+
+def test_gap_positive_stream_equals_batch_compiler(spark, sf_dir):
+    """Gap on a positive relaxed step only (no negation): the earliest
+    click within 10 minutes of the view — events between 10min and the
+    24h bound must NOT bind."""
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'", gap="10 MINUTES")
+        .within("24 HOURS")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg({"ts": "max"}).first()[0]
+    want = pat.compile_batch(events).filter(
+        F.expr(f"t_view <= timestamp'{max_ts}' - INTERVAL 24 HOURS")
+    )
+    got_f = got.filter(
+        F.expr(f"t_view <= timestamp'{max_ts}' - INTERVAL 24 HOURS")
+    )
+    assert _norm(got_f.collect()) == _norm(want.collect())
+    assert want.count() > 0
+
+
+def test_gap_kernel_chunking_invariance():
+    """advance_nfa_full with gaps is micro-batch-boundary invariant:
+    any split of the event list yields the same matches as one pass."""
+    from spark_cep_spark.streaming.nfa import advance_nfa_full
+
+    US = 60_000_000  # 1 minute
+    # user timeline: A at 0; B candidates at 5, 45 min; gap(B)=30min
+    evs = [
+        [0 * US, 0, [True, False]],
+        [5 * US, 1, [False, True]],
+        [45 * US, 2, [False, True]],
+        [300 * US, 3, [False, False]],  # watermark pusher
+    ]
+    contig = ["relaxed", "relaxed"]
+    gaps = [None, 30 * US]
+    wm = 400 * US
+    _, whole = advance_nfa_full([], evs, contig, 3600 * US, wm, gaps=gaps)
+    for cut in range(len(evs) + 1):
+        st, m1 = advance_nfa_full([], evs[:cut], contig, 3600 * US, 0, gaps=gaps)
+        st, m2 = advance_nfa_full(st, evs[cut:], contig, 3600 * US, wm, gaps=gaps)
+        assert m1 + m2 == whole
+    # the in-gap candidate (5 min) binds; without gaps same; and a
+    # gap of 2 minutes excludes both candidates
+    assert [mt[1][1][0] for mt in whole] == [5 * US]
+    _, no_gap = advance_nfa_full([], evs, contig, 3600 * US, wm)
+    assert [mt[1][1][0] for mt in no_gap] == [5 * US]
+    _, tight = advance_nfa_full(
+        [], evs, contig, 3600 * US, wm, gaps=[None, 2 * US]
+    )
+    assert tight == []

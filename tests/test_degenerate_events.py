@@ -39,6 +39,9 @@ DEGENERATE_EVENTS = [
 ]
 
 EVENTS_KEYS = [
+    "rollup_interpolate", "agg_argminmax", "win_running_distinct",
+    "join_asof_tolerance", "graph_transitions", "cep_reluctant_optional",
+    "cep_sql_reluctant",
     "agg_ohlc", "stream_trending", "cep_optional", "cep_times_range",
     "cep_sql_optional",
     "agg_approx", "agg_histogram", "agg_sketches", "agg_stats",
@@ -87,6 +90,8 @@ def test_operator_survives_degenerate_events(
 
 
 EMPTY_SWEEP_KEYS = [
+    "rollup_interpolate", "agg_argminmax", "win_running_distinct",
+    "join_asof_tolerance", "graph_transitions", "cep_reluctant_optional",
     "agg_ohlc", "stream_trending", "cep_optional", "cep_times_range",
     "stream_tumbling", "stream_session", "cep_seq", "cep_alert_throttle",
     "rollup_gapfill", "rollup_hypertable", "join_asof", "join_interval",
