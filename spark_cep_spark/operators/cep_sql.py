@@ -40,6 +40,11 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               contiguity; with `->` the skip branch always wins (see
               cep_reluctant_optional's docstring)
     A => B{n,m}?  reluctant range: ascending arities, shortest preferred
+    A -[30 MINUTES]-> B   gapped connector (also =[...]=>): B must fall
+              within the bracketed interval OF A's binding — the
+              per-transition deadline (Step.gap); on a negated step it
+              narrows the kill window (timeout detection). Not
+              supported on quantified ({n}/+) steps.
 
 DEFINE predicates are ordinary Spark SQL boolean expressions over the
 event columns — the full expression language comes from Spark's own
@@ -153,6 +158,24 @@ def _split_top_level_commas(text: str) -> list[str]:
 
 _STEP_TOKEN = re.compile(r"^(!?)([A-Za-z_][A-Za-z_0-9]*)(?:\{(\d+)\}|(\+))?$")
 
+# connector tokens: plain `->` / `=>`, or gapped `-[30 MINUTES]->` /
+# `=[30 MINUTES]=>` (per-transition deadline — Step.gap)
+_CONNECTOR_SPLIT = r"(-\[[^\]]*\]->|=\[[^\]]*\]=>|->|=>)"
+_GAPPED_CONN = re.compile(r"^([-=])\[([^\]]*)\]\1>$")
+
+
+def _parse_connector(conn: str) -> tuple[str, str | None]:
+    """-> / => / gapped form -> (base_connector, gap_interval_or_None)."""
+    m = _GAPPED_CONN.match(conn)
+    if m:
+        gap = m.group(2).strip()
+        if not gap:
+            raise ValueError(f"empty gap interval in connector {conn!r}")
+        return ("->" if m.group(1) == "-" else "=>"), gap
+    if conn in ("->", "=>"):
+        return conn, None
+    raise ValueError(f"expected -> or => connector, got {conn!r}")
+
 
 def _split_top_level_and(expr: str) -> list[str]:
     """Split a boolean expression at top-level ANDs (outside parens and
@@ -235,7 +258,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         defines[name] = expr
 
     # Tokenize the pattern algebra: NAME (connector [!]NAME)*
-    toks = [t for t in re.split(r"(->|=>)|\s+", pat_body) if t]
+    toks = [t for t in re.split(_CONNECTOR_SPLIT + r"|\s+", pat_body) if t]
     if not toks:
         raise ValueError("empty PATTERN")
     seen: set[str] = set()
@@ -283,8 +306,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     if len(rest) % 2:
         raise ValueError("pattern must alternate step, connector, step, ...")
     for i, (conn, tok) in enumerate(zip(rest[::2], rest[1::2])):
-        if conn not in ("->", "=>"):
-            raise ValueError(f"expected -> or => connector, got {conn!r}")
+        conn, gap = _parse_connector(conn)
         name, neg, reps, plus, braced = lookup(tok, first=False)
         pred, where = split[name]
         if where and (plus or braced):
@@ -292,12 +314,17 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 f"step {name}: correlation is not supported on "
                 "quantified ({n}/+) steps"
             )
+        if gap and (plus or braced):
+            raise ValueError(
+                f"step {name}: a gapped connector is not supported on "
+                "quantified ({n}/+) steps"
+            )
         if neg:
             if i * 2 + 2 != len(rest):
                 raise ValueError("a negated step must be the last step")
             if conn == "=>":
                 raise ValueError("strict negation (=> !X) is not supported")
-            pattern.not_followed_by(name, pred, where=where)
+            pattern.not_followed_by(name, pred, where=where, gap=gap)
         elif plus:
             if conn == "=>":
                 raise ValueError("a + step takes -> (its entry is relaxed)")
@@ -316,9 +343,9 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 contiguity="strict" if conn == "=>" else "relaxed",
             )
         elif conn == "=>":
-            pattern.next(name, pred, where=where)
+            pattern.next(name, pred, where=where, gap=gap)
         else:
-            pattern.followed_by(name, pred, where=where)
+            pattern.followed_by(name, pred, where=where, gap=gap)
     unused = set(defines) - seen
     if unused:
         raise ValueError(f"DEFINE entries never used in PATTERN: {sorted(unused)}")
@@ -409,7 +436,7 @@ def expand_quantifier_sql(text: str):
         # let parse_pattern_sql produce its pointed error
         return None
     inner = body[1:-1].strip()
-    toks = [t for t in re.split(r"(->|=>)|\s+", inner) if t]
+    toks = [t for t in re.split(_CONNECTOR_SPLIT + r"|\s+", inner) if t]
     if not any(_QUANT_TOKEN.match(t) for t in toks):
         return None
     if "MEASURES" in clauses:
@@ -419,7 +446,7 @@ def expand_quantifier_sql(text: str):
         )
     # token stream = step (connector step)*; walk steps with their
     # PRECEDING connector so an absent optional drops its connector
-    if not toks or toks[0] in ("->", "=>"):
+    if not toks or re.fullmatch(_CONNECTOR_SPLIT, toks[0]):
         raise ValueError("PATTERN must start with a step")
     steps: list[tuple[str | None, str]] = [(None, toks[0])]
     rest = toks[1:]

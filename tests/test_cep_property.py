@@ -151,7 +151,8 @@ def env_from_bound(events, bound_ts, env_names):
 
 
 def brute_force_full(
-    events, contig, bound, wm, corr_idx=None, corr_fn=None, env_names=None
+    events, contig, bound, wm, corr_idx=None, corr_fn=None, env_names=None,
+    gaps=None,
 ):
     """Transcription of Pattern.compile_batch over the full (ts, eid)-
     ordered key sequence: relaxed = earliest (ts, position) qualifying
@@ -170,6 +171,9 @@ def brute_force_full(
     may be the absent step (a killer must also satisfy it)."""
     n_pos = len(contig) - 1 if contig[-1] == "absent" else len(contig)
     has_neg = n_pos < len(contig)
+
+    def _gap_ok(step, ts, last_ts):
+        return gaps is None or gaps[step] is None or ts <= last_ts + gaps[step]
 
     def _corr(step, j, bound_ts):
         if corr_idx is None or step != corr_idx:
@@ -192,6 +196,7 @@ def brute_force_full(
                     nxt < len(events)
                     and events[nxt][2][step]
                     and events[nxt][0] <= ts0 + bound
+                    and _gap_ok(step, events[nxt][0], _last(bound_ts[-1]))
                     and _corr(step, nxt, bound_ts)
                 ):
                     bound_ts.append([events[nxt][0], events[nxt][1]])
@@ -229,6 +234,7 @@ def brute_force_full(
                     if e[2][step]
                     and e[0] > _last(bound_ts[-1])
                     and e[0] <= ts0 + bound
+                    and _gap_ok(step, e[0], _last(bound_ts[-1]))
                     and _corr(step, j, bound_ts)
                 ]
                 if not cands:
@@ -250,6 +256,7 @@ def brute_force_full(
             killed = any(
                 e[2][n_pos]
                 and _last(bound_ts[-1]) < e[0] <= ts0 + bound
+                and _gap_ok(n_pos, e[0], _last(bound_ts[-1]))
                 and _corr(n_pos, j, bound_ts)
                 for j, e in enumerate(events)
             )
@@ -1047,3 +1054,69 @@ def test_carried_column_name_collision_rejected():
     )
     with _pytest.raises(ValueError, match="collision"):
         p.corr_plan()
+
+
+# ---------------------------------------------------------------------------
+# Per-step gap deadlines (Step.gap): kernel vs brute force
+
+
+@st.composite
+def gapped_contiguities(draw):
+    """Contiguity mixes WITHOUT kleene (gaps are rejected on runs),
+    plus a per-step gap list (None or a small deadline)."""
+    n = draw(st.integers(min_value=2, max_value=3))
+    contig = ["relaxed"] + [
+        draw(st.sampled_from(["relaxed", "strict"])) for _ in range(n - 1)
+    ]
+    if draw(st.booleans()):
+        contig.append("absent")
+    gaps = [None] + [
+        draw(st.one_of(st.none(), st.integers(min_value=1, max_value=12)))
+        for _ in range(len(contig) - 1)
+    ]
+    return contig, gaps
+
+
+@given(
+    rows=event_streams(),
+    cg=gapped_contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wm=st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=400, deadline=None)
+def test_full_nfa_gaps_match_brute_force(rows, cg, bound, wm):
+    contig, gaps = cg
+    steps = [(i * 7 + 3) % N_TYPES for i in range(len(contig))]
+    events = [e for e in with_flags(rows, steps) if e[0] <= wm]
+    _, got = advance_nfa_full([], events, contig, bound, wm, gaps=gaps)
+    assert sorted(got) == brute_force_full(
+        events, contig, bound, wm, gaps=gaps
+    )
+
+
+@given(
+    rows=event_streams(),
+    cg=gapped_contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wms=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=5),
+)
+@settings(max_examples=400, deadline=None)
+def test_full_nfa_gaps_chunking_invariance(rows, cg, bound, wms):
+    contig, gaps = cg
+    steps = [(i * 7 + 3) % N_TYPES for i in range(len(contig))]
+    events = with_flags(rows, steps)
+    wms = sorted(set(wms))
+    final_wm = wms[-1]
+    matured_all = [e for e in events if e[0] <= final_wm]
+    _, want = advance_nfa_full(
+        [], matured_all, contig, bound, final_wm, gaps=gaps
+    )
+    partials, got, fed = [], [], set()
+    for wm in wms:
+        chunk = sorted(e for e in events if e[0] <= wm and e[1] not in fed)
+        fed.update(e[1] for e in chunk)
+        partials, m = advance_nfa_full(
+            partials, chunk, contig, bound, wm, gaps=gaps
+        )
+        got.extend(m)
+    assert sorted(got) == sorted(want)

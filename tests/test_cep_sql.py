@@ -469,3 +469,79 @@ def test_permute_rejected_on_streams(spark, sf_dir):
             "PATTERN ( V -> PERMUTE(C, P) ) WITHIN 1 HOURS "
             "DEFINE V AS true, C AS true, P AS true",
         )
+
+
+def test_gapped_connector_parses_and_matches_builder(spark, sf_dir):
+    """`A -[g]-> B` / `-[g]-> !C` == the Pattern builder with gap=."""
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.cep import Pattern
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    events = table(spark, sf_dir, "events")
+    got = match_recognize(
+        events,
+        """
+        PATTERN ( v -[30 MINUTES]-> c -[1 HOUR]-> !p )
+        WITHIN 24 HOURS
+        DEFINE v AS event_type = 'view',
+               c AS event_type = 'click',
+               p AS event_type = 'purchase'
+        """,
+    )
+    want = (
+        Pattern.begin("v", "event_type = 'view'")
+        .followed_by("c", "event_type = 'click'", gap="30 MINUTES")
+        .not_followed_by("p", "event_type = 'purchase'", gap="1 HOUR")
+        .within("24 HOURS")
+        .compile_batch(events)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_gapped_connector_rejected_on_quantified_steps():
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gapped connector"):
+        parse_pattern_sql(
+            """
+            PATTERN ( a -[5 MINUTES]-> b{2} )
+            WITHIN 1 HOUR
+            DEFINE a AS event_type = 'view', b AS event_type = 'click'
+            """
+        )
+
+
+def test_gapped_connector_strict_form(spark):
+    """=[g]=> : the key's immediately-next event must also be in gap."""
+    import datetime as dt
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: next event 5 min later -> in gap, matches
+        (0, t0, 1, "signup", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=5), 1, "purchase", 1.0, "{}"),
+        # user 2: next event 2 hours later -> out of gap, dies
+        (2, t0, 2, "signup", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = match_recognize(
+        df,
+        """
+        PATTERN ( s =[30 MINUTES]=> p )
+        WITHIN 24 HOURS
+        DEFINE s AS event_type = 'signup', p AS event_type = 'purchase'
+        """,
+    )
+    keys = {r["key"] for r in out.collect()}
+    assert keys == {1}
