@@ -304,3 +304,53 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_users"),
         )
     )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(sum(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM seq
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (the gaps-and-islands sessionizer):
+    a session starts at the first event or after a >30min silence;
+    session_id is the running count of starts per user. This is the
+    record-level complement of stream_session's windowed aggregate —
+    downstream joins need the id ON EACH EVENT, not only the session
+    rollup.
+
+    100 TB shape: both window passes share ONE (user_id, (ts, id))
+    shuffle+sort; everything else is a running sum within the sorted
+    partition. Users partition the work; no per-session state leaves
+    the JVM."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # microsecond-exact gap compare (a seconds cast truncates and
+    # disagrees with the oracle's INTERVAL arithmetic on sub-second
+    # boundaries)
+    is_start = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(is_start).over(wsum).cast("long").alias("session_id"),
+    )

@@ -184,6 +184,8 @@ NEXT_ROTATION: list[str] = [
     "cep_sql_reluctant",
     "sim_maxsim",
     "cep_gap_timeout",
+    "win_sessionize",
+    "stream_sessionize",
 ]
 
 

@@ -1784,3 +1784,123 @@ def transition_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_sessionize(
+    open_sess: list | None, events: list, gap_us: int, wm_us: int
+) -> tuple[list | None, list]:
+    """Sessionization kernel (stream_sessionize's streaming face):
+    fold a ts-ordered chunk of one key's events into closed sessions.
+    State is the single open session [start_us, last_us, n] — a >gap
+    silence between consecutive events closes it, and the watermark
+    closes it once no in-gap event can still arrive (wm > last + gap).
+    Chunking-invariant (property-tested): micro-batch boundaries and
+    timer firings are semantically invisible.
+
+    events: [[ts_us, eid], ...]; returns (state', closed) with
+    closed = [[start_us, end_us, n], ...]."""
+    closed = []
+    for ts, _eid in events:
+        if open_sess is None:
+            open_sess = [ts, ts, 1]
+        elif ts - open_sess[1] > gap_us:
+            closed.append(open_sess)
+            open_sess = [ts, ts, 1]
+        else:
+            open_sess = [open_sess[0], ts, open_sess[2] + 1]
+    if open_sess is not None and open_sess[1] + gap_us < wm_us:
+        closed.append(open_sess)
+        open_sess = None
+    return open_sess, closed
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of stream_sessionize: per-key open-session state
+    (O(1) per key), sessions emitted the moment they provably close.
+    Output (key, session_start, session_end, n_events) matches the
+    batch twin's per-session rows (session_id is a batch-side running
+    count — the streaming face identifies sessions by their start)."""
+    gap_us = _interval_to_ms(gap) * _US_PER_MS
+
+    prepared = events_stream.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "open": None}
+        buf, open_sess = st["buf"], st["open"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid in zip(ts_us.tolist(), pdf["eid"].tolist()):
+                    buf.append([int(ts), int(eid)])
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        open_sess, closed = advance_sessionize(
+            open_sess, matured, gap_us, wm_us
+        )
+
+        if buf or open_sess is not None:
+            state.update((json.dumps({"buf": buf, "open": open_sess}),))
+            # wake when the open session's close becomes provable, or
+            # when the earliest buffered event matures
+            pend = [e[0] for e in buf]
+            if open_sess is not None:
+                pend.append(open_sess[1] + gap_us)
+            state.setTimeoutTimestamp(
+                max(min(pend) // _US_PER_MS + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [c[0] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

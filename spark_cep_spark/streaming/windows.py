@@ -461,3 +461,47 @@ def trending_stream(
     """Streaming face of the counts half; rank via trending_rank in
     foreachBatch (see tests/test_streaming.py)."""
     return trending_counts(events_stream.withWatermark("ts", watermark))
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT event_id, user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+      FROM seq)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-session RECORDS (one row per session with start/end/
+    count) — the record-level dual of stream_session's windowed
+    aggregate, and the batch twin of `sessionize_stream` (nfa.py):
+    the streaming face keeps ONE open session per key and emits a
+    session the moment a >30min gap closes it (or the watermark proves
+    no in-gap event can still arrive). Batch side: win_sessionize's
+    two shared-shuffle window passes + one hash aggregate on
+    (user, session_id)."""
+    from spark_cep_spark.operators.windows import win_sessionize
+
+    e = table(spark, sf_dir, "events")
+    sids = win_sessionize(spark, sf_dir)
+    joined = e.select("event_id", "ts").join(sids, "event_id")
+    return joined.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

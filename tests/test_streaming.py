@@ -569,3 +569,59 @@ def test_trending_stream_equals_batch(spark, sf_dir, staged):
     want = trending_rank(trending_counts(table(spark, sf_dir, "events")))
     cols = ["win_start", "event_type", "n", "rk"]
     assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
+
+
+def test_streaming_sessionize_equals_batch(spark, sf_dir):
+    """Per-key open-session state over multiple micro-batches emits
+    exactly the batch twin's session rows (zero-delay watermark +
+    far-future sentinel to flush the tail session closed)."""
+    import datetime as dt
+    import glob
+    import os
+
+    import __spark_entry__ as entry
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import sessionize_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, dt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime)
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        sessionize_stream(stream, watermark="0 seconds"), "append"
+    )
+    g = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got.collect()
+        if r["key"] != -1  # the sentinel's own session
+    }
+    w = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in entry.queries()["stream_sessionize"](spark, sf_dir).collect()
+    }
+    assert g == w
+
+
+def test_sessionize_kernel_chunking_invariance():
+    from spark_cep_spark.streaming.nfa import advance_sessionize
+
+    US = 60_000_000
+    evs = [[m * US, i] for i, m in enumerate([0, 5, 10, 50, 55, 120])]
+    gap, wm = 30 * US, 200 * US
+    _, whole = advance_sessionize(None, evs, gap, wm)
+    assert [(s[0] // US, s[1] // US, s[2]) for s in whole] == [
+        (0, 10, 3),
+        (50, 55, 2),
+        (120, 120, 1),
+    ]
+    for cut in range(len(evs) + 1):
+        st, c1 = advance_sessionize(None, evs[:cut], gap, 0)
+        st, c2 = advance_sessionize(st, evs[cut:], gap, wm)
+        assert c1 + c2 == whole
