@@ -132,3 +132,52 @@ def test_quality_filter_is_pure_projection(spark):
     """No shuffle exchange at all — scan-speed at any size."""
     p = plan_of(_q(spark, "pipeline_quality_filter"))
     assert "Exchange" not in p
+
+
+def test_static_partition_pruning(spark, tmp_path):
+    """A filter on the partition column prunes partitions at the scan:
+    the file index only lists the matching directory. Fixtures aren't
+    partitioned, so this pins the posture on a partitioned copy — the
+    layout a 100 TB events table would actually use."""
+    from spark_cep_spark.io import table
+
+    out = str(tmp_path / "events_by_type")
+    table(spark, "/root/testdata/sf0.001", "events").write.partitionBy(
+        "event_type"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter("event_type = 'error'").select(
+        "event_id"
+    )
+    p = plan_of(df)
+    assert "PartitionFilters: [isnotnull(event_type" in p
+    # the pruned scan must not enumerate other types' files
+    n = df.count()
+    full = spark.read.parquet(out).count()
+    assert 0 < n < full
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: a selective filter on the dim side prunes the partitioned
+    fact side at RUNTIME (subquery-duplicated or broadcast-reused) —
+    the join pattern that makes star-schema scans affordable at scale."""
+    from spark_cep_spark.io import table
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "orders_by_status")
+    table(spark, sf, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    # the dim filter must NOT be statically inferable onto the join
+    # column (a literal `status = 'F'` gets constraint-propagated into
+    # a STATIC partition filter — also correct, but that's the other
+    # test); an aggregate-derived filter forces the runtime subquery
+    dim = (
+        table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .filter("count < 500")  # fixture statuses: F=493 P=493 O=514
+        .select("o_orderstatus")
+    )
+    joined = fact.join(dim, "o_orderstatus").select("o_orderkey")
+    p = plan_of(joined)
+    assert "dynamicpruning" in p.lower()
+    assert joined.count() > 0
