@@ -625,3 +625,64 @@ def test_sessionize_kernel_chunking_invariance():
         st, c1 = advance_sessionize(None, evs[:cut], gap, 0)
         st, c2 = advance_sessionize(st, evs[cut:], gap, wm)
         assert c1 + c2 == whole
+
+
+def test_sessionize_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for the sessionize face: drain half the files,
+    restart from the same checkpoint with the rest — two-run output
+    equals one uninterrupted run, including sessions SPANNING the
+    restart boundary, with no duplicates."""
+    import os
+    import shutil as _shutil
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import sessionize_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+
+    def run(out, ckpt):
+        stream = harness.events_stream(spark, src, max_files_per_trigger=2)
+        q = (
+            sessionize_stream(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            _shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    copy_ordered(parts[:4])
+    run(out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    copy_ordered(parts[4:])
+    run(out, ckpt)
+
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    uninterrupted = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in harness.run_available_now(
+            sessionize_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        ).collect()
+    }
+    assert got == uninterrupted
+    assert len(got) == spark.read.parquet(out).count()  # no duplicates
+    assert 0 < n_first < len(got)  # sessions close on both sides
