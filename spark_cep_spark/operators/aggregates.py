@@ -665,3 +665,40 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", t_key).alias("first_event_id"),
         F.max_by("event_id", t_key).alias("last_event_id"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           (max({'n': n, 'neg': 0 - length(event_type),
+                 'et': event_type})).et AS top_type,
+           CAST((max({'n': n, 'neg': 0 - length(event_type),
+                      'et': event_type})).n AS BIGINT) AS top_n
+    FROM counts GROUP BY user_id
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent event_type per user).
+    Engine-native mode() breaks ties arbitrarily — here the winner is
+    the lexicographic struct-max over (count, -len(type), type), so
+    equal counts resolve identically everywhere (shorter name wins,
+    then reverse-alphabetical — any total order works as long as BOTH
+    engines use the same one). Two hash aggregates, both map-side
+    combinable; never a sort."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key = F.struct(
+        F.col("n"),
+        (F.lit(0) - F.length("event_type")).alias("neg"),
+        F.col("event_type").alias("et"),
+    )
+    return counts.groupBy("user_id").agg(
+        F.max(key).getField("et").alias("top_type"),
+        F.max(key).getField("n").cast("long").alias("top_n"),
+    )

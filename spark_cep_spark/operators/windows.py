@@ -354,3 +354,45 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(is_start).over(wsum).cast("long").alias("session_id"),
     )
+
+
+@register(
+    "win_period_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day)
+    SELECT event_type, day, n,
+           n - lag(n) OVER w AS delta,
+           CASE WHEN lag(n) OVER w > 0
+                THEN round((n - lag(n) OVER w) * 100.0 / lag(n) OVER w, 4)
+           END AS pct_change,
+           CAST(n - lag(n, 7) OVER w AS BIGINT) AS wow_delta
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def win_period_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period deltas (the metrics-dashboard staple): daily
+    counts per event type with day-over-day delta, percent change, and
+    week-over-week (lag 7) delta. One hash aggregate on data-sized
+    input, then lag windows over the tiny (type, day) series — the
+    percent change divides exact BIGINTs, so both engines compute the
+    identical double before the final round."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") - prev).alias("delta"),
+        F.when(
+            prev > 0, F.round((F.col("n") - prev) * 100.0 / prev, 4)
+        ).alias("pct_change"),
+        (F.col("n") - F.lag("n", 7).over(w)).cast("long").alias("wow_delta"),
+    )

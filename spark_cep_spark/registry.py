@@ -186,6 +186,8 @@ NEXT_ROTATION: list[str] = [
     "cep_gap_timeout",
     "win_sessionize",
     "stream_sessionize",
+    "agg_mode",
+    "win_period_delta",
 ]
 
 
