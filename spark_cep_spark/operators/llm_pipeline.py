@@ -15,7 +15,7 @@ functions (stable as the corpus grows; see SCALE.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
@@ -1052,4 +1052,100 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u") < F.col("thr"))
         .drop("u", "thr")
+    )
+
+
+@register(
+    "corpus_token_budget",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents),
+    ranked AS (
+      SELECT *,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+      FROM scored)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= 10000
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: fill a fixed training-token budget
+    (10k here) with the best documents first — quality proxy =
+    n_chars, ties by doc_id, greedy running token sum, keep while the
+    cumulative total fits. The standard budgeted-pretraining cut
+    ("train on the best N tokens"), expressed as one sort + running
+    sum + filter.
+
+    100 TB shape: the global ORDER BY is the honest cost — a budget
+    cut is a global decision. Spark range-partitions the sort; at real
+    scale, first pre-filter to ~budget x small-multiple tokens by a
+    per-partition quality threshold (sketch the quality distribution,
+    cf. corpus_sample_weighted) so the global sort sees a bounded
+    candidate set, then run this exact plan."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    w = (
+        W.orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= 10000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "corpus_dedup_stats",
+    oracle="""
+    WITH marked AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS rn
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dups,
+           round(count(*) FILTER (WHERE rn > 1) * 1.0 / count(*), 6)
+             AS dup_rate
+    FROM marked GROUP BY source
+    """,
+)
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report (the dataset-card number): a doc
+    is a dup if an earlier doc_id has byte-identical text (keep-first,
+    matching dedup_exact). One hash-window pass + one aggregate —
+    the audit that tells you WHICH source to renegotiate before you
+    spend cluster time deduping it.
+
+    100 TB shape: same as dedup_exact — the window runs on 16-byte
+    md5 keys; per-source rollup is a tiny aggregate."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    marked = d.select(
+        "source", F.row_number().over(w).alias("rn")
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dups"),
+        F.round(
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
     )

@@ -188,6 +188,8 @@ NEXT_ROTATION: list[str] = [
     "stream_sessionize",
     "agg_mode",
     "win_period_delta",
+    "corpus_token_budget",
+    "corpus_dedup_stats",
 ]
 
 
