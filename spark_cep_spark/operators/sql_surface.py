@@ -243,3 +243,54 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY vec_id
         """
     )
+
+
+@register(
+    "sql_match_recognize",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_v, min(c.ts) AS t_c
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         m AS (
+           SELECT s2.user_id AS key, s2.event_id AS anchor_id,
+                  s2.t_v, s2.t_c, min(p.ts) AS t_p
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.t_c AND p.ts <= s2.t_v + INTERVAL 6 HOUR
+           GROUP BY s2.user_id, s2.event_id, s2.t_v, s2.t_c)
+    SELECT key, CAST(count(*) AS BIGINT) AS n_funnels,
+           min(t_v) AS first_funnel, max(t_p) AS last_purchase
+    FROM m GROUP BY key HAVING count(*) >= 1
+    """,
+)
+def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded MATCH_RECOGNIZE inside an ordinary SQL statement (the
+    standard-SQL table-valued shape): the pattern relation feeds a
+    plain GROUP BY / HAVING — repeat-funnel users — with the outer
+    query planned by Catalyst like any other. One statement, two
+    engines: the MR call compiles through the same dialect as
+    cep_sql_match; the aggregation is ordinary SQL over its output."""
+    from spark_cep_spark.io import load_tables
+    from spark_cep_spark.sql import sql_with_match_recognize
+
+    load_tables(spark, sf_dir, register_views=True)
+    return sql_with_match_recognize(
+        spark,
+        """
+        SELECT key, CAST(count(*) AS BIGINT) AS n_funnels,
+               min(t_v) AS first_funnel, max(t_p) AS last_purchase
+        FROM MATCH_RECOGNIZE(events, $$
+            PATTERN ( v -> c -> p )
+            WITHIN 6 HOURS
+            DEFINE v AS event_type = 'view',
+                   c AS event_type = 'click',
+                   p AS event_type = 'purchase'
+        $$)
+        GROUP BY key HAVING count(*) >= 1
+        """,
+    )

@@ -190,6 +190,7 @@ NEXT_ROTATION: list[str] = [
     "win_period_delta",
     "corpus_token_budget",
     "corpus_dedup_stats",
+    "sql_match_recognize",
 ]
 
 

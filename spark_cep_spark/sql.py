@@ -26,6 +26,7 @@ reference-shaped API:
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from typing import Callable
 
@@ -164,3 +165,48 @@ class StreamSQL:
     def stop_all(self) -> None:
         for name in list(self._queries):
             self.stop(name)
+
+
+# ---------------------------------------------------------------------------
+# Embedded MATCH_RECOGNIZE in ordinary SQL statements
+
+_MR_CALL = re.compile(
+    r"MATCH_RECOGNIZE\s*\(\s*([A-Za-z_]\w*)\s*,\s*\$\$(.*?)\$\$\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sql_with_match_recognize(spark: SparkSession, text: str) -> DataFrame:
+    """Run a SQL statement whose FROM clause may call
+
+        MATCH_RECOGNIZE(<table_or_view>, $$ <PATTERN/WITHIN/DEFINE> $$)
+
+    — the standard-SQL shape (table-valued pattern matching inside a
+    larger query) on top of the operators.cep_sql dialect. Each call is
+    compiled (batch plan or streaming NFA, depending on the source) and
+    substituted as a temp view; the surrounding statement — joins,
+    aggregates, WHERE, anything Spark SQL accepts — then runs over the
+    match relations with full Catalyst optimization. The dialect text
+    is dollar-quoted ($$...$$) because it contains ordinary SQL string
+    literals.
+
+    Scale: zero new execution surface — the MR call compiles to the
+    same Pattern plan as match_recognize(); the outer statement is
+    plain Spark SQL over its output."""
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    out = []
+    last = 0
+    for i, m in enumerate(_MR_CALL.finditer(text)):
+        src, clause = m.group(1), m.group(2)
+        view = f"_mr_{uuid.uuid4().hex[:8]}"
+        match_recognize(spark.table(src), clause).createOrReplaceTempView(
+            view
+        )
+        out.append(text[last : m.start()])
+        out.append(view)
+        last = m.end()
+    if not out:
+        raise ValueError("no MATCH_RECOGNIZE(table, $$...$$) call found")
+    out.append(text[last:])
+    return spark.sql("".join(out))

@@ -130,3 +130,85 @@ def test_pattern_query_accepts_sql_text(spark, sf_dir):
     }
     assert got == want and len(got) > 0
     eng.stop_all()
+
+
+def test_embedded_match_recognize_batch_statement(spark, sf_dir):
+    """MATCH_RECOGNIZE(table, $$...$$) inside a SELECT: the outer
+    WHERE/projection run as ordinary SQL over the match relation."""
+    from spark_cep_spark.io import load_tables
+    from spark_cep_spark.operators.cep import Pattern
+    from spark_cep_spark.sql import sql_with_match_recognize
+
+    load_tables(spark, sf_dir, register_views=True)
+    got = sql_with_match_recognize(
+        spark,
+        """
+        SELECT key, anchor_id FROM MATCH_RECOGNIZE(events, $$
+            PATTERN ( v -> p )
+            WITHIN 2 HOURS
+            DEFINE v AS event_type = 'view',
+                   p AS event_type = 'purchase'
+        $$)
+        WHERE key % 2 = 0
+        """,
+    )
+    want = (
+        Pattern.begin("v", "event_type = 'view'")
+        .followed_by("p", "event_type = 'purchase'")
+        .within("2 HOURS")
+        .compile_batch(table(spark, sf_dir, "events"))
+        .filter("key % 2 = 0")
+        .select("key", "anchor_id")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_embedded_match_recognize_streaming_statement(spark, sf_dir):
+    """The same embedded call over a REGISTERED STREAM table compiles
+    to the NFA and the outer stateless SQL runs on the match stream."""
+    from spark_cep_spark.operators.cep import Pattern
+    from spark_cep_spark.sql import StreamSQL, sql_with_match_recognize
+    from spark_cep_spark.streaming.nfa import compile_stream
+
+    eng = StreamSQL(spark)
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    eng.register_stream("events_s", stream)
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT key, anchor_id, t_v FROM MATCH_RECOGNIZE(events_s, $$
+            PATTERN ( v -> p )
+            WITHIN 2 HOURS
+            DEFINE v AS event_type = 'view',
+                   p AS event_type = 'purchase'
+        $$)
+        WHERE key % 2 = 0
+        """,
+    )
+    assert out.isStreaming
+    got = harness.run_available_now(out, "append")
+    pat = (
+        Pattern.begin("v", "event_type = 'view'")
+        .followed_by("p", "event_type = 'purchase'")
+        .within("2 HOURS")
+    )
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    want = (
+        pat.compile_batch(events)
+        .filter("key % 2 = 0")
+        .filter(F.expr(f"t_v + INTERVAL 2 HOURS <= timestamp'{max_ts}'"))
+        .select("key", "anchor_id")
+    )
+    g = sorted(map(tuple, got.select("key", "anchor_id").collect()))
+    # streaming side may additionally emit matches in the not-yet-
+    # provable tail window; restrict both to the provable region
+    got_f = got.filter(
+        F.expr(f"t_v + INTERVAL 2 HOURS <= timestamp'{max_ts}'")
+    )
+    g = sorted(map(tuple, got_f.select("key", "anchor_id").collect()))
+    assert g == sorted(map(tuple, want.collect()))
+    assert len(g) > 0

@@ -56,6 +56,11 @@ KEYS = [
     "corpus_shuffle",
     "corpus_interleave",
     "pipeline_corpus_clean",
+    "dedup_edit_nn",
+    "pipeline_scrub_boilerplate",
+    "pipeline_dedup_keep_best",
+    "corpus_token_budget",
+    "corpus_dedup_stats",
 ]
 
 
