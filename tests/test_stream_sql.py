@@ -212,3 +212,47 @@ def test_embedded_match_recognize_streaming_statement(spark, sf_dir):
     g = sorted(map(tuple, got_f.select("key", "anchor_id").collect()))
     assert g == sorted(map(tuple, want.collect()))
     assert len(g) > 0
+
+
+def test_match_recognize_over_derived_event_stream(spark):
+    """Cascading CEP (derived event streams): first-level matches are
+    reshaped into an event schema and a SECOND pattern runs over them —
+    repeat-funnel detection as pattern-over-pattern, the CEP
+    composability story the embedded-call surface enables. sf0.01 (the
+    sf0.001 smoke fixture has too few funnels for a second level)."""
+    from spark_cep_spark.io import load_tables
+    from spark_cep_spark.sql import sql_with_match_recognize
+
+    load_tables(spark, "/root/testdata/sf0.01", register_views=True)
+    # level 1: view->purchase funnels, deduped to one event per
+    # (user, purchase time) and reshaped to an event stream
+    sql_with_match_recognize(
+        spark,
+        """
+        SELECT key AS user_id, min(anchor_id) AS event_id, t_p AS ts,
+               'funnel' AS event_type, 1.0 AS value
+        FROM MATCH_RECOGNIZE(events, $$
+            PATTERN ( v -> p )
+            WITHIN 2 HOURS
+            DEFINE v AS event_type = 'view',
+                   p AS event_type = 'purchase'
+        $$)
+        GROUP BY key, t_p
+        """,
+    ).createOrReplaceTempView("funnel_events")
+    # level 2: two funnels for the same user within two days
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT key, t_f1, t_f2 FROM MATCH_RECOGNIZE(funnel_events, $$
+            PATTERN ( f1 -> f2 )
+            WITHIN 48 HOURS
+            DEFINE f1 AS event_type = 'funnel',
+                   f2 AS event_type = 'funnel'
+        $$)
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["t_f2"] > r["t_f1"]
