@@ -289,6 +289,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("d")
     )
     n_nodes = deg.count()  # scalar graph size — one job, not per-row
+    if n_nodes == 0:
+        # empty graph: no nodes, no ranks (the teleport term divides
+        # by N — guarded, same degenerate-input discipline as the
+        # text-op gram guards)
+        return spark.createDataFrame([], "node long, pr_fixed long")
 
     pr = deg.withColumn(
         "pr", F.lit(_PR_SCALE // n_nodes).cast("long")
