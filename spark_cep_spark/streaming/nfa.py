@@ -1711,11 +1711,17 @@ def transition_stream(
     a stateless groupBy(prev,next).count() — or stream_trending's
     incremental counts — turns the edge stream into the live
     transition matrix; the batch twin aggregates the same pairs."""
-    prepared = events_stream.withWatermark(time_col, watermark).select(
-        F.col(key_col).alias("key"),
-        F.col(time_col).alias("ts"),
-        F.col(id_col).alias("eid"),
-        F.col(type_col).alias("etype"),
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        # an event without a timestamp or key cannot be sequenced —
+        # NaT would otherwise turn into int64 garbage in the kernel
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("etype"),
+        )
     )
     out_schema = T.StructType(
         [
@@ -1829,10 +1835,15 @@ def sessionize_stream(
     count — the streaming face identifies sessions by their start)."""
     gap_us = _interval_to_ms(gap) * _US_PER_MS
 
-    prepared = events_stream.withWatermark(time_col, watermark).select(
-        F.col(key_col).alias("key"),
-        F.col(time_col).alias("ts"),
-        F.col(id_col).alias("eid"),
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        # same null discipline as transition_stream
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+        )
     )
     out_schema = T.StructType(
         [

@@ -39,6 +39,8 @@ DEGENERATE_EVENTS = [
 ]
 
 EVENTS_KEYS = [
+    "agg_mode", "win_period_delta", "win_sessionize", "stream_sessionize",
+    "cep_gap_timeout", "sql_match_recognize",
     "rollup_interpolate", "agg_argminmax", "win_running_distinct",
     "join_asof_tolerance", "graph_transitions", "cep_reluctant_optional",
     "cep_sql_reluctant",
@@ -90,6 +92,8 @@ def test_operator_survives_degenerate_events(
 
 
 EMPTY_SWEEP_KEYS = [
+    "agg_mode", "win_period_delta", "win_sessionize", "stream_sessionize",
+    "cep_gap_timeout",
     "rollup_interpolate", "agg_argminmax", "win_running_distinct",
     "join_asof_tolerance", "graph_transitions", "cep_reluctant_optional",
     "agg_ohlc", "stream_trending", "cep_optional", "cep_times_range",
