@@ -571,10 +571,12 @@ def rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is pure arithmetic on two already-aggregated doubles, so
     both engines execute the identical IEEE expression."""
     e = table(spark, sf_dir, "events")
+    # two consumers (spine min/max + the grid join) — persist so the
+    # data-sized hourly aggregate computes once
     b = e.groupBy(
         F.date_trunc("hour", "ts").alias("hr"),
         "event_type",
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(F.round(F.sum("value"), 2).alias("v")).persist()
 
     spine = (
         b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))

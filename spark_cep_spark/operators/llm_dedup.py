@@ -953,7 +953,12 @@ def dedup_edit_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; block sizes are bounded by construction (prefix+length double
     filter), and at real scale the block key would add a third
     component (e.g. a MinHash band) to cap the quadratic-in-block
-    verify. Levenshtein evaluates JVM-side (built-in), no Python."""
+    verify. Levenshtein evaluates JVM-side (built-in), no Python.
+
+    Engine note: Spark's levenshtein counts CODEPOINT edits (the right
+    text semantics); DuckDB's counts BYTES, so the oracle parity holds
+    on ASCII corpora only (the fixture domain) — pinned explicitly in
+    tests/test_unicode_corpus.py."""
     d = table(spark, sf_dir, "documents")
     blocked = d.select(
         "doc_id",

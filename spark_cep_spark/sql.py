@@ -196,17 +196,26 @@ def sql_with_match_recognize(spark: SparkSession, text: str) -> DataFrame:
     from spark_cep_spark.operators.cep_sql import match_recognize
 
     out = []
+    views = []
     last = 0
-    for i, m in enumerate(_MR_CALL.finditer(text)):
-        src, clause = m.group(1), m.group(2)
-        view = f"_mr_{uuid.uuid4().hex[:8]}"
-        match_recognize(spark.table(src), clause).createOrReplaceTempView(
-            view
-        )
-        out.append(text[last : m.start()])
-        out.append(view)
-        last = m.end()
-    if not out:
-        raise ValueError("no MATCH_RECOGNIZE(table, $$...$$) call found")
-    out.append(text[last:])
-    return spark.sql("".join(out))
+    try:
+        for m in _MR_CALL.finditer(text):
+            src, clause = m.group(1), m.group(2)
+            view = f"_mr_{uuid.uuid4().hex[:8]}"
+            match_recognize(spark.table(src), clause).createOrReplaceTempView(
+                view
+            )
+            views.append(view)
+            out.append(text[last : m.start()])
+            out.append(view)
+            last = m.end()
+        if not out:
+            raise ValueError("no MATCH_RECOGNIZE(table, $$...$$) call found")
+        out.append(text[last:])
+        return spark.sql("".join(out))
+    finally:
+        # the returned DataFrame holds its own resolved plan — the
+        # scaffolding views are dropped so repeated calls (a serving
+        # StreamSQL engine) never accumulate catalog entries
+        for v in views:
+            spark.catalog.dropTempView(v)

@@ -1751,10 +1751,19 @@ def transition_stream(
                 for ts, eid, et in zip(
                     ts_us.tolist(), pdf["eid"].tolist(), pdf["etype"].tolist()
                 ):
-                    buf.append([int(ts), int(eid), str(et)])
+                    # eid orders ties; a null id cannot be sequenced.
+                    # etype stays None (NOT the string "None") so the
+                    # emitted edge matches the batch twin's SQL NULL
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [int(ts), int(eid), None if pd.isna(et) else str(et)]
+                    )
 
         wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
-        buf.sort()
+        # key on (ts, eid): the 3rd element may be None and must
+        # never participate in comparisons
+        buf.sort(key=lambda e: (e[0], e[1]))
         matured = [e for e in buf if e[0] <= wm_us]
         buf = [e for e in buf if e[0] > wm_us]
 
@@ -1870,6 +1879,8 @@ def sessionize_stream(
                     continue
                 ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
                 for ts, eid in zip(ts_us.tolist(), pdf["eid"].tolist()):
+                    if eid is None or pd.isna(eid):  # see transition_stream
+                        continue
                     buf.append([int(ts), int(eid)])
 
         wm_us = state.getCurrentWatermarkMs() * _US_PER_MS

@@ -495,12 +495,27 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     no in-gap event can still arrive). Batch side: win_sessionize's
     two shared-shuffle window passes + one hash aggregate on
     (user, session_id)."""
-    from spark_cep_spark.operators.windows import win_sessionize
+    from pyspark.sql import Window as W
 
+    # the session-id assignment is computed inline (same logic as
+    # win_sessionize) carrying ts, instead of joining back on
+    # event_id — event_id is not guaranteed unique (the degenerate
+    # fixture ships duplicates), and a re-join would multiply rows
     e = table(spark, sf_dir, "events")
-    sids = win_sessionize(spark, sf_dir)
-    joined = e.select("event_id", "ts").join(sids, "event_id")
-    return joined.groupBy("user_id", "session_id").agg(
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(is_start).over(wsum).cast("long").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).cast("long").alias("n_events"),

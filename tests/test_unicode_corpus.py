@@ -56,7 +56,6 @@ KEYS = [
     "corpus_shuffle",
     "corpus_interleave",
     "pipeline_corpus_clean",
-    "dedup_edit_nn",
     "pipeline_scrub_boilerplate",
     "pipeline_dedup_keep_best",
     "corpus_token_budget",
@@ -106,3 +105,26 @@ def test_unicode_oracle_parity(spark, unicode_dir, duck, key):
     a, b = normalize(sdf), normalize(odf)
     ok, why, _warns = frames_equal(a, b, tol=0.0)
     assert ok, f"{key}: {why}"
+
+
+def test_edit_nn_levenshtein_is_codepoint_based_unlike_duckdb(spark):
+    """Documented engine divergence (found by review, kept explicit):
+    Spark's levenshtein counts CODEPOINT edits while DuckDB's counts
+    BYTE edits, so dedup_edit_nn's oracle parity holds only on ASCII
+    corpora (the fixture domain). The op itself uses the codepoint
+    semantics — the right one for text. dedup_edit_nn is therefore
+    excluded from the oracle-parity KEYS above; this test pins the
+    Spark-side semantics on multibyte input instead."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(F.levenshtein(F.lit("café x"), F.lit("cafe x")).alias("d"))
+        .first()
+    )
+    assert row["d"] == 1  # one codepoint substitution
+    assert duckdb.sql(
+        "SELECT levenshtein('café x', 'cafe x')"
+    ).fetchone()[0] == 2  # é is two UTF-8 bytes — byte-based
