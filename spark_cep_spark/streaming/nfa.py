@@ -1349,6 +1349,14 @@ def compile_stream_multi(
                 "contig": contig,
                 "n": len(steps),
                 "bound_us": _interval_to_ms(pat.time_bound) * _US_PER_MS,
+                "gaps": (
+                    [
+                        _interval_to_ms(s.gap) * _US_PER_MS if s.gap else None
+                        for s in steps
+                    ]
+                    if any(s.gap for s in steps)
+                    else None
+                ),
                 "plan": plan,
                 "measures": [
                     (a, _compile_measure_py(e)) for a, e in pat.measures
@@ -1500,6 +1508,7 @@ def compile_stream_multi(
                 env_names=sp["env_names"],
                 emit_env=bool(sp["measures"]),
                 run_cols=sp["run_cols"],
+                gaps=sp["gaps"],
             )
             per_pat[sp["name"]] = partials
             for mt in matches:

@@ -789,3 +789,38 @@ def test_gap_kernel_chunking_invariance():
         [], evs, contig, 3600 * US, wm, gaps=[None, 2 * US]
     )
     assert tight == []
+
+
+def test_multi_pattern_respects_gaps(spark, sf_dir):
+    """compile_stream_multi must thread per-step gap deadlines — a
+    gapped pattern in the registry equals its individual
+    compile_stream run (before the fix the multi path silently ignored
+    gaps and over-matched)."""
+    from spark_cep_spark.streaming.nfa import compile_stream_multi
+
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'", gap="10 MINUTES")
+        .within("24 HOURS")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+    multi = harness.run_available_now(
+        compile_stream_multi(
+            {"gapped": pat},
+            harness.events_stream(spark, staged, max_files_per_trigger=2),
+            watermark="0 seconds",
+        ),
+        "append",
+    )
+    single = harness.run_available_now(
+        compile_stream(
+            pat,
+            harness.events_stream(spark, staged, max_files_per_trigger=2),
+            watermark="0 seconds",
+        ),
+        "append",
+    )
+    m = {(r["key"], r["anchor_id"]) for r in multi.collect()}
+    s_ = {(r["key"], r["anchor_id"]) for r in single.collect()}
+    assert m == s_
+    assert len(m) > 0
