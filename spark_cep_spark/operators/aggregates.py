@@ -704,3 +704,36 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(key).getField("et").alias("top_type"),
         F.max(key).getField("n").cast("long").alias("top_n"),
     )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 100) AS any_extreme,
+           round(sum(value) FILTER (WHERE value > 50), 2) AS sum_high
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count_if family):
+    per-type counts and sums restricted by predicates, plus bool_and /
+    bool_or quantifiers — the surface SQL dashboards are built from.
+    Expressed with count_if/sum(when) on the Spark side and FILTER
+    clauses in the oracle; identical 3VL semantics (NULL predicate
+    rows are excluded from the filtered aggregate, and the bool
+    quantifiers ignore NULL operands). One map-side-combinable hash
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).cast("long").alias("n_high"),
+        F.count_if(F.col("value").isNull()).cast("long").alias("n_null"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 100).alias("any_extreme"),
+        F.round(
+            F.sum(F.when(F.col("value") > 50, F.col("value"))), 2
+        ).alias("sum_high"),
+    )

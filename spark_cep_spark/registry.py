@@ -191,6 +191,7 @@ NEXT_ROTATION: list[str] = [
     "corpus_token_budget",
     "corpus_dedup_stats",
     "sql_match_recognize",
+    "agg_conditional",
 ]
 
 

@@ -39,6 +39,7 @@ DEGENERATE_EVENTS = [
 ]
 
 EVENTS_KEYS = [
+    "agg_conditional",
     "agg_mode", "win_period_delta", "win_sessionize", "stream_sessionize",
     "cep_gap_timeout", "sql_match_recognize",
     "rollup_interpolate", "agg_argminmax", "win_running_distinct",
@@ -92,6 +93,7 @@ def test_operator_survives_degenerate_events(
 
 
 EMPTY_SWEEP_KEYS = [
+    "agg_conditional",
     "agg_mode", "win_period_delta", "win_sessionize", "stream_sessionize",
     "cep_gap_timeout",
     "rollup_interpolate", "agg_argminmax", "win_running_distinct",
