@@ -1120,3 +1120,54 @@ def test_full_nfa_gaps_chunking_invariance(rows, cg, bound, wms):
         )
         got.extend(m)
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Sessionize kernel: brute force + chunking invariance under random input
+
+
+def brute_force_sessions(ts_list, gap, wm):
+    """Reference sessionizer: sort, split on >gap silences, close the
+    trailing session only once the watermark proves it (wm > last+gap)."""
+    out, cur = [], None
+    for ts in sorted(ts_list):
+        if cur is None:
+            cur = [ts, ts, 1]
+        elif ts - cur[1] > gap:
+            out.append(cur)
+            cur = [ts, ts, 1]
+        else:
+            cur = [cur[0], ts, cur[2] + 1]
+    if cur is not None and cur[1] + gap < wm:
+        out.append(cur)
+        cur = None
+    return cur, out
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=300), min_size=0, max_size=40),
+    gap=st.integers(min_value=1, max_value=50),
+    wms=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=5),
+)
+@settings(max_examples=400, deadline=None)
+def test_sessionize_kernel_matches_brute_force(ts, gap, wms):
+    from spark_cep_spark.streaming.nfa import advance_sessionize
+
+    wms = sorted(set(wms))
+    final_wm = wms[-1]
+    evs = sorted([[t, i] for i, t in enumerate(ts)])
+    matured_all = [e for e in evs if e[0] <= final_wm]
+    want_state, want = brute_force_sessions(
+        [e[0] for e in matured_all], gap, final_wm
+    )
+    # one shot
+    st_, got = advance_sessionize(None, matured_all, gap, final_wm)
+    assert got == want and st_ == want_state
+    # incremental through a monotone watermark schedule
+    state, got_inc, fed = None, [], set()
+    for wm in wms:
+        chunk = sorted(e for e in evs if e[0] <= wm and e[1] not in fed)
+        fed.update(e[1] for e in chunk)
+        state, c = advance_sessionize(state, chunk, gap, wm)
+        got_inc.extend(c)
+    assert got_inc == want and state == want_state
