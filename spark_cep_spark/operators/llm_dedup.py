@@ -1085,3 +1085,74 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_incremental_dedup",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT doc_id, md5(text) AS h FROM documents),
+    first_hash AS (
+      SELECT h, min(doc_id) AS first_id FROM hashes GROUP BY h),
+    sigs AS ({minhash_sig_sql()}),
+    first_sig AS (
+      SELECT sig, min(doc_id) AS first_id FROM sigs GROUP BY sig),
+    new_docs AS (
+      SELECT d.doc_id, h.h, s.sig
+      FROM documents d
+      JOIN hashes h ON h.doc_id = d.doc_id
+      LEFT JOIN sigs s ON s.doc_id = d.doc_id
+      WHERE d.doc_id >= 400)
+    SELECT n.doc_id,
+           CASE WHEN fh.first_id < n.doc_id THEN 'exact_dup'
+                WHEN fs.first_id < n.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS verdict,
+           CASE WHEN fh.first_id < n.doc_id THEN fh.first_id
+                WHEN fs.first_id < n.doc_id THEN fs.first_id END AS dup_of
+    FROM new_docs n
+    JOIN first_hash fh ON fh.h = n.h
+    LEFT JOIN first_sig fs ON fs.sig = n.sig
+    """,
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) dedup: new documents (doc_id >= 400
+    — the batch boundary stands in for an ingest date) are checked
+    against the EXISTING corpus and against earlier docs in their own
+    batch: byte-identical text -> 'exact_dup', same MinHash signature
+    -> 'near_dup', else 'kept'; dup_of names the earliest holder.
+    Exact beats near. Docs too short for a signature can only be
+    exact dups (guarded-gram convention).
+
+    100 TB shape: the production form indexes the existing corpus's
+    (hash, first_id) and (sig, first_id) tables ONCE and keeps them as
+    compact parquet (16-byte keys); each ingest batch joins against
+    them and appends its own survivors — this operator is that
+    join-and-classify step, expressed over the fixture's id split.
+    Nothing rescans old text; both lookups are equi-joins on hashes."""
+    d = table(spark, sf_dir, "documents")
+    hashes = d.select("doc_id", F.md5("text").alias("h"))
+    first_hash = hashes.groupBy("h").agg(F.min("doc_id").alias("fh_id"))
+    sigs = _minhash_signature(d)
+    first_sig = sigs.groupBy("sig").agg(F.min("doc_id").alias("fs_id"))
+    new_docs = (
+        d.filter(F.col("doc_id") >= 400)
+        .select("doc_id")
+        .join(hashes, "doc_id")
+        .join(sigs, "doc_id", "left")
+    )
+    j = (
+        new_docs.join(first_hash, "h")
+        .join(first_sig, "sig", "left")
+    )
+    exact = F.col("fh_id") < F.col("doc_id")
+    near = F.col("fs_id") < F.col("doc_id")
+    return j.select(
+        "doc_id",
+        F.when(exact, "exact_dup")
+        .when(near, "near_dup")
+        .otherwise("kept")
+        .alias("verdict"),
+        F.when(exact, F.col("fh_id")).when(near, F.col("fs_id")).alias(
+            "dup_of"
+        ),
+    )

@@ -192,6 +192,7 @@ NEXT_ROTATION: list[str] = [
     "corpus_dedup_stats",
     "sql_match_recognize",
     "agg_conditional",
+    "pipeline_incremental_dedup",
 ]
 
 

@@ -1171,3 +1171,65 @@ def test_sessionize_kernel_matches_brute_force(ts, gap, wms):
         state, c = advance_sessionize(state, chunk, gap, wm)
         got_inc.extend(c)
     assert got_inc == want and state == want_state
+
+
+@given(
+    rows=event_streams(),
+    contig=contiguities(),
+    bound=st.integers(min_value=1, max_value=25),
+    wm=st.integers(min_value=0, max_value=60),
+    values=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=6
+    ),
+    op_name=st.sampled_from(sorted(_OPS)),
+    ci_seed=st.integers(min_value=0, max_value=7),
+    gap_seed=st.lists(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=12)),
+        min_size=4,
+        max_size=4,
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_full_nfa_corr_and_gaps_match_brute_force(
+    rows, contig, bound, wm, values, op_name, ci_seed, gap_seed
+):
+    """Correlation AND per-step gaps together: a step may require both
+    the bind-time value predicate and the per-transition deadline —
+    the two conjuncts must compose identically in the kernel and the
+    brute-force referee (gaps are independent of the env machinery,
+    but only a combined run proves the conjunction order can't drop
+    one)."""
+    setup = _corr_setup(rows, contig, values, op_name, ci_seed)
+    if setup is None:
+        return
+    ci, op, events, corr, env_names = setup
+    # per-step gaps: never on the anchor, never on a kleene step
+    gaps = [None] + [
+        None if contig[i] == "kleene" else gap_seed[(i - 1) % len(gap_seed)]
+        for i in range(1, len(contig))
+    ]
+    if all(g is None for g in gaps):
+        gaps = None
+    events = [e for e in events if e[0] <= wm]
+    _, got = advance_nfa_full(
+        [],
+        events,
+        contig,
+        bound,
+        wm,
+        corr=corr,
+        val_cols=("value",),
+        env_names=env_names,
+        gaps=gaps,
+    )
+    want = brute_force_full(
+        events,
+        contig,
+        bound,
+        wm,
+        corr_idx=ci,
+        corr_fn=corr[ci],
+        env_names=env_names,
+        gaps=gaps,
+    )
+    assert sorted(got) == want
