@@ -169,3 +169,39 @@ def test_maxsim_rewards_local_agreement_over_pooled_dot(spark):
         S.table = orig
     assert out[1] == 1  # exact local match wins
     assert out[2] == 2
+
+
+def test_incremental_dedup_verdicts_on_planted_batch(spark):
+    import spark_cep_spark.operators.llm_dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"  # last token differs
+    rows = [
+        (1, base, "en", "s", 0),  # existing corpus
+        (2, "one two three four five six", "en", "s", 0),
+        # new batch (>= 400)
+        (401, base, "en", "s", 0),  # exact dup of 1
+        (402, near, "en", "s", 0),  # near dup of 1 (minhash may match)
+        (403, "totally different words entirely here now", "en", "s", 0),
+        (404, base, "en", "s", 0),  # exact dup again -> still dup_of 1
+    ]
+    orig = _with_docs(spark, D, rows)
+    try:
+        out = {
+            r["doc_id"]: (r["verdict"], r["dup_of"])
+            for r in D.pipeline_incremental_dedup(spark, "x").collect()
+        }
+    finally:
+        D.table = orig
+    assert set(out) == {401, 402, 403, 404}
+    assert out[401] == ("exact_dup", 1)
+    assert out[404] == ("exact_dup", 1)
+    assert out[403] == ("kept", None)
+    # 402: near-dup only if the 6-hash signature collides; with a
+    # single trailing-token change on an 8-token doc, 5 of 6 shingles
+    # are shared — signature equality is data-dependent, but the
+    # verdict must never be exact_dup and dup_of must be 1 if matched
+    v, dof = out[402]
+    assert v in ("near_dup", "kept")
+    if v == "near_dup":
+        assert dof == 1
