@@ -714,7 +714,8 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
            bool_and(value > 0) AS all_positive,
            bool_or(value > 100) AS any_extreme,
-           round(sum(value) FILTER (WHERE value > 50), 2) AS sum_high
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  FILTER (WHERE value > 50) AS BIGINT) AS sum_high_cents
     FROM events GROUP BY event_type
     """,
 )
@@ -725,15 +726,19 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expressed with count_if/sum(when) on the Spark side and FILTER
     clauses in the oracle; identical 3VL semantics (NULL predicate
     rows are excluded from the filtered aggregate, and the bool
-    quantifiers ignore NULL operands). One map-side-combinable hash
-    aggregate."""
+    quantifiers ignore NULL operands). The filtered sum accumulates
+    exact integer cents (round-to-int per row BEFORE the sum — the
+    module's float discipline: a round(sum(double), 2) is partition-
+    order dependent at half-cent boundaries). One map-side-combinable
+    hash aggregate."""
     e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
     return e.groupBy("event_type").agg(
         F.count_if(F.col("value") > 50).cast("long").alias("n_high"),
         F.count_if(F.col("value").isNull()).cast("long").alias("n_null"),
         F.bool_and(F.col("value") > 0).alias("all_positive"),
         F.bool_or(F.col("value") > 100).alias("any_extreme"),
-        F.round(
-            F.sum(F.when(F.col("value") > 50, F.col("value"))), 2
-        ).alias("sum_high"),
+        F.sum(F.when(F.col("value") > 50, cents))
+        .cast("long")
+        .alias("sum_high_cents"),
     )

@@ -1098,11 +1098,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_sig AS (
       SELECT sig, min(doc_id) AS first_id FROM sigs GROUP BY sig),
     new_docs AS (
-      SELECT d.doc_id, h.h, s.sig
-      FROM documents d
-      JOIN hashes h ON h.doc_id = d.doc_id
-      LEFT JOIN sigs s ON s.doc_id = d.doc_id
-      WHERE d.doc_id >= 400)
+      SELECT h.doc_id, h.h, s.sig
+      FROM hashes h
+      LEFT JOIN sigs s ON s.doc_id = h.doc_id
+      WHERE h.doc_id >= 400)
     SELECT n.doc_id,
            CASE WHEN fh.first_id < n.doc_id THEN 'exact_dup'
                 WHEN fs.first_id < n.doc_id THEN 'near_dup'
@@ -1110,7 +1109,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN fh.first_id < n.doc_id THEN fh.first_id
                 WHEN fs.first_id < n.doc_id THEN fs.first_id END AS dup_of
     FROM new_docs n
-    JOIN first_hash fh ON fh.h = n.h
+    LEFT JOIN first_hash fh ON fh.h = n.h
     LEFT JOIN first_sig fs ON fs.sig = n.sig
     """,
 )
@@ -1130,18 +1129,21 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-and-classify step, expressed over the fixture's id split.
     Nothing rescans old text; both lookups are equi-joins on hashes."""
     d = table(spark, sf_dir, "documents")
-    hashes = d.select("doc_id", F.md5("text").alias("h"))
+    # hashes and sigs each feed two consumers (the first-holder
+    # aggregate and the new-batch projection) — persist so the md5
+    # scan and the shingle-explode minhash run once
+    hashes = d.select("doc_id", F.md5("text").alias("h")).persist()
     first_hash = hashes.groupBy("h").agg(F.min("doc_id").alias("fh_id"))
-    sigs = _minhash_signature(d)
+    sigs = _minhash_signature(d).persist()
     first_sig = sigs.groupBy("sig").agg(F.min("doc_id").alias("fs_id"))
-    new_docs = (
-        d.filter(F.col("doc_id") >= 400)
-        .select("doc_id")
-        .join(hashes, "doc_id")
-        .join(sigs, "doc_id", "left")
+    # hashes already carries every doc_id — no re-scan of documents.
+    # Both holder joins are LEFT so NULL-text docs (NULL hash key
+    # matches nothing) are still CLASSIFIED (as kept), never dropped.
+    new_docs = hashes.filter(F.col("doc_id") >= 400).join(
+        sigs, "doc_id", "left"
     )
     j = (
-        new_docs.join(first_hash, "h")
+        new_docs.join(first_hash, "h", "left")
         .join(first_sig, "sig", "left")
     )
     exact = F.col("fh_id") < F.col("doc_id")

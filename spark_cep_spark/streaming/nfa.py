@@ -1338,6 +1338,11 @@ def compile_stream_multi(
                 raise ValueError(f"{pname}: not_followed_by must be last")
         if steps[0].contiguity != "relaxed":
             raise ValueError(f"{pname}: pattern must start with begin()")
+        for s in steps:
+            if s.gap is not None and s.contiguity == "kleene":
+                raise ValueError(
+                    f"{pname}: gap= is not supported on one_or_more steps"
+                )
         plan = pat.corr_plan()
         all_cols |= set(plan["all_cols"])
         contig = [s.contiguity for s in steps]

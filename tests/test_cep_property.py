@@ -1127,21 +1127,29 @@ def test_full_nfa_gaps_chunking_invariance(rows, cg, bound, wms):
 
 
 def brute_force_sessions(ts_list, gap, wm):
-    """Reference sessionizer: sort, split on >gap silences, close the
-    trailing session only once the watermark proves it (wm > last+gap)."""
-    out, cur = [], None
-    for ts in sorted(ts_list):
-        if cur is None:
-            cur = [ts, ts, 1]
-        elif ts - cur[1] > gap:
-            out.append(cur)
-            cur = [ts, ts, 1]
-        else:
-            cur = [cur[0], ts, cur[2] + 1]
-    if cur is not None and cur[1] + gap < wm:
-        out.append(cur)
-        cur = None
-    return cur, out
+    """Independent reference sessionizer, deliberately NOT the kernel's
+    fold: split points come from pairwise diffs of the sorted list
+    (gaps-and-islands, the batch win_sessionize formulation) and
+    segments are materialized wholesale — so a shared off-by-one in the
+    kernel's gap or watermark-close comparison cannot hide."""
+    ts_sorted = sorted(ts_list)
+    if not ts_sorted:
+        return None, []
+    # boundary BEFORE index i iff the silence before it exceeds gap
+    boundaries = [0] + [
+        i
+        for i in range(1, len(ts_sorted))
+        if ts_sorted[i] - ts_sorted[i - 1] > gap
+    ] + [len(ts_sorted)]
+    segments = [
+        ts_sorted[a:b] for a, b in zip(boundaries, boundaries[1:])
+    ]
+    sessions = [[seg[0], seg[-1], len(seg)] for seg in segments]
+    # the last session stays OPEN unless the watermark proves no
+    # extension can arrive
+    if sessions and not (sessions[-1][1] + gap < wm):
+        return sessions[-1], sessions[:-1]
+    return None, sessions
 
 
 @given(
