@@ -417,3 +417,31 @@ def test_greedy_and_reluctant_agree_when_unambiguous(spark):
         for r in match_recognize(df, RELUCTANT_SQL).collect()
     }
     assert g == r_
+
+
+def test_gapped_connector_composes_with_reluctant_optional(spark):
+    """`s =[10 MINUTES]=> b?? =[10 MINUTES]=> p`: quantifier expansion
+    carries gapped connectors verbatim into each variant, so the gap
+    deadline applies in both the skip and take branches."""
+    rows = [
+        # user 1: s then p 5 min later (adjacent, in gap) -> skip branch
+        (1, 0, "signup"), (1, 5, "purchase"),
+        # user 2: s, b(+5), p(+10): strict chain, every hop in gap
+        (2, 0, "signup"), (2, 5, "click"), (2, 10, "purchase"),
+        # user 3: s, b(+5), p(+40): second hop breaks the 10-min gap
+        (3, 0, "signup"), (3, 5, "click"), (3, 45, "purchase"),
+    ]
+    out = match_recognize(
+        _events_df(spark, rows),
+        """
+PATTERN ( s =[10 MINUTES]=> b?? =[10 MINUTES]=> p )
+WITHIN 2 HOURS
+DEFINE s AS event_type = 'signup',
+       b AS event_type = 'click',
+       p AS event_type = 'purchase'
+""",
+    )
+    got = {r["key"]: r["variant"] for r in out.collect()}
+    assert got[1] == "s=[10 MINUTES]=>p"
+    assert got[2] == "s=[10 MINUTES]=>b=[10 MINUTES]=>p"
+    assert 3 not in got

@@ -147,3 +147,25 @@ def test_transition_kernel_chunking_invariance():
         st, out1 = advance_transitions(None, evs[:cut])
         st, out2 = advance_transitions(st, evs[cut:])
         assert out1 + out2 == whole
+
+
+def test_transition_kernel_matches_pairwise_reference():
+    """Independent referee for advance_transitions: the expected edge
+    list is built from zip(sorted, sorted[1:]) wholesale — not the
+    kernel's fold — so a shared state-threading bug cannot hide."""
+    from spark_cep_spark.streaming.nfa import advance_transitions
+
+    import random
+
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randint(0, 20)
+        evs = sorted(
+            [[rng.randint(0, 100) * 1000, i, rng.choice("abc")] for i in range(n)]
+        )
+        want = [
+            [b[0], b[1], a[2], b[2]] for a, b in zip(evs, evs[1:])
+        ]
+        st, got = advance_transitions(None, evs)
+        assert got == want
+        assert (st is None) == (n == 0)
