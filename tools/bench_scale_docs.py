@@ -29,6 +29,15 @@ OPS = [
     "text_surprisal",
     "text_boilerplate",
     "pipeline_end_to_end",
+    # round-4b additions
+    "pipeline_scrub_boilerplate",
+    "pipeline_dedup_keep_best",
+    "pipeline_incremental_dedup",
+    "corpus_dedup_stats",
+    # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
+    # quadratically within blocks (measured: >15 min at 40k docs vs
+    # 11 s at 5k — the hazard SCALE.md documents; at real scale the
+    # block key gains a MinHash band component first)
 ]
 
 
