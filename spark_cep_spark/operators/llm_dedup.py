@@ -1158,3 +1158,98 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of"
         ),
     )
+
+
+@register(
+    "dedup_edit_banded",
+    oracle=f"""
+    WITH hashes AS ({minhash_hashes_sql()}),
+    bands AS ({_LSH_BANDS_SQL}),
+    docs AS (SELECT doc_id, text FROM documents),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS nn_doc_id
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id <> y.doc_id),
+    scored AS (
+      SELECT p.doc_id, p.nn_doc_id,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      FROM pairs p
+      JOIN docs a ON a.doc_id = p.doc_id
+      JOIN docs b ON b.doc_id = p.nn_doc_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY edit_dist, nn_doc_id) AS rn
+      FROM scored)
+    SELECT doc_id, nn_doc_id, edit_dist FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_edit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance NN with MinHash-band candidate generation — the
+    SCALE PATH the blocked variant's posture notes prescribe (and the
+    8x probe demanded): candidates are docs sharing any LSH band
+    (2 minhashes x 3 bands, dedup_minhash_lsh's generator), so the
+    quadratic Levenshtein verify runs only on near-duplicate-ish
+    pairs, never on every same-prefix/same-length pair. Semantics:
+    each doc's nearest banded candidate by codepoint edit distance
+    (ties to doc_id); docs with no band collision drop out — at scale
+    that IS the point (almost everything has no near-dup).
+
+    Same execution lesson as dedup_edit_nn: pairs are generated by
+    the band equi-join, then round-robin repartitioned BEFORE the
+    O(n*m) distance so the largest band group cannot serialize the
+    stage."""
+    d = table(spark, sf_dir, "documents")
+    hashes = _minhash_hashes(d).persist()
+    bands = reduce(
+        DataFrame.unionByName,
+        [
+            hashes.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ],
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.doc_id").alias("nn_doc_id"),
+        )
+        .distinct()
+    )
+    docs = d.select("doc_id", "text")
+    scored = (
+        pairs.join(docs, "doc_id")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("nn_doc_id"),
+                F.col("text").alias("text_b"),
+            ),
+            "nn_doc_id",
+        )
+        .repartition(64)
+        .select(
+            "doc_id",
+            "nn_doc_id",
+            F.levenshtein(F.col("text"), F.col("text_b"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("edit_dist", "nn_doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

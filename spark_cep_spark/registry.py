@@ -193,6 +193,7 @@ NEXT_ROTATION: list[str] = [
     "sql_match_recognize",
     "agg_conditional",
     "pipeline_incremental_dedup",
+    "dedup_edit_banded",
 ]
 
 
