@@ -638,9 +638,13 @@ def rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argminmax",
     oracle="""
     SELECT event_type,
-           (max({'v': value, 'id': event_id})).id AS peak_event_id,
+           (max(CASE WHEN value IS NOT NULL
+                THEN {'v': value, 'id': event_id} END)).id
+             AS peak_event_id,
            max(value) AS peak_value,
-           (min({'v': value, 'id': event_id})).id AS trough_event_id,
+           (min(CASE WHEN value IS NOT NULL
+                THEN {'v': value, 'id': event_id} END)).id
+             AS trough_event_id,
            min(value) AS trough_value,
            (min({'t': ts, 'id': event_id})).id AS first_event_id,
            (max({'t': ts, 'id': event_id})).id AS last_event_id
@@ -654,18 +658,26 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic — a bare max_by(id, value) is free to pick either of
     two equal-valued rows, which is exactly the kind of
     engine-dependent nondeterminism the driver's value hash would
-    catch. One map-side-combinable hash aggregate; 5 output rows at
-    any input scale."""
+    catch. NULL policy is pinned explicitly: rows with NULL value are
+    excluded from the value extremes on BOTH engines (the whole
+    composite key is NULLed so the aggregate skips it) — without this,
+    Spark struct comparison sorts a NULL field FIRST while DuckDB
+    struct min/max treats NULLs as LARGEST, and peak/trough ids would
+    diverge on null-valued events. One map-side-combinable hash
+    aggregate; 5 output rows at any input scale."""
     e = table(spark, sf_dir, "events")
-    v_key = F.struct("value", "event_id")
-    t_key = F.struct("ts", "event_id")
+    v_key = F.when(
+        F.col("value").isNotNull(),
+        F.struct(F.col("value").alias("v"), F.col("event_id").alias("id")),
+    )
+    t_key = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("id"))
     return e.groupBy("event_type").agg(
-        F.max_by("event_id", v_key).alias("peak_event_id"),
+        F.max(v_key).getField("id").alias("peak_event_id"),
         F.max("value").alias("peak_value"),
-        F.min_by("event_id", v_key).alias("trough_event_id"),
+        F.min(v_key).getField("id").alias("trough_event_id"),
         F.min("value").alias("trough_value"),
-        F.min_by("event_id", t_key).alias("first_event_id"),
-        F.max_by("event_id", t_key).alias("last_event_id"),
+        F.min(t_key).getField("id").alias("first_event_id"),
+        F.max(t_key).getField("id").alias("last_event_id"),
     )
 
 

@@ -1082,28 +1082,59 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("train on the best N tokens"), expressed as one sort + running
     sum + filter.
 
-    100 TB shape: the global ORDER BY is the honest cost — a budget
-    cut is a global decision. Spark range-partitions the sort; at real
-    scale, first pre-filter to ~budget x small-multiple tokens by a
-    per-partition quality threshold (sketch the quality distribution,
-    cf. corpus_sample_weighted) so the global sort sees a bounded
-    candidate set, then run this exact plan."""
+    100 TB shape: a budget cut is a global decision, but the global
+    running-sum window must NOT see the whole corpus (unpartitioned
+    WindowExec = every row on one partition). The executed plan
+    pre-filters with an EXACT quality threshold: (1) groupBy(n_chars)
+    token sums — the shuffle carries one row per distinct quality
+    value, corpus-size-independent; (2) an exclusive running sum over
+    that tiny distinct-quality table finds the lowest n_chars whose
+    strictly-better docs total < budget; (3) only docs at-or-above
+    that threshold enter the sort + running-sum window. Proof the cut
+    is unchanged: a doc with n_chars = c has cum_tokens >= (tokens of
+    all strictly-better docs) + 1, so if tokens_above(c) >= budget it
+    can never satisfy cum_tokens <= budget — every dropped doc was
+    provably outside the cut, and survivors keep their exact order.
+    The windowed row count is bounded by budget + the boundary quality
+    group (each doc carries >= 1 token), not by corpus size.
+    Differential-tested against the naive single-window plan
+    (tests/test_round5_ops.py)."""
     d = table(spark, sf_dir, "documents")
+    budget = 10000
     scored = d.select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         "n_chars",
     )
+    per_q = scored.groupBy("n_chars").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wq = W.orderBy(F.col("n_chars").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    c_min = (
+        per_q.withColumn(
+            "tokens_above",
+            F.coalesce(F.sum("bucket_tokens").over(wq), F.lit(0)),
+        )
+        .filter(F.col("tokens_above") < budget)
+        .agg(F.min("n_chars").alias("c_min"))
+    )
+    candidates = (
+        scored.crossJoin(F.broadcast(c_min))
+        .filter(F.col("n_chars") >= F.col("c_min"))
+        .drop("c_min")
+    )
     w = (
         W.orderBy(F.col("n_chars").desc(), "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        scored.withColumn(
+        candidates.withColumn(
             "cum_tokens", F.sum("n_tokens").over(w).cast("long")
         )
-        .filter(F.col("cum_tokens") <= 10000)
+        .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
 

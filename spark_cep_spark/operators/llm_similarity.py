@@ -947,6 +947,6 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("neighbor_id"),
             F.round("score_raw", 6).alias("maxsim"),
-            "rk",
+            F.col("rk").cast("long").alias("rk"),
         )
     )

@@ -749,20 +749,24 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: explode → partial-agg groupBy(token) is the word-
     count plan: the shuffle carries (token, partial tf, partial df)
     pairs, bounded by vocabulary size per partition, never raw text.
-    The final top-256 is a single-column sort over vocab-size rows
-    (TakeOrdered, no full sort). Zipf skew on hot tokens is absorbed
-    by the map-side combine — the hot key arrives pre-summed from
-    each partition."""
+    The final top-256 is `orderBy(...).limit(256)` — Spark plans that
+    as TakeOrderedAndProject (per-partition bounded heap + driver
+    merge of 256-row heads), so no partition ever sorts the full
+    vocabulary; a rank *window* here would move all 10^8-10^9 distinct
+    tokens of a web corpus to ONE partition (WindowExec warns exactly
+    this), which is why ranks are assigned only over the 256
+    survivors. Zipf skew on hot tokens is absorbed by the map-side
+    combine — the hot key arrives pre-summed from each partition."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
+    top = counts.orderBy(F.col("tf").desc(), F.col("token")).limit(256)
     w = W.orderBy(F.col("tf").desc(), F.col("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 256)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("token", "tf", "df", "rank")
     )
 

@@ -314,7 +314,7 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_start
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT event_id, user_id,
            CAST(sum(is_start) OVER (PARTITION BY user_id
@@ -336,8 +336,10 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: both window passes share ONE (user_id, (ts, id))
     shuffle+sort; everything else is a running sum within the sorted
     partition. Users partition the work; no per-session state leaves
-    the JVM."""
-    e = table(spark, sf_dir, "events")
+    the JVM. Null-ts events are dropped on BOTH engine sides (Spark
+    sorts nulls FIRST, DuckDB LAST — session ids would diverge
+    otherwise), mirroring the streaming faces' null discipline."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     # microsecond-exact gap compare (a seconds cast truncates and

@@ -643,6 +643,22 @@ def advance_nfa_full(
             continue
         if deadline <= wm_us:
             continue  # incomplete and past deadline — can never finish
+        if (
+            not open_run
+            and gaps is not None
+            and len(bound) < n_pos
+            and contig[len(bound)] == "relaxed"
+            and gaps[len(bound)] is not None
+            and wm_us >= _last_pos(bound)[0] + gaps[len(bound)]
+        ):
+            # the next relaxed transition's per-step gap deadline has
+            # passed the watermark: every future matured event has
+            # ts > wm >= last_bound_ts + gap, so the transition is
+            # provably dead — free the state now instead of holding it
+            # until the whole-match bound expires (this is what makes
+            # cep_gap_timeout's "gaps free state earlier" claim true
+            # on the relaxed path, not just the strict one)
+            continue
         out.append([bound, open_run, env])
     return out, matches
 

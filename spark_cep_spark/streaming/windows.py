@@ -471,7 +471,7 @@ def trending_stream(
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_start
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT event_id, user_id, ts,
@@ -500,8 +500,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session-id assignment is computed inline (same logic as
     # win_sessionize) carrying ts, instead of joining back on
     # event_id — event_id is not guaranteed unique (the degenerate
-    # fixture ships duplicates), and a re-join would multiply rows
-    e = table(spark, sf_dir, "events")
+    # fixture ships duplicates), and a re-join would multiply rows.
+    # Null-ts events dropped on both sides (Spark sorts nulls first,
+    # DuckDB last), matching the streaming face's null discipline.
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_start = F.when(

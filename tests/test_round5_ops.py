@@ -1,0 +1,199 @@
+"""Round-5 hygiene/scale tests: text_vocab's TakeOrdered plan,
+corpus_token_budget's exact pre-filter (differential vs the naive
+single-window plan), agg_argminmax's pinned NULL policy,
+win_sessionize's null-ts discipline, and the NFA's relaxed-path gap
+state drop."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from conftest import SF_CHECK
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_text_vocab_plans_take_ordered_not_global_window(spark):
+    """The top-256 cut must be TakeOrderedAndProject (bounded per-
+    partition heaps), never a rank window over the full vocabulary."""
+    from spark_cep_spark.operators.llm_text import text_vocab
+
+    plan = _executed_plan(text_vocab(spark, SF_CHECK))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_prefilter_matches_naive_plan(spark):
+    """Differential: the pre-filtered corpus_token_budget must emit
+    exactly the rows of the naive global-window plan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+    from spark_cep_spark.operators.llm_pipeline import corpus_token_budget
+    from spark_cep_spark.io import table
+
+    got = sorted(
+        tuple(r) for r in corpus_token_budget(spark, SF_CHECK).collect()
+    )
+    d = table(spark, SF_CHECK, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    w = W.orderBy(F.col("n_chars").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    naive = (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 10000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want and len(got) > 0
+
+
+def test_token_budget_window_input_is_bounded(spark):
+    """The doc-level running-sum window must see only the pre-filtered
+    candidate set (≈ budget tokens), not the whole corpus."""
+    import pyspark.sql.functions as F
+    from spark_cep_spark.operators.llm_pipeline import corpus_token_budget
+    from spark_cep_spark.io import table
+
+    d = table(spark, SF_CHECK, "documents")
+    n_docs = d.count()
+    scored = d.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    per_q = scored.groupBy("n_chars").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.orderBy(F.col("n_chars").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    c_min = (
+        per_q.withColumn(
+            "tokens_above",
+            F.coalesce(F.sum("bucket_tokens").over(wq), F.lit(0)),
+        )
+        .filter(F.col("tokens_above") < 10000)
+        .agg(F.min("n_chars"))
+        .collect()[0][0]
+    )
+    n_candidates = scored.filter(F.col("n_chars") >= c_min).count()
+    assert n_candidates < n_docs  # the pre-filter actually prunes
+    # every candidate doc carries >=1 token, so the windowed row count
+    # is bounded by budget + the boundary n_chars group
+    boundary = scored.filter(F.col("n_chars") == c_min).count()
+    assert n_candidates <= 10000 + boundary
+
+
+def _with_events(spark, module, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+    orig = module.table
+    module.table = lambda s, d, n: df
+    return orig
+
+
+def test_argminmax_ignores_null_values_for_extremes(spark):
+    """A NULL-valued event must never win peak/trough (Spark struct
+    compare sorts NULL first; DuckDB treats NULL as largest — the op
+    pins the policy by excluding NULL-value rows from the extremes)."""
+    import spark_cep_spark.operators.aggregates as A
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "click", t0, 5.0),
+        (2, 1, "click", t0 + dt.timedelta(minutes=1), None),
+        (3, 1, "click", t0 + dt.timedelta(minutes=2), 1.0),
+    ]
+    orig = _with_events(spark, A, rows)
+    try:
+        r = A.agg_argminmax(spark, "x").collect()[0]
+    finally:
+        A.table = orig
+    assert r["peak_event_id"] == 1 and r["peak_value"] == 5.0
+    assert r["trough_event_id"] == 3 and r["trough_value"] == 1.0
+    # time edges still consider every row (ts is never NULL here)
+    assert r["first_event_id"] == 1 and r["last_event_id"] == 3
+
+
+def test_win_sessionize_drops_null_ts(spark):
+    """Null-ts events are excluded on both engine sides (Spark sorts
+    nulls first, DuckDB last — ids would diverge otherwise)."""
+    import spark_cep_spark.operators.windows as WND
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "click", t0, 1.0),
+        (2, 1, "click", None, 1.0),
+        (3, 1, "click", t0 + dt.timedelta(hours=2), 1.0),
+    ]
+    orig = _with_events(spark, WND, rows)
+    try:
+        out = {
+            r["event_id"]: r["session_id"]
+            for r in WND.win_sessionize(spark, "x").collect()
+        }
+    finally:
+        WND.table = orig
+    assert out == {1: 1, 3: 2}  # null-ts row gone; gap still splits
+
+
+def test_nfa_relaxed_gap_deadline_frees_state():
+    """A relaxed partial whose per-step gap deadline has passed the
+    watermark is dropped immediately (its transition is provably
+    dead), not held until the whole-match bound expires."""
+    from spark_cep_spark.streaming.nfa import advance_nfa_full
+
+    M = 60_000_000  # one minute in us
+    # pattern: A relaxed-then B within 60min, gap(B after A) = 5min
+    contig = ["relaxed", "relaxed"]
+    gaps = [None, 5 * M]
+    # batch 1: one A at t=0 — partial parked
+    partials, matches = advance_nfa_full(
+        [], [[0, 1, [True, False]]], contig, 60 * M, 0, gaps=gaps
+    )
+    assert len(partials) == 1 and matches == []
+    # batch 2: no events, watermark passes the 5-min gap deadline but
+    # NOT the 60-min whole-match bound — state must be freed anyway
+    partials, matches = advance_nfa_full(
+        partials, [], contig, 60 * M, 6 * M, gaps=gaps
+    )
+    assert partials == [] and matches == []
+
+
+def test_nfa_relaxed_gap_deadline_keeps_live_partials():
+    """Same shape, watermark short of the gap deadline: partial kept,
+    and a B inside the gap still completes the match."""
+    from spark_cep_spark.streaming.nfa import advance_nfa_full
+
+    M = 60_000_000
+    contig = ["relaxed", "relaxed"]
+    gaps = [None, 5 * M]
+    partials, _ = advance_nfa_full(
+        [], [[0, 1, [True, False]]], contig, 60 * M, 0, gaps=gaps
+    )
+    partials, matches = advance_nfa_full(
+        partials, [], contig, 60 * M, 4 * M, gaps=gaps
+    )
+    assert len(partials) == 1
+    partials, matches = advance_nfa_full(
+        partials,
+        [[int(4.5 * M), 2, [False, True]]],
+        contig,
+        60 * M,
+        int(4.5 * M),
+        gaps=gaps,
+    )
+    assert len(matches) == 1
