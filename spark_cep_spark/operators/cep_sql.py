@@ -28,15 +28,19 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
     A -> B+   greedy Kleene-plus (Pattern.one_or_more): earliest entry,
               then the maximal immediately-consecutive matching run;
               output columns t_B_first, t_B_last, B_count
-    A -> B?   optional step (greedy, batch-only): expansion into the
+    A -> B?   optional step (greedy, both engines): expansion into the
               with/without variants, with-B preferred whenever it
               matches; a skipped step emits t_B = NULL and the winning
-              spelling lands in the `variant` column
-    A -> B{n,m}  range repetition (greedy, batch-only): expansion into
-              the {m}..{n} arities, longest preferred; unbound tail
-              sub-steps emit NULL
-    A => B??  reluctant optional (batch-only): the without-B variant is
-              preferred — only meaningful under strict (`=>`)
+              spelling lands in the `variant` column. Batch: variant
+              union + winner groupBy; streaming: the variants run as
+              parallel NFAs in one keyed state and a lower-preference
+              completion is held only while a better variant is still
+              alive for the anchor (compile_stream_variants)
+    A -> B{n,m}  range repetition (greedy, both engines): expansion
+              into the {m}..{n} arities, longest preferred; unbound
+              tail sub-steps emit NULL
+    A => B??  reluctant optional (both engines): the without-B variant
+              is preferred — only meaningful under strict (`=>`)
               contiguity; with `->` the skip branch always wins (see
               cep_reluctant_optional's docstring)
     A => B{n,m}?  reluctant range: ascending arities, shortest preferred
@@ -439,11 +443,6 @@ def expand_quantifier_sql(text: str):
     toks = [t for t in re.split(_CONNECTOR_SPLIT + r"|\s+", inner) if t]
     if not any(_QUANT_TOKEN.match(t) for t in toks):
         return None
-    if "MEASURES" in clauses:
-        raise ValueError(
-            "MEASURES is not supported with ?/{n,m} quantifiers "
-            "(variants have different bound steps)"
-        )
     # token stream = step (connector step)*; walk steps with their
     # PRECEDING connector so an absent optional drops its connector
     if not toks or re.fullmatch(_CONNECTOR_SPLIT, toks[0]):
@@ -456,6 +455,7 @@ def expand_quantifier_sql(text: str):
         steps.append((conn, tok))
 
     options: list[list[tuple[str | None, str | None]]] = []
+    ranged_names: set[str] = set()
     for i, (conn, tok) in enumerate(steps):
         m = _QUANT_TOKEN.match(tok)
         if m is None:
@@ -493,6 +493,7 @@ def expand_quantifier_sql(text: str):
             ks = range(hi_i, lo_i - 1, -1) if not rng_rel else range(
                 lo_i, hi_i + 1
             )
+            ranged_names.add(name)
             options.append([(conn, f"{name}{{{k}}}") for k in ks])
     variants = []
     n_variants = 1
@@ -502,6 +503,34 @@ def expand_quantifier_sql(text: str):
         raise ValueError(
             f"quantifier expansion yields {n_variants} variants (max 16)"
         )
+    # MEASURES lift through the expansion: each measure item travels
+    # into exactly the variants where every step it references is
+    # BOUND — a variant that skips a referenced optional step drops
+    # the item, and _compile_quantifier_batch pads the column with a
+    # typed NULL (SQL semantics: a measure over an unbound step is
+    # NULL). A ranged ({n,m}) step expands into k sub-steps, so a
+    # single `B.col` ref has no binding to resolve to — rejected with
+    # a pointed error rather than silently misread.
+    measure_items: list[tuple[str, set[str]]] = []
+    if "MEASURES" in clauses:
+        define_names = {
+            re.match(r"^([A-Za-z_]\w*)", item).group(1)
+            for item in _split_top_level_commas(clauses["DEFINE"])
+        }
+        for item in _split_top_level_commas(clauses["MEASURES"]):
+            refs = {
+                q
+                for q, _c in _WHERE_REF.findall(_mask_literals(item))
+                if q in define_names
+            }
+            hit = refs & ranged_names
+            if hit:
+                raise ValueError(
+                    f"measure {item.strip()!r} references ranged step(s) "
+                    f"{sorted(hit)} — a {{n,m}} step expands into "
+                    "sub-steps with no single binding to reference"
+                )
+            measure_items.append((item.strip(), refs))
     for combo in product(*options):
         parts: list[str] = []
         used: set[str] = set()
@@ -522,6 +551,11 @@ def expand_quantifier_sql(text: str):
         ]
         vtext = f"PATTERN ( {' '.join(parts)} )\nWITHIN {clauses['WITHIN']}\n"
         vtext += "DEFINE " + ",\n       ".join(kept_defines)
+        kept_measures = [
+            item for item, refs in measure_items if refs <= used
+        ]
+        if kept_measures:
+            vtext += "\nMEASURES " + ",\n         ".join(kept_measures)
         for kw in ("PARTITION BY", "ORDER BY"):
             if kw in clauses:
                 vtext += f"\n{kw} {clauses[kw]}"
@@ -604,27 +638,39 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     both engines — the continuous-query promise of the reference [PK].
 
     A trailing `PERMUTE(A, B)` group (standard MATCH_RECOGNIZE) is
-    supported batch-side by expansion: every ordering compiles to its
-    own Pattern plan, the branches union, and per match anchor the
+    supported by expansion: every ordering compiles to its own Pattern
+    plan. Batch: the branches union and per match anchor the
     earliest-COMPLETING ordering wins (ties prefer declaration order —
-    first-match-in-alternation semantics). The winning ordering is
-    emitted as `permute_order`. Streaming PERMUTE is rejected with an
-    error (the winner pick is a final aggregate the NFA does not carry).
+    first-match-in-alternation semantics), emitted as `permute_order`.
+    Streaming: the orderings run as parallel NFAs in ONE keyed state
+    (compile_stream_variants, mode='earliest') — a completed ordering
+    can never be beaten by a still-open one (future events sit past
+    the watermark), so the winner emits immediately.
+
+    `?`/`{n,m}` quantifiers likewise run on BOTH engines: batch via
+    the variant union + greedy winner groupBy, streaming via
+    compile_stream_variants (mode='preference') — a lower-preference
+    completion is held only while a higher-preference variant still
+    has a live partial for the same anchor, so greedy/reluctant
+    semantics match the batch compiler exactly (property-tested).
     """
     expanded = expand_permute_sql(text)
     if expanded is not None:
         if df.isStreaming:
-            raise ValueError(
-                "PERMUTE is batch-only: the expansion winner pick needs a "
-                "final aggregate over all orderings"
+            return _compile_variants_stream(
+                df,
+                [("->".join(perm), vtext) for perm, vtext in expanded],
+                mode="earliest",
+                label_col="permute_order",
+                **stream_kwargs,
             )
         return _compile_permute_batch(df, expanded)
     quant = expand_quantifier_sql(text)
     if quant is not None:
         if df.isStreaming:
-            raise ValueError(
-                "?/{n,m} quantifiers are batch-only: the greedy winner "
-                "pick is a final aggregate over all variants"
+            return _compile_variants_stream(
+                df, quant, mode="preference", label_col="variant",
+                **stream_kwargs,
             )
         return _compile_quantifier_batch(df, quant)
     parsed = parse_pattern_sql(text)
@@ -634,6 +680,30 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
         return compile_stream(parsed.pattern, df, **stream_kwargs)
     return parsed.pattern.compile_batch(
         df, key_col=parsed.key_col, time_col=parsed.time_col
+    )
+
+
+def _compile_variants_stream(
+    df: DataFrame, variants, mode: str, label_col: str, **stream_kwargs
+) -> DataFrame:
+    """Parse each expanded variant text and hand the alternation to
+    the NFA's variant runner (one keyed state, winner pick per anchor
+    — see compile_stream_variants for the decision semantics)."""
+    from spark_cep_spark.streaming.nfa import compile_stream_variants
+
+    parsed = [(desc, parse_pattern_sql(vtext)) for desc, vtext in variants]
+    key_cols = {p.key_col for _, p in parsed}
+    time_cols = {p.time_col for _, p in parsed}
+    if len(key_cols) != 1 or len(time_cols) != 1:
+        raise ValueError("variants disagree on PARTITION BY / ORDER BY")
+    return compile_stream_variants(
+        [(desc, p.pattern) for desc, p in parsed],
+        df,
+        key_col=key_cols.pop(),
+        time_col=time_cols.pop(),
+        mode=mode,
+        label_col=label_col,
+        **stream_kwargs,
     )
 
 
@@ -851,6 +921,79 @@ def cep_sql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         PATTERN ( signup -> error? -> purchase )
         WITHIN 24 HOURS
+        DEFINE signup AS event_type = 'signup',
+               error AS event_type = 'error',
+               purchase AS event_type = 'purchase'
+        """,
+    )
+
+
+@register(
+    "cep_optional_measures",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'signup'),
+         e AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'error'),
+         p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         b1a AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup,
+                  s.value AS v_s,
+                  min({'ts': e.ts, 'id': e.event_id, 'v': e.value}) AS me
+           FROM s JOIN e ON e.user_id = s.user_id
+                        AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts, s.value),
+         b1 AS (
+           SELECT b1a.user_id, b1a.event_id, b1a.t_signup, b1a.v_s,
+                  b1a.me, min({'ts': p.ts, 'id': p.event_id,
+                               'v': p.value}) AS mp
+           FROM b1a JOIN p ON p.user_id = b1a.user_id
+                          AND p.ts > b1a.me.ts
+                          AND p.ts <= b1a.t_signup + INTERVAL 24 HOUR
+           GROUP BY b1a.user_id, b1a.event_id, b1a.t_signup, b1a.v_s,
+                    b1a.me),
+         b2 AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup,
+                  s.value AS v_s,
+                  min({'ts': p.ts, 'id': p.event_id, 'v': p.value}) AS mp
+           FROM s JOIN p ON p.user_id = s.user_id
+                        AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts, s.value)
+    SELECT user_id AS key, event_id AS anchor_id, t_signup,
+           me.ts AS t_error, mp.ts AS t_purchase,
+           mp.v - v_s AS uplift, me.v AS err_val,
+           'signup->error->purchase' AS variant
+    FROM b1
+    UNION ALL
+    SELECT b2.user_id AS key, b2.event_id AS anchor_id, b2.t_signup,
+           CAST(NULL AS TIMESTAMP) AS t_error, b2.mp.ts AS t_purchase,
+           b2.mp.v - b2.v_s AS uplift, CAST(NULL AS DOUBLE) AS err_val,
+           'signup->purchase' AS variant
+    FROM b2
+    WHERE NOT EXISTS (SELECT 1 FROM b1
+                      WHERE b1.user_id = b2.user_id
+                        AND b1.event_id = b2.event_id)
+    """,
+)
+def cep_optional_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES lifted through the quantifier expansion (round-4
+    verdict item 6): the optional-step funnel additionally emits
+    uplift (purchase minus signup value) in BOTH variants and the
+    bound error's value — NULL when the greedy pick skipped B. Each
+    measure item travels into exactly the variants binding every step
+    it references; the union pads the rest with typed NULLs, and the
+    greedy winner groupBy carries the measure columns inside its
+    min-struct. Values bind via the deterministic (ts, event_id)
+    struct-min, mirrored by the oracle's named-struct mins."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( signup -> error? -> purchase )
+        WITHIN 24 HOURS
+        MEASURES purchase.value - signup.value AS uplift,
+                 error.value AS err_val
         DEFINE signup AS event_type = 'signup',
                error AS event_type = 'error',
                purchase AS event_type = 'purchase'

@@ -31,10 +31,13 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
-keys absent from it follow in module-import order. Round 4 window =
-the 24 keys with zero driver evidence after rounds 1-3 (20 oracle-
-backed + 4 rows-only), then keys whose code changed in rounds 3-4,
-then a backfill of §2 contract keys whose only evidence is round 1.
+keys absent from it follow in module-import order. Round 5 window =
+the 34 keys with ZERO driver evidence after rounds 1-4 (the round-4
+``NEXT_ROTATION`` list — graph family, sessionization, edit-distance
+dedup, as-of tolerance, MaxSim, round-4b CEP additions — plus the new
+``cep_optional_measures``), then the two r4-green keys whose
+quantifier-expansion machinery changed this round, then a backfill of
+§2 contract keys whose only evidence is round 1.
 """
 
 from __future__ import annotations
@@ -97,70 +100,8 @@ def load_all() -> None:
 # The first 50 keys the driver will check this round, in order. See the
 # module docstring ("DRIVER WINDOW") for the selection rationale.
 DRIVER_PRIORITY: list[str] = [
-    # (a) the 20 oracle-backed keys with ZERO driver evidence after
-    # rounds 1-3 (the whole CEP correlation/measures arc, the newest
-    # text/pipeline operators, the sql_* surface, fn extras, and the
-    # stream-stream left join)
-    "cep_seq_ids",
-    "cep_seq_corr",
-    "cep_seq_measures",
-    "cep_strict_next",
-    "cep_funnel_abandon",
-    "cep_times",
-    "cep_kleene_measures",
-    "cep_skip_past",
-    "cep_sql_match",
-    "text_repetition",
-    "text_ngrams",
-    "text_redact",
-    "pipeline_decontaminate",
-    "sql_subqueries",
-    "sql_subquery_correlated",
-    "sql_lateral_explode",
-    "fn_bitwise",
-    "fn_struct",
-    "fn_url",
-    "stream_stream_left_join",
-    # (b) the 4 rows-only keys with zero driver evidence (ANN paths
-    # have no SQL oracle by nature; decode has no media fixture)
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_pq",
-    "multimodal_decode",
-    # (c') operators NEW in round 4 (text_fingerprint/dedup_near left
-    # the window: r03 already re-proved them under guarded semantics)
-    "dedup_minhash_lsh",
-    "text_surprisal",
-    "text_boilerplate",
-    "pipeline_quality_filter",
-    "corpus_mix",
-    "stream_dedup_near",
-    "pipeline_end_to_end",
-    "text_entropy",
-    "corpus_epochs",
-    "stream_sliding_panes",
-    "cep_alert_throttle",
-    "fn_try",
-    "sql_recursive_cte",
-    "emb_dim_stats",
-    "corpus_shuffle",
-    "text_perplexity",
-    "dedup_containment",
-    "corpus_interleave",
-    "cep_permute",
-    "cep_sql_permute",
-    "cep_optional",
-    "cep_times_range",
-    "cep_sql_optional",
-    "text_chunk",
-    "emb_kmeans",
-    "dedup_semantic",
-]
-
-# Keys registered after the round-4 window filled (locally exact-pass
-# via tools/check_oracle.py): rotate these into DRIVER_PRIORITY at the
-# start of round 5, ahead of any backfill.
-NEXT_ROTATION: list[str] = [
+    # (a) the 33 round-4 NEXT_ROTATION keys (zero driver evidence;
+    # all exact-pass tools/check_oracle.py locally)
     "text_vocab",
     "text_tfidf",
     "fn_regexp",
@@ -194,6 +135,67 @@ NEXT_ROTATION: list[str] = [
     "agg_conditional",
     "pipeline_incremental_dedup",
     "dedup_edit_banded",
+    # (b) NEW in round 5: MEASURES lifted through the quantifier
+    # expansion (verdict item 6)
+    "cep_optional_measures",
+    # (c) r4-green keys whose quantifier-expansion code path changed
+    # in round 5 (measures lift + streaming variant runner wiring)
+    "cep_sql_optional",
+    "cep_sql_permute",
+    # (d) backfill: §2 contract keys whose only driver evidence is
+    # round 1 — most load-bearing first
+    "join_inner_equi",
+    "join_broadcast",
+    "join_asof",
+    "join_interval",
+    "join_anti",
+    "agg_global",
+    "agg_group",
+    "agg_grouping_sets",
+    "win_rank",
+    "win_topk_per_group",
+    "scan_parquet",
+    "project_filter",
+    "sort_multi",
+    "set_union",
+]
+
+# §2 keys whose only driver evidence remains round 1 after this
+# window: rotate into DRIVER_PRIORITY's backfill tail next round.
+NEXT_ROTATION: list[str] = [
+    "scan_csv_json",
+    "scan_orc",
+    "case_when",
+    "distinct_select",
+    "limit_topk",
+    "sample",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "merge_upsert",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_theta_range",
+    "join_cross",
+    "join_skew_salted",
+    "join_interval_banded",
+    "agg_approx",
+    "agg_stats",
+    "having",
+    "agg_pivot",
+    "fn_explode",
+    "rollup_hypertable",
+    "agg_histogram",
+    "rollup_gapfill",
+    "agg_sketches",
+    "agg_unpivot",
+    "win_analytic",
+    "win_frame_range",
+    "win_percentiles",
+    "win_ewma",
+    "cep_seq",
 ]
 
 

@@ -1583,6 +1583,483 @@ def compile_stream_multi(
     )
 
 
+def advance_variants(
+    per_var: list,
+    pend: list,
+    done: list,
+    matured: list,
+    wm_us: int,
+    specs: list,
+    bound_us: int,
+    mode: str,
+    val_cols: tuple = (),
+) -> tuple[list, list, list, list]:
+    """The variant-alternation kernel (pure, chunking-invariant —
+    property-tested like advance_nfa_full, which it composes): run k
+    pattern variants as parallel NFAs and decide, per anchor, the ONE
+    winning match.
+
+    per_var: per-variant partials lists (advance_nfa_full state)
+    pend:    [[t0, eid, {str(rank): row}], ...] completed matches
+             held for the preference decision (rank 1 = most
+             preferred; rows are the caller's payload dicts and must
+             carry '_td' = the match's last-bound ts)
+    done:    [[t0, eid], ...] anchors already decided — suppresses
+             straggler completions until wm passes t0 + bound
+    matured: [[ts, eid, [m-flags across ALL variants], vals?], ...]
+             sorted; each variant reads its own flag slice via
+             spec['off']/spec['n']
+    specs:   per-variant dicts: off, n, contig, gaps, corr,
+             env_names, run_cols, emit_env, row (fn(bound, env) ->
+             payload dict)
+    mode:    'preference' — winner = lowest rank that completes; a
+             completed match waits while ANY lower-rank variant still
+             holds a live partial for the same anchor (it could still
+             complete and steal the win). 'earliest' — winner = min
+             (t_done, rank); since every candidate's t_done <= wm and
+             any future completion binds ts > wm, a seen candidate is
+             unbeatable and the decision emits immediately.
+
+    Returns (per_var', pend', done', decided_rows) with decided_rows
+    = [(anchor_eid, payload_row), ...].
+    """
+    done_set = {(d[0], d[1]) for d in done}
+    by_anchor: dict = {(p[0], p[1]): p[2] for p in pend}
+    for rank, sp in enumerate(specs, start=1):
+        o, n = sp["off"], sp["n"]
+        matured_v = [
+            [e[0], e[1], e[2][o : o + n]] + ([e[3]] if val_cols else [])
+            for e in matured
+        ]
+        partials, matches = advance_nfa_full(
+            per_var[rank - 1],
+            matured_v,
+            sp["contig"],
+            bound_us,
+            wm_us,
+            corr=sp.get("corr"),
+            val_cols=val_cols,
+            env_names=sp.get("env_names"),
+            emit_env=sp.get("emit_env", False),
+            run_cols=sp.get("run_cols"),
+            gaps=sp.get("gaps"),
+        )
+        per_var[rank - 1] = partials
+        for mt in matches:
+            b = mt[1]
+            anchor = (b[0][0], b[0][1])
+            if anchor in done_set:
+                continue  # decision already emitted for this anchor
+            env = mt[2] if len(mt) > 2 else None
+            by_anchor.setdefault(anchor, {})[str(rank)] = sp["row"](b, env)
+
+    # which anchors does each variant still hold a live partial for?
+    # (the only way a better-preference variant can steal a decision)
+    alive: dict = {}
+    for rank, plist in enumerate(per_var, start=1):
+        for p in plist:
+            alive.setdefault((p[0][0][0], p[0][0][1]), set()).add(rank)
+
+    decided: list = []
+    new_pend: list = []
+    for (t0, eid), comp in by_anchor.items():
+        ranks = sorted(int(r) for r in comp)
+        if mode == "earliest":
+            winner = min(ranks, key=lambda r: (comp[str(r)]["_td"], r))
+        else:
+            winner = ranks[0]
+            if any(r < winner for r in alive.get((t0, eid), ())):
+                new_pend.append([t0, eid, comp])
+                continue  # a preferred variant can still complete
+        decided.append((eid, comp[str(winner)]))
+        done.append([t0, eid])
+        done_set.add((t0, eid))
+    # a done anchor needs suppressing only until its whole-match
+    # deadline passes the watermark: after this round's kernel advance
+    # at wm, no variant can produce a new completion for it
+    done = [d for d in done if d[0] + bound_us > wm_us]
+    return per_var, new_pend, done, decided
+
+
+def compile_stream_variants(
+    variants: list[tuple[str, "Pattern"]],
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+    mode: str = "preference",
+    label_col: str = "variant",
+    filter_nonmatching: bool = True,
+) -> DataFrame:
+    """Run an ALTERNATION of pattern variants as parallel NFAs per key
+    and emit, per anchor, exactly ONE winner — the streaming face of
+    the quantifier (`B?` / `B??` / `{n,m}` / `{n,m}?`) and PERMUTE
+    expansions that were previously batch-only.
+
+    variants: (desc, Pattern) in PREFERENCE order (the expansion
+    already encodes greedy vs reluctant by ordering). All variants
+    must share the anchor step and the .within() bound — true by
+    construction for every expansion this serves (the first step
+    cannot be quantified and WITHIN is a shared clause).
+
+    mode='preference' (quantifiers): the winner is the LOWEST-rank
+    variant that completes. A completed lower-preference match is
+    HELD (in `pend`) while any higher-preference variant still has a
+    live partial for the same anchor — only when every better variant
+    is provably dead (its partial expired, was killed, or its gap
+    deadline passed) does the held match emit. Because every kernel
+    frees its partials no later than the anchor's whole-match
+    deadline, each pending decision resolves by wm >= t_anchor +
+    bound — state stays bounded by the within window, exactly like a
+    single-pattern NFA.
+
+    mode='earliest' (PERMUTE): the winner is the min (t_done,
+    declaration_rank) completion. Matured events have ts <= wm, so
+    any ALREADY-completed candidate has t_done <= wm, while any
+    future completion must bind an event with ts > wm — strictly
+    later. A candidate therefore can never be beaten once seen, and
+    the decision emits IMMEDIATELY (pend never carries across
+    batches in this mode).
+
+    Anchors that have emitted are parked in `done` until the
+    watermark passes their whole-match deadline, suppressing
+    lower-preference completions that straggle in after the decision
+    (e.g. a skip-variant completing after the with-variant emitted).
+
+    Output schema: (key, anchor_id, union of every variant's t_/count
+    columns in first-appearance order with typed NULLs for steps a
+    variant does not bind, union of measure columns, label_col) —
+    mirroring _compile_quantifier_batch so streaming == batch is
+    directly assertable.
+
+    Scale: ONE shuffle on the key, ONE state entry per key shared by
+    all k variants (k <= 16 by the expansion cap), one Python worker
+    call per micro-batch amortized across variants — k separate
+    compile_stream queries would cost k× all three and could not
+    coordinate the winner pick at all.
+    """
+    if mode not in ("preference", "earliest"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if not variants:
+        raise ValueError("no variants")
+    specs = []
+    all_cols: set = set()
+    any_sk = False
+    bound_us_shared: int | None = None
+    for desc, pat in variants:
+        steps = pat.steps
+        if not steps:
+            raise ValueError(f"{desc}: empty pattern")
+        if pat.time_bound is None:
+            raise ValueError(f"{desc}: pattern needs .within(bound)")
+        for s in steps[:-1]:
+            if s.contiguity == "absent":
+                raise ValueError(f"{desc}: not_followed_by must be last")
+        if steps[0].contiguity != "relaxed":
+            raise ValueError(f"{desc}: pattern must start with begin()")
+        for s in steps:
+            if s.gap is not None and s.contiguity == "kleene":
+                raise ValueError(
+                    f"{desc}: gap= is not supported on one_or_more steps"
+                )
+        b_us = _interval_to_ms(pat.time_bound) * _US_PER_MS
+        if bound_us_shared is None:
+            bound_us_shared = b_us
+        elif b_us != bound_us_shared:
+            raise ValueError(
+                "variants must share the .within() bound "
+                f"({pat.time_bound} differs)"
+            )
+        plan = pat.corr_plan()
+        all_cols |= set(plan["all_cols"])
+        contig = [s.contiguity for s in steps]
+        any_sk = any_sk or any(c in ("strict", "kleene") for c in contig)
+        specs.append(
+            {
+                "desc": desc,
+                "steps": steps,
+                "pos_steps": steps[:-1] if contig[-1] == "absent" else steps,
+                "contig": contig,
+                "n": len(steps),
+                "gaps": (
+                    [
+                        _interval_to_ms(s.gap) * _US_PER_MS if s.gap else None
+                        for s in steps
+                    ]
+                    if any(s.gap for s in steps)
+                    else None
+                ),
+                "plan": plan,
+                "measures": [
+                    (a, _compile_measure_py(e)) for a, e in pat.measures
+                ],
+                "pat": pat,
+            }
+        )
+    bound_us = bound_us_shared
+    val_cols = tuple(sorted(all_cols))
+    off = 0
+    for sp in specs:
+        sp["off"] = off
+        off += sp["n"]
+        plan = sp["plan"]
+        sp["corr"] = (
+            [
+                _compile_where_py(w, sp["steps"][i].name) if w else None
+                for i, w in enumerate(plan["wheres"])
+            ]
+            if any(w is not None for w in plan["wheres"])
+            else None
+        )
+        sp["env_names"] = (
+            [
+                s.name
+                if (s.name in plan["refs"] or s.name in plan["run_refs"])
+                else None
+                for s in sp["steps"]
+            ]
+            if val_cols
+            else None
+        )
+        sp["run_cols"] = (
+            [
+                sorted({c for _a, c in plan["run_refs"].get(s.name, [])})
+                or None
+                for s in sp["steps"]
+            ]
+            if plan["run_refs"]
+            else None
+        )
+    n_flags = off
+
+    # union output schema, first-appearance order across variants
+    # (mirrors _compile_quantifier_batch's full_cols): per variant the
+    # t_/count columns in step order, then its measure aliases
+    union_types: dict[str, T.DataType] = {}
+    union_cols: list[str] = []
+
+    def _add(name: str, dt_: T.DataType, desc: str) -> None:
+        if name not in union_types:
+            union_types[name] = dt_
+            union_cols.append(name)
+        elif union_types[name] != dt_:
+            raise ValueError(
+                f"variant {desc!r} emits {name} as {dt_.simpleString()}, "
+                f"an earlier variant emitted "
+                f"{union_types[name].simpleString()}"
+            )
+
+    from spark_cep_spark.operators.cep import _translate_measure_sql
+
+    ev_types = {f.name: f.dataType for f in events_stream.schema.fields}
+    for sp in specs:
+        for s in sp["pos_steps"]:
+            if s.contiguity == "kleene":
+                _add(f"t_{s.name}_first", T.TimestampType(), sp["desc"])
+                _add(f"t_{s.name}_last", T.TimestampType(), sp["desc"])
+                _add(f"{s.name}_count", T.LongType(), sp["desc"])
+            else:
+                _add(f"t_{s.name}", T.TimestampType(), sp["desc"])
+        if sp["pat"].measures:
+            plan = sp["plan"]
+
+            def _carried_type(agg: str, dt_: T.DataType) -> T.DataType:
+                if agg == "count":
+                    return T.LongType()
+                if agg == "avg":
+                    return T.DoubleType()
+                if agg == "sum":
+                    if isinstance(
+                        dt_,
+                        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+                    ):
+                        return T.LongType()
+                    if isinstance(dt_, T.FloatType):
+                        return T.DoubleType()
+                return dt_
+
+            probe_fields = [
+                T.StructField(f"_v_{s}_{c}", ev_types[c])
+                for s, cols in plan["refs"].items()
+                for c in cols
+            ] + [
+                T.StructField(f"_v_{s}_{a}_{c}", _carried_type(a, ev_types[c]))
+                for s, acs in plan["run_refs"].items()
+                for a, c in acs
+            ]
+            probe = events_stream.sparkSession.createDataFrame(
+                [], T.StructType(probe_fields)
+            )
+            for fld in probe.selectExpr(
+                *[
+                    f"{_translate_measure_sql(e)} AS {a}"
+                    for a, e in sp["pat"].measures
+                ]
+            ).schema.fields:
+                _add(fld.name, fld.dataType, sp["desc"])
+    ts_cols = {
+        c for c in union_cols if isinstance(union_types[c], T.TimestampType)
+    }
+
+    flags = [
+        F.expr(s.predicate).cast("boolean").alias(f"m_{sp['off'] + i}")
+        for sp in specs
+        for i, s in enumerate(sp["steps"])
+    ]
+    prepared = events_stream.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        *flags,
+        *[F.col(c).alias(f"v_{c}") for c in val_cols],
+    )
+    if filter_nonmatching and not any_sk:
+        # see compile_stream's CAVEAT: Catalyst pushes this filter
+        # below the watermark node, so the watermark — which DRIVES
+        # the pending-preference decisions here — advances only on
+        # matching events. Pass filter_nonmatching=False when
+        # non-matching traffic must drive the event clock.
+        prepared = prepared.filter(
+            " OR ".join(f"m_{i}" for i in range(n_flags))
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("anchor_id", T.LongType()),
+        ]
+        + [T.StructField(c, union_types[c]) for c in union_cols]
+        + [T.StructField(label_col, T.StringType())]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def _row(sp: dict, bound: list, env: dict | None) -> dict:
+        row: dict = {}
+        for i, s in enumerate(sp["pos_steps"]):
+            e = bound[i]
+            if s.contiguity == "kleene":
+                row[f"t_{s.name}_first"] = e[0]
+                row[f"t_{s.name}_last"] = e[2]
+                row[f"{s.name}_count"] = e[4]
+            else:
+                row[f"t_{s.name}"] = e[0]
+        for alias, fn in sp["measures"]:
+            row[alias] = fn(env)
+        row["_label"] = sp["desc"]
+        row["_td"] = _last_pos(bound)[0]
+        return row
+
+    for sp in specs:
+        sp["emit_env"] = bool(sp["measures"])
+        sp["row"] = (lambda sp_: lambda b, env: _row(sp_, b, env))(sp)
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {
+                "buf": [],
+                "p": [[] for _ in specs],
+                "pend": [],
+                "done": [],
+            }
+        buf = st["buf"]
+        per_var = st["p"]
+        # pend: [[t0, eid, {str(rank): row}], ...] completed matches
+        # awaiting the preference decision; done: [[t0, eid], ...]
+        # anchors already emitted (suppress stragglers until deadline)
+        pend = st["pend"]
+        done = st["done"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                cols = [ts_us.tolist(), pdf["eid"].tolist()]
+                cols += [pdf[f"m_{i}"].tolist() for i in range(n_flags)]
+                cols += [pdf[f"v_{c}"].tolist() for c in val_cols]
+                for row in zip(*cols):
+                    entry = [
+                        int(row[0]),
+                        int(row[1]),
+                        [bool(x) for x in row[2 : 2 + n_flags]],
+                    ]
+                    if val_cols:
+                        entry.append([_py(x) for x in row[2 + n_flags :]])
+                    buf.append(entry)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * _US_PER_MS
+        buf.sort()
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        per_var, pend, done, out_rows = advance_variants(
+            per_var,
+            pend,
+            done,
+            matured,
+            wm_us,
+            specs,
+            bound_us,
+            mode,
+            val_cols=val_cols,
+        )
+
+        if buf or pend or done or any(per_var):
+            state.update(
+                (
+                    json.dumps(
+                        {
+                            "buf": buf,
+                            "p": per_var,
+                            "pend": pend,
+                            "done": done,
+                        }
+                    ),
+                )
+            )
+            nxt_us = min(
+                [e[0] for e in buf]
+                + [p[0][0][0] + bound_us for plist in per_var for p in plist]
+                + [p[0] + bound_us for p in pend]
+                + [d[0] + bound_us for d in done]
+            )
+            state.setTimeoutTimestamp(max(nxt_us // _US_PER_MS + 1, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if out_rows:
+            cols: dict[str, list] = {
+                "key": [key[0]] * len(out_rows),
+                "anchor_id": [eid for eid, _ in out_rows],
+            }
+            for c in union_cols:
+                vals = [r.get(c) for _, r in out_rows]
+                cols[c] = (
+                    pd.to_datetime(
+                        [v if v is not None else pd.NaT for v in vals],
+                        unit="us",
+                    )
+                    if c in ts_cols
+                    else vals
+                )
+            cols[label_col] = [r["_label"] for _, r in out_rows]
+            yield pd.DataFrame(cols)
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def advance_throttle(
     last_cool_end: int | None, alerts: list, cooldown_us: int
 ) -> tuple[int | None, list]:

@@ -202,25 +202,48 @@ def test_malformed_quantifiers_rejected(pattern, msg):
         )
 
 
-def test_measures_with_quantifier_rejected():
-    with pytest.raises(ValueError, match="MEASURES is not supported"):
+def test_measures_lift_through_expansion():
+    """A measure travels into exactly the variants that bind every
+    step it references; the skip variant drops the B-referencing item
+    (its column is NULL-padded at union time)."""
+    variants = expand_quantifier_sql(
+        """
+        PATTERN ( A -> B? )
+        WITHIN 1 HOUR
+        MEASURES A.value AS av, B.value AS bv
+        DEFINE A AS event_type = 'view', B AS event_type = 'click'
+        """
+    )
+    texts = dict(variants)
+    assert "bv" in texts["A->B"] and "av" in texts["A->B"]
+    assert "bv" not in texts["A"] and "av" in texts["A"]  # skip variant
+    for _, vtext in variants:
+        parse_pattern_sql(vtext)  # each variant parses standalone
+
+
+def test_measures_referencing_ranged_step_rejected():
+    with pytest.raises(ValueError, match="ranged step"):
         expand_quantifier_sql(
             """
-            PATTERN ( A -> B? )
+            PATTERN ( A -> B{1,2} )
             WITHIN 1 HOUR
-            MEASURES A.value AS av
+            MEASURES B.value AS bv
             DEFINE A AS event_type = 'view', B AS event_type = 'click'
             """
         )
 
 
-def test_streaming_quantifier_rejected(spark, tmp_path):
+def test_streaming_quantifier_compiles(spark, tmp_path):
+    """Quantifier patterns now have a streaming face (the variant
+    NFA runner) — full multi-micro-batch equivalence lives in
+    tests/test_cep_stream_variants.py."""
     df = _events_df(spark, [(1, 0, "signup")])
     p = str(tmp_path / "q_ev")
     df.write.parquet(p)
     sdf = spark.readStream.schema(df.schema).parquet(p)
-    with pytest.raises(ValueError, match="batch-only"):
-        match_recognize(sdf, OPTIONAL_SQL)
+    out = match_recognize(sdf, OPTIONAL_SQL)
+    assert out.isStreaming
+    assert "variant" in out.columns and "t_B" in out.columns
 
 
 # ---------------------------------------------------------------------------

@@ -457,18 +457,23 @@ def test_malformed_permute_rejected(bad, msg):
         expand_permute_sql(text)
 
 
-def test_permute_rejected_on_streams(spark, sf_dir):
+def test_permute_compiles_on_streams(spark, sf_dir, tmp_path):
+    """PERMUTE now has a streaming face (compile_stream_variants,
+    mode='earliest') — full multi-micro-batch equivalence lives in
+    tests/test_cep_stream_variants.py."""
     from spark_cep_spark.operators.cep_sql import match_recognize
 
-    stream = (
-        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    df = table(spark, sf_dir, "events")
+    p = str(tmp_path / "perm_ev")
+    df.limit(10).write.parquet(p)
+    stream = spark.readStream.schema(df.schema).parquet(p)
+    out = match_recognize(
+        stream,
+        "PATTERN ( V -> PERMUTE(C, P) ) WITHIN 1 HOURS "
+        "DEFINE V AS event_type = 'view', C AS event_type = 'click', "
+        "P AS event_type = 'purchase'",
     )
-    with pytest.raises(ValueError, match="batch-only"):
-        match_recognize(
-            stream,
-            "PATTERN ( V -> PERMUTE(C, P) ) WITHIN 1 HOURS "
-            "DEFINE V AS true, C AS true, P AS true",
-        )
+    assert out.isStreaming and "permute_order" in out.columns
 
 
 def test_gapped_connector_parses_and_matches_builder(spark, sf_dir):

@@ -1,0 +1,349 @@
+"""Streaming faces for the quantifier / PERMUTE expansions
+(compile_stream_variants + the pure advance_variants kernel): the
+expanded variants run as parallel NFAs in one keyed state and the
+preference (greedy/reluctant) or earliest-completion (PERMUTE) winner
+is decided per anchor. Spark tests assert multi-micro-batch streaming
+== the batch compiler; kernel tests assert brute-force agreement and
+chunking invariance without a SparkSession."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import tempfile
+import time
+
+import pytest
+
+from spark_cep_spark.operators.cep_sql import match_recognize
+
+T0 = dt.datetime(2024, 1, 1)
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_vs_batch(spark, rows, sql, tail_type):
+    """Stage rows as 2 content files + 2 far-future tail files (the
+    tail events MATCH a step so they advance the pushed-down
+    watermark past every anchor's deadline — see the
+    filter_nonmatching caveat), run availableNow with
+    maxFilesPerTrigger=1, and return (streaming, batch) row sets with
+    the tail user filtered out of both."""
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, (u, m, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    half = (len(data) + 1) // 2
+    files = [data[:half], data[half:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, tail_type, 1.0, "{}")]
+        for j, mm in enumerate((500, 1000))
+    ]
+    for i, chunk in enumerate(files):
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_recognize(sdf, sql, watermark="0 seconds"), "append"
+    )
+    want = match_recognize(df, sql)
+    g = sorted(tuple(r) for r in got.filter("key <> 9").collect())
+    w = sorted(
+        tuple(r)
+        for r in want.filter("key <> 9").select(*got.columns).collect()
+    )
+    return g, w
+
+
+OPTIONAL_SQL = """
+PATTERN ( A -> B? -> C )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'signup',
+       B AS event_type = 'error',
+       C AS event_type = 'purchase'
+"""
+
+
+def test_stream_optional_equals_batch(spark):
+    rows = [
+        (1, 0, "signup", 1.0), (1, 10, "error", 1.0), (1, 20, "purchase", 1.0),
+        (2, 0, "signup", 1.0), (2, 15, "purchase", 1.0),
+        # with-B variant alive (error seen) but never completes — the
+        # held A->C decision must resolve at the anchor deadline
+        (3, 0, "signup", 1.0), (3, 30, "purchase", 1.0), (3, 40, "error", 1.0),
+        (4, 0, "signup", 1.0), (4, 10, "error", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, OPTIONAL_SQL, "signup")
+    assert g == w and len(g) == 3
+
+
+def test_stream_optional_greedy_wins_even_when_slower(spark):
+    """The skip variant completes EARLIER (purchase at 5') but greedy
+    preference must still wait for — and emit — the with-B chain."""
+    rows = [
+        (1, 0, "signup", 1.0), (1, 5, "purchase", 1.0),
+        (1, 10, "error", 1.0), (1, 20, "purchase", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, OPTIONAL_SQL, "signup")
+    assert g == w and len(g) == 1
+    assert g[0][-1] == "A->B->C"
+
+
+def test_stream_range_equals_batch(spark):
+    sql = """
+PATTERN ( A -> B{1,3} )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'view', B AS event_type = 'click'
+"""
+    rows = [
+        (1, 0, "view", 1.0), (1, 5, "click", 1.0),
+        (1, 10, "click", 1.0), (1, 15, "click", 1.0),
+        (2, 0, "view", 1.0), (2, 5, "click", 1.0), (2, 10, "click", 1.0),
+        (3, 0, "view", 1.0), (3, 5, "click", 1.0),
+        (4, 0, "view", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "view")
+    assert g == w and len(g) == 3
+
+
+def test_stream_reluctant_equals_batch(spark):
+    sql = """
+PATTERN ( A => B?? => C )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'signup',
+       B AS event_type = 'click',
+       C AS event_type = 'purchase'
+"""
+    rows = [
+        (1, 0, "signup", 1.0), (1, 10, "purchase", 1.0),
+        (2, 0, "signup", 1.0), (2, 5, "click", 1.0), (2, 10, "purchase", 1.0),
+        (3, 0, "signup", 1.0), (3, 5, "view", 1.0), (3, 10, "purchase", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "signup")
+    assert g == w and len(g) == 2
+
+
+def test_stream_permute_equals_batch(spark):
+    sql = """
+PATTERN ( V -> PERMUTE(C, P) )
+WITHIN 2 HOURS
+DEFINE V AS event_type = 'view',
+       C AS event_type = 'click',
+       P AS event_type = 'purchase'
+"""
+    rows = [
+        (1, 0, "view", 1.0), (1, 5, "click", 1.0), (1, 10, "purchase", 1.0),
+        (2, 0, "view", 1.0), (2, 5, "purchase", 1.0), (2, 10, "click", 1.0),
+        (3, 0, "view", 1.0), (3, 5, "click", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "view")
+    assert g == w and len(g) == 2
+    orders = {r[0]: r[-1] for r in g}
+    assert orders == {1: "C->P", 2: "P->C"}
+
+
+def test_stream_measures_over_optional_equals_batch(spark):
+    sql = """
+PATTERN ( A -> B? -> C )
+WITHIN 2 HOURS
+MEASURES C.value - A.value AS uplift, B.value AS b_val
+DEFINE A AS event_type = 'signup',
+       B AS event_type = 'error',
+       C AS event_type = 'purchase'
+"""
+    rows = [
+        (1, 0, "signup", 10.0), (1, 10, "error", 3.0),
+        (1, 20, "purchase", 25.0),
+        (2, 0, "signup", 5.0), (2, 15, "purchase", 9.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "signup")
+    assert g == w and len(g) == 2
+    by_key = {r[0]: r for r in g}
+    # with-B: uplift 15, b_val 3; skip: uplift 4, b_val NULL
+    assert by_key[1][-3:] == (15.0, 3.0, "A->B->C")
+    assert by_key[2][-3:] == (4.0, None, "A->C")
+
+
+# ---------------------------------------------------------------------------
+# Pure-kernel property tests (no SparkSession): advance_variants vs a
+# brute-force greedy reference, and chunking invariance.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from spark_cep_spark.streaming.nfa import advance_variants  # noqa: E402
+
+BOUND = 120  # the within bound in kernel time units
+
+
+def _opt_specs():
+    """A -> B? -> C as two variants: rank 1 = A->B->C, rank 2 = A->C.
+    Flags layout per event: [isA, isB, isC, isA, isC]."""
+    return [
+        {
+            "off": 0,
+            "n": 3,
+            "contig": ["relaxed"] * 3,
+            "row": lambda b, env: {
+                "_td": b[-1][0],
+                "steps": tuple(e[0] for e in b),
+                "k": 3,
+            },
+        },
+        {
+            "off": 3,
+            "n": 2,
+            "contig": ["relaxed"] * 2,
+            "row": lambda b, env: {
+                "_td": b[-1][0],
+                "steps": tuple(e[0] for e in b),
+                "k": 2,
+            },
+        },
+    ]
+
+
+def _opt_flags(rows):
+    """rows: [(ts, eid, type)] with type in A/B/C."""
+    return [
+        [ts, eid, [t == "A", t == "B", t == "C", t == "A", t == "C"]]
+        for ts, eid, t in rows
+    ]
+
+
+def _brute_opt(rows):
+    """Greedy A -> B? -> C (transcribing _compile_quantifier_batch):
+    per A anchor prefer the earliest-chain A-B-C, else A-C."""
+    out = []
+    for ts0, eid, t in rows:
+        if t != "A":
+            continue
+        hit = None
+        bs = sorted(
+            ts for ts, _e, tt in rows
+            if tt == "B" and ts0 < ts <= ts0 + BOUND
+        )
+        if bs:
+            cs = sorted(
+                ts for ts, _e, tt in rows
+                if tt == "C" and bs[0] < ts <= ts0 + BOUND
+            )
+            if cs:
+                hit = (eid, (ts0, bs[0], cs[0]))
+        if hit is None:
+            cs = sorted(
+                ts for ts, _e, tt in rows
+                if tt == "C" and ts0 < ts <= ts0 + BOUND
+            )
+            if cs:
+                hit = (eid, (ts0, cs[0]))
+        if hit:
+            out.append(hit)
+    return sorted(out)
+
+
+def _drive(chunks, wms):
+    """Feed event chunks through the kernel with the given watermark
+    after each chunk, then a final far-future watermark; return the
+    sorted decided (anchor_eid, steps) pairs."""
+    per_var = [[], []]
+    pend: list = []
+    done: list = []
+    decided = []
+    specs = _opt_specs()
+    for chunk, wm in zip(chunks, wms):
+        per_var, pend, done, out = advance_variants(
+            per_var, pend, done, chunk, wm, specs, BOUND, "preference"
+        )
+        decided += out
+    per_var, pend, done, out = advance_variants(
+        per_var, pend, done, [], 10_000_000, specs, BOUND, "preference"
+    )
+    decided += out
+    assert pend == [] and done == [] and per_var == [[], []]
+    return sorted((eid, r["steps"]) for eid, r in decided)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(events_strategy)
+def test_variants_kernel_matches_brute_force(seq):
+    rows = sorted(
+        [(ts, eid, t) for eid, (ts, t) in enumerate(seq)],
+        key=lambda r: (r[0], r[1]),
+    )
+    got = _drive([_opt_flags(rows)], [max((r[0] for r in rows), default=0)])
+    assert got == _brute_opt(rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    events_strategy,
+    st.lists(st.integers(min_value=0, max_value=16), max_size=4),
+)
+def test_variants_kernel_chunking_invariance(seq, cuts):
+    """Micro-batch boundaries (and the watermark schedule they imply)
+    are semantically invisible: any split of the ordered stream
+    produces the same decisions as one shot."""
+    rows = sorted(
+        [(ts, eid, t) for eid, (ts, t) in enumerate(seq)],
+        key=lambda r: (r[0], r[1]),
+    )
+    flags = _opt_flags(rows)
+    one_shot = _drive([flags], [max((r[0] for r in rows), default=0)])
+
+    bounds = sorted({c for c in cuts if c <= len(flags)})
+    chunks, prev = [], 0
+    for c in bounds + [len(flags)]:
+        chunks.append(flags[prev:c])
+        prev = c
+    # watermark after each chunk = its last event's ts (monotone)
+    wms, wm = [], 0
+    for ch in chunks:
+        if ch:
+            wm = ch[-1][0]
+        wms.append(wm)
+    assert _drive(chunks, wms) == one_shot
+
+
+def test_earliest_mode_decides_immediately():
+    """PERMUTE winner rule: a seen candidate can never be beaten — the
+    kernel emits it without waiting for the other ordering to die."""
+    specs = _opt_specs()
+    # C precedes B: rank 2 (A->C) completes at ts 5 while rank 1 is
+    # still ALIVE (B bound at 10, waiting for a later C).
+    # earliest-mode must emit the completed candidate immediately.
+    flags = _opt_flags([(0, 0, "A"), (5, 1, "C"), (10, 2, "B")])
+    per_var, pend, done, out = advance_variants(
+        [[], []], [], [], flags, 10, specs, BOUND, "earliest"
+    )
+    assert len(out) == 1 and out[0][1]["k"] == 2
+    assert pend == [] and [d[1] for d in done] == [0]
+    assert len(per_var[0]) == 1  # rank 1 still alive, now moot
+    # preference mode on the same input must HOLD (rank 1 alive)
+    per_var, pend, done, out = advance_variants(
+        [[], []], [], [], flags, 10, _opt_specs(), BOUND, "preference"
+    )
+    assert out == [] and len(pend) == 1
