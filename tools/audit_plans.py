@@ -46,6 +46,9 @@ NESTED_LOOP_OK = {
     "rollup_interpolate",  # hour-spine x event-type grid: both sides are
     # generated/aggregated to O(hours)/O(types) rows — the cross join
     # materializes the grid, never data-sized input
+    "corpus_token_budget",  # 1-row c_min quality-threshold broadcast
+    # (the exact pre-filter that BOUNDS the global running-sum window
+    # — same constant-size-build-side shape as text_surprisal)
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
