@@ -178,6 +178,77 @@ DEFINE A AS event_type = 'signup',
     assert by_key[2][-3:] == (4.0, None, "A->C")
 
 
+def test_variant_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume for the variant runner: the FIRST run ends with
+    a completed-but-HELD decision in `pend` (the skip variant finished
+    but the with-variant is still alive for the anchor); the restart
+    must restore pend/done/partials from the checkpoint and emit the
+    held match once the watermark passes the deadline — equal to the
+    uninterrupted batch result, with no duplicates."""
+    data = [
+        # key 1: greedy with-B chain completes — emits during run 1
+        (0, T0, 1, "signup", 1.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=10), 1, "error", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=20), 1, "purchase", 1.0, "{}"),
+        # key 2: A->C completes but A->B->C stays alive -> held in pend
+        (3, T0, 2, "signup", 1.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=15), 2, "purchase", 1.0, "{}"),
+    ]
+    tails = [
+        (100, T0 + dt.timedelta(minutes=500), 9, "signup", 1.0, "{}"),
+        (101, T0 + dt.timedelta(minutes=1000), 9, "signup", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(data + tails, SCHEMA)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add_file(name, chunk, order):
+        d = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = [f for f in os.listdir(d) if f.startswith("part")][0]
+        dst = os.path.join(src, f"{name}.parquet")
+        import shutil
+
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_700_000_000 + order * 3600,) * 2)
+
+    def run(out, ckpt):
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            match_recognize(sdf, OPTIONAL_SQL, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    add_file("f0", data[:3], 0)
+    add_file("f1", data[3:], 1)
+    run(out, ckpt)  # run 1: key 1 emitted; key 2 held in pend
+    first = spark.read.parquet(out)
+    assert sorted(r["key"] for r in first.collect()) == [1]
+    add_file("f2", tails[:1], 2)
+    add_file("f3", tails[1:], 3)
+    run(out, ckpt)  # run 2: watermark passes the deadline -> pend emits
+
+    got = spark.read.parquet(out).filter("key <> 9")
+    want = match_recognize(df, OPTIONAL_SQL).filter("key <> 9")
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.select(*got.columns).collect())
+    assert g == w and len(g) == 2
+    assert got.count() == got.dropDuplicates(["key", "anchor_id"]).count()
+
+
 # ---------------------------------------------------------------------------
 # Pure-kernel property tests (no SparkSession): advance_variants vs a
 # brute-force greedy reference, and chunking invariance.
