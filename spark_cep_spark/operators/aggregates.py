@@ -754,3 +754,44 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_high_cents"),
     )
+
+
+@register(
+    "agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             AS total_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_quantity) AS BIGINT)) * 1.0
+                 / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0, 6)
+             AS wavg_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1.0
+                 / count(*) / 100.0, 6) AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted aggregation (the quantity-weighted average price per
+    return flag — the 'weighted mean' every metrics pipeline needs and
+    plain avg() silently gets wrong). Float discipline: price is
+    scaled to exact integer cents and quantity to exact integers
+    BEFORE summing, so both engines accumulate identical BIGINTs and
+    the two final divisions are the same IEEE operations — no
+    engine-order float noise (sum(double) would be order-dependent).
+    One map-side-combinable hash aggregate; 3 output rows at any
+    scale."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(qty).cast("long").alias("total_qty"),
+        F.round(
+            F.sum(cents * qty) * 1.0 / F.sum(qty) / 100.0, 6
+        ).alias("wavg_price"),
+        F.round(
+            F.sum(cents) * 1.0 / F.count(F.lit(1)) / 100.0, 6
+        ).alias("avg_price"),
+    )

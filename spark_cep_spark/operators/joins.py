@@ -520,3 +520,95 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("ts_asof")).alias("last_view_ts"),
         F.coalesce(in_window, F.lit(False)).alias("attributed"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         agg AS (
+           SELECT p.event_id, p.user_id, p.ts,
+                  (min(CASE WHEN v.ts IS NOT NULL THEN
+                       {'d': abs(epoch_us(v.ts) - epoch_us(p.ts)),
+                        't': v.ts} END)).t AS nearest_view_ts
+           FROM p LEFT JOIN v ON v.user_id = p.user_id
+                AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 86400000000
+           GROUP BY p.event_id, p.user_id, p.ts)
+    SELECT event_id, user_id, ts AS purchase_ts, nearest_view_ts,
+           CASE WHEN nearest_view_ts IS NULL THEN NULL
+                WHEN nearest_view_ts <= ts THEN 'before'
+                ELSE 'after' END AS side
+    FROM agg
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join, direction='nearest' (pandas merge_asof's third
+    mode, the variant join_asof/join_asof_tolerance don't cover):
+    each purchase ↔ the CLOSEST view in either direction within a 24h
+    tolerance, ties preferring the earlier (before) view; left-outer
+    (unmatched purchases keep NULL + NULL side).
+
+    100 TB shape: the same union + ordered-window encoding as
+    asof_join run in BOTH directions over ONE shuffle on (user_id,
+    (ts, kind)) — backward candidate = last view at-or-before the
+    purchase (running last(ignorenulls)), forward candidate = first
+    view strictly after (mirrored first(ignorenulls) over the
+    following frame), then a per-row 3-way CASE picks the nearer.
+    Linear in events, no range-join pair explosion; the oracle's
+    |Δts| <= 24h range join is the O(pairs) plan this avoids."""
+    e = table(spark, sf_dir, "events")
+    tol_us = 24 * 3600 * 1_000_000
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("_ord"),
+        F.lit(0).alias("_kind"),
+        F.col("ts").alias("_vts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("_ord"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast("timestamp").alias("_vts"),
+        "event_id",
+    )
+    u = v.unionByName(p)
+    w = W.partitionBy("user_id").orderBy("_ord", "_kind")
+    # window columns MUST be materialized before the kind filter — a
+    # window expression evaluated on the filtered frame would only see
+    # purchase rows (all-NULL _vts) and carry nothing
+    u = u.withColumn(
+        "_prev",
+        F.last("_vts", ignorenulls=True).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).withColumn(
+        "_next",
+        F.first("_vts", ignorenulls=True).over(
+            w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        ),
+    )
+    prev, nxt = F.col("_prev"), F.col("_next")
+    prev_d = F.unix_micros("_ord") - F.unix_micros(prev)
+    next_d = F.unix_micros(nxt) - F.unix_micros("_ord")
+    prev_ok = prev.isNotNull() & (prev_d <= tol_us)
+    next_ok = nxt.isNotNull() & (next_d <= tol_us)
+    nearest = (
+        F.when(prev_ok & (~next_ok | (prev_d <= next_d)), prev)
+        .when(next_ok, nxt)
+    )
+    return (
+        u.filter(F.col("_kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("_ord").alias("purchase_ts"),
+            nearest.alias("nearest_view_ts"),
+            F.when(nearest.isNull(), F.lit(None).cast("string"))
+            .when(nearest <= F.col("_ord"), "before")
+            .otherwise("after")
+            .alias("side"),
+        )
+    )

@@ -837,3 +837,71 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("doc_id", "token", "tf", "df", "tfidf", "rk")
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    big AS (
+      SELECT ts[g.i] AS w1, ts[g.i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+    n2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM big GROUP BY w1, w2),
+    n1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS n_first FROM big GROUP BY w1)
+    SELECT n2.w1, n2.w2, n2.n_pair, n1.n_first,
+           round(n2.n_pair * 1.0 / n1.n_first, 6) AS cond_p
+    FROM n2 JOIN n1 ON n2.w1 = n1.w1
+    ORDER BY n2.n_pair DESC, n2.w1, n2.w2
+    LIMIT 200
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model (the n-gram LM table a
+    quality/perplexity pipeline trains on, upgrading text_perplexity's
+    unigram proxy): corpus bigram counts with the MLE conditional
+    P(w2 | w1) = n(w1 w2) / n(w1 ·), top-200 bigrams by frequency
+    (ties lexicographic — deterministic on both engines).
+
+    100 TB shape: bigrams come from zipping each token array with its
+    own tail — one whole-stage-codegen projection, no self-join on
+    exploded tokens (which would shuffle corpus-sized token tables).
+    The two counts are word-count aggregates (map-side partial on
+    Zipf-skewed heads); the denominator table is vocabulary-sized so
+    its join broadcasts; the final top-200 is orderBy+limit —
+    TakeOrderedAndProject (bounded per-partition heaps), NEVER a rank
+    window over all distinct bigrams (the text_vocab lesson)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.arrays_zip(
+        F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)").alias(
+            "w1"
+        ),
+        F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)").alias(
+            "w2"
+        ),
+    )
+    big = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    n2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    n1 = big.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    return (
+        n2.join(F.broadcast(n1), "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_first",
+            F.round(F.col("n_pair") * 1.0 / F.col("n_first"), 6).alias(
+                "cond_p"
+            ),
+        )
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+        .limit(200)
+    )

@@ -398,3 +398,47 @@ def win_period_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_change"),
         (F.col("n") - F.lag("n", 7).over(w)).cast("long").alias("wow_delta"),
     )
+
+
+@register(
+    "win_lag_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+           last_value(CASE WHEN event_type = 'view' THEN NULL
+                           ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS v_filled,
+           last_value(CASE WHEN event_type = 'view' THEN NULL
+                           ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS v_prev
+    FROM events
+    """,
+)
+def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation (the forward-fill / last-observation-
+    carried-forward primitive): per user in (ts, event_id) order,
+    view events mask their value to NULL and each row carries (a) the
+    latest non-null value INCLUDING itself (gap fill) and (b) the
+    latest non-null value STRICTLY BEFORE it (the lag-ignore-nulls
+    shape feature pipelines use for 'previous reading'). Both frames
+    share ONE (user_id, (ts, id)) shuffle+sort; last(ignorenulls) is
+    an O(1)-state running window — no per-gap scan, safe at any
+    partition size."""
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "view", F.col("value"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("v_filled"),
+        F.last(v, ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, -1))
+        .alias("v_prev"),
+    )

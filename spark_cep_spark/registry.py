@@ -160,9 +160,14 @@ DRIVER_PRIORITY: list[str] = [
     "set_union",
 ]
 
-# §2 keys whose only driver evidence remains round 1 after this
-# window: rotate into DRIVER_PRIORITY's backfill tail next round.
+# Keys to rotate into DRIVER_PRIORITY next round: first the four
+# operators NEW in round 5 (local exact-pass via check_oracle), then
+# the §2 keys whose only driver evidence remains round 1.
 NEXT_ROTATION: list[str] = [
+    "text_bigram_lm",
+    "join_asof_nearest",
+    "agg_weighted",
+    "win_lag_ignore_nulls",
     "scan_csv_json",
     "scan_orc",
     "case_when",

@@ -197,3 +197,124 @@ def test_nfa_relaxed_gap_deadline_keeps_live_partials():
         gaps=gaps,
     )
     assert len(matches) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-5 coverage additions: nearest-direction as-of, bigram LM,
+# weighted aggregate, IGNORE NULLS navigation.
+
+
+def test_asof_nearest_semantics(spark):
+    """Tie prefers the earlier (before) view; tolerance cuts; matches
+    work in either direction; unmatched purchases keep NULL."""
+    import spark_cep_spark.operators.joins as J
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1: views 1h before AND 1h after -> tie -> before
+        (1, 1, "view", t0 - h, 1.0),
+        (2, 1, "purchase", t0, 1.0),
+        (3, 1, "view", t0 + h, 1.0),
+        # u2: only a view after, 2h away
+        (4, 2, "purchase", t0, 1.0),
+        (5, 2, "view", t0 + 2 * h, 1.0),
+        # u3: nearest view is 30h away -> outside 24h tolerance
+        (6, 3, "purchase", t0, 1.0),
+        (7, 3, "view", t0 + 30 * h, 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ty, ts, v) for i, u, ty, ts, v in rows],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double",
+    )
+    orig = J.table
+    J.table = lambda s, d, n: df
+    try:
+        out = {
+            r["event_id"]: (r["nearest_view_ts"], r["side"])
+            for r in J.join_asof_nearest(spark, "x").collect()
+        }
+    finally:
+        J.table = orig
+    assert out[2] == (t0 - h, "before")  # tie -> earlier view
+    assert out[4] == (t0 + 2 * h, "after")
+    assert out[6] == (None, None)
+
+
+def test_bigram_lm_counts_and_conditionals(spark):
+    import spark_cep_spark.operators.llm_text as LT
+
+    rows = [
+        (1, "a b a b c", "en", "s", 9),
+        (2, "a b", "en", "s", 3),
+        (3, "x", "en", "s", 1),  # single token: no bigram
+    ]
+    orig = LT.table
+    LT.table = lambda s, d, n: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    try:
+        out = {
+            (r["w1"], r["w2"]): (r["n_pair"], r["n_first"], r["cond_p"])
+            for r in LT.text_bigram_lm(spark, "x").collect()
+        }
+    finally:
+        LT.table = orig
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; firsts: a->3, b->2
+    assert out[("a", "b")] == (3, 3, 1.0)
+    assert out[("b", "a")] == (1, 2, 0.5)
+    assert out[("b", "c")] == (1, 2, 0.5)
+    assert len(out) == 3  # the 1-token doc contributes nothing
+
+
+def test_agg_weighted_differs_from_plain_avg(spark):
+    import spark_cep_spark.operators.aggregates as A
+
+    rows = [  # heavy item cheap, light item expensive
+        (1, 1, 1, 1, 10.0, 1.00, 0.0, 0.0, "R", "F",
+         dt.datetime(1995, 1, 1)),
+        (2, 1, 1, 2, 1.0, 100.00, 0.0, 0.0, "R", "F",
+         dt.datetime(1995, 1, 1)),
+    ]
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    orig = A.table
+    A.table = lambda s, d, n: spark.createDataFrame(rows, schema)
+    try:
+        r = A.agg_weighted(spark, "x").collect()[0]
+    finally:
+        A.table = orig
+    # weighted by qty: (10*1.00 + 1*100.00) / 11 = 10.0
+    assert r["wavg_price"] == 10.0
+    assert r["avg_price"] == 50.5
+    assert r["total_qty"] == 11
+
+
+def test_lag_ignore_nulls_fills_over_gaps(spark):
+    import spark_cep_spark.operators.windows as WND
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "click", t0, 5.0),
+        (2, 1, "view", t0 + dt.timedelta(minutes=1), 9.0),   # masked
+        (3, 1, "view", t0 + dt.timedelta(minutes=2), 9.0),   # masked
+        (4, 1, "click", t0 + dt.timedelta(minutes=3), 7.0),
+    ]
+    orig = _with_events(spark, WND, rows)
+    try:
+        out = {
+            r["event_id"]: (r["v"], r["v_filled"], r["v_prev"])
+            for r in WND.win_lag_ignore_nulls(spark, "x").collect()
+        }
+    finally:
+        WND.table = orig
+    assert out[1] == (5.0, 5.0, None)
+    assert out[2] == (None, 5.0, 5.0)  # filled across the gap
+    assert out[3] == (None, 5.0, 5.0)
+    assert out[4] == (7.0, 7.0, 5.0)  # prev skips its own value
