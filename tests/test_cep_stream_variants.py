@@ -418,3 +418,29 @@ def test_earliest_mode_decides_immediately():
         [[], []], [], [], flags, 10, _opt_specs(), BOUND, "preference"
     )
     assert out == [] and len(pend) == 1
+
+
+def test_stream_optional_under_rocksdb_state_store(spark):
+    """The variant runner's JSON state payload must round-trip through
+    the RocksDB state store provider (the 100 TB deployment choice)
+    exactly as through the default HDFS-backed one."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = [
+            (1, 0, "signup", 1.0), (1, 10, "error", 1.0),
+            (1, 20, "purchase", 1.0),
+            (2, 0, "signup", 1.0), (2, 15, "purchase", 1.0),
+        ]
+        g, w = _stream_vs_batch(spark, rows, OPTIONAL_SQL, "signup")
+        assert g == w and len(g) == 2
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
