@@ -696,6 +696,12 @@ def _compile_variants_stream(
     time_cols = {p.time_col for _, p in parsed}
     if len(key_cols) != 1 or len(time_cols) != 1:
         raise ValueError("variants disagree on PARTITION BY / ORDER BY")
+    if label_col == "permute_order" and any(
+        p.pattern.measures for _, p in parsed
+    ):
+        # keep both engines' PERMUTE contracts identical: batch rejects
+        # MEASURES with PERMUTE, so the streaming face must too
+        raise ValueError("MEASURES is not supported with PERMUTE")
     return compile_stream_variants(
         [(desc, p.pattern) for desc, p in parsed],
         df,

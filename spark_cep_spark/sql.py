@@ -122,21 +122,26 @@ class StreamSQL:
 
         `pattern` may also be SQL text in the operators.cep_sql dialect
         (PATTERN/WITHIN/DEFINE clauses) — the fully-textual continuous
-        CEP query of the reference [PK].
+        CEP query of the reference [PK]. Text patterns route through
+        match_recognize, so the quantifier (`B?`/`{n,m}`/`??`) and
+        PERMUTE expansions get their streaming faces here too (the
+        variant NFA runner), not just plain step chains.
         """
         from spark_cep_spark.streaming.nfa import compile_stream
-
-        if isinstance(pattern, str):
-            from spark_cep_spark.operators.cep_sql import parse_pattern_sql
-
-            pattern = parse_pattern_sql(pattern).pattern
 
         stream_df = self.spark.table(stream_name)
         if not stream_df.isStreaming:
             raise ValueError(f"{stream_name}: not a registered stream table")
-        matches = compile_stream(
-            pattern, stream_df, watermark=watermark, **pattern_kwargs
-        )
+        if isinstance(pattern, str):
+            from spark_cep_spark.operators.cep_sql import match_recognize
+
+            matches = match_recognize(
+                stream_df, pattern, watermark=watermark, **pattern_kwargs
+            )
+        else:
+            matches = compile_stream(
+                pattern, stream_df, watermark=watermark, **pattern_kwargs
+            )
         name = name or f"cep_{uuid.uuid4().hex[:8]}"
         ckpt = os.path.join(SCRATCH, "checkpoints", f"{name}_{uuid.uuid4().hex[:8]}")
         if callable(sink):

@@ -256,3 +256,41 @@ def test_match_recognize_over_derived_event_stream(spark):
     assert len(rows) > 0
     for r in rows:
         assert r["t_f2"] > r["t_f1"]
+
+
+def test_pattern_query_accepts_quantifier_text(spark, sf_dir):
+    """A quantifier pattern through the continuous-SQL surface routes
+    to the variant NFA runner (round 5) instead of being rejected at
+    parse: greedy-complete anchors emit; anchors whose decision is
+    still held at end-of-stream (deadline past the final watermark)
+    correctly stay pending — assert the emitted rows are a subset of
+    the batch result and include every with-variant match."""
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+    eng = StreamSQL(spark)
+    eng.register_stream("events_q", harness.events_stream(spark, staged, 2))
+    text = """
+        PATTERN ( s -> e? -> p )
+        WITHIN 24 HOURS
+        DEFINE s AS event_type = 'signup',
+               e AS event_type = 'error',
+               p AS event_type = 'purchase'
+    """
+    q = eng.pattern_query("events_q", text, name="cq_quant", watermark="0 seconds")
+    q.awaitTermination()
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    got = {tuple(r) for r in eng.results("cq_quant").collect()}
+    want_df = match_recognize(table(spark, sf_dir, "events"), text)
+    want = {tuple(r) for r in want_df.collect()}
+    assert got <= want and len(got) > 0
+    # the greedy with-e variant emits the moment it completes (no
+    # hold) — every batch with-variant match must be present
+    with_e = {t for t in want if t[-1] == "s->e->p"}
+    max_ts = table(spark, sf_dir, "events").agg({"ts": "max"}).first()[0]
+    import datetime as _dt
+
+    decided = {
+        t for t in with_e if t[2] + _dt.timedelta(hours=24) <= max_ts
+    } if with_e else set()
+    assert decided <= got
+    eng.stop_all()
