@@ -444,3 +444,67 @@ def test_stream_optional_under_rocksdb_state_store(spark):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prev)
+
+
+def test_variants_handle_out_of_order_arrival_within_watermark(spark, tmp_path):
+    """Production arrival shape: the purchase ARRIVES in an earlier
+    micro-batch than the signup (files reversed), both inside a 30-min
+    watermark delay — event-time order must win inside the shared
+    buffer before the variant kernels run, and the greedy decision
+    must still pick the with-B chain. Sentinel signups flush the
+    watermark past the anchor deadline."""
+    import shutil
+
+    def mk(rows, sid):
+        return spark.createDataFrame(
+            [
+                (sid + i, t, u, ty, 1.0, "{}")
+                for i, (u, t, ty) in enumerate(rows)
+            ],
+            SCHEMA.replace("event_id long, ts", "event_id long, ts"),
+        )
+
+    t0 = T0
+    src = str(tmp_path / "ooo")
+    # arrival order: purchase(t0+20m) -> error(t0+10m) -> signup(t0)
+    # -> sentinels; all content events within the 30-min delay
+    mk([(1, t0 + dt.timedelta(minutes=20), "purchase")], 0).coalesce(
+        1
+    ).write.parquet(src)
+    mk([(1, t0 + dt.timedelta(minutes=10), "error")], 10).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    mk([(1, t0, "signup")], 20).coalesce(1).write.mode("append").parquet(src)
+    mk([(9, t0 + dt.timedelta(hours=10), "signup")], 30).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    mk([(9, t0 + dt.timedelta(hours=20), "signup")], 40).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    import glob
+
+    order = []
+    for f in glob.glob(src + "/part*"):
+        ids = [r.event_id for r in spark.read.parquet(f).collect()]
+        order.append((min(ids), f))
+    order.sort()
+    now = 1_700_000_000
+    for i, (_, f) in enumerate(order):
+        os.utime(f, (now + 3600 * i,) * 2)
+
+    sdf = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_recognize(sdf, OPTIONAL_SQL, watermark="30 minutes"), "append"
+    ).filter("key <> 9")
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["variant"] == "A->B->C"
+    assert rows[0]["t_B"] == t0 + dt.timedelta(minutes=10)
