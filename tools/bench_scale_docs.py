@@ -34,6 +34,10 @@ OPS = [
     "pipeline_dedup_keep_best",
     "pipeline_incremental_dedup",
     "corpus_dedup_stats",
+    # round-5: the two de-windowed scale fixes + the bigram LM
+    "text_vocab",
+    "corpus_token_budget",
+    "text_bigram_lm",
     # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
     # quadratically within blocks (measured: >15 min at 40k docs vs
     # 11 s at 5k — the hazard SCALE.md documents; at real scale the
