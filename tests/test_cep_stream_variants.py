@@ -508,3 +508,122 @@ def test_variants_handle_out_of_order_arrival_within_watermark(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["variant"] == "A->B->C"
     assert rows[0]["t_B"] == t0 + dt.timedelta(minutes=10)
+
+
+# ---------------------------------------------------------------------------
+# Kernel property tests for the RELUCTANT decision under strict
+# contiguity (A => B?? => C): rank 1 = the skip variant A=>C.
+
+
+def _rel_specs():
+    return [
+        {
+            "off": 0,
+            "n": 2,
+            "contig": ["relaxed", "strict"],
+            "row": lambda b, env: {
+                "_td": b[-1][0],
+                "steps": tuple(e[0] for e in b),
+                "k": 2,
+            },
+        },
+        {
+            "off": 2,
+            "n": 3,
+            "contig": ["relaxed", "strict", "strict"],
+            "row": lambda b, env: {
+                "_td": b[-1][0],
+                "steps": tuple(e[0] for e in b),
+                "k": 3,
+            },
+        },
+    ]
+
+
+def _rel_flags(rows):
+    return [
+        [ts, eid, [t == "A", t == "C", t == "A", t == "B", t == "C"]]
+        for ts, eid, t in rows
+    ]
+
+
+def _brute_reluctant(rows):
+    """Strict-chain reluctant A => B?? => C: per anchor, prefer the
+    A=>C chain (immediately-next event is C), else A=>B=>C."""
+    out = []
+    for i, (ts0, eid, t) in enumerate(rows):
+        if t != "A":
+            continue
+        nxt = rows[i + 1] if i + 1 < len(rows) else None
+        nxt2 = rows[i + 2] if i + 2 < len(rows) else None
+        if nxt and nxt[2] == "C" and nxt[0] <= ts0 + BOUND:
+            out.append((eid, (ts0, nxt[0])))
+        elif (
+            nxt
+            and nxt2
+            and nxt[2] == "B"
+            and nxt2[2] == "C"
+            and nxt[0] <= ts0 + BOUND
+            and nxt2[0] <= ts0 + BOUND
+        ):
+            out.append((eid, (ts0, nxt[0], nxt2[0])))
+    return sorted(out)
+
+
+def _drive_rel(chunks, wms):
+    per_var = [[], []]
+    pend: list = []
+    done: list = []
+    decided = []
+    specs = _rel_specs()
+    for chunk, wm in zip(chunks, wms):
+        per_var, pend, done, out = advance_variants(
+            per_var, pend, done, chunk, wm, specs, BOUND, "preference"
+        )
+        decided += out
+    per_var, pend, done, out = advance_variants(
+        per_var, pend, done, [], 10_000_000, specs, BOUND, "preference"
+    )
+    decided += out
+    return sorted((eid, r["steps"]) for eid, r in decided)
+
+
+rel_strategy = st.lists(
+    st.sampled_from(["A", "B", "C"]), min_size=0, max_size=14
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(rel_strategy)
+def test_reluctant_kernel_matches_brute_force(seq):
+    # unique ascending ts (one per index) — strict semantics need a
+    # total event order, matching the Spark tests' construction
+    rows = [(i * 2, i, t) for i, t in enumerate(seq)]
+    got = _drive_rel(
+        [_rel_flags(rows)], [max((r[0] for r in rows), default=0)]
+    )
+    assert got == _brute_reluctant(rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    rel_strategy,
+    st.lists(st.integers(min_value=0, max_value=14), max_size=4),
+)
+def test_reluctant_kernel_chunking_invariance(seq, cuts):
+    rows = [(i * 2, i, t) for i, t in enumerate(seq)]
+    flags = _rel_flags(rows)
+    one_shot = _drive_rel(
+        [flags], [max((r[0] for r in rows), default=0)]
+    )
+    bounds = sorted({c for c in cuts if c <= len(flags)})
+    chunks, prev = [], 0
+    for c in bounds + [len(flags)]:
+        chunks.append(flags[prev:c])
+        prev = c
+    wms, wm = [], 0
+    for ch in chunks:
+        if ch:
+            wm = ch[-1][0]
+        wms.append(wm)
+    assert _drive_rel(chunks, wms) == one_shot
