@@ -44,6 +44,14 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               contiguity; with `->` the skip branch always wins (see
               cep_reluctant_optional's docstring)
     A => B{n,m}?  reluctant range: ascending arities, shortest preferred
+    (A -> B){n} / {n,m}  quantified GROUP (MATCH_RECOGNIZE sub-pattern
+              repetition, round 5): the parenthesized chain repeats —
+              repeat r's steps become `<name>_r<r>` columns, `{n,m}`
+              expands into greedy descending-arity variants riding the
+              same winner machinery as step quantifiers (both
+              engines). One group per pattern, plain inner steps, no
+              correlation inside the group, no mixing with other
+              quantifiers in a `{n,m}` group.
     A -[30 MINUTES]-> B   gapped connector (also =[...]=>): B must fall
               within the bracketed interval OF A's binding — the
               per-transition deadline (Step.gap); on a negated step it
@@ -415,6 +423,143 @@ def expand_permute_sql(text: str):
     ]
 
 
+_GROUP_RE = re.compile(r"\(([^()]*)\)\s*\{(\d+)(?:\s*,\s*(\d+))?\}")
+
+
+def expand_group_sql(text: str):
+    """Detect a quantified GROUP `( ... ){n}` / `( ... ){n,m}` inside
+    the PATTERN clause (MATCH_RECOGNIZE sub-pattern quantification,
+    e.g. `(A -> B){2}` = the A-B pair twice) and expand it into flat
+    step chains — repeat r's steps are renamed `<name>_r<r>` (each a
+    timestamp column), repeats join with the relaxed `->` connector,
+    and each repeat's DEFINE entries are duplicated under the renamed
+    steps. `{n}` yields one chain; `{n,m}` yields the greedy
+    descending-arity variants, which ride the SAME winner-pick
+    machinery as step quantifiers on both engines (union + preference
+    groupBy batch-side, the variant NFA runner streaming-side).
+
+    Returns None when the text has no quantified group, else a list
+    of (desc, variant_text) pairs (singleton for `{n}`). Restrictions
+    (pointed errors, not silent misreads): one group per pattern; no
+    nesting; plain step names inside (no ?/{k}/+/!); group steps may
+    not carry correlation clauses (each repeat binds independently —
+    a cross-repeat correlation would silently read the wrong repeat);
+    MEASURES may not reference group steps (no single binding)."""
+    clauses = _split_clauses(text)
+    body = clauses.get("PATTERN", "").strip()
+    if not (body.startswith("(") and body.endswith(")")):
+        return None
+    inner_pat = body[1:-1]
+    m = _GROUP_RE.search(inner_pat)
+    if m is None:
+        return None
+    if _GROUP_RE.search(inner_pat, m.end()):
+        raise ValueError("only one quantified group is supported")
+    lo = int(m.group(2))
+    hi = int(m.group(3)) if m.group(3) else lo
+    if lo < 1:
+        raise ValueError("group {n[,m]} needs n >= 1")
+    if hi < lo:
+        raise ValueError("group {n,m} needs m >= n")
+    if hi - lo > 7 or hi > 8:
+        raise ValueError("group expansion capped at 8 repeats/variants")
+    toks = [
+        t
+        for t in re.split(_CONNECTOR_SPLIT + r"|\s+", m.group(1))
+        if t
+    ]
+    if not toks or len(toks) % 2 == 0:
+        raise ValueError("group must be step (connector step)*")
+    names = toks[::2]
+    conns = toks[1::2]
+    for n in names:
+        if not re.match(r"^[A-Za-z_]\w*$", n):
+            raise ValueError(
+                f"group steps must be plain step names, got {n!r} "
+                "(no !/?/{k}/+ inside a quantified group)"
+            )
+    for c in conns:
+        _parse_connector(c)  # validates; gapped connectors carry over
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate step name inside group")
+
+    defines = {
+        re.match(r"^([A-Za-z_]\w*)", item).group(1): item
+        for item in _split_top_level_commas(clauses["DEFINE"])
+    }
+    step_names = set(defines)
+    for n in names:
+        if n not in defines:
+            raise ValueError(f"group step {n} has no DEFINE entry")
+        expr = re.sub(
+            r"^([A-Za-z_]\w*)\s+AS\s+", "", defines[n], flags=re.I
+        )
+        if any(
+            q in step_names
+            for q, _c in _WHERE_REF.findall(_mask_literals(expr))
+        ):
+            raise ValueError(
+                f"group step {n}: correlation clauses are not supported "
+                "inside a quantified group (each repeat binds "
+                "independently)"
+            )
+    if "MEASURES" in clauses:
+        for item in _split_top_level_commas(clauses["MEASURES"]):
+            hit = {
+                q
+                for q, _c in _WHERE_REF.findall(_mask_literals(item))
+            } & set(names)
+            if hit:
+                raise ValueError(
+                    f"measure {item.strip()!r} references group step(s) "
+                    f"{sorted(hit)} — a quantified group's steps have "
+                    "no single binding"
+                )
+
+    def _chain(k: int) -> str:
+        parts: list[str] = []
+        for r in range(1, k + 1):
+            if parts:
+                parts.append("->")
+            for i, n in enumerate(names):
+                if i:
+                    parts.append(conns[i - 1])
+                parts.append(f"{n}_r{r}")
+        return " ".join(parts)
+
+    variants = []
+    for k in range(hi, lo - 1, -1):  # greedy: longest arity first
+        flat = _chain(k)
+        new_pat = (
+            inner_pat[: m.start()] + flat + inner_pat[m.end() :]
+        ).strip()
+        kept = [
+            item
+            for nm, item in defines.items()
+            if nm not in set(names)
+        ]
+        dup = [
+            re.sub(
+                r"^([A-Za-z_]\w*)(\s+AS\s+)",
+                lambda mo: f"{mo.group(1)}_r{r}{mo.group(2)}",
+                defines[n],
+                flags=re.I,
+            )
+            for r in range(1, k + 1)
+            for n in names
+        ]
+        vtext = f"PATTERN ( {new_pat} )\nWITHIN {clauses['WITHIN']}\n"
+        vtext += "DEFINE " + ",\n       ".join(kept + dup)
+        if "MEASURES" in clauses:
+            vtext += f"\nMEASURES {clauses['MEASURES']}"
+        for kw in ("PARTITION BY", "ORDER BY"):
+            if kw in clauses:
+                vtext += f"\n{kw} {clauses[kw]}"
+        desc = re.sub(r"\s+", "", new_pat)
+        variants.append((desc, vtext))
+    return variants
+
+
 _QUANT_TOKEN = re.compile(
     r"^([A-Za-z_]\w*)(?:(\?\??)|\{(\d+),(\d+)\}(\?)?)$"
 )
@@ -654,6 +799,28 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     has a live partial for the same anchor, so greedy/reluctant
     semantics match the batch compiler exactly (property-tested).
     """
+    grp = expand_group_sql(text)
+    if grp is not None:
+        if len(grp) == 1:
+            # exact {n}: one flat chain — recurse so any remaining
+            # step quantifiers / PERMUTE in the flattened text keep
+            # their normal handling
+            return match_recognize(df, grp[0][1], **stream_kwargs)
+        if any(
+            expand_quantifier_sql(v) is not None
+            or expand_permute_sql(v) is not None
+            for _, v in grp
+        ):
+            raise ValueError(
+                "a {n,m} group cannot be combined with step "
+                "quantifiers or PERMUTE in the same pattern"
+            )
+        if df.isStreaming:
+            return _compile_variants_stream(
+                df, grp, mode="preference", label_col="variant",
+                **stream_kwargs,
+            )
+        return _compile_quantifier_batch(df, grp)
     expanded = expand_permute_sql(text)
     if expanded is not None:
         if df.isStreaming:
@@ -1003,6 +1170,68 @@ def cep_optional_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         DEFINE signup AS event_type = 'signup',
                error AS event_type = 'error',
                purchase AS event_type = 'purchase'
+        """,
+    )
+
+
+@register(
+    "cep_group_times",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t1, min(c.ts) AS t2
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         s3 AS (
+           SELECT s2.*, min(v2.ts) AS t3
+           FROM s2 JOIN v v2 ON v2.user_id = s2.user_id
+                            AND v2.ts > s2.t2
+                            AND v2.ts <= s2.t1 + INTERVAL 6 HOUR
+           GROUP BY ALL),
+         s4 AS (
+           SELECT s3.*, min(c2.ts) AS t4
+           FROM s3 JOIN c c2 ON c2.user_id = s3.user_id
+                            AND c2.ts > s3.t3
+                            AND c2.ts <= s3.t1 + INTERVAL 6 HOUR
+           GROUP BY ALL)
+    SELECT user_id AS key, event_id AS anchor_id,
+           t1 AS t_view_r1, t2 AS t_click_r1,
+           t3 AS t_view_r2, t4 AS t_click_r2,
+           'view_r1->click_r1->view_r2->click_r2' AS variant
+    FROM s4
+    UNION ALL
+    SELECT s2.user_id AS key, s2.event_id AS anchor_id,
+           s2.t1, s2.t2,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           'view_r1->click_r1' AS variant
+    FROM s2
+    WHERE NOT EXISTS (SELECT 1 FROM s4
+                      WHERE s4.user_id = s2.user_id
+                        AND s4.event_id = s2.event_id)
+    """,
+)
+def cep_group_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified GROUP repetition through the SQL-text surface
+    (MATCH_RECOGNIZE sub-pattern quantification, round 5): the
+    view-click PAIR once or twice — `(view -> click){1,2}` — greedy,
+    so the two-repeat chain wins whenever it completes and the
+    one-repeat fallback pads the second repeat's columns with NULLs.
+    Expansion flattens each arity into a plain step chain
+    (`view_r1 -> click_r1 -> ...`) riding the proven per-key join-agg
+    plan; the winner pick is the same (key, anchor) preference
+    groupBy as step quantifiers, and the STREAMING face rides the
+    variant NFA runner unchanged."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( (view -> click){1,2} )
+        WITHIN 6 HOURS
+        DEFINE view AS event_type = 'view',
+               click AS event_type = 'click'
         """,
     )
 

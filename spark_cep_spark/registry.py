@@ -168,6 +168,7 @@ NEXT_ROTATION: list[str] = [
     "join_asof_nearest",
     "agg_weighted",
     "win_lag_ignore_nulls",
+    "cep_group_times",
     "scan_csv_json",
     "scan_orc",
     "case_when",

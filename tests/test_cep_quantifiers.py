@@ -468,3 +468,115 @@ DEFINE s AS event_type = 'signup',
     assert got[1] == "s=[10 MINUTES]=>p"
     assert got[2] == "s=[10 MINUTES]=>b=[10 MINUTES]=>p"
     assert 3 not in got
+
+
+# ------------------------------------------------------------------
+# quantified groups: (A -> B){n} / {n,m}
+# ------------------------------------------------------------------
+
+from spark_cep_spark.operators.cep_sql import expand_group_sql  # noqa: E402
+
+GROUP_SQL = """
+PATTERN ( S -> (A -> B){1,2} )
+WITHIN 2 HOURS
+DEFINE S AS event_type = 'signup',
+       A AS event_type = 'view',
+       B AS event_type = 'click'
+"""
+
+
+def test_group_expansion_shape():
+    variants = expand_group_sql(GROUP_SQL)
+    assert [d for d, _ in variants] == [
+        "S->A_r1->B_r1->A_r2->B_r2",
+        "S->A_r1->B_r1",
+    ]
+    for _, vtext in variants:
+        parse_pattern_sql(vtext)  # each variant parses standalone
+
+
+def test_group_exact_n_single_chain():
+    variants = expand_group_sql(
+        GROUP_SQL.replace("{1,2}", "{2}")
+    )
+    assert len(variants) == 1
+    assert variants[0][0] == "S->A_r1->B_r1->A_r2->B_r2"
+
+
+def test_group_greedy_prefers_more_repeats(spark):
+    rows = [
+        (1, 0, "signup"), (1, 5, "view"), (1, 10, "click"),
+        (1, 15, "view"), (1, 20, "click"),
+        (2, 0, "signup"), (2, 5, "view"), (2, 10, "click"),
+        (3, 0, "signup"),
+    ]
+    out = match_recognize(_events_df(spark, rows), GROUP_SQL)
+    got = {r["key"]: (r["variant"], r["t_B_r2"]) for r in out.collect()}
+    assert got[1][0] == "S->A_r1->B_r1->A_r2->B_r2"
+    assert got[2] == ("S->A_r1->B_r1", None)
+    assert 3 not in got
+
+
+def test_group_strict_connector_carries_into_repeats(spark):
+    """`(A => B){2}`: the strict connector INSIDE the group applies in
+    every repeat — each B must be the key's immediately-next event
+    after its A."""
+    sql = """
+PATTERN ( (A => B){2} )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'view', B AS event_type = 'click'
+"""
+    rows = [
+        (1, 0, "view"), (1, 5, "click"), (1, 10, "view"), (1, 15, "click"),
+        # user 2: a purchase interrupts the second pair -> strict fails
+        (2, 0, "view"), (2, 5, "click"), (2, 10, "view"),
+        (2, 12, "purchase"), (2, 15, "click"),
+    ]
+    out = match_recognize(_events_df(spark, rows), sql)
+    assert sorted(r["key"] for r in out.collect()) == [1]
+
+
+@pytest.mark.parametrize(
+    "pattern, msg",
+    [
+        ("( (A -> B){0,2} )", "n >= 1"),
+        ("( (A -> B){3,2} )", "m >= n"),
+        ("( (A -> B){1,9} )", "capped"),
+        ("( (A -> B){2} -> (A -> B){2} )", "only one quantified group"),
+        ("( (A -> B?){2} )", "plain step names"),
+        ("( (A -> A){2} )", "duplicate step name"),
+    ],
+)
+def test_malformed_groups_rejected(pattern, msg):
+    with pytest.raises(ValueError, match=msg):
+        expand_group_sql(
+            f"PATTERN {pattern} WITHIN 1 HOUR "
+            "DEFINE A AS event_type = 'view', B AS event_type = 'click'"
+        )
+
+
+def test_group_with_correlation_rejected():
+    with pytest.raises(ValueError, match="correlation"):
+        expand_group_sql(
+            """
+            PATTERN ( S -> (A -> B){2} )
+            WITHIN 1 HOUR
+            DEFINE S AS event_type = 'signup',
+                   A AS event_type = 'view',
+                   B AS event_type = 'click' AND B.value > S.value
+            """
+        )
+
+
+def test_group_range_with_step_quantifier_rejected(spark):
+    with pytest.raises(ValueError, match="cannot be combined"):
+        match_recognize(
+            _events_df(spark, [(1, 0, "signup")]),
+            """
+            PATTERN ( (A -> B){1,2} -> C? )
+            WITHIN 1 HOUR
+            DEFINE A AS event_type = 'view',
+                   B AS event_type = 'click',
+                   C AS event_type = 'purchase'
+            """,
+        )

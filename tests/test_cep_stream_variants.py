@@ -627,3 +627,26 @@ def test_reluctant_kernel_chunking_invariance(seq, cuts):
             wm = ch[-1][0]
         wms.append(wm)
     assert _drive_rel(chunks, wms) == one_shot
+
+
+def test_stream_group_times_equals_batch(spark):
+    """Quantified group `(A -> B){1,2}` on a stream: the flattened
+    arity variants ride the same preference runner."""
+    sql = """
+PATTERN ( S -> (A -> B){1,2} )
+WITHIN 2 HOURS
+DEFINE S AS event_type = 'signup',
+       A AS event_type = 'view',
+       B AS event_type = 'click'
+"""
+    rows = [
+        (1, 0, "signup", 1.0), (1, 5, "view", 1.0), (1, 10, "click", 1.0),
+        (1, 15, "view", 1.0), (1, 20, "click", 1.0),
+        (2, 0, "signup", 1.0), (2, 5, "view", 1.0), (2, 10, "click", 1.0),
+        (3, 0, "signup", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "signup")
+    assert g == w and len(g) == 2
+    variants = {r[0]: r[-1] for r in g}
+    assert variants[1] == "S->A_r1->B_r1->A_r2->B_r2"
+    assert variants[2] == "S->A_r1->B_r1"
