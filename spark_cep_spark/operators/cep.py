@@ -1199,6 +1199,190 @@ def select_non_overlapping(
     return matches.groupBy(key_col).applyInPandas(pick, schema=schema)
 
 
+def select_skip_to(
+    matches: DataFrame,
+    start_col: str,
+    resume_col: str,
+    key_col: str = "key",
+    tiebreak_col: str = "anchor_id",
+) -> DataFrame:
+    """AFTER MATCH SKIP TO LAST <var> (the third MATCH_RECOGNIZE
+    match-selection policy, between emit-all and SKIP PAST LAST ROW):
+    after a kept match, scanning resumes AT the row its <var> step
+    bound — the next kept match's anchor must start at-or-after that
+    binding (`>=`, the resume row itself may anchor). Progress is
+    structural: a step binding is strictly after the anchor, so the
+    resume point strictly advances per kept match and the scan cannot
+    loop (the standard's SKIP-TO-own-anchor error case cannot arise
+    for a later step).
+
+    Same shape as select_non_overlapping: a sequential recurrence over
+    MATCHES (not events) per key — applyInPandas linear scan, keys
+    parallelize across executors."""
+    import pandas as pd  # local: keep module import-light
+
+    schema = matches.schema
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [start_col, resume_col, tiebreak_col], kind="mergesort"
+        )
+        keep, last_resume = [], None
+        for s, r in zip(pdf[start_col], pdf[resume_col]):
+            ok = last_resume is None or s >= last_resume
+            keep.append(ok)
+            if ok:
+                last_resume = r
+        return pdf[keep]
+
+    return matches.groupBy(key_col).applyInPandas(pick, schema=schema)
+
+
+@register(
+    "cep_skip_to_last",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s2 AS (
+      SELECT v.user_id, v.event_id, v.ts AS t_view, min(c.ts) AS t_click
+      FROM v JOIN c ON c.user_id = v.user_id
+                   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+      GROUP BY v.user_id, v.event_id, v.ts
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.event_id, s2.t_view, s2.t_click,
+             min(p.ts) AS t_purchase
+      FROM s2 JOIN p ON p.user_id = s2.user_id
+                    AND p.ts > s2.t_click
+                    AND p.ts <= s2.t_view + INTERVAL 24 HOUR
+      GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.t_click
+    ),
+    numbered AS (
+      SELECT user_id, event_id, t_view, t_click, t_purchase,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t_view, t_click, event_id) AS rn
+      FROM s3
+    ),
+    sel AS (
+      SELECT user_id, event_id, t_view, t_click, t_purchase, rn,
+             true AS kept, t_click AS last_resume
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.t_view, n.t_click, n.t_purchase,
+             n.rn, n.t_view >= s.last_resume AS kept,
+             CASE WHEN n.t_view >= s.last_resume THEN n.t_click
+                  ELSE s.last_resume END AS last_resume
+      FROM sel s JOIN numbered n
+        ON n.user_id = s.user_id AND n.rn = s.rn + 1
+    )
+    SELECT user_id AS key, event_id AS anchor_id,
+           t_view, t_click, t_purchase
+    FROM sel WHERE kept
+    """,
+)
+def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel under AFTER MATCH SKIP TO LAST click: after a kept
+    match, the next anchor may start at-or-after the kept match's
+    CLICK binding (overlap with the purchase tail is allowed — a
+    policy strictly between emit-all and SKIP PAST LAST ROW). The
+    oracle replays the identical recurrence with a recursive CTE."""
+    events = table(spark, sf_dir, "events")
+    matches = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+        .compile_batch(events)
+    )
+    return select_skip_to(matches, "t_view", "t_click")
+
+
+def rows_per_match(
+    matches: DataFrame,
+    steps: list[str],
+    key_col: str = "key",
+    anchor_col: str = "anchor_id",
+) -> DataFrame:
+    """ALL ROWS PER MATCH (MATCH_RECOGNIZE's per-event output mode)
+    for fixed-chain matches: unpivot each match's t_<step>/id_<step>
+    columns into one row PER BOUND EVENT — (key, anchor_id, seq_no,
+    step, ts, event_id). A pure projection + union over the match
+    table (no second pass over events): exactly k narrow selects
+    unioned, fully whole-stage-codegen, no shuffle added."""
+    branches = []
+    for i, s in enumerate(steps, start=1):
+        branches.append(
+            matches.select(
+                key_col,
+                anchor_col,
+                F.lit(i).cast("long").alias("seq_no"),
+                F.lit(s).alias("step"),
+                F.col(f"t_{s}").alias("ts"),
+                F.col(f"id_{s}").alias("event_id"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@register(
+    "cep_all_rows",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view,
+                  min({'ts': c.ts, 'id': c.event_id}) AS mc
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         s3 AS (
+           SELECT s2.user_id, s2.event_id, s2.t_view, s2.mc,
+                  min({'ts': p.ts, 'id': p.event_id}) AS mp
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.mc.ts
+                         AND p.ts <= s2.t_view + INTERVAL 6 HOUR
+           GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.mc)
+    SELECT user_id AS key, event_id AS anchor_id,
+           CAST(1 AS BIGINT) AS seq_no, 'view' AS step,
+           t_view AS ts, event_id
+    FROM s3
+    UNION ALL
+    SELECT user_id, event_id, CAST(2 AS BIGINT), 'click',
+           mc.ts, mc.id
+    FROM s3
+    UNION ALL
+    SELECT user_id, event_id, CAST(3 AS BIGINT), 'purchase',
+           mp.ts, mp.id
+    FROM s3
+    """,
+)
+def cep_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH through the funnel: every matched event as
+    its own output row with (seq_no, step, ts, event_id) — the
+    per-event audit/debug view MATCH_RECOGNIZE offers next to the
+    default ONE ROW PER MATCH. Built from compile_batch(emit_ids=True)
+    (deterministic (ts, id) struct-min bindings) + the rows_per_match
+    unpivot; the oracle carries the same ids via named-struct mins."""
+    events = table(spark, sf_dir, "events")
+    matches = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("6 HOURS")
+        .compile_batch(events, emit_ids=True)
+    )
+    return rows_per_match(matches, ["view", "click", "purchase"])
+
+
 @register(
     "cep_skip_past",
     oracle="""

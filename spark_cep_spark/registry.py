@@ -169,6 +169,8 @@ NEXT_ROTATION: list[str] = [
     "agg_weighted",
     "win_lag_ignore_nulls",
     "cep_group_times",
+    "cep_skip_to_last",
+    "cep_all_rows",
     "scan_csv_json",
     "scan_orc",
     "case_when",

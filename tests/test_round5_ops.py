@@ -318,3 +318,78 @@ def test_lag_ignore_nulls_fills_over_gaps(spark):
     assert out[2] == (None, 5.0, 5.0)  # filled across the gap
     assert out[3] == (None, 5.0, 5.0)
     assert out[4] == (7.0, 7.0, 5.0)  # prev skips its own value
+
+
+def test_select_skip_to_resumes_at_binding(spark):
+    """SKIP TO LAST click: the next anchor may start AT-or-after the
+    kept match's click (overlap with the purchase tail allowed) —
+    strictly more matches than SKIP PAST LAST ROW, fewer than
+    emit-all."""
+    from spark_cep_spark.operators.cep import (
+        Pattern,
+        select_non_overlapping,
+        select_skip_to,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        (1, 1, "view", m(0), 1.0),
+        (2, 1, "click", m(10), 1.0),
+        (3, 1, "view", m(15), 1.0),   # anchors AFTER click, BEFORE purchase
+        (4, 1, "purchase", m(20), 1.0),
+        (5, 1, "click", m(25), 1.0),
+        (6, 1, "purchase", m(30), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+    )
+    matches = pat.compile_batch(df)
+    skip_to = {
+        r["anchor_id"]
+        for r in select_skip_to(matches, "t_view", "t_click").collect()
+    }
+    skip_past = {
+        r["anchor_id"]
+        for r in select_non_overlapping(
+            matches, "t_view", "t_purchase"
+        ).collect()
+    }
+    assert skip_to == {1, 3}   # second anchor allowed from t_click on
+    assert skip_past == {1}    # but not before the first purchase
+
+
+def test_rows_per_match_unpivots_each_binding(spark):
+    from spark_cep_spark.operators.cep import Pattern, rows_per_match
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "view", t0, 1.0),
+        (2, 1, "click", t0 + dt.timedelta(minutes=5), 1.0),
+        (3, 1, "purchase", t0 + dt.timedelta(minutes=10), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("24 HOURS")
+    )
+    out = sorted(
+        (r["seq_no"], r["step"], r["event_id"])
+        for r in rows_per_match(
+            pat.compile_batch(df, emit_ids=True),
+            ["view", "click", "purchase"],
+        ).collect()
+    )
+    assert out == [(1, "view", 1), (2, "click", 2), (3, "purchase", 3)]

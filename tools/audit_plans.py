@@ -63,6 +63,7 @@ PYTHON_OK = {
     "sim_ann_lsh",  # Arrow-batched numpy matmul bucketing (one BLAS call/batch)
     "multimodal_decode",  # Arrow-batched decode/frame-sample pipeline
     "cep_skip_past",  # sequential skip-policy scan over MATCHES (not events)
+    "cep_skip_to_last",  # same sequential policy, different resume point
     "cep_alert_throttle",  # same sequential policy, over ALERTS
     "win_ewma",  # inherently sequential per-key recurrence (EWMA)
     "dedup_near_arrow",  # Arrow-batched per-doc minhash (no shingle explode)
