@@ -52,6 +52,15 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               engines). One group per pattern, plain inner steps, no
               correlation inside the group, no mixing with other
               quantifiers in a `{n,m}` group.
+    AFTER MATCH SKIP PAST LAST ROW / SKIP TO LAST <step>  (round 5)
+              match-selection policy on BOTH engines: batch composes
+              the greedy selectors (select_non_overlapping /
+              select_skip_to) after the match plan; streaming passes
+              skip_policy to compile_stream, whose held-until-window-
+              closed recurrence (advance_skip_select) equals the batch
+              selection exactly. Not combinable with quantifier/group/
+              PERMUTE expansion. Omitted = emit every match
+              (skip-to-next-row), as before.
     A -[30 MINUTES]-> B   gapped connector (also =[...]=>): B must fall
               within the bracketed interval OF A's binding — the
               per-transition deadline (Step.gap); on a negated step it
@@ -112,6 +121,7 @@ _CLAUSE_KEYWORDS = (
     "MEASURES",
     "PARTITION BY",
     "ORDER BY",
+    "AFTER MATCH",
 )
 
 
@@ -120,6 +130,9 @@ class ParsedPatternQuery:
     pattern: Pattern
     key_col: str
     time_col: str
+    # None | "skip_past_last_row" | ("skip_to_last", step_name) —
+    # parsed from the AFTER MATCH clause
+    skip: object = None
 
 
 def _mask_literals(text: str) -> str:
@@ -378,7 +391,44 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     for col, label in ((key_col, "PARTITION BY"), (time_col, "ORDER BY")):
         if not re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", col):
             raise ValueError(f"{label} must name a single column, got {col!r}")
-    return ParsedPatternQuery(pattern=pattern, key_col=key_col, time_col=time_col)
+    skip = None
+    if "AFTER MATCH" in clauses:
+        body = re.sub(r"\s+", " ", clauses["AFTER MATCH"].strip())
+        kinds = {s.name: s.contiguity for s in pattern.steps}
+        pos_names = [
+            s.name for s in pattern.steps if s.contiguity != "absent"
+        ]
+        if re.fullmatch(r"SKIP PAST LAST ROW", body, re.I):
+            skip = "skip_past_last_row"
+        else:
+            m2 = re.fullmatch(
+                r"SKIP TO LAST ([A-Za-z_]\w*)", body, re.I
+            )
+            if not m2:
+                raise ValueError(
+                    f"malformed AFTER MATCH clause: {body!r} (want SKIP "
+                    "PAST LAST ROW or SKIP TO LAST <step>)"
+                )
+            tgt = m2.group(1)
+            if tgt not in kinds:
+                raise ValueError(f"AFTER MATCH: unknown step {tgt!r}")
+            if kinds[tgt] == "absent":
+                raise ValueError(
+                    "AFTER MATCH cannot skip to a negated step"
+                )
+            if kinds[tgt] == "kleene":
+                raise ValueError(
+                    "AFTER MATCH cannot skip to a one_or_more step"
+                )
+            if pos_names and tgt == pos_names[0]:
+                raise ValueError(
+                    "AFTER MATCH SKIP TO LAST cannot target the anchor "
+                    "step (the scan would not advance)"
+                )
+            skip = ("skip_to_last", tgt)
+    return ParsedPatternQuery(
+        pattern=pattern, key_col=key_col, time_col=time_col, skip=skip
+    )
 
 
 _PERMUTE_RE = re.compile(r"PERMUTE\s*\(([^)]*)\)", re.I)
@@ -800,6 +850,15 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     semantics match the batch compiler exactly (property-tested).
     """
     grp = expand_group_sql(text)
+    if grp is not None or expand_permute_sql(text) is not None or (
+        expand_quantifier_sql(text) is not None
+    ):
+        if "AFTER MATCH" in _split_clauses(text):
+            raise ValueError(
+                "AFTER MATCH skip policies are not supported with "
+                "quantifier/group/PERMUTE expansion (the policy would "
+                "have to run across variants)"
+            )
     if grp is not None:
         if len(grp) == 1:
             # exact {n}: one flat chain — recurse so any remaining
@@ -844,10 +903,35 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     if df.isStreaming:
         from spark_cep_spark.streaming.nfa import compile_stream
 
-        return compile_stream(parsed.pattern, df, **stream_kwargs)
-    return parsed.pattern.compile_batch(
+        return compile_stream(
+            parsed.pattern, df, skip_policy=parsed.skip, **stream_kwargs
+        )
+    out = parsed.pattern.compile_batch(
         df, key_col=parsed.key_col, time_col=parsed.time_col
     )
+    if parsed.skip is not None:
+        from spark_cep_spark.operators.cep import (
+            select_non_overlapping,
+            select_skip_to,
+        )
+
+        pos = [
+            s for s in parsed.pattern.steps if s.contiguity != "absent"
+        ]
+        anchor = pos[0].name
+        if parsed.skip == "skip_past_last_row":
+            last = pos[-1]
+            end_col = (
+                f"t_{last.name}_last"
+                if last.contiguity == "kleene"
+                else f"t_{last.name}"
+            )
+            out = select_non_overlapping(out, f"t_{anchor}", end_col)
+        else:
+            out = select_skip_to(
+                out, f"t_{anchor}", f"t_{parsed.skip[1]}"
+            )
+    return out
 
 
 def _compile_variants_stream(

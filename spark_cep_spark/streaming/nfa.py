@@ -1048,10 +1048,23 @@ def compile_stream(
     watermark: str = "10 minutes",
     filter_nonmatching: bool = True,
     emit_ids: bool = False,
+    skip_policy: str | tuple | None = None,
 ) -> DataFrame:
     """Compile a Pattern to a streaming DataFrame of matches — all
     contiguity modes (followed_by / next / one_or_more /
     not_followed_by), same semantics as Pattern.compile_batch.
+
+    skip_policy (Flink-CEP AfterMatchSkipStrategy, streaming face of
+    the batch selectors): None = emit every match (skip-to-next-row,
+    the default); "skip_past_last_row" = greedy non-overlapping
+    (select_non_overlapping's recurrence); ("skip_to_last", step) =
+    resume at the kept match's <step> binding (select_skip_to). The
+    recurrence needs matches in START order but the NFA completes
+    them in END order, so matches are held until their anchor's
+    whole-match window passes the watermark (at which point no
+    earlier-starting match can still appear) — state is the held
+    matches within one window plus one marker integer per key
+    (advance_skip_select, property-tested).
 
     Output schema mirrors Pattern.compile_batch: (key, anchor_id,
     t_<step>... as timestamps) over the POSITIVE steps (a negation step
@@ -1091,6 +1104,34 @@ def compile_stream(
         # whatever event sits at the key's next sequence position:
         # non-matching events carry semantics and must reach the NFA
         filter_nonmatching = False
+    skip_inclusive = False
+    skip_resume_idx: int | None = None  # None -> marker = match end
+    if skip_policy is not None:
+        if skip_policy == "skip_past_last_row":
+            pass
+        elif (
+            isinstance(skip_policy, tuple)
+            and len(skip_policy) == 2
+            and skip_policy[0] == "skip_to_last"
+        ):
+            names = [s.name for s in pos_steps]
+            if skip_policy[1] not in names:
+                raise ValueError(
+                    f"skip_to_last: unknown step {skip_policy[1]!r}"
+                )
+            skip_resume_idx = names.index(skip_policy[1])
+            if skip_resume_idx == 0:
+                raise ValueError(
+                    "skip_to_last cannot target the anchor step "
+                    "(the scan would not advance)"
+                )
+            if pos_steps[skip_resume_idx].contiguity == "kleene":
+                raise ValueError(
+                    "skip_to_last cannot target a one_or_more step"
+                )
+            skip_inclusive = True
+        else:
+            raise ValueError(f"unknown skip_policy: {skip_policy!r}")
 
     corr_plan = pattern.corr_plan()
     has_corr = any(w is not None for w in corr_plan["wheres"])
@@ -1220,6 +1261,7 @@ def compile_stream(
             st = {"buf": [], "partials": []}
         buf = st["buf"]  # [[ts_us, eid, [m0..mk]], ...] not yet matured
         partials = st["partials"]  # [[bound, open_run, env], ...] (see advance_nfa_full)
+        skip_pending, skip_marker = st.get("skip", [[], None])
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -1262,14 +1304,42 @@ def compile_stream(
             gaps=gaps_us,
         )
 
-        if buf or partials:
-            state.update(
-                (json.dumps({"v": _STATE_VERSION, "buf": buf, "partials": partials}),)
+        if skip_policy is not None:
+            # hold completions until their whole-match window passes
+            # the watermark, then run the greedy AFTER MATCH SKIP
+            # recurrence in start order (see advance_skip_select)
+            entries = []
+            for mt in matches:
+                b = mt[1]
+                marker = (
+                    _last_pos(b)[0]
+                    if skip_resume_idx is None
+                    else (
+                        b[skip_resume_idx][0]
+                        if len(b[skip_resume_idx]) == 2
+                        else b[skip_resume_idx][2]
+                    )
+                )
+                entries.append([b[0][0], marker, mt[0], list(mt)])
+            skip_pending, skip_marker, matches = advance_skip_select(
+                skip_pending,
+                skip_marker,
+                entries,
+                wm_us,
+                bound_ms * _US_PER_MS,
+                inclusive=skip_inclusive,
             )
+
+        if buf or partials or skip_pending:
+            payload = {"v": _STATE_VERSION, "buf": buf, "partials": partials}
+            if skip_policy is not None:
+                payload["skip"] = [skip_pending, skip_marker]
+            state.update((json.dumps(payload),))
             # wake up when the watermark passes the earliest pending work
             nxt_us = min(
                 [e[0] for e in buf]
                 + [p[0][0][0] + bound_ms * _US_PER_MS for p in partials]
+                + [m[0] + bound_ms * _US_PER_MS for m in skip_pending]
             )
             state.setTimeoutTimestamp(max(nxt_us // _US_PER_MS + 1, wm_ms + 1))
         elif state.exists:
@@ -1581,6 +1651,59 @@ def compile_stream_multi(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_skip_select(
+    pending: list,
+    last_marker: int | None,
+    new_matches: list,
+    wm_us: int,
+    bound_us: int,
+    inclusive: bool = False,
+) -> tuple[list, int | None, list]:
+    """Streaming AFTER MATCH SKIP selection kernel (pure,
+    chunking-invariant): the greedy sequential recurrence of
+    select_non_overlapping / select_skip_to, run incrementally over a
+    match stream.
+
+    Matches do NOT emit from the NFA in start order (an
+    earlier-anchored match can complete later), but the recurrence
+    must scan in start order — so a match is HELD until no
+    earlier-starting match can still appear: every anchor at ts <=
+    start resolves by its deadline ts + bound, so once
+    `start + bound_us <= wm_us` (after the NFA advanced at this wm)
+    the prefix of matches up to `start` is complete and the
+    recurrence may consume it. State = the held matches within one
+    whole-match window + ONE marker integer.
+
+    pending:     [[start_us, marker_us, tiebreak, payload]] held
+                 matches (payload = the NFA match tuple, opaque);
+                 marker = end for SKIP PAST, resume-step binding for
+                 SKIP TO — it is both the secondary sort key and the
+                 recurrence update, matching the batch selectors'
+                 (start, end/resume, tiebreak) order exactly
+    last_marker: the recurrence state — the last kept match's marker
+    new_matches: same shape, this batch's NFA completions
+    inclusive:   False = keep iff start >  last_marker (SKIP PAST
+                 LAST ROW); True = keep iff start >= last_marker
+                 (SKIP TO LAST <var> — the resume row may anchor)
+
+    Returns (pending', last_marker', kept_payloads).
+    """
+    pending = pending + [list(m) for m in new_matches]
+    ready = [m for m in pending if m[0] + bound_us <= wm_us]
+    pending = [m for m in pending if m[0] + bound_us > wm_us]
+    ready.sort(key=lambda m: (m[0], m[1], m[2]))
+    kept = []
+    for m in ready:
+        ok = (
+            last_marker is None
+            or (m[0] >= last_marker if inclusive else m[0] > last_marker)
+        )
+        if ok:
+            last_marker = m[1]
+            kept.append(m[3])
+    return pending, last_marker, kept
 
 
 def advance_variants(

@@ -550,3 +550,73 @@ def test_gapped_connector_strict_form(spark):
     )
     keys = {r["key"] for r in out.collect()}
     assert keys == {1}
+
+
+def test_after_match_clause_batch_matches_selectors(spark, sf_dir):
+    """`AFTER MATCH SKIP PAST LAST ROW` / `SKIP TO LAST <step>` in the
+    dialect equal the composed batch selectors."""
+    from spark_cep_spark.operators.cep import (
+        Pattern,
+        select_non_overlapping,
+        select_skip_to,
+    )
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    events = table(spark, sf_dir, "events")
+    base = """
+        PATTERN ( v -> c -> p )
+        WITHIN 24 HOURS
+        DEFINE v AS event_type = 'view',
+               c AS event_type = 'click',
+               p AS event_type = 'purchase'
+    """
+    pat = (
+        Pattern.begin("v", "event_type = 'view'")
+        .followed_by("c", "event_type = 'click'")
+        .followed_by("p", "event_type = 'purchase'")
+        .within("24 HOURS")
+    )
+    matches = pat.compile_batch(events)
+    got_past = match_recognize(
+        events, base + "AFTER MATCH SKIP PAST LAST ROW"
+    )
+    want_past = select_non_overlapping(matches, "t_v", "t_p")
+    assert sorted(map(tuple, got_past.collect())) == sorted(
+        map(tuple, want_past.collect())
+    )
+    got_to = match_recognize(events, base + "AFTER MATCH SKIP TO LAST c")
+    want_to = select_skip_to(matches, "t_v", "t_c")
+    assert sorted(map(tuple, got_to.collect())) == sorted(
+        map(tuple, want_to.collect())
+    )
+    assert 0 < got_past.count() <= got_to.count() <= matches.count()
+
+
+def test_after_match_clause_malformed_rejected(spark, sf_dir):
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    base = """
+        PATTERN ( v -> c )
+        WITHIN 1 HOUR
+        DEFINE v AS event_type = 'view', c AS event_type = 'click'
+    """
+    with pytest.raises(ValueError, match="malformed AFTER MATCH"):
+        parse_pattern_sql(base + "AFTER MATCH SKIP TO FIRST c")
+    with pytest.raises(ValueError, match="unknown step"):
+        parse_pattern_sql(base + "AFTER MATCH SKIP TO LAST z")
+    with pytest.raises(ValueError, match="anchor"):
+        parse_pattern_sql(base + "AFTER MATCH SKIP TO LAST v")
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    with pytest.raises(ValueError, match="not supported with"):
+        match_recognize(
+            table(spark, sf_dir, "events"),
+            """
+            PATTERN ( v -> c? -> p )
+            WITHIN 1 HOUR
+            DEFINE v AS event_type = 'view',
+                   c AS event_type = 'click',
+                   p AS event_type = 'purchase'
+            AFTER MATCH SKIP PAST LAST ROW
+            """,
+        )

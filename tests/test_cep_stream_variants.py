@@ -650,3 +650,172 @@ DEFINE S AS event_type = 'signup',
     variants = {r[0]: r[-1] for r in g}
     assert variants[1] == "S->A_r1->B_r1->A_r2->B_r2"
     assert variants[2] == "S->A_r1->B_r1"
+
+
+# ---------------------------------------------------------------------------
+# Streaming AFTER MATCH SKIP policies (advance_skip_select +
+# compile_stream(skip_policy=...)).
+
+from spark_cep_spark.streaming.nfa import advance_skip_select  # noqa: E402
+
+
+def _brute_skip(entries, inclusive):
+    """One-shot greedy recurrence over all matches in (start, marker,
+    tiebreak) order — the batch selectors' definition."""
+    kept, last = [], None
+    for s, mk, tb, payload in sorted(entries, key=lambda m: m[:3]):
+        if last is None or (s >= last if inclusive else s > last):
+            last = mk
+            kept.append(payload)
+    return kept
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 10)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(st.integers(min_value=0, max_value=12), max_size=4),
+    st.booleans(),
+)
+def test_skip_select_kernel_chunking_invariance(raw, cuts, inclusive):
+    """Any arrival-order chunking of the match stream yields the batch
+    recurrence's selection. The stream model mirrors the NFA's
+    contract: a match ENDS within its anchor window (end - start <=
+    bound), matches arrive in completion order, the watermark after a
+    chunk is the max completion seen, and a chunk boundary never
+    splits two matches completing at the same watermark (the NFA
+    emits them in one batch)."""
+    B = 10
+    entries = [
+        [s, s + d, i, ["p", i]] for i, (s, d) in enumerate(raw)
+    ]
+    want = _brute_skip(entries, inclusive)
+
+    arrival = sorted(entries, key=lambda m: (m[1], m[2]))
+    valid = [
+        c
+        for c in range(1, len(arrival))
+        if arrival[c - 1][1] < arrival[c][1]
+    ]
+    bounds = sorted({valid[c % len(valid)] for c in cuts} if valid else set())
+    chunks, prev = [], 0
+    for c in bounds + [len(arrival)]:
+        chunks.append(arrival[prev:c])
+        prev = c
+    pending, marker, got = [], None, []
+    wm = 0
+    for ch in chunks:
+        if ch:
+            wm = max(wm, max(m[1] for m in ch))
+        pending, marker, kept = advance_skip_select(
+            pending, marker, ch, wm, B, inclusive=inclusive
+        )
+        got += kept
+    pending, marker, kept = advance_skip_select(
+        pending, marker, [], 10_000, B, inclusive=inclusive
+    )
+    got += kept
+    assert pending == [] and got == want
+
+
+def test_stream_skip_past_equals_batch_selector(spark, tmp_path):
+    """compile_stream(skip_policy='skip_past_last_row') over multiple
+    micro-batches equals the batch pipeline (compile_batch +
+    select_non_overlapping) — including a held decision: the second
+    anchor's match completes EARLIER than the first anchor's, so the
+    selector must wait for the first before deciding."""
+    from spark_cep_spark.operators.cep import (
+        Pattern,
+        select_non_overlapping,
+        select_skip_to,
+    )
+    from spark_cep_spark.streaming.nfa import compile_stream
+    from spark_cep_spark.streaming import harness
+
+    t0 = T0
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    data = [
+        # u1: anchor A at 0 completes at 50; anchor B at 10 completes
+        # at 20 (earlier!) but overlaps A's window — skip-past keeps A
+        # only; emit-all keeps both
+        (0, m(0), 1, "view", 1.0, "{}"),
+        (1, m(10), 1, "view", 1.0, "{}"),
+        (2, m(15), 1, "click", 1.0, "{}"),
+        (3, m(20), 1, "purchase", 1.0, "{}"),
+        (4, m(45), 1, "click", 1.0, "{}"),
+        (5, m(50), 1, "purchase", 1.0, "{}"),
+        # u2: two disjoint funnels -> both kept
+        (6, m(0), 2, "view", 1.0, "{}"),
+        (7, m(5), 2, "click", 1.0, "{}"),
+        (8, m(10), 2, "purchase", 1.0, "{}"),
+        (9, m(200), 2, "view", 1.0, "{}"),
+        (10, m(205), 2, "click", 1.0, "{}"),
+        (11, m(210), 2, "purchase", 1.0, "{}"),
+    ]
+    tails = [
+        (100, m(5000), 9, "view", 1.0, "{}"),
+        (101, m(10000), 9, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(data + tails, SCHEMA)
+    d = str(tmp_path / "files")
+    half = len(data) // 2
+    chunks = [data[:half], data[half:], tails[:1], tails[1:]]
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("1 HOUR")
+    )
+    batch = pat.compile_batch(df)
+    for policy, selector in [
+        ("skip_past_last_row",
+         lambda mdf: select_non_overlapping(mdf, "t_view", "t_purchase")),
+        (("skip_to_last", "click"),
+         lambda mdf: select_skip_to(mdf, "t_view", "t_click")),
+    ]:
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "f*"))
+        )
+        got = harness.run_available_now(
+            compile_stream(
+                pat, sdf, watermark="0 seconds", skip_policy=policy
+            ),
+            "append",
+        ).filter("key <> 9")
+        want = selector(batch).filter("key <> 9")
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.select(*got.columns).collect())
+        assert g == w, policy
+        assert len(g) == (3 if policy == "skip_past_last_row" else 3)
+
+
+def test_stream_after_match_dialect_equals_batch(spark):
+    """The AFTER MATCH clause through match_recognize on a stream
+    (routes to compile_stream's skip_policy) equals the batch text
+    query."""
+    sql = """
+PATTERN ( A -> B -> C )
+WITHIN 1 HOUR
+DEFINE A AS event_type = 'view',
+       B AS event_type = 'click',
+       C AS event_type = 'purchase'
+AFTER MATCH SKIP PAST LAST ROW
+"""
+    rows = [
+        (1, 0, "view", 1.0), (1, 10, "view", 1.0), (1, 15, "click", 1.0),
+        (1, 20, "purchase", 1.0), (1, 45, "click", 1.0),
+        (1, 50, "purchase", 1.0),
+        (2, 0, "view", 1.0), (2, 5, "click", 1.0), (2, 10, "purchase", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "view")
+    assert g == w and len(g) == 2  # u1 keeps only the first anchor
