@@ -819,3 +819,28 @@ AFTER MATCH SKIP PAST LAST ROW
     ]
     g, w = _stream_vs_batch(spark, rows, sql, "view")
     assert g == w and len(g) == 2  # u1 keeps only the first anchor
+
+
+def test_stream_permute3_equals_batch(spark):
+    """Three-element PERMUTE = 6 parallel ordering NFAs in one keyed
+    state; earliest-completion winner matches batch."""
+    sql = """
+PATTERN ( S -> PERMUTE(A, B, C) )
+WITHIN 2 HOURS
+DEFINE S AS event_type = 'signup',
+       A AS event_type = 'view',
+       B AS event_type = 'click',
+       C AS event_type = 'purchase'
+"""
+    rows = [
+        (1, 0, "signup", 1.0), (1, 5, "view", 1.0), (1, 10, "click", 1.0),
+        (1, 15, "purchase", 1.0),
+        (2, 0, "signup", 1.0), (2, 5, "purchase", 1.0), (2, 10, "view", 1.0),
+        (2, 15, "click", 1.0),
+        (3, 0, "signup", 1.0), (3, 5, "click", 1.0), (3, 10, "view", 1.0),
+        (4, 0, "signup", 1.0), (4, 5, "view", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "signup")
+    assert g == w and len(g) == 2
+    orders = {r[0]: r[-1] for r in g}
+    assert orders[1] == "A->B->C" and orders[2] == "C->A->B"
