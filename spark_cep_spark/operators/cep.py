@@ -1308,25 +1308,25 @@ def rows_per_match(
     """ALL ROWS PER MATCH (MATCH_RECOGNIZE's per-event output mode)
     for fixed-chain matches: unpivot each match's t_<step>/id_<step>
     columns into one row PER BOUND EVENT — (key, anchor_id, seq_no,
-    step, ts, event_id). A pure projection + union over the match
-    table (no second pass over events): exactly k narrow selects
-    unioned, fully whole-stage-codegen, no shuffle added."""
-    branches = []
-    for i, s in enumerate(steps, start=1):
-        branches.append(
-            matches.select(
-                key_col,
-                anchor_col,
+    step, ts, event_id). Encoded as ONE array-of-structs explode (not
+    a union of per-step selects): a single whole-stage-codegen pass,
+    no shuffle — and, critically, it composes on STREAMING match
+    output, where a self-union of the stateful operator would be
+    rejected as multiple applyInPandasWithStates in one query."""
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(i).cast("long").alias("seq_no"),
                 F.lit(s).alias("step"),
                 F.col(f"t_{s}").alias("ts"),
                 F.col(f"id_{s}").alias("event_id"),
             )
-        )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return matches.select(
+        key_col, anchor_col, F.explode(entries).alias("_e")
+    ).select(key_col, anchor_col, "_e.*")
 
 
 @register(

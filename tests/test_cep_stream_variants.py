@@ -844,3 +844,41 @@ DEFINE S AS event_type = 'signup',
     assert g == w and len(g) == 2
     orders = {r[0]: r[-1] for r in g}
     assert orders[1] == "A->B->C" and orders[2] == "C->A->B"
+
+
+def test_rows_per_match_composes_on_streams(spark, tmp_path):
+    """ALL ROWS PER MATCH is a pure projection+union, so it composes
+    on the STREAMING match output unchanged (no extra stateful op)."""
+    from spark_cep_spark.operators.cep import Pattern, rows_per_match
+    from spark_cep_spark.streaming.nfa import compile_stream
+    from spark_cep_spark.streaming import harness
+
+    data = [
+        (0, T0, 1, "view", 1.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=10), 1, "purchase", 1.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=500), 9, "view", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "f")
+    spark.createDataFrame(data, SCHEMA).orderBy("ts").coalesce(
+        1
+    ).write.parquet(d)
+    sdf = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("1 HOUR")
+    )
+    stream_rows = rows_per_match(
+        compile_stream(pat, sdf, watermark="0 seconds", emit_ids=True),
+        ["view", "click", "purchase"],
+    )
+    assert stream_rows.isStreaming
+    got = sorted(
+        (r["seq_no"], r["step"], r["event_id"])
+        for r in harness.run_available_now(stream_rows, "append").collect()
+    )
+    assert got == [(1, "view", 0), (2, "click", 1), (3, "purchase", 2)]
