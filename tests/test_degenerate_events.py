@@ -59,6 +59,9 @@ EVENTS_KEYS = [
     "stream_sliding_panes", "stream_static_join", "stream_stream_join",
     "stream_stream_left_join", "stream_tumbling", "text_redact",
     "udaf_grouped", "udf_surface", "win_ewma", "win_frame_range",
+    # round-5 additions over the events table
+    "join_asof_nearest", "win_lag_ignore_nulls", "cep_group_times",
+    "cep_skip_to_last", "cep_all_rows", "cep_optional_measures",
 ]
 
 
