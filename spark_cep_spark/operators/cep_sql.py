@@ -105,6 +105,7 @@ the text layer adds zero execution surface.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -455,9 +456,14 @@ def expand_permute_sql(text: str):
     names = [t.strip() for t in m.group(1).split(",") if t.strip()]
     if len(names) < 2:
         raise ValueError("PERMUTE needs at least two step names")
-    if len(names) > 4:
+    if len(names) > 3:
+        # n! orderings must fit the shared 16-variant expansion cap
+        # (the streaming runner holds one NFA per variant per key —
+        # 4! = 24 > 16 would blow per-key state on BOTH engines).
         raise ValueError(
-            "PERMUTE supports at most 4 steps (n! pattern expansion)"
+            f"PERMUTE of {len(names)} steps yields "
+            f"{math.factorial(len(names))} ordering variants — the "
+            "expansion is capped at 16 (max 3 steps)"
         )
     for n in names:
         if not re.match(r"^[A-Za-z_]\w*$", n):
@@ -533,10 +539,22 @@ def expand_group_sql(text: str):
     if len(set(names)) != len(names):
         raise ValueError("duplicate step name inside group")
 
-    defines = {
-        re.match(r"^([A-Za-z_]\w*)", item).group(1): item
-        for item in _split_top_level_commas(clauses["DEFINE"])
-    }
+    # A group was detected, so this text will be expanded rather than
+    # handed to parse_pattern_sql first — run the same required-clause
+    # validation here so a malformed group query gets the dialect's
+    # pointed ValueError, not a raw KeyError/AttributeError.
+    for required in ("DEFINE", "WITHIN"):
+        if required not in clauses:
+            raise ValueError(f"missing {required} clause")
+
+    defines = {}
+    for item in _split_top_level_commas(clauses["DEFINE"]):
+        nm = re.match(r"^([A-Za-z_]\w*)\s+AS\s+", item, re.I)
+        if not nm:
+            raise ValueError(
+                f"malformed DEFINE entry: {item!r} (want NAME AS expr)"
+            )
+        defines[nm.group(1)] = item
     step_names = set(defines)
     for n in names:
         if n not in defines:

@@ -641,6 +641,46 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_pq(spark, q, e, k=10)
 
 
+def planted_recall_probe(
+    spark: SparkSession, method: str
+) -> tuple[int, int]:
+    """Recall gate for the three rows-only ANN keys, shared by the
+    pytest contracts (tests/test_llm_ops.py) and
+    tools/check_oracle.py's rows-only path, so an ANN recall
+    regression fails the LOCAL driver-mimic gate, not just pytest.
+
+    Builds the planted corpus the tests use — 300 seeded-uniform unit
+    vectors plus near-duplicate twins (cos ≈ 0.95) of the first 30,
+    ids 1000+i (the fixture's own vectors are near-uniform, i.e. have
+    no true neighbors to recall) — and counts how many twin queries
+    recover their base vector as the top-1 neighbor. Returns
+    (hits, n_queries); the contract everywhere is hits >= 0.9·n."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(300, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twins = base[:30] + 0.04 * rng.normal(size=(30, 64))
+    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [
+        (1000 + i, v.tolist()) for i, v in enumerate(twins)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") >= 1000)
+    fn = {
+        "sim_ann_lsh": lambda: topk_lsh(spark, q, df, k=1),
+        "sim_ann_ivf": lambda: topk_ivf(
+            spark, q, df, k=1, n_cells=16, nprobe=4
+        ),
+        "sim_ann_pq": lambda: topk_pq(spark, q, df, k=1),
+    }[method]
+    got = fn().collect()
+    hits = sum(
+        1 for r in got if r.rk == 1 and r.neighbor_id == r.qid - 1000
+    )
+    return hits, 30
+
+
 def kmeans_assign(
     emb: DataFrame,
     centroids: list[list[float]],

@@ -870,10 +870,15 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     own tail — one whole-stage-codegen projection, no self-join on
     exploded tokens (which would shuffle corpus-sized token tables).
     The two counts are word-count aggregates (map-side partial on
-    Zipf-skewed heads); the denominator table is vocabulary-sized so
-    its join broadcasts; the final top-200 is orderBy+limit —
-    TakeOrderedAndProject (bounded per-partition heaps), NEVER a rank
-    window over all distinct bigrams (the text_vocab lesson)."""
+    Zipf-skewed heads); the n2⋈n1 join carries NO broadcast hint — a
+    web-scale corpus has 10^8-10^9 distinct tokens, so a forced
+    broadcast of the unigram table would OOM exactly when the operator
+    matters; AQE broadcasts when the post-agg unigram table is actually
+    small and shuffle-joins on w1 (both sides already partitioned by
+    w1 from their groupBys) when it is not. The final top-200 is
+    orderBy+limit — TakeOrderedAndProject (bounded per-partition
+    heaps), NEVER a rank window over all distinct bigrams (the
+    text_vocab lesson)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     pairs = F.arrays_zip(
@@ -892,7 +897,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_first")
     )
     return (
-        n2.join(F.broadcast(n1), "w1")
+        n2.join(n1, "w1")
         .select(
             "w1",
             "w2",

@@ -427,9 +427,18 @@ def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape feature pipelines use for 'previous reading'). Both frames
     share ONE (user_id, (ts, id)) shuffle+sort; last(ignorenulls) is
     an O(1)-state running window — no per-gap scan, safe at any
-    partition size."""
+    partition size.
+
+    NULL policy (pinned to the oracle's CASE semantics): a NULL
+    event_type KEEPS its value — the mask is written as
+    when(type=='view', NULL).otherwise(value), so a NULL condition
+    falls through to otherwise→value on both engines. The previous
+    form when(type!='view', value) diverged: Spark's NULL condition
+    yields NULL while the oracle's CASE falls to ELSE value."""
     e = table(spark, sf_dir, "events")
-    v = F.when(F.col("event_type") != "view", F.col("value"))
+    v = F.when(
+        F.col("event_type") == "view", F.lit(None).cast("double")
+    ).otherwise(F.col("value"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",

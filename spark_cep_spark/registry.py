@@ -31,13 +31,10 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
-keys absent from it follow in module-import order. Round 5 window =
-the 34 keys with ZERO driver evidence after rounds 1-4 (the round-4
-``NEXT_ROTATION`` list — graph family, sessionization, edit-distance
-dedup, as-of tolerance, MaxSim, round-4b CEP additions — plus the new
-``cep_optional_measures``), then the two r4-green keys whose
-quantifier-expansion machinery changed this round, then a backfill of
-§2 contract keys whose only evidence is round 1.
+keys absent from it follow in module-import order. Round 6 window =
+the 7 round-5 keys with zero driver evidence, the 33 §2 keys whose
+only driver evidence is round 1, and the keys NEW in round 6 — after
+which every registered key's latest driver evidence is round 3+.
 """
 
 from __future__ import annotations
@@ -99,71 +96,14 @@ def load_all() -> None:
 
 # The first 50 keys the driver will check this round, in order. See the
 # module docstring ("DRIVER WINDOW") for the selection rationale.
+# Round 6 window = the round-5 NEXT_ROTATION verbatim: (a) the 7 keys
+# NEW in round 5 with zero driver evidence (all exact-pass
+# tools/check_oracle.py locally), then (b) the 33 §2 keys whose only
+# driver evidence is round 1 — after this window, every registered
+# key's latest driver evidence is round 3 or newer. Keys NEW in round 6
+# are appended at the end as they land (window holds 50).
 DRIVER_PRIORITY: list[str] = [
-    # (a) the 33 round-4 NEXT_ROTATION keys (zero driver evidence;
-    # all exact-pass tools/check_oracle.py locally)
-    "text_vocab",
-    "text_tfidf",
-    "fn_regexp",
-    "fn_format",
-    "agg_ohlc",
-    "agg_median",
-    "stream_trending",
-    "graph_transitions",
-    "graph_degrees",
-    "graph_triangles",
-    "graph_pagerank",
-    "dedup_edit_nn",
-    "pipeline_scrub_boilerplate",
-    "rollup_interpolate",
-    "pipeline_dedup_keep_best",
-    "agg_argminmax",
-    "corpus_sample_weighted",
-    "win_running_distinct",
-    "join_asof_tolerance",
-    "cep_reluctant_optional",
-    "cep_sql_reluctant",
-    "sim_maxsim",
-    "cep_gap_timeout",
-    "win_sessionize",
-    "stream_sessionize",
-    "agg_mode",
-    "win_period_delta",
-    "corpus_token_budget",
-    "corpus_dedup_stats",
-    "sql_match_recognize",
-    "agg_conditional",
-    "pipeline_incremental_dedup",
-    "dedup_edit_banded",
-    # (b) NEW in round 5: MEASURES lifted through the quantifier
-    # expansion (verdict item 6)
-    "cep_optional_measures",
-    # (c) r4-green keys whose quantifier-expansion code path changed
-    # in round 5 (measures lift + streaming variant runner wiring)
-    "cep_sql_optional",
-    "cep_sql_permute",
-    # (d) backfill: §2 contract keys whose only driver evidence is
-    # round 1 — most load-bearing first
-    "join_inner_equi",
-    "join_broadcast",
-    "join_asof",
-    "join_interval",
-    "join_anti",
-    "agg_global",
-    "agg_group",
-    "agg_grouping_sets",
-    "win_rank",
-    "win_topk_per_group",
-    "scan_parquet",
-    "project_filter",
-    "sort_multi",
-    "set_union",
-]
-
-# Keys to rotate into DRIVER_PRIORITY next round: first the four
-# operators NEW in round 5 (local exact-pass via check_oracle), then
-# the §2 keys whose only driver evidence remains round 1.
-NEXT_ROTATION: list[str] = [
+    # (a) round-5 keys, zero driver evidence
     "text_bigram_lm",
     "join_asof_nearest",
     "agg_weighted",
@@ -171,6 +111,7 @@ NEXT_ROTATION: list[str] = [
     "cep_group_times",
     "cep_skip_to_last",
     "cep_all_rows",
+    # (b) §2 keys whose only driver evidence is round 1
     "scan_csv_json",
     "scan_orc",
     "case_when",
@@ -204,7 +145,13 @@ NEXT_ROTATION: list[str] = [
     "win_percentiles",
     "win_ewma",
     "cep_seq",
+    # (c) NEW in round 6 — appended as they land
 ]
+
+# Keys to rotate into DRIVER_PRIORITY next round: the cohort whose
+# latest driver evidence is round 3 (oldest remaining once the round-6
+# window lands). Rebuilt at end of round 6.
+NEXT_ROTATION: list[str] = []
 
 
 def _reorder_for_driver_window() -> None:

@@ -555,6 +555,34 @@ def test_malformed_groups_rejected(pattern, msg):
         )
 
 
+@pytest.mark.parametrize(
+    "strip, msg",
+    [
+        ("WITHIN 2 HOURS\n", "missing WITHIN clause"),
+        (
+            "DEFINE S AS event_type = 'signup',\n"
+            "       A AS event_type = 'view',\n"
+            "       B AS event_type = 'click'\n",
+            "missing DEFINE clause",
+        ),
+    ],
+)
+def test_group_missing_required_clause_pointed_error(strip, msg):
+    """A quantified-group query missing DEFINE/WITHIN gets the
+    dialect's pointed ValueError, not a raw KeyError — expand_group_sql
+    runs before parse_pattern_sql so it must validate too (round-6
+    ADVICE)."""
+    with pytest.raises(ValueError, match=msg):
+        expand_group_sql(GROUP_SQL.replace(strip, ""))
+
+
+def test_group_malformed_define_entry_pointed_error():
+    with pytest.raises(ValueError, match="malformed DEFINE entry"):
+        expand_group_sql(
+            GROUP_SQL.replace("B AS event_type = 'click'", "B event_type")
+        )
+
+
 def test_group_with_correlation_rejected():
     with pytest.raises(ValueError, match="correlation"):
         expand_group_sql(

@@ -441,7 +441,7 @@ def test_permute_text_equals_dataframe_face(spark, sf_dir):
         ),
         (
             "PATTERN ( V -> PERMUTE(A, B, C, D, E) )",
-            "at most 4",
+            "capped at 16",
         ),
     ],
 )

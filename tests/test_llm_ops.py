@@ -87,50 +87,24 @@ def test_topk_matmul_multi_partition(spark):
     assert key(one) == key(many)
 
 
-def _planted_corpus(spark):
-    """300 uniform unit vectors + near-duplicate twins (cos ≈ 0.95) of
-    the first 30, ids 1000+i. The fixture's vectors are near-uniform
-    (no real neighbors), so ANN recall is asserted on planted pairs —
-    the case approximate search exists for."""
-    import numpy as np
-
-    rng = np.random.RandomState(3)
-    base = rng.normal(size=(300, 64))
-    base /= np.linalg.norm(base, axis=1, keepdims=True)
-    # total noise norm ~0.04*sqrt(64)=0.32 → cos ~ 0.95
-    twins = base[:30] + 0.04 * rng.normal(size=(30, 64))
-    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
-    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [
-        (1000 + i, v.tolist()) for i, v in enumerate(twins)
-    ]
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-
-
-def _twin_hits(got):
-    return sum(1 for r in got if r.rk == 1 and r.neighbor_id == r.qid - 1000)
-
-
 def test_lsh_recall_on_planted_near_duplicates(spark):
     """LSH contract: ≥90% of queries recover their planted twin as the
-    top-1 neighbor while scoring only same-bucket candidates."""
-    from spark_cep_spark.operators.llm_similarity import topk_lsh
+    top-1 neighbor while scoring only same-bucket candidates. Uses the
+    SAME probe tools/check_oracle.py gates on (no drift)."""
+    from spark_cep_spark.operators.llm_similarity import planted_recall_probe
 
-    df = _planted_corpus(spark)
-    q = df.filter(F.col("vec_id") >= 1000)
-    got = topk_lsh(spark, q, df, k=1).collect()
-    assert _twin_hits(got) >= 27
+    hits, total = planted_recall_probe(spark, "sim_ann_lsh")
+    assert hits >= 0.9 * total
 
 
 def test_ivf_recall_on_planted_near_duplicates(spark):
     """IVF contract: a twin at cos 0.95 lands in the same (or a probed)
     KMeans cell — ≥90% top-1 recall with nprobe=4 of 16 cells, i.e.
     scoring ~1/4 of the corpus per query."""
-    from spark_cep_spark.operators.llm_similarity import topk_ivf
+    from spark_cep_spark.operators.llm_similarity import planted_recall_probe
 
-    df = _planted_corpus(spark)
-    q = df.filter(F.col("vec_id") >= 1000)
-    got = topk_ivf(spark, q, df, k=1, n_cells=16, nprobe=4).collect()
-    assert _twin_hits(got) >= 27
+    hits, total = planted_recall_probe(spark, "sim_ann_ivf")
+    assert hits >= 0.9 * total
 
 
 def test_multimodal_roundtrip(spark, sf_dir):
@@ -264,12 +238,10 @@ def test_pq_recall_on_planted_near_duplicates(spark):
     """PQ contract: ADC over 8-byte codes shortlists the planted twin
     (cos ≈ 0.95) and exact re-ranking returns it as top-1 for ≥90% of
     queries — while the scan itself touches only quantized codes."""
-    from spark_cep_spark.operators.llm_similarity import topk_pq
+    from spark_cep_spark.operators.llm_similarity import planted_recall_probe
 
-    df = _planted_corpus(spark)
-    q = df.filter(F.col("vec_id") >= 1000)
-    got = topk_pq(spark, q, df, k=1).collect()
-    assert _twin_hits(got) >= 27
+    hits, total = planted_recall_probe(spark, "sim_ann_pq")
+    assert hits >= 0.9 * total
 
 
 def test_minhash_lsh_catches_near_dup_that_full_signature_misses(

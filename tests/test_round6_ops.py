@@ -1,0 +1,131 @@
+"""Round-6 hygiene tests: win_lag_ignore_nulls' pinned NULL-event_type
+policy (round-6 ADVICE), text_bigram_lm's unbroadcast-hinted unigram
+join (round-5 verdict "What's wrong" #1), and the streaming variant
+cap at higher variant counts (verdict item 7)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from conftest import SF_CHECK
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lag_ignore_nulls_null_event_type_keeps_value(spark):
+    """Pinned policy: a NULL event_type KEEPS its value (the oracle's
+    CASE WHEN type='view' THEN NULL ELSE value END falls to ELSE on a
+    NULL condition; the Spark mask must do the same via .otherwise)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0), "click", 10.0),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 1), None, 77.0),  # NULL type
+        (3, 1, dt.datetime(2024, 1, 1, 0, 2), "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    v = F.when(
+        F.col("event_type") == "view", F.lit(None).cast("double")
+    ).otherwise(F.col("value"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = {
+        r["event_id"]: (r["v"], r["v_filled"])
+        for r in df.select(
+            "event_id",
+            v.alias("v"),
+            F.last(v, ignorenulls=True)
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("v_filled"),
+        ).collect()
+    }
+    assert out[2] == (77.0, 77.0)  # NULL type keeps its value
+    assert out[3] == (None, 77.0)  # view masks; fill carries 77
+
+
+def test_bigram_lm_join_carries_no_broadcast_hint(spark):
+    """The n2⋈n1 join must NOT force-broadcast the unigram table (a
+    web corpus has 1e8+ distinct tokens). At fixture scale AQE may
+    still CHOOSE broadcast — what we pin is the absence of a forced
+    hint in the analyzed plan, plus the TakeOrdered top-200 cut."""
+    from spark_cep_spark.operators.llm_text import text_bigram_lm
+
+    df = text_bigram_lm(spark, SF_CHECK)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed
+    assert "ResolvedHint" not in analyzed  # no broadcast/merge hint
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------------
+# verdict item 7: variant cap behavior at higher variant counts
+# ------------------------------------------------------------------
+
+
+def test_permute4_rejected_with_pointed_error():
+    """PERMUTE of 4 = 24 orderings > the 16-variant expansion cap —
+    must be a pointed ValueError at expansion time, not an NFA blowup
+    (the streaming runner holds one NFA per variant per key)."""
+    from spark_cep_spark.operators.cep_sql import expand_permute_sql
+
+    with pytest.raises(ValueError, match="24.*capped at 16"):
+        expand_permute_sql(
+            """
+            PATTERN ( PERMUTE(A, B, C, D) )
+            WITHIN 1 HOUR
+            DEFINE A AS event_type = 'view',
+                   B AS event_type = 'click',
+                   C AS event_type = 'cart',
+                   D AS event_type = 'purchase'
+            """
+        )
+
+
+FOUR_VARIANT_SQL = """
+PATTERN ( S -> V{1,4} -> P )
+WITHIN 2 HOURS
+DEFINE S AS event_type = 'signup',
+       V AS event_type = 'view',
+       P AS event_type = 'purchase'
+"""
+
+
+def test_four_variant_range_expands_and_runs_batch(spark):
+    """V{1,4} = 4 variants (under the 16 cap): expansion enumerates
+    all four in greedy preference order and the batch winner is the
+    longest available repeat chain."""
+    from spark_cep_spark.operators.cep_sql import (
+        expand_quantifier_sql,
+        match_recognize,
+    )
+
+    variants = expand_quantifier_sql(FOUR_VARIANT_SQL)
+    assert len(variants) == 4
+
+    base = dt.datetime(2024, 1, 1)
+    rows = (
+        [(0, base, 1, "signup", 1.0, "{}")]
+        + [
+            (1 + i, base + dt.timedelta(minutes=1 + i), 1, "view", 1.0, "{}")
+            for i in range(3)
+        ]
+        + [(9, base + dt.timedelta(minutes=10), 1, "purchase", 1.0, "{}")]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = match_recognize(df, FOUR_VARIANT_SQL).collect()
+    assert len(out) == 1  # greedy: one winner, the 3-view variant
+    assert out[0]["variant"] == "S->V{3}->P"
+    assert out[0]["t_V_3"] is not None and out[0]["t_V_4"] is None

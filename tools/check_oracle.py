@@ -180,6 +180,29 @@ def main() -> int:
             failures.append(key)
             continue
         if key not in oracles:
+            if key in ("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq"):
+                # rows-only forever (approximate candidate sets) — gate
+                # on planted-near-dup recall instead so an ANN recall
+                # regression fails HERE, not just in pytest.
+                from spark_cep_spark.operators.llm_similarity import (
+                    planted_recall_probe,
+                )
+
+                hits, total = planted_recall_probe(spark, key)
+                if hits >= 0.9 * total:
+                    print(
+                        f"rows  {key:24s} rows-only ({len(sdf)} rows) + "
+                        f"recall {hits}/{total} ({time.time()-t0:.1f}s)"
+                    )
+                    n_rowsonly += 1
+                else:
+                    print(
+                        f"FAIL  {key:24s} planted-near-dup recall "
+                        f"{hits}/{total} < 0.9"
+                    )
+                    n_fail += 1
+                    failures.append(key)
+                continue
             print(f"rows  {key:24s} rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             n_rowsonly += 1
             continue
