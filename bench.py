@@ -82,6 +82,8 @@ def main() -> None:
         run_once(fn)  # warm
         times[bench_name] = round(min(run_once(fn), run_once(fn)), 4)
 
+    streaming = stream_bench(spark)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(times.values()), 4)
@@ -94,10 +96,62 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "streaming": streaming,
                 "sf": sf,
             }
         )
     )
+
+
+STREAM_NFA_SQL = """
+PATTERN ( S -> V{1,3} -> P )
+WITHIN 2 HOURS
+PARTITION BY user_id
+DEFINE S AS event_type = 'signup',
+       V AS event_type = 'view',
+       P AS event_type = 'purchase'
+"""
+
+
+def stream_bench(spark) -> dict:
+    """Streaming-path headline (round-5 verdict item 3): wall-clock
+    events/s for (a) the quantified-pattern VARIANT NFA (3 parallel
+    ordering NFAs in one keyed state — compile_stream_variants under
+    match_recognize) and (b) the tumbling windowed aggregation, both
+    draining the staged sf events under Trigger.AvailableNow in 2
+    micro-batches (maxFilesPerTrigger=4 of 8 files — state carries
+    across at least one batch boundary, so the incremental kernels are
+    actually exercised, not a single-batch special case). Staging cost
+    is excluded; each op is timed on its second (warm) run."""
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.windows import tumbling_stream
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    staged = harness.stage_events_files_sorted(spark, SF_DIR, n_files=8)
+    n_events = spark.read.parquet(staged).count()
+
+    def drain(build, mode) -> float:
+        sdf = harness.events_stream(spark, staged, max_files_per_trigger=4)
+        t0 = time.perf_counter()
+        harness.run_available_now(build(sdf), mode).count()
+        return time.perf_counter() - t0
+
+    out: dict = {"n_events": n_events}
+    for name, build, mode in (
+        (
+            "nfa_variants",
+            lambda s: match_recognize(
+                s, STREAM_NFA_SQL, watermark="0 seconds"
+            ),
+            "append",
+        ),
+        ("windowed_agg", lambda s: tumbling_stream(s), "update"),
+    ):
+        drain(build, mode)  # warm (checkpoint init, codegen, Arrow)
+        secs = min(drain(build, mode), drain(build, mode))
+        out[f"{name}_sec"] = round(secs, 4)
+        out[f"{name}_events_per_sec"] = round(n_events / secs)
+    return out
 
 
 if __name__ == "__main__":

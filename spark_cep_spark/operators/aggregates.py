@@ -795,3 +795,101 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents) * 1.0 / F.count(F.lit(1)) / 100.0, 6
         ).alias("avg_price"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH pc AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, cents
+    ),
+    c AS (
+      SELECT l_returnflag, cents, w,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      FROM pc
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cum * 2 >= tot THEN cents END) / 100.0, 2)
+             AS wmedian_price,
+           CAST(min(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price weighted by quantity per return
+    flag) — the robust center a metrics pipeline wants when rows carry
+    unequal mass and avg()/median() both mislead.
+
+    100 TB shape: two-stage. Stage 1 collapses raw rows to per-(flag,
+    distinct price) integer weight sums — a map-side-combinable hash
+    aggregate that shrinks the data to |distinct prices| BEFORE any
+    sort. Stage 2's running-sum window runs over that collapsed table
+    only (the corpus_token_budget lesson: never feed a running window
+    the raw fact table). All arithmetic is exact BIGINT (price in
+    cents, integer weights) until the single final division, so both
+    engines pick the identical median row."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pc = li.groupBy(
+        "l_returnflag", cents.alias("cents")
+    ).agg(F.sum(qty).cast("long").alias("w"))
+    wf = W.partitionBy("l_returnflag").orderBy("cents")
+    c = pc.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(
+            wf.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("cum"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).cast("long").alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("cents")))
+            / 100.0,
+            2,
+        ).alias("wmedian_price"),
+        F.min("tot").cast("long").alias("total_weight"),
+    )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_cov,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and the OLS regression line (slope/intercept/R²) of
+    price on quantity — the feature-vs-target screening pass a training
+    pipeline runs before building anything fancier.
+
+    100 TB shape: every one of these is an algebraic aggregate over
+    (n, Σx, Σy, Σxy, Σx², Σy²) — Spark computes map-side partials and
+    merges, one shuffle of 6 doubles per (group, partition). No window,
+    no sort, no second pass. Rounded on both engines because partial-
+    sum order differs across engines at the last ulp."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr(x, y), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(x, y), 4).alias("price_qty_cov"),
+        F.round(F.regr_slope(x, y), 6).alias("slope"),
+        F.round(F.regr_intercept(x, y), 4).alias("intercept"),
+        F.round(F.regr_r2(x, y), 6).alias("r2"),
+    )

@@ -1918,3 +1918,115 @@ def cep_gap_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within("24 HOURS")
         .compile_batch(e)
     )
+
+
+@register(
+    "cep_funnel_steps",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(u1.t1) AS t1
+      FROM events e JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'view'
+        AND e.ts > u1.t1 AND e.ts <= u1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, min(e.ts) AS t3, min(u2.t1) AS t1
+      FROM events e JOIN u2 ON e.user_id = u2.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > u2.t2 AND e.ts <= u2.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    u4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN u3 ON e.user_id = u3.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > u3.t3 AND e.ts <= u3.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step, 'signup' AS step_name,
+             CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_users
+      UNION ALL SELECT 2, 'view', CAST((SELECT count(*) FROM u2) AS BIGINT)
+      UNION ALL SELECT 3, 'click', CAST((SELECT count(*) FROM u3) AS BIGINT)
+      UNION ALL SELECT 4, 'purchase',
+                CAST((SELECT count(*) FROM u4) AS BIGINT)
+    )
+    SELECT step, step_name, n_users,
+           round(n_users * 1.0 /
+                 first_value(n_users) OVER (ORDER BY step), 6)
+             AS pct_of_first,
+           round(n_users * 1.0 /
+                 lag(n_users) OVER (ORDER BY step), 6) AS pct_of_prev
+    FROM counts
+    """,
+)
+def cep_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rollup (the product-analytics FUNNEL(...)
+    every event platform ships): how many users complete each prefix
+    of signup → view → click → purchase, each step strictly after the
+    previous and the whole chain within 7 days of the user's FIRST
+    signup, with per-step conversion rates. Earliest-completion
+    semantics (each step binds its earliest eligible event), i.e. the
+    same chained min-join this file's Pattern compiler emits —
+    aggregated per USER rather than per match anchor.
+
+    100 TB shape: step k is a (user)-keyed join of the step-k-filtered
+    events (predicate pushed to the scan) against the step-(k-1)
+    per-user row, immediately re-aggregated to one row per user —
+    every intermediate is bounded by |users|, never |events|, and all
+    four hops share one user-hash partitioning which AQE reuses. The
+    final 4-row union + window is driver-trivial at any scale."""
+    e = table(spark, sf_dir, "events")
+
+    u1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+
+    def next_step(prev: DataFrame, prev_t: str, etype: str, out_t: str):
+        s = e.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("_ts")
+        )
+        return (
+            s.join(prev, "user_id")
+            .filter(
+                (F.col("_ts") > F.col(prev_t))
+                & (F.col("_ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("_ts").alias(out_t), F.min("t1").alias("t1"))
+        )
+
+    u2 = next_step(u1, "t1", "view", "t2")
+    u3 = next_step(u2, "t2", "click", "t3")
+    u4 = next_step(u3, "t3", "purchase", "t4")
+
+    counts = None
+    for step, (name, df) in enumerate(
+        [("signup", u1), ("view", u2), ("click", u3), ("purchase", u4)], 1
+    ):
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+
+    w = W.orderBy("step")
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(
+            F.col("n_users") * 1.0 / F.first("n_users").over(w), 6
+        ).alias("pct_of_first"),
+        F.round(
+            F.col("n_users") * 1.0 / F.lag("n_users").over(w), 6
+        ).alias("pct_of_prev"),
+    )

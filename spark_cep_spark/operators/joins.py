@@ -612,3 +612,68 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CAST(round(l.l_extendedprice * (100 -
+                     CAST(round(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT)) / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located fact⋈fact join via BUCKETED layout: both
+    sides are persisted bucketed+sorted on the join key
+    (plans/scale.write_bucketed), so the SortMergeJoin reads matching
+    buckets directly — NO Exchange and NO per-query Sort on either
+    side (tests/test_plans.py pins the exchange-free plan for this
+    layout). This is the pay-once-at-write-time answer for the join
+    every pipeline repeats at 100 TB; the result itself is checked
+    against the plain-join oracle, proving layout never changes
+    semantics.
+
+    Revenue is accumulated as exact integer (price-cents × discount
+    basis points) so engine summation order can't flip the hash. The
+    bucketed copies live under the repo scratch dir, keyed by sf so
+    tiers don't collide; they are rewritten only when absent (write
+    once, join many — the actual production economics)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        f"bucketed_{tag}",
+    )
+    n_buckets = 8
+    names = {}
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"b_{tag}_{t}"
+        names[t] = name
+        path = os.path.join(scratch, t)
+        if not (
+            spark.catalog.tableExists(name)
+            and os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            from spark_cep_spark.plans.scale import write_bucketed
+
+            write_bucketed(
+                table(spark, sf_dir, t), name, [key], n_buckets, path
+            )
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"])
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    rev_int = F.round(F.col("l_extendedprice") * (100 - disc_bp)).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(rev_int) / 10000.0, 2).alias("revenue"),
+        )
+    )

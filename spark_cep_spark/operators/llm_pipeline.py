@@ -1180,3 +1180,206 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "pipeline_mix_temperature",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT *, pow(n_tokens, 0.5) AS raw,
+             sum(pow(n_tokens, 0.5)) OVER () AS denom
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 /
+                 CAST(sum(n_tokens) OVER () AS BIGINT), 6) AS natural_share,
+           round(raw / denom, 6) AS temp_share,
+           CAST(round(1000000 * raw / denom) AS BIGINT) AS docs_per_million
+    FROM p
+    """,
+)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing weights (the multilingual /
+    multi-source sampling rule from the mT5 line of work: sample
+    source i with probability ∝ n_i^α, here α=0.5): per source, the
+    natural token share, the temperature-flattened share, and the
+    resulting docs-per-million sampling budget. α<1 up-weights small
+    sources so the head domains don't drown the tail — the standard
+    pretraining-mix knob.
+
+    100 TB shape: one map-side-combinable aggregate collapses the
+    corpus to |sources| rows (token counts as exact BIGINTs); the
+    pow/normalize arithmetic runs on that tiny table (the unpartitioned
+    windows here see |sources| rows, not corpus rows). Shares are the
+    same IEEE pow+division on both engines, rounded to 6dp."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = W.partitionBy()
+    raw = F.pow(F.col("n_tokens"), 0.5)
+    denom = F.sum(raw).over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w).cast("long"),
+            6,
+        ).alias("natural_share"),
+        F.round(raw / denom, 6).alias("temp_share"),
+        F.round(F.lit(1_000_000) * raw / denom)
+        .cast("long")
+        .alias("docs_per_million"),
+    )
+
+
+_DECILE_STOPWORDS = "the a of and to in is for on with"
+
+
+def _distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str,
+    n_range_parts: int = 32,
+) -> DataFrame:
+    """Exact ntile(n) over a global (order_cols) total order WITHOUT a
+    single-partition window: range-partition on the order columns
+    (sampled boundaries — Spark's distributed sort primitive), compute
+    each row's global rank as (partition offset + local row_number),
+    and apply ntile's assignment rule (first n%k tiles get one extra
+    row) in closed form. The only driver-side data is the per-range-
+    partition row counts (n_range_parts integers — bounded by
+    contract). Output = input columns + `out_col` (long, 1-based)."""
+    # persist pins the sampled range boundaries: repartitionByRange
+    # re-samples per ACTION (fresh RDD ids → fresh sample seeds), so
+    # without the cache the offsets job and the output job could see
+    # different partitionings and mis-assign ranks. The persisted
+    # projection is order_cols + ids only (~tens of bytes/row),
+    # MEMORY_AND_DISK, and exactly the determinism anchor a
+    # distributed sort-rank needs.
+    from pyspark import StorageLevel
+
+    r = (
+        df.repartitionByRange(n_range_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        row["_pid"]: row["n"]
+        for row in r.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _offset long"
+    )
+    q, rem = divmod(n_total, n_tiles)
+    wl = W.partitionBy("_pid").orderBy(*order_cols)
+    g = (
+        r.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "_grank", F.col("_offset") + F.row_number().over(wl)
+        )
+    )
+    # ntile rule: ranks 1..rem*(q+1) fall in the first rem (fat)
+    # tiles of size q+1; the rest in size-q tiles. q == 0 (n < k)
+    # means every row is its own tile and the first branch covers all.
+    fat_span = rem * (q + 1)
+    tile = F.when(
+        F.col("_grank") <= fat_span,
+        (F.col("_grank") - 1) / (q + 1),
+    ).otherwise(
+        rem + (F.col("_grank") - fat_span - 1) / F.greatest(F.lit(q), F.lit(1))
+    )
+    return g.withColumn(
+        out_col, (F.floor(tile) + 1).cast("long")
+    ).drop("_pid", "_offset", "_grank")
+
+
+@register(
+    "corpus_quality_deciles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(string_split('{_DECILE_STOPWORDS}', ' '),
+                                     t))) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, n_stop * 1.0 / n_tok AS stop_ratio,
+             ntile(10) OVER (ORDER BY n_stop * 1.0 / n_tok, doc_id)
+               AS decile
+      FROM scored WHERE n_tok > 0
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(stop_ratio), 6) AS avg_stop_ratio,
+           round(min(stop_ratio), 6) AS min_stop_ratio,
+           round(max(stop_ratio), 6) AS max_stop_ratio,
+           CAST(sum(n_tok) AS BIGINT) AS tokens
+    FROM ranked GROUP BY decile
+    """,
+)
+def corpus_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile table: rank every document by a cheap
+    quality proxy (stopword ratio — fluent text has more function
+    words) and roll up per-decile doc/token counts and score ranges —
+    the table you read to pick a data-pruning threshold before
+    committing to a filtered pretraining corpus.
+
+    100 TB shape: the score is a whole-stage-codegen projection (no
+    UDF), and the EXACT global rank is computed DISTRIBUTEDLY — never
+    `ntile() OVER (ORDER BY ...)`, which funnels the whole corpus
+    through one partition (the text_vocab lesson, round 4). Instead:
+    range-partition on (score, doc_id) (a sampled-boundary total
+    ordering, the sortBy machinery), count rows per range partition
+    (a bounded |partitions|-row collect, documented), and turn the
+    per-partition row_number plus the partition's global offset into
+    the exact ntile bucket with ntile's floor-division-with-remainder
+    rule — identical assignment to the oracle's ntile, proven by the
+    hash match. Every step is bounded: the widest window is one range
+    partition. The ratio is an exact two-BIGINT IEEE division,
+    deterministic on both engines before the display rounding."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.split(F.lit(_DECILE_STOPWORDS), " ")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_stop.alias("n_stop"),
+    ).filter(F.col("n_tok") > 0)
+    ratio = F.col("n_stop") * 1.0 / F.col("n_tok")
+    ranked = _distributed_ntile(
+        scored.select(
+            "doc_id", "n_tok", ratio.alias("stop_ratio")
+        ),
+        order_cols=["stop_ratio", "doc_id"],
+        n_tiles=10,
+        out_col="decile",
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        F.round(F.min("stop_ratio"), 6).alias("min_stop_ratio"),
+        F.round(F.max("stop_ratio"), 6).alias("max_stop_ratio"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    )

@@ -9,7 +9,7 @@ and row groups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
@@ -265,4 +265,97 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("action").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 2).alias("total_price")
+    )
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM
+                       o_orderpriority THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WHERE o_custkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT *,
+             CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM ordered
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey, run_id, o_orderpriority AS priority,
+             min(o_orderdate) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM runs GROUP BY o_custkey, run_id, o_orderpriority
+    )
+    SELECT custkey, run_id AS version, priority, valid_from,
+           lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id)
+             AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY custkey
+                                            ORDER BY run_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_orders
+    FROM hist
+    """,
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build: collapse each
+    customer's order-priority timeline into runs of consecutive equal
+    values and emit one versioned row per run with
+    [valid_from, valid_to) validity and an is_current flag — the
+    dimension-table maintenance pattern behind every `MERGE ...
+    WHEN MATCHED` SCD2 pipeline, built relationally from the raw
+    change log (filtered to the custkey%50 cohort so the fixture
+    output stays reviewable; the plan is cohort-size-independent).
+
+    100 TB shape: ONE (custkey, (date, key)) shuffle+sort serves the
+    change-detect lag, the run-id running sum (O(1)-state frame), and
+    — after the per-run collapse shrinks rows to |runs| — the
+    valid_to lead window, which Spark runs on the same partitioning
+    without a second exchange. No self-join of the history against
+    itself (the naive SCD2 build), no unbounded state."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = F.when(
+        ~F.lag("o_orderpriority")
+        .over(w)
+        .eqNullSafe(F.col("o_orderpriority")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.sum(chg)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("run_id"),
+    )
+    hist = runs.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        "run_id",
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    wv = W.partitionBy("custkey").orderBy("run_id")
+    lead_from = F.lead("valid_from").over(wv)
+    return hist.select(
+        "custkey",
+        F.col("run_id").alias("version"),
+        "priority",
+        "valid_from",
+        lead_from.alias("valid_to"),
+        F.when(lead_from.isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_current"),
+        "n_orders",
     )

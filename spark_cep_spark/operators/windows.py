@@ -451,3 +451,196 @@ def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.unboundedPreceding, -1))
         .alias("v_prev"),
     )
+
+
+@register(
+    "win_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day_idx,
+             day_idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, grp,
+             CAST(count(*) AS BIGINT) AS streak_len,
+             min(day_idx) AS start_idx
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(DATE '1970-01-01' + INTERVAL (min(CASE WHEN streak_len =
+                 (SELECT max(r2.streak_len) FROM runs r2
+                  WHERE r2.user_id = runs.user_id)
+                 THEN start_idx END)) DAY AS DATE) AS longest_start
+    FROM runs GROUP BY user_id
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    active days (plus streak count and total active days) — the
+    engagement-streak feature every retention model wants, and the
+    canonical islands idiom (day_idx − row_number is constant within a
+    consecutive run).
+
+    100 TB shape: the raw fact collapses to DISTINCT (user, day) first
+    — a map-side-combinable aggregate bounded by users × days, not
+    events. The row_number window then sorts only that collapsed
+    table within each user (thousands of rows at most per user), and
+    the final rollup rides the same user partitioning — one shuffle
+    end-to-end. Ties for longest streak resolve to the EARLIEST start
+    (min over equal-length runs) on both engines."""
+    e = table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .distinct()
+    )
+    isl = days.withColumn(
+        "grp",
+        F.col("day_idx")
+        - F.row_number().over(W.partitionBy("user_id").orderBy("day_idx")),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len"),
+        F.min("day_idx").alias("start_idx"),
+    )
+    best = W.partitionBy("user_id")
+    return (
+        runs.withColumn("max_len", F.max("streak_len").over(best))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.sum("streak_len").cast("long").alias("n_active_days"),
+            F.max("streak_len").cast("long").alias("longest_streak"),
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.min(
+                    F.when(
+                        F.col("streak_len") == F.col("max_len"),
+                        F.col("start_idx"),
+                    )
+                ).cast("int"),
+            ).alias("longest_start"),
+        )
+    )
+
+
+@register(
+    "win_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           round((value - mu) / sd, 4) AS z
+    FROM s
+    WHERE n_hist >= 10 AND sd > 1e-9 AND abs(value - mu) > 3 * sd
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    the mean/stddev of its user's PREVIOUS 20 events (frame excludes
+    the current row so an outlier cannot mask itself), emitting events
+    more than 3σ from their trailing baseline — the continuous-metrics
+    alerting primitive, batch face.
+
+    100 TB shape: one (user, (ts, id)) shuffle+sort; avg/stddev/count
+    over a bounded 20-row frame are O(1)-state sliding aggregates —
+    no unbounded window, no second pass. The n_hist >= 10 guard makes
+    cold-start rows ineligible rather than noisy. The z division
+    happens only after an exact-integer-free guard (sd > 1e-9) so
+    neither engine divides by a denormal."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    return s.filter(
+        (F.col("n_hist") >= 10)
+        & (F.col("sd") > 1e-9)
+        & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+    )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             corr(value, CAST(epoch_ms(ts) AS DOUBLE)) OVER w AS c,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, round(c, 4) AS trend_corr
+    FROM s WHERE n = 30
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation of value against time over each user's
+    trailing 30 events — the sign/strength of the local trend (the
+    windowed-corr building block for drift detection and pairs
+    monitoring). Emitted only for full 30-row frames so every score is
+    comparable.
+
+    100 TB shape: same single (user, (ts, id)) shuffle+sort as the
+    other event windows; corr over a bounded ROWS frame is an
+    algebraic sliding aggregate (n, Σx, Σy, Σxy, Σx², Σy²). Time
+    enters as exact integer epoch-milliseconds on BOTH engines
+    (DuckDB's epoch() returns fractional seconds, which would diverge
+    from unix_timestamp's truncation — the epoch_ms/unix_millis pair
+    is exact), cast to double inside corr identically."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-29, W.currentRow)
+    )
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.corr(F.col("value"), F.unix_millis("ts").cast("double"))
+        .over(w)
+        .alias("c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return s.filter(F.col("n") == 30).select(
+        "event_id", "user_id", "ts", F.round("c", 4).alias("trend_corr")
+    )

@@ -146,6 +146,16 @@ DRIVER_PRIORITY: list[str] = [
     "win_ewma",
     "cep_seq",
     # (c) NEW in round 6 — appended as they land
+    "agg_weighted_median",
+    "agg_corr",
+    "win_streak",
+    "win_anomaly_zscore",
+    "win_rolling_corr",
+    "cep_funnel_steps",
+    "merge_scd2",
+    "join_bucketed",
+    "pipeline_mix_temperature",
+    "corpus_quality_deciles",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the cohort whose

@@ -129,3 +129,85 @@ def test_four_variant_range_expands_and_runs_batch(spark):
     assert len(out) == 1  # greedy: one winner, the 3-view variant
     assert out[0]["variant"] == "S->V{3}->P"
     assert out[0]["t_V_3"] is not None and out[0]["t_V_4"] is None
+
+
+# ------------------------------------------------------------------
+# round-6 operators: plan shape + distributed-ntile equivalence
+# ------------------------------------------------------------------
+
+
+def test_join_bucketed_reads_buckets_and_elides_shuffle(spark):
+    """The registered join_bucketed key must (a) scan the bucketed
+    layout, and (b) with broadcast disabled, produce a SortMergeJoin
+    with NO shuffle exchange feeding the join — the whole point of
+    paying the bucketed write. (At fixture scale AQE legitimately
+    broadcasts the small side; the bucketed scan must be used either
+    way, and the exchange-free SMJ is pinned under the no-broadcast
+    conf, which is what a fact-to-fact join at 100 TB sees.)"""
+    from spark_cep_spark.operators.joins import join_bucketed
+
+    plan = _executed_plan(join_bucketed(spark, SF_CHECK))
+    assert "Bucketed: true" in plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _executed_plan(join_bucketed(spark, SF_CHECK))
+        assert "SortMergeJoin" in plan
+        join_input = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning" not in join_input
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_quality_deciles_no_single_partition_window(spark):
+    """The decile rank must stay distributed: no unpartitioned window
+    funneling the corpus through one partition (the text_vocab
+    lesson) — physically, no SinglePartition exchange in the plan."""
+    from spark_cep_spark.operators.llm_pipeline import corpus_quality_deciles
+
+    plan = _executed_plan(corpus_quality_deciles(spark, SF_CHECK))
+    assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("n_rows, n_tiles", [(0, 10), (7, 10), (10, 10), (101, 10), (1000, 7)])
+def test_distributed_ntile_matches_builtin(spark, n_rows, n_tiles):
+    """_distributed_ntile must assign EXACTLY the buckets
+    ntile() OVER (ORDER BY ...) assigns, for n<k, n=k, remainder and
+    clean-division sizes, including duplicate score values."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+    from spark_cep_spark.operators.llm_pipeline import _distributed_ntile
+
+    rows = [(i, (i * 37) % 11) for i in range(n_rows)]  # duplicate scores
+    df = spark.createDataFrame(rows, "id long, score long")
+    got = {
+        r["id"]: r["t"]
+        for r in _distributed_ntile(
+            df, ["score", "id"], n_tiles, "t", n_range_parts=5
+        ).collect()
+    }
+    want = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id",
+            F.ntile(n_tiles).over(W.orderBy("score", "id")).cast("long").alias("t"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_funnel_steps_monotone_and_bounded(spark):
+    """Funnel sanity on the fixture: counts are non-increasing down the
+    funnel and conversion pcts are in (0, 1]."""
+    from spark_cep_spark.operators.cep import cep_funnel_steps
+
+    rows = sorted(
+        (r["step"], r["n_users"], r["pct_of_first"], r["pct_of_prev"])
+        for r in cep_funnel_steps(spark, SF_CHECK).collect()
+    )
+    ns = [n for _, n, _, _ in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert rows[0][2] == 1.0 and rows[0][3] is None
+    for _, _, pf, pp in rows[1:]:
+        assert 0 < pf <= 1 and 0 < pp <= 1
