@@ -893,3 +893,93 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(x, y), 4).alias("intercept"),
         F.round(F.regr_r2(x, y), 6).alias("r2"),
     )
+
+
+@register(
+    "rollup_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(time_bucket(INTERVAL '7 days', CAST(ts AS DATE)))
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('week', f.cohort_week,
+                       time_bucket(INTERVAL '7 days', CAST(e.ts AS DATE)))
+               AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           round(count(*) * 1.0 / min(s.cohort_size), 6) AS retention
+    FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset
+    """,
+)
+def rollup_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: bucket each user into the week of
+    their FIRST event, then for every (cohort_week, weeks-since)
+    cell count how many cohort members were active — the
+    triangle-shaped retention table behind every growth dashboard.
+
+    Week bucketing uses 7-day buckets anchored at 2000-01-03 —
+    DuckDB time_bucket's documented origin for day/week intervals (a
+    Monday) — reproduced in Spark as floor division of
+    days-since-origin, so both engines draw identical cohort
+    boundaries.
+
+    100 TB shape: firsts is one map-side-combinable min per user;
+    activity collapses events to DISTINCT (user, week) BEFORE any
+    join (bounded by users × weeks, not events); both joins are
+    user/cohort-keyed equi-joins the planner broadcasts when small.
+    No window functions at all — this is pure aggregate algebra."""
+    e = table(spark, sf_dir, "events")
+    # 7-day bucket of the event date, anchored at DuckDB time_bucket's
+    # day-interval origin 2000-01-03 (Monday)
+    day_idx = F.datediff(F.col("ts").cast("date"), F.lit("2000-01-03"))
+    week_start = F.date_add(
+        F.lit("2000-01-03").cast("date"),
+        (F.floor(day_idx / 7) * 7).cast("int"),
+    )
+    firsts = (
+        e.select("user_id", week_start.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"))
+    )
+    activity = (
+        e.select("user_id", week_start.alias("wk"))
+        .distinct()
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active") * 1.0 / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

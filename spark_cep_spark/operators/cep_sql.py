@@ -52,6 +52,16 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               engines). One group per pattern, plain inner steps, no
               correlation inside the group, no mixing with other
               quantifiers in a `{n,m}` group.
+    A -> (B | C) -> D  alternation group (round 6, both engines): the
+              slot matches EITHER branch, first-declared branch
+              preferred when several complete for one anchor (SQL
+              first-match-in-alternation); the unbound branch's
+              column is NULL and the winning spelling lands in
+              `variant`. Alternation is one more options slot in the
+              quantifier expansion, so it composes with `?`/`{n,m}`
+              in the same pattern (shared 16-variant cap). One
+              alternation group per pattern, plain branch names, not
+              the first step (the anchor must be fixed).
     AFTER MATCH SKIP PAST LAST ROW / SKIP TO LAST <step>  (round 5)
               match-selection policy on BOTH engines: batch composes
               the greedy selectors (select_non_overlapping /
@@ -632,19 +642,31 @@ _QUANT_TOKEN = re.compile(
     r"^([A-Za-z_]\w*)(?:(\?\??)|\{(\d+),(\d+)\}(\?)?)$"
 )
 
+# `(A | B | C)` — a parenthesized alternation of plain step names NOT
+# followed by a quantifier (a trailing `{` is a quantified group,
+# handled by _GROUP_RE)
+_ALT_RE = re.compile(r"\(\s*([^()|]+(?:\|[^()|]+)+)\s*\)(?!\s*\{)")
+_ALT_PLACEHOLDER = "__ALT__"
+
 
 def expand_quantifier_sql(text: str):
-    """Detect `B?` (optional step) / `B{n,m}` (range repetition) tokens
-    in the PATTERN clause and expand the query into its fixed-shape
-    variant texts — the standard rewrite (`A B? C` ≡ `A B C | A C`,
-    `B{n,m}` ≡ `B{m} | ... | B{n}`), GREEDY preference order: the
-    first variant keeps every optional present at its maximal arity,
-    and the declaration-first cross-product order makes earlier
-    quantifiers outrank later ones. Returns None when the text has no
-    such token, else a list of (desc, variant_text) pairs where desc
-    is the variant's connector-joined step spelling (the `variant`
-    output column). A skipped step's DEFINE entry is dropped from the
-    variant so each variant parses standalone."""
+    """Detect `B?` (optional step) / `B{n,m}` (range repetition) /
+    `(A | B)` alternation tokens in the PATTERN clause and expand the
+    query into its fixed-shape variant texts — the standard rewrite
+    (`A B? C` ≡ `A B C | A C`, `B{n,m}` ≡ `B{m} | ... | B{n}`, an
+    alternation group IS its branch list), GREEDY preference order:
+    the first variant keeps every optional present at its maximal
+    arity, and the declaration-first cross-product order makes
+    earlier quantifiers outrank later ones. Alternation preference is
+    declaration order (first alternative preferred — SQL
+    first-match-in-alternation), and because alternation is just
+    another options slot it composes freely with `?`/`{n,m}` in the
+    same pattern under the shared 16-variant cap. Returns None when
+    the text has none of these tokens, else a list of
+    (desc, variant_text) pairs where desc is the variant's
+    connector-joined step spelling (the `variant` output column). A
+    skipped step's DEFINE entry is dropped from the variant so each
+    variant parses standalone."""
     from itertools import product
 
     clauses = _split_clauses(text)
@@ -653,8 +675,33 @@ def expand_quantifier_sql(text: str):
         # let parse_pattern_sql produce its pointed error
         return None
     inner = body[1:-1].strip()
+
+    alt_names: list[str] | None = None
+    if "PERMUTE" not in inner.upper():
+        am = _ALT_RE.search(inner)
+        if am is not None:
+            if _ALT_RE.search(inner, am.end()):
+                raise ValueError(
+                    "only one alternation group is supported"
+                )
+            alt_names = [n.strip() for n in am.group(1).split("|")]
+            for n in alt_names:
+                if not re.match(r"^[A-Za-z_]\w*$", n):
+                    raise ValueError(
+                        "alternation branches must be plain step "
+                        f"names, got {n!r} (no ?/{{n}}/+/! inside "
+                        "an alternation group)"
+                    )
+            if len(set(alt_names)) != len(alt_names):
+                raise ValueError("duplicate step name inside alternation")
+            inner = (
+                inner[: am.start()]
+                + f" {_ALT_PLACEHOLDER} "
+                + inner[am.end() :]
+            ).strip()
+
     toks = [t for t in re.split(_CONNECTOR_SPLIT + r"|\s+", inner) if t]
-    if not any(_QUANT_TOKEN.match(t) for t in toks):
+    if alt_names is None and not any(_QUANT_TOKEN.match(t) for t in toks):
         return None
     # token stream = step (connector step)*; walk steps with their
     # PRECEDING connector so an absent optional drops its connector
@@ -670,6 +717,14 @@ def expand_quantifier_sql(text: str):
     options: list[list[tuple[str | None, str | None]]] = []
     ranged_names: set[str] = set()
     for i, (conn, tok) in enumerate(steps):
+        if tok == _ALT_PLACEHOLDER:
+            if i == 0:
+                raise ValueError(
+                    "the first step cannot be an alternation "
+                    "(it anchors the match window)"
+                )
+            options.append([(conn, nm) for nm in alt_names])
+            continue
         m = _QUANT_TOKEN.match(tok)
         if m is None:
             options.append([(conn, tok)])
@@ -1392,6 +1447,81 @@ def cep_sql_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
         PATTERN ( signup => click?? => purchase )
         WITHIN 6 HOURS
         DEFINE signup AS event_type = 'signup',
+               click AS event_type = 'click',
+               purchase AS event_type = 'purchase'
+        """,
+    )
+
+
+@register(
+    "cep_sql_alternation",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'signup'),
+         e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         b1a AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup, min(e.ts) AS t_error
+           FROM s JOIN e ON e.user_id = s.user_id
+                        AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts),
+         b1 AS (
+           SELECT b1a.user_id, b1a.event_id, b1a.t_signup, b1a.t_error,
+                  min(p.ts) AS t_purchase
+           FROM b1a JOIN p ON p.user_id = b1a.user_id
+                          AND p.ts > b1a.t_error
+                          AND p.ts <= b1a.t_signup + INTERVAL 24 HOUR
+           GROUP BY b1a.user_id, b1a.event_id, b1a.t_signup, b1a.t_error),
+         b2a AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup, min(c.ts) AS t_click
+           FROM s JOIN c ON c.user_id = s.user_id
+                        AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 24 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts),
+         b2 AS (
+           SELECT b2a.user_id, b2a.event_id, b2a.t_signup, b2a.t_click,
+                  min(p.ts) AS t_purchase
+           FROM b2a JOIN p ON p.user_id = b2a.user_id
+                          AND p.ts > b2a.t_click
+                          AND p.ts <= b2a.t_signup + INTERVAL 24 HOUR
+           GROUP BY b2a.user_id, b2a.event_id, b2a.t_signup, b2a.t_click)
+    SELECT user_id AS key, event_id AS anchor_id, t_signup, t_error,
+           CAST(NULL AS TIMESTAMP) AS t_click, t_purchase,
+           'signup->error->purchase' AS variant
+    FROM b1
+    UNION ALL
+    SELECT b2.user_id AS key, b2.event_id AS anchor_id, b2.t_signup,
+           CAST(NULL AS TIMESTAMP) AS t_error, b2.t_click, b2.t_purchase,
+           'signup->click->purchase' AS variant
+    FROM b2
+    WHERE NOT EXISTS (SELECT 1 FROM b1
+                      WHERE b1.user_id = b2.user_id
+                        AND b1.event_id = b2.event_id)
+    """,
+)
+def cep_sql_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE alternation through the SQL dialect: `signup ->
+    (error | click) -> purchase` — the middle step matches EITHER
+    branch, first-declared branch preferred when both complete for the
+    same anchor (SQL first-match-in-alternation). The unbound branch's
+    timestamp column is NULL; the winning spelling is emitted as
+    `variant`. Alternation expands through the SAME variant machinery
+    as the quantifiers (round 6: `(A | B)` is just another options
+    slot in expand_quantifier_sql, so it composes with `?`/`{n,m}`
+    under the shared 16-variant cap and runs on BOTH engines —
+    streaming via compile_stream_variants mode='preference').
+
+    100 TB shape: identical to cep_sql_optional — each branch is the
+    per-key join-agg chain, the winner pick one anti-join on the
+    shared (key, anchor) partitioning."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( signup -> (error | click) -> purchase )
+        WITHIN 24 HOURS
+        DEFINE signup AS event_type = 'signup',
+               error AS event_type = 'error',
                click AS event_type = 'click',
                purchase AS event_type = 'purchase'
         """,

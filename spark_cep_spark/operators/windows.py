@@ -568,8 +568,17 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     no unbounded window, no second pass. The n_hist >= 10 guard makes
     cold-start rows ineligible rather than noisy. The z division
     happens only after an exact-integer-free guard (sd > 1e-9) so
-    neither engine divides by a denormal."""
-    e = table(spark, sf_dir, "events")
+    neither engine divides by a denormal.
+
+    Streaming face: streaming/nfa.py anomaly_stream (per-key 20-value
+    ring in keyed state, same guards/threshold, asserted equal to
+    this twin under multi-micro-batch AvailableNow)."""
+    return anomaly_zscore(table(spark, sf_dir, "events"))
+
+
+def anomaly_zscore(e: DataFrame) -> DataFrame:
+    """Core of win_anomaly_zscore over any bounded events DataFrame
+    (shared with the streaming-equality tests)."""
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -158,10 +158,67 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_quality_deciles",
 ]
 
-# Keys to rotate into DRIVER_PRIORITY next round: the cohort whose
-# latest driver evidence is round 3 (oldest remaining once the round-6
-# window lands). Rebuilt at end of round 6.
-NEXT_ROTATION: list[str] = []
+# Keys to rotate into DRIVER_PRIORITY next round: first the round-6
+# additions that did NOT fit this round's 50-key window (zero driver
+# evidence; local exact-pass via check_oracle), then the cohort whose
+# latest driver evidence is round 3 — the oldest remaining once the
+# round-6 window lands.
+NEXT_ROTATION: list[str] = [
+    # (a) round-6 keys beyond the window, zero driver evidence
+    "rollup_retention_cohort",
+    "cep_sql_alternation",
+    # (b) latest evidence = round 3
+    "agg_collect",
+    "agg_distinct",
+    "cep_absence",
+    "cep_kleene",
+    "cep_kleene_plus",
+    "cep_threshold",
+    "corpus_pack",
+    "corpus_sample_stratified",
+    "corpus_split",
+    "dedup_cluster",
+    "dedup_embed",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_near",
+    "dedup_near_arrow",
+    "dedup_simhash",
+    "emb_centroid",
+    "emb_quantize",
+    "fn_array",
+    "fn_date",
+    "fn_hash",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_null",
+    "fn_string",
+    "grouped_map",
+    "map_in_pandas",
+    "multimodal_ingest",
+    "pipeline_corpus_clean",
+    "sim_knn_class",
+    "sim_topk",
+    "sim_topk_pandas",
+    "sql_cte",
+    "stream_dedup",
+    "stream_session",
+    "stream_sliding",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_sentiment",
+    "text_stats",
+    "text_tokens",
+    "udaf_grouped",
+    "udf_surface",
+    "udtf_tokens",
+    "win_frame_rows",
+]
 
 
 def _reorder_for_driver_window() -> None:

@@ -2556,3 +2556,143 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_zscore(
+    ring: list,
+    matured: list,
+    window: int = 20,
+    min_hist: int = 10,
+    thresh: float = 3.0,
+) -> tuple[list, list]:
+    """Pure rolling-z-score kernel (streaming face of
+    operators/windows.anomaly_zscore), chunking-invariant by
+    construction: `ring` is the key's last ≤`window` [value-or-None]
+    entries in (ts, id) order; `matured` is the next batch of
+    [ts_us, eid, value-or-None] rows, already (ts, id)-sorted.
+
+    Per matured row, mirror the batch frame EXACTLY: n_hist = len(ring)
+    (rows, including null values — count(*) semantics), mean/stddev
+    over the ring's non-null values (avg/stddev ignore nulls), score
+    only when n_hist >= min_hist, sd > 1e-9 and |v-mu| > thresh·sd,
+    then push the row's value (null included) and trim to `window`.
+    Returns (ring, alerts) with alerts = [eid, ts_us, value, z]."""
+    alerts = []
+    for ts_us, eid, v in matured:
+        vals = [x for x in ring if x is not None]
+        n = len(vals)
+        if len(ring) >= min_hist and n >= 2 and v is not None:
+            mu = sum(vals) / n
+            var = sum((x - mu) ** 2 for x in vals) / (n - 1)
+            sd = var ** 0.5
+            if sd > 1e-9 and abs(v - mu) > thresh * sd:
+                alerts.append([eid, ts_us, v, round((v - mu) / sd, 4)])
+        ring.append(v)
+        if len(ring) > window:
+            ring.pop(0)
+    return ring, alerts
+
+
+def anomaly_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of win_anomaly_zscore: per-key rolling baseline
+    (the last 20 values) kept in keyed state, alerts emitted the
+    micro-batch their event matures past the watermark — the
+    continuous-metrics 3σ alerting operator.
+
+    State per key is EXACTLY window(=20) floats plus the not-yet-
+    mature buffer (bounded by the watermark delay) — O(users) keys ×
+    O(1) payload; a production deployment adds a key TTL for users
+    that go silent forever, which only RELEASES state (the baseline
+    restarts cold, as any TTL'd detector does)."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("val"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "ring": []}
+        buf, ring = st["buf"], st["ring"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, v in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["val"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if v is None or pd.isna(v) else float(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        ring, alerts = advance_zscore(ring, matured)
+
+        if buf or ring:
+            state.update((json.dumps({"buf": buf, "ring": ring}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if alerts:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(alerts),
+                    "event_id": [a[0] for a in alerts],
+                    "ts": pd.to_datetime([a[1] for a in alerts], unit="us"),
+                    "value": [a[2] for a in alerts],
+                    "z": [a[3] for a in alerts],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

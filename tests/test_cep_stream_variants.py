@@ -882,3 +882,80 @@ def test_rows_per_match_composes_on_streams(spark, tmp_path):
         for r in harness.run_available_now(stream_rows, "append").collect()
     )
     assert got == [(1, "view", 0), (2, "click", 1), (3, "purchase", 2)]
+
+
+# ------------------------------------------------------------------
+# round 6: alternation (A | B) through the variant machinery
+# ------------------------------------------------------------------
+
+ALT_SQL = """
+PATTERN ( A -> (B | C) -> D )
+WITHIN 2 HOURS
+DEFINE A AS event_type = 'signup',
+       B AS event_type = 'error',
+       C AS event_type = 'click',
+       D AS event_type = 'purchase'
+"""
+
+
+def test_alternation_stream_equals_batch(spark):
+    rows = [
+        # user 1: only the C branch completes
+        (1, 0, "signup", 1.0), (1, 5, "click", 1.0),
+        (1, 10, "purchase", 1.0),
+        # user 2: BOTH branches complete -> B (declared first) wins
+        (2, 0, "signup", 1.0), (2, 3, "error", 1.0), (2, 5, "click", 1.0),
+        (2, 10, "purchase", 1.0),
+        # user 3: no middle step -> no match
+        (3, 0, "signup", 1.0), (3, 10, "purchase", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, ALT_SQL, "purchase")
+    assert g == w and len(g) == 2
+    got_variants = sorted(x[-1] for x in g)
+    assert got_variants == ["A->B->D", "A->C->D"]
+
+
+def test_alternation_composes_with_optional(spark):
+    """(B | C) and a later D? in ONE pattern: 4 variants through the
+    shared cross-product, greedy preference (branch order outranks
+    the optional, declaration-first)."""
+    sql = """
+    PATTERN ( A -> (B | C) -> E? -> D )
+    WITHIN 2 HOURS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'error',
+           C AS event_type = 'click',
+           E AS event_type = 'view',
+           D AS event_type = 'purchase'
+    """
+    from spark_cep_spark.operators.cep_sql import expand_quantifier_sql
+
+    assert [d for d, _ in expand_quantifier_sql(sql)] == [
+        "A->B->E->D", "A->B->D", "A->C->E->D", "A->C->D",
+    ]
+    rows = [
+        (1, 0, "signup", 1.0), (1, 2, "click", 1.0), (1, 4, "view", 1.0),
+        (1, 9, "purchase", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "purchase")
+    assert g == w and len(g) == 1
+    assert g[0][-1] == "A->C->E->D"
+
+
+@pytest.mark.parametrize(
+    "pattern, msg",
+    [
+        ("( (A | B) -> D )", "first step cannot be an alternation"),
+        ("( A -> (B | C) -> (B | C) )", "only one alternation"),
+        ("( A -> (B | C?) -> D )", "plain step names"),
+        ("( A -> (B | B) -> D )", "duplicate step name"),
+    ],
+)
+def test_malformed_alternation_rejected(pattern, msg):
+    from spark_cep_spark.operators.cep_sql import expand_quantifier_sql
+
+    with pytest.raises(ValueError, match=msg):
+        expand_quantifier_sql(
+            f"PATTERN {pattern} WITHIN 1 HOUR "
+            "DEFINE A AS true, B AS true, C AS true, D AS true"
+        )

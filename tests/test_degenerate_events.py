@@ -62,6 +62,9 @@ EVENTS_KEYS = [
     # round-5 additions over the events table
     "join_asof_nearest", "win_lag_ignore_nulls", "cep_group_times",
     "cep_skip_to_last", "cep_all_rows", "cep_optional_measures",
+    # round-6 additions over the events table
+    "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
+    "win_rolling_corr", "rollup_retention_cohort",
 ]
 
 
@@ -105,6 +108,9 @@ EMPTY_SWEEP_KEYS = [
     "stream_tumbling", "stream_session", "cep_seq", "cep_alert_throttle",
     "rollup_gapfill", "rollup_hypertable", "join_asof", "join_interval",
     "win_frame_range", "win_ewma", "agg_histogram", "cep_kleene_plus",
+    # round-6
+    "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
+    "win_rolling_corr", "rollup_retention_cohort",
 ]
 
 

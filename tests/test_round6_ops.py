@@ -211,3 +211,93 @@ def test_funnel_steps_monotone_and_bounded(spark):
     assert rows[0][2] == 1.0 and rows[0][3] is None
     for _, _, pf, pp in rows[1:]:
         assert 0 < pf <= 1 and 0 < pp <= 1
+
+
+# ------------------------------------------------------------------
+# streaming z-score anomaly face (round-6 streaming addition)
+# ------------------------------------------------------------------
+
+
+def test_zscore_kernel_matches_brute_force_and_chunking():
+    """advance_zscore == a brute-force rolling recompute on every
+    prefix, and splitting the matured rows at ANY boundary changes
+    nothing (the state ring is a sufficient statistic)."""
+    from spark_cep_spark.streaming.nfa import advance_zscore
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        v = rng.gauss(10, 1)
+        if i % 37 == 0:
+            v += 25  # planted outliers
+        if i % 41 == 0:
+            v = None  # null values occupy frame slots, unscored
+        rows.append([i * 1_000_000, i, v])
+
+    _, whole = advance_zscore([], [r[:] for r in rows])
+
+    # brute force: mirror the batch frame definition directly
+    brute = []
+    hist = []
+    for ts, eid, v in rows:
+        ring = hist[-20:]
+        vals = [x for x in ring if x is not None]
+        if len(ring) >= 10 and len(vals) >= 2 and v is not None:
+            mu = sum(vals) / len(vals)
+            sd = (
+                sum((x - mu) ** 2 for x in vals) / (len(vals) - 1)
+            ) ** 0.5
+            if sd > 1e-9 and abs(v - mu) > 3 * sd:
+                brute.append([eid, ts, v, round((v - mu) / sd, 4)])
+        hist.append(v)
+    assert whole == brute and len(whole) >= 2
+
+    for cut in (0, 1, 17, 60, 119, 120):
+        ring, a1 = advance_zscore([], [r[:] for r in rows[:cut]])
+        _, a2 = advance_zscore(ring, [r[:] for r in rows[cut:]])
+        assert a1 + a2 == whole
+
+
+def test_streaming_anomaly_equals_batch(spark, sf_dir):
+    """anomaly_stream over multiple micro-batches emits exactly the
+    batch twin's alert rows (zero-delay watermark over sorted staging
+    + a far-future sentinel to mature the tail)."""
+    import datetime as dt
+    import glob
+    import os
+
+    from spark_cep_spark.operators.windows import anomaly_zscore
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import anomaly_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, dt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        anomaly_stream(stream, watermark="0 seconds"), "append"
+    )
+    g = {
+        (r["key"], r["event_id"], r["ts"], r["value"], r["z"])
+        for r in got.collect()
+        if r["key"] != -1
+    }
+    batch = anomaly_zscore(
+        spark.read.parquet(staged).filter("user_id <> -1")
+    )
+    w = {
+        (r["user_id"], r["event_id"], r["ts"], r["value"], r["z"])
+        for r in batch.collect()
+    }
+    assert g == w and len(w) > 0
