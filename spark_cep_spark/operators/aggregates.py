@@ -983,3 +983,47 @@ def rollup_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstat,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+           CAST(grouping(l_returnflag) AS INT) * 2
+             + CAST(grouping(l_linestatus) AS INT) AS gid
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^k grouping sets — the every-margin OLAP rollup,
+    completing §2.4's ROLLUP/GROUPING SETS family): totals per
+    (flag, shipmode), per flag, per shipmode, and grand total in one
+    pass, with the standard grouping-bits id distinguishing real NULL
+    group values from subtotal rows. One map-side-combinable hash
+    aggregate: Spark expands the grouping sets internally and still
+    shuffles each partial once — no 2^k scans. Quantities are exact
+    integers before summation (float discipline)."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(qty).cast("long").alias("qty"),
+            (
+                F.grouping("l_returnflag").cast("int") * 2
+                + F.grouping("l_linestatus").cast("int")
+            ).alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("lstat"),
+            "n",
+            "qty",
+            "gid",
+        )
+    )

@@ -990,3 +990,168 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+_RRF_C, _RRF_LEX_K, _RRF_PRF_N, _RRF_SEM_K, _RRF_OUT_K = 60, 20, 3, 20, 10
+
+
+def _rrf_oracle() -> str:
+    from spark_cep_spark.operators.llm_text import bm25_oracle_ctes
+
+    return f"""
+    WITH {bm25_oracle_ctes()},
+    lex AS (
+      SELECT query_id, doc_id, CAST(rk AS BIGINT) AS r_lex
+      FROM bm25_ranked WHERE rk <= {_RRF_LEX_K}
+    ),
+    s AS (
+      SELECT vec_id AS doc_id,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS si
+      FROM embeddings
+    ),
+    prf AS (
+      SELECT lex.query_id, s.i, CAST(sum(s.si) AS BIGINT) AS ci
+      FROM lex JOIN s ON s.doc_id = lex.doc_id
+      WHERE lex.r_lex <= {_RRF_PRF_N}
+      GROUP BY lex.query_id, s.i
+    ),
+    dots AS (
+      SELECT prf.query_id, s.doc_id,
+             CAST(sum(prf.ci * s.si) AS BIGINT) AS dot_int
+      FROM s JOIN prf ON prf.i = s.i
+      GROUP BY prf.query_id, s.doc_id
+    ),
+    sem AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot_int DESC, doc_id)
+                  AS BIGINT) AS r_sem
+      FROM dots
+      QUALIFY r_sem <= {_RRF_SEM_K}
+    ),
+    fused AS (
+      SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+             coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.r_lex, sem.r_sem,
+             round(coalesce(1.0 / ({_RRF_C} + lex.r_lex), 0)
+                   + coalesce(1.0 / ({_RRF_C} + sem.r_sem), 0), 6)
+               AS rrf
+      FROM lex FULL OUTER JOIN sem
+        ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id)
+                AS BIGINT) AS rk,
+           doc_id, rrf, r_lex, r_sem
+    FROM fused
+    QUALIFY rk <= {_RRF_OUT_K}
+    """
+
+
+@register("sim_rrf_hybrid", oracle=_rrf_oracle())
+def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (the standard
+    lexical+semantic RAG retriever): for each fixed BM25 query, fuse
+    (a) the BM25 top-20 lexical ranking with (b) a semantic ranking
+    from pseudo-relevance feedback — the query vector is the sum of
+    the BM25 top-3 documents' embeddings (classic PRF: the engine has
+    no text-to-vector model, the top lexical hits ARE the semantic
+    query), scoring all documents by dot product. Final score per doc
+    = Σ 1/(60 + rank_r) over the rankings that retrieved it (RRF,
+    Cormack et al.), top-10 emitted with both source ranks.
+
+    Cross-engine determinism is EXACT-INTEGER end to end on the
+    semantic side: embedding components scale to round(v·1e6) BIGINTs,
+    the PRF vector is an integer SUM (no division — ranking is
+    scale-invariant), and every dot product is a BIGINT Σ ci·si
+    (|values| ≤ 3e12·64 ≪ 2^63) — both engines rank identical
+    integers, no float order anywhere before the final 1/(60+rank)
+    arithmetic over small exact ints.
+
+    100 TB shape: the lexical side is bm25_ranked (query-term-bounded
+    postings); the PRF vector is 64 BIGINTs per query (broadcast); the
+    semantic pass is the brute-force candidate scan — by design here
+    (RRF needs a FULL ranking to fuse); swap in sim_ann_ivf/lsh for
+    the candidate set at scale, same fusion tail. The fusion itself is
+    a (query, doc)-keyed outer join of two top-k tables — trivially
+    small."""
+    from spark_cep_spark.operators.llm_text import bm25_ranked
+
+    lex = (
+        bm25_ranked(spark, sf_dir, _RRF_LEX_K)
+        .select("query_id", "doc_id", F.col("rk").alias("r_lex"))
+    )
+    e = table(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode("embedding").alias("i0", "v"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),  # 1-based like generate_subscripts
+        F.round(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("si"),
+    )
+    prf = (
+        lex.filter(F.col("r_lex") <= _RRF_PRF_N)
+        .join(s, "doc_id")
+        .groupBy("query_id", "i")
+        .agg(F.sum("si").cast("long").alias("ci"))
+    )
+    dots = (
+        s.join(F.broadcast(prf), "i")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("ci") * F.col("si")).cast("long").alias("dot_int"))
+    )
+    wsem = W.partitionBy("query_id").orderBy(
+        F.col("dot_int").desc(), "doc_id"
+    )
+    sem = (
+        dots.select(
+            "query_id",
+            "doc_id",
+            F.row_number().over(wsem).cast("long").alias("r_sem"),
+        )
+        .filter(F.col("r_sem") <= _RRF_SEM_K)
+    )
+    fused = (
+        lex.withColumnRenamed("query_id", "lq")
+        .withColumnRenamed("doc_id", "ld")
+        .join(
+            sem.withColumnRenamed("query_id", "sq").withColumnRenamed(
+                "doc_id", "sd"
+            ),
+            (F.col("lq") == F.col("sq")) & (F.col("ld") == F.col("sd")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("lq", "sq").alias("query_id"),
+            F.coalesce("ld", "sd").alias("doc_id"),
+            "r_lex",
+            "r_sem",
+            F.round(
+                F.coalesce(
+                    1.0 / (_RRF_C + F.col("r_lex")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (_RRF_C + F.col("r_sem")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wout = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.select(
+            "query_id",
+            F.row_number().over(wout).cast("long").alias("rk"),
+            "doc_id",
+            "rrf",
+            "r_lex",
+            "r_sem",
+        )
+        .filter(F.col("rk") <= _RRF_OUT_K)
+    )

@@ -910,3 +910,155 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), "w1", "w2")
         .limit(200)
     )
+
+
+# (query_id, query text) — fixed retrieval queries over the fixture
+# vocabulary; literals in BOTH the Spark plan and the oracle SQL
+_BM25_QUERIES = [
+    (1, "fast table scan"),
+    (2, "window agg batch"),
+    (3, "customer order join"),
+]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 5
+
+
+def _bm25_queries_sql() -> str:
+    rows = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, qtext)"
+
+
+def bm25_oracle_ctes() -> str:
+    """The BM25 ranking as a reusable oracle CTE chain (ends with
+    `bm25_ranked(query_id, doc_id, score, rk)`), shared by
+    text_bm25_topk's oracle and sim_rrf_hybrid's."""
+    return f"""
+    d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             avg(CAST(dl AS DOUBLE)) AS avgdl
+      FROM dl
+    ),
+    qterm AS (
+      SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+      FROM {_bm25_queries_sql()}
+    ),
+    tf AS (
+      SELECT d.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      FROM d, LATERAL (SELECT unnest(w) AS term) t
+      WHERE t.term IN (SELECT DISTINCT term FROM qterm)
+      GROUP BY d.doc_id, t.term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    bm25_scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM qterm q
+      JOIN tf ON tf.term = q.term
+      JOIN df ON df.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    bm25_ranked AS (
+      SELECT query_id, doc_id, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC, doc_id)
+               AS rk
+      FROM bm25_scored
+    )"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {bm25_oracle_ctes()}
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, score
+    FROM bm25_ranked WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (Robertson/Lucene formulation, k1=1.2,
+    b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)): top-5 documents per
+    query for a fixed query set — the lexical half of every hybrid
+    retrieval / RAG data pipeline, expressed as pure relational
+    algebra.
+
+    100 TB shape: the exploded token stream is FILTERED TO QUERY TERMS
+    before any aggregation (predicate on the generator output — the
+    per-(doc,term) tf table is bounded by |query vocabulary| × docs
+    containing those terms, never the full posting list); df and the
+    (N, avgdl) scalars are tiny aggregates joined back by broadcast;
+    the per-query ranking is rank-on-ROUNDED-score (both engines rank
+    identical 6dp values — ulp-level ln/division drift cannot flip an
+    order) with WindowGroupLimit keeping only top-5 per partition.
+    ONE shuffle of query-term postings + one broadcast join chain."""
+    return bm25_ranked(spark, sf_dir, _BM25_TOPK)
+
+
+def bm25_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+    """BM25 core shared by text_bm25_topk and sim_rrf_hybrid:
+    (query_id, rk, doc_id, score) for the fixed _BM25_QUERIES, top-k
+    per query. See text_bm25_topk's docstring for the scale shape."""
+    d = table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, qtext string")
+    qterm = qdf.select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("term")
+    )
+    terms = [t for _, q in _BM25_QUERIES for t in q.split(" ")]
+
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        qterm.join(tf, "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            "doc_id",
+            "score",
+        )
+        .filter(F.col("rk") <= topk)
+    )

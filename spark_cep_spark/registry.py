@@ -167,6 +167,9 @@ NEXT_ROTATION: list[str] = [
     # (a) round-6 keys beyond the window, zero driver evidence
     "rollup_retention_cohort",
     "cep_sql_alternation",
+    "agg_cube",
+    "text_bm25_topk",
+    "sim_rrf_hybrid",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

@@ -301,3 +301,71 @@ def test_streaming_anomaly_equals_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert g == w and len(w) > 0
+
+
+# ------------------------------------------------------------------
+# BM25 + RRF hybrid retrieval sanity (oracle equality is the driver
+# gate; these pin SEMANTICS the hash can't express)
+# ------------------------------------------------------------------
+
+
+def test_bm25_top1_contains_query_terms(spark):
+    """Relevance sanity: every query's #1 document actually contains
+    at least two of its three query terms."""
+    import pyspark.sql.functions as F
+    from spark_cep_spark.operators.llm_text import (
+        _BM25_QUERIES,
+        text_bm25_topk,
+    )
+    from spark_cep_spark.io import table
+
+    top = {
+        r["query_id"]: r["doc_id"]
+        for r in text_bm25_topk(spark, SF_CHECK).collect()
+        if r["rk"] == 1
+    }
+    wanted = list(top.values())
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_CHECK, "documents")
+        .filter(F.col("doc_id").isin(wanted))
+        .collect()
+    }
+    for qid, qtext in _BM25_QUERIES:
+        toks = set(texts[top[qid]].split())
+        hits = sum(1 for t in qtext.split() if t in toks)
+        assert hits >= 2, (qid, qtext, top[qid])
+
+
+def test_bm25_repartition_invariant(spark):
+    """The ranking must not depend on input partitioning (partial
+    aggregation order)."""
+    from spark_cep_spark.operators.llm_text import bm25_ranked
+
+    a = sorted(tuple(r) for r in bm25_ranked(spark, SF_CHECK, 5).collect())
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = sorted(
+            tuple(r) for r in bm25_ranked(spark, SF_CHECK, 5).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
+
+
+def test_rrf_fuses_both_rankers(spark):
+    """Every output row carries at least one source rank; rrf equals
+    the closed-form sum of its present ranks; a doc ranked by BOTH
+    sources outranks one ranked by only the weaker position."""
+    from spark_cep_spark.operators.llm_similarity import sim_rrf_hybrid
+
+    rows = sim_rrf_hybrid(spark, SF_CHECK).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["r_lex"] is not None or r["r_sem"] is not None
+        want = (1.0 / (60 + r["r_lex"]) if r["r_lex"] else 0.0) + (
+            1.0 / (60 + r["r_sem"]) if r["r_sem"] else 0.0
+        )
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9
+    both = [r for r in rows if r["r_lex"] and r["r_sem"]]
+    assert both, "PRF seeds come from the lexical top — overlap expected"

@@ -49,6 +49,11 @@ NESTED_LOOP_OK = {
     "corpus_token_budget",  # 1-row c_min quality-threshold broadcast
     # (the exact pre-filter that BOUNDS the global running-sum window
     # — same constant-size-build-side shape as text_surprisal)
+    "text_bm25_topk",  # 1-row (N, avgdl) scalar broadcast into the
+    # query-term-bounded postings — same shape as text_surprisal
+    "sim_rrf_hybrid",  # inherits text_bm25_topk's 1-row scalar
+    # broadcast on its lexical branch (the semantic branch is pure
+    # equi-joins on exact-integer components)
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
