@@ -634,8 +634,17 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     enters as exact integer epoch-milliseconds on BOTH engines
     (DuckDB's epoch() returns fractional seconds, which would diverge
     from unix_timestamp's truncation — the epoch_ms/unix_millis pair
-    is exact), cast to double inside corr identically."""
-    e = table(spark, sf_dir, "events")
+    is exact), cast to double inside corr identically.
+
+    Streaming face: streaming/nfa.py trendcorr_stream (per-key
+    30-pair ring in keyed state, centered-moment kernel
+    advance_trendcorr, streaming==batch tested)."""
+    return rolling_corr(table(spark, sf_dir, "events"))
+
+
+def rolling_corr(e: DataFrame) -> DataFrame:
+    """Core of win_rolling_corr over any bounded events DataFrame
+    (shared with the streaming-equality tests)."""
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -2696,3 +2696,140 @@ def anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_trendcorr(
+    ring: list, matured: list, window: int = 30
+) -> tuple[list, list]:
+    """Pure rolling-correlation kernel (streaming face of
+    operators/windows.win_rolling_corr), chunking-invariant: `ring` is
+    the key's last ≤`window` [ts_us, value-or-None] rows in (ts, id)
+    order; `matured` is the next (ts, id)-sorted batch of
+    [ts_us, eid, value-or-None].
+
+    Mirrors the batch frame exactly: the frame INCLUDES the current
+    row (-29..current), a score emits only for FULL windows
+    (count(*) == window), corr is over (value, epoch-milliseconds)
+    with nulls occupying frame slots but excluded from the moments
+    (Spark corr ignores null pairs). Numerics: time is centered on
+    the frame's mean before any product — epoch-ms magnitudes
+    (~1.7e12) would otherwise cancel catastrophically in Σx²-(Σx)²/n;
+    centered two-pass agrees with Spark's stable incremental moments
+    to well within the round(4) emitted."""
+    alerts = []
+    for ts_us, eid, v in matured:
+        ring.append([ts_us, v])
+        if len(ring) > window:
+            ring.pop(0)
+        if len(ring) == window:
+            pairs = [
+                (t // 1000, x) for t, x in ring if x is not None
+            ]
+            n = len(pairs)
+            if n >= 2:
+                mx = sum(p[0] for p in pairs) / n
+                my = sum(p[1] for p in pairs) / n
+                sxy = sum((p[0] - mx) * (p[1] - my) for p in pairs)
+                sxx = sum((p[0] - mx) ** 2 for p in pairs)
+                syy = sum((p[1] - my) ** 2 for p in pairs)
+                if sxx > 0 and syy > 0:
+                    c = sxy / (sxx * syy) ** 0.5
+                    alerts.append([eid, ts_us, round(c, 4)])
+    return ring, alerts
+
+
+def trendcorr_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of win_rolling_corr: per-key trailing-30-event
+    trend correlation in keyed state — the drift-direction signal,
+    emitted continuously. State per key = exactly 30 (ts, value)
+    pairs + the watermark-bounded buffer."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("val"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("trend_corr", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "ring": []}
+        buf, ring = st["buf"], st["ring"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, v in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["val"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if v is None or pd.isna(v) else float(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        ring, alerts = advance_trendcorr(ring, matured)
+
+        if buf or ring:
+            state.update((json.dumps({"buf": buf, "ring": ring}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if alerts:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(alerts),
+                    "event_id": [a[0] for a in alerts],
+                    "ts": pd.to_datetime([a[1] for a in alerts], unit="us"),
+                    "trend_corr": [a[2] for a in alerts],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -369,3 +369,71 @@ def test_rrf_fuses_both_rankers(spark):
         assert abs(r["rrf"] - round(want, 6)) < 1e-9
     both = [r for r in rows if r["r_lex"] and r["r_sem"]]
     assert both, "PRF seeds come from the lexical top — overlap expected"
+
+
+# ------------------------------------------------------------------
+# streaming rolling-corr face
+# ------------------------------------------------------------------
+
+
+def test_trendcorr_kernel_chunking_invariance():
+    """advance_trendcorr: any micro-batch chunking of the same ordered
+    stream yields identical scores (the 30-pair ring is a sufficient
+    statistic)."""
+    from spark_cep_spark.streaming.nfa import advance_trendcorr
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        [i * 60_000_000, i, None if i % 23 == 0 else rng.gauss(10, 3) + 0.1 * i]
+        for i in range(90)
+    ]
+    _, whole = advance_trendcorr([], [r[:] for r in rows])
+    assert len(whole) == 90 - 29  # one score per full frame
+    for cut in (0, 1, 29, 30, 31, 60, 89, 90):
+        ring, a1 = advance_trendcorr([], [r[:] for r in rows[:cut]])
+        _, a2 = advance_trendcorr(ring, [r[:] for r in rows[cut:]])
+        assert a1 + a2 == whole
+
+
+def test_streaming_trendcorr_equals_batch(spark, sf_dir):
+    """trendcorr_stream over multiple micro-batches emits exactly the
+    batch twin's rows."""
+    import datetime as ddt
+    import glob
+    import os
+
+    from spark_cep_spark.operators.windows import rolling_corr
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import trendcorr_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        trendcorr_stream(stream, watermark="0 seconds"), "append"
+    )
+    g = {
+        (r["key"], r["event_id"], r["ts"], r["trend_corr"])
+        for r in got.collect()
+        if r["key"] != -1
+    }
+    batch = rolling_corr(
+        spark.read.parquet(staged).filter("user_id <> -1")
+    )
+    w = {
+        (r["user_id"], r["event_id"], r["ts"], r["trend_corr"])
+        for r in batch.collect()
+    }
+    assert g == w and len(w) > 0

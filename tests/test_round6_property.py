@@ -1,0 +1,99 @@
+"""Property-based verification of the round-6 kernels (SURVEY §5.4
+style: pure functions vs literal brute-force transcriptions, no
+SparkSession — hundreds of cases in seconds).
+
+- advance_zscore (streaming/nfa.py): the rolling-z-score streaming
+  kernel must equal a direct transcription of the batch frame
+  definition (trailing 20 rows excluding current, count-of-rows
+  history guard, nulls occupy slots but never score) under EVERY
+  micro-batch chunking of the same ordered stream.
+- the ntile closed form used by _distributed_ntile: tile assignment
+  from (global_rank, n, k) must equal SQL ntile's
+  floor-division-with-remainder rule for all (n, k).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_cep_spark.streaming.nfa import advance_zscore
+
+
+def zscore_brute(rows, window=20, min_hist=10, thresh=3.0):
+    out, hist = [], []
+    for ts, eid, v in rows:
+        ring = hist[-window:]
+        vals = [x for x in ring if x is not None]
+        if len(ring) >= min_hist and len(vals) >= 2 and v is not None:
+            mu = sum(vals) / len(vals)
+            sd = (sum((x - mu) ** 2 for x in vals) / (len(vals) - 1)) ** 0.5
+            if sd > 1e-9 and abs(v - mu) > thresh * sd:
+                out.append([eid, ts, v, round((v - mu) / sd, 4)])
+        hist.append(v)
+    return out
+
+
+values = st.one_of(
+    st.none(),
+    st.floats(
+        min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+    ),
+    st.just(0.0),
+    st.floats(min_value=900, max_value=1000),  # planted outliers
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vs=st.lists(values, min_size=0, max_size=80),
+    cuts=st.lists(st.integers(min_value=0, max_value=80), max_size=4),
+)
+def test_zscore_kernel_brute_force_and_chunking(vs, cuts):
+    rows = [[i * 1_000, i, v] for i, v in enumerate(vs)]
+    want = zscore_brute(rows)
+
+    _, whole = advance_zscore([], [r[:] for r in rows])
+    assert whole == want
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    ring, got = [], []
+    prev = 0
+    for b in bounds + [len(rows)]:
+        ring, alerts = advance_zscore(ring, [r[:] for r in rows[prev:b]])
+        got.extend(alerts)
+        prev = b
+    assert got == want
+
+
+def ntile_sql(rank, n, k):
+    """SQL ntile's rule: first n%k tiles have floor(n/k)+1 rows."""
+    q, r = divmod(n, k)
+    fat = r * (q + 1)
+    if rank <= fat:
+        return (rank - 1) // (q + 1) + 1
+    return r + (rank - fat - 1) // max(q, 1) + 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=5000),
+    k=st.integers(min_value=1, max_value=64),
+)
+def test_ntile_closed_form_partitions_correctly(n, k):
+    """The closed form must produce k' = min(n, k) non-empty tiles with
+    sizes differing by at most 1, larger tiles first, covering ranks
+    1..n in order — the defining properties of SQL ntile."""
+    tiles = [ntile_sql(r, n, k) for r in range(1, n + 1)]
+    assert tiles == sorted(tiles)
+    from collections import Counter
+
+    sizes = Counter(tiles)
+    if n == 0:
+        assert not sizes
+        return
+    assert set(sizes) == set(range(1, min(n, k) + 1))
+    counts = [sizes[t] for t in sorted(sizes)]
+    assert max(counts) - min(counts) <= 1
+    assert counts == sorted(counts, reverse=True)
+    assert sum(counts) == n

@@ -60,6 +60,11 @@ KEYS = [
     "pipeline_dedup_keep_best",
     "corpus_token_budget",
     "corpus_dedup_stats",
+    # round-6
+    "pipeline_mix_temperature",
+    "corpus_quality_deciles",
+    "text_bm25_topk",
+    "sim_rrf_hybrid",
 ]
 
 

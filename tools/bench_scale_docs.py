@@ -38,6 +38,12 @@ OPS = [
     "text_vocab",
     "corpus_token_budget",
     "text_bigram_lm",
+    # round-6: decile rank (distributed ntile), mix weights, BM25,
+    # hybrid RRF (embeddings stay 1x — the lexical side is what grows)
+    "corpus_quality_deciles",
+    "pipeline_mix_temperature",
+    "text_bm25_topk",
+    "sim_rrf_hybrid",
     # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
     # quadratically within blocks (measured: >15 min at 40k docs vs
     # 11 s at 5k — the hazard SCALE.md documents; at real scale the
@@ -80,6 +86,17 @@ def main() -> None:
         os.path.join(big_dir, "documents.parquet")
     )
     nN = args.mult * n1
+
+    # ops that also read other tables (e.g. sim_rrf_hybrid's embedding
+    # branch) find them unamplified via symlink
+    from spark_cep_spark.schemas import TABLES
+
+    for name in TABLES:
+        if name == "documents":
+            continue
+        dst_p = os.path.join(big_dir, f"{name}.parquet")
+        if not os.path.exists(dst_p):
+            os.symlink(os.path.join(args.sf_dir, f"{name}.parquet"), dst_p)
 
     def run(key: str, sf_dir: str) -> float:
         fn = spark_cep_spark.QUERIES[key]
