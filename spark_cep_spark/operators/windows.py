@@ -662,3 +662,113 @@ def rolling_corr(e: DataFrame) -> DataFrame:
     return s.filter(F.col("n") == 30).select(
         "event_id", "user_id", "ts", F.round("c", 4).alias("trend_corr")
     )
+
+
+_CUSUM_K, _CUSUM_H = 5.0, 25.0
+
+
+@register(
+    "win_cusum",
+    oracle=f"""
+    WITH RECURSIVE mu AS (
+      SELECT user_id, round(avg(value), 6) AS mu
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    e AS (
+      SELECT e.user_id, e.event_id, e.ts, e.value, mu.mu,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM events e JOIN mu ON mu.user_id = e.user_id
+      WHERE e.value IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, event_id, ts, value, mu, rn,
+             greatest(0, value - mu - {_CUSUM_K}) AS s_hi,
+             greatest(0, mu - value - {_CUSUM_K}) AS s_lo,
+             CASE WHEN greatest(0, value - mu - {_CUSUM_K}) > {_CUSUM_H}
+                    OR greatest(0, mu - value - {_CUSUM_K}) > {_CUSUM_H}
+                  THEN 1 ELSE 0 END AS alarm
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.ts, e.value, e.mu, e.rn,
+             greatest(0, (CASE WHEN r.alarm = 1 THEN 0 ELSE r.s_hi END)
+                         + (e.value - e.mu - {_CUSUM_K})) AS s_hi,
+             greatest(0, (CASE WHEN r.alarm = 1 THEN 0 ELSE r.s_lo END)
+                         + (e.mu - e.value - {_CUSUM_K})) AS s_lo,
+             CASE WHEN greatest(0, (CASE WHEN r.alarm = 1 THEN 0
+                                         ELSE r.s_hi END)
+                                 + (e.value - e.mu - {_CUSUM_K}))
+                         > {_CUSUM_H}
+                    OR greatest(0, (CASE WHEN r.alarm = 1 THEN 0
+                                         ELSE r.s_lo END)
+                                 + (e.mu - e.value - {_CUSUM_K}))
+                         > {_CUSUM_H}
+                  THEN 1 ELSE 0 END AS alarm
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, s_hi, s_lo, alarm
+    FROM r
+    """,
+)
+def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart per user (Page's cumulative-sum
+    changepoint detector — the standard drift alarm): s⁺ accumulates
+    positive deviations beyond the slack k from the user's baseline
+    mean, s⁻ the negative ones; either exceeding h raises an alarm
+    and restarts both accumulators (signal-and-restart, the textbook
+    scheme). Null values are excluded on both engines (a null would
+    poison the recurrence).
+
+    The baseline is the user's own mean, ROUNDED to 6dp so both
+    engines seed the recurrence with identical doubles (avg's
+    summation order differs across engines at the last ulp); from
+    there the recurrence is written operation-for-operation like the
+    recursive-CTE oracle, so every s value matches bit-for-bit with
+    no output rounding (the win_ewma discipline).
+
+    100 TB shape: two passes — a map-side-combinable per-user mean,
+    then the inherently-sequential per-key scan via applyInPandas
+    (keys parallelize across executors; per-key cost linear; state is
+    TWO floats). Streaming face: streaming/nfa.py cusum_stream (same
+    kernel against a FIXED reference baseline — a streaming op cannot
+    know the full-history mean upfront; O(1) keyed state)."""
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    mu = events.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("mu")
+    )
+    joined = events.select("user_id", "event_id", "ts", "value").join(
+        mu, "user_id"
+    )
+
+    k, h = _CUSUM_K, _CUSUM_H
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        s_hi = s_lo = 0.0
+        hs, ls, al = [], [], []
+        m = pdf["mu"].iloc[0] if len(pdf) else 0.0
+        for x in pdf["value"]:
+            s_hi = max(0.0, s_hi + (x - m - k))
+            s_lo = max(0.0, s_lo + (m - x - k))
+            a = 1 if (s_hi > h or s_lo > h) else 0
+            hs.append(s_hi)
+            ls.append(s_lo)
+            al.append(a)
+            if a:
+                s_hi = s_lo = 0.0
+        pdf["s_hi"], pdf["s_lo"], pdf["alarm"] = hs, ls, al
+        return pdf.drop(columns=["mu"])
+
+    return (
+        joined.repartition("user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            cusum,
+            "user_id long, event_id long, ts timestamp, value double, "
+            "s_hi double, s_lo double, alarm int",
+        )
+    )

@@ -170,6 +170,7 @@ NEXT_ROTATION: list[str] = [
     "agg_cube",
     "text_bm25_topk",
     "sim_rrf_hybrid",
+    "win_cusum",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

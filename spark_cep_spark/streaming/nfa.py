@@ -2833,3 +2833,140 @@ def trendcorr_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_cusum(
+    state: list | None,
+    matured: list,
+    mu: float,
+    k: float = 5.0,
+    h: float = 25.0,
+) -> tuple[list, list]:
+    """Pure two-sided CUSUM kernel (streaming face of
+    operators/windows.win_cusum against a FIXED reference baseline —
+    a stream cannot know the full-history mean upfront): state is
+    [s_hi, s_lo] (None = fresh key); matured is the next
+    (ts, id)-sorted batch of [ts_us, eid, value-or-None]. Null values
+    are skipped (the batch twin's null policy). Alarm (either side
+    exceeding h) emits and restarts both accumulators. Returns
+    (state, alerts) with alerts = [eid, ts_us, value, s_hi, s_lo,
+    alarm] PER ROW (the chart emits every point; `alarm` flags the
+    changepoints) — O(1) state: two floats."""
+    s_hi, s_lo = (0.0, 0.0) if state is None else state
+    out = []
+    for ts_us, eid, v in matured:
+        if v is None:
+            continue
+        s_hi = max(0.0, s_hi + (v - mu - k))
+        s_lo = max(0.0, s_lo + (mu - v - k))
+        a = 1 if (s_hi > h or s_lo > h) else 0
+        out.append([eid, ts_us, v, s_hi, s_lo, a])
+        if a:
+            s_hi = s_lo = 0.0
+    return [s_hi, s_lo], out
+
+
+def cusum_stream(
+    events_stream: DataFrame,
+    mu: float,
+    k: float = 5.0,
+    h: float = 25.0,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming two-sided CUSUM control chart per key against the
+    reference baseline `mu` — the O(1)-state drift/changepoint alarm
+    (per-key state is literally two floats plus the watermark-bounded
+    buffer; the cheapest possible stateful streaming operator)."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("val"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("s_hi", T.DoubleType()),
+            T.StructField("s_lo", T.DoubleType()),
+            T.StructField("alarm", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "s": None}
+        buf, s = st["buf"], st["s"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, v in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["val"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if v is None or pd.isna(v) else float(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        s, rows = advance_cusum(s, matured, mu, k, h)
+
+        if buf or s != [0.0, 0.0] or rows:
+            state.update((json.dumps({"buf": buf, "s": s}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "event_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+                    "value": [r[2] for r in rows],
+                    "s_hi": [r[3] for r in rows],
+                    "s_lo": [r[4] for r in rows],
+                    "alarm": [r[5] for r in rows],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -64,7 +64,7 @@ EVENTS_KEYS = [
     "cep_skip_to_last", "cep_all_rows", "cep_optional_measures",
     # round-6 additions over the events table
     "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
-    "win_rolling_corr", "rollup_retention_cohort",
+    "win_rolling_corr", "rollup_retention_cohort", "win_cusum",
 ]
 
 
@@ -110,7 +110,7 @@ EMPTY_SWEEP_KEYS = [
     "win_frame_range", "win_ewma", "agg_histogram", "cep_kleene_plus",
     # round-6
     "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
-    "win_rolling_corr", "rollup_retention_cohort",
+    "win_rolling_corr", "rollup_retention_cohort", "win_cusum",
 ]
 
 

@@ -437,3 +437,93 @@ def test_streaming_trendcorr_equals_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert g == w and len(w) > 0
+
+
+# ------------------------------------------------------------------
+# streaming CUSUM face
+# ------------------------------------------------------------------
+
+
+def test_cusum_kernel_chunking_and_restart():
+    """advance_cusum: chunk-split invariance, null skipping, and the
+    signal-and-restart recurrence vs an inline transcription."""
+    from spark_cep_spark.streaming.nfa import advance_cusum
+
+    vals = [50, 58, 70, 90, None, 90, 90, 50, 10, 5, 5, 50, 49]
+    rows = [[i * 1000, i, None if v is None else float(v)]
+            for i, v in enumerate(vals)]
+
+    s_hi = s_lo = 0.0
+    want = []
+    for ts, eid, v in rows:
+        if v is None:
+            continue
+        s_hi = max(0.0, s_hi + (v - 50.0 - 5.0))
+        s_lo = max(0.0, s_lo + (50.0 - v - 5.0))
+        a = 1 if (s_hi > 25.0 or s_lo > 25.0) else 0
+        want.append([eid, ts, v, s_hi, s_lo, a])
+        if a:
+            s_hi = s_lo = 0.0
+    assert sum(r[5] for r in want) >= 2  # both drift directions alarm
+
+    _, whole = advance_cusum(None, [r[:] for r in rows], 50.0)
+    assert whole == want
+    for cut in range(len(rows) + 1):
+        st, a1 = advance_cusum(None, [r[:] for r in rows[:cut]], 50.0)
+        _, a2 = advance_cusum(st, [r[:] for r in rows[cut:]], 50.0)
+        assert a1 + a2 == whole
+
+
+def test_streaming_cusum_equals_reference(spark, sf_dir):
+    """cusum_stream over multiple micro-batches equals the kernel-
+    independent per-user reference recurrence on the same data."""
+    import datetime as ddt
+    import glob
+    import os
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import cusum_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        cusum_stream(stream, mu=50.0, watermark="0 seconds"), "append"
+    )
+    g = {
+        (r["key"], r["event_id"], r["s_hi"], r["s_lo"], r["alarm"])
+        for r in got.collect()
+        if r["key"] != -1
+    }
+
+    # independent reference: per-user python recurrence over the data
+    by_user = {}
+    for r in sorted(
+        spark.read.parquet(staged).filter("user_id <> -1").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    ):
+        by_user.setdefault(r["user_id"], []).append(r)
+    w = set()
+    for u, rs in by_user.items():
+        s_hi = s_lo = 0.0
+        for r in rs:
+            v = r["value"]
+            if v is None:
+                continue
+            s_hi = max(0.0, s_hi + (v - 50.0 - 5.0))
+            s_lo = max(0.0, s_lo + (50.0 - v - 5.0))
+            a = 1 if (s_hi > 25.0 or s_lo > 25.0) else 0
+            w.add((u, r["event_id"], s_hi, s_lo, a))
+            if a:
+                s_hi = s_lo = 0.0
+    assert g == w and len(w) > 0

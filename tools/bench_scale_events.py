@@ -42,6 +42,7 @@ OPS = [
     "win_streak",
     "win_anomaly_zscore",
     "win_rolling_corr",
+    "win_cusum",
     "stream_tumbling",
     "stream_trending",
     "graph_transitions",
