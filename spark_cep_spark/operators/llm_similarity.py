@@ -1084,7 +1084,10 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_ranked(spark, sf_dir, _RRF_LEX_K)
         .select("query_id", "doc_id", F.col("rk").alias("r_lex"))
     )
-    e = table(spark, sf_dir, "embeddings")
+    # malformed vectors (NULL / ragged / non-finite) are dropped before
+    # the integer scaling — round(NaN*1e6) cannot cast to BIGINT, and
+    # every other vector path applies the same valid_vectors policy
+    e = valid_vectors(table(spark, sf_dir, "embeddings"))
     s = e.select(
         F.col("vec_id").alias("doc_id"),
         F.posexplode("embedding").alias("i0", "v"),

@@ -1062,3 +1062,77 @@ def bm25_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
         )
         .filter(F.col("rk") <= topk)
     )
+
+
+@register(
+    "text_perplexity_bigram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(w[1:len(w)-1]) AS w1,
+             unnest(w[2:len(w)]) AS w2
+      FROM t WHERE len(w) >= 2
+    ),
+    n2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+           FROM big GROUP BY w1, w2),
+    n1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_first
+           FROM big GROUP BY w1)
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(n1.n_first * 1.0 / n2.n_pair)), 6) AS avg_nll,
+           round(exp(avg(ln(n1.n_first * 1.0 / n2.n_pair))), 4) AS ppl
+    FROM big
+    JOIN n2 ON n2.w1 = big.w1 AND n2.w2 = big.w2
+    JOIN n1 ON n1.w1 = big.w1
+    GROUP BY big.doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity (the Gopher/CCNet-style
+    quality signal, upgrading text_surprisal's unigram model): score
+    each document's bigrams under the corpus-trained MLE conditional
+    P(w2|w1) = n(w1 w2)/n(w1 ·); emit mean negative log-likelihood
+    and its exp (the perplexity). High ppl = improbable word
+    transitions = boilerplate/gibberish candidates for pruning.
+
+    100 TB shape: bigrams come from zipping each token array with its
+    own tail (ONE codegen projection — never a positional self-join
+    of exploded tokens); the n2/n1 counts are map-side-combinable
+    word-count aggregates; the score joins are equi-joins on the
+    bigram/unigram keys, co-partitioned with the groupBys that built
+    them (AQE reuses the partitioning). No broadcast hints — the
+    bigram vocabulary of a web corpus does not fit an executor (the
+    text_bigram_lm lesson). Per-doc avg-of-ln is rounded at 6dp on
+    both engines (summation-order ulps)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = F.arrays_zip(
+        F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)").alias(
+            "w1"
+        ),
+        F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)").alias(
+            "w2"
+        ),
+    )
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    n2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    n1 = big.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    nll = F.log(F.col("n_first") * 1.0 / F.col("n_pair"))
+    return (
+        big.join(n2, ["w1", "w2"])
+        .join(n1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )

@@ -171,6 +171,7 @@ NEXT_ROTATION: list[str] = [
     "text_bm25_topk",
     "sim_rrf_hybrid",
     "win_cusum",
+    "text_perplexity_bigram",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

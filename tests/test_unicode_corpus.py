@@ -65,6 +65,7 @@ KEYS = [
     "corpus_quality_deciles",
     "text_bm25_topk",
     "sim_rrf_hybrid",
+    "text_perplexity_bigram",
 ]
 
 

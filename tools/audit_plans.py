@@ -71,6 +71,8 @@ PYTHON_OK = {
     "cep_skip_to_last",  # same sequential policy, different resume point
     "cep_alert_throttle",  # same sequential policy, over ALERTS
     "win_ewma",  # inherently sequential per-key recurrence (EWMA)
+    "win_cusum",  # same shape: CUSUM signal-and-restart recurrence —
+    # no window frame expresses it; keys parallelize, state = 2 floats
     "dedup_near_arrow",  # Arrow-batched per-doc minhash (no shingle explode)
     "sim_ann_pq",  # Arrow-batched ADC scan over 8-byte codes — the point
     # of PQ is that this stage is bandwidth-bound, not compute-bound

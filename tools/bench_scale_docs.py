@@ -44,6 +44,7 @@ OPS = [
     "pipeline_mix_temperature",
     "text_bm25_topk",
     "sim_rrf_hybrid",
+    "text_perplexity_bigram",
     # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
     # quadratically within blocks (measured: >15 min at 40k docs vs
     # 11 s at 5k — the hazard SCALE.md documents; at real scale the
