@@ -2030,3 +2030,222 @@ def cep_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users") * 1.0 / F.lag("n_users").over(w), 6
         ).alias("pct_of_prev"),
     )
+
+
+def _trend_runs(e: DataFrame) -> DataFrame:
+    """Maximal monotone runs per user (shared by cep_trend_runs /
+    cep_vshape): one (user, (ts, id)) window pass computes the
+    per-event direction vs the previous event, a second running count
+    on the SAME partitioning assigns run ids (gaps-and-islands), and
+    the per-run rollup rides the same shuffle. Output one row per
+    maximal run of >= 2 same-direction transitions."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    d = (
+        e.filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.when(prev_v.isNull(), F.lit(0))
+            .when(F.col("value") > prev_v, F.lit(1))
+            .when(F.col("value") < prev_v, F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("dir"),
+            prev_ts.alias("prev_ts"),
+            prev_v.alias("prev_v"),
+        )
+    )
+    chg = F.when(
+        F.lag("dir").over(w).isNull()
+        | (F.lag("dir").over(w) != F.col("dir")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = d.withColumn(
+        "run_id",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        runs.filter(F.col("dir") != 0)
+        .groupBy("user_id", "run_id", "dir")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.min("prev_ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.min(F.struct("ts", "prev_v")).alias("_s"),
+            F.max(F.struct("ts", "value")).alias("_e"),
+        )
+        .filter(F.col("n_steps") >= 2)
+        .select(
+            "user_id",
+            F.when(F.col("dir") == 1, "up").otherwise("down").alias(
+                "direction"
+            ),
+            "start_ts",
+            "end_ts",
+            "n_steps",
+            F.round(
+                F.col("_e.value") - F.col("_s.prev_v"), 6
+            ).alias("delta"),
+        )
+    )
+
+
+@register(
+    "cep_trend_runs",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER w AS prev_ts,
+             lag(value) OVER w AS prev_v,
+             CASE WHEN lag(value) OVER w IS NULL THEN 0
+                  WHEN value > lag(value) OVER w THEN 1
+                  WHEN value < lag(value) OVER w THEN -1
+                  ELSE 0 END AS dir
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+      SELECT *,
+             CASE WHEN lag(dir) OVER w2 IS NULL
+                    OR lag(dir) OVER w2 <> dir
+                  THEN 1 ELSE 0 END AS chg
+      FROM d
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+      SELECT *,
+             CAST(sum(chg)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS run_id
+      FROM c
+    ),
+    runs AS (
+      SELECT user_id, run_id, dir,
+             CAST(count(*) AS BIGINT) AS n_steps,
+             min(prev_ts) AS start_ts,
+             max(ts) AS end_ts,
+             min({'ts': ts, 'prev_v': prev_v}) AS _s,
+             max({'ts': ts, 'value': value}) AS _e
+      FROM seg WHERE dir <> 0
+      GROUP BY user_id, run_id, dir
+    )
+    SELECT user_id,
+           CASE WHEN dir = 1 THEN 'up' ELSE 'down' END AS direction,
+           start_ts, end_ts, n_steps,
+           round(_e.value - _s.prev_v, 6) AS delta
+    FROM runs WHERE n_steps >= 2
+    """,
+)
+def cep_trend_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone trend-run detection (the MATCH_RECOGNIZE
+    `B AS B.value > PREV(B.value)` pattern, i.e. Flink's
+    strictly-rising run): per user, every MAXIMAL strictly-increasing
+    or strictly-decreasing run of >= 2 consecutive transitions
+    (>= 3 points), with its time span, length, and net move — the
+    building block the V/W-shape and breakout detectors compose on.
+    Equal values and nulls break runs (direction 0 is never a run).
+
+    100 TB shape: classic gaps-and-islands — ONE (user, (ts, id))
+    shuffle serves the direction lag, the run-id running count
+    (O(1)-state frame), and the per-run rollup. No joins, no second
+    shuffle, state bounded by the window frame."""
+    return _trend_runs(table(spark, sf_dir, "events"))
+
+
+@register(
+    "cep_vshape",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER w AS prev_ts,
+             lag(value) OVER w AS prev_v,
+             CASE WHEN lag(value) OVER w IS NULL THEN 0
+                  WHEN value > lag(value) OVER w THEN 1
+                  WHEN value < lag(value) OVER w THEN -1
+                  ELSE 0 END AS dir
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+      SELECT *,
+             CASE WHEN lag(dir) OVER w2 IS NULL
+                    OR lag(dir) OVER w2 <> dir
+                  THEN 1 ELSE 0 END AS chg
+      FROM d
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+      SELECT *,
+             CAST(sum(chg)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS run_id
+      FROM c
+    ),
+    runs AS (
+      SELECT user_id, run_id, dir,
+             CAST(count(*) AS BIGINT) AS n_steps,
+             min(prev_ts) AS start_ts,
+             max(ts) AS end_ts,
+             min({'ts': ts, 'prev_v': prev_v}) AS _s,
+             max({'ts': ts, 'value': value}) AS _e
+      FROM seg WHERE dir <> 0
+      GROUP BY user_id, run_id, dir
+    ),
+    good AS (SELECT * FROM runs WHERE n_steps >= 2)
+    SELECT dn.user_id,
+           dn.start_ts, dn.end_ts AS trough_ts, up.end_ts,
+           dn.n_steps AS down_steps, up.n_steps AS up_steps,
+           round(dn._e.value - dn._s.prev_v, 6) AS drop_delta,
+           round(up._e.value - up._s.prev_v, 6) AS rebound_delta
+    FROM good dn
+    JOIN good up ON up.user_id = dn.user_id
+                AND up.start_ts = dn.end_ts
+                AND dn.dir = -1 AND up.dir = 1
+    """,
+)
+def cep_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-shape detection (the canonical MATCH_RECOGNIZE example:
+    `A+ B+` with A falling, B rising): a maximal strictly-decreasing
+    run of >= 2 transitions immediately followed — sharing its trough
+    point — by a strictly-increasing run of >= 2 transitions. Emits
+    the V's span, both leg lengths, and both leg deltas (drawdown /
+    rebound).
+
+    100 TB shape: the runs table (one gaps-and-islands pass, see
+    cep_trend_runs) self-joins once on (user, trough-ts) — an
+    equi-join on the same user-keyed partitioning, matching only
+    adjacent down→up run pairs. No cartesian anything; cost ~ |runs|,
+    which is already a compressed summary of the stream."""
+    runs = _trend_runs(table(spark, sf_dir, "events"))
+    dn = runs.filter(F.col("direction") == "down").select(
+        "user_id",
+        F.col("start_ts"),
+        F.col("end_ts").alias("trough_ts"),
+        F.col("n_steps").alias("down_steps"),
+        F.col("delta").alias("drop_delta"),
+    )
+    up = runs.filter(F.col("direction") == "up").select(
+        F.col("user_id").alias("u2"),
+        F.col("start_ts").alias("u_start"),
+        F.col("end_ts"),
+        F.col("n_steps").alias("up_steps"),
+        F.col("delta").alias("rebound_delta"),
+    )
+    return dn.join(
+        up,
+        (dn.user_id == up.u2) & (dn.trough_ts == up.u_start),
+    ).select(
+        "user_id",
+        "start_ts",
+        "trough_ts",
+        "end_ts",
+        "down_steps",
+        "up_steps",
+        "drop_delta",
+        "rebound_delta",
+    )

@@ -172,6 +172,8 @@ NEXT_ROTATION: list[str] = [
     "sim_rrf_hybrid",
     "win_cusum",
     "text_perplexity_bigram",
+    "cep_trend_runs",
+    "cep_vshape",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

@@ -2970,3 +2970,144 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_trendruns(
+    state: list | None, matured: list
+) -> tuple[list | None, list]:
+    """Pure maximal-monotone-run kernel (streaming face of
+    operators/cep.cep_trend_runs): state is
+    [prev_ts, prev_v, dir, n_steps, run_start_ts, run_start_v]
+    (None = fresh key); matured is the next (ts, id)-sorted batch of
+    [ts_us, eid, value-or-None] (nulls skipped — the batch twin's
+    filter). A run EMITS the moment an event breaks it (direction
+    change, equal value) — runs are event-closed, never time-closed,
+    so per-key state is O(1) and the open tail run simply waits for
+    its breaking event. Emits [direction(+1/-1), start_ts_us,
+    end_ts_us, n_steps, delta] for runs of >= 2 transitions."""
+    out = []
+    st = state
+    for ts, _eid, v in matured:
+        if v is None:
+            continue
+        if st is None:
+            st = [ts, v, 0, 0, ts, v]
+            continue
+        prev_ts, prev_v, d, n, rs_ts, rs_v = st
+        d_new = 1 if v > prev_v else (-1 if v < prev_v else 0)
+        if d_new == d and d != 0:
+            st = [ts, v, d, n + 1, rs_ts, rs_v]
+        else:
+            if d != 0 and n >= 2:
+                out.append([d, rs_ts, prev_ts, n, round(prev_v - rs_v, 6)])
+            if d_new != 0:
+                st = [ts, v, d_new, 1, prev_ts, prev_v]
+            else:
+                st = [ts, v, 0, 0, ts, v]
+    return st, out
+
+
+def trendruns_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of cep_trend_runs: maximal strictly-monotone
+    runs per key, emitted when broken. O(1) keyed state (six scalars
+    + the watermark-bounded buffer)."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("val"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("direction", T.StringType()),
+            T.StructField("start_ts", T.TimestampType()),
+            T.StructField("end_ts", T.TimestampType()),
+            T.StructField("n_steps", T.LongType()),
+            T.StructField("delta", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "run": None}
+        buf, run = st["buf"], st["run"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, v in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["val"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if v is None or pd.isna(v) else float(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        run, rows = advance_trendruns(run, matured)
+
+        if buf or run is not None:
+            state.update((json.dumps({"buf": buf, "run": run}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "direction": [
+                        "up" if r[0] == 1 else "down" for r in rows
+                    ],
+                    "start_ts": pd.to_datetime(
+                        [r[1] for r in rows], unit="us"
+                    ),
+                    "end_ts": pd.to_datetime(
+                        [r[2] for r in rows], unit="us"
+                    ),
+                    "n_steps": [r[3] for r in rows],
+                    "delta": [r[4] for r in rows],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

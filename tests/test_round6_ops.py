@@ -527,3 +527,131 @@ def test_streaming_cusum_equals_reference(spark, sf_dir):
             if a:
                 s_hi = s_lo = 0.0
     assert g == w and len(w) > 0
+
+
+# ------------------------------------------------------------------
+# trend runs + V-shape (batch) and the streaming runs face
+# ------------------------------------------------------------------
+
+
+def test_trend_runs_kernel_vs_batch_and_chunking(spark):
+    """advance_trendruns equals the batch _trend_runs plan on the same
+    per-user sequences (runs all CLOSED by a final equal-value event),
+    and chunk splits change nothing."""
+    import pyspark.sql.functions as F
+    from spark_cep_spark.operators.cep import _trend_runs
+    from spark_cep_spark.streaming.nfa import advance_trendruns
+
+    base = dt.datetime(2024, 1, 1)
+    vals = {
+        1: [10, 12, 15, 20, 18, 14, 9, 30, 31, 32, 32],  # up4, down4, up3 + closer
+        2: [5, 4, 3, 2, 2],                               # down4 + closer
+        3: [7, 7, 7],                                     # no runs
+    }
+    rows = []
+    eid = 0
+    for u, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append(
+                (eid, base + dt.timedelta(minutes=i), u, "view",
+                 float(v), "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    batch = {
+        (r["user_id"], r["direction"], r["start_ts"], r["end_ts"],
+         r["n_steps"], r["delta"])
+        for r in _trend_runs(df).collect()
+    }
+    assert len(batch) == 4  # user1: up,down,up; user2: down
+
+    got = set()
+    for u, vs in vals.items():
+        ev = [
+            [int((base + dt.timedelta(minutes=i)).timestamp() * 1e6),
+             i, float(v)]
+            for i, v in enumerate(vs)
+        ]
+        _, whole = advance_trendruns(None, [e[:] for e in ev])
+        for cut in range(len(ev) + 1):
+            st, a1 = advance_trendruns(None, [e[:] for e in ev[:cut]])
+            _, a2 = advance_trendruns(st, [e[:] for e in ev[cut:]])
+            assert a1 + a2 == whole
+        for d, s_us, e_us, n, delta in whole:
+            got.add(
+                (u, "up" if d == 1 else "down",
+                 dt.datetime.utcfromtimestamp(s_us / 1e6),
+                 dt.datetime.utcfromtimestamp(e_us / 1e6), n, delta)
+            )
+    assert got == batch
+
+
+def test_vshape_finds_the_planted_v(spark):
+    import pyspark.sql.functions as F
+    from spark_cep_spark.operators.cep import cep_vshape, _trend_runs
+
+    base = dt.datetime(2024, 1, 1)
+    vs = [20, 15, 10, 5, 8, 12, 19]  # down3 then up3, trough at idx 3
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "view", float(v), "{}")
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    runs = _trend_runs(df)
+    dn = runs.filter(F.col("direction") == "down").first()
+    up = runs.filter(F.col("direction") == "up").first()
+    assert dn["end_ts"] == up["start_ts"] == base + dt.timedelta(minutes=3)
+    assert (dn["delta"], up["delta"]) == (-15.0, 14.0)
+
+
+def test_streaming_trendruns_equals_batch(spark, sf_dir):
+    """trendruns_stream == the batch runs over staged events with the
+    per-key tail run closed by the watermark sentinel being absent —
+    compare only runs both sides CLOSED (batch minus each user's last
+    run if it is still open streaming-side would be flaky; instead the
+    fixture's own data is used and streaming output must be a subset
+    equal to batch minus open tails)."""
+    from spark_cep_spark.operators.cep import _trend_runs
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import trendruns_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        trendruns_stream(stream, watermark="0 seconds"), "append"
+    )
+    g = {
+        (r["key"], r["direction"], r["start_ts"], r["end_ts"],
+         r["n_steps"], r["delta"])
+        for r in got.collect()
+    }
+    batch_df = _trend_runs(spark.read.parquet(staged))
+    w = {
+        (r["user_id"], r["direction"], r["start_ts"], r["end_ts"],
+         r["n_steps"], r["delta"])
+        for r in batch_df.collect()
+    }
+    # streaming can only be missing runs still OPEN at stream end
+    # (no breaking event arrived); everything it emitted must be a
+    # batch run, and per key at most one batch run may be missing.
+    assert g <= w
+    missing = w - g
+    by_key = {}
+    for m in missing:
+        by_key.setdefault(m[0], []).append(m)
+    assert all(len(v) == 1 for v in by_key.values())
+    # and the missing one is the key's LAST batch run (the open tail)
+    for k, (m,) in by_key.items():
+        last = max(
+            (r for r in w if r[0] == k), key=lambda r: r[3]
+        )
+        assert m == last
+    assert len(g) > 0

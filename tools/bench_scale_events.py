@@ -43,6 +43,8 @@ OPS = [
     "win_anomaly_zscore",
     "win_rolling_corr",
     "win_cusum",
+    "cep_trend_runs",
+    "cep_vshape",
     "stream_tumbling",
     "stream_trending",
     "graph_transitions",
