@@ -97,3 +97,110 @@ def test_ntile_closed_form_partitions_correctly(n, k):
     assert max(counts) - min(counts) <= 1
     assert counts == sorted(counts, reverse=True)
     assert sum(counts) == n
+
+
+# ------------------------------------------------------------------
+# trend-run kernel vs brute force; CUSUM kernel vs brute force
+# ------------------------------------------------------------------
+
+
+def trendruns_brute(rows):
+    """Literal transcription of the batch gaps-and-islands definition:
+    per-event direction vs previous non-null value, maximal
+    same-direction segments, emit segments of >= 2 transitions."""
+    pts = [(ts, v) for ts, _e, v in rows if v is not None]
+    dirs = []
+    for i in range(1, len(pts)):
+        a, b = pts[i - 1][1], pts[i][1]
+        dirs.append((pts[i - 1], pts[i], 1 if b > a else (-1 if b < a else 0)))
+    out, i = [], 0
+    while i < len(dirs):
+        d = dirs[i][2]
+        j = i
+        while j < len(dirs) and dirs[j][2] == d:
+            j += 1
+        n = j - i
+        if d != 0 and n >= 2:
+            start_pt, end_pt = dirs[i][0], dirs[j - 1][1]
+            out.append(
+                [d, start_pt[0], end_pt[0], n,
+                 round(end_pt[1] - start_pt[1], 6)]
+            )
+        i = j
+    return out
+
+
+run_values = st.one_of(
+    st.none(), st.integers(min_value=0, max_value=5).map(float)
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vs=st.lists(run_values, min_size=0, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=3),
+)
+def test_trendruns_kernel_brute_force_and_chunking(vs, cuts):
+    from spark_cep_spark.streaming.nfa import advance_trendruns
+
+    rows = [[i * 1000, i, v] for i, v in enumerate(vs)]
+    want = trendruns_brute(rows)
+    _, whole = advance_trendruns(None, [r[:] for r in rows])
+    # the kernel holds the OPEN tail run; brute force closes at end of
+    # data — whole must be a prefix of want missing at most the tail
+    assert whole == want[: len(whole)]
+    assert len(want) - len(whole) <= 1
+    if len(want) != len(whole):
+        # the held run really is still open: its last point is the
+        # final non-null value
+        d, s, e, n, delta = want[-1]
+        assert e == max(ts for ts, _e2, v in rows if v is not None)
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got = None, []
+    prev = 0
+    for b in bounds + [len(rows)]:
+        stt, part = advance_trendruns(stt, [r[:] for r in rows[prev:b]])
+        got.extend(part)
+        prev = b
+    assert got == whole
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vs=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=0, max_value=120, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=3),
+)
+def test_cusum_kernel_brute_force_and_chunking(vs, cuts):
+    from spark_cep_spark.streaming.nfa import advance_cusum
+
+    rows = [[i * 1000, i, v] for i, v in enumerate(vs)]
+    s_hi = s_lo = 0.0
+    want = []
+    for ts, eid, v in rows:
+        if v is None:
+            continue
+        s_hi = max(0.0, s_hi + (v - 50.0 - 5.0))
+        s_lo = max(0.0, s_lo + (50.0 - v - 5.0))
+        a = 1 if (s_hi > 25.0 or s_lo > 25.0) else 0
+        want.append([eid, ts, v, s_hi, s_lo, a])
+        if a:
+            s_hi = s_lo = 0.0
+    _, whole = advance_cusum(None, [r[:] for r in rows], 50.0)
+    assert whole == want
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got = None, []
+    prev = 0
+    for b in bounds + [len(rows)]:
+        stt, part = advance_cusum(stt, [r[:] for r in rows[prev:b]], 50.0)
+        got.extend(part)
+        prev = b
+    assert got == whole
