@@ -1027,3 +1027,77 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid",
         )
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                  AS BIGINT) AS n_grp
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum((2 * rn - n_grp - 1) * cents) AS BIGINT) AS num
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority AS priority, n,
+           round(total_cents / 100.0, 2) AS total_spend,
+           round(num * 1.0 / (n * total_cents), 6) AS gini
+    FROM g
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of order value per priority class (the
+    inequality/concentration metric — for a training corpus, the same
+    aggregate over per-source token counts answers "how skewed is my
+    mix"): G = Σ(2·rank − n − 1)·xᵢ / (n·Σxᵢ) over values ranked
+    ascending within the group.
+
+    Exact-integer discipline end to end: prices scale to cent BIGINTs,
+    ranks are ints, so numerator and denominator are exact BIGINTs on
+    both engines and the single final division is the same IEEE op —
+    no accumulation-order noise despite the O(n)-term weighted sum.
+
+    100 TB shape: one (group, (value, key)) shuffle+sort serves the
+    rank window AND (AQE-reused) the group rollup — the honest cost
+    of an exact rank statistic, same as exact median; for ±ε at scale
+    swap in a quantile-sketch approximation with the same output
+    schema."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    wr = W.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    c = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("n_grp"),
+    )
+    g = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum((2 * F.col("rn") - F.col("n_grp") - 1) * F.col("cents"))
+        .cast("long")
+        .alias("num"),
+    )
+    return g.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n",
+        F.round(F.col("total_cents") / 100.0, 2).alias("total_spend"),
+        F.round(
+            F.col("num") * 1.0 / (F.col("n") * F.col("total_cents")), 6
+        ).alias("gini"),
+    )

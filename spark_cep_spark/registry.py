@@ -174,6 +174,7 @@ NEXT_ROTATION: list[str] = [
     "text_perplexity_bigram",
     "cep_trend_runs",
     "cep_vshape",
+    "agg_gini",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

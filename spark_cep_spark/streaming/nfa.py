@@ -3111,3 +3111,141 @@ def trendruns_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_vshape(
+    state: list | None, matured: list
+) -> tuple[list, list]:
+    """Pure V-shape kernel (streaming face of operators/cep.cep_vshape)
+    layered ON the trend-run kernel: state is [trendruns_state,
+    pending_down_run]; each run advance_trendruns closes feeds the
+    adjacency check — a closed DOWN run is held (one tuple), and the
+    next closed UP run emits a V iff it starts at the held run's end
+    (the shared trough — exactly the batch join condition; runs close
+    in event order per key, so holding only the LAST down run is
+    sufficient). Emits [start_ts, trough_ts, end_ts, down_steps,
+    up_steps, drop_delta, rebound_delta]."""
+    tr_state, pend_down = state if state is not None else (None, None)
+    tr_state, runs = advance_trendruns(tr_state, matured)
+    out = []
+    for d, s_ts, e_ts, n, delta in runs:
+        if d == -1:
+            pend_down = [s_ts, e_ts, n, delta]
+        else:
+            if pend_down is not None and pend_down[1] == s_ts:
+                out.append(
+                    [pend_down[0], s_ts, e_ts, pend_down[2], n,
+                     pend_down[3], delta]
+                )
+            pend_down = None
+    return [tr_state, pend_down], out
+
+
+def vshape_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming V-shape detection per key (drawdown-and-rebound
+    alarms as they complete). State = the trend-run scalars + at most
+    one held down-run tuple — still O(1) per key."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("val"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("start_ts", T.TimestampType()),
+            T.StructField("trough_ts", T.TimestampType()),
+            T.StructField("end_ts", T.TimestampType()),
+            T.StructField("down_steps", T.LongType()),
+            T.StructField("up_steps", T.LongType()),
+            T.StructField("drop_delta", T.DoubleType()),
+            T.StructField("rebound_delta", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "v": None}
+        buf, vstate = st["buf"], st["v"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, v in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["val"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if v is None or pd.isna(v) else float(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        vstate, vees = advance_vshape(vstate, matured)
+
+        if buf or vstate != [None, None]:
+            state.update((json.dumps({"buf": buf, "v": vstate}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if vees:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(vees),
+                    "start_ts": pd.to_datetime(
+                        [r[0] for r in vees], unit="us"
+                    ),
+                    "trough_ts": pd.to_datetime(
+                        [r[1] for r in vees], unit="us"
+                    ),
+                    "end_ts": pd.to_datetime(
+                        [r[2] for r in vees], unit="us"
+                    ),
+                    "down_steps": [r[3] for r in vees],
+                    "up_steps": [r[4] for r in vees],
+                    "drop_delta": [r[5] for r in vees],
+                    "rebound_delta": [r[6] for r in vees],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -655,3 +655,62 @@ def test_streaming_trendruns_equals_batch(spark, sf_dir):
         )
         assert m == last
     assert len(g) > 0
+
+
+def test_streaming_vshape_equals_batch(spark, sf_dir):
+    """vshape_stream == the batch cep_vshape rows whose UP leg closed
+    before stream end (a V needs its up run broken to be maximal —
+    per key at most the final V can still be pending)."""
+    from spark_cep_spark.operators.cep import cep_vshape
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import vshape_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        vshape_stream(stream, watermark="0 seconds"), "append"
+    )
+    g = {
+        tuple(r)
+        for r in got.select(
+            "key", "start_ts", "trough_ts", "end_ts",
+            "down_steps", "up_steps", "drop_delta", "rebound_delta",
+        ).collect()
+    }
+
+    import pyspark.sql.functions as F
+    from spark_cep_spark.operators.cep import _trend_runs
+
+    runs = _trend_runs(spark.read.parquet(staged))
+    dn = runs.filter(F.col("direction") == "down").select(
+        "user_id",
+        F.col("start_ts"),
+        F.col("end_ts").alias("trough_ts"),
+        F.col("n_steps").alias("down_steps"),
+        F.col("delta").alias("drop_delta"),
+    )
+    up = runs.filter(F.col("direction") == "up").select(
+        F.col("user_id").alias("u2"),
+        F.col("start_ts").alias("u_start"),
+        F.col("end_ts"),
+        F.col("n_steps").alias("up_steps"),
+        F.col("delta").alias("rebound_delta"),
+    )
+    w = {
+        tuple(r)
+        for r in dn.join(
+            up, (dn.user_id == up.u2) & (dn.trough_ts == up.u_start)
+        )
+        .select(
+            "user_id", "start_ts", "trough_ts", "end_ts",
+            "down_steps", "up_steps", "drop_delta", "rebound_delta",
+        )
+        .collect()
+    }
+    assert g <= w
+    missing = w - g
+    by_key = {}
+    for m in missing:
+        by_key.setdefault(m[0], []).append(m)
+    assert all(len(v) == 1 for v in by_key.values())
+    assert len(g) > 0

@@ -204,3 +204,46 @@ def test_cusum_kernel_brute_force_and_chunking(vs, cuts):
         got.extend(part)
         prev = b
     assert got == whole
+
+
+def vshape_brute(rows):
+    """Brute-force Vs: pair each closed down run with the closed up run
+    that starts at its end (the shared trough)."""
+    runs = trendruns_brute(rows)
+    out = []
+    for i, (d, s, e, n, delta) in enumerate(runs):
+        if d != -1:
+            continue
+        for d2, s2, e2, n2, delta2 in runs[i + 1:]:
+            if s2 == e:
+                if d2 == 1:
+                    out.append([s, e, e2, n, n2, delta, delta2])
+                break
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vs=st.lists(run_values, min_size=0, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=3),
+)
+def test_vshape_kernel_brute_force_and_chunking(vs, cuts):
+    from spark_cep_spark.streaming.nfa import advance_vshape
+
+    rows = [[i * 1000, i, v] for i, v in enumerate(vs)]
+    want = vshape_brute(rows)
+    _, whole = advance_vshape(None, [r[:] for r in rows])
+    # the kernel never closes the tail run, so the V whose up leg is
+    # the data's final run may still be pending — at most one missing,
+    # and what IS emitted must be a prefix of the brute-force list
+    assert whole == want[: len(whole)]
+    assert len(want) - len(whole) <= 1
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got = None, []
+    prev = 0
+    for b in bounds + [len(rows)]:
+        stt, part = advance_vshape(stt, [r[:] for r in rows[prev:b]])
+        got.extend(part)
+        prev = b
+    assert got == whole
