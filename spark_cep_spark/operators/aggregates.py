@@ -1101,3 +1101,70 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num") * 1.0 / (F.col("n") * F.col("total_cents")), 6
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_users,
+             sum(c * log2(c)) AS sclc
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           n_events, n_users,
+           round(log2(n_events) - sclc / n_events, 6) AS entropy,
+           round(CASE WHEN n_users > 1
+                      THEN (log2(n_events) - sclc / n_events)
+                           / log2(n_users)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM g
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the user distribution per event type — the
+    concentration/balance diagnostic (for a training corpus, the same
+    aggregate over per-source document counts answers "is my mix
+    dominated by a handful of sources"); norm_entropy rescales by the
+    max log2(n_users) so 1.0 = perfectly uniform.
+
+    Numerics: counts are exact BIGINTs on both engines; the only float
+    work is the shared identity H = log2(n) - sum(c*log2(c))/n (one
+    multiply-log per distinct user, ~1e-10 accumulation-order noise
+    across engines), rounded to 6 dp on both sides.
+
+    Scale: two hash aggregations — (type, user) partial-combined
+    map-side, then type — no window, no sort; the distinct-user
+    explosion is the aggregation key, never a collected list."""
+    e = table(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = c.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("c") * F.log2("c")).alias("sclc"),
+    )
+    h = F.log2("n_events") - F.col("sclc") / F.col("n_events")
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(F.col("n_users") > 1, h / F.log2("n_users")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("norm_entropy"),
+    )

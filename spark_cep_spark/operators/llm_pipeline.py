@@ -1383,3 +1383,118 @@ def corpus_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("stop_ratio"), 6).alias("max_stop_ratio"),
         F.sum("n_tok").cast("long").alias("tokens"),
     )
+
+
+@register(
+    "pipeline_line_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, u.grp AS grp, u.chunk AS chunk
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT)),
+                 g -> {'grp': g,
+                       'chunk': array_to_string(
+                          list_slice(toks, g * 4 + 1, g * 4 + 4), ' ')}
+               )) AS u
+        FROM d
+      )
+    ),
+    occ AS (
+      SELECT doc_id, grp, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, grp) AS occ
+      FROM ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(*) FILTER (WHERE occ = 1) AS BIGINT) AS n_kept,
+             coalesce(string_agg(chunk, ' ' ORDER BY grp)
+                        FILTER (WHERE occ = 1), '') AS clean_text
+      FROM occ GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_chunks, 0) AS n_chunks,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.n_chunks - a.n_kept, 0) AS n_dropped
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level exact dedup, keep-FIRST (the C4 /
+    RefinedWeb recipe: a repeated line survives only at its first
+    corpus occurrence, ordered by (doc_id, position) — unlike
+    pipeline_scrub_boilerplate, which deletes EVERY occurrence of a
+    frequent chunk). Docs are whitespace token soup here, so "line" =
+    non-overlapping 4-token chunk; every doc stays in the output
+    (fully-deduped docs emit clean_text = '').
+
+    Scale shape: chunking is pure array expressions per doc (no
+    shuffle); the global first-occurrence claim is ONE shuffle keyed
+    by the chunk (at real scale hash the chunk to 16 bytes and carry
+    the hash, never the chunk text, through the shuffle); the winner
+    re-joins the chunk stream on that key; reassembly is a per-doc
+    array_sort over KB-sized docs. Exactly the scrub_boilerplate
+    topology with min-struct in place of a distinct-count."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    nch = F.ceil(F.size(toks) / 4).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda g: F.concat_ws(" ", F.slice(toks, g * 4 + 1, 4)),
+    )
+    ch = d.select(
+        "doc_id",
+        F.posexplode_outer(F.when(nch > 0, chunks)).alias("grp", "chunk"),
+    )
+    first = ch.filter(F.col("chunk").isNotNull()).groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "grp")).alias("fo")
+    )
+    kept = (
+        ch.filter(F.col("chunk").isNotNull())
+        .join(first, "chunk")
+        .select(
+            "doc_id",
+            "grp",
+            "chunk",
+            (
+                (F.col("fo.doc_id") == F.col("doc_id"))
+                & (F.col("fo.grp") == F.col("grp"))
+            ).alias("keep"),
+        )
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("grp", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("n_chunks") - F.col("n_kept"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )

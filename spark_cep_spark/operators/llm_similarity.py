@@ -1158,3 +1158,279 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _RRF_OUT_K)
     )
+
+
+@register(
+    "emb_covariance",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, s.i AS i, s.xi AS xi
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(
+                 range(0, len(embedding)),
+                 k -> {'i': k,
+                       'xi': CAST(floor(CAST(embedding[k + 1] AS DOUBLE)
+                                        * 1000 + 0.5) AS BIGINT)}
+               )) AS s
+        FROM embeddings WHERE embedding IS NOT NULL
+      )
+    ),
+    p AS (
+      SELECT u1.i AS i, u2.i AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(u1.xi) AS BIGINT) AS sxi,
+             CAST(sum(u2.xi) AS BIGINT) AS sxj,
+             CAST(sum(u1.xi * u2.xi) AS BIGINT) AS sxy
+      FROM u u1 JOIN u u2
+        ON u1.vec_id = u2.vec_id AND u1.i <= u2.i
+      GROUP BY u1.i, u2.i
+    )
+    SELECT i, j,
+           round((n * sxy - sxi * sxj) * 1.0 / n / n / 1e6, 6) AS cov
+    FROM p
+    """,
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding dimensions — the
+    d x d summary behind whitening, PCA initialisation, and
+    drift-vs-reference monitoring of an embedding pipeline. Emitted as
+    (i, j, cov) upper-triangle rows (d=64 -> 2080 rows), never an
+    array column.
+
+    Exact-integer discipline across engines: each float32 component is
+    quantised to a BIGINT (floor(x*1000 + 0.5) — identical
+    round-half-up on both sides), so every partial sum (Sx_i, Sx_i*x_j,
+    n) is EXACT integer arithmetic; the single final expression
+    (n*Sxy - Sx_i*Sx_j)/n^2/1e6 is the same IEEE op chain on both
+    engines. No accumulation-order noise by construction. (At 1e13+
+    rows the int64 Sxy headroom runs out — switch the partials to
+    float64 and accept ~1e-9 noise, or widen to decimal.)
+
+    Scale: the d^2 blow-up happens INSIDE each Arrow batch as one BLAS
+    X^T.X (mapInPandas) — the shuffle moves only (num_partitions x
+    d^2) partial rows, then one tiny hash aggregation. The oracle's
+    n*d self-join topology is precisely what this plan avoids."""
+    import numpy as np
+
+    # valid_vectors(dim=64): np.stack dies on ragged/None vectors; the
+    # driver fixture is clean so the oracle's IS NOT NULL matches.
+    e = valid_vectors(
+        table(spark, sf_dir, "embeddings").select("embedding"), dim=64
+    )
+    d_schema = (
+        "n long, sx array<long>, sxy array<long>"
+    )
+
+    def partials(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy())
+            q = np.floor(m.astype(np.float64) * 1000 + 0.5).astype(
+                np.int64
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [int(q.shape[0])],
+                    "sx": [q.sum(axis=0).tolist()],
+                    "sxy": [(q.T @ q).ravel().tolist()],
+                }
+            )
+
+    p = e.mapInPandas(partials, d_schema)
+    flat = p.select(
+        "n",
+        F.posexplode("sxy").alias("idx", "pxy"),
+        F.col("sx"),
+    ).select(
+        "n",
+        "idx",
+        "pxy",
+        F.element_at("sx", (F.col("idx") / 64).cast("int") + 1).alias("pi"),
+        F.element_at("sx", (F.col("idx") % 64).cast("int") + 1).alias("pj"),
+    )
+    g = flat.groupBy("idx").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("pxy").cast("long").alias("sxy"),
+        F.sum("pi").cast("long").alias("sxi"),
+        F.sum("pj").cast("long").alias("sxj"),
+    )
+    return (
+        g.select(
+            (F.col("idx") / 64).cast("long").alias("i"),
+            (F.col("idx") % 64).cast("long").alias("j"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj"))
+                * 1.0
+                / F.col("n")
+                / F.col("n")
+                / 1e6,
+                6,
+            ).alias("cov"),
+        )
+        .filter(F.col("i") <= F.col("j"))
+    )
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle="""
+    WITH RECURSIVE
+    qv AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             ) AS v
+      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+    ),
+    cv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             ) AS v
+      FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL
+    ),
+    rel AS (
+      SELECT qid, vec_id, v, ip,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY ip DESC, vec_id) AS rk
+      FROM (
+        SELECT q.qid, c.vec_id, c.v,
+               CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                    k -> q.v[k] * c.v[k])) AS BIGINT) AS ip
+        FROM qv q, cv c
+      )
+    ),
+    cand AS (SELECT qid, vec_id, v, ip FROM rel WHERE rk <= 32),
+    pair AS (
+      SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  k -> a.v[k] * b.v[k])) AS BIGINT) AS ip
+      FROM cand a JOIN cand b
+        ON a.qid = b.qid AND a.vec_id <> b.vec_id
+    ),
+    sel AS (
+      SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS picked FROM qv
+      UNION ALL
+      SELECT sel.qid, sel.step + 1,
+             list_append(sel.picked, (
+               SELECT c.vec_id FROM cand c
+               WHERE c.qid = sel.qid
+                 AND NOT list_contains(sel.picked, c.vec_id)
+               ORDER BY 7 * c.ip - 3 * coalesce((
+                         SELECT max(p.ip) FROM pair p
+                         WHERE p.qid = c.qid AND p.a_id = c.vec_id
+                           AND list_contains(sel.picked, p.b_id)), 0)
+                        DESC,
+                        c.vec_id
+               LIMIT 1))
+      FROM sel WHERE sel.step < 5
+    )
+    SELECT s.qid, CAST(s.step AS BIGINT) AS rank,
+           s.picked[s.step] AS vec_id,
+           round((7 * c.ip - 3 * coalesce((
+                    SELECT max(p.ip) FROM pair p
+                    WHERE p.qid = s.qid AND p.a_id = s.picked[s.step]
+                      AND list_contains(
+                            list_slice(s.picked, 1, s.step - 1), p.b_id)),
+                    0)) / 1e7, 6) AS mmr
+    FROM sel s JOIN cand c
+      ON c.qid = s.qid AND c.vec_id = s.picked[s.step]
+    WHERE s.step >= 1
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking — the standard RAG
+    diversification step: per query (vec_id < 8), fetch the top-32
+    most-relevant candidates, then greedily select 5 maximising
+    0.7*relevance - 0.3*max-similarity-to-already-selected (scored as
+    the integer 7*rel - 3*maxsim; DuckDB parses 0.7 as exact DECIMAL,
+    so the only way both engines agree bit-for-bit is to keep the
+    score in integers and divide once at output), so near-
+    duplicate passages don't crowd the context window.
+
+    Cross-engine exactness: components quantise to BIGINTs
+    (floor(x*1000+0.5), the emb_covariance convention), every dot
+    product is a sum of integers < 2^53 — EXACT in either engine's
+    arithmetic regardless of accumulation order — and the greedy
+    argmax chain (the fragile part: one flipped comparison reorders
+    every later pick) therefore runs on identical doubles; ties break
+    on vec_id. The oracle replays the same greedy walk with a
+    recursive CTE.
+
+    Scale shape: queries broadcast (bounded by contract); relevance is
+    one candidate scan with codegen'd integer dots; MMR itself only
+    ever touches m=32 candidates per query (m^2 pair sims inside an
+    Arrow batch), so reranking cost is independent of corpus size —
+    the pruned-candidate structure IS the scale story."""
+    import numpy as np
+
+    # ragged/NaN guard for the Arrow->numpy kernel; no-op on the clean
+    # driver fixture, so the oracle's IS NOT NULL filter is equivalent.
+    e = valid_vectors(table(spark, sf_dir, "embeddings"), dim=64)
+    qz = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("qid"), qz.alias("qv")
+        )
+    )
+    c = e.filter(F.col("vec_id") >= 8).select("vec_id", qz.alias("cv"))
+    ip = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = q.crossJoin(c).select("qid", "vec_id", "cv", ip.alias("ip"))
+    w = W.partitionBy("qid").orderBy(F.col("ip").desc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 32)
+        .select("qid", "vec_id", "cv", "ip")
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["ip"].to_numpy().astype(np.int64)
+        m = np.stack(pdf["cv"].to_numpy()).astype(np.int64)
+        sims = m @ m.T
+        picked: list[int] = []
+        rows = []
+        for step in range(1, min(5, len(ids)) + 1):
+            best = None
+            for i in range(len(ids)):
+                if i in picked:
+                    continue
+                maxip = (
+                    int(max(sims[i][j] for j in picked)) if picked else 0
+                )
+                score = 7 * int(rel[i]) - 3 * maxip
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, bi, bscore = best
+            picked.append(bi)
+            rows.append(
+                (
+                    int(pdf["qid"].iloc[0]),
+                    step,
+                    int(ids[bi]),
+                    bscore / 1e7,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["qid", "rank", "vec_id", "mmr_raw"]
+        )
+
+    out = cand.groupBy("qid").applyInPandas(
+        mmr, "qid long, rank long, vec_id long, mmr_raw double"
+    )
+    # round JVM-side: F.round is HALF_UP like the oracle's round();
+    # Python's round() is banker's and flips ...5 boundaries.
+    return out.select(
+        "qid", "rank", "vec_id", F.round("mmr_raw", 6).alias("mmr")
+    )

@@ -1136,3 +1136,49 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
         )
     )
+
+
+@register(
+    "text_feat_hash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 6) AS INTEGER) % 256
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE tok <> ''
+    GROUP BY doc_id, bucket
+    """,
+)
+def text_feat_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): token -> md5-derived bucket
+    in [0, 256) -> per-document term frequency. The fixed-width bucket
+    space replaces an unbounded vocabulary join — the standard way to
+    featurise a web-scale corpus for a linear quality classifier
+    without materialising (or broadcasting) a vocab.
+
+    md5 is the cross-engine-identical hash (same convention as the
+    dedup family); real deployments would use the cheaper murmur3.
+
+    Scale: explode -> one hash aggregation on (doc_id, bucket), both
+    map-side combinable; output is bounded at docs x 256 rows
+    regardless of vocabulary size — that bound is the point."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), " "),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long") % 256
+    )
+    return tok.groupBy(
+        "doc_id", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("tf"))

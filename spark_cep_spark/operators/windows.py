@@ -772,3 +772,89 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_hi double, s_lo double, alarm int",
         )
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             median(value) OVER w AS med,
+             mad(value) OVER w AS mad_,
+             count(value) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           round(med, 6) AS roll_med,
+           round(mad_, 6) AS roll_mad,
+           CASE WHEN n_hist >= 7 AND mad_ > 1e-12
+                     AND abs(value - med) > 3 * 1.4826 * mad_
+                THEN TRUE ELSE FALSE END AS is_outlier
+    FROM s
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median + MAD with a Hampel outlier flag — the
+    robust twin of win_anomaly_zscore (median/MAD don't blow up when
+    the contaminating spike itself is inside the trailing window).
+
+    Spark has no built-in exact median window function, so the frame
+    is materialised as a sorted array (collect_list over the ROWS
+    frame drops NULLs, matching median()/mad()'s NULL handling) and
+    the median / MAD are pure array expressions — all JVM codegen, no
+    Python.
+
+    Scale: one (user_id, ts) shuffle for the window; the per-row array
+    is bounded at 11 elements by the frame, so memory is O(frame), not
+    O(partition). The two sorts are per-row 11-element array_sorts,
+    not shuffles."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+
+    def arr_median(arr):
+        n = F.size(arr)
+        lo = F.element_at(arr, (n / 2).cast("int"))
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+            F.when(
+                n % 2 == 1,
+                F.element_at(arr, ((n + 1) / 2).cast("int")),
+            ).otherwise((lo + hi) / 2.0)
+        )
+
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("frame"),
+    )
+    s = s.withColumn("med", arr_median(F.col("frame")))
+    s = s.withColumn(
+        "dev",
+        F.array_sort(
+            F.transform(F.col("frame"), lambda v: F.abs(v - F.col("med")))
+        ),
+    ).withColumn("mad_", arr_median(F.col("dev")))
+    return s.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round("med", 6).alias("roll_med"),
+        F.round("mad_", 6).alias("roll_mad"),
+        F.when(
+            (F.size("frame") >= 7)
+            & (F.col("mad_") > 1e-12)
+            & (F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad_")),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )

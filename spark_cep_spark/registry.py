@@ -175,6 +175,12 @@ NEXT_ROTATION: list[str] = [
     "cep_trend_runs",
     "cep_vshape",
     "agg_gini",
+    "win_rolling_median",
+    "agg_entropy",
+    "pipeline_line_dedup",
+    "text_feat_hash",
+    "emb_covariance",
+    "sim_mmr_rerank",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

@@ -65,7 +65,7 @@ EVENTS_KEYS = [
     # round-6 additions over the events table
     "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
     "win_rolling_corr", "rollup_retention_cohort", "win_cusum",
-    "cep_trend_runs", "cep_vshape",
+    "cep_trend_runs", "cep_vshape", "win_rolling_median", "agg_entropy",
 ]
 
 
@@ -112,7 +112,7 @@ EMPTY_SWEEP_KEYS = [
     # round-6
     "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
     "win_rolling_corr", "rollup_retention_cohort", "win_cusum",
-    "cep_trend_runs", "cep_vshape",
+    "cep_trend_runs", "cep_vshape", "win_rolling_median", "agg_entropy",
 ]
 
 
