@@ -323,3 +323,84 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", F.col("pr").alias("pr_fixed"))
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT u AS node, v AS other FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY node),
+    wedge AS (
+      SELECT a.node AS x, b.node AS y,
+             CAST(count(*) AS BIGINT) AS common
+      FROM und a JOIN und b
+        ON a.other = b.other AND a.node < b.node
+      GROUP BY a.node, b.node
+    ),
+    scored AS (
+      SELECT w.x, w.y, w.common,
+             da.degree AS dx, db.degree AS dy,
+             round(w.common * 1.0 / (da.degree + db.degree - w.common),
+                   6) AS jaccard
+      FROM wedge w
+      JOIN deg da ON da.node = w.x
+      JOIN deg db ON db.node = w.y
+      WHERE w.common >= 3
+    )
+    SELECT x, y, common, dx, dy, jaccard FROM scored
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard link prediction over the co-occurrence
+    graph: for node pairs sharing >= 3 neighbors, J(x,y) =
+    |N(x) cap N(y)| / |N(x) cup N(y)| — the classic "products bought
+    together" / related-entity score, and the graph analogue of the
+    dedup family's set-similarity measures.
+
+    Exactness: common/dx/dy are exact BIGINTs; jaccard is one shared
+    division rounded to 6dp.
+
+    Scale: the quadratic step is the wedge join through the SHARED
+    NEIGHBOR (und self-join on `other`) — pairs-per-hub is O(deg^2),
+    so cost concentrates on high-degree hubs exactly like
+    graph_triangles; at web scale cap or sample hub adjacency first
+    (the triangles degree-orientation trick applies unchanged). The
+    common>=3 support floor keeps the output the interesting pairs,
+    not every incidental co-neighbor."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("other")
+    ).unionAll(edges.select(F.col("v"), F.col("u")))
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    a = und.select(F.col("node").alias("x"), "other")
+    b = und.select(F.col("node").alias("y"), "other")
+    wedge = (
+        a.join(b, "other")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= 3)
+    )
+    da = deg.select(F.col("node").alias("x"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("node").alias("y"), F.col("degree").alias("dy"))
+    return (
+        wedge.join(da, "x")
+        .join(db, "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            "dx",
+            "dy",
+            F.round(
+                F.col("common") * 1.0
+                / (F.col("dx") + F.col("dy") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -810,7 +810,12 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded at 11 elements by the frame, so memory is O(frame), not
     O(partition). The two sorts are per-row 11-element array_sorts,
     not shuffles."""
-    e = table(spark, sf_dir, "events")
+    return rolling_median(table(spark, sf_dir, "events"))
+
+
+def rolling_median(e: DataFrame) -> DataFrame:
+    """df-parameterized twin of win_rolling_median (streaming tests
+    run it over staged file subsets)."""
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -857,4 +862,79 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(False))
         .alias("is_outlier"),
+    )
+
+
+@register(
+    "win_holt",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, ts, value, rn,
+             value AS level, CAST(0.0 AS DOUBLE) AS trend
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.ts, e.value, e.rn,
+             0.5 * e.value + 0.5 * (r.level + r.trend),
+             0.3 * ((0.5 * e.value + 0.5 * (r.level + r.trend))
+                    - r.level) + 0.7 * r.trend
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, level, trend,
+           level + trend AS forecast
+    FROM r
+    """,
+)
+def win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (level + linear
+    trend, alpha=0.5, beta=0.3) — win_ewma's big sibling and the
+    simplest forecasting primitive a monitoring pipeline needs:
+    `forecast` is the one-step-ahead prediction l_t + b_t, so
+    value_{t+1} - forecast_t is a drift alarm that reacts to slope
+    changes a flat EWMA smears.
+
+        l_t = 0.5*x_t + 0.5*(l_{t-1} + b_{t-1})      l_1 = x_1
+        b_t = 0.3*(l_t - l_{t-1}) + 0.7*b_{t-1}      b_1 = 0
+
+    The coupled recurrence is inherently sequential — per-key
+    applyInPandas scan, keys parallelize, per-key state two floats
+    (win_ewma's scale shape). Written operation-for-operation
+    identically to the recursive-CTE oracle so the doubles agree
+    bit-for-bit; no rounding anywhere."""
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ls, bs, fs = [], [], []
+        l = b = None
+        for x in pdf["value"]:
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l2 = 0.5 * x + 0.5 * (l + b)
+                b = 0.3 * (l2 - l) + 0.7 * b
+                l = l2
+            ls.append(l)
+            bs.append(b)
+            fs.append(l + b)
+        pdf["level"], pdf["trend"], pdf["forecast"] = ls, bs, fs
+        return pdf
+
+    return (
+        events.repartition("user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            holt,
+            "user_id long, event_id long, ts timestamp, value double, "
+            "level double, trend double, forecast double",
+        )
     )

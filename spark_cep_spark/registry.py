@@ -181,6 +181,9 @@ NEXT_ROTATION: list[str] = [
     "text_feat_hash",
     "emb_covariance",
     "sim_mmr_rerank",
+    "win_holt",
+    "scan_hive_partitioned",
+    "graph_jaccard_neighbors",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

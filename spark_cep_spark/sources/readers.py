@@ -159,6 +159,39 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_hive_partitioned",
+    oracle="""
+    SELECT doc_id, source, n_chars, lang
+    FROM documents WHERE lang IN ('en', 'de')
+    """,
+)
+def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-PRUNED scan: write
+    `documents` partitioned by lang (the canonical corpus layout —
+    per-language directories so monolingual pipelines never touch the
+    other languages' bytes), read it back with a lang predicate, and
+    let Catalyst prune to the matching directories.
+
+    The pruning is the point at 100 TB: `lang IN ('en','de')` must
+    appear as PartitionFilters on the scan (pinned in
+    tests/test_plans.py), meaning Spark lists and reads ONLY those two
+    directories — zero I/O for the other partitions, before any row
+    filter runs. Partition values ride in directory names, so the
+    files themselves don't store the column; the explicit select
+    restores the original column order and the string type round-trips
+    losslessly."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    d = table(spark, sf_dir, "documents")
+    part_dir = os.path.join(SCRATCH, "documents_by_lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(part_dir)
+    return (
+        spark.read.parquet(part_dir)
+        .filter(F.col("lang").isin("en", "de"))
+        .select("doc_id", "source", "n_chars", "lang")
+    )
+
+
 def rate_source(
     spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 1
 ) -> DataFrame:

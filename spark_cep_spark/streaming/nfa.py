@@ -3249,3 +3249,164 @@ def vshape_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_rollmedian(
+    ring: list | None, matured: list
+) -> tuple[list, list]:
+    """Pure rolling-median/MAD kernel (streaming face of
+    operators/windows.win_rolling_median), chunking-invariant: `ring`
+    holds the key's last <=10 [value-or-None] entries in (ts, id)
+    order (ROW positions — nulls occupy slots, mirroring the batch
+    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW frame); per matured row
+    the frame's non-null values (ring + current) feed the exact
+    median / MAD, with the Hampel gate n>=7, mad>1e-12,
+    |v-med| > 3*1.4826*mad. Median/MAD are element picks and one
+    two-value average — bit-identical to the batch array expressions.
+    Emits [eid, ts_us, value, med, mad, outlier] with med/mad RAW
+    (the wrapper rounds JVM-side so HALF_UP matches the batch op)."""
+    ring = ring if ring is not None else []
+
+    def med_of(vals: list) -> float | None:
+        n = len(vals)
+        if n == 0:
+            return None
+        if n % 2 == 1:
+            return vals[n // 2]
+        return (vals[n // 2 - 1] + vals[n // 2]) / 2.0
+
+    out = []
+    for ts_us, eid, v in matured:
+        vals = sorted(x for x in ring if x is not None)
+        if v is not None:
+            vals = sorted(vals + [v])
+        med = med_of(vals)
+        mad = (
+            med_of(sorted(abs(x - med) for x in vals))
+            if med is not None
+            else None
+        )
+        outlier = bool(
+            v is not None
+            and med is not None
+            and len(vals) >= 7
+            and mad > 1e-12
+            and abs(v - med) > 3 * 1.4826 * mad
+        )
+        out.append([eid, ts_us, v, med, mad, outlier])
+        ring.append(v)
+        if len(ring) > 10:
+            ring.pop(0)
+    return ring, out
+
+
+def rollmedian_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of win_rolling_median: per-key 10-slot ring in
+    keyed state, every matured event emitted with its robust
+    median/MAD smoothing and Hampel outlier flag. State is O(frame)
+    per key by construction."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("val"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("med_raw", T.DoubleType()),
+            T.StructField("mad_raw", T.DoubleType()),
+            T.StructField("is_outlier", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "ring": []}
+        buf, ring = st["buf"], st["ring"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, v in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["val"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if v is None or pd.isna(v) else float(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        ring, rows = advance_rollmedian(ring, matured)
+
+        if buf or ring:
+            state.update((json.dumps({"buf": buf, "ring": ring}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "event_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+                    "value": [r[2] for r in rows],
+                    "med_raw": [r[3] for r in rows],
+                    "mad_raw": [r[4] for r in rows],
+                    "is_outlier": [r[5] for r in rows],
+                }
+            )
+
+    raw = prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return raw.select(
+        "key",
+        "event_id",
+        "ts",
+        "value",
+        F.round("med_raw", 6).alias("roll_med"),
+        F.round("mad_raw", 6).alias("roll_mad"),
+        "is_outlier",
+    )

@@ -13,6 +13,7 @@ LINEITEM_KEYS = [
     "graph_degrees",
     "graph_triangles",
     "graph_pagerank",
+    "graph_jaccard_neighbors",
     "agg_global",
     "agg_collect",
     "project_filter",

@@ -181,3 +181,17 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     p = plan_of(joined)
     assert "dynamicpruning" in p.lower()
     assert joined.count() > 0
+
+
+def test_hive_partitioned_scan_prunes_partitions(spark):
+    p = plan_of(_q(spark, "scan_hive_partitioned"))
+    assert "PartitionFilters: [" in p
+    assert "lang IN (en,de)" in p or "lang#" in p.split("PartitionFilters")[1][:200]
+
+
+def test_rolling_median_single_window_pass(spark):
+    # one shuffle on user_id serves the frame collect; no extra
+    # exchange between the median and MAD projections
+    p = plan_of(_q(spark, "win_rolling_median"))
+    assert p.count("Exchange") <= 2  # input read + the window hashpartition
+    assert "Window" in p

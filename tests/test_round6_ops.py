@@ -714,3 +714,52 @@ def test_streaming_vshape_equals_batch(spark, sf_dir):
         by_key.setdefault(m[0], []).append(m)
     assert all(len(v) == 1 for v in by_key.values())
     assert len(g) > 0
+
+
+def test_streaming_rollmedian_equals_batch(spark, sf_dir):
+    """rollmedian_stream over multiple micro-batches emits exactly
+    the batch win_rolling_median rows (zero-delay watermark over
+    sorted staging + a far-future sentinel to mature the tail)."""
+    import datetime as dt
+    import glob
+    import os
+
+    from spark_cep_spark.operators.windows import rolling_median
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import rollmedian_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, dt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        rollmedian_stream(stream, watermark="0 seconds"), "append"
+    )
+    g = {
+        (
+            r["key"], r["event_id"], r["ts"], r["value"],
+            r["roll_med"], r["roll_mad"], r["is_outlier"],
+        )
+        for r in got.collect()
+        if r["key"] != -1
+    }
+    batch = rolling_median(
+        spark.read.parquet(staged).filter("user_id <> -1")
+    )
+    w = {
+        (
+            r["user_id"], r["event_id"], r["ts"], r["value"],
+            r["roll_med"], r["roll_mad"], r["is_outlier"],
+        )
+        for r in batch.collect()
+    }
+    assert g == w and len(w) > 0

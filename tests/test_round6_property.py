@@ -247,3 +247,51 @@ def test_vshape_kernel_brute_force_and_chunking(vs, cuts):
         got.extend(part)
         prev = b
     assert got == whole
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vs=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=3),
+)
+def test_rollmedian_kernel_brute_force_and_chunking(vs, cuts):
+    from spark_cep_spark.streaming.nfa import advance_rollmedian
+
+    rows = [[i * 1000, i, v] for i, v in enumerate(vs)]
+
+    def med(vals):
+        n = len(vals)
+        if n == 0:
+            return None
+        s = sorted(vals)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    want = []
+    for i, (ts, eid, v) in enumerate(rows):
+        frame = [r[2] for r in rows[max(0, i - 10): i + 1] if r[2] is not None]
+        m = med(frame)
+        d = med([abs(x - m) for x in frame]) if m is not None else None
+        o = bool(
+            v is not None and m is not None and len(frame) >= 7
+            and d > 1e-12 and abs(v - m) > 3 * 1.4826 * d
+        )
+        want.append([eid, ts, v, m, d, o])
+
+    _, whole = advance_rollmedian(None, [r[:] for r in rows])
+    assert whole == want
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got = None, []
+    prev = 0
+    for b in bounds + [len(rows)]:
+        stt, part = advance_rollmedian(stt, [r[:] for r in rows[prev:b]])
+        got.extend(part)
+        prev = b
+    assert got == whole
