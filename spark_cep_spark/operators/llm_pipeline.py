@@ -1498,3 +1498,81 @@ def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, coalesce(text, '') AS text
+      FROM documents
+    ),
+    h AS (
+      SELECT md5(text) AS th, count(*) AS n
+      FROM d GROUP BY md5(text)
+    ),
+    per AS (
+      SELECT d.source, d.lang, d.text,
+             CAST(len(list_filter(string_split(d.text, ' '),
+                                  t -> t <> '')) AS BIGINT) AS toks,
+             CAST(length(d.text) AS BIGINT) AS chars,
+             CASE WHEN h.n > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM d JOIN h ON h.th = md5(d.text)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           round(sum(toks) / count(*), 2) AS avg_tokens,
+           round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) / count(*), 4) AS en_share,
+           round(CAST(sum(is_dup) AS BIGINT) / count(*), 4) AS dup_rate
+    FROM per GROUP BY source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the governance rollup every training
+    corpus ships with (datasheet / data-statement style): document and
+    token counts, average length, language share, exact-duplicate
+    rate. One line per source, suitable for the mixing decisions
+    corpus_mix / pipeline_mix_temperature consume.
+
+    Exactness: every numerator/denominator is an exact BIGINT; the
+    three ratios are single divisions rounded on both engines.
+
+    Scale: one md5-keyed aggregation for the duplicate census (16-byte
+    shuffle keys, the dedup_exact shape), one join back on the hash,
+    one map-side-combinable rollup keyed by source. Token counts are
+    computed inline by array expressions — no explode, no second pass
+    over the text."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", "lang", F.coalesce("text", F.lit("")).alias("text")
+    )
+    h = d.groupBy(F.md5("text").alias("th")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = d.join(h, F.md5(d.text) == h.th).select(
+        "source",
+        "lang",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        )
+        .cast("long")
+        .alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+        F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0)).alias("is_dup"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.round(F.sum("toks") / F.count(F.lit(1)), 2).alias("avg_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("en_share"),
+        F.round(
+            F.sum("is_dup").cast("long") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )

@@ -906,11 +906,15 @@ def win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (win_ewma's scale shape). Written operation-for-operation
     identically to the recursive-CTE oracle so the doubles agree
     bit-for-bit; no rounding anywhere."""
+    return holt_smooth(table(spark, sf_dir, "events"))
+
+
+def holt_smooth(e: DataFrame) -> DataFrame:
+    """df-parameterized twin of win_holt (streaming tests run it over
+    staged file subsets)."""
     import pandas as pd
 
-    events = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
-    )
+    events = e.select("user_id", "event_id", "ts", "value")
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")

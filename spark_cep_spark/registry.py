@@ -184,6 +184,7 @@ NEXT_ROTATION: list[str] = [
     "win_holt",
     "scan_hive_partitioned",
     "graph_jaccard_neighbors",
+    "pipeline_dataset_card",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

@@ -3410,3 +3410,134 @@ def rollmedian_stream(
         F.round("mad_raw", 6).alias("roll_mad"),
         "is_outlier",
     )
+
+
+def advance_holt(
+    state: list | None, matured: list
+) -> tuple[list, list]:
+    """Pure Holt level+trend kernel (streaming face of
+    operators/windows.win_holt), chunking-invariant: state = [l, b]
+    (two floats — None until the key's first event), matured =
+    [ts_us, eid, value] rows in (ts, id) order. The recurrence is
+    written operation-for-operation identically to the batch pandas
+    loop (and its recursive-CTE oracle), so doubles agree
+    bit-for-bit; a NaN/None value poisons the level exactly like the
+    batch loop (float NaN propagation, no special-casing). Emits
+    [eid, ts_us, value, level, trend, forecast]."""
+    l, b = state if state is not None else (None, None)
+    out = []
+    for ts_us, eid, v in matured:
+        x = float("nan") if v is None else v
+        if l is None:
+            l, b = x, 0.0
+        else:
+            l2 = 0.5 * x + 0.5 * (l + b)
+            b = 0.3 * (l2 - l) + 0.7 * b
+            l = l2
+        out.append([eid, ts_us, v, l, b, l + b])
+    return [l, b], out
+
+
+def holt_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of win_holt: per-key double-exponential
+    smoothing with O(1) state (level + trend floats), every matured
+    event emitted with its one-step-ahead forecast — the continuous
+    drift monitor."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("val"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "lb": None}
+        buf, lb = st["buf"], st["lb"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, v in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["val"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if v is None or pd.isna(v) else float(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        lb, rows = advance_holt(lb, matured)
+        if lb == [None, None]:
+            lb = None
+
+        if buf or lb is not None:
+            state.update((json.dumps({"buf": buf, "lb": lb}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "event_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+                    "value": [r[2] for r in rows],
+                    "level": [r[3] for r in rows],
+                    "trend": [r[4] for r in rows],
+                    "forecast": [r[5] for r in rows],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -763,3 +763,51 @@ def test_streaming_rollmedian_equals_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert g == w and len(w) > 0
+
+
+def test_streaming_holt_equals_batch(spark, sf_dir):
+    """holt_stream emits exactly the batch win_holt rows (zero-delay
+    watermark, sorted staging, far-future sentinel)."""
+    import datetime as dt
+    import glob
+    import os
+
+    from spark_cep_spark.operators.windows import holt_smooth
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import holt_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, dt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        holt_stream(stream, watermark="0 seconds"), "append"
+    )
+    g = {
+        (
+            r["key"], r["event_id"], r["ts"], r["value"],
+            r["level"], r["trend"], r["forecast"],
+        )
+        for r in got.collect()
+        if r["key"] != -1
+    }
+    batch = holt_smooth(
+        spark.read.parquet(staged).filter("user_id <> -1")
+    )
+    w = {
+        (
+            r["user_id"], r["event_id"], r["ts"], r["value"],
+            r["level"], r["trend"], r["forecast"],
+        )
+        for r in batch.collect()
+    }
+    assert g == w and len(w) > 0

@@ -295,3 +295,39 @@ def test_rollmedian_kernel_brute_force_and_chunking(vs, cuts):
         got.extend(part)
         prev = b
     assert got == whole
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vs=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=0,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=3),
+)
+def test_holt_kernel_brute_force_and_chunking(vs, cuts):
+    from spark_cep_spark.streaming.nfa import advance_holt
+
+    rows = [[i * 1000, i, v] for i, v in enumerate(vs)]
+    want = []
+    l = b = None
+    for ts, eid, x in rows:
+        if l is None:
+            l, b = x, 0.0
+        else:
+            l2 = 0.5 * x + 0.5 * (l + b)
+            b = 0.3 * (l2 - l) + 0.7 * b
+            l = l2
+        want.append([eid, ts, x, l, b, l + b])
+    _, whole = advance_holt(None, [r[:] for r in rows])
+    assert whole == want
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got = None, []
+    prev = 0
+    for bn in bounds + [len(rows)]:
+        stt, part = advance_holt(stt, [r[:] for r in rows[prev:bn]])
+        got.extend(part)
+        prev = bn
+    assert got == whole
