@@ -1434,3 +1434,146 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "rank", "vec_id", F.round("mmr_raw", 6).alias("mmr")
     )
+
+
+@register(
+    "emb_outlier",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             ) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    u AS (
+      SELECT s.i AS i, s.xi AS xi FROM (
+        SELECT unnest(list_transform(range(0, len(v)),
+                 k -> {'i': k, 'xi': v[k + 1]})) AS s
+        FROM q
+      )
+    ),
+    stats AS (
+      SELECT i,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx
+      FROM u GROUP BY i
+    ),
+    dims AS (
+      SELECT i, n, sx,
+             CAST(n * sxx - sx * sx AS DOUBLE) / n / n AS var_
+      FROM stats
+    ),
+    dimlists AS (
+      SELECT list(n ORDER BY i) AS ns,
+             list(sx ORDER BY i) AS sxs,
+             list(var_ ORDER BY i) AS vars
+      FROM dims
+    ),
+    scored AS (
+      SELECT q.vec_id,
+             round(list_sum(list_transform(range(0, 64), k ->
+               CASE WHEN vars[k + 1] > 1e-12
+                    THEN (CAST(q.v[k + 1] * ns[k + 1] - sxs[k + 1]
+                               AS DOUBLE) / ns[k + 1])
+                         * (CAST(q.v[k + 1] * ns[k + 1] - sxs[k + 1]
+                                 AS DOUBLE) / ns[k + 1])
+                         / vars[k + 1]
+                    ELSE 0.0 END)), 6) AS score
+      FROM q, dimlists
+    )
+    SELECT vec_id, score, rk FROM (
+      SELECT vec_id, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rk
+      FROM scored) t
+    WHERE rk <= 50
+    """,
+)
+def emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier census — diagonal-Mahalanobis distance of
+    each vector from the corpus centroid (sum over dims of
+    ((x_i - mean_i)/std_i)^2), top-50. The standard screen for
+    corrupt/degenerate embeddings (encoder failures, zero vectors,
+    scale drift) before they poison ANN indexes or SemDeDup clusters.
+
+    Exactness: per-dim moments are exact BIGINTs on quantised
+    components (the emb_covariance convention); the per-dim z^2 terms
+    are the same IEEE op chain on both engines and are summed in DIM
+    ORDER (F.aggregate and list_sum both fold left-to-right), so the
+    64-term accumulation is order-identical — then rounded, and the
+    top-50 rank runs on the ROUNDED score with vec_id ties.
+
+    Scale: one partial-combinable aggregation for the 64 moment rows,
+    broadcast back as a literal array (centroid-as-literal, the
+    emb_kmeans pattern), one codegen'd projection pass, TakeOrdered
+    top-50. No self-join, no window over the full table."""
+    e = valid_vectors(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        dim=64,
+    )
+    qz = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+    )
+    q = e.select("vec_id", qz.alias("v"))
+    u = q.select(F.posexplode("v").alias("i", "xi"))
+    stats = (
+        u.groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xi").cast("long").alias("sx"),
+            F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+        )
+        .collect()
+    )  # bounded: exactly 64 moment rows (d is fixed by contract)
+    byd = {r["i"]: r for r in stats}
+    ns = [int(byd[i]["n"]) for i in range(64)]
+    sxs = [int(byd[i]["sx"]) for i in range(64)]
+    vars_ = [
+        (byd[i]["n"] * byd[i]["sxx"] - byd[i]["sx"] * byd[i]["sx"])
+        * 1.0
+        / byd[i]["n"]
+        / byd[i]["n"]
+        for i in range(64)
+    ]
+    n_arr = F.array(*[F.lit(x) for x in ns])
+    sx_arr = F.array(*[F.lit(x) for x in sxs])
+    var_arr = F.array(*[F.lit(x) for x in vars_])
+
+    # z_k^2 = ((x_k*n - sx)/n)^2 / var, summed left-to-right over dims
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(
+            F.element_at(var_arr, k + 1) > 1e-12,
+            (
+                (
+                    F.element_at(F.col("v"), k + 1)
+                    * F.element_at(n_arr, k + 1)
+                    - F.element_at(sx_arr, k + 1)
+                )
+                * 1.0
+                / F.element_at(n_arr, k + 1)
+            )
+            * (
+                (
+                    F.element_at(F.col("v"), k + 1)
+                    * F.element_at(n_arr, k + 1)
+                    - F.element_at(sx_arr, k + 1)
+                )
+                * 1.0
+                / F.element_at(n_arr, k + 1)
+            )
+            / F.element_at(var_arr, k + 1),
+        ).otherwise(F.lit(0.0)),
+    )
+    scored = q.select("vec_id", F.round(score, 6).alias("score"))
+    w = W.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(50)
+        .withColumn("rk", F.row_number().over(w))
+    )

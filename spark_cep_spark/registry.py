@@ -185,6 +185,7 @@ NEXT_ROTATION: list[str] = [
     "scan_hive_partitioned",
     "graph_jaccard_neighbors",
     "pipeline_dataset_card",
+    "emb_outlier",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     "sim_rrf_hybrid",  # inherits text_bm25_topk's 1-row scalar
     # broadcast on its lexical branch (the semantic branch is pure
     # equi-joins on exact-integer components)
+    "sim_mmr_rerank",  # same broadcast query-set x candidates scan as
+    # sim_topk; the MMR stage itself only ever sees 32 pruned rows/query
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
@@ -76,6 +78,14 @@ PYTHON_OK = {
     "dedup_near_arrow",  # Arrow-batched per-doc minhash (no shingle explode)
     "sim_ann_pq",  # Arrow-batched ADC scan over 8-byte codes — the point
     # of PQ is that this stage is bandwidth-bound, not compute-bound
+    "emb_covariance",  # mapInPandas partial Gram (one BLAS X^T.X per
+    # Arrow batch) — the shuffle-minimal alternative to an n x d
+    # self-join; shuffle carries only partitions x d^2 partial rows
+    "sim_mmr_rerank",  # greedy argmax chain over the 32 PRUNED
+    # candidates per query — inherently sequential (each pick changes
+    # the next score); cost independent of corpus size
+    "win_holt",  # coupled level+trend recurrence, win_ewma's shape:
+    # no window frame expresses it; keys parallelize, state = 2 floats
 }
 # Ops that intentionally demonstrate the row-at-a-time UDF/UDTF surface
 # (SURVEY §2.12) — everything else must stay off BatchEvalPython.

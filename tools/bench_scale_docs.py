@@ -45,6 +45,11 @@ OPS = [
     "text_bm25_topk",
     "sim_rrf_hybrid",
     "text_perplexity_bigram",
+    # round-6b: line dedup (chunk-keyed shuffle), hashing-trick TF,
+    # per-source datasheet rollup
+    "pipeline_line_dedup",
+    "text_feat_hash",
+    "pipeline_dataset_card",
     # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
     # quadratically within blocks (measured: >15 min at 40k docs vs
     # 11 s at 5k — the hazard SCALE.md documents; at real scale the

@@ -45,6 +45,9 @@ OPS = [
     "win_cusum",
     "cep_trend_runs",
     "cep_vshape",
+    "win_rolling_median",
+    "win_holt",
+    "agg_entropy",
     "stream_tumbling",
     "stream_trending",
     "graph_transitions",
