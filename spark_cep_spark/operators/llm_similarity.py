@@ -1577,3 +1577,55 @@ def emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .withColumn("rk", F.row_number().over(w))
     )
+
+
+@register(
+    "sim_range_search",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_dot_product(CAST(q.qe AS DOUBLE[]),
+                              CAST(e.embedding AS DOUBLE[])) AS sim_raw
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id AS neighbor_id, round(sim_raw, 6) AS sim
+    FROM scored
+    WHERE round(sim_raw, 6) >= 0.35
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search — ALL candidates with cosine
+    >= tau (0.35) per query, the epsilon-neighborhood query that
+    complements sim_topk's k-NN (dedup wants "everything closer than
+    tau", not "the 10 closest"). Threshold applied to the ROUNDED
+    score so an ulp of engine noise cannot flip membership at the
+    boundary.
+
+    Scale: same broadcast-queries x candidate-scan shape as sim_topk,
+    but with NO window at all — the filter composes with the scan and
+    the output is bounded by the data's neighborhood density, not by
+    a rank. The LSH/IVF candidate pruning (sim_ann_*) slots in front
+    unchanged when the corpus outgrows the full scan."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("embedding")), 6
+            ).alias("sim"),
+        )
+    )
+    return scored.filter(F.col("sim") >= 0.35)

@@ -359,3 +359,48 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_current"),
         "n_orders",
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): keeps left multiplicities minus
+    right multiplicities — the multiset sibling of set_except, and the
+    semantics reconciliation jobs actually need ("how many surplus
+    rows does the left feed have per key"). Spark's exceptAll plans as
+    a count-tagged aggregate + generate, no full sort."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return c.exceptAll(s)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): min of left/right
+    multiplicities per row — completes the SQL-standard set-operation
+    family (UNION/UNION ALL/INTERSECT/INTERSECT ALL/EXCEPT/EXCEPT
+    ALL, all driver-checked)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return c.intersectAll(s)

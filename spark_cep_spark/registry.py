@@ -186,6 +186,9 @@ NEXT_ROTATION: list[str] = [
     "graph_jaccard_neighbors",
     "pipeline_dataset_card",
     "emb_outlier",
+    "set_except_all",
+    "set_intersect_all",
+    "sim_range_search",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

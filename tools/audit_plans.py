@@ -56,6 +56,8 @@ NESTED_LOOP_OK = {
     # equi-joins on exact-integer components)
     "sim_mmr_rerank",  # same broadcast query-set x candidates scan as
     # sim_topk; the MMR stage itself only ever sees 32 pruned rows/query
+    "sim_range_search",  # same broadcast query-set x candidates scan;
+    # radius filter composes with the scan (no window at all)
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
