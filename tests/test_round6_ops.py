@@ -811,3 +811,55 @@ def test_streaming_holt_equals_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert g == w and len(w) > 0
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Semantics the driver hash can't express: (a) every query's
+    rank-1 MMR pick IS the pure-relevance argmax (greedy step 1
+    theorem); (b) the MMR set's max pairwise similarity never exceeds
+    the pure top-5's, and strictly improves for a majority of queries
+    — i.e. the operator actually diversifies."""
+    import collections
+
+    import numpy as np
+
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.llm_similarity import (
+        sim_mmr_rerank,
+        sim_topk,
+    )
+
+    mmr = sim_mmr_rerank(spark, SF_CHECK).collect()
+    top = sim_topk(spark, SF_CHECK).collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, SF_CHECK, "embeddings").collect()
+        if r["embedding"] is not None
+    }
+
+    def maxpair(ids):
+        m = 0.0
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                m = max(m, float(vecs[ids[i]] @ vecs[ids[j]]))
+        return m
+
+    mmr_by = collections.defaultdict(list)
+    top_by = collections.defaultdict(list)
+    for r in mmr:
+        mmr_by[r["qid"]].append((r["rank"], r["vec_id"]))
+    for r in top:
+        if r["rk"] <= 5 and r["qid"] < 8:
+            top_by[r["qid"]].append((r["rk"], r["neighbor_id"]))
+
+    assert len(mmr_by) == 8
+    wins = 0
+    for q in mmr_by:
+        mids = [v for _, v in sorted(mmr_by[q])]
+        tids = [v for _, v in sorted(top_by[q])]
+        assert len(mids) == 5 and len(set(mids)) == 5
+        assert mids[0] == tids[0]  # step 1 = pure relevance argmax
+        a, b = maxpair(mids), maxpair(tids)
+        assert a <= b + 1e-12
+        wins += a < b - 1e-12
+    assert wins >= len(mmr_by) // 2
