@@ -1168,3 +1168,86 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("norm_entropy"),
     )
+
+
+@register(
+    "agg_benford",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT grp, d, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY grp, d
+    ),
+    g AS (
+      SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+             list(cnt ORDER BY d) AS cnts,
+             list(d ORDER BY d) AS ds
+      FROM c GROUP BY grp
+    )
+    SELECT grp,
+           n,
+           round(list_sum(list_transform(range(1, 10), k ->
+             CASE WHEN list_position(ds, CAST(k AS BIGINT)) > 0
+                  THEN power(CAST(cnts[list_position(ds, CAST(k AS BIGINT))]
+                                  AS DOUBLE)
+                             - n * log10(1.0 + 1.0 / k), 2)
+                       / (n * log10(1.0 + 1.0 / k))
+                  ELSE power(0.0 - n * log10(1.0 + 1.0 / k), 2)
+                       / (n * log10(1.0 + 1.0 / k))
+             END)), 6) AS chi2
+    FROM g
+    """,
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance per group — the classic
+    fraud / synthetic-data screen: chi-squared distance between the
+    observed leading-digit distribution of order values and Benford's
+    law p(d) = log10(1 + 1/d). A generated or tampered feed jumps out
+    as a large chi2; for a training corpus the same aggregate over
+    numeric spans flags synthetic number soup.
+
+    Determinism: digit counts are exact BIGINTs; the chi2 sum is
+    folded over digits 1..9 IN DIGIT ORDER on both engines
+    (F.aggregate over a sequence vs list_sum over list_transform
+    (range) — both left-to-right), so the 9-term float accumulation is
+    order-identical, then rounded.
+
+    Scale: one (group, digit) hash aggregation (81 rows for 9 digits x
+    priorities), then per-group list fold — nothing is
+    partition-bound."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    c = v.groupBy("grp", "d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    g = c.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.map_from_arrays(
+            F.collect_list("d"), F.collect_list("cnt")
+        ).alias("cmap"),
+    )
+    # fold digits 1..9 in order; map lookup is order-independent
+    chi2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(9)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.pow(
+            F.coalesce(
+                F.element_at(F.col("cmap"), k).cast("double"), F.lit(0.0)
+            )
+            - F.col("n") * F.log10(1.0 + 1.0 / k.cast("double")),
+            2,
+        )
+        / (F.col("n") * F.log10(1.0 + 1.0 / k.cast("double"))),
+    )
+    return g.select("grp", "n", F.round(chi2, 6).alias("chi2"))

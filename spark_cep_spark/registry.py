@@ -189,6 +189,7 @@ NEXT_ROTATION: list[str] = [
     "set_except_all",
     "set_intersect_all",
     "sim_range_search",
+    "agg_benford",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",
