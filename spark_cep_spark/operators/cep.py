@@ -105,6 +105,7 @@ class Pattern:
     steps: list[Step] = field(default_factory=list)
     time_bound: str | None = None  # SQL interval literal body, e.g. "1 HOUR"
     measures: list = field(default_factory=list)  # [(alias, expr)], see measure()
+    subsets: dict = field(default_factory=dict)  # {union var: [member steps]}
 
     @staticmethod
     def begin(name: str, predicate: str) -> "Pattern":
@@ -212,6 +213,95 @@ class Pattern:
         self.time_bound = bound
         return self
 
+    def subset(self, name: str, members: list[str]) -> "Pattern":
+        """MATCH_RECOGNIZE SUBSET clause: declare a union pattern
+        variable over existing steps, usable in MEASURES with the run
+        aggregates — first/last/min/max/sum(U.col). Declare subsets
+        BEFORE the measures that reference them; expansion happens at
+        measure() time, so both engines (batch SQL and the streaming
+        NFA) see only ordinary step-qualified refs.
+
+        Expansion semantics (members in pattern order): first/last
+        take the first/last member's value (first(K.col)/last(K.col)
+        for a kleene member), sum adds the members' contributions,
+        min/max fold through least()/greatest() (NULL-skipping on both
+        engines). count/avg are rejected with a pointed error —
+        compose count(member.col) instead. NULL note: sum propagates
+        NULL from any member (engine arithmetic), unlike row-wise SQL
+        sum which skips NULL rows — document'd deviation, identical
+        across BOTH engines here."""
+        if not re.match(r"^[A-Za-z_]\w*$", name):
+            raise ValueError(f"bad subset name: {name!r}")
+        step_names = [st.name for st in self.steps]
+        if name in step_names or name in self.subsets:
+            raise ValueError(
+                f"subset name '{name}' collides with a step/subset"
+            )
+        if not members:
+            raise ValueError(f"subset '{name}' needs at least one member")
+        kinds = {st.name: st.contiguity for st in self.steps}
+        for m in members:
+            if m not in step_names:
+                raise ValueError(
+                    f"subset '{name}' member '{m}' is not a declared step"
+                )
+            if kinds[m] == "absent":
+                raise ValueError(
+                    f"subset '{name}' member '{m}' is negated — it "
+                    "never binds an event"
+                )
+        # pattern order, duplicates rejected
+        if len(set(members)) != len(members):
+            raise ValueError(f"subset '{name}' lists a member twice")
+        self.subsets[name] = sorted(members, key=step_names.index)
+        return self
+
+    def _expand_subset_refs(self, expr: str, desc: str) -> str:
+        """Rewrite agg(U.col) over subset vars into member-expressed
+        aggregates (see subset()); bare U.col refs are rejected."""
+        if not self.subsets:
+            return expr
+        kinds = {st.name: st.contiguity for st in self.steps}
+
+        def member_term(m: str, agg: str, col: str) -> str:
+            if kinds[m] == "kleene":
+                return f"{agg}({m}.{col})"
+            return f"{m}.{col}"
+
+        def repl(mo: re.Match) -> str:
+            agg, u, col = mo.group(1).lower(), mo.group(2), mo.group(3)
+            if u not in self.subsets:
+                return mo.group(0)
+            ms = self.subsets[u]
+            if agg in ("count", "avg"):
+                raise ValueError(
+                    f"{desc}: {agg}({u}.{col}) — count/avg over a "
+                    "SUBSET are not supported; compose "
+                    f"count(<member>.{col}) per member instead"
+                )
+            if agg == "first":
+                return member_term(ms[0], "first", col)
+            if agg == "last":
+                return member_term(ms[-1], "last", col)
+            terms = [member_term(m, agg, col) for m in ms]
+            if len(terms) == 1:
+                return terms[0]
+            if agg == "sum":
+                return "(" + " + ".join(terms) + ")"
+            fn = "least" if agg == "min" else "greatest"
+            return f"{fn}(" + ", ".join(terms) + ")"
+
+        out = _AGG_REF.sub(repl, expr)
+        # any remaining bare subset ref is an error (a union var has
+        # no single value)
+        for mo in _WHERE_REF.finditer(_AGG_REF.sub(" ", out)):
+            if mo.group(1) in self.subsets:
+                raise ValueError(
+                    f"{desc} references subset '{mo.group(1)}' without "
+                    "an aggregate (use first/last/min/max/sum)"
+                )
+        return out
+
     def measure(self, alias: str, expr: str) -> "Pattern":
         """MATCH_RECOGNIZE-style MEASURES projection: an output column
         `alias` computed from bound events' values, e.g.
@@ -223,7 +313,9 @@ class Pattern:
         values."""
         if not re.match(r"^[A-Za-z_]\w*$", alias):
             raise ValueError(f"bad measure alias: {alias!r}")
-        self.measures.append((alias, expr))
+        self.measures.append(
+            (alias, self._expand_subset_refs(expr, f"measure {alias!r}"))
+        )
         return self
 
     def corr_plan(self) -> dict:
@@ -249,7 +341,10 @@ class Pattern:
         cur_refs: list = []
         refs: dict[str, set] = {}
         run_refs: dict[str, set] = {}
-        _ALLOWED_BARE = {"and", "or", "not", "abs", "true", "false"}
+        _ALLOWED_BARE = {
+            "and", "or", "not", "abs", "true", "false",
+            "least", "greatest",  # subset min/max expansion targets
+        }
 
         def _scan(expr: str, desc: str, i_pos: int | None, cur_name: str | None):
             """Collect refs of one where/measure expression. i_pos set

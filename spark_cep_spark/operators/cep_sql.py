@@ -62,6 +62,13 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               in the same pattern (shared 16-variant cap). One
               alternation group per pattern, plain branch names, not
               the first step (the anchor must be fixed).
+    SUBSET U = (A, B)  (round 6) — union pattern variables: MEASURES
+              may aggregate across steps with first/last/min/max/
+              sum(U.col). Pure parse-time expansion to member-
+              expressed refs (sum -> a + sum(b), min -> least(...)),
+              so both engines and the streaming variant NFAs inherit
+              subsets with zero new kernel state. count/avg over a
+              subset are rejected with a pointed error.
     AFTER MATCH SKIP PAST LAST ROW / SKIP TO LAST <step>  (round 5)
               match-selection policy on BOTH engines: batch composes
               the greedy selectors (select_non_overlapping /
@@ -120,6 +127,7 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
 from spark_cep_spark.operators.cep import Pattern, _WHERE_REF
@@ -129,6 +137,7 @@ _CLAUSE_KEYWORDS = (
     "PATTERN",
     "WITHIN",
     "DEFINE",
+    "SUBSET",
     "MEASURES",
     "PARTITION BY",
     "ORDER BY",
@@ -385,6 +394,25 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     unused = set(defines) - seen
     if unused:
         raise ValueError(f"DEFINE entries never used in PATTERN: {sorted(unused)}")
+
+    if "SUBSET" in clauses:
+        # SUBSET U = (A, B), W = (C, D) — union pattern variables,
+        # declared before MEASURES so the expansion sees them
+        for item in _split_top_level_commas(clauses["SUBSET"]):
+            m = re.match(
+                r"^([A-Za-z_]\w*)\s*=\s*\(\s*([A-Za-z_]\w*"
+                r"(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*$",
+                item,
+            )
+            if not m:
+                raise ValueError(
+                    f"malformed SUBSET entry: {item!r} "
+                    "(want NAME = (STEP, STEP, ...))"
+                )
+            pattern.subset(
+                m.group(1),
+                [x.strip() for x in m.group(2).split(",")],
+            )
 
     if "MEASURES" in clauses:
         for item in _split_top_level_commas(clauses["MEASURES"]):
@@ -1526,3 +1554,76 @@ def cep_sql_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
                purchase AS event_type = 'purchase'
         """,
     )
+
+
+@register(
+    "cep_sql_subset",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, rn, value,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, rn) AS isl
+      FROM e WHERE event_type = 'error'
+    ),
+    a AS (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'signup'),
+    entry AS (
+      SELECT a.user_id, a.event_id, a.ts AS t_s, a.value AS v_s,
+             min(m.rn) AS e_rn
+      FROM a JOIN m ON m.user_id = a.user_id
+                   AND m.ts > a.ts AND m.ts <= a.ts + INTERVAL 7 DAY
+      GROUP BY a.user_id, a.event_id, a.ts, a.value
+    )
+    SELECT entry.user_id AS key, entry.event_id AS anchor_id, entry.t_s,
+           min(m2.ts) AS t_err_first, max(m2.ts) AS t_err_last,
+           count(*) AS err_count,
+           entry.v_s AS u_first,
+           arg_max(m2.value, m2.rn) AS u_last,
+           least(entry.v_s, min(m2.value)) AS u_min,
+           round(entry.v_s + sum(m2.value), 6) AS u_sum_r
+    FROM entry
+    JOIN m em ON em.user_id = entry.user_id AND em.rn = entry.e_rn
+    JOIN m m2 ON m2.user_id = entry.user_id AND m2.isl = em.isl
+             AND m2.rn >= entry.e_rn
+             AND m2.ts <= entry.t_s + INTERVAL 7 DAY
+    GROUP BY entry.user_id, entry.event_id, entry.t_s, entry.v_s
+    """,
+)
+def cep_sql_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE SUBSET clause (union pattern variables):
+    `SUBSET U = (s, err)` makes U a variable spanning the signup AND
+    its error run, so MEASURES can aggregate across steps —
+    first/last/min/sum(U.value). The expansion happens at parse time
+    (each subset aggregate rewrites to member-expressed refs:
+    sum(U.value) -> s.value + sum(err.value), min -> least(...)), so
+    BOTH engines run only the machinery they already have — no new
+    kernel state, and the streaming variant NFAs inherit subsets for
+    free. NULL note (documented deviation): the sum expansion
+    propagates NULL from any member via engine arithmetic, identical
+    across engines, unlike row-skipping SQL-standard sum.
+
+    The sum measure is rounded on both sides (float discipline); the
+    oracle transcribes the same gaps-and-islands run arithmetic as
+    cep_kleene_measures plus the subset combinations."""
+    events = table(spark, sf_dir, "events")
+    df = match_recognize(
+        events,
+        """
+        PATTERN ( s -> err+ )
+        WITHIN 7 DAYS
+        SUBSET U = (s, err)
+        DEFINE s AS event_type = 'signup',
+               err AS event_type = 'error'
+        MEASURES first(U.value) AS u_first,
+                 last(U.value) AS u_last,
+                 min(U.value) AS u_min,
+                 sum(U.value) AS u_sum
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    return df.withColumn("u_sum_r", F.round("u_sum", 6)).drop("u_sum")

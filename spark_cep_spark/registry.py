@@ -190,6 +190,7 @@ NEXT_ROTATION: list[str] = [
     "set_intersect_all",
     "sim_range_search",
     "agg_benford",
+    "cep_sql_subset",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

@@ -328,6 +328,8 @@ def _compile_measure_py(expr: str):
                 {
                     "__builtins__": {},
                     "abs": abs,
+                    "least": _least_sql,
+                    "greatest": _greatest_sql,
                     "_cmp3": _cmp3,
                     "_and3": _and3,
                     "_or3": _or3,
@@ -339,6 +341,19 @@ def _compile_measure_py(expr: str):
             return None
 
     return fn
+
+
+def _least_sql(*xs):
+    """SQL least(): NULL-skipping min (Spark/DuckDB semantics) — the
+    subset min() expansion target. All-NULL -> NULL."""
+    vs = [x for x in xs if x is not None]
+    return min(vs) if vs else None
+
+
+def _greatest_sql(*xs):
+    """SQL greatest(): NULL-skipping max."""
+    vs = [x for x in xs if x is not None]
+    return max(vs) if vs else None
 
 
 # run-aggregate state per tracked column: [first, last, min, max, sum,

@@ -824,3 +824,72 @@ def test_multi_pattern_respects_gaps(spark, sf_dir):
     s_ = {(r["key"], r["anchor_id"]) for r in single.collect()}
     assert m == s_
     assert len(m) > 0
+
+
+def test_subset_measures_stream_equals_batch_compiler(spark, sf_dir):
+    """SUBSET union-variable measures on BOTH engines: a kleene run in
+    the middle so the closing step matures every match — streaming
+    must equal batch exactly, including the expanded subset measures
+    (sum across members, least() min, member-navigated first/last)."""
+    pat = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .followed_by("v", "event_type = 'view'")
+        .within("7 DAYS")
+        .subset("u", ["s", "err", "v"])
+        .measure("u_first", "first(u.value)")
+        .measure("u_last", "last(u.value)")
+        .measure("u_min", "min(u.value)")
+        .measure("u_sum", "sum(u.value)")
+    )
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        compile_stream(pat, stream, watermark="0 seconds"), "append"
+    )
+    want = pat.compile_batch(table(spark, sf_dir, "events"))
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    assert _norm(got.select(*cols).collect()) == _norm(
+        want.select(*cols).collect()
+    )
+    assert got.count() > 0
+
+
+def test_subset_validation_errors():
+    """Pointed errors: unknown member, negated member, duplicate name,
+    bare subset ref, count over a subset."""
+    base = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .followed_by("v", "event_type = 'view'")
+        .not_followed_by("x", "event_type = 'purchase'")
+        .within("7 DAYS")
+    )
+    with pytest.raises(ValueError, match="not a declared step"):
+        base.subset("u", ["s", "nope"])
+    with pytest.raises(ValueError, match="negated"):
+        base.subset("u", ["s", "x"])
+    base.subset("u", ["s", "err"])
+    with pytest.raises(ValueError, match="collides"):
+        base.subset("u", ["s"])
+    with pytest.raises(ValueError, match="without\\s+an aggregate"):
+        base.measure("m1", "u.value + 1")
+    with pytest.raises(ValueError, match="count/avg over a SUBSET"):
+        base.measure("m2", "count(u.value)")
+
+
+def test_sql_subset_malformed_entry_errors(spark):
+    """SUBSET clause parse errors are pointed, not raw exceptions."""
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    with pytest.raises(ValueError, match="malformed SUBSET entry"):
+        parse_pattern_sql(
+            """
+            PATTERN ( s -> e )
+            WITHIN 1 HOUR
+            SUBSET U = s, e
+            DEFINE s AS event_type = 'signup',
+                   e AS event_type = 'error'
+            """
+        )
