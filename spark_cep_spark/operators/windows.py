@@ -942,3 +942,48 @@ def holt_smooth(e: DataFrame) -> DataFrame:
             "level double, trend double, forecast double",
         )
     )
+
+
+@register(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 6) AS sum_1h,
+           round(avg(value) OVER w, 6) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame — the trailing-1-hour sliding
+    aggregate keyed by EVENT TIME, not row position (the frame a
+    monitoring dashboard actually means by "last hour": rows per key
+    are irregularly spaced, so ROWS frames are wrong). Spark has no
+    INTERVAL RANGE syntax; the equivalent is rangeBetween over the
+    epoch-seconds ordering key — same frame, pure JVM window.
+
+    Ties: RANGE frames are peer-inclusive on the ordering value in
+    BOTH engines (all rows at the same ts enter together), so no
+    event_id tiebreak is needed — or wanted — in the frame spec.
+
+    Scale: one (user_id, ts) shuffle; the running frame is
+    incrementally maintained by the window operator, never
+    materialised. Sum/avg rounded both sides (frame accumulation
+    order is engine-internal)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )

@@ -191,6 +191,7 @@ NEXT_ROTATION: list[str] = [
     "sim_range_search",
     "agg_benford",
     "cep_sql_subset",
+    "win_time_range",
     # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",

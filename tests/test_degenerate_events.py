@@ -66,7 +66,7 @@ EVENTS_KEYS = [
     "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
     "win_rolling_corr", "rollup_retention_cohort", "win_cusum",
     "cep_trend_runs", "cep_vshape", "win_rolling_median", "agg_entropy",
-    "win_holt",
+    "win_holt", "cep_sql_subset", "win_time_range",
 ]
 
 
@@ -114,7 +114,7 @@ EMPTY_SWEEP_KEYS = [
     "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
     "win_rolling_corr", "rollup_retention_cohort", "win_cusum",
     "cep_trend_runs", "cep_vshape", "win_rolling_median", "agg_entropy",
-    "win_holt",
+    "win_holt", "cep_sql_subset", "win_time_range",
 ]
 
 
