@@ -863,3 +863,69 @@ def test_mmr_rerank_diversifies(spark):
         assert a <= b + 1e-12
         wins += a < b - 1e-12
     assert wins >= len(mmr_by) // 2
+
+
+def test_holt_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for holt_stream: the level/trend floats and
+    the arrival buffer must resume exactly from the checkpoint — the
+    two-run output equals an uninterrupted run (Holt is the sharpest
+    restart probe of the round-6 faces: every emitted row depends on
+    the ENTIRE per-key history, so one lost state float diverges all
+    post-restart rows)."""
+    import os
+    import shutil
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import holt_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+    assert len(parts) >= 8
+
+    def run(src_dir, out, ckpt):
+        stream = harness.events_stream(spark, src_dir, max_files_per_trigger=2)
+        q = (
+            holt_stream(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    copy_ordered(parts[:4])
+    run(src, out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    copy_ordered(parts[4:])
+    run(src, out, ckpt)
+
+    got = {
+        (r["key"], r["event_id"], r["ts"], r["value"],
+         r["level"], r["trend"], r["forecast"])
+        for r in spark.read.parquet(out).collect()
+    }
+    uninterrupted = {
+        (r["key"], r["event_id"], r["ts"], r["value"],
+         r["level"], r["trend"], r["forecast"])
+        for r in harness.run_available_now(
+            holt_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        ).collect()
+    }
+    assert got == uninterrupted
+    assert 0 < n_first < len(got)
