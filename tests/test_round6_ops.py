@@ -929,3 +929,32 @@ def test_holt_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     }
     assert got == uninterrupted
     assert 0 < n_first < len(got)
+
+
+def test_ivf_index_build_query_equals_oneshot(spark, tmp_path):
+    """Persistent IVF index: build+load+query must equal the one-shot
+    topk_ivf bit-for-bit (same seeded KMeans, same probe rule), and
+    the probed read must be PARTITION-PRUNED to the probed cells."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.llm_similarity import IvfIndex, topk_ivf
+
+    e = table(spark, SF_CHECK, "embeddings")
+    q = e.filter("vec_id < 10")
+
+    idx = IvfIndex.build(spark, e, str(tmp_path / "ivf"))
+    got = IvfIndex.load(spark, str(tmp_path / "ivf")).query(q, k=10, nprobe=4)
+    want = topk_ivf(spark, q, e, k=10, nprobe=4)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
