@@ -86,6 +86,14 @@ class Step:
     # of the PREVIOUS step's binding — tighter than the whole-match
     # .within() bound. On an absent step the gap bounds the negation
     # window instead (no killer within gap of the last positive step).
+    stream_predicate: str | None = None  # set by the SQL dialect when the
+    # DEFINE entry uses PREV()/NEXT() row navigation: `predicate` then
+    # references the batch-side pre-projected __nav_* lag/lead columns
+    # (which do not exist on a stream), and this field holds the
+    # navigation-free conjuncts the streaming m-flag projection uses.
+    nav_py: object = None  # (fn, cur_cols, prev_cols, max_k) — the
+    # Python twin of the navigation conjuncts, evaluated by the NFA
+    # kernel against the key's previous physical rows (nav tail).
 
 
 @dataclass

@@ -83,6 +83,24 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               per-transition deadline (Step.gap); on a negated step it
               narrows the kill window (timeout detection). Not
               supported on quantified ({n}/+) steps.
+    PREV(col[, k]) / NEXT(col[, k])  physical-row navigation inside a
+              DEFINE conjunct (standard MATCH_RECOGNIZE): the value of
+              <col> on the row k positions before/after the candidate
+              row in (ORDER BY, event_id) order within the partition —
+              unqualified column names only (the current row's columns
+              also stay unqualified in a nav conjunct). Batch
+              pre-projects one per-key lag/lead column per distinct
+              ref; streaming evaluates PREV conjuncts in the NFA
+              kernel against the key's last-k released rows (nav
+              tail, kept in state — k rows per key, indefinitely).
+              NEXT is batch-only (a stream cannot look ahead; Flink's
+              MATCH_RECOGNIZE likewise rejects NEXT — pointed error).
+              A missing row navigates to NULL: the comparison is
+              UNKNOWN and the step does not bind. Restricted to the
+              correlation grammar (comparisons, arithmetic,
+              AND/OR/NOT, abs). Not combinable with cross-step refs
+              in the SAME conjunct, nor with quantifier/group/PERMUTE
+              expansion.
 
 DEFINE predicates are ordinary Spark SQL boolean expressions over the
 event columns — the full expression language comes from Spark's own
@@ -126,7 +144,7 @@ import math
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
@@ -153,6 +171,10 @@ class ParsedPatternQuery:
     # None | "skip_past_last_row" | ("skip_to_last", step_name) —
     # parsed from the AFTER MATCH clause
     skip: object = None
+    # ordered (direction, col, k) PREV/NEXT navigation specs — batch
+    # pre-projects one lag/lead column per spec; streaming rejects
+    # 'next' (lookahead) and evaluates 'prev' in the NFA kernel
+    nav: tuple = ()
 
 
 def _mask_literals(text: str) -> str:
@@ -254,24 +276,137 @@ def _split_top_level_and(expr: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _split_define(expr: str, step_names: set[str]) -> tuple[str, str | None]:
+# PREV(col[, k]) / NEXT(col[, k]) — physical-row navigation inside a
+# DEFINE conjunct (standard MATCH_RECOGNIZE row-pattern navigation:
+# the value of <col> on the row k positions before/after the current
+# candidate row in (ORDER BY, event_id) order within the partition).
+_NAV_RE = re.compile(
+    r"\b(PREV|NEXT)\s*\(\s*([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)", re.I
+)
+
+_NAV_ALLOWED_BARE = {"and", "or", "not", "abs", "true", "false", "null"}
+
+
+def _nav_out_col(direction: str, col: str, k: int) -> str:
+    """Name of the batch-side pre-projected lag/lead column."""
+    return f"__nav_{direction}_{col}_{k}"
+
+
+def _rewrite_nav_conjunct(conj: str):
+    """Rewrite one navigation conjunct into its two engine forms.
+
+    Returns (batch_sql, py_expr, specs):
+      batch_sql — nav calls replaced by the pre-projected lag/lead
+                  column names (__nav_prev_<col>_<k>); current-row
+                  columns stay bare. An ordinary Spark SQL predicate
+                  once match_recognize projects the nav columns.
+      py_expr   — the same conjunct in the correlation grammar: nav
+                  calls become __PREVROWk.col / __NEXTROWk.col and
+                  bare current-row columns become CUR.col, compilable
+                  by the NFA's _compile_where_py (full SQL 3VL — a
+                  missing previous row is NULL, so a comparison with
+                  it is UNKNOWN and the step does not bind, exactly
+                  like the batch lag column at a partition start).
+      specs     — set of (direction, col, k) navigation references.
+
+    Grammar is the correlation grammar (comparisons, arithmetic,
+    AND/OR/NOT, abs — no other function calls), which is what keeps
+    the batch SQL and the kernel's Python evaluation provably aligned.
+    """
+    masked = _mask_literals(conj)
+    batch_parts, py_parts, specs = [], [], set()
+    last = 0
+    # splice by masked-text spans so a 'PREV(' inside a string literal
+    # never rewrites (masking preserves offsets)
+    for mo in _NAV_RE.finditer(masked):
+        d = mo.group(1).lower()
+        col = conj[mo.start(2): mo.end(2)]
+        k = int(mo.group(3)) if mo.group(3) else 1
+        if k < 1:
+            raise ValueError(
+                f"{mo.group(1)}({col}, {k}): navigation offset must be >= 1"
+            )
+        specs.add((d, col, k))
+        batch_parts.append(conj[last: mo.start()] + _nav_out_col(d, col, k))
+        py_parts.append(
+            conj[last: mo.start()] + f"__{d.upper()}ROW{k}.{col}"
+        )
+        last = mo.end()
+    batch_sql = "".join(batch_parts) + conj[last:]
+    py_expr = "".join(py_parts) + conj[last:]
+    # qualify bare current-row identifiers as CUR.<col> for the python
+    # form, and validate the restricted grammar
+    pmasked = _mask_literals(py_expr)
+    bad = re.search(
+        r"(?i)\b(is|in|like|between|case|cast|exists)\b", pmasked
+    )
+    if bad:
+        raise ValueError(
+            f"'{bad.group(0)}' inside a navigation conjunct — the "
+            "PREV/NEXT grammar is restricted to comparisons, "
+            "arithmetic, AND/OR/NOT and abs() so the batch plan and "
+            "the streaming kernel agree"
+        )
+    out: list[str] = []
+    last = 0
+    for mo in re.finditer(r"[A-Za-z_]\w*", pmasked):
+        tok = mo.group(0)
+        s, e = mo.span()
+        if s > 0 and pmasked[s - 1] == ".":
+            continue  # the .col of a qualified ref
+        if tok.lower() in _NAV_ALLOWED_BARE:
+            continue
+        if e < len(pmasked) and pmasked[e] == ".":
+            continue  # a qualifier (__PREVROWk / __NEXTROWk)
+        if pmasked[e:].lstrip().startswith("("):
+            raise ValueError(
+                f"function call '{tok}(...)' inside a navigation "
+                "conjunct — the PREV/NEXT grammar is restricted to "
+                "comparisons, arithmetic, AND/OR/NOT and abs() so the "
+                "batch plan and the streaming kernel agree"
+            )
+        out.append(py_expr[last:s] + f"CUR.{tok}")
+        last = e
+    py_expr = "".join(out) + py_expr[last:]
+    return batch_sql, py_expr, specs
+
+
+def _split_define(
+    expr: str, step_names: set[str]
+) -> tuple[str, str | None, list[str]]:
     """Separate a DEFINE expression into (per-event predicate,
-    correlation where-clause): an AND-conjunct mentioning any
-    step-qualified column goes to the where (validated further by
-    Pattern.corr_plan); the rest stays the predicate. All-correlation
-    expressions get the always-true predicate."""
+    correlation where-clause, navigation conjuncts): an AND-conjunct
+    mentioning any step-qualified column goes to the where (validated
+    further by Pattern.corr_plan); one containing PREV()/NEXT() goes
+    to the navigation list; the rest stays the predicate.
+    All-correlation expressions get the always-true predicate."""
     conjs = _split_top_level_and(expr)
     wrap = (lambda c: f"({c})") if len(conjs) > 1 else (lambda c: c)
-    pred, corr = [], []
+    pred, corr, navs = [], [], []
     for c in conjs:
         masked = _mask_literals(c)
-        if any(q in step_names for q, _ in _WHERE_REF.findall(masked)):
+        has_nav = _NAV_RE.search(masked) is not None
+        has_ref = any(
+            q in step_names
+            for q, _ in _WHERE_REF.findall(_NAV_RE.sub(" ", masked))
+        )
+        if has_nav and has_ref:
+            raise ValueError(
+                f"conjunct {c.strip()!r} mixes PREV/NEXT navigation "
+                "with a cross-step reference — navigation compares "
+                "against physical rows, correlation against bound "
+                "steps; split them into separate AND-conjuncts"
+            )
+        if has_nav:
+            navs.append(c.strip())
+        elif has_ref:
             corr.append(wrap(c))
         else:
             pred.append(wrap(c))
     return (
         " AND ".join(pred) if pred else "true",
         " AND ".join(corr) if corr else None,
+        navs,
     )
 
 
@@ -332,7 +467,41 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         return name, neg, reps, plus, braced
 
     step_names = set(defines)
-    split = {n: _split_define(e, step_names) for n, e in defines.items()}
+    split3 = {n: _split_define(e, step_names) for n, e in defines.items()}
+
+    # navigation conjuncts: compile both engine forms per step (see
+    # _rewrite_nav_conjunct) — the batch predicate references the
+    # pre-projected lag/lead columns, the streaming predicate drops
+    # the nav conjuncts (the kernel re-applies them via nav_py)
+    split: dict[str, tuple[str, str | None]] = {}
+    nav_map: dict[str, tuple] = {}
+    all_nav_specs: set = set()
+    for n, (pred, where, navs) in split3.items():
+        if not navs:
+            split[n] = (pred, where)
+            continue
+        from spark_cep_spark.streaming.nfa import _compile_where_py
+
+        batch_conjs, py_conjs, specs = [], [], set()
+        for c in navs:
+            b, p, sp = _rewrite_nav_conjunct(c)
+            batch_conjs.append(f"({b})")
+            py_conjs.append(f"({p})")
+            specs |= sp
+        all_nav_specs |= specs
+        batch_pred = " AND ".join(
+            ([f"({pred})"] if pred != "true" else []) + batch_conjs
+        )
+        py_all = " AND ".join(py_conjs)
+        fn = _compile_where_py(py_all, "CUR")
+        cur_cols = set(re.findall(r"\bCUR\.([A-Za-z_]\w*)", py_all))
+        carry = sorted(cur_cols | {c for _d, c, _k in specs})
+        max_prev = max(
+            [k for d, _c, k in specs if d == "prev"], default=0
+        )
+        has_next = any(d == "next" for d, _c, _k in specs)
+        split[n] = (batch_pred, where)
+        nav_map[n] = (pred, (fn, carry, max_prev, has_next))
 
     name, _, reps, _, braced = lookup(toks[0], first=True)
     f_pred, f_where = split[name]
@@ -394,6 +563,19 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     unused = set(defines) - seen
     if unused:
         raise ValueError(f"DEFINE entries never used in PATTERN: {sorted(unused)}")
+
+    if nav_map:
+        # attach the streaming-side forms to the Step objects (the
+        # builder received the batch predicate); quantified sub-steps
+        # are named <name>_<i> and inherit their root's navigation
+        for s in pattern.steps:
+            info = nav_map.get(s.name)
+            if info is None and "_" in s.name:
+                root, _, idx = s.name.rpartition("_")
+                if idx.isdigit():
+                    info = nav_map.get(root)
+            if info is not None:
+                s.stream_predicate, s.nav_py = info
 
     if "SUBSET" in clauses:
         # SUBSET U = (A, B), W = (C, D) — union pattern variables,
@@ -466,7 +648,11 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 )
             skip = ("skip_to_last", tgt)
     return ParsedPatternQuery(
-        pattern=pattern, key_col=key_col, time_col=time_col, skip=skip
+        pattern=pattern,
+        key_col=key_col,
+        time_col=time_col,
+        skip=skip,
+        nav=tuple(sorted(all_nav_specs)),
     )
 
 
@@ -960,6 +1146,12 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "quantifier/group/PERMUTE expansion (the policy would "
                 "have to run across variants)"
             )
+        if _NAV_RE.search(_mask_literals(text)):
+            raise ValueError(
+                "PREV/NEXT navigation is not supported with "
+                "quantifier/group/PERMUTE expansion (each variant "
+                "would navigate a different row sequence)"
+            )
     if grp is not None:
         if len(grp) == 1:
             # exact {n}: one flat chain — recurse so any remaining
@@ -1002,11 +1194,32 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
         return _compile_quantifier_batch(df, quant)
     parsed = parse_pattern_sql(text)
     if df.isStreaming:
+        if any(d == "next" for d, _c, _k in parsed.nav):
+            raise ValueError(
+                "NEXT navigation needs row lookahead and is not "
+                "supported on streaming input (Flink's MATCH_RECOGNIZE "
+                "likewise rejects NEXT); restructure the condition as "
+                "PREV on the later step, or run the query in batch mode"
+            )
         from spark_cep_spark.streaming.nfa import compile_stream
 
         return compile_stream(
             parsed.pattern, df, skip_policy=parsed.skip, **stream_kwargs
         )
+    if parsed.nav:
+        # pre-project the lag/lead columns the rewritten predicates
+        # reference — one per-key window sort, the same (ts, event_id)
+        # order the streaming kernel's buffer uses, so both engines
+        # navigate the identical row sequence
+        order = [parsed.time_col] + (
+            ["event_id"] if "event_id" in df.columns else []
+        )
+        w = W.partitionBy(parsed.key_col).orderBy(*order)
+        for d, col, k in parsed.nav:
+            fn = F.lag if d == "prev" else F.lead
+            df = df.withColumn(
+                _nav_out_col(d, col, k), fn(F.col(col), k).over(w)
+            )
     out = parsed.pattern.compile_batch(
         df, key_col=parsed.key_col, time_col=parsed.time_col
     )
@@ -1627,3 +1840,89 @@ def cep_sql_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return df.withColumn("u_sum_r", F.round("u_sum", 6)).drop("u_sum")
+
+
+@register(
+    "cep_sql_prev",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pv
+      FROM events),
+    d AS (SELECT user_id, event_id, ts FROM e
+          WHERE event_type = 'click' AND value < pv),
+    r AS (SELECT user_id, ts FROM e
+          WHERE event_type = 'click' AND value > 1.5 * pv)
+    SELECT d.user_id AS key, d.event_id AS anchor_id, d.ts AS t_d,
+           min(r.ts) AS t_r
+    FROM d JOIN r ON r.user_id = d.user_id
+                AND r.ts > d.ts AND r.ts <= d.ts + INTERVAL 2 HOUR
+    GROUP BY d.user_id, d.event_id, d.ts
+    """,
+)
+def cep_sql_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREV() physical-row navigation in DEFINE (standard
+    MATCH_RECOGNIZE: the value of the row k positions before the
+    candidate in partition order) — a dip-then-rebound detector: a
+    click whose value dropped vs the user's previous row, followed
+    within 2h by a click at >1.5x its own previous row. Batch
+    pre-projects ONE per-key lag column per nav ref (O(1)-frame
+    window, same (ts, event_id) order the streaming kernel's buffer
+    uses); the streaming NFA re-evaluates the nav conjunct against a
+    bounded per-key nav tail (last k released rows). Both engines run
+    the same text — see tests/test_cep_nav.py for the stream==batch
+    property."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( d -> r )
+        WITHIN 2 HOURS
+        DEFINE d AS event_type = 'click' AND value < PREV(value),
+               r AS event_type = 'click' AND value > 1.5 * PREV(value)
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_next",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             lead(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nv
+      FROM events),
+    a AS (SELECT user_id, event_id, ts FROM e
+          WHERE event_type = 'view' AND value >= 2 * nv),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT a.user_id AS key, a.event_id AS anchor_id, a.ts AS t_a,
+           min(p.ts) AS t_p
+    FROM a JOIN p ON p.user_id = a.user_id
+                AND p.ts > a.ts AND p.ts <= a.ts + INTERVAL 6 HOUR
+    GROUP BY a.user_id, a.event_id, a.ts
+    """,
+)
+def cep_sql_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT() forward navigation in DEFINE: a view whose immediately
+    following row (any type) halves the value, followed by a purchase
+    within 6h. Batch-only feature by design: NEXT needs row lookahead,
+    which a stream cannot provide without holding every event until
+    its successor arrives — Flink's MATCH_RECOGNIZE likewise rejects
+    NEXT. On streaming input match_recognize raises a pointed
+    ValueError (tested); the batch plan is a lead() pre-projection,
+    exactly mirroring cep_sql_prev's lag."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( a -> p )
+        WITHIN 6 HOURS
+        DEFINE a AS event_type = 'view' AND value >= 2 * NEXT(value),
+               p AS event_type = 'purchase'
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )

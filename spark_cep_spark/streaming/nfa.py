@@ -1114,6 +1114,26 @@ def compile_stream(
         else None
     )
     pos_steps = steps[:-1] if contig[-1] == "absent" else steps
+    navs = [
+        (i, getattr(s, "nav_py", None)) for i, s in enumerate(steps)
+    ]
+    navs = [(i, n) for i, n in navs if n is not None]
+    nav_cols: list[str] = []
+    nav_k = 0
+    if navs:
+        if any(n[3] for _i, n in navs):
+            raise ValueError(
+                "NEXT navigation is not supported on streaming input "
+                "(it needs row lookahead)"
+            )
+        nav_cols = sorted({c for _i, n in navs for c in n[1]})
+        nav_k = max(n[2] for _i, n in navs)
+        # PREV navigates PHYSICAL rows: every event (matching or not)
+        # is part of the navigation sequence, so none may be dropped.
+        # The kernel keeps the key's last k released rows (nav tail)
+        # in state — indefinitely, like dropDuplicates' keys: the next
+        # event's PREV must see them no matter how much later it comes.
+        filter_nonmatching = False
     if any(c in ("strict", "kleene") for c in contig):
         # a strict partial is killed — and a kleene run closed — by
         # whatever event sits at the key's next sequence position:
@@ -1221,7 +1241,14 @@ def compile_stream(
         )
 
     flags = [
-        F.expr(s.predicate).cast("boolean").alias(f"m{i}") for i, s in enumerate(steps)
+        F.expr(
+            s.stream_predicate
+            if getattr(s, "nav_py", None) is not None
+            else s.predicate
+        )
+        .cast("boolean")
+        .alias(f"m{i}")
+        for i, s in enumerate(steps)
     ]
     prepared = events_stream.withWatermark(time_col, watermark).select(
         F.col(key_col).alias("key"),
@@ -1229,6 +1256,7 @@ def compile_stream(
         F.col(id_col).alias("eid"),
         *flags,
         *[F.col(c).alias(f"v_{c}") for c in val_cols],
+        *[F.col(c).alias(f"nv_{c}") for c in nav_cols],
     )
     if filter_nonmatching:
         # Events matching no step never affect the NFA — drop them early
@@ -1277,6 +1305,7 @@ def compile_stream(
         buf = st["buf"]  # [[ts_us, eid, [m0..mk]], ...] not yet matured
         partials = st["partials"]  # [[bound, open_run, env], ...] (see advance_nfa_full)
         skip_pending, skip_marker = st.get("skip", [[], None])
+        nav_tail = st.get("nav_tail", [])  # last nav_k released rows' nav vals
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -1287,6 +1316,8 @@ def compile_stream(
                 cols = [ts_us.tolist(), pdf["eid"].tolist()]
                 cols += [pdf[f"m{i}"].tolist() for i in range(n_steps)]
                 cols += [pdf[f"v_{c}"].tolist() for c in val_cols]
+                cols += [pdf[f"nv_{c}"].tolist() for c in nav_cols]
+                n_v = len(val_cols)
                 for row in zip(*cols):
                     entry = [
                         int(row[0]),
@@ -1295,7 +1326,14 @@ def compile_stream(
                     ]
                     if val_cols:
                         entry.append(
-                            [_py(x) for x in row[2 + n_steps :]]
+                            [
+                                _py(x)
+                                for x in row[2 + n_steps : 2 + n_steps + n_v]
+                            ]
+                        )
+                    if nav_cols:
+                        entry.append(
+                            [_py(x) for x in row[2 + n_steps + n_v :]]
                         )
                     buf.append(entry)
 
@@ -1304,6 +1342,30 @@ def compile_stream(
         buf.sort()
         matured = [e for e in buf if e[0] <= wm_us]
         buf = [e for e in buf if e[0] > wm_us]
+
+        if nav_cols and matured:
+            # refine the m-flags of navigation steps against the key's
+            # previous physical rows, in release order — the exact
+            # rows the batch lag column sees (buf.sort == (ts, eid))
+            base = 3 + (1 if val_cols else 0)
+            blank = {c: None for c in nav_cols}
+            for e in matured:
+                navv = e[base]
+                cur = dict(zip(nav_cols, navv))
+                env = {
+                    f"__PREVROW{j}": (
+                        dict(zip(nav_cols, nav_tail[-j]))
+                        if len(nav_tail) >= j
+                        else blank
+                    )
+                    for j in range(1, nav_k + 1)
+                }
+                for i, (fn, _carry, _mk, _hn) in navs:
+                    if e[2][i]:
+                        e[2][i] = fn(cur, env)
+                nav_tail.append(navv)
+            nav_tail = nav_tail[-nav_k:]
+            matured = [e[:base] for e in matured]
 
         partials, matches = advance_nfa_full(
             partials,
@@ -1345,18 +1407,24 @@ def compile_stream(
                 inclusive=skip_inclusive,
             )
 
-        if buf or partials or skip_pending:
+        if buf or partials or skip_pending or (nav_cols and nav_tail):
             payload = {"v": _STATE_VERSION, "buf": buf, "partials": partials}
             if skip_policy is not None:
                 payload["skip"] = [skip_pending, skip_marker]
+            if nav_cols:
+                payload["nav_tail"] = nav_tail
             state.update((json.dumps(payload),))
             # wake up when the watermark passes the earliest pending work
-            nxt_us = min(
+            # (a bare nav tail needs no wakeup — it only waits for data)
+            pending = (
                 [e[0] for e in buf]
                 + [p[0][0][0] + bound_ms * _US_PER_MS for p in partials]
                 + [m[0] + bound_ms * _US_PER_MS for m in skip_pending]
             )
-            state.setTimeoutTimestamp(max(nxt_us // _US_PER_MS + 1, wm_ms + 1))
+            if pending:
+                state.setTimeoutTimestamp(
+                    max(min(pending) // _US_PER_MS + 1, wm_ms + 1)
+                )
         elif state.exists:
             state.remove()  # nothing pending — free the key's state
 

@@ -1,0 +1,262 @@
+"""PREV()/NEXT() physical-row navigation in the MATCH_RECOGNIZE
+dialect (cep_sql._rewrite_nav_conjunct + the NFA kernel's nav tail):
+batch pre-projects lag/lead columns; streaming re-evaluates PREV
+conjuncts against the key's last-k released rows kept in state.
+Asserts hand-computed matches, multi-micro-batch streaming == batch,
+partition-start NULL semantics, and every pointed rejection path."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import time
+
+import pytest
+
+from spark_cep_spark.operators.cep_sql import match_recognize
+
+T0 = dt.datetime(2024, 1, 1)
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+PREV_SQL = """
+PATTERN ( d -> r )
+WITHIN 2 HOURS
+DEFINE d AS event_type = 'click' AND value < PREV(value),
+       r AS event_type = 'click' AND value > 1.5 * PREV(value)
+"""
+
+
+def _mkdf(spark, rows):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, (u, m, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, SCHEMA), data
+
+
+def _stream_vs_batch(spark, rows, sql):
+    """Stage rows as 2 content files + 2 far-future tail files (tail
+    events advance the watermark past every deadline; nav queries set
+    filter_nonmatching=False so ANY event drives the clock), run
+    availableNow with maxFilesPerTrigger=1, and compare row sets with
+    the tail user filtered out of both."""
+    df, data = _mkdf(spark, rows)
+    d = tempfile.mkdtemp()
+    half = (len(data) + 1) // 2
+    files = [data[:half], data[half:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "click", 1.0, "{}")]
+        for j, mm in enumerate((500, 1000))
+    ]
+    for i, chunk in enumerate(files):
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_recognize(sdf, sql, watermark="0 seconds"), "append"
+    )
+    want = match_recognize(df, sql)
+    g = sorted(tuple(r) for r in got.filter("key <> 9").collect())
+    w = sorted(
+        tuple(r)
+        for r in want.filter("key <> 9").select(*got.columns).collect()
+    )
+    return g, w
+
+
+def test_prev_batch_hand_computed(spark):
+    # user 1: 10, 8 (drop), 20 (> 1.5*8) -> one match (anchor e1)
+    # user 2: 5, 4 (drop), 5 (not > 1.5*4=6) -> none
+    rows = [
+        (1, 0, "click", 10.0),
+        (1, 5, "click", 8.0),
+        (1, 10, "click", 20.0),
+        (2, 0, "click", 5.0),
+        (2, 5, "click", 4.0),
+        (2, 10, "click", 5.0),
+    ]
+    df, _ = _mkdf(spark, rows)
+    out = match_recognize(df, PREV_SQL).collect()
+    assert [(r["key"], r["anchor_id"]) for r in out] == [(1, 1)]
+
+
+def test_prev_partition_start_never_binds(spark):
+    # the first row of a key has no previous row: lag is NULL, the
+    # comparison is UNKNOWN, the step must not bind (both engines)
+    rows = [(1, 0, "click", -1e9), (1, 5, "click", 1e9)]
+    df, _ = _mkdf(spark, rows)
+    out = match_recognize(df, PREV_SQL).collect()
+    assert out == []
+
+
+def test_prev_offset_two(spark):
+    # d binds where value < the row TWO back: 10, 9, 8(<10) -> e2
+    sql = """
+    PATTERN ( d -> r )
+    WITHIN 2 HOURS
+    DEFINE d AS value < PREV(value, 2),
+           r AS event_type = 'purchase'
+    """
+    rows = [
+        (1, 0, "click", 10.0),
+        (1, 5, "click", 9.5),
+        (1, 10, "click", 8.0),
+        (1, 15, "purchase", 1.0),
+    ]
+    df, _ = _mkdf(spark, rows)
+    out = match_recognize(df, sql).collect()
+    assert [(r["key"], r["anchor_id"]) for r in out] == [(1, 2)]
+
+
+def test_next_batch(spark):
+    # a view whose next row halves the value, then a purchase
+    sql = """
+    PATTERN ( a -> p )
+    WITHIN 6 HOURS
+    DEFINE a AS event_type = 'view' AND value >= 2 * NEXT(value),
+           p AS event_type = 'purchase'
+    """
+    rows = [
+        (1, 0, "view", 10.0),
+        (1, 5, "click", 4.0),
+        (1, 10, "purchase", 1.0),
+        (2, 0, "view", 10.0),
+        (2, 5, "click", 9.0),
+        (2, 10, "purchase", 1.0),
+    ]
+    df, _ = _mkdf(spark, rows)
+    out = match_recognize(df, sql).collect()
+    assert [(r["key"], r["anchor_id"]) for r in out] == [(1, 0)]
+
+
+def test_prev_stream_equals_batch(spark):
+    rows = [
+        # user 1: dip-rebound inside one file
+        (1, 0, "click", 10.0),
+        (1, 5, "click", 8.0),
+        (1, 10, "click", 20.0),
+        # user 2: the rebound row lands in the SECOND file while the
+        # dip is in the first — the nav tail must cross the chunk
+        (2, 0, "click", 9.0),
+        (2, 5, "click", 7.0),
+        (2, 60, "click", 30.0),
+        (2, 65, "click", 2.0),
+        # user 3: drop only, no rebound
+        (3, 0, "click", 6.0),
+        (3, 5, "click", 5.0),
+        # user 4: non-click rows sit INSIDE the navigation sequence —
+        # PREV sees the physical previous row, not the previous click
+        (4, 0, "click", 10.0),
+        (4, 5, "view", 100.0),
+        (4, 10, "click", 8.0),
+        (4, 15, "click", 50.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, PREV_SQL)
+    assert g == w
+    assert len(w) >= 2  # the scenario really matches
+
+
+def test_prev_stream_equals_batch_with_negation(spark):
+    sql = """
+    PATTERN ( d -> !x )
+    WITHIN 1 HOURS
+    DEFINE d AS event_type = 'click' AND value < PREV(value),
+           x AS event_type = 'error'
+    """
+    rows = [
+        (1, 0, "click", 10.0),
+        (1, 5, "click", 8.0),   # dip, no error after -> match
+        (2, 0, "click", 10.0),
+        (2, 5, "click", 8.0),   # dip, error follows -> killed
+        (2, 10, "error", 0.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql)
+    assert g == w
+    assert len(w) == 1
+
+
+def test_next_on_stream_raises(spark):
+    sdf = spark.readStream.format("rate").load().selectExpr(
+        "value AS event_id",
+        "timestamp AS ts",
+        "value % 5 AS user_id",
+        "'click' AS event_type",
+        "CAST(value AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+    sql = """
+    PATTERN ( a -> b )
+    WITHIN 1 HOURS
+    DEFINE a AS value > NEXT(value),
+           b AS event_type = 'click'
+    """
+    with pytest.raises(ValueError, match="NEXT navigation"):
+        match_recognize(sdf, sql)
+
+
+def test_nav_rejections(spark):
+    df, _ = _mkdf(spark, [(1, 0, "click", 1.0)])
+
+    def q(define, pattern="( a -> b )"):
+        return f"""
+        PATTERN {pattern}
+        WITHIN 1 HOURS
+        DEFINE {define}
+        """
+
+    # navigation mixed with a cross-step ref in ONE conjunct
+    with pytest.raises(ValueError, match="mixes PREV/NEXT"):
+        match_recognize(
+            df, q("a AS value > 0, b AS b.value > a.value + PREV(value)")
+        )
+    # IS NULL outside the restricted grammar
+    with pytest.raises(ValueError, match="restricted"):
+        match_recognize(
+            df, q("a AS PREV(value) IS NULL, b AS value > 0")
+        )
+    # function calls other than abs()
+    with pytest.raises(ValueError, match="restricted"):
+        match_recognize(
+            df, q("a AS sqrt(value) > PREV(value), b AS value > 0")
+        )
+    # abs() IS allowed
+    out = match_recognize(
+        df, q("a AS abs(value) > abs(PREV(value)), b AS value > 0")
+    )
+    assert out.count() == 0
+    # offset must be >= 1
+    with pytest.raises(ValueError, match="offset must be >= 1"):
+        match_recognize(df, q("a AS value > PREV(value, 0), b AS value > 0"))
+    # nav + quantifier expansion
+    with pytest.raises(ValueError, match="not supported with"):
+        match_recognize(
+            df,
+            q("a AS value > PREV(value), b AS value > 0", "( a -> b? )"),
+        )
+
+
+def test_prev_string_literal_not_rewritten(spark):
+    # a 'PREV(' inside a string literal is data, not navigation
+    rows = [(1, 0, "PREV(x)", 1.0), (1, 5, "purchase", 1.0)]
+    df, _ = _mkdf(spark, rows)
+    sql = """
+    PATTERN ( a -> b )
+    WITHIN 1 HOURS
+    DEFINE a AS event_type = 'PREV(x)',
+           b AS event_type = 'purchase'
+    """
+    out = match_recognize(df, sql).collect()
+    assert len(out) == 1
