@@ -1251,3 +1251,38 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n") * F.log10(1.0 + 1.0 / k.cast("double"))),
     )
     return g.select("grp", "n", F.round(chi2, 6).alias("chi2"))
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM events),
+    c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    )
+    SELECT c.user_id, c.cnt
+    FROM c, tot
+    WHERE c.cnt * 800 > tot.n
+    ORDER BY c.cnt DESC, c.user_id
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitters (frequency > n/800 of the whole
+    table): the users generating an outsized share of events. Plan:
+    one distributed count per key, then a 1-row global total
+    broadcast-joined in (the classic scalable threshold pattern — the
+    total is a single row, so the 'cross join' is a broadcast nested
+    loop over ONE row, never a shuffle). At 100 TB both aggregates
+    reduce map-side; nothing is collected to the driver."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * 800 > F.col("n"))
+        .select("user_id", "cnt")
+        .orderBy(F.desc("cnt"), "user_id")
+    )

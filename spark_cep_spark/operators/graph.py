@@ -404,3 +404,62 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "graph_khop_bfs",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    adj AS (SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    walk(node, hop) AS (
+      SELECT CAST(p_partkey AS BIGINT), 0 FROM part
+      WHERE p_partkey % 100 = 0
+      UNION
+      SELECT a.dst, w.hop + 1 FROM walk w JOIN adj a ON a.src = w.node
+      WHERE w.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY node
+    """,
+)
+def graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS (k=3) from a seed set over the part co-occurrence
+    graph: every part reachable within 3 hops, labelled with its
+    MINIMUM hop distance — the neighborhood-expansion primitive
+    behind 'related items within k degrees' and contamination-spread
+    queries. Spark-first iterative frontier expansion: a FIXED number
+    of equi-joins (frontier ⋈ adjacency on the node key, then
+    anti-join against the visited set so each node is claimed at its
+    first = minimum hop), no collect, no driver-dependent loop count
+    — each hop is one shuffle on node id, exactly how Pregel-style
+    BFS distributes at 10^9 edges. The adjacency is persisted once
+    and reused by all three hops. Oracle: DuckDB recursive CTE with
+    UNION-dedup on (node, hop), min-hop per node."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .persist()
+    )
+    seeds = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 100 == 0)
+        .select(F.col("p_partkey").cast("long").alias("node"))
+        .distinct()
+    )
+    visited = seeds.withColumn("hop", F.lit(0).cast("long"))
+    frontier = visited.select("node")
+    for h in range(1, 4):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt.select("node")
+    return visited

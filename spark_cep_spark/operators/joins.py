@@ -677,3 +677,114 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev_int) / 10000.0, 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_star_q5",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e4
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_e4 DESC, n.n_name
+    """,
+)
+def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) — the canonical snowflake
+    star join: region -> nation -> customer -> orders -> lineitem,
+    with the supplier constrained to the customer's nation (the join
+    that makes Q5 a join-ORDER benchmark). Declared as plain
+    DataFrame joins: Catalyst broadcasts the filtered dimension chain
+    (region' -> nation' is a handful of rows, supplier/customer are
+    fact-fraction-sized after the region filter at real SF) under
+    AQE's size rules — no forced hints — and the two fact tables
+    shuffle-join on orderkey. Revenue in exact integer 1e-4 units
+    (cents x (1-d) in percent) so Spark and DuckDB sum bit-equal
+    regardless of partial-aggregation order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "n_name")
+    )
+
+
+@register(
+    "join_star_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e4
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
+    """,
+)
+def join_star_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    revenue from returned lineitems in a half-year window. The classic
+    fact-fact-dim plan: both selective filters (returnflag on
+    lineitem, date range on orders) push to the parquet scans, the
+    fact join shuffles on orderkey, nation broadcasts, and the final
+    top-20 is orderBy+limit = TakeOrderedAndProject (per-partition
+    heap, never a global sort of all customers). Revenue in exact
+    integer 1e-4 units as in join_star_q5."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
+        .limit(20)
+    )

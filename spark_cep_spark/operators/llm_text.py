@@ -1182,3 +1182,171 @@ def text_feat_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy(
         "doc_id", bucket.alias("bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("tf"))
+
+
+@register(
+    "pipeline_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+      FROM words, unnest(range(1, length(w))) AS t(i)
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def pipeline_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step at corpus scale: count every
+    adjacent character pair inside every word and rank the merge
+    candidates (top-50 by count, pair tie-break) — the inner loop of
+    byte-pair-encoding tokenizer training, which at 100 TB is THE
+    dominant cost of building a tokenizer. Pure built-ins: regexp
+    word split -> explode, pair enumeration via
+    transform(sequence(...)) (whole-stage codegen, no Python), one
+    hash aggregate on a ~26^2-key space (map-side combine collapses
+    each partition to <=676 rows), TakeOrderedAndProject for the
+    top-50 — no single-partition stage anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(50)
+    )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS c,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(floor((471 * c * s + 50 * w * w - 2143 * w * s) * 10000
+                      * 1.0 / (100 * w * s)) AS BIGINT) AS ari_e4
+    FROM f WHERE w > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document — the syllable-free
+    readability score (4.71*chars/word + 0.5*words/sentence - 21.43),
+    so it is exactly computable with no phonetic heuristic drift. A
+    quality-filter feature alongside text_quality: very low ARI =
+    fragment soup, very high = run-on boilerplate. Single narrow
+    projection over the corpus scan (no shuffle). Emitted as an exact
+    1e-4 fixed-point integer: the formula is carried as one integer
+    rational (471*c*s + 50*w^2 - 2143*w*s) / (100*w*s), scaled and
+    floored after a SINGLE IEEE division — two different multi-step
+    float expression trees rounded at the end diverged in the last
+    ulp (found by the oracle gate), one correctly-rounded division of
+    exactly-representable integers cannot."""
+    docs = table(spark, sf_dir, "documents")
+    c = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    w = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+    s = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    num = (
+        F.lit(471) * c * s + F.lit(50) * w * w - F.lit(2143) * w * s
+    ) * F.lit(10000)
+    den = F.lit(100) * w * s
+    return docs.filter(w > 0).select(
+        "doc_id",
+        F.floor(num.cast("double") / den.cast("double"))
+        .cast("long")
+        .alias("ari_e4"),
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS tf FROM tok GROUP BY token
+    ),
+    top AS (
+      SELECT token, tf,
+             row_number() OVER (ORDER BY tf DESC, token) AS rank
+      FROM counts
+      ORDER BY tf DESC, token LIMIT 200
+    ),
+    xy AS (
+      SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency distribution: least-squares
+    slope/intercept of ln(tf) vs ln(rank) over the top-200 tokens — a
+    one-row distributional-health check (natural language sits near
+    slope -1; a scraped corpus full of boilerplate or spam drifts
+    far off it). Plan: the text_vocab word-count shape (explode →
+    map-side-combined count, TakeOrderedAndProject top-200), then a
+    rank window over ONLY the 200 survivors and one global aggregate
+    of the 5 regression sums — the closed-form normal equations are
+    spelled identically in the oracle so both engines share the same
+    arithmetic path before the shared round(6)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    top = counts.orderBy(F.col("tf").desc(), F.col("token")).limit(200)
+    w = W.orderBy(F.col("tf").desc(), F.col("token"))
+    xy = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

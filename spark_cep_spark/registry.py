@@ -165,6 +165,16 @@ DRIVER_PRIORITY: list[str] = [
 # round-6 window lands.
 NEXT_ROTATION: list[str] = [
     # (a) round-6 keys beyond the window, zero driver evidence
+    "cep_sql_prev",
+    "cep_sql_next",
+    "join_star_q5",
+    "join_star_q10",
+    "agg_heavy_hitters",
+    "pipeline_bpe_pairs",
+    "text_readability",
+    "text_zipf_fit",
+    "graph_khop_bfs",
+    "stream_topk",
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",

@@ -574,3 +574,71 @@ def dynamic_rules_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous top-k (windowed heavy hitters)
+
+def topk_counts(events: DataFrame) -> DataFrame:
+    """Shared kernel: per 6-hour tumbling window, per-user event
+    counts — the STATEFUL half of continuous top-k (the only part
+    that needs streaming state; selection is a stateless view)."""
+    return (
+        events.groupBy(F.window("ts", "6 hours").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"), "user_id", "n"
+        )
+    )
+
+
+def topk_select(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k users per window from the count table (rank window →
+    WindowGroupLimit: each shuffle partition pre-filters to its own
+    k-head before the final per-window selection)."""
+    w = W.partitionBy("win_start").orderBy(F.desc("n"), "user_id")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+@register(
+    "stream_topk",
+    oracle="""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, user_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY win_start, user_id
+    ),
+    r AS (
+      SELECT win_start, user_id, n,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, user_id) AS rk
+      FROM c
+    )
+    SELECT win_start, user_id, n, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-k: the 3 most active users per 6-hour window —
+    the trending-items query every event platform runs. Batch twin of
+    topk_stream (the driver-checked key): the streaming face keeps
+    ONLY the windowed counts in state (watermark-bounded, appended
+    once the window closes); the per-window top-3 is a stateless rank
+    over the emitted counts, so streaming == batch by construction
+    (tests/test_streaming.py pins it under multi-micro-batch
+    AvailableNow). At 100 TB the count state shards by (window, user)
+    key and the selection's rank window group-limits per window."""
+    return topk_select(topk_counts(table(spark, sf_dir, "events")))
+
+
+def topk_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face: watermark-bounded windowed counts (append mode
+    emits each (window, user) count exactly once, when the window
+    closes). Compose with topk_select on the materialized output for
+    the continuous top-k view."""
+    return topk_counts(events_stream.withWatermark("ts", watermark))

@@ -748,3 +748,24 @@ def test_dynamic_rules_swap_between_runs(spark, sf_dir, tmp_path):
     assert len(ids) == len(set(ids))
     # v1 alert count unchanged by run 2 (no reprocessing of old epochs)
     assert len([r for r in both if r["rule_id"] == 1]) == len(first)
+
+
+def test_topk_stream_equals_batch(spark, sf_dir, staged):
+    """Continuous top-k: the streaming face keeps only the windowed
+    counts in state; the stateless topk_select over the materialized
+    append output must equal the batch twin end-to-end."""
+    from spark_cep_spark.streaming.windows import (
+        stream_topk,
+        topk_select,
+        topk_stream,
+    )
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = topk_select(
+        harness.run_available_now(
+            topk_stream(stream, watermark="35 days"), "complete"
+        )
+    )
+    want = stream_topk(spark, sf_dir)
+    cols = ["win_start", "user_id", "n", "rk"]
+    assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
