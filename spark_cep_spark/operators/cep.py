@@ -1486,6 +1486,130 @@ def cep_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows_per_match(matches, ["view", "click", "purchase"])
 
 
+def rows_per_match_running(
+    matches: DataFrame,
+    steps: list[str],
+    key_col: str = "key",
+    anchor_col: str = "anchor_id",
+) -> DataFrame:
+    """ALL ROWS PER MATCH with RUNNING and FINAL measure semantics
+    (standard MATCH_RECOGNIZE: a measure in ALL ROWS mode evaluates
+    as of each row — RUNNING — unless wrapped in FINAL, which sees the
+    whole match). Expects the per-step cents value carried as
+    v_<step> (Pattern.measure('v_<s>', '<s>.value')); emits one row
+    per bound event with rv (that row's value in exact cents,
+    nullable), run_sum (RUNNING sum(value), NULL-skipping like SQL
+    SUM via coalesce-0), and fin_sum (FINAL sum(value)).
+
+    The running prefix is computed INSIDE the array-of-structs before
+    the explode — plain column arithmetic over the match row, no
+    window — so unlike a cumulative-window formulation it needs no
+    extra shuffle AND composes on STREAMING match output (a
+    non-time window would be rejected on a stream)."""
+    rv = [
+        F.round(F.col(f"v_{s}") * 100).cast("long") for s in steps
+    ]
+    run: list = []
+    acc = None
+    for x in rv:
+        acc = F.coalesce(x, F.lit(0)) if acc is None else acc + F.coalesce(
+            x, F.lit(0)
+        )
+        run.append(acc)
+    fin = run[-1]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("seq_no"),
+                F.lit(s).alias("step"),
+                F.col(f"t_{s}").alias("ts"),
+                F.col(f"id_{s}").alias("event_id"),
+                rv[i - 1].alias("rv"),
+                run[i - 1].alias("run_sum"),
+                fin.alias("fin_sum"),
+            )
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return matches.select(
+        key_col, anchor_col, F.explode(entries).alias("_e")
+    ).select(key_col, anchor_col, "_e.*")
+
+
+@register(
+    "cep_measures_running",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view,
+                  v.value AS v_view,
+                  min({'ts': c.ts, 'id': c.event_id, 'val': c.value})
+                    AS mc
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts, v.value),
+         s3 AS (
+           SELECT s2.user_id, s2.event_id, s2.t_view, s2.v_view, s2.mc,
+                  min({'ts': p.ts, 'id': p.event_id, 'val': p.value})
+                    AS mp
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.mc.ts
+                         AND p.ts <= s2.t_view + INTERVAL 6 HOUR
+           GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.v_view,
+                    s2.mc),
+         r AS (
+           SELECT user_id, event_id AS anchor_id, t_view, mc, mp,
+                  CAST(round(v_view * 100) AS BIGINT) AS rv1,
+                  CAST(round(mc.val * 100) AS BIGINT) AS rv2,
+                  CAST(round(mp.val * 100) AS BIGINT) AS rv3
+           FROM s3)
+    SELECT user_id AS key, anchor_id, CAST(1 AS BIGINT) AS seq_no,
+           'view' AS step, t_view AS ts, anchor_id AS event_id,
+           rv1 AS rv, coalesce(rv1, 0) AS run_sum,
+           coalesce(rv1, 0) + coalesce(rv2, 0) + coalesce(rv3, 0)
+             AS fin_sum
+    FROM r
+    UNION ALL
+    SELECT user_id, anchor_id, CAST(2 AS BIGINT), 'click',
+           mc.ts, mc.id, rv2, coalesce(rv1, 0) + coalesce(rv2, 0),
+           coalesce(rv1, 0) + coalesce(rv2, 0) + coalesce(rv3, 0)
+    FROM r
+    UNION ALL
+    SELECT user_id, anchor_id, CAST(3 AS BIGINT), 'purchase',
+           mp.ts, mp.id, rv3,
+           coalesce(rv1, 0) + coalesce(rv2, 0) + coalesce(rv3, 0),
+           coalesce(rv1, 0) + coalesce(rv2, 0) + coalesce(rv3, 0)
+    FROM r
+    """,
+)
+def cep_measures_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING vs FINAL measure semantics in ALL ROWS PER MATCH: each
+    funnel row carries its own value (exact cents), the RUNNING sum
+    as of that row, and the FINAL whole-match sum — the
+    MATCH_RECOGNIZE semantics distinction (RUNNING is the default in
+    ALL ROWS mode; FINAL sees the completed match). Values ride the
+    match via Pattern MEASURES carries; the prefix arithmetic happens
+    inside the unpivot array so no window and no extra shuffle."""
+    events = table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("6 HOURS")
+    )
+    for s in ("view", "click", "purchase"):
+        pat.measure(f"v_{s}", f"{s}.value")
+    matches = pat.compile_batch(events, emit_ids=True)
+    return rows_per_match_running(
+        matches, ["view", "click", "purchase"]
+    )
+
+
 @register(
     "cep_skip_past",
     oracle="""

@@ -1776,3 +1776,124 @@ class IvfIndex:
                 "rk",
             )
         )
+
+
+def _pca_power_partials(spark: SparkSession, sf_dir: str, dim: int = 64):
+    """Distributed exact-integer second-moment partials for PCA: one
+    (n, sx[d], sxy[d*d]) row per Arrow batch (the emb_covariance
+    quantisation — floor(x*1000+0.5) int64 — so the aggregate is
+    accumulation-order-free), reduced to a SINGLE global row."""
+    import numpy as np
+
+    e = valid_vectors(
+        table(spark, sf_dir, "embeddings").select("embedding"), dim=dim
+    )
+
+    def partials(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy())
+            q = np.floor(m.astype(np.float64) * 1000 + 0.5).astype(
+                np.int64
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [int(q.shape[0])],
+                    "sx": [q.sum(axis=0).tolist()],
+                    "sxy": [(q.T @ q).ravel().tolist()],
+                }
+            )
+
+    p = e.mapInPandas(partials, "n long, sx array<long>, sxy array<long>")
+    agg = p.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.array(
+            *[
+                F.sum(F.element_at("sx", i + 1)).cast("long")
+                for i in range(dim)
+            ]
+        ).alias("sx"),
+        F.array(
+            *[
+                F.sum(F.element_at("sxy", i + 1)).cast("long")
+                for i in range(dim * dim)
+            ]
+        ).alias("sxy"),
+    )
+    # bounded-by-contract collect: exactly ONE row of d + d^2 + 1
+    # int64s (d=64 -> ~33 KB) — the model-sized result of the
+    # distributed pass, same class as the kmeans centroid collect
+    row = agg.collect()[0]
+    n = row["n"]
+    sx = np.array(row["sx"], dtype=np.float64)
+    sxy = np.array(row["sxy"], dtype=np.float64).reshape(dim, dim)
+    cov = (n * sxy - np.outer(sx, sx)) / (n * n * 1e6)
+    return n, cov
+
+
+def pca_power_top_component(cov, iters: int = 1000):
+    """Deterministic power iteration for the top eigenpair of a small
+    dense covariance: fixed all-ones init, fixed iteration count (1000 — enough for
+    eigen-gaps down to ~0.5% at 1e-4 accuracy),
+    first-nonzero-positive sign convention — same ints in, same
+    floats out on every machine (no RNG, no convergence branch)."""
+    import numpy as np
+
+    dim = cov.shape[0]
+    v = np.ones(dim, dtype=np.float64) / np.sqrt(dim)
+    for _ in range(iters):
+        w = cov @ v
+        nrm = float(np.linalg.norm(w))
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    for x in v:
+        if x != 0.0:
+            if x < 0.0:
+                v = -v
+            break
+    lam = float(v @ cov @ v)
+    return v, lam
+
+
+@register("emb_pca_power")
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by distributed
+    power iteration: Spark reduces the corpus to ONE exact-integer
+    second-moment row (the same mapInPandas BLAS partials as
+    emb_covariance — the shuffle carries d^2 ints per partition, never
+    vectors), the d x d covariance is rebuilt exactly, and the 64x64
+    power iteration runs where a 33 KB matrix belongs — in the driver,
+    deterministically (fixed init/iterations/sign). Output: one row
+    per dimension (i, loading, eigval, explained) — the PCA drift/
+    whitening primitive for embedding pipelines. Rows-only by nature
+    (an eigenvector has no SQL spelling); the checker's quality probe
+    (pca_quality_probe) gates |cos| vs numpy's eigh at 0.9999 and the
+    pytest property suite pins Rayleigh dominance + determinism."""
+    import numpy as np
+
+    n, cov = _pca_power_partials(spark, sf_dir)
+    v, lam = pca_power_top_component(cov)
+    total_var = float(np.trace(cov))
+    explained = lam / total_var if total_var > 0 else 0.0
+    rows = [
+        (i, round(float(v[i]), 9), round(lam, 9), round(explained, 9))
+        for i in range(cov.shape[0])
+    ]
+    return spark.createDataFrame(
+        rows, "i int, loading double, eigval double, explained double"
+    )
+
+
+def pca_quality_probe(spark: SparkSession, sf_dir: str):
+    """check_oracle rows-only gate: |cos(power-iteration v, eigh v)|
+    must exceed 0.9999 on the fixture covariance. Returns (cos, 1.0)
+    shaped like the ANN recall probes."""
+    import numpy as np
+
+    _n, cov = _pca_power_partials(spark, sf_dir)
+    v, _lam = pca_power_top_component(cov)
+    wvals, wvecs = np.linalg.eigh(cov)
+    ref = wvecs[:, -1]
+    return abs(float(v @ ref)), 1.0

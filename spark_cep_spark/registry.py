@@ -175,6 +175,8 @@ NEXT_ROTATION: list[str] = [
     "text_zipf_fit",
     "graph_khop_bfs",
     "stream_topk",
+    "cep_measures_running",
+    "emb_pca_power",
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",

@@ -959,3 +959,53 @@ def test_malformed_alternation_rejected(pattern, msg):
             f"PATTERN {pattern} WITHIN 1 HOUR "
             "DEFINE A AS true, B AS true, C AS true, D AS true"
         )
+
+
+def test_rows_per_match_running_composes_on_streams(spark, tmp_path):
+    """RUNNING/FINAL measures in ALL ROWS mode are prefix arithmetic
+    inside the unpivot array — still a pure projection, so they too
+    compose on the streaming match output (a cumulative-window
+    formulation would be rejected on a stream)."""
+    from spark_cep_spark.operators.cep import (
+        Pattern,
+        rows_per_match_running,
+    )
+    from spark_cep_spark.streaming.nfa import compile_stream
+    from spark_cep_spark.streaming import harness
+
+    data = [
+        (0, T0, 1, "view", 2.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=5), 1, "click", None, "{}"),
+        (2, T0 + dt.timedelta(minutes=10), 1, "purchase", 3.5, "{}"),
+        (3, T0 + dt.timedelta(minutes=500), 9, "view", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "f")
+    spark.createDataFrame(data, SCHEMA).orderBy("ts").coalesce(
+        1
+    ).write.parquet(d)
+    sdf = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    pat = (
+        Pattern.begin("view", "event_type = 'view'")
+        .followed_by("click", "event_type = 'click'")
+        .followed_by("purchase", "event_type = 'purchase'")
+        .within("1 HOUR")
+    )
+    for s in ("view", "click", "purchase"):
+        pat.measure(f"v_{s}", f"{s}.value")
+    stream_rows = rows_per_match_running(
+        compile_stream(pat, sdf, watermark="0 seconds", emit_ids=True),
+        ["view", "click", "purchase"],
+    )
+    assert stream_rows.isStreaming
+    got = sorted(
+        (r["seq_no"], r["step"], r["rv"], r["run_sum"], r["fin_sum"])
+        for r in harness.run_available_now(stream_rows, "append").collect()
+    )
+    # NULL click value: rv is NULL, the running sum skips it (SQL SUM)
+    assert got == [
+        (1, "view", 200, 200, 550),
+        (2, "click", None, 200, 550),
+        (3, "purchase", 350, 550, 550),
+    ]

@@ -331,3 +331,42 @@ def test_holt_kernel_brute_force_and_chunking(vs, cuts):
         got.extend(part)
         prev = bn
     assert got == whole
+
+
+# ------------------------------------------------------------------
+# emb_pca_power kernel (pca_power_top_component) — pure numpy, no Spark
+# ------------------------------------------------------------------
+
+
+def test_pca_power_known_eigenvector():
+    import numpy as np
+    from spark_cep_spark.operators.llm_similarity import (
+        pca_power_top_component,
+    )
+
+    # diagonal covariance: top component is the axis of max variance
+    cov = np.diag([1.0, 5.0, 2.0])
+    v, lam = pca_power_top_component(cov)
+    assert abs(abs(v[1]) - 1.0) < 1e-9 and abs(lam - 5.0) < 1e-9
+    # sign convention: first nonzero component positive
+    assert v[np.flatnonzero(v)[0]] > 0
+
+
+def test_pca_power_rayleigh_dominates_axes_and_determinism():
+    import numpy as np
+    from spark_cep_spark.operators.llm_similarity import (
+        pca_power_top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(50, 8)
+    cov = np.cov(a, rowvar=False, bias=True)
+    v1, lam1 = pca_power_top_component(cov)
+    v2, lam2 = pca_power_top_component(cov)
+    assert (v1 == v2).all() and lam1 == lam2  # bit-identical reruns
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-12
+    # the Rayleigh quotient dominates every coordinate axis variance
+    assert lam1 >= cov.diagonal().max() - 1e-12
+    # and matches eigh's top eigenvalue
+    w = np.linalg.eigh(cov)[0][-1]
+    assert abs(lam1 - w) < 1e-9

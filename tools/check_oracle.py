@@ -180,6 +180,28 @@ def main() -> int:
             failures.append(key)
             continue
         if key not in oracles:
+            if key == "emb_pca_power":
+                # rows-only forever (an eigenvector has no SQL
+                # spelling) — gate on agreement with numpy's eigh
+                from spark_cep_spark.operators.llm_similarity import (
+                    pca_quality_probe,
+                )
+
+                cos, _one = pca_quality_probe(spark, args.sf_dir)
+                if cos >= 0.9999:
+                    print(
+                        f"rows  {key:24s} rows-only ({len(sdf)} rows) + "
+                        f"eigh-cos {cos:.6f} ({time.time()-t0:.1f}s)"
+                    )
+                    n_rowsonly += 1
+                else:
+                    print(
+                        f"FAIL  {key:24s} power-iteration vs eigh "
+                        f"cos {cos:.6f} < 0.9999"
+                    )
+                    n_fail += 1
+                    failures.append(key)
+                continue
             if key in ("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq"):
                 # rows-only forever (approximate candidate sets) — gate
                 # on planted-near-dup recall instead so an ANN recall
