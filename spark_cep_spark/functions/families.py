@@ -523,3 +523,5 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad(F.col("o_orderpriority"), 15, ".").alias("padded"),
         F.expr("repeat('*', CAST(o_orderkey % 5 AS INT))").alias("stars"),
     )
+
+

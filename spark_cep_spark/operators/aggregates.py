@@ -1286,3 +1286,46 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "cnt")
         .orderBy(F.desc("cnt"), "user_id")
     )
+
+
+@register(
+    "agg_path_string",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r WHERE rn <= 10 GROUP BY user_id
+    """,
+)
+def agg_path_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG WITHIN GROUP):
+    each user's first-10-event path as 'view>click>...' — the
+    session-path feature funnel tools consume. Spark has no ordered
+    string_agg, so the deterministic spelling is
+    array_join(transform(array_sort(collect_list(struct(rn, type)))))
+    — the struct sort pins the order INSIDE the aggregate, immune to
+    partial-aggregation arrival order. The rank window bounds every
+    user's contribution to 10 rows before the aggregate, so state per
+    key is capped at any scale."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    return r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -1826,6 +1826,8 @@ def _pca_power_partials(spark: SparkSession, sf_dir: str, dim: int = 64):
     # distributed pass, same class as the kmeans centroid collect
     row = agg.collect()[0]
     n = row["n"]
+    if not n:  # zero valid vectors (empty/degenerate table)
+        return 0, np.zeros((dim, dim))
     sx = np.array(row["sx"], dtype=np.float64)
     sxy = np.array(row["sxy"], dtype=np.float64).reshape(dim, dim)
     cov = (n * sxy - np.outer(sx, sx)) / (n * n * 1e6)

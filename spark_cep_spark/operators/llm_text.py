@@ -1350,3 +1350,84 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, CAST(i AS INTEGER),
+                                            CAST(i AS INTEGER) + 4), ' '))
+               AS h
+      FROM tok, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    firsts AS (SELECT h, min(doc_id) AS fd FROM sh GROUP BY h),
+    per AS (
+      SELECT sh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN firsts f ON f.h = sh.h
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           round(n_novel * 1.0 / n_shingles, 6) AS novel_frac
+    FROM per
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the RefinedWeb/Gopher-style
+    redundancy census): the fraction of a doc's distinct 5-gram word
+    shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    low novelty flags near-template documents even when no single
+    pair crosses a dedup threshold. Docs under 5 tokens have no
+    shingles and are excluded (both engines' WHERE len >= 5).
+
+    100 TB shape: shingles are md5-hashed BEFORE the shuffle (the
+    llm_dedup convention — 32-hex keys, never raw 5-gram text), the
+    first-occurrence table is one min-aggregate over distinct
+    (hash, doc) pairs, and the join back is hash-partitioned on the
+    same key, so the whole op is two shuffles of fixed-width rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.filter(F.size(toks) >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(toks, i, 5), " ")
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    per = (
+        sh.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel") * F.lit(1.0) / F.col("n_shingles"), 6
+        ).alias("novel_frac"),
+    )

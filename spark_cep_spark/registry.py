@@ -177,6 +177,8 @@ NEXT_ROTATION: list[str] = [
     "stream_topk",
     "cep_measures_running",
     "emb_pca_power",
+    "agg_path_string",
+    "corpus_ngram_novelty",
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",

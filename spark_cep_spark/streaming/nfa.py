@@ -1507,6 +1507,14 @@ def compile_stream_multi(
                 raise ValueError(f"{pname}: not_followed_by must be last")
         if steps[0].contiguity != "relaxed":
             raise ValueError(f"{pname}: pattern must start with begin()")
+        if any(getattr(s, "nav_py", None) is not None for s in steps):
+            raise ValueError(
+                f"{pname}: PREV/NEXT navigation is not supported in the "
+                "multi-pattern face (its batch predicate references "
+                "pre-projected nav columns the shared scan does not "
+                "carry) — run a navigation pattern through "
+                "compile_stream / match_recognize"
+            )
         for s in steps:
             if s.gap is not None and s.contiguity == "kleene":
                 raise ValueError(

@@ -66,7 +66,10 @@ EVENTS_KEYS = [
     "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
     "win_rolling_corr", "rollup_retention_cohort", "win_cusum",
     "cep_trend_runs", "cep_vshape", "win_rolling_median", "agg_entropy",
-    "win_holt", "cep_sql_subset", "win_time_range",
+        "win_holt", "cep_sql_subset", "win_time_range",
+    # round-6b additions over the events table
+    "cep_sql_prev", "cep_sql_next", "cep_measures_running",
+    "agg_heavy_hitters", "agg_path_string", "stream_topk",
 ]
 
 
@@ -114,7 +117,10 @@ EMPTY_SWEEP_KEYS = [
     "cep_funnel_steps", "win_streak", "win_anomaly_zscore",
     "win_rolling_corr", "rollup_retention_cohort", "win_cusum",
     "cep_trend_runs", "cep_vshape", "win_rolling_median", "agg_entropy",
-    "win_holt", "cep_sql_subset", "win_time_range",
+        "win_holt", "cep_sql_subset", "win_time_range",
+    # round-6b
+    "cep_sql_prev", "cep_sql_next", "cep_measures_running",
+    "agg_heavy_hitters", "agg_path_string", "stream_topk",
 ]
 
 

@@ -18,6 +18,10 @@ LINEITEM_KEYS = [
     "agg_collect",
     "project_filter",
     "win_frame_rows",
+    # round-6b: BFS + star joins over empty/degenerate lineitem
+    "graph_khop_bfs",
+    "join_star_q5",
+    "join_star_q10",
 ]
 
 
