@@ -50,6 +50,12 @@ OPS = [
     "pipeline_line_dedup",
     "text_feat_hash",
     "pipeline_dataset_card",
+    # round-6b: BPE pair counts, ARI projection, Zipf fit,
+    # shingle-novelty census (two md5-keyed shuffles)
+    "pipeline_bpe_pairs",
+    "text_readability",
+    "text_zipf_fit",
+    "corpus_ngram_novelty",
     # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
     # quadratically within blocks (measured: >15 min at 40k docs vs
     # 11 s at 5k — the hazard SCALE.md documents; at real scale the

@@ -52,6 +52,13 @@ OPS = [
     "stream_trending",
     "graph_transitions",
     "graph_pagerank",
+    # round-6b: nav CEP (lag pre-projection + per-step joins),
+    # RUNNING/FINAL unpivot, heavy hitters, path agg, windowed top-k
+    "cep_sql_prev",
+    "cep_measures_running",
+    "agg_heavy_hitters",
+    "agg_path_string",
+    "stream_topk",
 ]
 
 STREAM_NFA_SQL = """
