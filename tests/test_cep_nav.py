@@ -260,3 +260,47 @@ def test_prev_string_literal_not_rewritten(spark):
     """
     out = match_recognize(df, sql).collect()
     assert len(out) == 1
+
+
+def test_prev_stream_out_of_order_arrival(spark):
+    """Rows arriving out of ts order across micro-batches (but inside
+    the watermark) must still navigate in (ts, event_id) order: the
+    buffer sorts before maturation and the nav tail is built from
+    RELEASED order, not arrival order."""
+    from spark_cep_spark.streaming import harness
+
+    data = [
+        # arrival file 1: the dip's REBOUND and the anchor, no dip yet
+        [
+            (0, T0, 1, "click", 10.0, "{}"),
+            (2, T0 + dt.timedelta(minutes=10), 1, "click", 20.0, "{}"),
+        ],
+        # arrival file 2: the dip event arrives LATE (ts between them)
+        [(1, T0 + dt.timedelta(minutes=5), 1, "click", 8.0, "{}")],
+        # far-future tails flush the watermark past every deadline
+        [(100, T0 + dt.timedelta(minutes=500), 9, "click", 1.0, "{}")],
+        [(101, T0 + dt.timedelta(minutes=1000), 9, "click", 1.0, "{}")],
+    ]
+    d = tempfile.mkdtemp()
+    for i, chunk in enumerate(data):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(d, "f0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    # watermark 30 minutes: the late dip (5 min behind) is inside it
+    got = harness.run_available_now(
+        match_recognize(sdf, PREV_SQL, watermark="30 minutes"), "append"
+    )
+    rows = sorted(
+        (r["key"], r["anchor_id"])
+        for r in got.filter("key <> 9").collect()
+    )
+    # ts order is 10, 8(dip), 20(rebound): one match anchored at e1
+    assert rows == [(1, 1)]
