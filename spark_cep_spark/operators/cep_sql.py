@@ -17,6 +17,12 @@ Dialect (clauses in any order, case-insensitive keywords):
     PARTITION BY user_id
     ORDER BY ts
 
+PARTITION BY accepts a COLUMN LIST (round 6b): `PARTITION BY a, b`
+compiles against one synthesized struct key on both engines (struct
+equality in the batch joins, struct grouping key in the stateful
+operator) and the output carries flattened key_<col> columns. Not
+combinable with quantifier/group/PERMUTE expansion.
+
 Connectors (Flink-CEP contiguity modes, spelled infix):
     A -> B    relaxed followed-by (skip-till-next-match)  — Pattern.followed_by
     A => B    strict next (the key's immediately-next event) — Pattern.next
@@ -175,6 +181,10 @@ class ParsedPatternQuery:
     # pre-projects one lag/lead column per spec; streaming rejects
     # 'next' (lookahead) and evaluates 'prev' in the NFA kernel
     nav: tuple = ()
+    # non-empty iff PARTITION BY listed several columns: key_col is
+    # then the synthesized struct '__mr_key' and the output's struct
+    # key is flattened back to key_<col> columns by match_recognize
+    key_cols: tuple = ()
 
 
 def _mask_literals(text: str) -> str:
@@ -607,11 +617,21 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
 
     pattern.within(clauses["WITHIN"])
     pattern.corr_plan()  # surface correlation/measure errors at parse time
-    key_col = clauses.get("PARTITION BY", "user_id").strip() or "user_id"
+    key_raw = clauses.get("PARTITION BY", "user_id").strip() or "user_id"
+    key_cols = tuple(c.strip() for c in key_raw.split(","))
     time_col = clauses.get("ORDER BY", "ts").strip() or "ts"
-    for col, label in ((key_col, "PARTITION BY"), (time_col, "ORDER BY")):
+    for col, label in (
+        *((c, "PARTITION BY") for c in key_cols),
+        (time_col, "ORDER BY"),
+    ):
         if not re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", col):
-            raise ValueError(f"{label} must name a single column, got {col!r}")
+            raise ValueError(f"{label} must name a column, got {col!r}")
+    if len(set(key_cols)) != len(key_cols):
+        raise ValueError("PARTITION BY lists a column twice")
+    # a composite key compiles against ONE synthesized struct column
+    # (match_recognize projects it and flattens the output back to
+    # key_<col> columns); single-column keys keep the plain path
+    key_col = key_cols[0] if len(key_cols) == 1 else "__mr_key"
     skip = None
     if "AFTER MATCH" in clauses:
         body = re.sub(r"\s+", " ", clauses["AFTER MATCH"].strip())
@@ -653,6 +673,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         time_col=time_col,
         skip=skip,
         nav=tuple(sorted(all_nav_specs)),
+        key_cols=key_cols if len(key_cols) > 1 else (),
     )
 
 
@@ -1140,7 +1161,8 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     if grp is not None or expand_permute_sql(text) is not None or (
         expand_quantifier_sql(text) is not None
     ):
-        if "AFTER MATCH" in _split_clauses(text):
+        cl = _split_clauses(text)
+        if "AFTER MATCH" in cl:
             raise ValueError(
                 "AFTER MATCH skip policies are not supported with "
                 "quantifier/group/PERMUTE expansion (the policy would "
@@ -1151,6 +1173,11 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "PREV/NEXT navigation is not supported with "
                 "quantifier/group/PERMUTE expansion (each variant "
                 "would navigate a different row sequence)"
+            )
+        if "," in cl.get("PARTITION BY", ""):
+            raise ValueError(
+                "a multi-column PARTITION BY is not supported with "
+                "quantifier/group/PERMUTE expansion"
             )
     if grp is not None:
         if len(grp) == 1:
@@ -1193,6 +1220,24 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             )
         return _compile_quantifier_batch(df, quant)
     parsed = parse_pattern_sql(text)
+    if parsed.key_cols:
+        # composite key: ONE synthesized struct column carries the
+        # whole PARTITION BY tuple through either engine (struct
+        # equality in the batch joins, struct grouping key in the
+        # stateful operator); the output flattens it back below
+        df = df.withColumn("__mr_key", F.struct(*parsed.key_cols))
+
+    def _flatten_key(out: DataFrame) -> DataFrame:
+        if not parsed.key_cols:
+            return out
+        return out.select(
+            *[
+                F.col(f"key.{c}").alias(f"key_{c}")
+                for c in parsed.key_cols
+            ],
+            *[c for c in out.columns if c != "key"],
+        )
+
     if df.isStreaming:
         if any(d == "next" for d, _c, _k in parsed.nav):
             raise ValueError(
@@ -1203,8 +1248,15 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             )
         from spark_cep_spark.streaming.nfa import compile_stream
 
-        return compile_stream(
-            parsed.pattern, df, skip_policy=parsed.skip, **stream_kwargs
+        return _flatten_key(
+            compile_stream(
+                parsed.pattern,
+                df,
+                key_col=parsed.key_col,
+                time_col=parsed.time_col,
+                skip_policy=parsed.skip,
+                **stream_kwargs,
+            )
         )
     if parsed.nav:
         # pre-project the lag/lead columns the rewritten predicates
@@ -1245,7 +1297,7 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             out = select_skip_to(
                 out, f"t_{anchor}", f"t_{parsed.skip[1]}"
             )
-    return out
+    return _flatten_key(out)
 
 
 def _compile_variants_stream(
@@ -1923,6 +1975,44 @@ def cep_sql_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         DEFINE a AS event_type = 'view' AND value >= 2 * NEXT(value),
                p AS event_type = 'purchase'
         PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_multikey",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, event_id, ts FROM events
+               WHERE value > 80)
+    SELECT a.user_id AS key_user_id, a.event_type AS key_event_type,
+           a.event_id AS anchor_id, a.ts AS t_a, min(b.ts) AS t_b
+    FROM e a JOIN e b ON b.user_id = a.user_id
+                     AND b.event_type = a.event_type
+                     AND b.ts > a.ts
+                     AND b.ts <= a.ts + INTERVAL 12 HOUR
+    GROUP BY a.user_id, a.event_type, a.event_id, a.ts
+    """,
+)
+def cep_sql_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite PARTITION BY (standard MATCH_RECOGNIZE allows any
+    partition column list): two high-value events of the SAME type
+    for the same user within 12h — the (entity, sub-stream) keying
+    every multi-tenant monitor needs. One synthesized struct column
+    carries the tuple through both engines (struct equality in the
+    batch joins, struct grouping key in applyInPandasWithState — the
+    NFA's output key field takes the input's type), flattened back to
+    key_<col> columns at the end. Not combinable with
+    quantifier/group/PERMUTE expansion (pointed error)."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( a -> b )
+        WITHIN 12 HOURS
+        DEFINE a AS value > 80,
+               b AS value > 80
+        PARTITION BY user_id, event_type
         ORDER BY ts
         """,
     )

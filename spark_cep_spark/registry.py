@@ -179,6 +179,7 @@ NEXT_ROTATION: list[str] = [
     "emb_pca_power",
     "agg_path_string",
     "corpus_ngram_novelty",
+    "cep_sql_multikey",
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",

@@ -1268,7 +1268,10 @@ def compile_stream(
         prepared = prepared.filter(" OR ".join(f"m{i}" for i in range(n_steps)))
 
     out_fields = [
-        T.StructField("key", T.LongType()),
+        # the key keeps its INPUT type (long user ids, string symbols,
+        # or a struct for a composite PARTITION BY — the dialect's
+        # multi-column keys arrive as one synthesized struct column)
+        T.StructField("key", events_stream.schema[key_col].dataType),
         T.StructField("anchor_id", T.LongType()),
     ]
     for s in pos_steps:

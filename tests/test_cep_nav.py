@@ -304,3 +304,96 @@ def test_prev_stream_out_of_order_arrival(spark):
     )
     # ts order is 10, 8(dip), 20(rebound): one match anchored at e1
     assert rows == [(1, 1)]
+
+
+MULTIKEY_SQL = """
+PATTERN ( a -> b )
+WITHIN 2 HOURS
+DEFINE a AS value > 80,
+       b AS value > 80
+PARTITION BY user_id, event_type
+ORDER BY ts
+"""
+
+
+def test_multikey_stream_equals_batch(spark):
+    """Composite PARTITION BY on the streaming engine: the struct
+    grouping key flows through applyInPandasWithState and the output
+    flattens to key_<col> columns identical to the batch plan."""
+    from spark_cep_spark.streaming import harness
+
+    rows = [
+        # user 1: two >80 clicks (match) with a >80 view between them
+        # (different sub-stream — must NOT break the click sequence,
+        # and the two views also match within their own partition)
+        (1, 0, "click", 90.0),
+        (1, 5, "view", 95.0),
+        (1, 10, "click", 85.0),
+        (1, 15, "view", 99.0),
+        # user 2: >80 events of DIFFERENT types only -> no match
+        (2, 0, "click", 90.0),
+        (2, 5, "view", 90.0),
+    ]
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, (u, m, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    half = (len(data) + 1) // 2
+    files = [data[:half], data[half:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "click", 99.0, "{}")]
+        for j, mm in enumerate((500, 1000))
+    ]
+    for i, chunk in enumerate(files):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    got = harness.run_available_now(
+        match_recognize(sdf, MULTIKEY_SQL, watermark="0 seconds"),
+        "append",
+    )
+    want = match_recognize(df, MULTIKEY_SQL)
+    g = sorted(
+        tuple(r) for r in got.filter("key_user_id <> 9").collect()
+    )
+    w = sorted(
+        tuple(r)
+        for r in want.filter("key_user_id <> 9")
+        .select(*got.columns)
+        .collect()
+    )
+    assert g == w
+    assert len(w) == 2  # (1, click) and (1, view) both match
+
+
+def test_multikey_rejections(spark):
+    df = spark.createDataFrame(
+        [(0, T0, 1, "click", 1.0, "{}")], SCHEMA
+    )
+    with pytest.raises(ValueError, match="multi-column PARTITION BY"):
+        match_recognize(
+            df,
+            """
+            PATTERN ( a -> b? )
+            WITHIN 1 HOURS
+            DEFINE a AS value > 0, b AS value > 1
+            PARTITION BY user_id, event_type
+            """,
+        )
+    with pytest.raises(ValueError, match="lists a column twice"):
+        match_recognize(
+            df,
+            """
+            PATTERN ( a -> b )
+            WITHIN 1 HOURS
+            DEFINE a AS value > 0, b AS value > 1
+            PARTITION BY user_id, user_id
+            """,
+        )

@@ -51,6 +51,9 @@ NESTED_LOOP_OK = {
     # — same constant-size-build-side shape as text_surprisal)
     "text_bm25_topk",  # 1-row (N, avgdl) scalar broadcast into the
     # query-term-bounded postings — same shape as text_surprisal
+    "agg_heavy_hitters",  # 1-row grand-total broadcast into the per-key
+    # counts (frequency > n/k threshold) — same constant-size build
+    # side as text_surprisal
     "sim_rrf_hybrid",  # inherits text_bm25_topk's 1-row scalar
     # broadcast on its lexical branch (the semantic branch is pure
     # equi-joins on exact-integer components)
