@@ -2016,3 +2016,38 @@ def cep_sql_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ts
         """,
     )
+
+
+@register(
+    "cep_sql_string_key",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id, ts FROM events
+               WHERE value > 95)
+    SELECT a.event_type AS key, a.event_id AS anchor_id,
+           a.ts AS t_a, min(b.ts) AS t_b
+    FROM e a JOIN e b ON b.event_type = a.event_type
+                     AND b.ts > a.ts
+                     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.event_type, a.event_id, a.ts
+    """,
+)
+def cep_sql_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-numeric partition key: burst detection per EVENT TYPE
+    (two >95-value events of one type within an hour, across all
+    users) — partitioning a pattern by a categorical column is
+    routine in monitoring, and the NFA's key field historically
+    assumed long. The dynamic key typing added for composite keys
+    makes a plain string PARTITION BY work on both engines; the
+    streaming face is pinned in tests/test_cep_nav.py."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( a -> b )
+        WITHIN 1 HOURS
+        DEFINE a AS value > 95,
+               b AS value > 95
+        PARTITION BY event_type
+        ORDER BY ts
+        """,
+    )

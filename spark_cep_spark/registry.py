@@ -180,6 +180,7 @@ NEXT_ROTATION: list[str] = [
     "agg_path_string",
     "corpus_ngram_novelty",
     "cep_sql_multikey",
+    "cep_sql_string_key",
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",

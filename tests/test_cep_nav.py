@@ -397,3 +397,56 @@ def test_multikey_rejections(spark):
             PARTITION BY user_id, user_id
             """,
         )
+
+
+def test_string_key_stream_equals_batch(spark):
+    """A plain STRING partition key through the streaming NFA (the
+    key output field takes the input's type — it was long-only before
+    round 6b)."""
+    from spark_cep_spark.streaming import harness
+
+    sql = """
+    PATTERN ( a -> b )
+    WITHIN 1 HOURS
+    DEFINE a AS value > 95,
+           b AS value > 95
+    PARTITION BY event_type
+    ORDER BY ts
+    """
+    rows = [
+        (1, 0, "click", 99.0),
+        (2, 10, "click", 97.0),   # second high click -> match
+        (1, 5, "view", 99.0),     # lone high view -> no match
+        (3, 20, "view", 10.0),
+    ]
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, (u, m, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    files = [data[:2], data[2:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "tail", 1.0, "{}")]
+        for j, mm in enumerate((500, 1000))
+    ]
+    for i, chunk in enumerate(files):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    got = harness.run_available_now(
+        match_recognize(sdf, sql, watermark="0 seconds"), "append"
+    )
+    want = match_recognize(df, sql)
+    g = sorted(tuple(r) for r in got.filter("key <> 'tail'").collect())
+    w = sorted(
+        tuple(r)
+        for r in want.filter("key <> 'tail'").select(*got.columns).collect()
+    )
+    assert g == w
+    assert [r[0] for r in w] == ["click"]
