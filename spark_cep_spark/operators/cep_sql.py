@@ -166,6 +166,8 @@ _CLAUSE_KEYWORDS = (
     "PARTITION BY",
     "ORDER BY",
     "AFTER MATCH",
+    "ALL ROWS PER MATCH",
+    "ONE ROW PER MATCH",
 )
 
 
@@ -185,6 +187,10 @@ class ParsedPatternQuery:
     # then the synthesized struct '__mr_key' and the output's struct
     # key is flattened back to key_<col> columns by match_recognize
     key_cols: tuple = ()
+    # True iff the ALL ROWS PER MATCH output mode was requested —
+    # match_recognize compiles with emit_ids and unpivots each match
+    # to one row per bound event (rows_per_match)
+    all_rows: bool = False
 
 
 def _mask_literals(text: str) -> str:
@@ -667,6 +673,31 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     "step (the scan would not advance)"
                 )
             skip = ("skip_to_last", tgt)
+    for kw in ("ALL ROWS PER MATCH", "ONE ROW PER MATCH"):
+        if kw in clauses and clauses[kw]:
+            raise ValueError(
+                f"{kw} takes no arguments, got {clauses[kw]!r}"
+            )
+    if "ALL ROWS PER MATCH" in clauses and "ONE ROW PER MATCH" in clauses:
+        raise ValueError("specify at most one rows-per-match mode")
+    all_rows = "ALL ROWS PER MATCH" in clauses
+    if all_rows:
+        if pattern.measures:
+            raise ValueError(
+                "MEASURES is not supported with ALL ROWS PER MATCH in "
+                "the dialect (a measure is a whole-match value; for "
+                "per-row RUNNING/FINAL semantics compose "
+                "rows_per_match_running on the ONE ROW output)"
+            )
+        for s in pattern.steps:
+            if s.contiguity == "kleene":
+                raise ValueError(
+                    "ALL ROWS PER MATCH is not supported with a "
+                    "one_or_more step (a run has no fixed per-row "
+                    "schema; the default mode emits the run's "
+                    "first/last/count columns)"
+                )
+
     return ParsedPatternQuery(
         pattern=pattern,
         key_col=key_col,
@@ -674,6 +705,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         skip=skip,
         nav=tuple(sorted(all_nav_specs)),
         key_cols=key_cols if len(key_cols) > 1 else (),
+        all_rows=all_rows,
     )
 
 
@@ -1179,6 +1211,13 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "a multi-column PARTITION BY is not supported with "
                 "quantifier/group/PERMUTE expansion"
             )
+        if "ALL ROWS PER MATCH" in cl:
+            raise ValueError(
+                "ALL ROWS PER MATCH is not supported with "
+                "quantifier/group/PERMUTE expansion (variants bind "
+                "different step sets, so there is no single per-row "
+                "schema)"
+            )
     if grp is not None:
         if len(grp) == 1:
             # exact {n}: one flat chain — recurse so any remaining
@@ -1248,16 +1287,27 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             )
         from spark_cep_spark.streaming.nfa import compile_stream
 
-        return _flatten_key(
-            compile_stream(
-                parsed.pattern,
-                df,
-                key_col=parsed.key_col,
-                time_col=parsed.time_col,
-                skip_policy=parsed.skip,
-                **stream_kwargs,
-            )
+        out = compile_stream(
+            parsed.pattern,
+            df,
+            key_col=parsed.key_col,
+            time_col=parsed.time_col,
+            skip_policy=parsed.skip,
+            emit_ids=parsed.all_rows,
+            **stream_kwargs,
         )
+        if parsed.all_rows:
+            from spark_cep_spark.operators.cep import rows_per_match
+
+            out = rows_per_match(
+                out,
+                [
+                    s.name
+                    for s in parsed.pattern.steps
+                    if s.contiguity != "absent"
+                ],
+            )
+        return _flatten_key(out)
     if parsed.nav:
         # pre-project the lag/lead columns the rewritten predicates
         # reference — one per-key window sort, the same (ts, event_id)
@@ -1273,7 +1323,10 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 _nav_out_col(d, col, k), fn(F.col(col), k).over(w)
             )
     out = parsed.pattern.compile_batch(
-        df, key_col=parsed.key_col, time_col=parsed.time_col
+        df,
+        key_col=parsed.key_col,
+        time_col=parsed.time_col,
+        emit_ids=parsed.all_rows,
     )
     if parsed.skip is not None:
         from spark_cep_spark.operators.cep import (
@@ -1297,6 +1350,17 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             out = select_skip_to(
                 out, f"t_{anchor}", f"t_{parsed.skip[1]}"
             )
+    if parsed.all_rows:
+        from spark_cep_spark.operators.cep import rows_per_match
+
+        out = rows_per_match(
+            out,
+            [
+                s.name
+                for s in parsed.pattern.steps
+                if s.contiguity != "absent"
+            ],
+        )
     return _flatten_key(out)
 
 
@@ -2048,6 +2112,51 @@ def cep_sql_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         DEFINE a AS value > 95,
                b AS value > 95
         PARTITION BY event_type
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_all_rows",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_v,
+                  min({'ts': c.ts, 'id': c.event_id}) AS mc
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts
+                        AND c.ts <= v.ts + INTERVAL 3 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts)
+    SELECT user_id AS key, event_id AS anchor_id,
+           CAST(1 AS BIGINT) AS seq_no, 'v' AS step, t_v AS ts, event_id
+    FROM s2
+    UNION ALL
+    SELECT user_id, event_id, CAST(2 AS BIGINT), 'c', mc.ts, mc.id
+    FROM s2
+    """,
+)
+def cep_sql_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALL ROWS PER MATCH output mode as a DIALECT CLAUSE
+    (standard MATCH_RECOGNIZE spelling — previously only the
+    rows_per_match helper face): one output row per bound event with
+    (seq_no, step, ts, event_id). Compiles as emit_ids + the unpivot
+    on BOTH engines; rejected with pointed errors for MEASURES (a
+    measure is whole-match — see rows_per_match_running), one_or_more
+    steps, and quantifier/PERMUTE expansion."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( v -> c )
+        WITHIN 3 HOURS
+        DEFINE v AS event_type = 'view',
+               c AS event_type = 'click'
+        ALL ROWS PER MATCH
+        PARTITION BY user_id
         ORDER BY ts
         """,
     )

@@ -181,6 +181,7 @@ NEXT_ROTATION: list[str] = [
     "corpus_ngram_novelty",
     "cep_sql_multikey",
     "cep_sql_string_key",
+    "cep_sql_all_rows",
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",

@@ -450,3 +450,101 @@ def test_string_key_stream_equals_batch(spark):
     )
     assert g == w
     assert [r[0] for r in w] == ["click"]
+
+
+ALL_ROWS_SQL = """
+PATTERN ( v -> c )
+WITHIN 1 HOURS
+DEFINE v AS event_type = 'view',
+       c AS event_type = 'click'
+ALL ROWS PER MATCH
+"""
+
+
+def test_all_rows_clause_stream_equals_batch(spark):
+    """The ALL ROWS PER MATCH dialect clause on a stream: emit_ids +
+    unpivot compose on the streaming match output."""
+    from spark_cep_spark.streaming import harness
+
+    rows = [
+        (1, 0, "view", 1.0),
+        (1, 5, "click", 2.0),
+        (2, 0, "view", 1.0),   # no click -> no rows
+    ]
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, (u, m, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    files = [data, [(100, T0 + dt.timedelta(minutes=500), 9, "view", 1.0, "{}")],
+             [(101, T0 + dt.timedelta(minutes=1000), 9, "view", 1.0, "{}")]]
+    for i, chunk in enumerate(files):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    got = harness.run_available_now(
+        match_recognize(sdf, ALL_ROWS_SQL, watermark="0 seconds"),
+        "append",
+    )
+    want = match_recognize(df, ALL_ROWS_SQL)
+    g = sorted(tuple(r) for r in got.filter("key <> 9").collect())
+    w = sorted(
+        tuple(r)
+        for r in want.filter("key <> 9").select(*got.columns).collect()
+    )
+    assert g == w
+    assert [(r[2], r[3]) for r in w] == [(1, "v"), (2, "c")]
+
+
+def test_all_rows_clause_rejections(spark):
+    df = spark.createDataFrame([(0, T0, 1, "view", 1.0, "{}")], SCHEMA)
+    with pytest.raises(ValueError, match="MEASURES is not supported"):
+        match_recognize(
+            df,
+            """
+            PATTERN ( v -> c )
+            WITHIN 1 HOURS
+            DEFINE v AS event_type = 'view', c AS event_type = 'click'
+            MEASURES c.value AS cv
+            ALL ROWS PER MATCH
+            """,
+        )
+    with pytest.raises(ValueError, match="one_or_more"):
+        match_recognize(
+            df,
+            """
+            PATTERN ( v -> c+ )
+            WITHIN 1 HOURS
+            DEFINE v AS event_type = 'view', c AS event_type = 'click'
+            ALL ROWS PER MATCH
+            """,
+        )
+    with pytest.raises(ValueError, match="not supported with"):
+        match_recognize(
+            df,
+            """
+            PATTERN ( v -> c? -> p )
+            WITHIN 1 HOURS
+            DEFINE v AS event_type = 'view', c AS event_type = 'click',
+                   p AS event_type = 'purchase'
+            ALL ROWS PER MATCH
+            """,
+        )
+    with pytest.raises(ValueError, match="at most one rows-per-match"):
+        match_recognize(
+            df,
+            """
+            PATTERN ( v -> c )
+            WITHIN 1 HOURS
+            DEFINE v AS event_type = 'view', c AS event_type = 'click'
+            ONE ROW PER MATCH
+            ALL ROWS PER MATCH
+            """,
+        )

@@ -104,7 +104,7 @@ def test_literals_do_not_break_parsing():
         (
             "PATTERN (A -> B) WITHIN 1h DEFINE A AS x = 1, B AS y = 2 "
             "PARTITION BY a.b",
-            "single column",
+            "must name a column",
         ),
         ("SELECT 1", "no CEP clauses|unexpected text"),
     ],
