@@ -182,6 +182,7 @@ NEXT_ROTATION: list[str] = [
     "cep_sql_multikey",
     "cep_sql_string_key",
     "cep_sql_all_rows",
+    "stream_session_dynamic",
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",

@@ -642,3 +642,89 @@ def topk_stream(
     closes). Compose with topk_select on the materialized output for
     the continuous top-k view."""
     return topk_counts(events_stream.withWatermark("ts", watermark))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (per-event gap expression)
+
+_DYN_GAP = (
+    "CASE event_type WHEN 'view' THEN '30 minutes' "
+    "WHEN 'click' THEN '10 minutes' ELSE '20 minutes' END"
+)
+
+
+def dynamic_session_agg(events: DataFrame) -> DataFrame:
+    """Shared kernel: session windows whose inactivity gap depends on
+    EACH EVENT (Flink's session gap extractor, Spark's dynamic
+    F.session_window) — a view holds the session open 30 min, a click
+    only 10. Works identically on batch input and a watermarked
+    stream."""
+    return (
+        events.groupBy(
+            F.session_window("ts", F.expr(_DYN_GAP)).alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+@register(
+    "stream_session_dynamic",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 30
+                             WHEN 'click' THEN 10 ELSE 20 END AS gap_min
+      FROM events),
+    w AS (
+      SELECT user_id, ts, event_id, gap_min,
+             max(ts + INTERVAL (gap_min) MINUTE) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS runmax
+      FROM g),
+    f AS (
+      SELECT user_id, ts, event_id, gap_min,
+             CASE WHEN runmax IS NULL OR ts >= runmax THEN 1 ELSE 0 END
+               AS brk
+      FROM w),
+    s AS (
+      SELECT user_id, ts, gap_min,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sid
+      FROM f)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts + INTERVAL (gap_min) MINUTE) AS session_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization (batch twin of the streaming face):
+    Spark's session_window with a PER-EVENT gap expression merges
+    [ts, ts+gap) windows that overlap — a session stays open as long
+    as the latest event's own patience allows. The oracle replays the
+    merge as a gaps-and-islands pass: a session break is an event at
+    or past the running max of (ts + gap) over all earlier events
+    (the running max is monotone, so a break proves EVERY earlier
+    window has closed); session_end = max(ts + gap) of the members.
+    Scale: one (user) shuffle for the session assignment — identical
+    cost to the fixed-gap stream_session; the gap CASE is a codegen
+    projection."""
+    return dynamic_session_agg(table(spark, sf_dir, "events"))
+
+
+def dynamic_session_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face: watermark bounds the open-session state; a
+    session emits once the watermark passes its dynamic close."""
+    return dynamic_session_agg(
+        events_stream.withWatermark("ts", watermark)
+    )

@@ -70,6 +70,8 @@ EVENTS_KEYS = [
     # round-6b additions over the events table
     "cep_sql_prev", "cep_sql_next", "cep_measures_running",
     "agg_heavy_hitters", "agg_path_string", "stream_topk",
+    "cep_sql_multikey", "cep_sql_string_key", "cep_sql_all_rows",
+    "stream_session_dynamic",
 ]
 
 
@@ -121,6 +123,8 @@ EMPTY_SWEEP_KEYS = [
     # round-6b
     "cep_sql_prev", "cep_sql_next", "cep_measures_running",
     "agg_heavy_hitters", "agg_path_string", "stream_topk",
+    "cep_sql_multikey", "cep_sql_string_key", "cep_sql_all_rows",
+    "stream_session_dynamic",
 ]
 
 

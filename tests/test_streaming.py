@@ -769,3 +769,20 @@ def test_topk_stream_equals_batch(spark, sf_dir, staged):
     want = stream_topk(spark, sf_dir)
     cols = ["win_start", "user_id", "n", "rk"]
     assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
+
+
+def test_dynamic_session_stream_equals_batch(spark, sf_dir, staged):
+    """Dynamic-gap sessions: per-event gap expression through the
+    streaming session_window operator == the batch twin."""
+    from spark_cep_spark.streaming.windows import (
+        dynamic_session_stream,
+        stream_session_dynamic,
+    )
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        dynamic_session_stream(stream, watermark="35 days"), "complete"
+    )
+    want = stream_session_dynamic(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n"]
+    assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))

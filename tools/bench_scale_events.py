@@ -59,6 +59,8 @@ OPS = [
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
+    "stream_session_dynamic",
+    "cep_sql_multikey",
 ]
 
 STREAM_NFA_SQL = """
