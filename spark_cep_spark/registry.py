@@ -159,12 +159,13 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: first the round-6
-# additions that did NOT fit this round's 50-key window (zero driver
-# evidence; local exact-pass via check_oracle), then the cohort whose
-# latest driver evidence is round 3 — the oldest remaining once the
-# round-6 window lands.
+# and round-6b additions that did NOT fit this round's 50-key window
+# (zero driver evidence; every one exact-passes tools/check_oracle.py
+# locally — emb_pca_power via its eigh-cos rows-only probe), then the
+# cohort whose latest driver evidence is round 3 — the oldest
+# remaining once the round-6 window lands.
 NEXT_ROTATION: list[str] = [
-    # (a) round-6 keys beyond the window, zero driver evidence
+    # (a) round-6/6b keys beyond the window, zero driver evidence
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

@@ -1054,6 +1054,42 @@ def absence_stream(
     )
 
 
+def advance_nav(
+    nav_tail: list,
+    matured: list,
+    navs: list,
+    nav_cols: list,
+    nav_k: int,
+    base: int,
+) -> tuple[list, list]:
+    """Pure navigation kernel: refine the m-flags of PREV-navigation
+    steps against the key's previous physical rows, in release order.
+
+    nav_tail — the last ≤ nav_k released rows' nav values (oldest
+    first); matured — entries [ts, eid, flags, vals?, navvals] with
+    navvals at index `base`; navs — [(step_idx, (fn, cols, k, has_next))].
+    Returns (new_tail, stripped_entries). Chunking-invariant by
+    construction: the tail after processing a prefix is exactly the
+    state a later chunk resumes from (property-tested in
+    tests/test_cep_nav.py)."""
+    for e in matured:
+        navv = e[base]
+        cur = dict(zip(nav_cols, navv))
+        env = {
+            f"__PREVROW{j}": (
+                dict(zip(nav_cols, nav_tail[-j]))
+                if len(nav_tail) >= j
+                else {c: None for c in nav_cols}
+            )
+            for j in range(1, nav_k + 1)
+        }
+        for i, (fn, _carry, _mk, _hn) in navs:
+            if e[2][i]:
+                e[2][i] = fn(cur, env)
+        nav_tail.append(navv)
+    return nav_tail[-nav_k:], [e[:base] for e in matured]
+
+
 def compile_stream(
     pattern: "Pattern",
     events_stream: DataFrame,
@@ -1351,24 +1387,9 @@ def compile_stream(
             # previous physical rows, in release order — the exact
             # rows the batch lag column sees (buf.sort == (ts, eid))
             base = 3 + (1 if val_cols else 0)
-            blank = {c: None for c in nav_cols}
-            for e in matured:
-                navv = e[base]
-                cur = dict(zip(nav_cols, navv))
-                env = {
-                    f"__PREVROW{j}": (
-                        dict(zip(nav_cols, nav_tail[-j]))
-                        if len(nav_tail) >= j
-                        else blank
-                    )
-                    for j in range(1, nav_k + 1)
-                }
-                for i, (fn, _carry, _mk, _hn) in navs:
-                    if e[2][i]:
-                        e[2][i] = fn(cur, env)
-                nav_tail.append(navv)
-            nav_tail = nav_tail[-nav_k:]
-            matured = [e[:base] for e in matured]
+            nav_tail, matured = advance_nav(
+                nav_tail, matured, navs, nav_cols, nav_k, base
+            )
 
         partials, matches = advance_nfa_full(
             partials,

@@ -548,3 +548,59 @@ def test_all_rows_clause_rejections(spark):
             ALL ROWS PER MATCH
             """,
         )
+
+
+# ------------------------------------------------------------------
+# pure nav kernel (advance_nav) — chunking invariance, no SparkSession
+# ------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-5, 5)), min_size=0, max_size=24
+    ),
+    k=st.integers(1, 3),
+    cuts=st.lists(st.integers(0, 23), max_size=4),
+)
+def test_advance_nav_chunking_invariant(vals, k, cuts):
+    """Feeding the same released sequence through advance_nav in ANY
+    chunking yields identical flags and final tail: the tail after a
+    prefix IS the resume state."""
+    from spark_cep_spark.streaming.nfa import (
+        _compile_where_py,
+        advance_nav,
+    )
+
+    fn = _compile_where_py(f"CUR.v > __PREVROW{k}.v", "CUR")
+    navs = [(0, (fn, ["v"], k, False))]
+
+    def entries():
+        return [
+            [t, t, [True], [v]] for t, v in enumerate(vals)
+        ]  # base=3: no val_cols
+
+    tail1, out1 = advance_nav([], entries(), navs, ["v"], k, 3)
+    flags1 = [e[2][0] for e in out1]
+
+    bounds = sorted({c for c in cuts if c <= len(vals)} | {0, len(vals)})
+    tail2: list = []
+    flags2: list = []
+    es = entries()
+    for a, b in zip(bounds, bounds[1:]):
+        tail2, out = advance_nav(tail2, es[a:b], navs, ["v"], k, 3)
+        flags2 += [e[2][0] for e in out]
+    assert flags1 == flags2
+    assert tail1 == tail2
+    # referee: brute-force lag semantics (NULL prev -> unsatisfied)
+    want = [
+        v is not None
+        and i >= k
+        and vals[i - k] is not None
+        and v > vals[i - k]
+        for i, v in enumerate(vals)
+    ]
+    assert flags1 == want
