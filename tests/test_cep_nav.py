@@ -604,3 +604,25 @@ def test_advance_nav_chunking_invariant(vals, k, cuts):
         for i, v in enumerate(vals)
     ]
     assert flags1 == want
+
+
+def test_prev_on_braced_step_batch(spark):
+    """An explicit {2} repetition inherits its root DEFINE's
+    navigation on every sub-step (name_1/name_2 attr attachment)."""
+    sql = """
+    PATTERN ( s -> d{2} )
+    WITHIN 2 HOURS
+    DEFINE s AS event_type = 'signup',
+           d AS value < PREV(value)
+    """
+    rows = [
+        (1, 0, "signup", 100.0),
+        (1, 5, "click", 90.0),   # drop 1 (vs 100)
+        (1, 10, "click", 80.0),  # drop 2 (vs 90) -> match
+        (2, 0, "signup", 100.0),
+        (2, 5, "click", 90.0),   # drop 1
+        (2, 10, "click", 95.0),  # rise -> no second drop
+    ]
+    df, _ = _mkdf(spark, rows)
+    out = match_recognize(df, sql).collect()
+    assert [(r["key"], r["anchor_id"]) for r in out] == [(1, 0)]
