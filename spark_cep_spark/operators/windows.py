@@ -987,3 +987,53 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 6).alias("sum_1h"),
         F.round(F.avg("value").over(w), 6).alias("avg_1h"),
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, cents,
+             max(cents) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS runmax
+      FROM c)
+    SELECT user_id,
+           CAST(max(cents) AS BIGINT) AS peak_cents,
+           CAST(min(cents - runmax) AS BIGINT) AS max_drawdown_cents
+    FROM r GROUP BY user_id
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest drop of `value` below
+    its RUNNING maximum in event order — the running-max-relative
+    analytic behind loss monitoring and SLA-degradation alerts.
+    Exact cents throughout; one (user, (ts,id)) window shuffle with an
+    O(1) running-max frame, then a plain per-user aggregate — no
+    second sort. NULL values are excluded on both engines (they carry
+    no level)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = e.select(
+        "user_id",
+        cents.alias("cents"),
+        F.max(cents).over(w).alias("runmax"),
+    )
+    return r.groupBy("user_id").agg(
+        F.max("cents").alias("peak_cents"),
+        F.min(F.col("cents") - F.col("runmax")).alias(
+            "max_drawdown_cents"
+        ),
+    )

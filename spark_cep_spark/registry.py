@@ -184,6 +184,7 @@ NEXT_ROTATION: list[str] = [
     "cep_sql_string_key",
     "cep_sql_all_rows",
     "stream_session_dynamic",
+    "win_drawdown",
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",

@@ -71,7 +71,7 @@ EVENTS_KEYS = [
     "cep_sql_prev", "cep_sql_next", "cep_measures_running",
     "agg_heavy_hitters", "agg_path_string", "stream_topk",
     "cep_sql_multikey", "cep_sql_string_key", "cep_sql_all_rows",
-    "stream_session_dynamic",
+    "stream_session_dynamic", "win_drawdown",
 ]
 
 
@@ -124,7 +124,7 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_prev", "cep_sql_next", "cep_measures_running",
     "agg_heavy_hitters", "agg_path_string", "stream_topk",
     "cep_sql_multikey", "cep_sql_string_key", "cep_sql_all_rows",
-    "stream_session_dynamic",
+    "stream_session_dynamic", "win_drawdown",
 ]
 
 
