@@ -23,6 +23,14 @@ equality in the batch joins, struct grouping key in the stateful
 operator) and the output carries flattened key_<col> columns. Not
 combinable with quantifier/group/PERMUTE expansion.
 
+Output mode (round 6b): `ONE ROW PER MATCH` (the default) emits one
+row per match; `ALL ROWS PER MATCH` emits one row PER BOUND EVENT
+(key, anchor_id, seq_no, step, ts, event_id) via emit_ids + the
+rows_per_match unpivot — on both engines. Not combinable with
+MEASURES (a measure is a whole-match value; compose
+rows_per_match_running on the default output for per-row
+RUNNING/FINAL sums), one_or_more steps, or expansion.
+
 Connectors (Flink-CEP contiguity modes, spelled infix):
     A -> B    relaxed followed-by (skip-till-next-match)  — Pattern.followed_by
     A => B    strict next (the key's immediately-next event) — Pattern.next
