@@ -1407,6 +1407,7 @@ def rows_per_match(
     steps: list[str],
     key_col: str = "key",
     anchor_col: str = "anchor_id",
+    carry: tuple = (),
 ) -> DataFrame:
     """ALL ROWS PER MATCH (MATCH_RECOGNIZE's per-event output mode)
     for fixed-chain matches: unpivot each match's t_<step>/id_<step>
@@ -1415,7 +1416,9 @@ def rows_per_match(
     a union of per-step selects): a single whole-stage-codegen pass,
     no shuffle — and, critically, it composes on STREAMING match
     output, where a self-union of the stateful operator would be
-    rejected as multiple applyInPandasWithStates in one query."""
+    rejected as multiple applyInPandasWithStates in one query.
+    `carry` names extra match-level columns replicated onto every
+    row of their match (e.g. a MATCH_NUMBER() column)."""
     entries = F.array(
         *[
             F.struct(
@@ -1428,8 +1431,8 @@ def rows_per_match(
         ]
     )
     return matches.select(
-        key_col, anchor_col, F.explode(entries).alias("_e")
-    ).select(key_col, anchor_col, "_e.*")
+        key_col, anchor_col, *carry, F.explode(entries).alias("_e")
+    ).select(key_col, anchor_col, *carry, "_e.*")
 
 
 @register(

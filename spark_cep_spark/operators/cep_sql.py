@@ -199,6 +199,14 @@ class ParsedPatternQuery:
     # match_recognize compiles with emit_ids and unpivots each match
     # to one row per bound event (rows_per_match)
     all_rows: bool = False
+    # aliases for the SQL-standard per-match functions, parsed out of
+    # MEASURES: `MATCH_NUMBER() AS alias` numbers matches 1, 2, ...
+    # per key in start order (both output modes, both engines);
+    # `CLASSIFIER() AS alias` names the pattern variable each output
+    # row bound (ALL ROWS PER MATCH only — it renames the unpivot's
+    # step column)
+    match_number_alias: str | None = None
+    classifier_alias: str | None = None
 
 
 def _mask_literals(text: str) -> str:
@@ -620,6 +628,8 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 [x.strip() for x in m.group(2).split(",")],
             )
 
+    match_number_alias: str | None = None
+    classifier_alias: str | None = None
     if "MEASURES" in clauses:
         for item in _split_top_level_commas(clauses["MEASURES"]):
             m = re.match(r"^(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.I | re.S)
@@ -627,7 +637,21 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 raise ValueError(
                     f"malformed MEASURES entry: {item!r} (want expr AS alias)"
                 )
-            pattern.measure(m.group(2), m.group(1).strip())
+            expr, alias = m.group(1).strip(), m.group(2)
+            # the SQL-standard per-match functions are handled by the
+            # compiler, not the measure machinery (they are positional,
+            # not value aggregates)
+            if re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", expr, re.I):
+                if match_number_alias is not None:
+                    raise ValueError("MATCH_NUMBER() listed twice")
+                match_number_alias = alias
+                continue
+            if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr, re.I):
+                if classifier_alias is not None:
+                    raise ValueError("CLASSIFIER() listed twice")
+                classifier_alias = alias
+                continue
+            pattern.measure(alias, expr)
 
     pattern.within(clauses["WITHIN"])
     pattern.corr_plan()  # surface correlation/measure errors at parse time
@@ -689,12 +713,19 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     if "ALL ROWS PER MATCH" in clauses and "ONE ROW PER MATCH" in clauses:
         raise ValueError("specify at most one rows-per-match mode")
     all_rows = "ALL ROWS PER MATCH" in clauses
+    if classifier_alias is not None and not all_rows:
+        raise ValueError(
+            "CLASSIFIER() requires ALL ROWS PER MATCH (in ONE ROW "
+            "mode every output row is a whole match, so there is no "
+            "per-row pattern variable to name)"
+        )
     if all_rows:
         if pattern.measures:
             raise ValueError(
                 "MEASURES is not supported with ALL ROWS PER MATCH in "
-                "the dialect (a measure is a whole-match value; for "
-                "per-row RUNNING/FINAL semantics compose "
+                "the dialect beyond CLASSIFIER()/MATCH_NUMBER() (a "
+                "measure is a whole-match value; for per-row "
+                "RUNNING/FINAL semantics compose "
                 "rows_per_match_running on the ONE ROW output)"
             )
         for s in pattern.steps:
@@ -714,6 +745,8 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         nav=tuple(sorted(all_nav_specs)),
         key_cols=key_cols if len(key_cols) > 1 else (),
         all_rows=all_rows,
+        match_number_alias=match_number_alias,
+        classifier_alias=classifier_alias,
     )
 
 
@@ -1226,6 +1259,16 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "different step sets, so there is no single per-row "
                 "schema)"
             )
+        if re.search(
+            r"\b(?:CLASSIFIER|MATCH_NUMBER)\s*\(",
+            _mask_literals(text),
+            re.I,
+        ):
+            raise ValueError(
+                "CLASSIFIER()/MATCH_NUMBER() are not supported with "
+                "quantifier/group/PERMUTE expansion (each variant "
+                "would number its matches independently)"
+            )
     if grp is not None:
         if len(grp) == 1:
             # exact {n}: one flat chain — recurse so any remaining
@@ -1302,8 +1345,13 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             time_col=parsed.time_col,
             skip_policy=parsed.skip,
             emit_ids=parsed.all_rows,
+            emit_match_number=parsed.match_number_alias is not None,
             **stream_kwargs,
         )
+        if parsed.match_number_alias:
+            out = out.withColumnRenamed(
+                "match_no", parsed.match_number_alias
+            )
         if parsed.all_rows:
             from spark_cep_spark.operators.cep import rows_per_match
 
@@ -1314,7 +1362,16 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                     for s in parsed.pattern.steps
                     if s.contiguity != "absent"
                 ],
+                carry=(
+                    (parsed.match_number_alias,)
+                    if parsed.match_number_alias
+                    else ()
+                ),
             )
+            if parsed.classifier_alias:
+                out = out.withColumnRenamed(
+                    "step", parsed.classifier_alias
+                )
         return _flatten_key(out)
     if parsed.nav:
         # pre-project the lag/lead columns the rewritten predicates
@@ -1358,6 +1415,20 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             out = select_skip_to(
                 out, f"t_{anchor}", f"t_{parsed.skip[1]}"
             )
+    if parsed.match_number_alias:
+        # MATCH_NUMBER(): matches numbered 1, 2, ... per key in START
+        # order (t_anchor, anchor_id — the streaming kernel's exact
+        # release order). A per-key window: its input is the key's
+        # MATCHES (already collapsed from events), so the partition is
+        # bounded the same way the match output itself is.
+        pos0 = next(
+            s for s in parsed.pattern.steps if s.contiguity != "absent"
+        )
+        wmn = W.partitionBy("key").orderBy(f"t_{pos0.name}", "anchor_id")
+        out = out.withColumn(
+            parsed.match_number_alias,
+            F.row_number().over(wmn).cast("long"),
+        )
     if parsed.all_rows:
         from spark_cep_spark.operators.cep import rows_per_match
 
@@ -1368,7 +1439,14 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 for s in parsed.pattern.steps
                 if s.contiguity != "absent"
             ],
+            carry=(
+                (parsed.match_number_alias,)
+                if parsed.match_number_alias
+                else ()
+            ),
         )
+        if parsed.classifier_alias:
+            out = out.withColumnRenamed("step", parsed.classifier_alias)
     return _flatten_key(out)
 
 
@@ -2163,6 +2241,129 @@ def cep_sql_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITHIN 3 HOURS
         DEFINE v AS event_type = 'view',
                c AS event_type = 'click'
+        ALL ROWS PER MATCH
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_match_number",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    s2 AS (
+      SELECT v.user_id, v.event_id, v.ts AS t_v, min(p.ts) AS t_p
+      FROM v JOIN p ON p.user_id = v.user_id
+                   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+      GROUP BY v.user_id, v.event_id, v.ts
+    ),
+    numbered AS (
+      SELECT user_id, event_id, t_v, t_p,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t_v, t_p, event_id) AS rn
+      FROM s2
+    ),
+    sel AS (
+      SELECT user_id, event_id, t_v, t_p, rn,
+             true AS kept, t_p AS last_end
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.t_v, n.t_p, n.rn,
+             n.t_v > s.last_end AS kept,
+             CASE WHEN n.t_v > s.last_end THEN n.t_p
+                  ELSE s.last_end END AS last_end
+      FROM sel s JOIN numbered n
+        ON n.user_id = s.user_id AND n.rn = s.rn + 1
+    )
+    SELECT user_id AS key, event_id AS anchor_id, t_v, t_p,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY t_v) AS BIGINT) AS match_seq
+    FROM sel WHERE kept
+    """,
+)
+def cep_sql_match_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_NUMBER() as a MEASURES item (SQL-standard
+    MATCH_RECOGNIZE): each kept view→purchase match numbered 1, 2, ...
+    per user in start order, under AFTER MATCH SKIP PAST LAST ROW.
+    Batch = one per-key row_number over the MATCH output (bounded:
+    the window's input is already collapsed to matches); streaming =
+    a one-integer-per-key counter over the skip selector's in-order
+    releases (compile_stream emit_match_number — see
+    advance_match_number for the no-skip holding variant). The oracle
+    replays the greedy recurrence, then numbers kept matches the same
+    way; kept starts are strictly increasing per key, so the ordering
+    is unambiguous."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( v -> p )
+        WITHIN 6 HOURS
+        DEFINE v AS event_type = 'view',
+               p AS event_type = 'purchase'
+        MEASURES MATCH_NUMBER() AS match_seq
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_classifier",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT c.user_id, c.event_id, c.ts AS t_c,
+                  min({'ts': p.ts, 'id': p.event_id}) AS mp
+           FROM c JOIN p ON p.user_id = c.user_id
+                        AND p.ts > c.ts
+                        AND p.ts <= c.ts + INTERVAL 4 HOUR
+           GROUP BY c.user_id, c.event_id, c.ts),
+         n AS (
+           SELECT user_id, event_id, t_c, mp,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                                          ORDER BY t_c, event_id)
+                       AS BIGINT) AS match_seq
+           FROM s2)
+    SELECT user_id AS key, event_id AS anchor_id, match_seq,
+           CAST(1 AS BIGINT) AS seq_no, 'c' AS var_name,
+           t_c AS ts, event_id
+    FROM n
+    UNION ALL
+    SELECT user_id, event_id, match_seq, CAST(2 AS BIGINT), 'p',
+           mp.ts, mp.id
+    FROM n
+    """,
+)
+def cep_sql_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER() + MATCH_NUMBER() in ALL ROWS PER MATCH (the
+    SQL-standard per-row functions): every bound event of each
+    click→purchase match as its own row, labeled with the pattern
+    variable it bound (CLASSIFIER → var_name) and its match's
+    per-user sequence number (MATCH_NUMBER → match_seq, start order,
+    emit-all mode — ties on start broken by anchor id on both
+    engines). CLASSIFIER rides the rows_per_match unpivot's step
+    column; MATCH_NUMBER is carried match-level through the unpivot
+    onto every row of its match."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( c -> p )
+        WITHIN 4 HOURS
+        DEFINE c AS event_type = 'click',
+               p AS event_type = 'purchase'
+        MEASURES CLASSIFIER() AS var_name,
+                 MATCH_NUMBER() AS match_seq
         ALL ROWS PER MATCH
         PARTITION BY user_id
         ORDER BY ts

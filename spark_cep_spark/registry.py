@@ -183,6 +183,8 @@ NEXT_ROTATION: list[str] = [
     "cep_sql_multikey",
     "cep_sql_string_key",
     "cep_sql_all_rows",
+    "cep_sql_match_number",
+    "cep_sql_classifier",
     "stream_session_dynamic",
     "win_drawdown",
     "rollup_retention_cohort",

@@ -1100,6 +1100,7 @@ def compile_stream(
     filter_nonmatching: bool = True,
     emit_ids: bool = False,
     skip_policy: str | tuple | None = None,
+    emit_match_number: bool = False,
 ) -> DataFrame:
     """Compile a Pattern to a streaming DataFrame of matches — all
     contiguity modes (followed_by / next / one_or_more /
@@ -1124,6 +1125,17 @@ def compile_stream(
     provable). emit_ids=True adds id_<step> columns naming the exact
     bound events (exact join-back under timestamp ties), matching
     compile_batch(emit_ids=True).
+
+    emit_match_number=True appends a `match_no` long column — the
+    SQL-standard MATCH_NUMBER(): matches numbered 1, 2, ... per key
+    in START order. Without a skip policy the NFA completes matches
+    in END order, so completions are held until their whole-match
+    window passes the watermark (advance_match_number, the same
+    maturity rule advance_skip_select uses); with a skip policy the
+    selector already releases kept matches matured and in start
+    order, so numbering is a bare counter. The counter is one
+    integer of per-key state that persists after the window drains —
+    numbering never restarts for a key.
     """
     steps = pattern.steps
     n_steps = len(steps)
@@ -1327,6 +1339,8 @@ def compile_stream(
             if emit_ids:
                 out_fields.append(T.StructField(f"id_{s.name}", T.LongType()))
     out_fields += measure_fields
+    if emit_match_number:
+        out_fields.append(T.StructField("match_no", T.LongType()))
     out_schema = T.StructType(out_fields)
     state_schema = T.StructType([T.StructField("payload", T.StringType())])
 
@@ -1345,6 +1359,7 @@ def compile_stream(
         partials = st["partials"]  # [[bound, open_run, env], ...] (see advance_nfa_full)
         skip_pending, skip_marker = st.get("skip", [[], None])
         nav_tail = st.get("nav_tail", [])  # last nav_k released rows' nav vals
+        mn_pending, mn_next = st.get("mn", [[], 1])
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -1431,19 +1446,51 @@ def compile_stream(
                 inclusive=skip_inclusive,
             )
 
-        if buf or partials or skip_pending or (nav_cols and nav_tail):
+        mn_numbers: list | None = None
+        if emit_match_number:
+            if skip_policy is not None:
+                # the skip selector already released kept matches
+                # matured AND in start order — number in place
+                mn_numbers = list(range(mn_next, mn_next + len(matches)))
+                mn_next += len(matches)
+            else:
+                entries = [
+                    [mt[1][0][0], mt[0], list(mt)] for mt in matches
+                ]
+                mn_pending, mn_next, numbered = advance_match_number(
+                    mn_pending,
+                    mn_next,
+                    entries,
+                    wm_us,
+                    bound_ms * _US_PER_MS,
+                )
+                mn_numbers = [no for no, _mt in numbered]
+                matches = [mt for _no, mt in numbered]
+
+        if (
+            buf
+            or partials
+            or skip_pending
+            or mn_pending
+            or (nav_cols and nav_tail)
+            or (emit_match_number and mn_next > 1)
+        ):
             payload = {"v": _STATE_VERSION, "buf": buf, "partials": partials}
             if skip_policy is not None:
                 payload["skip"] = [skip_pending, skip_marker]
             if nav_cols:
                 payload["nav_tail"] = nav_tail
+            if emit_match_number:
+                payload["mn"] = [mn_pending, mn_next]
             state.update((json.dumps(payload),))
             # wake up when the watermark passes the earliest pending work
-            # (a bare nav tail needs no wakeup — it only waits for data)
+            # (a bare nav tail or match counter needs no wakeup — it
+            # only waits for data)
             pending = (
                 [e[0] for e in buf]
                 + [p[0][0][0] + bound_ms * _US_PER_MS for p in partials]
                 + [m[0] + bound_ms * _US_PER_MS for m in skip_pending]
+                + [m[0] + bound_ms * _US_PER_MS for m in mn_pending]
             )
             if pending:
                 state.setTimeoutTimestamp(
@@ -1478,6 +1525,8 @@ def compile_stream(
                         cols[f"id_{s.name}"] = [bt[i][1] for bt in bts]
             for alias, fn in measure_fns:
                 cols[alias] = [fn(mt[2]) for mt in matches]
+            if emit_match_number:
+                cols["match_no"] = mn_numbers
             yield pd.DataFrame(cols)
 
     return prepared.groupBy("key").applyInPandasWithState(
@@ -1819,6 +1868,47 @@ def advance_skip_select(
             last_marker = m[1]
             kept.append(m[3])
     return pending, last_marker, kept
+
+
+def advance_match_number(
+    pending: list,
+    next_no: int,
+    new_matches: list,
+    wm_us: int,
+    bound_us: int,
+) -> tuple[list, int, list]:
+    """Streaming MATCH_NUMBER() kernel (pure, chunking-invariant):
+    assign each match its sequential number within the key, in START
+    order — the SQL-standard MATCH_NUMBER() semantics (Flink/Trino
+    MATCH_RECOGNIZE number matches in the order they begin within a
+    partition).
+
+    The NFA completes matches in END order, so — exactly like
+    advance_skip_select — a match is HELD until no earlier-starting
+    match can still appear: once `start + bound_us <= wm_us` every
+    anchor at-or-before `start` has resolved, the prefix is complete,
+    and numbers may be assigned. State = the held matches within one
+    whole-match window + ONE counter integer per key (the counter
+    alone persists after the window drains, like dropDuplicates'
+    keys, so numbering never restarts).
+
+    pending:     [[start_us, tiebreak_eid, payload]] held matches
+                 (payload = the NFA match tuple, opaque)
+    next_no:     the next number to assign (1 on first call)
+    new_matches: same shape, this batch's NFA completions
+
+    Returns (pending', next_no', [(no, payload), ...]) with the
+    released matches in (start, tiebreak) order.
+    """
+    pending = pending + [list(m) for m in new_matches]
+    ready = [m for m in pending if m[0] + bound_us <= wm_us]
+    pending = [m for m in pending if m[0] + bound_us > wm_us]
+    ready.sort(key=lambda m: (m[0], m[1]))
+    out = []
+    for m in ready:
+        out.append((next_no, m[2]))
+        next_no += 1
+    return pending, next_no, out
 
 
 def advance_variants(

@@ -72,6 +72,8 @@ EVENTS_KEYS = [
     "agg_heavy_hitters", "agg_path_string", "stream_topk",
     "cep_sql_multikey", "cep_sql_string_key", "cep_sql_all_rows",
     "stream_session_dynamic", "win_drawdown",
+    # round-6c
+    "cep_sql_match_number", "cep_sql_classifier",
 ]
 
 
@@ -125,6 +127,8 @@ EMPTY_SWEEP_KEYS = [
     "agg_heavy_hitters", "agg_path_string", "stream_topk",
     "cep_sql_multikey", "cep_sql_string_key", "cep_sql_all_rows",
     "stream_session_dynamic", "win_drawdown",
+    # round-6c
+    "cep_sql_match_number", "cep_sql_classifier",
 ]
 
 
