@@ -86,6 +86,7 @@ def load_all() -> None:
         llm_pipeline,
         sql_surface,
         graph,
+        drift,
     )
     from spark_cep_spark.functions import families, udfs  # noqa: F401
     from spark_cep_spark.streaming import windows as stream_windows  # noqa: F401
@@ -185,6 +186,9 @@ NEXT_ROTATION: list[str] = [
     "cep_sql_all_rows",
     "cep_sql_match_number",
     "cep_sql_classifier",
+    "agg_psi",
+    "agg_ks",
+    "stream_drift_psi",
     "stream_session_dynamic",
     "win_drawdown",
     "rollup_retention_cohort",

@@ -74,6 +74,7 @@ EVENTS_KEYS = [
     "stream_session_dynamic", "win_drawdown",
     # round-6c
     "cep_sql_match_number", "cep_sql_classifier",
+    "agg_psi", "agg_ks", "stream_drift_psi",
 ]
 
 
@@ -129,6 +130,7 @@ EMPTY_SWEEP_KEYS = [
     "stream_session_dynamic", "win_drawdown",
     # round-6c
     "cep_sql_match_number", "cep_sql_classifier",
+    "agg_psi", "agg_ks", "stream_drift_psi",
 ]
 
 
