@@ -1253,3 +1253,120 @@ def dedup_edit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "pipeline_substring_dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(array_to_string(list_slice(t, CAST(i AS INTEGER),
+                                            CAST(i AS INTEGER) + 7), ' '))
+               AS h
+      FROM tok, unnest(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    firsts AS (SELECT h, min(doc_id) AS fd FROM sh GROUP BY h),
+    dup AS (
+      SELECT sh.doc_id, sh.pos
+      FROM sh JOIN firsts f ON f.h = sh.h
+      WHERE sh.doc_id > f.fd
+    ),
+    inc AS (
+      SELECT doc_id, pos,
+             least(8, pos - lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos)) AS raw
+      FROM dup
+    ),
+    cov AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+             CAST(sum(coalesce(raw, 8)) AS BIGINT) AS dup_tokens
+      FROM inc GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           coalesce(cov.dup_spans, 0) AS dup_spans,
+           coalesce(cov.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(cov.dup_tokens, 0) * 1.0 / len(t.t), 6)
+             AS dup_frac
+    FROM tok t LEFT JOIN cov ON cov.doc_id = t.doc_id
+    WHERE len(t.t) >= 1
+    """,
+)
+def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN census — the position-aware
+    exact-substring dedup of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022), re-expressed for Spark:
+    instead of a corpus suffix array, every 8-token shingle (stride 1)
+    is md5-hashed with its POSITION; a shingle whose first corpus
+    occurrence (min doc_id) lies in an earlier document marks its
+    8-token window as duplicated, and per doc the overlapping marked
+    windows are unioned into exact covered-token counts
+    (sum of least(8, pos - prev_pos)) — the number of tokens a
+    keep-first span-removal pass would delete. Output per doc:
+    n_tokens, dup_spans, dup_tokens, dup_frac.
+
+    vs corpus_ngram_novelty: novelty counts DISTINCT shingles;
+    this op keeps positions and unions overlapping windows, so
+    dup_tokens is the actual removable-span mass, not a shingle tally.
+
+    100 TB shape: the stride-1 explode is the op's inherent 8x cost
+    (the suffix-array equivalent pays the same); shingles are hashed
+    BEFORE the shuffle (fixed-width keys, never raw text), the
+    first-occurrence table is one min-aggregate, the join back is
+    hash-partitioned on the same key, and the span-union window is
+    per-document (bounded by doc length). Two fixed-width shuffles +
+    one per-doc window."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    k = 8
+    sh = d.filter(F.size(toks) >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.md5(F.array_join(F.slice(toks, i, k), " ")).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h")
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    dup = (
+        sh.join(firsts, "h")
+        .filter(F.col("doc_id") > F.col("fd"))
+        .select("doc_id", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    inc = dup.select(
+        "doc_id",
+        F.coalesce(
+            F.least(F.lit(k), F.col("pos") - F.lag("pos").over(w)),
+            F.lit(k),
+        ).alias("inc"),
+    )
+    cov = inc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_spans"),
+        F.sum("inc").cast("long").alias("dup_tokens"),
+    )
+    base = d.filter(F.size(toks) >= 1).select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .fillna(0, ["dup_spans", "dup_tokens"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_spans",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens") * F.lit(1.0) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -189,6 +189,7 @@ NEXT_ROTATION: list[str] = [
     "agg_psi",
     "agg_ks",
     "stream_drift_psi",
+    "pipeline_substring_dedup",
     "stream_session_dynamic",
     "win_drawdown",
     "rollup_retention_cohort",

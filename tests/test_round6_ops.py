@@ -958,3 +958,45 @@ def test_ivf_index_build_query_equals_oneshot(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "cell" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_substring_dedup_planted_span(spark, tmp_path):
+    """A 12-token passage shared by doc 1 and doc 2: the later doc's
+    overlapping duplicated 8-gram windows union to exactly 12 covered
+    tokens; the first doc keeps its copy (0 dup tokens); an unrelated
+    doc reports 0."""
+    import os
+
+    from spark_cep_spark.operators.llm_dedup import (
+        pipeline_substring_dedup,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 tokens
+    rows = [
+        (1, f"alpha beta {shared} gamma", "en", "s1"),
+        (2, f"{shared} delta epsilon zeta", "en", "s2"),
+        (3, "totally different content here with many words", "en", "s3"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.parquet(os.path.join(d, "_doc"))
+    part = next(
+        p
+        for p in os.listdir(os.path.join(d, "_doc"))
+        if p.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(d, "_doc", part), os.path.join(d, "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r for r in pipeline_substring_dedup(spark, d).collect()
+    }
+    assert out[1]["dup_tokens"] == 0  # first occurrence keeps its copy
+    # doc 2: 5 duplicated 8-gram windows at pos 1..5 union to 12 tokens
+    assert out[2]["dup_spans"] == 5
+    assert out[2]["dup_tokens"] == 12
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_spans"] == 0
+    assert abs(out[2]["dup_frac"] - round(12 / 15, 6)) < 1e-9

@@ -58,6 +58,7 @@ KEYS = [
     "pipeline_corpus_clean",
     "pipeline_scrub_boilerplate",
     "pipeline_dedup_keep_best",
+    "pipeline_substring_dedup",
     "corpus_token_budget",
     "corpus_dedup_stats",
     # round-6
