@@ -788,3 +788,69 @@ def join_star_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_e4"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_star_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT)
+             AS totalprice_cents,
+           b.total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice_cents DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def join_star_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds 300, with the customer and order header, top-100
+    by order value. The textbook spelling re-joins lineitem to
+    re-aggregate the quantity inside the outer GROUP BY; since the
+    HAVING subquery has already computed exactly that sum, this plan
+    CARRIES it through the join instead — one lineitem scan + one
+    orderkey-partial-combined aggregation (map-side partials, the
+    HAVING filter drops ~99% of orders before any join), then two
+    equi-joins where the filtered `big` side is small enough for AQE
+    to broadcast. Quantities are integral by TPC-H construction, so
+    the sum is exact BIGINT arithmetic; order value in exact cents.
+    Top-100 is orderBy+limit = TakeOrderedAndProject on the
+    (cents, date, orderkey) total order — deterministic at the limit
+    boundary on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 300)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(
+            F.desc("totalprice_cents"), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )

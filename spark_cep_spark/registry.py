@@ -190,6 +190,7 @@ NEXT_ROTATION: list[str] = [
     "agg_ks",
     "stream_drift_psi",
     "pipeline_substring_dedup",
+    "join_star_q18",
     "stream_session_dynamic",
     "win_drawdown",
     "rollup_retention_cohort",

@@ -22,6 +22,7 @@ LINEITEM_KEYS = [
     "graph_khop_bfs",
     "join_star_q5",
     "join_star_q10",
+    "join_star_q18",
 ]
 
 
