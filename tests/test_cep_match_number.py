@@ -276,3 +276,80 @@ def test_stream_match_number_emit_all_equals_batch(spark):
 def test_stream_classifier_all_rows_equals_batch(spark):
     g, w = _stream_vs_batch(spark, ROWS, CLS_SQL, "view")
     assert g == w and len(g) > 0
+
+
+def test_match_number_counter_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume for the MATCH_NUMBER counter: run 1 emits a
+    key's match #1 and drains every window (state reduced to the bare
+    counter); the restarted run sees a much later match for the SAME
+    key and must number it 2 — proving the one-integer counter was
+    checkpointed, not reset with the drained window state."""
+    import os
+    import shutil
+
+    m = lambda k: T0 + dt.timedelta(minutes=k)
+    first = [
+        (0, m(0), 1, "view", 1.0, "{}"),
+        (1, m(10), 1, "purchase", 1.0, "{}"),
+    ]
+    second = [
+        (2, m(3000), 1, "view", 1.0, "{}"),
+        (3, m(3010), 1, "purchase", 1.0, "{}"),
+    ]
+    tails = [
+        [(100, m(500), 9, "view", 1.0, "{}")],
+        [(101, m(4000), 9, "view", 1.0, "{}")],
+        [(102, m(5000), 9, "view", 1.0, "{}")],
+    ]
+    all_rows = first + second
+    df = spark.createDataFrame(all_rows, SCHEMA)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add_file(name, chunk, order):
+        d = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = [f for f in os.listdir(d) if f.startswith("part")][0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_700_000_000 + order * 3600,) * 2)
+
+    def run(out, ckpt):
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            match_recognize(sdf, MN_EMITALL_SQL, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    add_file("f0", first, 0)
+    add_file("f1", tails[0], 1)
+    run(out, ckpt)
+    got1 = spark.read.parquet(out).filter("key = 1").collect()
+    assert [(r["anchor_id"], r["mn"]) for r in got1] == [(0, 1)]
+    add_file("f2", second, 2)
+    add_file("f3", tails[1], 3)
+    add_file("f4", tails[2], 4)
+    run(out, ckpt)
+    got = sorted(
+        (r["anchor_id"], r["mn"])
+        for r in spark.read.parquet(out).filter("key = 1").collect()
+    )
+    assert got == [(0, 1), (2, 2)]
+    want = sorted(
+        (r["anchor_id"], r["mn"])
+        for r in match_recognize(df, MN_EMITALL_SQL).collect()
+    )
+    assert got == want

@@ -61,6 +61,9 @@ NESTED_LOOP_OK = {
     # sim_topk; the MMR stage itself only ever sees 32 pruned rows/query
     "sim_range_search",  # same broadcast query-set x candidates scan;
     # radius filter composes with the scan (no window at all)
+    "stream_drift_psi",  # 1-row reference-distribution broadcast into
+    # the per-day bin-count rows — same constant-size build side as
+    # text_surprisal (the reference is the bin grid, never data-sized)
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
@@ -76,6 +79,9 @@ PYTHON_OK = {
     "multimodal_decode",  # Arrow-batched decode/frame-sample pipeline
     "cep_skip_past",  # sequential skip-policy scan over MATCHES (not events)
     "cep_skip_to_last",  # same sequential policy, different resume point
+    "cep_sql_match_number",  # the dialect's AFTER MATCH SKIP PAST LAST
+    # ROW compiles to the same sequential selector over MATCHES; the
+    # MATCH_NUMBER window itself is JVM-side
     "cep_alert_throttle",  # same sequential policy, over ALERTS
     "win_ewma",  # inherently sequential per-key recurrence (EWMA)
     "win_cusum",  # same shape: CUSUM signal-and-restart recurrence —

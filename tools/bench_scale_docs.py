@@ -56,6 +56,9 @@ OPS = [
     "text_readability",
     "text_zipf_fit",
     "corpus_ngram_novelty",
+    # round-6c: positional shingle census (two md5-keyed shuffles +
+    # per-doc span-union window)
+    "pipeline_substring_dedup",
     # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
     # quadratically within blocks (measured: >15 min at 40k docs vs
     # 11 s at 5k — the hazard SCALE.md documents; at real scale the

@@ -61,6 +61,13 @@ OPS = [
     "stream_topk",
     "stream_session_dynamic",
     "cep_sql_multikey",
+    # round-6c: skip-numbered matches, per-row classifier unpivot,
+    # fixed-grid drift (one hash agg / spine-bounded window)
+    "cep_sql_match_number",
+    "cep_sql_classifier",
+    "agg_psi",
+    "agg_ks",
+    "stream_drift_psi",
 ]
 
 STREAM_NFA_SQL = """
