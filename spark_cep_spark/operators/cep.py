@@ -1279,27 +1279,69 @@ def select_non_overlapping(
     give the non-overlapping policy.
 
     A running-maximum-with-conditional-update recurrence is not
-    expressible in window SQL, so this is a per-key applyInPandas scan
-    — over MATCHES, not events (typically orders of magnitude fewer;
-    keys parallelize across executors, the per-key scan is linear)."""
+    expressible in window SQL, so this is a Python scan — over
+    MATCHES, not events (typically orders of magnitude fewer). It
+    runs as ONE mapInPandas pass per PARTITION over key-sorted rows
+    (scan state resets at key boundaries), NOT per-key applyInPandas:
+    with millions of small keys the per-group pandas overhead of a
+    grouped apply dominates and grows super-linearly in key count
+    (measured 4.1x at the 8x-keys events probe; this shape restored
+    ~linear), while one frame per partition costs the same one
+    shuffle + linear scan regardless of key cardinality."""
+    return _greedy_scan(
+        matches,
+        key_col,
+        # tiebreak_col makes equal-(start, end) ordering deterministic —
+        # without it the kept match under a tie is partition-order luck
+        [start_col, end_col, tiebreak_col],
+        start_col,
+        end_col,
+        inclusive=False,
+    )
+
+
+def _greedy_scan(
+    matches: DataFrame,
+    key_col: str,
+    sort_cols: list,
+    start_col: str,
+    marker_col: str,
+    inclusive: bool,
+) -> DataFrame:
+    """Shared partition-wise greedy AFTER-MATCH-SKIP recurrence:
+    hash-partition by key, sort within partitions on (key, sort_cols),
+    then one sequential pass whose state (current key, last kept
+    marker) carries across the Arrow chunk boundaries of a partition
+    — equivalent to the per-key scan, without per-key scheduling."""
     import pandas as pd  # local: keep module import-light
 
     schema = matches.schema
 
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        # tiebreak_col makes equal-(start, end) ordering deterministic —
-        # without it the kept match under a tie is partition-order luck
-        pdf = pdf.sort_values([start_col, end_col, tiebreak_col], kind="mergesort")
-        keep, last_end = [], None
-        for s, e in zip(pdf[start_col], pdf[end_col]):
-            ok = last_end is None or s > last_end
-            keep.append(ok)
-            if ok:
-                last_end = e
-        return pdf[keep]
+    def scan(chunks):
+        sentinel = object()
+        cur_key, last = sentinel, None
+        for pdf in chunks:
+            if len(pdf) == 0:
+                continue
+            keep = []
+            for k, s, m in zip(
+                pdf[key_col], pdf[start_col], pdf[marker_col]
+            ):
+                if cur_key is sentinel or k != cur_key:
+                    cur_key, last = k, None
+                ok = last is None or (
+                    s >= last if inclusive else s > last
+                )
+                keep.append(ok)
+                if ok:
+                    last = m
+            yield pdf[pd.Series(keep, index=pdf.index)]
 
-    # groupBy already shuffles by the grouping key — no pre-repartition
-    return matches.groupBy(key_col).applyInPandas(pick, schema=schema)
+    return (
+        matches.repartition(key_col)
+        .sortWithinPartitions(key_col, *sort_cols)
+        .mapInPandas(scan, schema=schema)
+    )
 
 
 def select_skip_to(
@@ -1320,25 +1362,17 @@ def select_skip_to(
     for a later step).
 
     Same shape as select_non_overlapping: a sequential recurrence over
-    MATCHES (not events) per key — applyInPandas linear scan, keys
-    parallelize across executors."""
-    import pandas as pd  # local: keep module import-light
-
-    schema = matches.schema
-
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            [start_col, resume_col, tiebreak_col], kind="mergesort"
-        )
-        keep, last_resume = [], None
-        for s, r in zip(pdf[start_col], pdf[resume_col]):
-            ok = last_resume is None or s >= last_resume
-            keep.append(ok)
-            if ok:
-                last_resume = r
-        return pdf[keep]
-
-    return matches.groupBy(key_col).applyInPandas(pick, schema=schema)
+    MATCHES (not events), run as one partition-wise key-sorted
+    mapInPandas scan (see _greedy_scan — per-key grouped apply
+    overhead is super-linear in key count)."""
+    return _greedy_scan(
+        matches,
+        key_col,
+        [start_col, resume_col, tiebreak_col],
+        start_col,
+        resume_col,
+        inclusive=True,
+    )
 
 
 @register(

@@ -353,3 +353,31 @@ def test_match_number_counter_survives_checkpoint_restart(spark, tmp_path):
         for r in match_recognize(df, MN_EMITALL_SQL).collect()
     )
     assert got == want
+
+
+def test_match_number_composite_key_skip(spark):
+    """Composite PARTITION BY + AFTER MATCH SKIP + MATCH_NUMBER: the
+    partition-wise selector scan must reset its recurrence at STRUCT
+    key boundaries (keys arrive as dicts in the mapInPandas pass)."""
+    m = lambda k: T0 + dt.timedelta(minutes=k)
+    rows = [
+        (0, m(0), 1, "view", 90.0, "{}"),
+        (1, m(10), 1, "view", 91.0, "{}"),
+        (2, m(20), 1, "view", 92.0, "{}"),
+        (3, m(0), 2, "view", 95.0, "{}"),
+        (4, m(5), 2, "view", 96.0, "{}"),
+    ]
+    out = match_recognize(
+        spark.createDataFrame(rows, SCHEMA),
+        """
+        PATTERN ( a -> b )
+        WITHIN 1 HOURS
+        DEFINE a AS value > 80, b AS value > 80
+        MEASURES MATCH_NUMBER() AS mn
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id, event_type
+        ORDER BY ts
+        """,
+    ).collect()
+    got = sorted((r["key_user_id"], r["anchor_id"], r["mn"]) for r in out)
+    assert got == [(1, 0, 1), (2, 3, 1)]
