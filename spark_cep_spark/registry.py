@@ -87,6 +87,7 @@ def load_all() -> None:
         sql_surface,
         graph,
         drift,
+        tpch,
     )
     from spark_cep_spark.functions import families, udfs  # noqa: F401
     from spark_cep_spark.streaming import windows as stream_windows  # noqa: F401
@@ -166,7 +167,22 @@ DRIVER_PRIORITY: list[str] = [
 # cohort whose latest driver evidence is round 3 — the oldest
 # remaining once the round-6 window lands.
 NEXT_ROTATION: list[str] = [
-    # (a) round-6/6b keys beyond the window, zero driver evidence
+    # (a) round-6/6b/6d keys beyond the window, zero driver evidence
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

@@ -1,0 +1,170 @@
+"""Round-6d TPC-H pack: semantic cross-checks against independent
+brute-force recomputations (pandas / alternative Spark formulations)
+plus plan-shape pins for the properties that matter at 100 TB —
+pushdown/pruning on Q6, the semi-join shape of Q4's EXISTS, and the
+TakeOrderedAndProject top-k on Q21. The value-level gate is
+tools/check_oracle.py (all 15 keys exact-pass vs DuckDB)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from conftest import SF_SMOKE
+
+
+def _run(key, spark, sf_dir=SF_SMOKE):
+    import __spark_entry__ as entry
+
+    return entry.queries()[key](spark, sf_dir)
+
+
+def _pdf(spark, sf_dir, name):
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def test_q6_matches_pandas_brute_force(spark):
+    li = _pdf(spark, SF_SMOKE, "lineitem")
+    disc_pp = (li.l_discount * 100).round().astype("int64")
+    mask = (
+        (li.l_shipdate >= "1996-01-01")
+        & (li.l_shipdate < "1997-01-01")
+        & disc_pp.between(5, 7)
+        & (li.l_quantity < 24)
+    )
+    expect_rev = int(
+        ((li.l_extendedprice * 100).round().astype("int64") * disc_pp)[mask].sum()
+    )
+    row = _run("tpch_q6", spark).collect()[0]
+    assert row["revenue_e4"] == expect_rev
+    assert row["n_items"] == int(mask.sum())
+
+
+def test_q4_semi_join_counts_orders_once(spark):
+    """EXISTS must count each order once no matter how many late
+    lines it has — cross-check against a distinct-orderkey join."""
+    li = _pdf(spark, SF_SMOKE, "lineitem")
+    o = _pdf(spark, SF_SMOKE, "orders")
+    o = o[(o.o_orderdate >= "1996-07-01") & (o.o_orderdate < "1996-10-01")]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    late_orders = j[j.l_shipdate > j.o_orderdate + pd.Timedelta(days=30)][
+        "o_orderkey"
+    ].unique()
+    expect = (
+        o[o.o_orderkey.isin(late_orders)]
+        .groupby("o_orderpriority")
+        .size()
+        .to_dict()
+    )
+    got = {r["priority"]: r["n_orders"] for r in _run("tpch_q4", spark).collect()}
+    assert got == expect
+
+
+def test_q13_histogram_accounts_for_every_customer(spark):
+    out = _run("tpch_q13", spark).collect()
+    n_cust = _pdf(spark, SF_SMOKE, "customer").shape[0]
+    assert sum(r["custdist"] for r in out) == n_cust
+
+
+def test_q15_winner_has_max_revenue(spark):
+    out = _run("tpch_q15", spark).collect()
+    assert len(out) >= 1
+    li = _pdf(spark, SF_SMOKE, "lineitem")
+    li = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1996-04-01")]
+    rev = (li.l_extendedprice * 100).round().astype("int64") * (
+        (1 - li.l_discount) * 100
+    ).round().astype("int64")
+    per_supp = rev.groupby(li.l_suppkey).sum()
+    assert {r["total_revenue_e4"] for r in out} == {int(per_supp.max())}
+    assert {r["s_suppkey"] for r in out} == set(
+        per_supp[per_supp == per_supp.max()].index
+    )
+
+
+def test_q17_threshold_is_exact_fifth_of_avg(spark):
+    li = _pdf(spark, SF_SMOKE, "lineitem")
+    p = _pdf(spark, SF_SMOKE, "part")
+    stats = li.groupby("l_partkey").l_quantity.agg(["sum", "count"])
+    j = li.merge(stats, left_on="l_partkey", right_index=True).merge(
+        p[p.p_brand == "Brand#3"], left_on="l_partkey", right_on="p_partkey"
+    )
+    small = j[j.l_quantity.astype("int64") * 5 * j["count"] < j["sum"]]
+    row = _run("tpch_q17", spark).collect()[0]
+    assert row["n_small"] == len(small)
+    assert row["small_qty_cents"] == int(
+        (small.l_extendedprice * 100).round().astype("int64").sum()
+    )
+
+
+def test_q21_unique_late_supplier_semantics(spark):
+    """An order contributes iff ≥2 distinct suppliers and exactly one
+    distinct late supplier — brute-forced per order."""
+    li = _pdf(spark, SF_SMOKE, "lineitem")
+    o = _pdf(spark, SF_SMOKE, "orders")
+    s = _pdf(spark, SF_SMOKE, "supplier")
+    j = li.merge(o[o.o_orderstatus == "F"], left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = j.l_shipdate > j.o_orderdate + pd.Timedelta(days=60)
+    waits: dict[str, int] = {}
+    for _, grp in j.groupby("l_orderkey"):
+        supps = set(grp.l_suppkey)
+        late = set(grp[grp.late].l_suppkey)
+        if len(supps) >= 2 and len(late) == 1:
+            name = s[s.s_suppkey == next(iter(late))].s_name.iloc[0]
+            waits[name] = waits.get(name, 0) + 1
+    expect = sorted(waits.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["s_name"], r["numwait"]) for r in _run("tpch_q21", spark).collect()]
+    assert got == expect
+
+
+def test_q22_threshold_and_lapsed_filter(spark):
+    c = _pdf(spark, SF_SMOKE, "customer")
+    o = _pdf(spark, SF_SMOKE, "orders")
+    c = c[c.c_nationkey.isin([1, 3, 5, 7, 9, 11, 13])].copy()
+    c["cents"] = (c.c_acctbal * 100).round().astype("int64")
+    pos = c[c.c_acctbal > 0]
+    recent = set(o[o.o_orderdate >= "1999-01-01"].o_custkey)
+    keep = c[
+        (c.cents * len(pos) > pos.cents.sum()) & ~c.c_custkey.isin(recent)
+    ]
+    expect = (
+        keep.groupby("c_nationkey")
+        .agg(numcust=("c_custkey", "size"), tot=("cents", "sum"))
+        .to_dict("index")
+    )
+    got = {
+        r["cntry"]: (r["numcust"], r["totacctbal_cents"])
+        for r in _run("tpch_q22", spark).collect()
+    }
+    assert got == {
+        int(k): (v["numcust"], int(v["tot"])) for k, v in expect.items()
+    }
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_scan_is_pruned_and_pushed(spark):
+    plan = _executed_plan(_run("tpch_q6", spark))
+    # Column pruning: the lineitem scan must read only the 4 needed cols.
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    # Predicate pushdown: quantity filter reaches the parquet scan.
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters: ["
+    )[1].split("]")[0]
+
+
+def test_q4_plans_exists_as_semi_join(spark):
+    plan = _executed_plan(_run("tpch_q4", spark))
+    assert "LeftSemi" in plan
+
+
+def test_q21_topk_is_take_ordered(spark):
+    plan = _executed_plan(_run("tpch_q21", spark))
+    assert "TakeOrderedAndProject" in plan
