@@ -23,6 +23,22 @@ LINEITEM_KEYS = [
     "join_star_q5",
     "join_star_q10",
     "join_star_q18",
+    # round-6d: the TPC-H pack's lineitem readers
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 
