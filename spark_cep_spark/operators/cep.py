@@ -1436,6 +1436,87 @@ def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_skip_to(matches, "t_view", "t_click")
 
 
+@register(
+    "cep_skip_to_first",
+    oracle="""
+    WITH RECURSIVE
+    e AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, rn) AS isl
+      FROM e WHERE event_type = 'error'
+    ),
+    a AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'signup'),
+    entry AS (
+      SELECT a.user_id, a.event_id, a.ts AS t_s, min(m.rn) AS e_rn
+      FROM a JOIN m ON m.user_id = a.user_id
+                   AND m.ts > a.ts AND m.ts <= a.ts + INTERVAL 7 DAY
+      GROUP BY a.user_id, a.event_id, a.ts
+    ),
+    matches AS (
+      SELECT entry.user_id, entry.event_id, entry.t_s,
+             min(m2.ts) AS t_err_first, max(m2.ts) AS t_err_last,
+             count(*) AS err_count
+      FROM entry
+      JOIN m em ON em.user_id = entry.user_id AND em.rn = entry.e_rn
+      JOIN m m2 ON m2.user_id = entry.user_id AND m2.isl = em.isl
+               AND m2.rn >= entry.e_rn
+               AND m2.ts <= entry.t_s + INTERVAL 7 DAY
+      GROUP BY entry.user_id, entry.event_id, entry.t_s
+    ),
+    numbered AS (
+      SELECT user_id, event_id, t_s, t_err_first, t_err_last, err_count,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t_s, t_err_first, event_id) AS rn
+      FROM matches
+    ),
+    sel AS (
+      SELECT user_id, event_id, t_s, t_err_first, t_err_last, err_count,
+             rn, true AS kept, t_err_first AS last_resume
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.t_s, n.t_err_first, n.t_err_last,
+             n.err_count, n.rn, n.t_s >= s.last_resume AS kept,
+             CASE WHEN n.t_s >= s.last_resume THEN n.t_err_first
+                  ELSE s.last_resume END AS last_resume
+      FROM sel s JOIN numbered n
+        ON n.user_id = s.user_id AND n.rn = s.rn + 1
+    )
+    SELECT user_id AS key, event_id AS anchor_id,
+           t_s, t_err_first, t_err_last, err_count
+    FROM sel WHERE kept
+    """,
+)
+def cep_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO FIRST on a one_or_more target (round 6d —
+    the policy×quantifier combination round 5 rejected): signup
+    followed by its maximal consecutive error run, resuming at the
+    kept run's FIRST row. Genuinely selective here (1787 raw matches
+    → 964 kept at sf0.01): signups falling between a kept anchor and
+    its run entry are dropped. With disjoint anchor/run predicates no
+    anchor can sit strictly INSIDE a run (it would split the island),
+    so FIRST's keep-set coincides with LAST's on this pattern — the
+    spelling where they diverge is an anchor predicate overlapping
+    the run's (see cep_sql_skip_last_kleene, which pins that shape).
+    The selector is the same single mapInPandas recurrence over
+    MATCHES (select_skip_to) with the run's entry timestamp as the
+    resume marker; the oracle replays the identical recurrence with a
+    recursive CTE over the island-derived matches."""
+    events = table(spark, sf_dir, "events")
+    matches = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .within("7 DAYS")
+        .compile_batch(events)
+    )
+    return select_skip_to(matches, "t_s", "t_err_first")
+
+
 def rows_per_match(
     matches: DataFrame,
     steps: list[str],

@@ -83,15 +83,20 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               so both engines and the streaming variant NFAs inherit
               subsets with zero new kernel state. count/avg over a
               subset are rejected with a pointed error.
-    AFTER MATCH SKIP PAST LAST ROW / SKIP TO LAST <step>  (round 5)
+    AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW /
+    SKIP TO FIRST <step> / SKIP TO LAST <step>  (round 5; FIRST +
+              kleene targets + explicit NEXT ROW round 6d)
               match-selection policy on BOTH engines: batch composes
               the greedy selectors (select_non_overlapping /
               select_skip_to) after the match plan; streaming passes
               skip_policy to compile_stream, whose held-until-window-
               closed recurrence (advance_skip_select) equals the batch
-              selection exactly. Not combinable with quantifier/group/
-              PERMUTE expansion. Omitted = emit every match
-              (skip-to-next-row), as before.
+              selection exactly. FIRST/LAST may target a one_or_more
+              step: scanning resumes at the kept run's entry / final
+              row respectively (on a plain step the spellings
+              coincide). SKIP TO NEXT ROW is the explicit spelling of
+              the default emit-every-match policy. Not combinable
+              with quantifier/group/PERMUTE expansion.
     A -[30 MINUTES]-> B   gapped connector (also =[...]=>): B must fall
               within the bracketed interval OF A's binding — the
               per-transition deadline (Step.gap); on a negated step it
@@ -679,32 +684,40 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         ]
         if re.fullmatch(r"SKIP PAST LAST ROW", body, re.I):
             skip = "skip_past_last_row"
+        elif re.fullmatch(r"SKIP TO NEXT ROW", body, re.I):
+            # the explicit spelling of the default policy (standard
+            # MATCH_RECOGNIZE): emit every match, scan resumes at the
+            # row after the kept match's anchor
+            skip = None
         else:
             m2 = re.fullmatch(
-                r"SKIP TO LAST ([A-Za-z_]\w*)", body, re.I
+                r"SKIP TO (FIRST|LAST) ([A-Za-z_]\w*)", body, re.I
             )
             if not m2:
                 raise ValueError(
                     f"malformed AFTER MATCH clause: {body!r} (want SKIP "
-                    "PAST LAST ROW or SKIP TO LAST <step>)"
+                    "PAST LAST ROW, SKIP TO NEXT ROW, or SKIP TO "
+                    "FIRST/LAST <step>)"
                 )
-            tgt = m2.group(1)
+            which, tgt = m2.group(1).upper(), m2.group(2)
             if tgt not in kinds:
                 raise ValueError(f"AFTER MATCH: unknown step {tgt!r}")
             if kinds[tgt] == "absent":
                 raise ValueError(
                     "AFTER MATCH cannot skip to a negated step"
                 )
-            if kinds[tgt] == "kleene":
-                raise ValueError(
-                    "AFTER MATCH cannot skip to a one_or_more step"
-                )
             if pos_names and tgt == pos_names[0]:
                 raise ValueError(
-                    "AFTER MATCH SKIP TO LAST cannot target the anchor "
-                    "step (the scan would not advance)"
+                    f"AFTER MATCH SKIP TO {which} cannot target the "
+                    "anchor step (the scan would not advance)"
                 )
-            skip = ("skip_to_last", tgt)
+            # a one_or_more target is legal: FIRST resumes at the
+            # run's entry row, LAST at its final row (on a plain step
+            # the two spellings coincide — one bound row)
+            skip = (
+                "skip_to_first" if which == "FIRST" else "skip_to_last",
+                tgt,
+            )
     for kw in ("ALL ROWS PER MATCH", "ONE ROW PER MATCH"):
         if kw in clauses and clauses[kw]:
             raise ValueError(
@@ -1412,9 +1425,17 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             )
             out = select_non_overlapping(out, f"t_{anchor}", end_col)
         else:
-            out = select_skip_to(
-                out, f"t_{anchor}", f"t_{parsed.skip[1]}"
-            )
+            kind, tgt = parsed.skip
+            tstep = next(s for s in pos if s.name == tgt)
+            if tstep.contiguity == "kleene":
+                resume = (
+                    f"t_{tgt}_first"
+                    if kind == "skip_to_first"
+                    else f"t_{tgt}_last"
+                )
+            else:
+                resume = f"t_{tgt}"
+            out = select_skip_to(out, f"t_{anchor}", resume)
     if parsed.match_number_alias:
         # MATCH_NUMBER(): matches numbered 1, 2, ... per key in START
         # order (t_anchor, anchor_id — the streaming kernel's exact
@@ -1575,6 +1596,90 @@ def cep_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                x AS event_type = 'error'
         PARTITION BY user_id
         ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_skip_last_kleene",
+    oracle="""
+    WITH RECURSIVE
+    e AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, rn) AS isl
+      FROM e WHERE event_type = 'click'
+    ),
+    a AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click' AND value > 50),
+    entry AS (
+      SELECT a.user_id, a.event_id, a.ts AS t_v, min(m.rn) AS e_rn
+      FROM a JOIN m ON m.user_id = a.user_id
+                   AND m.ts > a.ts AND m.ts <= a.ts + INTERVAL 24 HOUR
+      GROUP BY a.user_id, a.event_id, a.ts
+    ),
+    matches AS (
+      SELECT entry.user_id, entry.event_id, entry.t_v,
+             min(m2.ts) AS t_c_first, max(m2.ts) AS t_c_last,
+             count(*) AS c_count
+      FROM entry
+      JOIN m em ON em.user_id = entry.user_id AND em.rn = entry.e_rn
+      JOIN m m2 ON m2.user_id = entry.user_id AND m2.isl = em.isl
+               AND m2.rn >= entry.e_rn
+               AND m2.ts <= entry.t_v + INTERVAL 24 HOUR
+      GROUP BY entry.user_id, entry.event_id, entry.t_v
+    ),
+    numbered AS (
+      SELECT user_id, event_id, t_v, t_c_first, t_c_last, c_count,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t_v, t_c_last, event_id) AS rn
+      FROM matches
+    ),
+    sel AS (
+      SELECT user_id, event_id, t_v, t_c_first, t_c_last, c_count,
+             rn, true AS kept, t_c_last AS last_resume
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.t_v, n.t_c_first, n.t_c_last,
+             n.c_count, n.rn, n.t_v >= s.last_resume AS kept,
+             CASE WHEN n.t_v >= s.last_resume THEN n.t_c_last
+                  ELSE s.last_resume END AS last_resume
+      FROM sel s JOIN numbered n
+        ON n.user_id = s.user_id AND n.rn = s.rn + 1
+    )
+    SELECT user_id AS key, event_id AS anchor_id,
+           t_v, t_c_first, t_c_last, c_count
+    FROM sel WHERE kept
+    """,
+)
+def cep_sql_skip_last_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dialect's AFTER MATCH SKIP TO LAST targeting a Kleene-plus
+    step (round 6d — newly legal): a HIGH-VALUE click followed by its
+    maximal consecutive click run, the next kept anchor resuming
+    at-or-after the kept RUN's final click. The anchor predicate
+    overlaps the run's on purpose — that is the shape where LAST is
+    distinct from both FIRST (668 vs 616 kept at sf0.01; FIRST is
+    vacuous when every anchor is itself a run candidate) and SKIP
+    PAST LAST ROW (469 — exclusive vs LAST's inclusive resume).
+    Exercises the full text path — parse, kleene compile, and the
+    selector composition that picks t_<step>_last as the resume
+    marker for a one_or_more target. The oracle replays islands + the
+    inclusive recurrence in a recursive CTE."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( v -> c+ )
+        WITHIN 24 HOURS
+        DEFINE v AS event_type = 'click' AND value > 50,
+               c AS event_type = 'click'
+        PARTITION BY user_id
+        ORDER BY ts
+        AFTER MATCH SKIP TO LAST c
         """,
     )
 

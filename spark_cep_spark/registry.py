@@ -183,6 +183,8 @@ NEXT_ROTATION: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "cep_skip_to_first",
+    "cep_sql_skip_last_kleene",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

@@ -1109,8 +1109,10 @@ def compile_stream(
     skip_policy (Flink-CEP AfterMatchSkipStrategy, streaming face of
     the batch selectors): None = emit every match (skip-to-next-row,
     the default); "skip_past_last_row" = greedy non-overlapping
-    (select_non_overlapping's recurrence); ("skip_to_last", step) =
-    resume at the kept match's <step> binding (select_skip_to). The
+    (select_non_overlapping's recurrence); ("skip_to_last", step) /
+    ("skip_to_first", step) = resume at the kept match's <step>
+    binding (select_skip_to) — on a one_or_more target, LAST resumes
+    at the run's final row and FIRST at its entry row. The
     recurrence needs matches in START order but the NFA completes
     them in END order, so matches are held until their anchor's
     whole-match window passes the watermark (at which point no
@@ -1189,29 +1191,32 @@ def compile_stream(
         filter_nonmatching = False
     skip_inclusive = False
     skip_resume_idx: int | None = None  # None -> marker = match end
+    skip_resume_first = False  # kleene target: run's first vs last row
     if skip_policy is not None:
         if skip_policy == "skip_past_last_row":
             pass
         elif (
             isinstance(skip_policy, tuple)
             and len(skip_policy) == 2
-            and skip_policy[0] == "skip_to_last"
+            and skip_policy[0] in ("skip_to_last", "skip_to_first")
         ):
+            kind = skip_policy[0]
             names = [s.name for s in pos_steps]
             if skip_policy[1] not in names:
                 raise ValueError(
-                    f"skip_to_last: unknown step {skip_policy[1]!r}"
+                    f"{kind}: unknown step {skip_policy[1]!r}"
                 )
             skip_resume_idx = names.index(skip_policy[1])
             if skip_resume_idx == 0:
                 raise ValueError(
-                    "skip_to_last cannot target the anchor step "
+                    f"{kind} cannot target the anchor step "
                     "(the scan would not advance)"
                 )
-            if pos_steps[skip_resume_idx].contiguity == "kleene":
-                raise ValueError(
-                    "skip_to_last cannot target a one_or_more step"
-                )
+            # a one_or_more target is legal (standard MATCH_RECOGNIZE
+            # allows skipping to a quantified variable): FIRST resumes
+            # at the run's entry row, LAST at its final row — both
+            # strictly after the anchor, so the scan always advances
+            skip_resume_first = kind == "skip_to_first"
             skip_inclusive = True
         else:
             raise ValueError(f"unknown skip_policy: {skip_policy!r}")
@@ -1431,8 +1436,14 @@ def compile_stream(
                     _last_pos(b)[0]
                     if skip_resume_idx is None
                     else (
+                        # plain binding [ts, eid] -> ts; kleene binding
+                        # [first_ts, first_eid, last_ts, ...] -> first
+                        # or last ts per the policy's FIRST/LAST target
                         b[skip_resume_idx][0]
-                        if len(b[skip_resume_idx]) == 2
+                        if (
+                            skip_resume_first
+                            or len(b[skip_resume_idx]) == 2
+                        )
                         else b[skip_resume_idx][2]
                     )
                 )

@@ -600,8 +600,10 @@ def test_after_match_clause_malformed_rejected(spark, sf_dir):
         WITHIN 1 HOUR
         DEFINE v AS event_type = 'view', c AS event_type = 'click'
     """
+    # SKIP TO FIRST became a supported spelling in round 6d — a truly
+    # malformed clause still gets the pointed error
     with pytest.raises(ValueError, match="malformed AFTER MATCH"):
-        parse_pattern_sql(base + "AFTER MATCH SKIP TO FIRST c")
+        parse_pattern_sql(base + "AFTER MATCH SKIP TO MIDDLE c")
     with pytest.raises(ValueError, match="unknown step"):
         parse_pattern_sql(base + "AFTER MATCH SKIP TO LAST z")
     with pytest.raises(ValueError, match="anchor"):

@@ -1009,3 +1009,165 @@ def test_rows_per_match_running_composes_on_streams(spark, tmp_path):
         (2, "click", None, 200, 550),
         (3, "purchase", 350, 550, 550),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round-6d: SKIP TO FIRST / kleene-target skips / explicit NEXT ROW
+
+
+def test_stream_skip_to_first_kleene_equals_batch(spark, tmp_path):
+    """compile_stream(skip_policy=('skip_to_first', kleene_step)) over
+    multiple micro-batches equals the batch selector resuming at
+    t_<step>_first — including a signup BETWEEN a kept anchor and its
+    run entry, which FIRST must drop."""
+    from spark_cep_spark.operators.cep import Pattern, select_skip_to
+    from spark_cep_spark.streaming.nfa import compile_stream
+    from spark_cep_spark.streaming import harness
+
+    m = lambda k: T0 + dt.timedelta(minutes=k)
+    data = [
+        # u1: signup@0, signup@5 (before the run entry at 10 -> FIRST
+        # drops it), errors 10..12 (the run), signup@20 (>= entry ->
+        # kept), errors 30..31
+        (0, m(0), 1, "signup", 1.0, "{}"),
+        (1, m(5), 1, "signup", 1.0, "{}"),
+        (2, m(10), 1, "error", 1.0, "{}"),
+        (3, m(11), 1, "error", 1.0, "{}"),
+        (4, m(12), 1, "error", 1.0, "{}"),
+        (5, m(20), 1, "signup", 1.0, "{}"),
+        (6, m(30), 1, "error", 1.0, "{}"),
+        (7, m(31), 1, "error", 1.0, "{}"),
+    ]
+    tails = [
+        (100, m(5000), 9, "signup", 1.0, "{}"),
+        (101, m(10000), 9, "signup", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(data + tails, SCHEMA)
+    d = str(tmp_path / "files")
+    half = len(data) // 2
+    for i, ch in enumerate([data[:half], data[half:], tails[:1], tails[1:]]):
+        spark.createDataFrame(ch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    pat = (
+        Pattern.begin("s", "event_type = 'signup'")
+        .one_or_more("err", "event_type = 'error'")
+        .within("1 HOUR")
+    )
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    got = harness.run_available_now(
+        compile_stream(
+            pat, sdf, watermark="0 seconds",
+            skip_policy=("skip_to_first", "err"),
+        ),
+        "append",
+    ).filter("key <> 9")
+    want = select_skip_to(
+        pat.compile_batch(df), "t_s", "t_err_first"
+    ).filter("key <> 9")
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.select(*got.columns).collect())
+    assert g == w
+    # anchors kept: signup@0 (first), signup@20 (>= entry 10);
+    # signup@5 dropped (< entry 10 of the kept match)
+    assert [r[1] for r in g] == [0, 5]
+
+
+def test_stream_dialect_skip_last_kleene_equals_batch(spark):
+    """AFTER MATCH SKIP TO LAST <kleene step> through match_recognize
+    on a stream equals the batch text query, on the overlapping
+    anchor/run predicate shape where LAST is distinctive."""
+    sql = """
+PATTERN ( v -> c+ )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'click' AND value > 50,
+       c AS event_type = 'click'
+AFTER MATCH SKIP TO LAST c
+"""
+    rows = [
+        # u1: high-value click@0 anchors run {5,6,7}; the high-value
+        # click@6 INSIDE the run is < resume (7) -> dropped under
+        # LAST; click@7's own anchor candidacy: 7 >= 7 -> kept
+        (1, 0, "click", 60.0),
+        (1, 5, "click", 10.0),
+        (1, 6, "click", 70.0),
+        (1, 7, "click", 80.0),
+        (1, 20, "click", 10.0),
+        (1, 21, "click", 10.0),
+        (2, 0, "click", 90.0),
+        (2, 3, "click", 1.0),
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "v")
+    assert g == w and len(g) >= 2
+
+
+def test_skip_to_next_row_is_the_default(spark):
+    """The explicit SKIP TO NEXT ROW spelling parses and equals the
+    same query with no AFTER MATCH clause (emit every match)."""
+    rows = [
+        (i, T0 + dt.timedelta(minutes=mm), u, t, 1.0, "{}")
+        for i, (u, mm, t) in enumerate(
+            [
+                (1, 0, "view"), (1, 2, "view"), (1, 5, "click"),
+                (1, 8, "purchase"), (2, 0, "view"), (2, 1, "click"),
+                (2, 2, "purchase"),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = """
+PATTERN ( a -> b -> c )
+WITHIN 1 HOUR
+DEFINE a AS event_type = 'view',
+       b AS event_type = 'click',
+       c AS event_type = 'purchase'
+"""
+    got = match_recognize(df, base + "AFTER MATCH SKIP TO NEXT ROW")
+    want = match_recognize(df, base)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select(*got.columns).collect())
+    )
+    assert got.count() == 3  # both u1 views match; u2's one view
+
+
+def test_skip_to_first_rejects_anchor_target(spark):
+    rows = [(0, T0, 1, "view", 1.0, "{}")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    sql = """
+PATTERN ( a -> b )
+WITHIN 1 HOUR
+DEFINE a AS event_type = 'view', b AS event_type = 'click'
+AFTER MATCH SKIP TO FIRST a
+"""
+    with pytest.raises(ValueError, match="anchor"):
+        match_recognize(df, sql)
+
+
+def test_skip_first_equals_last_on_plain_step(spark):
+    """On a single-binding step the two spellings coincide — pinned
+    so a future kernel change cannot silently split them."""
+    rows = [
+        (i, T0 + dt.timedelta(minutes=mm), u, t, 1.0, "{}")
+        for i, (u, mm, t) in enumerate(
+            [
+                (1, 0, "view"), (1, 5, "click"), (1, 6, "view"),
+                (1, 9, "click"), (1, 30, "view"), (1, 35, "click"),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = """
+PATTERN ( a -> b )
+WITHIN 1 HOUR
+DEFINE a AS event_type = 'view', b AS event_type = 'click'
+"""
+    first = match_recognize(df, base + "AFTER MATCH SKIP TO FIRST b")
+    last = match_recognize(df, base + "AFTER MATCH SKIP TO LAST b")
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, last.select(*first.columns).collect())
+    )
