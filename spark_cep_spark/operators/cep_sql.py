@@ -97,6 +97,14 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               coincide). SKIP TO NEXT ROW is the explicit spelling of
               the default emit-every-match policy. Not combinable
               with quantifier/group/PERMUTE expansion.
+    {- B -}   row exclusion (round 6d, standard MATCH_RECOGNIZE): the
+              step still gates matching but its bound rows are omitted
+              from the ALL ROWS PER MATCH output (the only mode where
+              per-event rows exist — required, pointed error
+              otherwise). seq_no keeps the step's pattern ordinal
+              (exclusion removes rows, it does not renumber). A plain
+              post-explode filter, identical on both engines. Cannot
+              exclude a negated step (binds no rows) or every step.
     A -[30 MINUTES]-> B   gapped connector (also =[...]=>): B must fall
               within the bracketed interval OF A's binding — the
               per-transition deadline (Step.gap); on a negated step it
@@ -212,6 +220,9 @@ class ParsedPatternQuery:
     # step column)
     match_number_alias: str | None = None
     classifier_alias: str | None = None
+    # step names whose bound rows are omitted from the ALL ROWS PER
+    # MATCH output ({- step -} exclusion markers; sorted, de-duped)
+    excluded: tuple = ()
 
 
 def _mask_literals(text: str) -> str:
@@ -463,6 +474,26 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     if not (pat_body.startswith("(") and pat_body.endswith(")")):
         raise ValueError("PATTERN clause must be parenthesized: PATTERN ( ... )")
     pat_body = pat_body[1:-1].strip()
+
+    # {- step -} row exclusion (standard MATCH_RECOGNIZE, round 6d):
+    # the step still participates in matching but its bound rows are
+    # omitted from the ALL ROWS PER MATCH output. Strip the markers
+    # here, validate once the step list is known (end of function).
+    excluded: set[str] = set()
+    def _collect_excl(m: "re.Match") -> str:
+        # keep a negation marker in the token so step parsing sees it;
+        # record the bare name (the negated-step check then fires the
+        # pointed "cannot exclude negated step" error)
+        excluded.add(m.group(2))
+        return f" {m.group(1)}{m.group(2)} "
+    pat_body = re.sub(
+        r"\{-\s*(!?)([A-Za-z_]\w*)\s*-\}", _collect_excl, pat_body
+    )
+    if "{-" in pat_body or "-}" in pat_body:
+        raise ValueError(
+            "malformed {- step -} exclusion in the PATTERN clause "
+            "(want {- NAME -} around a plain step name)"
+        )
 
     defines: dict[str, str] = {}
     for item in _split_top_level_commas(clauses["DEFINE"]):
@@ -749,6 +780,30 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     "schema; the default mode emits the run's "
                     "first/last/count columns)"
                 )
+    if excluded:
+        if not all_rows:
+            raise ValueError(
+                "{- step -} exclusion requires ALL ROWS PER MATCH "
+                "(in ONE ROW mode each output row is a whole match — "
+                "there are no per-event rows to exclude)"
+            )
+        step_kinds = {s.name: s.contiguity for s in pattern.steps}
+        positive = [
+            s.name for s in pattern.steps if s.contiguity != "absent"
+        ]
+        for x in sorted(excluded):
+            if x not in step_kinds:
+                raise ValueError(f"exclusion of unknown step {x!r}")
+            if step_kinds[x] == "absent":
+                raise ValueError(
+                    f"cannot exclude negated step {x!r} (a negated "
+                    "step binds no rows to exclude)"
+                )
+        if excluded >= set(positive):
+            raise ValueError(
+                "the exclusion list covers every step — the ALL ROWS "
+                "output would always be empty"
+            )
 
     return ParsedPatternQuery(
         pattern=pattern,
@@ -760,6 +815,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         all_rows=all_rows,
         match_number_alias=match_number_alias,
         classifier_alias=classifier_alias,
+        excluded=tuple(sorted(excluded)),
     )
 
 
@@ -1381,6 +1437,8 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                     else ()
                 ),
             )
+            if parsed.excluded:
+                out = out.filter(~F.col("step").isin(*parsed.excluded))
             if parsed.classifier_alias:
                 out = out.withColumnRenamed(
                     "step", parsed.classifier_alias
@@ -1466,6 +1524,8 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 else ()
             ),
         )
+        if parsed.excluded:
+            out = out.filter(~F.col("step").isin(*parsed.excluded))
         if parsed.classifier_alias:
             out = out.withColumnRenamed("step", parsed.classifier_alias)
     return _flatten_key(out)
@@ -2346,6 +2406,61 @@ def cep_sql_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITHIN 3 HOURS
         DEFINE v AS event_type = 'view',
                c AS event_type = 'click'
+        ALL ROWS PER MATCH
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_exclusion",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_v, min(c.ts) AS t_c
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts
+                        AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         s3 AS (
+           SELECT s2.user_id, s2.event_id, s2.t_v,
+                  min({'ts': p.ts, 'id': p.event_id}) AS mp
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.t_c
+                         AND p.ts <= s2.t_v + INTERVAL 24 HOUR
+           GROUP BY s2.user_id, s2.event_id, s2.t_v)
+    SELECT user_id AS key, event_id AS anchor_id,
+           CAST(1 AS BIGINT) AS seq_no, 'v' AS step, t_v AS ts, event_id
+    FROM s3
+    UNION ALL
+    SELECT user_id, event_id, CAST(3 AS BIGINT), 'p', mp.ts, mp.id
+    FROM s3
+    """,
+)
+def cep_sql_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{- step -} row exclusion (standard MATCH_RECOGNIZE, round 6d):
+    the funnel's click step still GATES the match (a view with no
+    click never emits) but its rows are omitted from the ALL ROWS PER
+    MATCH output — the classic use is hiding bookkeeping steps from
+    per-event output. seq_no keeps the step's pattern ordinal (1 and
+    3 — the standard's behavior: exclusion removes rows, it does not
+    renumber). Compiles as the plain ALL ROWS unpivot plus a
+    post-explode filter, so it works identically on the streaming
+    engine (the filter composes on the stateful operator's output)."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( v -> {- c -} -> p )
+        WITHIN 24 HOURS
+        DEFINE v AS event_type = 'view',
+               c AS event_type = 'click',
+               p AS event_type = 'purchase'
         ALL ROWS PER MATCH
         PARTITION BY user_id
         ORDER BY ts

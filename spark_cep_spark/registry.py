@@ -185,6 +185,7 @@ NEXT_ROTATION: list[str] = [
     "tpch_q22",
     "cep_skip_to_first",
     "cep_sql_skip_last_kleene",
+    "cep_sql_exclusion",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

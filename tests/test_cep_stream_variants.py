@@ -1171,3 +1171,79 @@ DEFINE a AS event_type = 'view', b AS event_type = 'click'
     assert sorted(map(tuple, first.collect())) == sorted(
         map(tuple, last.select(*first.columns).collect())
     )
+
+
+def test_stream_exclusion_equals_batch(spark):
+    """{- step -} exclusion through match_recognize on a stream equals
+    the batch text query — the post-explode filter composes on the
+    stateful operator's output."""
+    sql = """
+PATTERN ( v -> {- c -} -> p )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view',
+       c AS event_type = 'click',
+       p AS event_type = 'purchase'
+ALL ROWS PER MATCH
+"""
+    rows = [
+        (1, 0, "view", 1.0), (1, 5, "click", 1.0), (1, 10, "purchase", 1.0),
+        (2, 0, "view", 1.0), (2, 3, "click", 1.0), (2, 7, "purchase", 1.0),
+        (2, 30, "view", 1.0),  # no click/purchase after -> no match
+    ]
+    g, w = _stream_vs_batch(spark, rows, sql, "v")
+    assert g == w
+    # two matches, each emitting only the v and p rows (seq_no 1, 3)
+    assert len(g) == 4
+    assert {r[3] for r in g} == {"v", "p"}
+    assert {r[2] for r in g} == {1, 3}
+
+
+def test_exclusion_requires_all_rows_mode(spark):
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    base = """
+PATTERN ( v -> {- c -} )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view', c AS event_type = 'click'
+"""
+    with pytest.raises(ValueError, match="requires ALL ROWS"):
+        parse_pattern_sql(base)
+    # an excluded name that is not a defined step fails at step lookup
+    # (the marker leaves a plain token behind)
+    with pytest.raises(ValueError, match="no DEFINE entry"):
+        parse_pattern_sql(
+            """
+PATTERN ( v -> {- z -} -> c )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view', c AS event_type = 'click'
+ALL ROWS PER MATCH
+"""
+        )
+    with pytest.raises(ValueError, match="every step"):
+        parse_pattern_sql(
+            """
+PATTERN ( {- v -} -> {- c -} )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view', c AS event_type = 'click'
+ALL ROWS PER MATCH
+"""
+        )
+    with pytest.raises(ValueError, match="negated"):
+        parse_pattern_sql(
+            """
+PATTERN ( v -> c -> {- !x -} )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view', c AS event_type = 'click',
+       x AS event_type = 'error'
+ALL ROWS PER MATCH
+"""
+        )
+    with pytest.raises(ValueError, match="malformed .. step .. exclusion"):
+        parse_pattern_sql(
+            """
+PATTERN ( v -> {- -} -> c )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view', c AS event_type = 'click'
+ALL ROWS PER MATCH
+"""
+        )
