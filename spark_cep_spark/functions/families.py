@@ -525,3 +525,47 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "fn_hof",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> len(w) > 4)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> len(w))) AS BIGINT)
+             AS total_len,
+           len(list_filter(string_split(text, ' '),
+                           w -> w = 'the')) > 0 AS has_the,
+           array_to_string(string_split(text, ' ')[1:3], '_') AS first3
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / transform+aggregate /
+    exists / slice with lambdas) — the Spark surface that keeps
+    per-element array logic INSIDE Catalyst instead of a Python UDF:
+    every lambda here compiles to codegen'd expressions over the
+    word array, so the whole row is one projection, no serialization
+    boundary. The aggregate accumulates exact integers (word
+    lengths); the DuckDB twin spells the same lambdas with
+    list_filter/list_transform/list_sum."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4))
+        .cast("long")
+        .alias("n_long"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w).cast("long"),
+        ).alias("total_len"),
+        F.exists(words, lambda w: w == "the").alias("has_the"),
+        F.array_join(F.slice(words, 1, 3), "_").alias("first3"),
+    ).orderBy("doc_id")

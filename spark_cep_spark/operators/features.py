@@ -1,0 +1,130 @@
+"""ML feature-engineering and dataset-profiling operators (round 6d).
+
+A training-data pipeline at 100 TB does more than dedup/filter: it
+builds model-ready features (categorical encodings) and publishes
+dataset profiles (per-column statistics for the dataset card / drift
+baseline). These are one-pass aggregate shapes — the profiling unpivot
+touches each row once, and the target encoder is a dimension-sized
+aggregate joined back under AQE's broadcast rules.
+
+Float discipline: money in exact cents; the leave-one-out division is
+the only float and is rounded(6) identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cep_spark.io import table
+from spark_cep_spark.registry import register
+
+
+@register(
+    "feat_target_encode",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey,
+           c.c_mktsegment AS segment,
+           CASE WHEN s.n > 1
+                THEN round(CAST(s.sum_cents
+                                - CAST(round(c.c_acctbal * 100) AS BIGINT)
+                                AS DOUBLE) / (s.n - 1) / 100.0, 6)
+                END AS loo_mean_acctbal
+    FROM customer c
+    JOIN seg s ON s.c_mktsegment = c.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the standard leakage-free
+    categorical encoder for gradient-boosted / linear models): each
+    customer's segment is encoded as the mean account balance of the
+    OTHER customers in that segment — (sum − own)/(n − 1), NULL for a
+    singleton category. One dimension-sized aggregate (5 segments)
+    joined back — broadcast under AQE, no second fact shuffle; the
+    sums accumulate in exact cents so the single rounded division is
+    the only float on both engines. At 100 TB the category aggregate
+    is k rows regardless of fact size."""
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.join(seg, "c_mktsegment")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("sum_cents") - cents).cast("double")
+                    / (F.col("n") - 1)
+                    / 100.0,
+                    6,
+                ),
+            ).alias("loo_mean_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderkey) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the per-column statistics block of a dataset
+    card / drift baseline): row count, null count, distinct count,
+    min/max for each profiled column — computed in ONE aggregation
+    pass over the table (all columns' aggregates in a single agg, so
+    one scan and one 1-row exchange) and unpivoted to a (col, stats)
+    row per column with `stack`. min/max are order-insensitive and
+    exact; counts are BIGINT — no float accumulation anywhere. The
+    oracle spells the same numbers as a per-column UNION ALL."""
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_custkey", "o_orderkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col, n, n_null, n_distinct, min_v, max_v)"
+    ).orderBy("col")

@@ -1576,3 +1576,43 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_dup").cast("long") / F.count(F.lit(1)), 4
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "corpus_sample_fixed_k",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+)
+def corpus_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sampling: exactly k (= 5) docs per
+    source, chosen by md5(doc_id) order — a deterministic
+    hash-shuffled draw, so the sample is reproducible across runs and
+    engines and UNIFORM within each stratum (the hash is
+    content-independent). The per-source pick is rank-over-window +
+    rk <= k, which Spark 4 executes as WindowGroupLimit: each
+    partition keeps only its top-k heap per source BEFORE the
+    shuffle, so a 100 TB stratum never funnels through one partition
+    — the same bounded shape as win_topk_per_group. Complements
+    corpus_sample_weighted (Bernoulli, variable size) when the
+    contract is exact-k per source (eval sets, human-review draws)."""
+    d = table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", rk.cast("long").alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )

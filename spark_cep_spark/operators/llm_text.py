@@ -1431,3 +1431,86 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel") * F.lit(1.0) / F.col("n_shingles"), 6
         ).alias("novel_frac"),
     )
+
+
+@register(
+    "text_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    big AS (
+      SELECT ts[g.i] AS w1, ts[g.i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+    n2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM big GROUP BY w1, w2),
+    n1l AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS n_left FROM big GROUP BY w1),
+    n1r AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n_right FROM big GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM big)
+    SELECT n2.w1, n2.w2, n2.n_pair,
+           n2.n_pair * tot.n_total AS lift_num,
+           n1l.n_left * n1r.n_right AS lift_den,
+           round(CAST(n2.n_pair * tot.n_total AS DOUBLE)
+                 / CAST(n1l.n_left * n1r.n_right AS DOUBLE), 6) AS lift
+    FROM n2
+    JOIN n1l ON n1l.w1 = n2.w1
+    JOIN n1r ON n1r.w2 = n2.w2
+    CROSS JOIN tot
+    WHERE n2.n_pair >= 5
+    ORDER BY n2.n_pair DESC, n2.w1, n2.w2
+    LIMIT 100
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (PMI-family): bigrams whose observed count
+    exceeds what the marginals predict — lift = N·c(w1,w2) /
+    (c(w1,·)·c(·,w2)), the exponent argument of PMI (log lift), which
+    is monotone in PMI so ranking and thresholds carry over. The lift
+    is emitted BOTH as an exact integer rational (lift_num/lift_den —
+    no cross-engine libm log in the hash) and as the rounded double
+    quotient of those two exact integers (IEEE division of identical
+    inputs is deterministic).
+
+    100 TB shape: bigrams via the array-zip projection (no exploded
+    token self-join), three word-keyed aggregates with map-side
+    partials, NO broadcast hints on the marginal joins (10^8+ distinct
+    tokens at web scale — AQE decides; all three sides are already
+    hash-partitioned by their join key from the groupBys), N as a
+    broadcast 1-row aggregate, min-count 5 prunes the Zipf tail before
+    the joins, and the top-100 is TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    pairs = F.arrays_zip(
+        F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)").alias(
+            "w1"
+        ),
+        F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)").alias(
+            "w2"
+        ),
+    )
+    big = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    n2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n1l = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_left"))
+    n1r = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_right"))
+    tot = big.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        n2.filter(F.col("n_pair") >= 5)
+        .join(n1l, "w1")
+        .join(n1r, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (F.col("n_pair") * F.col("n_total")).alias("lift_num"),
+            (F.col("n_left") * F.col("n_right")).alias("lift_den"),
+            F.round(
+                (F.col("n_pair") * F.col("n_total")).cast("double")
+                / (F.col("n_left") * F.col("n_right")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "w1", "w2")
+        .limit(100)
+    )

@@ -88,6 +88,7 @@ def load_all() -> None:
         graph,
         drift,
         tpch,
+        features,
     )
     from spark_cep_spark.functions import families, udfs  # noqa: F401
     from spark_cep_spark.streaming import windows as stream_windows  # noqa: F401
@@ -186,6 +187,11 @@ NEXT_ROTATION: list[str] = [
     "cep_skip_to_first",
     "cep_sql_skip_last_kleene",
     "cep_sql_exclusion",
+    "feat_target_encode",
+    "profile_columns",
+    "corpus_sample_fixed_k",
+    "text_collocations",
+    "fn_hof",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

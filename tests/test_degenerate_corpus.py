@@ -69,6 +69,7 @@ EXTRA_DOC_KEYS = (  # doc-table keys outside the llm_* prefixes
     "udtf_tokens",
     "map_in_pandas",
     "stream_dedup_near",
+    "fn_hof",  # round 6d: HOF lambdas over the word array
 )
 
 
