@@ -1329,3 +1329,89 @@ def agg_path_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sxy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_cents,
+           round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS intercept_cents,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (price-on-quantity regression per returnflag):
+    slope, intercept, and R² assembled from the five classical sums —
+    NOT from an engine regr_slope/corr builtin, whose internal float
+    accumulation order differs between engines. All five sums
+    accumulate as exact BIGINTs (quantities integral, prices in
+    cents), so partial-aggregation order cannot change them; the
+    normal-equation arithmetic then runs in double on IDENTICAL
+    integer inputs with the identical expression shape on both
+    engines (IEEE determinism), rounded(6). One map-side-combined
+    aggregate pass; the sums-to-coefficients step is a 3-row
+    projection. At 100 TB the sums may exceed int64 in the cross
+    terms — the n·Sxy products are therefore computed in double AFTER
+    the exact aggregation, where magnitude costs precision but not
+    cross-engine agreement."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = nd * sxyd - sxd * syd
+    var_x = nd * sxxd - sxd * sxd
+    var_y = nd * syyd - syd * syd
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / var_x, 6).alias("slope_cents"),
+        F.round((syd * sxxd - sxd * sxyd) / var_x, 6).alias(
+            "intercept_cents"
+        ),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("l_returnflag")

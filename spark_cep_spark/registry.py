@@ -192,6 +192,7 @@ NEXT_ROTATION: list[str] = [
     "corpus_sample_fixed_k",
     "text_collocations",
     "fn_hof",
+    "agg_regression",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",
