@@ -3757,3 +3757,126 @@ def holt_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_ewma(
+    state: float | None, matured: list
+) -> tuple[float | None, list]:
+    """Pure EWMA kernel (streaming face of operators/windows.win_ewma):
+    state is the key's last smoothed value (None = fresh key); matured
+    is the next (ts, id)-sorted batch of [ts_us, eid, value-or-None].
+    The recurrence is written with the SAME literal coefficients as
+    the batch pandas scan and the recursive-CTE oracle
+    (y = 0.3·x + 0.7·y_prev — note 0.7 as a literal, NOT 1−0.3, which
+    is 0.7000000000000001 in IEEE754) so all three faces agree
+    bit-for-bit. A null value becomes NaN and poisons the tail exactly
+    like the batch pandas column arithmetic. O(1) state: one float.
+    Chunking-invariant by construction (the state after a prefix is
+    the value the next chunk resumes from — property-tested)."""
+    prev = state
+    out = []
+    for ts_us, eid, v in matured:
+        x = float("nan") if v is None else v
+        prev = x if prev is None else 0.3 * x + 0.7 * prev
+        out.append([eid, ts_us, v, prev])
+    return prev, out
+
+
+def ewma_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-key EWMA — the standard monitoring smoother as a
+    stateful operator: rows buffer until the watermark passes (the
+    recurrence needs event-time order; late data within the watermark
+    slots into place), then fold through advance_ewma. Per-key state
+    is ONE float plus the watermark-bounded buffer."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("val"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "p": None}
+        buf, p = st["buf"], st["p"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, v in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["val"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if v is None or pd.isna(v) else float(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        p, rows = advance_ewma(p, matured)
+
+        if buf or p is not None:
+            state.update((json.dumps({"buf": buf, "p": p}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "event_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+                    "value": [r[2] for r in rows],
+                    "ewma": [r[3] for r in rows],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

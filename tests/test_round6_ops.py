@@ -8,6 +8,8 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from conftest import SF_CHECK
 
@@ -1000,3 +1002,95 @@ def test_substring_dedup_planted_span(spark, tmp_path):
     assert out[2]["dup_tokens"] == 12
     assert out[3]["dup_tokens"] == 0 and out[3]["dup_spans"] == 0
     assert abs(out[2]["dup_frac"] - round(12 / 15, 6)) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vs=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=0,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=3),
+)
+def test_ewma_kernel_brute_force_and_chunking(vs, cuts):
+    """advance_ewma == the batch pandas recurrence (same literal
+    coefficients) and is chunking-invariant."""
+    from spark_cep_spark.streaming.nfa import advance_ewma
+
+    rows = [[i * 1000, i, v] for i, v in enumerate(vs)]
+    prev, want = None, []
+    for ts, eid, v in rows:
+        prev = v if prev is None else 0.3 * v + 0.7 * prev
+        want.append([eid, ts, v, prev])
+    _, whole = advance_ewma(None, [r[:] for r in rows])
+    assert whole == want
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got, prev_i = None, [], 0
+    for b in bounds + [len(rows)]:
+        stt, part = advance_ewma(stt, [r[:] for r in rows[prev_i:b]])
+        got.extend(part)
+        prev_i = b
+    assert got == whole
+
+
+def test_streaming_ewma_equals_batch_twin(spark, sf_dir):
+    """ewma_stream over multiple micro-batches equals win_ewma's
+    batch output bit-for-bit on the same data (null-free users;
+    the null-poisoning policy matches pandas NaN arithmetic and is
+    covered by the kernel's definition, not comparable via == )."""
+    import datetime as ddt
+    import glob
+    import os
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import ewma_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        ewma_stream(stream, watermark="0 seconds"), "append"
+    )
+    # users whose values contain a null are NaN-poisoned from that row
+    # on (the batch twin's pandas semantics) — compare null-free users
+    null_users = {
+        r["user_id"]
+        for r in spark.read.parquet(staged)
+        .filter("value IS NULL AND user_id <> -1")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    g = {
+        (r["key"], r["event_id"], r["ewma"])
+        for r in got.collect()
+        if r["key"] != -1 and r["key"] not in null_users
+    }
+    by_user = {}
+    for r in sorted(
+        spark.read.parquet(staged).filter("user_id <> -1").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    ):
+        by_user.setdefault(r["user_id"], []).append(r)
+    w = set()
+    for u, rs in by_user.items():
+        if u in null_users:
+            continue
+        prev = None
+        for r in rs:
+            v = r["value"]
+            prev = v if prev is None else 0.3 * v + 0.7 * prev
+            w.add((u, r["event_id"], prev))
+    assert g == w and len(w) > 0
