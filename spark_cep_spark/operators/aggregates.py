@@ -1337,17 +1337,14 @@ def agg_path_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                  AS BIGINT) AS sy,
-             CAST(sum(CAST(l_quantity AS BIGINT)
-                      * CAST(round(l_extendedprice * 100) AS BIGINT))
-                  AS BIGINT) AS sxy,
-             CAST(sum(CAST(l_quantity AS BIGINT)
-                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * CAST(round(l_extendedprice * 100) AS BIGINT))
-                  AS BIGINT) AS syy
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -1384,20 +1381,30 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer inputs with the identical expression shape on both
     engines (IEEE determinism), rounded(6). One map-side-combined
     aggregate pass; the sums-to-coefficients step is a 3-row
-    projection. At 100 TB the sums may exceed int64 in the cross
-    terms — the n·Sxy products are therefore computed in double AFTER
-    the exact aggregation, where magnitude costs precision but not
+    projection.
+
+    Overflow posture (caught by the 8× fact probe, not hypothetically):
+    sum(y²) at y ≈ 10⁷ cents exceeds int64 around 10⁶ rows — Spark's
+    ANSI mode threw ARITHMETIC_OVERFLOW at 8× sf0.1 while DuckDB
+    silently widened to HUGEINT. The quadratic-term sums therefore
+    accumulate as decimal(38,0) (exact 128-bit, good to ~10³⁸ — beyond
+    any corpus) and only THEN cast to double; DuckDB's HUGEINT sums
+    take the same exact-integer→nearest-double rounding, so the
+    normal-equation inputs stay identical. n·Sxy products after that
+    are double-side magnitude, which costs precision but never
     cross-engine agreement."""
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
+        F.sum(y.cast(dec)).alias("sy"),  # 10^7-cent values pass int64
+        # around 10^12 rows — same widening as the quadratic terms
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -168,3 +168,17 @@ def test_q4_plans_exists_as_semi_join(spark):
 def test_q21_topk_is_take_ordered(spark):
     plan = _executed_plan(_run("tpch_q21", spark))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_regression_sums_accumulate_in_decimal(spark):
+    """The quadratic-term sums must accumulate as decimal(38,0) — a
+    revert to long overflows ANSI Spark around 10^6 rows of 10^7-cent
+    values (caught live by the 8x fact probe)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["agg_regression"](spark, SF_SMOKE)
+    # walk the analyzed plan: the partial-aggregate schema carries the
+    # sum buffers; assert via the logical plan string that the cast to
+    # decimal(38,0) wraps the squared terms
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in plan

@@ -64,6 +64,11 @@ NESTED_LOOP_OK = {
     "stream_drift_psi",  # 1-row reference-distribution broadcast into
     # the per-day bin-count rows — same constant-size build side as
     # text_surprisal (the reference is the bin grid, never data-sized)
+    "tpch_q22",  # 1-row (sum_pos, n_pos) threshold broadcast — the
+    # exact cross-multiplied avg-balance test; same constant-size
+    # build side as text_surprisal
+    "text_collocations",  # 1-row N_total broadcast into the
+    # min-count-pruned bigram table — same shape as text_surprisal
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
@@ -79,6 +84,9 @@ PYTHON_OK = {
     "multimodal_decode",  # Arrow-batched decode/frame-sample pipeline
     "cep_skip_past",  # sequential skip-policy scan over MATCHES (not events)
     "cep_skip_to_last",  # same sequential policy, different resume point
+    "cep_skip_to_first",  # same sequential policy, run-entry resume point
+    "cep_sql_skip_last_kleene",  # the dialect's SKIP TO LAST on a kleene
+    # target compiles to the same sequential selector over MATCHES
     "cep_sql_match_number",  # the dialect's AFTER MATCH SKIP PAST LAST
     # ROW compiles to the same sequential selector over MATCHES; the
     # MATCH_NUMBER window itself is JVM-side
