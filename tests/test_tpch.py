@@ -182,3 +182,39 @@ def test_agg_regression_sums_accumulate_in_decimal(spark):
     # decimal(38,0) wraps the squared terms
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "decimal(38,0)" in plan
+
+
+def test_target_encode_singleton_category_is_null(spark, tmp_path):
+    """A category with one member has no leave-one-out peers — the
+    encoding must be NULL, not a division by zero (n-1 = 0)."""
+    import os
+    import shutil
+
+    src = SF_SMOKE
+    d = tmp_path / "fix"
+    d.mkdir()
+    for f in os.listdir(src):
+        if f != "customer.parquet":
+            os.symlink(os.path.join(src, f), d / f)
+    rows = [
+        (1, "c1", 0, 100.0, "SOLO"),
+        (2, "c2", 0, 10.0, "PAIR"),
+        (3, "c3", 0, 30.0, "PAIR"),
+    ]
+    cdf = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    out_dir = str(d / "_c")
+    cdf.coalesce(1).write.parquet(out_dir)
+    part = next(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+    shutil.move(os.path.join(out_dir, part), d / "customer.parquet")
+    shutil.rmtree(out_dir)
+    got = {
+        r["c_custkey"]: r["loo_mean_acctbal"]
+        for r in _run("feat_target_encode", spark, str(d)).collect()
+    }
+    assert got[1] is None          # singleton: no peers
+    assert got[2] == 30.0          # the other PAIR member's balance
+    assert got[3] == 10.0
