@@ -370,3 +370,96 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator followed by a stateless broadcast join + projection."""
     events = table(spark, sf_dir, "events")
     return drift_psi_day(events, drift_reference(events))
+
+
+@register(
+    "agg_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n2,
+             sum(CAST(round(value * 100) AS BIGINT))
+               FILTER (user_id % 2 = 0) AS s1,
+             sum(CAST(round(value * 100) AS BIGINT))
+               FILTER (user_id % 2 = 1) AS s2,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))
+               FILTER (user_id % 2 = 0) AS ss1,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))
+               FILTER (user_id % 2 = 1) AS ss2
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               / (n1 - 1) AS v1,
+             (CAST(ss2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+               / (n2 - 1) AS v2
+      FROM s WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT event_type, n1, n2,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS dof
+    FROM d
+    ORDER BY event_type
+    """,
+)
+def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per event type between the even/odd
+    user cohorts (the drift family's parametric member, next to
+    agg_psi and agg_ks): t = (m1−m2)/√(v1/n1 + v2/n2) with the
+    Welch–Satterthwaite degrees of freedom. Values are cent-rounded
+    (round(v·100) — deterministic on both engines) and the five
+    per-cohort sums accumulate as exact integers in ONE conditional
+    aggregation pass, so partial-aggregation order cannot move them;
+    means/variances/t/dof are then identical-shape double expressions
+    over those exact inputs (IEEE sqrt is correctly rounded, so even
+    the root is deterministic), rounded(6). Groups with a cohort of
+    fewer than 2 rows drop (variance undefined). At 100 TB: one scan,
+    one fixed-width shuffle of 7 numbers per (type, cohort)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    even = F.col("user_id") % 2 == 0
+    s = e.groupBy("event_type").agg(
+        F.count(F.when(even, 1)).alias("n1"),
+        F.count(F.when(~even, 1)).alias("n2"),
+        F.sum(F.when(even, cents)).alias("s1"),
+        F.sum(F.when(~even, cents)).alias("s2"),
+        # cents^2 ~ 1.2e9/row passes int64 around 1e10 rows — widen to
+        # exact 128-bit decimal like agg_regression's quadratic sums
+        F.sum(F.when(even, (cents * cents).cast("decimal(38,0)"))).alias(
+            "ss1"
+        ),
+        F.sum(F.when(~even, (cents * cents).cast("decimal(38,0)"))).alias(
+            "ss2"
+        ),
+    ).filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    m1, m2 = s1d / n1d, s2d / n2d
+    v1 = (F.col("ss1").cast("double") - s1d * s1d / n1d) / (n1d - 1)
+    v2 = (F.col("ss2").cast("double") - s2d * s2d / n2d) / (n2d - 1)
+    se2_1, se2_2 = v1 / n1d, v2 / n2d
+    return s.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias("t_stat"),
+        F.round(
+            ((se2_1 + se2_2) * (se2_1 + se2_2))
+            / (se2_1 * se2_1 / (n1d - 1) + se2_2 * se2_2 / (n2d - 1)),
+            6,
+        ).alias("dof"),
+    ).orderBy("event_type")

@@ -193,6 +193,7 @@ NEXT_ROTATION: list[str] = [
     "text_collocations",
     "fn_hof",
     "agg_regression",
+    "agg_ttest",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

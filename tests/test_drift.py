@@ -128,3 +128,51 @@ def test_drift_psi_stream_equals_batch(spark, sf_dir):
     w = want.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
     assert g.equals(w)
     assert len(g) > 1
+
+
+def test_ttest_zero_for_identical_cohorts(spark, sf_dir, tmp_path):
+    """Even and odd cohorts with identical value multisets: means are
+    equal so t == 0.0 exactly; equal variances and sizes give the
+    textbook dof = 2(n-1)."""
+    import os
+
+    from spark_cep_spark.operators.drift import agg_ttest
+
+    rows = [(0, 10.0), (0, 60.0), (0, 120.0), (1, 10.0), (1, 60.0), (1, 120.0)]
+    df = _events(spark, rows)
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if f != "events.parquet":
+            os.symlink(os.path.join(sf_dir, f), os.path.join(d, f))
+    df.coalesce(1).write.parquet(os.path.join(d, "_ev"))
+    part = next(
+        p for p in os.listdir(os.path.join(d, "_ev")) if p.endswith(".parquet")
+    )
+    os.rename(os.path.join(d, "_ev", part), os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in agg_ttest(spark, d).collect()}
+    assert out["view"]["t_stat"] == 0.0
+    assert out["view"]["dof"] == 4.0  # equal var + equal n: 2(n-1)
+    assert out["view"]["n1"] == 3 and out["view"]["n2"] == 3
+
+
+def test_ttest_drops_undersized_cohorts(spark, sf_dir, tmp_path):
+    """A cohort with one row has no variance — the group must drop,
+    not divide by zero."""
+    import os
+
+    from spark_cep_spark.operators.drift import agg_ttest
+
+    rows = [(0, 10.0), (0, 60.0), (1, 50.0)]  # odd cohort: 1 row
+    df = _events(spark, rows)
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if f != "events.parquet":
+            os.symlink(os.path.join(sf_dir, f), os.path.join(d, f))
+    df.coalesce(1).write.parquet(os.path.join(d, "_ev"))
+    part = next(
+        p for p in os.listdir(os.path.join(d, "_ev")) if p.endswith(".parquet")
+    )
+    os.rename(os.path.join(d, "_ev", part), os.path.join(d, "events.parquet"))
+    assert agg_ttest(spark, d).count() == 0

@@ -1094,3 +1094,66 @@ def test_streaming_ewma_equals_batch_twin(spark, sf_dir):
             prev = v if prev is None else 0.3 * v + 0.7 * prev
             w.add((u, r["event_id"], prev))
     assert g == w and len(w) > 0
+
+
+def test_ewma_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for ewma_stream: the single smoothed float and
+    the arrival buffer must resume exactly from the checkpoint — like
+    Holt, every post-restart row depends on the entire per-key
+    history, so one lost state float diverges the whole tail."""
+    import os
+    import shutil
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import ewma_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+    assert len(parts) >= 8
+
+    def run(src_dir, out, ckpt):
+        stream = harness.events_stream(spark, src_dir, max_files_per_trigger=2)
+        q = (
+            ewma_stream(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    copy_ordered(parts[:4])
+    run(src, out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    copy_ordered(parts[4:])
+    run(src, out, ckpt)
+
+    def keyfn(r):
+        e = r["ewma"]
+        return (r["key"], r["event_id"], None if e is None or e != e else e)
+
+    got = {keyfn(r) for r in spark.read.parquet(out).collect()}
+    uninterrupted = {
+        keyfn(r)
+        for r in harness.run_available_now(
+            ewma_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        ).collect()
+    }
+    assert got == uninterrupted
+    assert 0 < n_first < len(got)
