@@ -1370,3 +1370,133 @@ def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "pipeline_dedup_eval",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         truth AS (
+           SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+           FROM sh sa JOIN sh sb
+             ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+           GROUP BY sa.doc_id, sb.doc_id
+           HAVING count(*) * 1.0
+                  / ((SELECT n FROM cnt WHERE doc_id = sa.doc_id)
+                     + (SELECT n FROM cnt WHERE doc_id = sb.doc_id)
+                     - count(*)) >= 0.7
+         ),
+         hashes AS ({_MINHASH_HASHES_SQL}),
+         bands AS ({_LSH_BANDS_SQL}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+         hit AS (SELECT c.doc_a FROM cand c
+                 JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / (SELECT count(*) FROM cand), 6) AS precision_,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / (SELECT count(*) FROM truth), 6) AS recall_
+    """,
+)
+def pipeline_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation — the tuning harness for the banded
+    near-dedup pipeline: precision and recall of dedup_minhash_lsh's
+    band-bucket CANDIDATE generation against exact ground truth
+    (pairs with shingle-Jaccard ≥ 0.7; pairs sharing no shingle have
+    J = 0, so the truth set is computable with a shingle
+    inverted-index join, never an all-pairs product). A recall below
+    1-(1-0.7^r)^b tells you the band geometry is dropping true dups;
+    a low precision quantifies the wasted verify work.
+
+    Scale posture: this is an EVAL operator — you run it on a bounded
+    sample corpus (corpus_sample_fixed_k composes as the sampler) to
+    pick (bands, rows), then run the production pipeline at full
+    scale; the truth join's hot-shingle cost is the inherent price of
+    exact ground truth and is why it stays on the sample. All counts
+    exact BIGINTs; the two ratios are single rounded divisions."""
+    d = table(spark, sf_dir, "documents")
+    sh = _doc_shingles(d).persist()
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    shared = (
+        sa.join(
+            sb,
+            (F.col("sb.sh") == F.col("sa.sh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    truth = (
+        shared.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(
+            F.col("shared")
+            / (F.col("ca.n") + F.col("cb.n") - F.col("shared"))
+            >= 0.7
+        )
+        .select("doc_a", "doc_b")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    hashes = sh.groupBy("doc_id").agg(*aggs)
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"h{2 * b}"),
+                                F.lit("|"),
+                                F.col(f"h{2 * b + 1}"),
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_truth.join(F.broadcast(n_cand))
+        .join(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision_"),
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall_"),
+        )
+    )

@@ -194,6 +194,7 @@ NEXT_ROTATION: list[str] = [
     "fn_hof",
     "agg_regression",
     "agg_ttest",
+    "pipeline_dedup_eval",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",
