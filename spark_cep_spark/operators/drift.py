@@ -463,3 +463,70 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dof"),
     ).orderBy("event_type")
+
+
+def _chi2_sum_sql(cur: str, ctot: str, ref: str, rtot: str, n: int) -> str:
+    """The chi-squared sum over the 2×n (cohort × bin) contingency
+    table as ONE fixed-order expression (same discipline as
+    _psi_sum_sql): e_cell = cohort_total · bin_total / N, term =
+    (o − e)²/e, zero-total bins contribute 0. All inputs are exact
+    BIGINT counts; the arithmetic is identically-shaped doubles."""
+    terms = []
+    nn = f"({rtot} + {ctot})"
+    for i in range(n):
+        col = f"({ref.format(i=i)} + {cur.format(i=i)})"
+        er = f"(CAST({rtot} AS DOUBLE) * {col} / {nn})"
+        ec = f"(CAST({ctot} AS DOUBLE) * {col} / {nn})"
+        terms.append(
+            f"(CASE WHEN {col} > 0 THEN "
+            f"({ref.format(i=i)} - {er}) * ({ref.format(i=i)} - {er}) / {er}"
+            f" + ({cur.format(i=i)} - {ec}) * ({cur.format(i=i)} - {ec}) / {ec}"
+            f" ELSE 0.0 END)"
+        )
+    return " + ".join(terms)
+
+
+_CHI2_FINAL = _chi2_sum_sql("c{i}", "ct", "r{i}", "rt", _N_PSI_BINS)
+_CHI2_DOF = " + ".join(
+    f"(CASE WHEN r{i} + c{i} > 0 THEN 1 ELSE 0 END)"
+    for i in range(_N_PSI_BINS)
+)
+
+
+@register(
+    "agg_chi2",
+    oracle=_psi_oracle_counts("event_type")
+    + f"""
+    SELECT g AS event_type, rt AS ref_n, ct AS cur_n,
+           round({_CHI2_FINAL}, 6) AS chi2,
+           CAST(({_CHI2_DOF}) - 1 AS BIGINT) AS dof
+    FROM counts
+    WHERE rt > 0 AND ct > 0
+    ORDER BY event_type
+    """,
+)
+def agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared homogeneity test per event type between the
+    even/odd user cohorts over the fixed 10-bin value grid — the
+    drift family's classical test statistic next to agg_psi
+    (heuristic index), agg_ks (distribution-free), and agg_ttest
+    (parametric mean shift). Same one-pass exact-BIGINT bin counts as
+    agg_psi (the counts CTE is literally shared), then the 2×10-cell
+    (observed−expected)²/expected sum as ONE spelled-out fixed-order
+    double expression — zero-total bins contribute 0 and drop from
+    the degrees of freedom (dof = nonzero_bins − 1); a group with an
+    empty cohort drops entirely (no expected counts). 100 TB cost:
+    one scan + a 22-number shuffle per type."""
+    e = table(spark, sf_dir, "events")
+    counts = _psi_counts(e, ["event_type"])
+    return (
+        counts.filter("rt > 0 AND ct > 0")
+        .selectExpr(
+            "event_type",
+            "rt AS ref_n",
+            "ct AS cur_n",
+            f"round({_CHI2_FINAL}, 6) AS chi2",
+            f"CAST(({_CHI2_DOF}) - 1 AS BIGINT) AS dof",
+        )
+        .orderBy("event_type")
+    )

@@ -195,6 +195,7 @@ NEXT_ROTATION: list[str] = [
     "agg_regression",
     "agg_ttest",
     "pipeline_dedup_eval",
+    "agg_chi2",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

@@ -176,3 +176,27 @@ def test_ttest_drops_undersized_cohorts(spark, sf_dir, tmp_path):
     )
     os.rename(os.path.join(d, "_ev", part), os.path.join(d, "events.parquet"))
     assert agg_ttest(spark, d).count() == 0
+
+
+def test_chi2_zero_for_identical_cohorts(spark, sf_dir, tmp_path):
+    """Identical cohort multisets: observed == expected in every cell,
+    chi2 == 0.0 exactly; 3 distinct values land in 3 bins → dof 2."""
+    import os
+
+    from spark_cep_spark.operators.drift import agg_chi2
+
+    rows = [(0, 10.0), (0, 60.0), (0, 120.0), (1, 10.0), (1, 60.0), (1, 120.0)]
+    df = _events(spark, rows)
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if f != "events.parquet":
+            os.symlink(os.path.join(sf_dir, f), os.path.join(d, f))
+    df.coalesce(1).write.parquet(os.path.join(d, "_ev"))
+    part = next(
+        p for p in os.listdir(os.path.join(d, "_ev")) if p.endswith(".parquet")
+    )
+    os.rename(os.path.join(d, "_ev", part), os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in agg_chi2(spark, d).collect()}
+    assert out["view"]["chi2"] == 0.0
+    assert out["view"]["dof"] == 2

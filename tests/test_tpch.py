@@ -218,3 +218,53 @@ def test_target_encode_singleton_category_is_null(spark, tmp_path):
     assert got[1] is None          # singleton: no peers
     assert got[2] == 30.0          # the other PAIR member's balance
     assert got[3] == 10.0
+
+
+def test_fn_hof_null_and_empty_text_parity(spark):
+    """NULL text → every HOF output NULL (Spark size/aggregate on a
+    NULL array and DuckDB list_* agree); empty string → one empty
+    token. Pinned cross-engine with an inline DuckDB run — the
+    degenerate sweep is count-only and cannot see a value divergence."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a the bb")], "doc_id long, text string"
+    )
+    words = F.split("text", " ")
+    got = [
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            F.size(words).cast("long"),
+            F.size(F.filter(words, lambda w: F.length(w) > 4)).cast("long"),
+            F.aggregate(
+                words,
+                F.lit(0).cast("long"),
+                lambda a, w: a + F.length(w).cast("long"),
+            ),
+            F.exists(words, lambda w: w == "the"),
+            F.array_join(F.slice(words, 1, 3), "_"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES (1, NULL), (2, ''), "
+        "(3, 'a the bb')) t(doc_id, text)"
+    )
+    want = con.execute(
+        """
+        SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT),
+               CAST(len(list_filter(string_split(text,' '),
+                                    w -> len(w) > 4)) AS BIGINT),
+               CAST(list_sum(list_transform(string_split(text,' '),
+                                            w -> len(w))) AS BIGINT),
+               len(list_filter(string_split(text,' '),
+                               w -> w = 'the')) > 0,
+               array_to_string(string_split(text,' ')[1:3], '_')
+        FROM d ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
