@@ -569,3 +569,38 @@ def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(words, lambda w: w == "the").alias("has_the"),
         F.array_join(F.slice(words, 1, 3), "_").alias("first3"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_long,
+           CAST(props->>'$.k' AS DOUBLE) AS k_dbl,
+           (props->>'$.missing') IS NULL AS no_missing,
+           json(props)::VARCHAR AS vjson
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType — the engine-native semi-structured path
+    (binary-encoded, shreddable, ~an order faster to re-extract than
+    per-access JSON string parsing): parse_json once, then typed
+    variant_get extractions, missing-path NULL semantics
+    (try_variant_get), and to_json round-trip (whose compact
+    normalized form the oracle mirrors with DuckDB's json()
+    normalizer). At 100 TB the win is parse-once-extract-many and
+    columnar shredding; the JSON-string twin (fn_json) re-parses per
+    extraction."""
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k_long"),
+        F.expr("variant_get(v, '$.k', 'double')").alias("k_dbl"),
+        F.expr("try_variant_get(v, '$.missing', 'long') IS NULL").alias(
+            "no_missing"
+        ),
+        F.to_json("v").alias("vjson"),
+    ).orderBy("event_id")

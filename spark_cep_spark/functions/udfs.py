@@ -158,3 +158,46 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.tok "
         "FROM docs_for_udtf d, LATERAL tokenize(d.doc_id, d.text) t"
     )
+
+
+@register(
+    "map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars_utf8
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy sibling of mapInPandas (§2.12): the
+    batch function receives pyarrow RecordBatches directly, skipping
+    the Arrow→pandas materialization entirely, which is the right
+    surface when the kernel is itself Arrow-native (pyarrow.compute /
+    Arrow-backed tokenizers). Whitespace token counts and UTF-8
+    character lengths computed with pc.split_pattern /
+    pc.list_value_length / pc.utf8_length — vectorized C++ kernels,
+    no per-row Python. NULL text propagates to NULL counts on both
+    engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(batches):
+        for b in batches:
+            text = b.column("text")
+            words = pc.split_pattern(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.list_value_length(words).cast(pa.int64()),
+                    pc.utf8_length(text).cast(pa.int64()),
+                ],
+                ["doc_id", "n_words", "n_chars_utf8"],
+            )
+
+    return d.mapInArrow(
+        count_tokens, "doc_id long, n_words long, n_chars_utf8 long"
+    ).orderBy("doc_id")

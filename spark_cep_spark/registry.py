@@ -196,6 +196,8 @@ NEXT_ROTATION: list[str] = [
     "agg_ttest",
     "pipeline_dedup_eval",
     "agg_chi2",
+    "fn_variant",
+    "map_in_arrow",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

@@ -69,6 +69,8 @@ NESTED_LOOP_OK = {
     # build side as text_surprisal
     "text_collocations",  # 1-row N_total broadcast into the
     # min-count-pruned bigram table — same shape as text_surprisal
+    "pipeline_dedup_eval",  # the final precision/recall row combines
+    # three 1-row count aggregates — all build sides constant-size
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
@@ -76,6 +78,7 @@ PYTHON_OK = {
     "udaf_grouped",
     "grouped_map",
     "map_in_pandas",
+    "map_in_arrow",  # Arrow-native batch map — the §2.12 surface itself
     "udtf_tokens",
     "sim_topk_pandas",
     "multimodal_ingest",
