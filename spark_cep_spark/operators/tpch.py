@@ -792,3 +792,157 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH asup AS (
+      SELECT s.s_suppkey, s.s_name,
+             CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents,
+             n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    rel AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey FROM lineitem l
+    ),
+    cand AS (
+      SELECT p.p_partkey, a.s_suppkey, a.s_name, a.n_name, a.bal_cents
+      FROM part p
+      JOIN rel ON rel.l_partkey = p.p_partkey
+      JOIN asup a ON a.s_suppkey = rel.l_suppkey
+      WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+    ),
+    best AS (
+      SELECT p_partkey, min(bal_cents) AS min_bal
+      FROM cand GROUP BY p_partkey
+    )
+    SELECT c.bal_cents AS s_acctbal_cents, c.s_name, c.n_name, c.p_partkey
+    FROM cand c JOIN best b
+      ON b.p_partkey = c.p_partkey AND c.bal_cents = b.min_bal
+    ORDER BY s_acctbal_cents DESC, c.n_name, c.s_name, c.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp, so the
+    supplier-part relation derives from lineitem and the minimized
+    "cost" is the supplier's account balance (the fixture's only
+    per-supplier economic attribute). For each LARGE small-size part,
+    the ASIA supplier(s) with the minimal balance. The correlated
+    MIN subquery decorrelates into a per-part aggregate joined back
+    on exact integer cents equality (the float-flaky part of Q2 made
+    exact); the region-filtered supplier side is dimension-sized and
+    broadcasts; top-100 via TakeOrderedAndProject on a total order."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asup = (
+        s.join(n, n.n_nationkey == s.s_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+            "n_name",
+        )
+    )
+    rel = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    cand = (
+        p.join(rel, rel.l_partkey == p.p_partkey)
+        .join(asup, asup.s_suppkey == rel.l_suppkey)
+        .select("p_partkey", "s_name", "n_name", "bal_cents")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("bal_cents").alias("min_bal")
+    )
+    return (
+        cand.join(
+            best,
+            (F.col("b_partkey") == cand.p_partkey)
+            & (F.col("bal_cents") == F.col("min_bal")),
+        )
+        .select(
+            F.col("bal_cents").alias("s_acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+        )
+        .orderBy(F.desc("s_acctbal_cents"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH asup AS (
+      SELECT s.s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    pv AS (
+      SELECT l.l_partkey,
+             sum(CAST(round(p.p_retailprice * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT)) AS value_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_suppkey IN (SELECT s_suppkey FROM asup)
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT sum(value_cents) AS total FROM pv)
+    SELECT pv.l_partkey AS p_partkey,
+           CAST(pv.value_cents AS BIGINT) AS value_cents
+    FROM pv, tot
+    WHERE pv.value_cents * 1000 > tot.total
+    ORDER BY value_cents DESC, p_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: no
+    partsupp, so a part's held value is proxied by what ASIA's
+    suppliers shipped of it (retail cents × quantity, exact
+    integers). Parts whose value exceeds 0.1% of the regional total —
+    the original's scalar-subquery fraction test, cross-multiplied
+    into exact integer arithmetic (value·1000 > total) so borderline
+    parts cannot straddle a float threshold. The supplier allowlist
+    is a broadcast semi join; the total arrives as a broadcast 1-row
+    aggregate over the (already small) per-part value table."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asup = (
+        s.join(n, n.n_nationkey == s.s_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    val = (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    pv = (
+        li.join(asup, asup.s_suppkey == li.l_suppkey, "left_semi")
+        .join(p, p.p_partkey == li.l_partkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(val).alias("value_cents"))
+    )
+    tot = pv.agg(F.sum("value_cents").alias("total"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total"))
+        .select("p_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )

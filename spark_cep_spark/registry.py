@@ -169,11 +169,13 @@ DRIVER_PRIORITY: list[str] = [
 # remaining once the round-6 window lands.
 NEXT_ROTATION: list[str] = [
     # (a) round-6/6b/6d keys beyond the window, zero driver evidence
+    "tpch_q2",
     "tpch_q4",
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
+    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",

@@ -24,11 +24,13 @@ LINEITEM_KEYS = [
     "join_star_q10",
     "join_star_q18",
     # round-6d: the TPC-H pack's lineitem readers
+    "tpch_q2",
     "tpch_q4",
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
+    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",

@@ -71,6 +71,8 @@ NESTED_LOOP_OK = {
     # min-count-pruned bigram table — same shape as text_surprisal
     "pipeline_dedup_eval",  # the final precision/recall row combines
     # three 1-row count aggregates — all build sides constant-size
+    "tpch_q11",  # 1-row regional-total broadcast into the per-part
+    # value table (the cross-multiplied 0.1% fraction test)
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {
