@@ -31,11 +31,13 @@ import time
 sys.path.insert(0, "/root/repo")
 
 OPS = [
+    "tpch_q2",
     "tpch_q4",
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
+    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
