@@ -268,3 +268,63 @@ def test_fn_hof_null_and_empty_text_parity(spark):
         """
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_sample_fixed_k_uses_window_group_limit(spark):
+    """rank <= k per source must execute as WindowGroupLimit
+    (per-partition top-k heaps before the shuffle) — a 100 TB stratum
+    must never funnel through one partition."""
+    plan = _executed_plan(_run("corpus_sample_fixed_k", spark))
+    assert "WindowGroupLimit" in plan
+
+
+def test_q2_min_balance_suppliers(spark):
+    """Every returned (part, supplier) must have the part's minimal
+    ASIA-supplier balance, with ties all kept — brute-forced."""
+    li = _pdf(spark, SF_SMOKE, "lineitem")
+    p = _pdf(spark, SF_SMOKE, "part")
+    s = _pdf(spark, SF_SMOKE, "supplier")
+    n = _pdf(spark, SF_SMOKE, "nation")
+    r = _pdf(spark, SF_SMOKE, "region")
+    asia = n.merge(r[r.r_name == "ASIA"], left_on="n_regionkey",
+                   right_on="r_regionkey")
+    sa = s.merge(asia, left_on="s_nationkey", right_on="n_nationkey")
+    sa["cents"] = (sa.s_acctbal * 100).round().astype("int64")
+    rel = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    pk = p[(p.p_type == "LARGE") & (p.p_size <= 10)]
+    cand = pk.merge(rel, left_on="p_partkey", right_on="l_partkey").merge(
+        sa, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    expect = set()
+    for part, grp in cand.groupby("p_partkey"):
+        m = grp.cents.min()
+        for _, row in grp[grp.cents == m].iterrows():
+            expect.add((int(row.cents), row.s_name, row.n_name, int(part)))
+    got = {
+        (r2["s_acctbal_cents"], r2["s_name"], r2["n_name"], r2["p_partkey"])
+        for r2 in _run("tpch_q2", spark).collect()
+    }
+    assert got == set(sorted(expect, key=lambda t: (-t[0], t[2], t[1], t[3]))[:100])
+
+
+def test_q11_fraction_threshold_exact(spark):
+    li = _pdf(spark, SF_SMOKE, "lineitem")
+    p = _pdf(spark, SF_SMOKE, "part")
+    s = _pdf(spark, SF_SMOKE, "supplier")
+    n = _pdf(spark, SF_SMOKE, "nation")
+    r = _pdf(spark, SF_SMOKE, "region")
+    asia = n.merge(r[r.r_name == "ASIA"], left_on="n_regionkey",
+                   right_on="r_regionkey")
+    sup = set(s.merge(asia, left_on="s_nationkey",
+                      right_on="n_nationkey").s_suppkey)
+    j = li[li.l_suppkey.isin(sup)].merge(p, left_on="l_partkey",
+                                         right_on="p_partkey")
+    j["v"] = (j.p_retailprice * 100).round().astype("int64") * j.l_quantity.astype("int64")
+    pv = j.groupby("l_partkey").v.sum()
+    total = int(pv.sum())
+    expect = {(int(k), int(v)) for k, v in pv.items() if v * 1000 > total}
+    got = {
+        (r2["p_partkey"], r2["value_cents"])
+        for r2 in _run("tpch_q11", spark).collect()
+    }
+    assert got == expect and len(got) > 0

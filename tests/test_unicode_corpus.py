@@ -67,6 +67,12 @@ KEYS = [
     "text_bm25_topk",
     "sim_rrf_hybrid",
     "text_perplexity_bigram",
+    # round-6d/6e: zipped-bigram lift, md5-ordered sampling, HOF
+    # lambdas, Arrow-native token counts — all unicode-sensitive paths
+    "text_collocations",
+    "corpus_sample_fixed_k",
+    "fn_hof",
+    "map_in_arrow",
 ]
 
 
