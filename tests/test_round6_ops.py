@@ -1157,3 +1157,34 @@ def test_ewma_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     }
     assert got == uninterrupted
     assert 0 < n_first < len(got)
+
+
+def test_ewma_stream_under_rocksdb_state_store(spark, sf_dir):
+    """ewma_stream's JSON state payload must round-trip through the
+    RocksDB state store provider (the 100 TB deployment choice)
+    exactly as through the default HDFS-backed one."""
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import ewma_stream
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+        got = harness.run_available_now(
+            ewma_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        )
+        assert got.count() > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
