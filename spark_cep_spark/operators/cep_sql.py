@@ -97,6 +97,16 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               coincide). SKIP TO NEXT ROW is the explicit spelling of
               the default emit-every-match policy. Not combinable
               with quantifier/group/PERMUTE expansion.
+    ^ A -> B $   partition anchors (round 6e, standard
+              MATCH_RECOGNIZE; BATCH ONLY — a stream has no partition
+              end and its "first row" depends on query start time, the
+              NEXT-lookahead class of trap, pointed error): ^ pins the
+              anchor step to the key's first row (per-key row_number
+              pre-projection ANDed into the anchor predicate), $ pins
+              the final positive step's binding to the key's last row
+              (per-key max-timestamp equality filter, applied before
+              any skip policy). Usable separately or together; not
+              combinable with quantifier/group/PERMUTE expansion.
     {- B -}   row exclusion (round 6d, standard MATCH_RECOGNIZE): the
               step still gates matching but its bound rows are omitted
               from the ALL ROWS PER MATCH output (the only mode where
@@ -223,6 +233,13 @@ class ParsedPatternQuery:
     # step names whose bound rows are omitted from the ALL ROWS PER
     # MATCH output ({- step -} exclusion markers; sorted, de-duped)
     excluded: tuple = ()
+    # ^ / $ partition anchors (batch-only): ^ pins the anchor step to
+    # the key's first row (the first step's predicate is rewritten to
+    # AND __mr_rn = 1 — match_recognize pre-projects __mr_rn); $ pins
+    # the final positive step's binding to the key's last row
+    # (post-compile equality filter against the per-key max timestamp)
+    anchor_start: bool = False
+    anchor_end: bool = False
 
 
 def _mask_literals(text: str) -> str:
@@ -495,6 +512,25 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
             "(want {- NAME -} around a plain step name)"
         )
 
+    # ^ / $ partition anchors (standard MATCH_RECOGNIZE, round 6e):
+    # ^ pins the anchor step to the key's FIRST row, $ pins the final
+    # positive step's binding to the key's LAST row. Strip the markers
+    # here; match_recognize enforces them (batch only — a stream has
+    # no partition end, and its "first row" depends on when the query
+    # started, the same class of trap as NEXT's lookahead).
+    anchor_start = anchor_end = False
+    if pat_body.startswith("^"):
+        anchor_start = True
+        pat_body = pat_body[1:].strip()
+    if pat_body.endswith("$"):
+        anchor_end = True
+        pat_body = pat_body[:-1].strip()
+    if "^" in pat_body or "$" in pat_body:
+        raise ValueError(
+            "^ / $ anchors are only valid at the very start / end of "
+            "the PATTERN clause"
+        )
+
     defines: dict[str, str] = {}
     for item in _split_top_level_commas(clauses["DEFINE"]):
         m = re.match(r"^([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$", item, re.I | re.S)
@@ -581,7 +617,10 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     # a quantified first step expands exactly like Pattern.times, with
     # the leading sub-step as the anchor; an EXPLICIT {k} always uses
     # sub-step naming ({1} included) so arities are schema-compatible
-    pattern = Pattern.begin(f"{name}_1" if braced else name, f_pred)
+    # (^ pins only the LEADING binding to the key's first row — later
+    # reps follow their ordinary contiguity)
+    first_pred = f"({f_pred}) AND __mr_rn = 1" if anchor_start else f_pred
+    pattern = Pattern.begin(f"{name}_1" if braced else name, first_pred)
     for i in range(2, reps + 1):
         pattern.followed_by(f"{name}_{i}", f_pred)
     rest = toks[1:]
@@ -816,6 +855,8 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         match_number_alias=match_number_alias,
         classifier_alias=classifier_alias,
         excluded=tuple(sorted(excluded)),
+        anchor_start=anchor_start,
+        anchor_end=anchor_end,
     )
 
 
@@ -1299,9 +1340,29 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     has a live partial for the same anchor, so greedy/reluctant
     semantics match the batch compiler exactly (property-tested).
     """
-    grp = expand_group_sql(text)
-    if grp is not None or expand_permute_sql(text) is not None or (
-        expand_quantifier_sql(text) is not None
+    # ^ / $ anchors bypass the expansion detectors entirely (their
+    # tokenizers do not know the anchor markers); anchor+expansion
+    # combinations are rejected here by a syntax scan
+    _pb = _mask_literals(_split_clauses(text).get("PATTERN", "").strip())
+    _has_anchor = _pb.startswith("(") and _pb.endswith(")") and (
+        _pb[1:-1].strip().startswith("^") or _pb[1:-1].strip().endswith("$")
+    )
+    if _has_anchor:
+        inner = _pb[1:-1].strip().lstrip("^").rstrip("$")
+        if re.search(r"\?|\{\s*\d|\||\(", inner) or re.search(
+            r"\bPERMUTE\b", inner, re.I
+        ):
+            raise ValueError(
+                "^ / $ anchors are not supported with "
+                "quantifier/group/PERMUTE expansion"
+            )
+    grp = expand_group_sql(text) if not _has_anchor else None
+    if grp is not None or (
+        not _has_anchor
+        and (
+            expand_permute_sql(text) is not None
+            or expand_quantifier_sql(text) is not None
+        )
     ):
         cl = _split_clauses(text)
         if "AFTER MATCH" in cl:
@@ -1315,6 +1376,11 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "PREV/NEXT navigation is not supported with "
                 "quantifier/group/PERMUTE expansion (each variant "
                 "would navigate a different row sequence)"
+            )
+        if re.search(r"[\^$]", _mask_literals(cl.get("PATTERN", ""))):
+            raise ValueError(
+                "^ / $ anchors are not supported with "
+                "quantifier/group/PERMUTE expansion"
             )
         if "," in cl.get("PARTITION BY", ""):
             raise ValueError(
@@ -1405,6 +1471,13 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "likewise rejects NEXT); restructure the condition as "
                 "PREV on the later step, or run the query in batch mode"
             )
+        if parsed.anchor_start or parsed.anchor_end:
+            raise ValueError(
+                "^ / $ partition anchors are not supported on "
+                "streaming input (a stream has no partition end, and "
+                "its first row depends on when the query started); "
+                "run the query in batch mode"
+            )
         from spark_cep_spark.streaming.nfa import compile_stream
 
         out = compile_stream(
@@ -1458,12 +1531,49 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             df = df.withColumn(
                 _nav_out_col(d, col, k), fn(F.col(col), k).over(w)
             )
+    if parsed.anchor_start:
+        # ^ : pre-project the per-key row number the rewritten anchor
+        # predicate references (same (ts, event_id) order as nav)
+        order = [parsed.time_col] + (
+            ["event_id"] if "event_id" in df.columns else []
+        )
+        df = df.withColumn(
+            "__mr_rn",
+            F.row_number().over(
+                W.partitionBy(parsed.key_col).orderBy(*order)
+            ),
+        )
     out = parsed.pattern.compile_batch(
         df,
         key_col=parsed.key_col,
         time_col=parsed.time_col,
         emit_ids=parsed.all_rows,
     )
+    if parsed.anchor_end:
+        # $ : the final positive step must bind the key's LAST row —
+        # a per-key max-timestamp aggregate joined back on the key
+        # ((key, ts) is the dialect's row identity; ties broken by the
+        # NFA's (ts, event_id) order can only matter when two rows
+        # share a timestamp, which the equality then admits both of).
+        # Applied BEFORE any skip policy so the selector sees only
+        # $-valid matches.
+        pos_steps_all = [
+            s for s in parsed.pattern.steps if s.contiguity != "absent"
+        ]
+        last_s = pos_steps_all[-1]
+        end_col = (
+            f"t_{last_s.name}_last"
+            if last_s.contiguity == "kleene"
+            else f"t_{last_s.name}"
+        )
+        last_ts = df.groupBy(
+            F.col(parsed.key_col).alias("__ae_key")
+        ).agg(F.max(parsed.time_col).alias("__ae_last"))
+        out = (
+            out.join(last_ts, F.col("__ae_key") == F.col("key"))
+            .filter(F.col(end_col) == F.col("__ae_last"))
+            .drop("__ae_key", "__ae_last")
+        )
     if parsed.skip is not None:
         from spark_cep_spark.operators.cep import (
             select_non_overlapping,
@@ -1653,6 +1763,90 @@ def cep_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITHIN 12 HOURS
         DEFINE s AS event_type = 'signup',
                h AS value > 50,
+               x AS event_type = 'error'
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_anchor_start",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    a AS (SELECT user_id, event_id, ts FROM e
+          WHERE rn = 1 AND event_type = 'view'),
+    m AS (
+      SELECT a.user_id, a.event_id, a.ts AS t_v, min(p.ts) AS t_p
+      FROM a JOIN events p
+        ON p.user_id = a.user_id AND p.event_type = 'purchase'
+       AND p.ts > a.ts AND p.ts <= a.ts + INTERVAL 7 DAY
+      GROUP BY a.user_id, a.event_id, a.ts
+    )
+    SELECT user_id AS key, event_id AS anchor_id, t_v, t_p FROM m
+    """,
+)
+def cep_sql_anchor_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ^ partition anchor (round 6e): first-touch attribution —
+    users whose VERY FIRST event is a view that converts to a purchase
+    within 7 days. ^ rewrites the anchor predicate to AND __mr_rn = 1
+    over a per-key row_number pre-projection, so only the key's first
+    row can anchor; everything downstream is the ordinary funnel
+    plan. Batch-only (pointed streaming error — a stream's "first
+    row" depends on query start)."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( ^ v -> p )
+        WITHIN 7 DAYS
+        DEFINE v AS event_type = 'view',
+               p AS event_type = 'purchase'
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_anchor_end",
+    oracle="""
+    WITH last_row AS (
+      SELECT user_id, max(ts) AS t_last FROM events GROUP BY user_id
+    ),
+    a AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT a.user_id, a.event_id, a.ts AS t_p, min(x.ts) AS t_x
+      FROM a JOIN events x
+        ON x.user_id = a.user_id AND x.event_type = 'error'
+       AND x.ts > a.ts AND x.ts <= a.ts + INTERVAL 7 DAY
+      GROUP BY a.user_id, a.event_id, a.ts
+    )
+    SELECT m.user_id AS key, m.event_id AS anchor_id, m.t_p, m.t_x
+    FROM m JOIN last_row lr
+      ON lr.user_id = m.user_id AND m.t_x = lr.t_last
+    """,
+)
+def cep_sql_anchor_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The $ partition anchor (round 6e): churn signature — a purchase
+    whose following error is the user's LAST recorded event (the
+    history ends on the failure). $ filters the compiled matches to
+    those whose final positive binding equals the key's max timestamp
+    (one per-key aggregate join, applied before any skip policy).
+    Batch-only, like ^."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( p -> x $ )
+        WITHIN 7 DAYS
+        DEFINE p AS event_type = 'purchase',
                x AS event_type = 'error'
         PARTITION BY user_id
         ORDER BY ts

@@ -200,6 +200,8 @@ NEXT_ROTATION: list[str] = [
     "agg_chi2",
     "fn_variant",
     "map_in_arrow",
+    "cep_sql_anchor_start",
+    "cep_sql_anchor_end",
     "cep_sql_prev",
     "cep_sql_next",
     "join_star_q5",

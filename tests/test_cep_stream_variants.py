@@ -1247,3 +1247,81 @@ DEFINE v AS event_type = 'view', c AS event_type = 'click'
 ALL ROWS PER MATCH
 """
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-6e: ^ / $ partition anchors (batch-only)
+
+
+ANCHOR_SQL = """
+PATTERN ( ^ v -> p )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view',
+       p AS event_type = 'purchase'
+"""
+
+
+def test_anchor_start_only_first_row_anchors(spark):
+    rows = [
+        # u1: first event IS a view -> anchors; second view must not
+        (0, T0, 1, "view", 1.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=5), 1, "view", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=10), 1, "purchase", 1.0, "{}"),
+        # u2: first event is a click -> no match even though a view
+        # follows before the purchase
+        (3, T0, 2, "click", 1.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+        (5, T0 + dt.timedelta(minutes=2), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = match_recognize(df, ANCHOR_SQL).collect()
+    assert [(r["key"], r["anchor_id"]) for r in out] == [(1, 0)]
+
+
+def test_anchor_end_requires_final_row_binding(spark):
+    sql = """
+PATTERN ( p -> x $ )
+WITHIN 1 HOUR
+DEFINE p AS event_type = 'purchase',
+       x AS event_type = 'error'
+"""
+    rows = [
+        # u1: purchase -> error is the LAST event -> match
+        (0, T0, 1, "purchase", 1.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=5), 1, "error", 1.0, "{}"),
+        # u2: purchase -> error, but a later view exists -> no match
+        (2, T0, 2, "purchase", 1.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=5), 2, "error", 1.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=9), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = match_recognize(df, sql).collect()
+    assert [(r["key"], r["anchor_id"]) for r in out] == [(1, 0)]
+
+
+def test_anchors_rejected_on_stream_and_with_expansion(spark, tmp_path):
+    df = spark.createDataFrame([(0, T0, 1, "view", 1.0, "{}")], SCHEMA)
+    d = str(tmp_path / "s")
+    df.write.parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+    with pytest.raises(ValueError, match="partition anchors"):
+        match_recognize(sdf, ANCHOR_SQL, watermark="0 seconds")
+    with pytest.raises(ValueError, match="not supported with"):
+        match_recognize(
+            df,
+            """
+PATTERN ( ^ v -> c? -> p )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view', c AS event_type = 'click',
+       p AS event_type = 'purchase'
+""",
+        )
+    with pytest.raises(ValueError, match="very start / end"):
+        match_recognize(
+            df,
+            """
+PATTERN ( v -> ^ p )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view', p AS event_type = 'purchase'
+""",
+        )
