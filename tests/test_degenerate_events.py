@@ -75,6 +75,10 @@ EVENTS_KEYS = [
     # round-6c
     "cep_sql_match_number", "cep_sql_classifier",
     "agg_psi", "agg_ks", "stream_drift_psi",
+    # round-6d/6e
+    "cep_skip_to_first", "cep_sql_skip_last_kleene", "cep_sql_exclusion",
+    "cep_sql_anchor_start", "cep_sql_anchor_end",
+    "agg_ttest", "agg_chi2", "fn_variant",
 ]
 
 
@@ -131,6 +135,10 @@ EMPTY_SWEEP_KEYS = [
     # round-6c
     "cep_sql_match_number", "cep_sql_classifier",
     "agg_psi", "agg_ks", "stream_drift_psi",
+    # round-6d/6e
+    "cep_skip_to_first", "cep_sql_skip_last_kleene", "cep_sql_exclusion",
+    "cep_sql_anchor_start", "cep_sql_anchor_end",
+    "agg_ttest", "agg_chi2", "fn_variant",
 ]
 
 
