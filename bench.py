@@ -56,12 +56,12 @@ def main() -> None:
     # (matches BASELINE.md's knn_selfjoin_sample: 100 x 2000 at sf0.1)
     from pyspark.sql import functions as F
     from spark_cep_spark.io import table
-    from spark_cep_spark.operators.llm_similarity import topk_matmul
+    from spark_cep_spark.operators.llm_similarity import topk_matmul_arrow
 
     def knn_bench(spark, sf_dir):
         e = table(spark, sf_dir, "embeddings")
         q = e.filter(F.col("vec_id") < 100)
-        return topk_matmul(spark, q, e, k=10)
+        return topk_matmul_arrow(spark, q, e, k=10)
 
     qs["sim_topk_pandas_bench"] = knn_bench
 

@@ -200,6 +200,7 @@ NEXT_ROTATION: list[str] = [
     "agg_chi2",
     "fn_variant",
     "map_in_arrow",
+    "sim_topk_arrow",
     "cep_sql_anchor_start",
     "cep_sql_anchor_end",
     "cep_sql_prev",

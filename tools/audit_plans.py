@@ -83,6 +83,7 @@ PYTHON_OK = {
     "map_in_arrow",  # Arrow-native batch map — the §2.12 surface itself
     "udtf_tokens",
     "sim_topk_pandas",
+    "sim_topk_arrow",  # the zero-copy Arrow BLAS face of the same op
     "multimodal_ingest",
     "sim_ann_ivf",
     "sim_ann_lsh",  # Arrow-batched numpy matmul bucketing (one BLAS call/batch)
