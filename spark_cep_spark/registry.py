@@ -162,13 +162,14 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: first the round-6
-# and round-6b additions that did NOT fit this round's 50-key window
+# through 6e additions that did NOT fit this round's 50-key window
 # (zero driver evidence; every one exact-passes tools/check_oracle.py
 # locally — emb_pca_power via its eigh-cos rows-only probe), then the
 # cohort whose latest driver evidence is round 3 — the oldest
-# remaining once the round-6 window lands.
+# remaining once the round-6 window lands. The round-7 window = the
+# FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
-    # (a) round-6/6b/6d keys beyond the window, zero driver evidence
+    # (a) round-6d/6e keys (newest, zero driver evidence)
     "tpch_q2",
     "tpch_q4",
     "tpch_q6",

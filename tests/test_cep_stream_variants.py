@@ -1325,3 +1325,29 @@ WITHIN 1 HOUR
 DEFINE v AS event_type = 'view', p AS event_type = 'purchase'
 """,
         )
+
+
+def test_anchor_end_composes_with_skip_policy(spark):
+    """$ filters matches BEFORE the skip selector: with SKIP PAST LAST
+    ROW, the kept match must be the $-valid one even when an earlier
+    (non-$) match would have been kept by the greedy scan."""
+    sql = """
+PATTERN ( p -> x $ )
+WITHIN 1 HOUR
+DEFINE p AS event_type = 'purchase',
+       x AS event_type = 'error'
+AFTER MATCH SKIP PAST LAST ROW
+"""
+    rows = [
+        # u1: p@0 -> x@5 (not final), p@10 -> x@20 (final row).
+        # Without $, greedy skip-past keeps (0,5) and drops (10,20)
+        # [overlap-free, so actually both; the point: (0,5) is NOT
+        # $-valid and must not appear at all].
+        (0, T0, 1, "purchase", 1.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=5), 1, "error", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=10), 1, "purchase", 1.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=20), 1, "error", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = match_recognize(df, sql).collect()
+    assert [(r["key"], r["anchor_id"]) for r in out] == [(1, 2)]
