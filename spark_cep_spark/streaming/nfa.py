@@ -3880,3 +3880,130 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_drawdown(
+    state: list | None, matured: list
+) -> tuple[list, list]:
+    """Pure max-drawdown kernel (streaming face of
+    operators/windows.win_drawdown): state is [run_max, max_dd] in
+    exact cents (None = fresh key); matured is the next
+    (ts, id)-sorted batch of [ts_us, eid, cents-or-None]. Null values
+    are skipped (the batch twin's filter). Emits every point with its
+    running max, current drawdown, and the running max drawdown —
+    exact integer arithmetic end to end, O(1) state: two ints.
+    Chunking-invariant by construction (property-tested)."""
+    rm, mdd = (None, 0) if state is None else state
+    out = []
+    for ts_us, eid, cents in matured:
+        if cents is None:
+            continue
+        rm = cents if rm is None else max(rm, cents)
+        dd = cents - rm
+        mdd = min(mdd, dd)
+        out.append([eid, ts_us, cents, rm, dd, mdd])
+    return [rm, mdd], out
+
+
+def drawdown_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-key max drawdown — the loss-monitoring analytic
+    as a continuous chart: every event emits its level, running peak,
+    current drawdown and worst drawdown so far (the final row per key
+    equals win_drawdown's whole-history aggregate). Exact cents; two
+    ints of per-key state plus the watermark-bounded buffer."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("run_max", T.LongType()),
+            T.StructField("drawdown", T.LongType()),
+            T.StructField("max_drawdown", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "s": None}
+        buf, s = st["buf"], st["s"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, c in zip(
+                    ts_us.tolist(), pdf["eid"].tolist(), pdf["cents"].tolist()
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if c is None or pd.isna(c) else int(c),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        s, rows = advance_drawdown(s, matured)
+
+        if buf or s != [None, 0]:
+            state.update((json.dumps({"buf": buf, "s": s}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "event_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+                    "cents": [r[2] for r in rows],
+                    "run_max": [r[3] for r in rows],
+                    "drawdown": [r[4] for r in rows],
+                    "max_drawdown": [r[5] for r in rows],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

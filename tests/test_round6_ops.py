@@ -1188,3 +1188,87 @@ def test_ewma_stream_under_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prev)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vs=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-500, max_value=500)),
+        min_size=0,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=3),
+)
+def test_drawdown_kernel_brute_force_and_chunking(vs, cuts):
+    from spark_cep_spark.streaming.nfa import advance_drawdown
+
+    rows = [[i * 1000, i, v] for i, v in enumerate(vs)]
+    rm, mdd, want = None, 0, []
+    for ts, eid, c in rows:
+        if c is None:
+            continue
+        rm = c if rm is None else max(rm, c)
+        dd = c - rm
+        mdd = min(mdd, dd)
+        want.append([eid, ts, c, rm, dd, mdd])
+    _, whole = advance_drawdown(None, [r[:] for r in rows])
+    assert whole == want
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got, prev_i = None, [], 0
+    for b in bounds + [len(rows)]:
+        stt, part = advance_drawdown(stt, [r[:] for r in rows[prev_i:b]])
+        got.extend(part)
+        prev_i = b
+    assert got == whole
+
+
+def test_streaming_drawdown_final_equals_batch_aggregate(spark, sf_dir):
+    """The last emitted (run_max, max_drawdown) per key equals
+    win_drawdown's whole-history (peak, max_drawdown) aggregate."""
+    import datetime as ddt
+    import glob
+    import os
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import drawdown_stream
+    from spark_cep_spark.operators.windows import win_drawdown
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        drawdown_stream(stream, watermark="0 seconds"), "append"
+    )
+    last = {}
+    for r in sorted(
+        got.filter("key <> -1").collect(),
+        key=lambda r: (r["key"], r["ts"], r["event_id"]),
+    ):
+        last[r["key"]] = (r["run_max"], r["max_drawdown"])
+    # batch twin over the staged data (not the fixture dir: the staged
+    # copy includes exactly the same rows minus the sentinel)
+    batch_df = spark.read.parquet(staged).filter("user_id <> -1")
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    batch_df.write.parquet(os.path.join(d, "events.parquet"), mode="overwrite")
+    for f in os.listdir("/root/testdata/sf0.001"):
+        if f != "events.parquet":
+            os.symlink(os.path.join("/root/testdata/sf0.001", f),
+                       os.path.join(d, f))
+    want = {
+        r["user_id"]: (r["peak_cents"], r["max_drawdown_cents"])
+        for r in win_drawdown(spark, d).collect()
+    }
+    assert last == want and len(want) > 0
