@@ -294,3 +294,37 @@ def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY key HAVING count(*) >= 1
         """,
     )
+
+
+@register(
+    "sql_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY clause (Snowflake/DuckDB/BigQuery dialect): top-3
+    orders per customer, written as the one-level QUALIFY statement an
+    analyst writes, run through sql_with_qualify's rewrite — the SAME
+    text is the oracle, which DuckDB executes natively. The rewritten
+    Spark plan collapses to WindowGroupLimit (pinned in
+    tests/test_plans.py), so the sugar costs nothing at scale."""
+    from spark_cep_spark.sql import sql_with_qualify
+
+    _views(spark, sf_dir, ["orders"])
+    return sql_with_qualify(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+        QUALIFY rn <= 3
+        """,
+    )

@@ -169,7 +169,12 @@ DRIVER_PRIORITY: list[str] = [
 # remaining once the round-6 window lands. The round-7 window = the
 # FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
-    # (a) round-6d/6e keys (newest, zero driver evidence)
+    # (a) round-6f keys (newest, zero driver evidence)
+    "join_bloom_pruned",
+    "agg_bitmap_distinct",
+    "scan_zorder",
+    "sql_qualify",
+    # (a') round-6d/6e keys (zero driver evidence)
     "tpch_q2",
     "tpch_q4",
     "tpch_q6",

@@ -224,3 +224,95 @@ def sql_with_match_recognize(spark: SparkSession, text: str) -> DataFrame:
         # StreamSQL engine) never accumulate catalog entries
         for v in views:
             spark.catalog.dropTempView(v)
+
+
+def _top_level_keyword(text: str, word: str) -> list[int]:
+    """Offsets of `word` at paren-depth 0, outside string literals
+    (case-insensitive, whole-word)."""
+    hits: list[int] = []
+    depth = 0
+    in_str: str | None = None
+    i, n, w = 0, len(text), len(word)
+    low = text.lower()
+    word = word.lower()
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith(word, i)
+            and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+            and (
+                i + w >= n
+                or not (low[i + w].isalnum() or low[i + w] == "_")
+            )
+        ):
+            hits.append(i)
+            i += w
+            continue
+        i += 1
+    return hits
+
+
+def sql_with_qualify(spark: SparkSession, text: str) -> DataFrame:
+    """Run a SQL statement that uses the QUALIFY clause (filter on
+    window-function results, Snowflake/DuckDB/BigQuery dialect) on
+    Spark, which has no native QUALIFY.
+
+    Rewrite: ``SELECT ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]``
+    becomes ``SELECT * FROM ( SELECT ... ) __qualify__ WHERE <pred>
+    [ORDER BY ...] [LIMIT n]`` — exactly the standard's semantics
+    (QUALIFY evaluates after window functions) because the window
+    expressions are computed in the inner SELECT and the predicate
+    sees their aliases.  The supported dialect therefore requires the
+    predicate to reference SELECT-list ALIASES, not inline OVER()
+    expressions — the portable spelling that also runs unchanged on
+    DuckDB — and raises a pointed error otherwise.
+
+    The rewrite is what Catalyst wants anyway: a rank/row_number alias
+    filtered with `<= k` collapses Filter-over-Window into
+    WindowGroupLimit (per-partition top-k heap, no full sort of each
+    partition's rows), the same plan shape pinned for
+    win_topk_per_group — QUALIFY is front-end sugar, not a new engine
+    path."""
+    q = _top_level_keyword(text, "qualify")
+    if not q:
+        return spark.sql(text)
+    if len(q) > 1:
+        raise ValueError(
+            "only one top-level QUALIFY clause is supported (nested "
+            "QUALIFY belongs to a subquery — parenthesize it)"
+        )
+    start = q[0]
+    tail_marks = [
+        p
+        for kw in ("order", "limit")
+        for p in _top_level_keyword(text, kw)
+        if p > start
+    ]
+    end = min(tail_marks) if tail_marks else len(text)
+    pred = text[start + len("qualify"):end].strip()
+    if not pred:
+        raise ValueError("empty QUALIFY predicate")
+    if re.search(r"\bover\s*\(", pred, re.I):
+        raise ValueError(
+            "QUALIFY predicate must reference a SELECT-list alias, not "
+            "an inline OVER() expression — alias the window function "
+            "in the SELECT list and filter on the alias (the spelling "
+            "that is also portable to DuckDB/Snowflake)"
+        )
+    inner = text[:start].strip()
+    tail = text[end:].strip()
+    rewritten = (
+        f"SELECT * FROM ( {inner} ) __qualify__ WHERE {pred}"
+        + (f" {tail}" if tail else "")
+    )
+    return spark.sql(rewritten)

@@ -79,6 +79,8 @@ EVENTS_KEYS = [
     "cep_skip_to_first", "cep_sql_skip_last_kleene", "cep_sql_exclusion",
     "cep_sql_anchor_start", "cep_sql_anchor_end",
     "agg_ttest", "agg_chi2", "fn_variant",
+    # round-6f
+    "agg_bitmap_distinct", "scan_zorder",
 ]
 
 
@@ -139,6 +141,8 @@ EMPTY_SWEEP_KEYS = [
     "cep_skip_to_first", "cep_sql_skip_last_kleene", "cep_sql_exclusion",
     "cep_sql_anchor_start", "cep_sql_anchor_end",
     "agg_ttest", "agg_chi2", "fn_variant",
+    # round-6f
+    "agg_bitmap_distinct", "scan_zorder",
 ]
 
 

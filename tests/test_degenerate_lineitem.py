@@ -41,6 +41,9 @@ LINEITEM_KEYS = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    # round-6f: bloom semi-join reduction (NULL l_orderkey must fall
+    # out of the probe the same way it falls out of the join)
+    "join_bloom_pruned",
 ]
 
 

@@ -1272,3 +1272,210 @@ def test_streaming_drawdown_final_equals_batch_aggregate(spark, sf_dir):
         for r in win_drawdown(spark, d).collect()
     }
     assert last == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-6f batch: bloom-pruned join, bitmap exact distinct, z-order
+# layout, QUALIFY dialect.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_probe_is_superset_of_true_matches(spark):
+    """The Bloom pre-filter may keep false positives but must NEVER
+    drop a true match (the build/probe xxhash64 seeds are
+    type-width-sensitive — this is the regression test for the INT-
+    vs-BIGINT seed trap), and at the fixture's 1-URGENT selectivity
+    it must actually prune the fact scan."""
+    import pyspark.sql.functions as F
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.joins import join_bloom_pruned  # noqa: F401
+    from spark_cep_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    out = registry.QUERIES["join_bloom_pruned"](spark, sf)
+    # Oracle-equivalent plain join computed with DataFrame ops:
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = table(spark, sf, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    truth = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(rev).alias("revenue_e4"))
+    )
+    got = {r["returnflag"]: (r["n_items"], r["revenue_e4"]) for r in out.collect()}
+    want = {r["returnflag"]: (r["n_items"], r["revenue_e4"]) for r in truth.collect()}
+    assert got == want
+
+
+def test_bloom_bitset_prunes_fact_rows(spark):
+    """Rebuild the bitset the operator builds and verify the membership
+    predicate keeps every matching key while cutting fact rows by >2x
+    at the fixture's selectivity (the semi-join-reduction point)."""
+    import pyspark.sql.functions as F
+    from spark_cep_spark.io import table
+
+    sf = "/root/testdata/sf0.001"
+    seeds = (11, 37, 71)
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    dim_keys = o.select("o_orderkey").distinct()
+    n_keys = dim_keys.count()
+    m = 1 << min(23, max(10, (10 * max(n_keys, 1) - 1).bit_length()))
+    pos = dim_keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(s).cast("bigint"), F.col("o_orderkey")),
+                        F.lit(m),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.expr("CAST(pos / 64 AS INT)").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    bitset = [0] * (m // 64)
+    for r in words:
+        bitset[r["w"]] |= r["bits"]
+    li = table(spark, sf, "lineitem")
+    cond = None
+    for s in seeds:
+        t = F.expr(
+            f"(element_at(__bloom__, CAST(pmod(xxhash64({s}L, l_orderkey),"
+            f" {m}) / 64 AS INT) + 1) & shiftleft(1L,"
+            f" CAST(pmod(xxhash64({s}L, l_orderkey), {m}) % 64 AS INT))) != 0"
+        )
+        cond = t if cond is None else (cond & t)
+    kept = li.withColumn("__bloom__", F.lit(bitset)).where(cond).drop("__bloom__")
+    n_total = li.count()
+    n_kept = kept.count()
+    n_true = li.join(dim_keys, li.l_orderkey == dim_keys.o_orderkey, "left_semi").count()
+    n_kept_true = kept.join(
+        dim_keys, kept.l_orderkey == dim_keys.o_orderkey, "left_semi"
+    ).count()
+    assert n_kept_true == n_true  # zero false negatives
+    assert n_kept >= n_true
+    assert n_kept * 2 < n_total  # actually prunes
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """sum(bitmap_count(partial bitmaps)) is EXACT — equal to
+    count(DISTINCT) per group, including over the degenerate empty
+    group-set."""
+    import pyspark.sql.functions as F
+    from spark_cep_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    out = registry.QUERIES["agg_bitmap_distinct"](spark, sf)
+    from spark_cep_spark.io import table
+
+    e = table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    truth = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["n_users"], r["n_events"])
+        for r in out.collect()
+    }
+    want = {
+        (r["event_type"], r["day"]): (r["n_users"], r["n_events"])
+        for r in truth.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_zorder_buckets_are_locality_tiles(spark):
+    """Every 64-cell z-bucket must cover at most an 8x8 tile of the
+    (user, hour) plane — the per-file min/max tightness that makes
+    two-dimensional pruning work. A 1-D sort's buckets provably
+    cannot do this on the second dimension (checked on the fixture:
+    its y-span stretches past 8)."""
+    import pyspark.sql.functions as F
+    from spark_cep_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["scan_zorder"](spark, sf).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["x_hi"] - r["x_lo"] <= 7, r
+        assert r["y_hi"] - r["y_lo"] <= 7, r
+    # contrast: bucketing the SAME rows by a 1-D (x-major) sort key
+    # leaves the y-span wide — z-order is what buys the second dim
+    from spark_cep_spark.io import table
+
+    d = (
+        table(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            (F.col("user_id") % 256).alias("xb"),
+            (F.floor(F.unix_timestamp("ts") / 3600) % 256).alias("yb"),
+        )
+    )
+    lin = (
+        d.withColumn("lv", F.col("xb") * 256 + F.col("yb"))
+        .groupBy(F.shiftright("lv", 6).alias("b"))
+        .agg((F.max("yb") - F.min("yb")).alias("yspan"))
+    )
+    assert lin.agg(F.max("yspan")).first()[0] > 8
+
+
+def test_qualify_rewrite_errors_and_passthrough(spark):
+    """Dialect guards: inline OVER() in QUALIFY and double QUALIFY get
+    pointed errors; a statement without QUALIFY passes through; ORDER
+    BY / LIMIT after QUALIFY survive the rewrite."""
+    import pytest as _pytest
+    from spark_cep_spark.sql import sql_with_qualify
+
+    spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView(
+        "q_t"
+    )
+    with _pytest.raises(ValueError, match="alias"):
+        sql_with_qualify(
+            spark,
+            "SELECT id, g FROM q_t QUALIFY row_number() OVER "
+            "(PARTITION BY g ORDER BY id) = 1",
+        )
+    with _pytest.raises(ValueError, match="one top-level QUALIFY"):
+        sql_with_qualify(spark, "SELECT 1 QUALIFY a QUALIFY b")
+    assert sql_with_qualify(spark, "SELECT count(*) AS n FROM q_t").first()[
+        "n"
+    ] == 10
+    out = sql_with_qualify(
+        spark,
+        "SELECT id, g, CAST(row_number() OVER (PARTITION BY g ORDER BY id)"
+        " AS BIGINT) AS rn FROM q_t QUALIFY rn = 1 ORDER BY g LIMIT 2",
+    ).collect()
+    assert [r["id"] for r in out] == [0, 1]
+
+
+def test_qualify_topk_plan_is_window_group_limit(spark):
+    """The rewritten rank-filter must collapse to WindowGroupLimit —
+    QUALIFY sugar may not cost a full per-partition sort."""
+    from spark_cep_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["sql_qualify"](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "WindowGroupLimit" in plan
