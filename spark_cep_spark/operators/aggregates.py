@@ -1473,3 +1473,191 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(bitmap_count(bm))").alias("n_users"),
         F.sum("c").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (observability charts)
+
+def _lttb_oracle_sql(k: int = 8) -> str:
+    """Generate the unrolled LTTB oracle: k is small and fixed, so the
+    sequential choose-per-bucket recurrence unrolls into k-2 chained
+    CTEs (sel1..sel6), each an arg_max over one bucket — no recursive
+    aggregation (which recursive CTEs disallow). All arithmetic is
+    exact integers (epoch seconds x round-half-away cents), with the
+    triangle area multiplied through by the next bucket's point count
+    so the centroid never becomes a float — both engines pick
+    IDENTICAL points, making the oracle hash-exact."""
+    mid = k - 2
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        AND abs(value) <= 1e12
+    ),
+    small AS (
+      SELECT user_id, CAST(rn - 1 AS BIGINT) AS sel_no, x, y
+      FROM pts WHERE n <= {k}
+    ),
+    bkt AS (
+      SELECT user_id, rn, n, x, y,
+             CASE WHEN rn = 1 THEN 0
+                  WHEN rn = n THEN {k - 1}
+                  ELSE 1 + ((rn - 2) * {mid}) // (n - 2) END AS b
+      FROM pts WHERE n > {k}
+    ),
+    bav AS (
+      SELECT user_id, b, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, count(*) AS c
+      FROM bkt GROUP BY user_id, b
+    ),
+    sel0 AS (SELECT user_id, x, y FROM bkt WHERE rn = 1)"""
+    ]
+    for i in range(1, mid + 1):
+        parts.append(
+            f""",
+    sel{i}_a AS (
+      SELECT p.user_id,
+             max(struct_pack(
+                   a := CAST(abs((s.x * v.c - v.sx) * (p.y - s.y)
+                             - (s.x - p.x) * (v.sy - s.y * v.c))
+                        AS HUGEINT),
+                   nr := -p.rn,
+                   x := p.x, y := p.y)) AS pt
+      FROM bkt p
+      JOIN sel{i - 1} s ON s.user_id = p.user_id
+      JOIN bav v ON v.user_id = p.user_id AND v.b = {i + 1}
+      WHERE p.b = {i}
+      GROUP BY p.user_id
+    ),
+    sel{i} AS (SELECT user_id, pt.x AS x, pt.y AS y FROM sel{i}_a)"""
+        )
+    parts.append(
+        f""",
+    sel{k - 1} AS (SELECT user_id, x, y FROM bkt WHERE rn = n)
+    SELECT user_id, sel_no, x, y FROM small
+    """
+    )
+    for i in range(k):
+        parts.append(
+            f"""UNION ALL
+    SELECT user_id, CAST({i} AS BIGINT) AS sel_no, x, y FROM sel{i}
+    """
+        )
+    return "".join(parts)
+
+
+def _lttb_kernel_factory(k: int = 8):
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        n = len(xs)
+        uid = int(pdf["user_id"].iloc[0])
+        if n <= k:
+            return pd.DataFrame(
+                {
+                    "user_id": [uid] * n,
+                    "sel_no": list(range(n)),
+                    "x": xs,
+                    "y": ys,
+                }
+            )
+        mid = k - 2
+        # bucket of each 0-indexed point (rn = i+1)
+        bs = [0] + [
+            1 + ((i - 1) * mid) // (n - 2) for i in range(1, n - 1)
+        ] + [k - 1]
+        by_bucket: dict[int, list[int]] = {}
+        for i, b in enumerate(bs):
+            by_bucket.setdefault(b, []).append(i)
+        out_x, out_y = [xs[0]], [ys[0]]
+        px, py = xs[0], ys[0]
+        for b in range(1, mid + 1):
+            nxt = by_bucket[b + 1]
+            sx = sum(xs[i] for i in nxt)
+            sy = sum(ys[i] for i in nxt)
+            c = len(nxt)
+            best, best_area = None, -1
+            for i in by_bucket[b]:
+                # triangle area x 2c, exact integers (same spelling as
+                # the oracle: centroid multiplied through by c)
+                area = abs(
+                    (px * c - sx) * (ys[i] - py)
+                    - (px - xs[i]) * (sy - py * c)
+                )
+                if area > best_area:  # strict: first max = min rn
+                    best, best_area = i, area
+            out_x.append(xs[best])
+            out_y.append(ys[best])
+            px, py = xs[best], ys[best]
+        out_x.append(xs[-1])
+        out_y.append(ys[-1])
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * k,
+                "sel_no": list(range(k)),
+                "x": out_x,
+                "y": out_y,
+            }
+        )
+
+    return kernel
+
+
+@register("rollup_lttb", oracle=_lttb_oracle_sql(8))
+def rollup_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    the observability-dashboard standard: reduce each user's event
+    series to k=8 visually-representative points — endpoints pinned,
+    each middle bucket contributing the point that maximizes the
+    triangle area with the previously KEPT point and the next
+    bucket's centroid.
+
+    The per-bucket choice depends on the previous choice — genuinely
+    sequential per key, so this is the documented applyInPandas tier
+    (b): a pure-Python integer kernel per user_id group, distributed
+    across keys, O(n) per key with no state beyond the previous
+    point. All candidate scoring is EXACT integer arithmetic (epoch
+    seconds x cents, centroid multiplied through by the bucket count
+    instead of divided), so the kernel and the DuckDB oracle — the
+    same recurrence unrolled into k-2 chained arg_max CTEs — select
+    identical points and the driver hash matches exactly; float
+    areas would argmax-flip on near-ties between engines.
+
+    At 100 TB: one (user) shuffle, kernel state O(1), output k rows
+    per key — the chart query that turns a billion-point series into
+    a renderable sparkline without a driver-side pass. Keys with
+    n <= k pass through unchanged (sel_no = original position)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            # cents domain bound (mirrored in the oracle): readings
+            # beyond 1e12 are sensor garbage, and 1e12*100 still fits
+            # BIGINT exactly — no ANSI cast overflow on adversarial
+            # inputs (the degenerate sweep's 1e308 row)
+            & (F.abs(F.col("value")) <= 1e12)
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_timestamp("ts").alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+    )
+    return e.groupBy("user_id").applyInPandas(
+        _lttb_kernel_factory(8),
+        "user_id long, sel_no long, x long, y long",
+    )

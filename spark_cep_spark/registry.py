@@ -174,6 +174,8 @@ NEXT_ROTATION: list[str] = [
     "agg_bitmap_distinct",
     "scan_zorder",
     "sql_qualify",
+    "stream_distinct_users",
+    "rollup_lttb",
     # (a') round-6d/6e keys (zero driver evidence)
     "tpch_q2",
     "tpch_q4",

@@ -80,7 +80,8 @@ EVENTS_KEYS = [
     "cep_sql_anchor_start", "cep_sql_anchor_end",
     "agg_ttest", "agg_chi2", "fn_variant",
     # round-6f
-    "agg_bitmap_distinct", "scan_zorder",
+    "agg_bitmap_distinct", "scan_zorder", "stream_distinct_users",
+    "rollup_lttb",
 ]
 
 
@@ -142,7 +143,8 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_anchor_start", "cep_sql_anchor_end",
     "agg_ttest", "agg_chi2", "fn_variant",
     # round-6f
-    "agg_bitmap_distinct", "scan_zorder",
+    "agg_bitmap_distinct", "scan_zorder", "stream_distinct_users",
+    "rollup_lttb",
 ]
 
 

@@ -1479,3 +1479,106 @@ def test_qualify_topk_plan_is_window_group_limit(spark):
     df = registry.QUERIES["sql_qualify"](spark, "/root/testdata/sf0.001")
     plan = _executed_plan(df)
     assert "WindowGroupLimit" in plan
+
+
+def test_lttb_kernel_matches_independent_reference():
+    """The production kernel vs an independently-written LTTB
+    transcription (float centroid, classic formula) on random integer
+    series: same k points whenever no area tie occurs (the float ref
+    breaks ties identically here because areas differ)."""
+    import random
+
+    import pandas as pd
+
+    from spark_cep_spark.operators.aggregates import _lttb_kernel_factory
+
+    rng = random.Random(406)
+    k = 8
+    kernel = _lttb_kernel_factory(k)
+    for trial in range(25):
+        n = rng.randint(9, 120)
+        xs = sorted(rng.sample(range(1_000_000), n))
+        ys = [rng.randint(-500, 500) for _ in range(n)]
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * n,
+                "ts": pd.to_datetime(xs, unit="s"),
+                "event_id": range(n),
+                "x": xs,
+                "y": ys,
+            }
+        )
+        got = kernel(pdf)
+        # independent reference: float centroids, classic area formula
+        mid = k - 2
+        bs = [0] + [
+            1 + ((i - 1) * mid) // (n - 2) for i in range(1, n - 1)
+        ] + [k - 1]
+        buckets = {}
+        for i, b in enumerate(bs):
+            buckets.setdefault(b, []).append(i)
+        sel = [0]
+        for b in range(1, mid + 1):
+            nxt = buckets[b + 1]
+            cx = sum(xs[i] for i in nxt) / len(nxt)
+            cy = sum(ys[i] for i in nxt) / len(nxt)
+            ax, ay = xs[sel[-1]], ys[sel[-1]]
+            best, best_a = None, -1.0
+            for i in buckets[b]:
+                a = abs(
+                    (ax - cx) * (ys[i] - ay) - (ax - xs[i]) * (cy - ay)
+                )
+                if a > best_a:
+                    best, best_a = i, a
+            sel.append(best)
+        sel.append(n - 1)
+        assert list(got["x"]) == [xs[i] for i in sel], f"trial {trial}"
+        assert list(got["y"]) == [ys[i] for i in sel], f"trial {trial}"
+
+
+def test_lttb_keeps_spike_and_endpoints(spark):
+    """A flat series with one huge spike: LTTB must keep first, last,
+    and the spike (the whole point of the algorithm vs uniform
+    sampling); short series (n<=k) pass through whole."""
+    import datetime as _dt
+
+    rows = []
+    t0 = _dt.datetime(2024, 1, 1)
+    for i in range(80):
+        v = 1000.0 if i == 37 else 1.0
+        rows.append((i, t0 + _dt.timedelta(minutes=i), 9, "view", v, "{}"))
+    for i in range(5):  # user 10: short series, passes through
+        rows.append((100 + i, t0 + _dt.timedelta(minutes=i), 10, "view", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    src = "/root/testdata/sf0.001"
+    for f in os.listdir(src):
+        if f != "events.parquet":
+            os.symlink(os.path.join(src, f), os.path.join(d, f))
+    out = os.path.join(d, "_o")
+    df.coalesce(1).write.parquet(out)
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    shutil.move(os.path.join(out, part), os.path.join(d, "events.parquet"))
+    shutil.rmtree(out)
+    from spark_cep_spark import registry
+
+    registry.load_all()
+    res = registry.QUERIES["rollup_lttb"](spark, d).collect()
+    u9 = sorted(
+        [r for r in res if r["user_id"] == 9], key=lambda r: r["sel_no"]
+    )
+    assert len(u9) == 8
+    assert u9[0]["x"] == int(t0.timestamp())
+    assert u9[-1]["x"] == int((t0 + _dt.timedelta(minutes=79)).timestamp())
+    assert 100000 in [r["y"] for r in u9]  # the spike (cents)
+    u10 = [r for r in res if r["user_id"] == 10]
+    assert len(u10) == 5  # pass-through
+    shutil.rmtree(d)

@@ -786,3 +786,28 @@ def test_dynamic_session_stream_equals_batch(spark, sf_dir, staged):
     want = stream_session_dynamic(spark, sf_dir)
     cols = ["user_id", "session_start", "session_end", "n"]
     assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
+
+
+def test_distinct_users_stream_equals_batch(spark, sf_dir, staged):
+    """Chained stateful dedup→count (windowed exact distinct) drained
+    multi-micro-batch must equal the batch twin exactly."""
+    from spark_cep_spark.streaming.windows import (
+        distinct_users_stream,
+        stream_distinct_users,
+    )
+    from spark_cep_spark.streaming import harness
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        distinct_users_stream(stream, watermark="35 days"), "complete"
+    )
+    want = stream_distinct_users(spark, sf_dir)
+    g = {
+        (r["win_start"], r["event_type"]): r["n_users"]
+        for r in got.collect()
+    }
+    w = {
+        (r["win_start"], r["event_type"]): r["n_users"]
+        for r in want.collect()
+    }
+    assert g == w and len(g) > 0
