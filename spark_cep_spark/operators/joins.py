@@ -951,8 +951,14 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             " != 0"
         )
         cond = t if cond is None else (cond & t)
+    # Ship the bitset as DATA in a broadcast one-row frame, NOT as a
+    # literal column: F.lit(list) compiles to CreateArray over m/64
+    # Literal children, an array REBUILT PER PROBED ROW (the 8x facts
+    # probe caught this live — 5.4 s base and ~linear growth; with the
+    # broadcast row the probe is a shared-array element_at, sub-second).
+    bitset_df = spark.createDataFrame([(bitset,)], "__bloom__ array<bigint>")
     probe = (
-        li.withColumn("__bloom__", F.lit(bitset)).where(cond).drop("__bloom__")
+        li.crossJoin(F.broadcast(bitset_df)).where(cond).drop("__bloom__")
     )
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         (1 - F.col("l_discount")) * 100

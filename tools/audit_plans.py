@@ -73,6 +73,10 @@ NESTED_LOOP_OK = {
     # three 1-row count aggregates — all build sides constant-size
     "tpch_q11",  # 1-row regional-total broadcast into the per-part
     # value table (the cross-multiplied 0.1% fraction test)
+    "join_bloom_pruned",  # 1-row bitset-array broadcast into the fact
+    # probe (element_at on a shared array; a LITERAL array would be
+    # CreateArray rebuilt per row — the 8x probe caught that live).
+    # Build side is <= 2^17 longs by construction (the m cap).
 }
 # Ops where Python execution is the point (pandas/arrow surfaces).
 PYTHON_OK = {

@@ -68,6 +68,12 @@ OPS = [
     "agg_psi",
     "agg_ks",
     "stream_drift_psi",
+    # round-6f: bitmap exact distinct (bucketed partials), z-order
+    # tiling, chained-stateful distinct twin, LTTB per-key kernel
+    "agg_bitmap_distinct",
+    "scan_zorder",
+    "stream_distinct_users",
+    "rollup_lttb",
 ]
 
 STREAM_NFA_SQL = """
@@ -85,7 +91,11 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--scratch", default="/root/repo/.tmp/scale_events")
+    ap.add_argument("--only", default=None, help="comma-separated OPS subset")
     args = ap.parse_args()
+    if args.only:
+        only = args.only.split(",")
+        OPS[:] = [k for k in OPS if k in only]
 
     import spark_cep_spark
     from pyspark.sql import functions as F

@@ -51,6 +51,9 @@ OPS = [
     "join_star_q5",
     "join_star_q10",
     "join_star_q18",
+    # round-6f: bloom semi-join reduction (bitset rebuild is part of
+    # the measured cost — it must stay sublinear in fact rows)
+    "join_bloom_pruned",
     "agg_regression",
     "profile_columns",
     "feat_target_encode",
@@ -62,7 +65,11 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--scratch", default="/root/repo/.tmp/scale_tpch")
+    ap.add_argument("--only", default=None, help="comma-separated OPS subset")
     args = ap.parse_args()
+    if args.only:
+        only = args.only.split(",")
+        OPS[:] = [k for k in OPS if k in only]
 
     import spark_cep_spark
     from pyspark.sql import functions as F
