@@ -1661,3 +1661,84 @@ def rollup_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lttb_kernel_factory(8),
         "user_id long, sel_no long, x long, y long",
     )
+
+
+@register(
+    "agg_bitmap_retention",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    ret AS (
+      SELECT a.day AS day, CAST(count(*) AS BIGINT) AS returning
+      FROM du a JOIN du b
+        ON b.user_id = a.user_id AND b.day = a.day - 1
+      GROUP BY a.day
+    )
+    SELECT dau.day AS day, dau.dau AS dau,
+           coalesce(ret.returning, CAST(0 AS BIGINT)) AS returning
+    FROM dau LEFT JOIN ret ON dau.day = ret.day
+    """,
+)
+def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning users (exact retention) via bitmap set
+    algebra — the sequel to agg_bitmap_distinct: |active(d) ∩
+    active(d-1)| computed WITHOUT ever joining raw user ids.
+
+    The naive plan self-joins the distinct (day, user) table on
+    user_id — at 100 TB that shuffles every active user twice per day
+    pair.  The bitmap plan reuses the DAU layout: one 4 KiB bitmap per
+    (day, 32768-id bucket), then each day's buckets meet the PREVIOUS
+    day's (re-keyed day+1) in a single union + re-aggregation, and the
+    intersection falls out of inclusion-exclusion per bucket —
+    |A∩B| = |A| + |B| - |A∪B| with |A∪B| a bit-OR merge
+    (bitmap_or_agg).  Everything after the first bucket aggregation
+    handles ≤ days × buckets fixed-size rows; no id ever crosses the
+    wire twice.  All built-in JVM functions, exact answer — the oracle
+    is the plain distinct self-join."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    cur = daily.select("day", "bkt", "bm", F.lit("cur").alias("tag"))
+    prev = daily.select(
+        F.date_add("day", 1).alias("day"), "bkt", "bm",
+        F.lit("prev").alias("tag"),
+    )
+    per_bkt = (
+        cur.unionByName(prev)
+        .groupBy("day", "bkt")
+        .agg(
+            F.sum(
+                F.when(F.col("tag") == "cur", F.expr("bitmap_count(bm)"))
+                .otherwise(F.lit(0))
+            ).alias("cur_n"),
+            F.sum(
+                F.when(F.col("tag") == "prev", F.expr("bitmap_count(bm)"))
+                .otherwise(F.lit(0))
+            ).alias("prev_n"),
+            F.expr("bitmap_count(bitmap_or_agg(bm))").alias("uni_n"),
+        )
+    )
+    per_day = per_bkt.groupBy("day").agg(
+        F.sum("cur_n").alias("dau"),
+        F.sum(F.col("cur_n") + F.col("prev_n") - F.col("uni_n")).alias(
+            "returning"
+        ),
+    )
+    # prev-only phantom rows (day after the last active day) have
+    # dau = 0 — the oracle lists only days with activity.
+    return per_day.filter(F.col("dau") > 0).select(
+        "day", "dau", "returning"
+    )

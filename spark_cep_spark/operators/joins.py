@@ -971,3 +971,90 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("revenue_e4"),
         )
     )
+
+
+@register(
+    "join_scd2_pit",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM
+                       o_orderpriority THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WHERE o_custkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT *,
+             CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM ordered
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey, run_id, o_orderpriority AS priority,
+             min(o_orderdate) AS valid_from
+      FROM runs GROUP BY o_custkey, run_id, o_orderpriority
+    ),
+    ver AS (
+      SELECT custkey, run_id AS version, priority, valid_from,
+             lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id)
+               AS valid_to
+      FROM hist
+    )
+    SELECT o.o_orderkey AS okey, o.o_custkey AS custkey,
+           v.version AS version, v.priority AS dim_priority,
+           CASE WHEN v.priority = o.o_orderpriority THEN 1 ELSE 0 END
+             AS is_own_version
+    FROM orders o
+    JOIN ver v
+      ON v.custkey = o.o_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    WHERE o.o_custkey % 50 = 0
+    """,
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: look every fact row up against the
+    SCD2 dimension VERSION that was current at the fact's timestamp —
+    the feature-store / as-was-reporting pattern, composed directly on
+    merge_scd2's versioned history ([valid_from, valid_to) intervals,
+    NULL-open current version).
+
+    Same-date version flips make the lookup non-trivial: a run whose
+    whole validity collapses to one timestamp is an EMPTY interval, so
+    facts at that timestamp resolve to the NEXT version — exactly the
+    date-granularity ambiguity every PIT join has to pin down, and the
+    is_own_version flag exposes it (oracle and engine must agree row
+    for row).
+
+    100 TB shape: the join is EQUI on the dimension key with the
+    interval test as a residual filter — Spark plans the custkey
+    shuffle (or broadcast: SCD2 histories are dimension-sized, AQE
+    decides) and evaluates the range residual in codegen against the
+    handful of versions per key.  No interval explosion, no
+    time-bucketing needed, because SCD2 versions per key are few and
+    bounded — the general interval-join machinery (join_interval /
+    join_interval_banded) is for when THAT assumption breaks."""
+    from spark_cep_spark.operators.relational import merge_scd2
+
+    hist = merge_scd2(spark, sf_dir).select(
+        "custkey", F.col("version"), "priority", "valid_from", "valid_to"
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    j = o.join(
+        hist,
+        (o.o_custkey == hist.custkey)
+        & (o.o_orderdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (o.o_orderdate < hist.valid_to)),
+    )
+    return j.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        "version",
+        F.col("priority").alias("dim_priority"),
+        F.when(F.col("priority") == F.col("o_orderpriority"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_own_version"),
+    )

@@ -404,3 +404,98 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nk")
     )
     return c.intersectAll(s)
+
+
+@register(
+    "merge_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS st
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
+             o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             'N' AS st
+      FROM orders WHERE o_orderkey % 37 = 0
+    ),
+    d AS (
+      SELECT coalesce(a.k, b.k) AS okey,
+             CASE WHEN b.k IS NULL THEN 'delete'
+                  WHEN a.k IS NULL THEN 'insert'
+                  WHEN a.cents <> b.cents OR a.st <> b.st THEN 'update'
+                  ELSE 'unchanged' END AS action,
+             a.cents AS old_cents,
+             b.cents AS new_cents
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT okey, action, old_cents, new_cents
+    FROM d WHERE action <> 'unchanged'
+    """,
+)
+def merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — DERIVE a CDC change set by comparing two table
+    snapshots: classify every key as insert / update / delete (emitting
+    old and new values) and drop the unchanged majority.  The inverse
+    of merge_upsert (which APPLIES a change set): together they are the
+    reconcile-and-replay loop every lakehouse ingestion pipeline runs
+    when the upstream cannot produce a change log itself.
+
+    Snapshot B is built deterministically from snapshot A (orders):
+    keys %13 deleted, %10 price-bumped by 500 cents, %37 re-inserted
+    under shifted keys — all comparisons in exact integer cents.
+
+    100 TB shape: ONE co-partitioned shuffle each side for the
+    full-outer sort-merge join on the primary key (ZERO shuffles when
+    both snapshots are bucketed on it — the layout a nightly diff job
+    would maintain); classification is pure codegen null-side /
+    inequality tests.  For wide rows the equality test collapses to a
+    16-byte fingerprint compare (md5 of the concatenated business
+    columns) computed scan-side, so the join carries key + fingerprint
+    only and re-reads full rows just for the changed sliver.  Output
+    is only that sliver — the diff of a 100 TB snapshot pair is
+    typically GBs, never a second copy of the table."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.select(
+        F.col("o_orderkey").alias("a_k"),
+        cents.alias("a_cents"),
+        F.col("o_orderstatus").alias("a_st"),
+    )
+    b_upd = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("b_k"),
+        F.when(F.col("o_orderkey") % 10 == 0, cents + 500)
+        .otherwise(cents)
+        .alias("b_cents"),
+        F.col("o_orderstatus").alias("b_st"),
+    )
+    b_ins = o.filter(F.col("o_orderkey") % 37 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("b_k"),
+        cents.alias("b_cents"),
+        F.lit("N").alias("b_st"),
+    )
+    b = b_upd.unionByName(b_ins)
+    d = a.join(b, a.a_k == b.b_k, "full_outer").select(
+        F.coalesce("a_k", "b_k").alias("okey"),
+        F.when(F.col("b_k").isNull(), F.lit("delete"))
+        .when(F.col("a_k").isNull(), F.lit("insert"))
+        .when(
+            (F.col("a_cents") != F.col("b_cents"))
+            | (F.col("a_st") != F.col("b_st")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("action"),
+        F.col("a_cents").alias("old_cents"),
+        F.col("b_cents").alias("new_cents"),
+    )
+    return d.filter(F.col("action") != "unchanged")

@@ -169,7 +169,11 @@ DRIVER_PRIORITY: list[str] = [
 # remaining once the round-6 window lands. The round-7 window = the
 # FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
-    # (a) round-6f keys (newest, zero driver evidence)
+    # (a) round-6g keys (newest, zero driver evidence)
+    "join_scd2_pit",
+    "merge_snapshot_diff",
+    "agg_bitmap_retention",
+    # (a) round-6f keys (zero driver evidence)
     "join_bloom_pruned",
     "agg_bitmap_distinct",
     "scan_zorder",

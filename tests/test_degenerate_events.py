@@ -82,6 +82,8 @@ EVENTS_KEYS = [
     # round-6f
     "agg_bitmap_distinct", "scan_zorder", "stream_distinct_users",
     "rollup_lttb",
+    # round-6g
+    "agg_bitmap_retention",
 ]
 
 
@@ -145,6 +147,8 @@ EMPTY_SWEEP_KEYS = [
     # round-6f
     "agg_bitmap_distinct", "scan_zorder", "stream_distinct_users",
     "rollup_lttb",
+    # round-6g
+    "agg_bitmap_retention",
 ]
 
 

@@ -48,6 +48,8 @@ ORDERS_KEYS = [
     # merge family builds its base/updates from orders
     "merge_upsert",
     "merge_scd2",
+    "merge_snapshot_diff",
+    "join_scd2_pit",
 ]
 
 

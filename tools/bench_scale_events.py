@@ -74,6 +74,8 @@ OPS = [
     "scan_zorder",
     "stream_distinct_users",
     "rollup_lttb",
+    # round-6g: bitmap retention (day-pair intersection via bit algebra)
+    "agg_bitmap_retention",
 ]
 
 STREAM_NFA_SQL = """

@@ -54,6 +54,9 @@ OPS = [
     # round-6f: bloom semi-join reduction (bitset rebuild is part of
     # the measured cost — it must stay sublinear in fact rows)
     "join_bloom_pruned",
+    # round-6g: snapshot-diff CDC derivation (one co-partitioned FOJ)
+    "merge_snapshot_diff",
+    "join_scd2_pit",
     "agg_regression",
     "profile_columns",
     "feat_target_encode",
