@@ -463,3 +463,56 @@ def graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt)
         frontier = nxt.select("node")
     return visited
+
+
+@register(
+    "graph_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    nodes AS (SELECT DISTINCT u AS node FROM adj),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT a.v AS node, r.lbl FROM reach r JOIN adj a ON a.u = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT node, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+    FROM comp
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-occurrence graph — the
+    standalone graph-family face of the CC machinery dedup_cluster
+    uses internally (small-star/large-star, Kiveris et al. SoCC 2014):
+    component label = min node id reachable, plus the component size.
+
+    100 TB shape: the two-phase algorithm converges in O(log n)
+    DataFrame rounds on ANY topology (plain label propagation needs
+    diameter rounds — pathological on chain graphs), each round a
+    bounded set of shuffle joins/aggregates with localCheckpoint
+    lineage truncation; the driver holds only a convergence counter.
+    The oracle is the DuckDB recursive-CTE transitive closure with
+    min-label per node — exponentially more work (closure is
+    O(n·component-size) rows) but exact at fixture scale, which is the
+    point: the cheap distributed algorithm must agree with the
+    brute-force definition."""
+    from spark_cep_spark.operators.llm_dedup import connected_components
+
+    e = cooccurrence_edges(spark, sf_dir)
+    edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    vertices = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = connected_components(edges, vertices, id_col="node").select(
+        "node", F.col("cluster_rep").alias("component")
+    )
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    return labels.join(sizes, "component").select(
+        "node", "component", "csize"
+    )

@@ -44,6 +44,7 @@ LINEITEM_KEYS = [
     # round-6f: bloom semi-join reduction (NULL l_orderkey must fall
     # out of the probe the same way it falls out of the join)
     "join_bloom_pruned",
+    "graph_components",
 ]
 
 

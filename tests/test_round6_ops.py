@@ -1720,3 +1720,47 @@ def test_scd2_pit_against_python_recompute(spark):
     # every cohort order resolves to exactly one version
     assert len(out) == len(rows)
     assert got == want
+
+
+def test_graph_components_against_union_find(spark):
+    """Union-find over the collected sf0.001 edge list — referees the
+    two-phase small-star/large-star result (labels AND sizes) against
+    the textbook sequential algorithm."""
+    from spark_cep_spark import registry
+    from spark_cep_spark.operators.graph import (  # noqa: F401
+        cooccurrence_edges,
+        graph_components,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r.u, r.v) for r in cooccurrence_edges(spark, sf).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {n: find(n) for n in parent}
+    # canonical label = min node id in the component
+    mins: dict = {}
+    for n, c in comp.items():
+        mins[c] = min(mins.get(c, n), n)
+    want_label = {n: mins[c] for n, c in comp.items()}
+    sizes: dict = {}
+    for lbl in want_label.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    out = registry.QUERIES["graph_components"](spark, sf).collect()
+    got = {r.node: (r.component, r.csize) for r in out}
+    assert got == {n: (l, sizes[l]) for n, l in want_label.items()}
+    # non-trivial fixture: more than one component or one big one
+    assert len(out) > 0

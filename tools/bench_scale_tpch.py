@@ -57,6 +57,7 @@ OPS = [
     # round-6g: snapshot-diff CDC derivation (one co-partitioned FOJ)
     "merge_snapshot_diff",
     "join_scd2_pit",
+    "graph_components",
     "agg_regression",
     "profile_columns",
     "feat_target_encode",
