@@ -1037,3 +1037,101 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown_cents"
         ),
     )
+
+
+@register(
+    "win_pareto_share",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY o_custkey
+    ),
+    cum AS (
+      SELECT custkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_cents,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM spend
+    )
+    SELECT custkey, cents, cum_cents,
+           CAST((CAST(cum_cents AS HUGEINT) * 1000000) // total
+                AS BIGINT) AS share_ppm,
+           CASE WHEN 5 * (cum_cents - cents) < 4 * total
+                THEN 1 ELSE 0 END AS in_top80
+    FROM cum
+    """,
+)
+def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis (which customers make up the
+    top 80% of revenue) WITHOUT the naive global ordered window — the
+    textbook spelling (`sum() OVER (ORDER BY spend DESC)`) collapses
+    every row into ONE partition, the exact single-partition
+    scale-killer the round-4 verdict flagged in text_vocab.
+
+    Scale-safe two-pass spelling of the SAME total order:
+    1. per-customer spend (one shuffle), grand total + max as a 1-row
+       broadcast;
+    2. value-range bucket id = (cents·64) DIV (max+1) — equal spends
+       can never straddle a bucket, so (bucket DESC, cents DESC,
+       custkey) is exactly the global (cents DESC, custkey) order;
+    3. per-bucket totals (≤ 65 rows) get their running offset on a
+       BOUNDED window input — the corpus_token_budget precedent — and
+       broadcast back;
+    4. the running sum inside each bucket runs partitioned BY bucket,
+       fully parallel; cum = bucket offset + within-bucket running sum.
+
+    Threshold test in exact integers (5·prior_cum < 4·total ⟺
+    prior share < 80%), share in ppm by integer division — both
+    engines agree bit-for-bit.  The ppm numerator cum·10⁶ passes
+    int64 at ~9e12 total cents (the 8× probe hit it live under ANSI),
+    so it is widened to decimal(38,0)/HUGEINT on both sides before
+    the integral divide — the agg_regression lesson."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    scalars = spend.agg(
+        F.max("cents").alias("mx"), F.sum("cents").cast("long").alias("total")
+    )
+    b = spend.crossJoin(F.broadcast(scalars)).withColumn(
+        "bkt", F.expr("(cents * 64) DIV (mx + 1)")
+    )
+    btot = b.groupBy("bkt").agg(F.sum("cents").cast("long").alias("btot"))
+    # ≤ 65 rows by construction — the ordered window input is bounded.
+    woff = W.orderBy(F.desc("bkt")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    offs = btot.select(
+        "bkt", (F.sum("btot").over(woff) - F.col("btot")).alias("off")
+    )
+    wrun = W.partitionBy("bkt").orderBy(
+        F.desc("cents"), F.asc("custkey")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        b.join(F.broadcast(offs), "bkt")
+        .withColumn("run", F.sum("cents").over(wrun))
+        .withColumn("cum_cents", (F.col("off") + F.col("run")).cast("long"))
+    )
+    return cum.select(
+        "custkey",
+        "cents",
+        "cum_cents",
+        F.expr(
+            "(CAST(cum_cents AS DECIMAL(38,0)) * 1000000) DIV total"
+        ).alias("share_ppm"),
+        F.when(
+            5 * (F.col("cum_cents") - F.col("cents")) < 4 * F.col("total"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("in_top80"),
+    )

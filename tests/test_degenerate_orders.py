@@ -28,6 +28,7 @@ ORDERS_KEYS = [
     "win_frame_rows",
     "win_topk_per_group",
     "win_percentiles",
+    "win_pareto_share",
     # joins (orders side degenerate, other sides normal)
     "join_inner_equi",
     "join_left",

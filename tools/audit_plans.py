@@ -73,6 +73,9 @@ NESTED_LOOP_OK = {
     # three 1-row count aggregates — all build sides constant-size
     "tpch_q11",  # 1-row regional-total broadcast into the per-part
     # value table (the cross-multiplied 0.1% fraction test)
+    "win_pareto_share",  # 1-row (max, total) scalar broadcast feeding
+    # the value-range bucket id — same constant-size build side as
+    # text_surprisal; the point of the op is avoiding the global window
     "join_bloom_pruned",  # 1-row bitset-array broadcast into the fact
     # probe (element_at on a shared array; a LITERAL array would be
     # CreateArray rebuilt per row — the 8x probe caught that live).

@@ -58,6 +58,7 @@ OPS = [
     "merge_snapshot_diff",
     "join_scd2_pit",
     "graph_components",
+    "win_pareto_share",
     "agg_regression",
     "profile_columns",
     "feat_target_encode",
