@@ -4007,3 +4007,121 @@ def drawdown_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def advance_retention(
+    state: int | None, matured: list
+) -> tuple[int | None, list]:
+    """Pure day-over-day retention kernel (streaming face of
+    streaming/windows.stream_retention): state is the key's last
+    active UTC day index (None = never seen); matured is the next
+    (ts, id)-sorted batch of [ts_us, eid]. Emits one mark per NEW
+    active day: [day_idx, returning, new] where returning=1 iff the
+    day is exactly last+1 (consecutive-day retention) and new=1 iff
+    the key was never active before — a lapsed reactivation (gap > 1
+    day) is neither. O(1) state: one int. Chunking-invariant by
+    construction (property-tested)."""
+    last = state
+    out = []
+    for ts_us, _eid in matured:
+        d = ts_us // 86_400_000_000
+        if last is None:
+            out.append([d, 0, 1])
+            last = d
+        elif d > last:
+            out.append([d, 1 if d == last + 1 else 0, 0])
+            last = d
+    return last, out
+
+
+def retention_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-user activity marks — the incremental layout of
+    daily-active/returning/new-user analytics: each user emits at most
+    one (day, returning, new) mark per active day, and the per-day
+    rollup of the marks equals stream_retention's batch aggregate.
+    Per-key state is ONE integer (last active day) plus the
+    watermark-bounded buffer — the cheapest possible exact-retention
+    state, vs. the bitmap batch spelling (agg_bitmap_retention) that
+    re-aggregates history every run."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("day", T.TimestampType()),
+            T.StructField("returning", T.IntegerType()),
+            T.StructField("new", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "s": None}
+        buf, s = st["buf"], st["s"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid in zip(ts_us.tolist(), pdf["eid"].tolist()):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append([int(ts), int(eid)])
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        s, rows = advance_retention(s, matured)
+
+        if buf or s is not None:
+            state.update((json.dumps({"buf": buf, "s": s}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "day": pd.to_datetime(
+                        [r[0] * 86_400_000_000 for r in rows], unit="us"
+                    ),
+                    "returning": [r[1] for r in rows],
+                    "new": [r[2] for r in rows],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -794,3 +794,62 @@ def distinct_users_stream(
     return distinct_users_agg(
         events_stream.withWatermark("ts", watermark)
     )
+
+
+@register(
+    "stream_retention",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    m AS (
+      SELECT day,
+             CASE WHEN lag(day) OVER w IS NULL THEN 0
+                  WHEN lag(day) OVER w = day - 1 THEN 1 ELSE 0
+             END AS ret,
+             CASE WHEN lag(day) OVER w IS NULL THEN 1 ELSE 0
+             END AS is_new
+      FROM du
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(ret) AS BIGINT) AS n_returning,
+           CAST(sum(is_new) AS BIGINT) AS n_new
+    FROM m GROUP BY day
+    """,
+)
+def stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the incremental retention face (streaming/
+    nfa.retention_stream): per day, active users split into new
+    (first-ever day), returning (active yesterday too), and lapsed
+    reactivations (neither) — the DAU/WAU cohort panel every product
+    dashboard runs.
+
+    Three spellings of the same statistic, each with its scale home:
+    agg_bitmap_retention re-aggregates history through bitmap partials
+    (cheapest full-history batch recompute); THIS lag spelling rides
+    one (user) shuffle serving dedup + lag on the same partitioning
+    (cheapest incremental-shaped batch plan); retention_stream holds
+    ONE int of per-user state and never revisits history (the
+    streaming face, marks roll up to this aggregate — test-pinned).
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    prev = F.lag("day").over(w)
+    marks = du.select(
+        "day",
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.date_add(prev, 1) == F.col("day"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("returning"),
+        F.when(prev.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_new"),
+    )
+    return marks.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("returning").cast("long").alias("n_returning"),
+        F.sum("is_new").cast("long").alias("n_new"),
+    )

@@ -1808,3 +1808,216 @@ def test_pareto_share_matches_naive_global_window(spark):
     wins = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
     partitioned = [w for w in wins if "bkt" in w]
     assert partitioned, f"no bkt-partitioned window in plan:\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# round-6g streaming face: incremental retention marks
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    days=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=0, max_size=40
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=3),
+)
+def test_retention_kernel_brute_force_and_chunking(days, cuts):
+    from spark_cep_spark.streaming.nfa import advance_retention
+
+    DAY = 86_400_000_000
+    # events sorted by ts (the wrapper's contract); several per day ok
+    rows = [[d * DAY + i, i] for i, d in enumerate(sorted(days))]
+    last, want = None, []
+    for ts, _ in rows:
+        d = ts // DAY
+        if last is None:
+            want.append([d, 0, 1])
+            last = d
+        elif d > last:
+            want.append([d, 1 if d == last + 1 else 0, 0])
+            last = d
+    _, whole = advance_retention(None, [r[:] for r in rows])
+    assert whole == want
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got, prev_i = None, [], 0
+    for b in bounds + [len(rows)]:
+        stt, part = advance_retention(stt, [r[:] for r in rows[prev_i:b]])
+        got.extend(part)
+        prev_i = b
+    assert got == whole
+
+
+def test_streaming_retention_marks_roll_up_to_batch_twin(spark, sf_dir):
+    """Multi-micro-batch AvailableNow marks, aggregated per day, must
+    equal the stream_retention batch twin over the same rows — and the
+    per-(key, day) marks themselves must match a Python recompute."""
+    import datetime as ddt
+    import glob
+    import os
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import retention_stream
+    from spark_cep_spark import registry
+    registry.load_all()
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2025, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        retention_stream(stream, watermark="0 seconds"), "append"
+    )
+    marks = {
+        (r["key"], r["day"].date()): (r["returning"], r["new"])
+        for r in got.filter("key <> -1").collect()
+    }
+    # python recompute from the staged rows
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.read.parquet(staged)
+        .filter("user_id <> -1 AND user_id IS NOT NULL AND ts IS NOT NULL")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.day)
+    want = {}
+    for u, ds in by_user.items():
+        ds.sort()
+        for i, d in enumerate(ds):
+            if i == 0:
+                want[(u, d)] = (0, 1)
+            else:
+                want[(u, d)] = (
+                    1 if (d - ds[i - 1]).days == 1 else 0, 0
+                )
+    assert marks == want and len(want) > 0
+    # rollup equals the registered batch twin's per-day panel
+    agg: dict = {}
+    for (u, d), (ret, new) in marks.items():
+        a = agg.setdefault(d, [0, 0, 0])
+        a[0] += 1
+        a[1] += ret
+        a[2] += new
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.read.parquet(staged).filter("user_id <> -1").write.parquet(
+        os.path.join(tmp, "events.parquet"), mode="overwrite"
+    )
+    for f in os.listdir("/root/testdata/sf0.001"):
+        if f != "events.parquet":
+            os.symlink(
+                os.path.join("/root/testdata/sf0.001", f),
+                os.path.join(tmp, f),
+            )
+    twin = {
+        r["day"]: [r["n_active"], r["n_returning"], r["n_new"]]
+        for r in registry.QUERIES["stream_retention"](spark, tmp).collect()
+    }
+    assert agg == twin
+
+
+def test_retention_stream_under_rocksdb_state_store(spark, sf_dir):
+    """retention_stream's JSON state payload must round-trip through
+    the RocksDB state store provider exactly as through the default."""
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import retention_stream
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+        got = harness.run_available_now(
+            retention_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        )
+        assert got.count() > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
+def test_retention_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for retention_stream: the last-active-day int
+    and the arrival buffer must resume exactly from the checkpoint —
+    a lost state int would re-mark a user as `new` after the restart,
+    so two-run output must equal an uninterrupted run."""
+    import os
+    import shutil
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import retention_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+    assert len(parts) >= 8
+
+    def run(src_dir, out, ckpt):
+        stream = harness.events_stream(spark, src_dir, max_files_per_trigger=2)
+        q = (
+            retention_stream(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    copy_ordered(parts[:4])
+    run(src, out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    copy_ordered(parts[4:])
+    run(src, out, ckpt)
+
+    got = {
+        (r["key"], r["day"], r["returning"], r["new"])
+        for r in spark.read.parquet(out).collect()
+    }
+    uninterrupted = {
+        (r["key"], r["day"], r["returning"], r["new"])
+        for r in harness.run_available_now(
+            retention_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        ).collect()
+    }
+    assert got == uninterrupted
+    assert 0 < n_first <= len(got)

@@ -76,6 +76,7 @@ OPS = [
     "rollup_lttb",
     # round-6g: bitmap retention (day-pair intersection via bit algebra)
     "agg_bitmap_retention",
+    "stream_retention",
 ]
 
 STREAM_NFA_SQL = """
