@@ -1135,3 +1135,58 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("in_top80"),
     )
+
+
+@register(
+    "win_share_of_total",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS okey, o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    )
+    SELECT okey, custkey, cents,
+           CAST((CAST(cents AS HUGEINT) * 1000000) //
+                sum(cents) OVER (PARTITION BY custkey)
+                AS BIGINT) AS share_ppm,
+           CAST(rank() OVER (PARTITION BY custkey ORDER BY cents DESC,
+                             okey) AS BIGINT) AS spend_rank
+    FROM o
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's total
+    spend (exact ppm by integer division) plus its within-customer
+    spend rank — the BI staple behind every '% of total' report
+    column.  One (custkey) shuffle serves BOTH window functions (the
+    unordered full-partition sum and the ordered rank share the same
+    partitioning; Spark plans a single exchange).  The ppm numerator
+    is widened to decimal(38,0)/HUGEINT before the divide — at 8×
+    sf0.1 a big spender's cents·10⁶ already brushes int64 (the
+    win_pareto_share lesson, applied preemptively)."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wp = W.partitionBy("custkey")
+    wr = W.partitionBy("custkey").orderBy(F.desc("cents"), F.asc("okey"))
+    return o.select(
+        "okey",
+        "custkey",
+        "cents",
+        F.expr(
+            "(CAST(cents AS DECIMAL(38,0)) * 1000000)"
+        ).alias("_num"),
+        F.sum("cents").over(wp).alias("_tot"),
+        F.rank().over(wr).cast("long").alias("spend_rank"),
+    ).select(
+        "okey",
+        "custkey",
+        "cents",
+        F.expr("_num DIV _tot").alias("share_ppm"),
+        "spend_rank",
+    )

@@ -29,6 +29,7 @@ ORDERS_KEYS = [
     "win_topk_per_group",
     "win_percentiles",
     "win_pareto_share",
+    "win_share_of_total",
     # joins (orders side degenerate, other sides normal)
     "join_inner_equi",
     "join_left",

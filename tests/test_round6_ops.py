@@ -2021,3 +2021,18 @@ def test_retention_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     }
     assert got == uninterrupted
     assert 0 < n_first <= len(got)
+
+
+def test_share_of_total_single_exchange(spark):
+    """Both window functions (full-partition sum and ordered rank)
+    share the custkey partitioning — the executed plan must contain
+    exactly ONE shuffle exchange (the docstring's claim)."""
+    from spark_cep_spark import registry
+    from spark_cep_spark.operators.windows import (  # noqa: F401
+        win_share_of_total,
+    )
+
+    registry.load_all()
+    df = registry.QUERIES["win_share_of_total"](spark, SF_CHECK)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]

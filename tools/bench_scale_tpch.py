@@ -59,6 +59,7 @@ OPS = [
     "join_scd2_pit",
     "graph_components",
     "win_pareto_share",
+    "win_share_of_total",
     "agg_regression",
     "profile_columns",
     "feat_target_encode",
