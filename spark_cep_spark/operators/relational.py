@@ -499,3 +499,78 @@ def merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_cents").alias("new_cents"),
     )
     return d.filter(F.col("action") != "unchanged")
+
+
+@register(
+    "merge_incremental_agg",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS max_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                // count(*) AS BIGINT) AS avg_cents
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    refresh pattern: yesterday's stored per-customer aggregate
+    (history: orders before 2001-01-01) merged with the new delta's
+    aggregate (orders from 2001-01-01 on) via pure merge algebra —
+    counts and sums add, min/max compose with least/greatest, avg is
+    re-derived from the merged sum/count.  THE ORACLE IS THE FULL
+    RESCAN: the driver's hash gate proves the algebra equals the
+    recompute, which is the whole correctness obligation of an
+    incremental refresh job.
+
+    100 TB shape: the nightly refresh aggregates ONLY the delta
+    partition (a day of data) and merges it into the stored aggregate
+    with one co-partitioned full-outer join on the key — never
+    rescanning history.  At fixture scale both branches read the same
+    file (partition pruning on o_orderdate splits them — the date
+    filters reach the scan); in a partitioned lakehouse layout the
+    history branch IS the stored table.  avg from merged sums, never
+    averaged averages."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg(df, suffix):
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n{suffix}"),
+            F.sum(cents).cast("long").alias(f"s{suffix}"),
+            F.min(cents).alias(f"mn{suffix}"),
+            F.max(cents).alias(f"mx{suffix}"),
+        )
+    hist = agg(o.filter(F.col("o_orderdate") < "2001-01-01"), "1")
+    delta = agg(
+        o.filter(F.col("o_orderdate") >= "2001-01-01"), "2"
+    ).withColumnRenamed("custkey", "custkey2")
+    m = hist.join(
+        delta, hist.custkey == delta.custkey2, "full_outer"
+    ).select(
+        F.coalesce("custkey", "custkey2").alias("custkey"),
+        (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce("s1", F.lit(0)) + F.coalesce("s2", F.lit(0))).alias(
+            "sum_cents"
+        ),
+        F.least(
+            F.coalesce("mn1", "mn2"), F.coalesce("mn2", "mn1")
+        ).alias("min_cents"),
+        F.greatest(
+            F.coalesce("mx1", "mx2"), F.coalesce("mx2", "mx1")
+        ).alias("max_cents"),
+    )
+    return m.withColumn(
+        "avg_cents", F.expr("sum_cents DIV n_orders")
+    )

@@ -51,6 +51,7 @@ ORDERS_KEYS = [
     "merge_upsert",
     "merge_scd2",
     "merge_snapshot_diff",
+    "merge_incremental_agg",
     "join_scd2_pit",
 ]
 

@@ -2036,3 +2036,33 @@ def test_share_of_total_single_exchange(spark):
     df = registry.QUERIES["win_share_of_total"](spark, SF_CHECK)
     plan = _executed_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_incremental_agg_merge_is_exercised(spark):
+    """The fixture split (2001-01-01) must exercise every merge case:
+    history-only customers, delta-only customers (if any), and
+    customers present on BOTH sides — otherwise the full-outer merge
+    algebra is vacuously 'correct'."""
+    import pyspark.sql.functions as F
+    from spark_cep_spark.io import table
+    from spark_cep_spark import registry
+    from spark_cep_spark.operators.relational import (  # noqa: F401
+        merge_incremental_agg,
+    )
+
+    registry.load_all()
+    sf = SF_CHECK
+    o = table(spark, sf, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    h = {r.o_custkey for r in
+         o.filter("o_orderdate < '2001-01-01'").select("o_custkey")
+          .distinct().collect()}
+    d = {r.o_custkey for r in
+         o.filter("o_orderdate >= '2001-01-01'").select("o_custkey")
+          .distinct().collect()}
+    assert h - d, "no history-only customers"
+    assert h & d, "no customers on both sides - merge untested"
+    assert len(d) > 0, "empty delta"
+    out = registry.QUERIES["merge_incremental_agg"](spark, sf)
+    assert out.count() == len(h | d)

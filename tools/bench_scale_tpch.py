@@ -60,6 +60,7 @@ OPS = [
     "graph_components",
     "win_pareto_share",
     "win_share_of_total",
+    "merge_incremental_agg",
     "agg_regression",
     "profile_columns",
     "feat_target_encode",
