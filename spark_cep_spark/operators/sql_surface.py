@@ -328,3 +328,50 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY rn <= 3
         """,
     )
+
+
+@register(
+    "sql_pivot",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1995
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS y1995_cents,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1996
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS y1996_cents,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS y1997_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (long→wide reshape in the dialect itself
+    — the sugar BI tools emit): revenue cents per priority × year,
+    pivoted to one column per year.  The oracle is the portable
+    CASE-aggregation spelling — PIVOT is definitionally that rewrite,
+    and Spark plans it as exactly one hash aggregate over the
+    filtered scan (same plan as agg_pivot's DataFrame groupBy().
+    pivot() face; this key covers the PARSER surface).  Exact integer
+    cents so the per-cell sums hash across engines.  At 100 TB the
+    pivot IS a groupBy: one shuffle on the grouping key, cell count
+    bounded by the fixed IN-list."""
+    _views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT pri, y1995_cents, y1996_cents, y1997_cents
+        FROM (
+          SELECT o_orderpriority AS pri,
+                 year(o_orderdate) AS yr,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        PIVOT (
+          CAST(sum(cents) AS BIGINT)
+          FOR yr IN (1995 AS y1995_cents, 1996 AS y1996_cents,
+                     1997 AS y1997_cents)
+        )
+        """
+    )

@@ -170,6 +170,7 @@ DRIVER_PRIORITY: list[str] = [
 # FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
     # (a) round-6g keys (newest, zero driver evidence)
+    "sql_pivot",
     "merge_incremental_agg",
     "win_share_of_total",
     "stream_retention",

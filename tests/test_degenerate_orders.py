@@ -43,6 +43,7 @@ ORDERS_KEYS = [
     "sql_subqueries",
     "sql_subquery_correlated",
     "sql_qualify",
+    "sql_pivot",
     # TPC-H orders readers
     "tpch_q4",
     "tpch_q13",
