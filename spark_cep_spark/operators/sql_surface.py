@@ -375,3 +375,44 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "sql_unpivot",
+    oracle="""
+    SELECT c_custkey AS custkey, metric, val
+    FROM (
+      UNPIVOT (SELECT c_custkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                      CAST(c_nationkey AS BIGINT) AS nationkey
+               FROM customer)
+      ON bal_cents, nationkey
+      INTO NAME metric VALUE val
+    )
+    """,
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT clause (wide→long reshape in the dialect — the
+    inverse of sql_pivot, completing the reshape pair on the parser
+    surface; agg_unpivot covers the DataFrame unpivot/melt face).
+    Spark plans UNPIVOT as a single Expand node over the scan — each
+    input row fans out to one row per measure with NO shuffle at all,
+    so the reshape is scan-shaped at any scale.  Both engines ship
+    UNPIVOT natively; measures are cast to one exact integer type
+    because UNPIVOT requires a common value type (and mixed
+    double/int would hash-differ)."""
+    _views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_custkey AS custkey, metric, val
+        FROM (
+          SELECT c_custkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                 CAST(c_nationkey AS BIGINT) AS nationkey
+          FROM customer
+        )
+        UNPIVOT (
+          val FOR metric IN (bal_cents, nationkey)
+        )
+        """
+    )

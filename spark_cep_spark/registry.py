@@ -171,6 +171,7 @@ DRIVER_PRIORITY: list[str] = [
 NEXT_ROTATION: list[str] = [
     # (a) round-6g keys (newest, zero driver evidence)
     "sql_pivot",
+    "sql_unpivot",
     "merge_incremental_agg",
     "win_share_of_total",
     "stream_retention",
