@@ -118,6 +118,10 @@ PYTHON_OK = {
     # the next score); cost independent of corpus size
     "win_holt",  # coupled level+trend recurrence, win_ewma's shape:
     # no window frame expresses it; keys parallelize, state = 2 floats
+    "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
+    # sequential per key (each kept point changes the next triangle) —
+    # the documented tier-(b) applyInPandas integer kernel; one (user)
+    # shuffle, O(1) kernel state, output k rows per key
 }
 # Ops that intentionally demonstrate the row-at-a-time UDF/UDTF surface
 # (SURVEY §2.12) — everything else must stay off BatchEvalPython.
