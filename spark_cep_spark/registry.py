@@ -170,6 +170,7 @@ DRIVER_PRIORITY: list[str] = [
 # FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
     # (a) round-6g keys (newest, zero driver evidence)
+    "stream_wau",
     "sql_pivot",
     "sql_unpivot",
     "merge_incremental_agg",

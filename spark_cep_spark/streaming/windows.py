@@ -853,3 +853,65 @@ def stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("returning").cast("long").alias("n_returning"),
         F.sum("is_new").cast("long").alias("n_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (WAU) — sliding-window exact distinct
+
+def wau_agg(events: DataFrame) -> DataFrame:
+    """Exact weekly-active-users per 1-day slide: dedup on the
+    (7-day sliding window, user) pair, then count — the same
+    chained-stateful spelling as distinct_users_agg, with each user
+    membership fanning out to the 7 windows that contain it."""
+    d = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .select(
+            F.window("ts", "7 days", "1 day").alias("win"),
+            "user_id",
+        )
+        .dropDuplicates(["win", "user_id"])
+    )
+    return (
+        d.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .select(F.col("win.start").alias("win_start"), "wau")
+    )
+
+
+@register(
+    "stream_wau",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts)
+             - k.k * INTERVAL '1 day' AS win_start,
+           count(DISTINCT user_id) AS wau
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k) k
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def stream_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the rolling 7-day active users panel (WAU per
+    1-day slide — the stickiness denominator of every DAU/WAU
+    dashboard).  Each event belongs to 7 overlapping windows; the
+    oracle expands the 7 memberships explicitly (epoch-aligned starts,
+    same as Spark — the stream_sliding precedent) under
+    count(DISTINCT).
+
+    100 TB shape: the dedup stage shuffles one row per distinct
+    (window, user) — a 7× fan-out of the distinct (day, user) table,
+    the standard sliding-distinct cost — and the count is a near-free
+    second aggregation on the same partitioning.  Streaming
+    (wau_stream), both stages are chained stateful operators with
+    watermark-bounded membership + counter state: the incremental WAU
+    no batch recompute can match at streaming latency."""
+    return wau_agg(table(spark, sf_dir, "events"))
+
+
+def wau_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face: membership state for a (window, user) pair is
+    evicted once the watermark passes the window's end."""
+    return wau_agg(events_stream.withWatermark("ts", watermark))

@@ -83,7 +83,7 @@ EVENTS_KEYS = [
     "agg_bitmap_distinct", "scan_zorder", "stream_distinct_users",
     "rollup_lttb",
     # round-6g
-    "agg_bitmap_retention", "stream_retention",
+    "agg_bitmap_retention", "stream_retention", "stream_wau",
 ]
 
 
@@ -148,7 +148,7 @@ EMPTY_SWEEP_KEYS = [
     "agg_bitmap_distinct", "scan_zorder", "stream_distinct_users",
     "rollup_lttb",
     # round-6g
-    "agg_bitmap_retention", "stream_retention",
+    "agg_bitmap_retention", "stream_retention", "stream_wau",
 ]
 
 

@@ -811,3 +811,19 @@ def test_distinct_users_stream_equals_batch(spark, sf_dir, staged):
         for r in want.collect()
     }
     assert g == w and len(g) > 0
+
+
+def test_wau_stream_equals_batch(spark, sf_dir, staged):
+    """Sliding-window exact distinct (rolling 7-day WAU) drained
+    multi-micro-batch must equal the batch twin exactly."""
+    from spark_cep_spark.streaming.windows import stream_wau, wau_stream
+    from spark_cep_spark.streaming import harness
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        wau_stream(stream, watermark="35 days"), "complete"
+    )
+    want = stream_wau(spark, sf_dir)
+    g = {r["win_start"]: r["wau"] for r in got.collect()}
+    w = {r["win_start"]: r["wau"] for r in want.collect()}
+    assert g == w and len(g) > 0

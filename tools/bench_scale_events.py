@@ -77,6 +77,7 @@ OPS = [
     # round-6g: bitmap retention (day-pair intersection via bit algebra)
     "agg_bitmap_retention",
     "stream_retention",
+    "stream_wau",
 ]
 
 STREAM_NFA_SQL = """
