@@ -2594,3 +2594,123 @@ def cep_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drop_delta",
         "rebound_delta",
     )
+
+
+@register(
+    "cep_funnel_latency",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(u1.t1) AS t1
+      FROM events e JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'view'
+        AND e.ts > u1.t1 AND e.ts <= u1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, min(e.ts) AS t3, min(u2.t1) AS t1,
+             min(u2.t2) AS t2
+      FROM events e JOIN u2 ON e.user_id = u2.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > u2.t2 AND e.ts <= u2.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    u4 AS (
+      SELECT e.user_id, min(e.ts) AS t4, min(u3.t1) AS t1,
+             min(u3.t2) AS t2, min(u3.t3) AS t3
+      FROM events e JOIN u3 ON e.user_id = u3.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > u3.t3 AND e.ts <= u3.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT 1 AS step, 'signup->view' AS hop,
+             epoch_us(t2) - epoch_us(t1) AS us FROM u4
+      UNION ALL
+      SELECT 2, 'view->click', epoch_us(t3) - epoch_us(t2) FROM u4
+      UNION ALL
+      SELECT 3, 'click->purchase', epoch_us(t4) - epoch_us(t3) FROM u4
+      UNION ALL
+      SELECT 4, 'total', epoch_us(t4) - epoch_us(t1) FROM u4
+    )
+    SELECT step, hop, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(us) AS BIGINT) AS min_us,
+           round(quantile_cont(us, 0.5), 6) AS med_us,
+           round(quantile_cont(us, 0.9), 6) AS p90_us,
+           CAST(max(us) AS BIGINT) AS max_us
+    FROM lat GROUP BY step, hop
+    """,
+)
+def cep_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users completing the WHOLE
+    signup → view → click → purchase funnel (cep_funnel_steps'
+    earliest-completion semantics, same chained min-join but carrying
+    EVERY step's binding time forward), the per-hop latency
+    distribution — n, min, median, p90, max — plus the end-to-end
+    total. THE question a funnel dashboard answers after the
+    conversion rate: where do converting users stall?
+
+    Latencies are exact integer microseconds (epoch_us diffs);
+    percentiles are linearly interpolated on both engines
+    (percentile ↔ quantile_cont, the agg_median precedent), rounded
+    to 6 places.  100 TB shape: identical to cep_funnel_steps — four
+    user-keyed hops, each bounded by |users|, one shared hash
+    partitioning; the 4-hop unpivot and the per-hop aggregate are
+    |converters|-sized."""
+    e = table(spark, sf_dir, "events")
+
+    u1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+
+    def next_step(prev: DataFrame, prev_t: str, etype: str, out_t: str,
+                  carry: list):
+        s = e.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("_ts")
+        )
+        return (
+            s.join(prev, "user_id")
+            .filter(
+                (F.col("_ts") > F.col(prev_t))
+                & (F.col("_ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.min("_ts").alias(out_t),
+                *[F.min(c).alias(c) for c in carry],
+            )
+        )
+
+    u2 = next_step(u1, "t1", "view", "t2", ["t1"])
+    u3 = next_step(u2, "t2", "click", "t3", ["t1", "t2"])
+    u4 = next_step(u3, "t3", "purchase", "t4", ["t1", "t2", "t3"])
+
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    lat = None
+    for step, (hop, a, b) in enumerate(
+        [
+            ("signup->view", "t1", "t2"),
+            ("view->click", "t2", "t3"),
+            ("click->purchase", "t3", "t4"),
+            ("total", "t1", "t4"),
+        ],
+        1,
+    ):
+        row = u4.select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(hop).alias("hop"),
+            (us(b) - us(a)).alias("us"),
+        )
+        lat = row if lat is None else lat.unionByName(row)
+    return lat.groupBy("step", "hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("us").alias("min_us"),
+        F.round(F.expr("percentile(us, 0.5)"), 6).alias("med_us"),
+        F.round(F.expr("percentile(us, 0.9)"), 6).alias("p90_us"),
+        F.max("us").alias("max_us"),
+    )

@@ -78,6 +78,7 @@ OPS = [
     "agg_bitmap_retention",
     "stream_retention",
     "stream_wau",
+    "cep_funnel_latency",
 ]
 
 STREAM_NFA_SQL = """
