@@ -2066,3 +2066,24 @@ def test_incremental_agg_merge_is_exercised(spark):
     assert len(d) > 0, "empty delta"
     out = registry.QUERIES["merge_incremental_agg"](spark, sf)
     assert out.count() == len(h | d)
+
+
+def test_retention_three_spellings_agree(spark):
+    """The bitmap inclusion-exclusion (agg_bitmap_retention), the
+    dedup+lag panel (stream_retention), and the kernel's definition
+    all compute |active(d) ∩ active(d-1)| — the two registered
+    spellings must agree day-for-day on both dau/n_active and
+    returning, at sf0.01."""
+    from spark_cep_spark import registry
+
+    registry.load_all()
+    sf = SF_CHECK
+    bitmap = {
+        r.day: (r.dau, r.returning)
+        for r in registry.QUERIES["agg_bitmap_retention"](spark, sf).collect()
+    }
+    panel = {
+        r.day: (r.n_active, r.n_returning)
+        for r in registry.QUERIES["stream_retention"](spark, sf).collect()
+    }
+    assert bitmap == panel and len(bitmap) > 1
