@@ -1742,3 +1742,76 @@ def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.filter(F.col("dau") > 0).select(
         "day", "dau", "returning"
     )
+
+
+@register(
+    "rollup_wow",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT week, rev_cents, n_orders,
+           lag(rev_cents) OVER (ORDER BY week) AS prev_rev_cents,
+           CAST(CASE WHEN lag(rev_cents) OVER (ORDER BY week) > 0
+                THEN (CAST(rev_cents AS HUGEINT) * 1000000)
+                     // lag(rev_cents) OVER (ORDER BY week)
+                END AS BIGINT) AS wow_ratio_ppm
+    FROM wk
+    """,
+)
+def rollup_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week reporting panel: ISO-week revenue and order
+    counts with the previous week's revenue and the WoW ratio in exact
+    ppm (current·10⁶ DIV previous — a RATIO of positives, not a signed
+    delta, because integer division of negatives floors in DuckDB but
+    truncates in Spark and the two would hash-differ; the signed
+    change is derivable as ratio − 10⁶).
+
+    The ordered lag window runs over |weeks| rows — input bounded by
+    the CALENDAR, not the data (the corpus_token_budget precedent for
+    an acceptable unpartitioned window): the heavy lifting is the
+    per-week aggregation, one shuffle with map-side partials.  Ratio
+    numerator widened to decimal(38,0)/HUGEINT (the win_pareto_share
+    lesson)."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).alias("week")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    # |weeks| rows by construction — the ordered window input is bounded.
+    w = W.orderBy("week")
+    prev = F.lag("rev_cents").over(w)
+    return wk.select(
+        "week",
+        "rev_cents",
+        "n_orders",
+        prev.alias("prev_rev_cents"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "(CAST(rev_cents AS DECIMAL(38,0)) * 1000000)"
+            ).cast("decimal(38,0)")
+        )
+        .otherwise(F.lit(None))
+        .alias("_num"),
+    ).select(
+        "week",
+        "rev_cents",
+        "n_orders",
+        "prev_rev_cents",
+        F.expr("CAST(_num DIV prev_rev_cents AS BIGINT)").alias(
+            "wow_ratio_ppm"
+        ),
+    )

@@ -53,6 +53,7 @@ ORDERS_KEYS = [
     "merge_scd2",
     "merge_snapshot_diff",
     "merge_incremental_agg",
+    "rollup_wow",
     "join_scd2_pit",
 ]
 

@@ -61,6 +61,7 @@ OPS = [
     "win_pareto_share",
     "win_share_of_total",
     "merge_incremental_agg",
+    "rollup_wow",
     "agg_regression",
     "profile_columns",
     "feat_target_encode",
