@@ -2265,6 +2265,37 @@ def cep_gap_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_next_step(
+    e: DataFrame,
+    prev: DataFrame,
+    prev_t: str,
+    etype: str,
+    out_t: str,
+    carry: list,
+) -> DataFrame:
+    """One funnel hop (shared by cep_funnel_steps / cep_funnel_latency):
+    join the etype-filtered events to the per-user previous-step row,
+    keep events strictly after the previous binding and within 7 days
+    of the user's first signup, bind the EARLIEST eligible event, and
+    carry the listed earlier binding times forward (one row per user in
+    `prev`, so min() just propagates them)."""
+    s = e.filter(F.col("event_type") == etype).select(
+        "user_id", F.col("ts").alias("_ts")
+    )
+    return (
+        s.join(prev, "user_id")
+        .filter(
+            (F.col("_ts") > F.col(prev_t))
+            & (F.col("_ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("_ts").alias(out_t),
+            *[F.min(c).alias(c) for c in carry],
+        )
+    )
+
+
 @register(
     "cep_funnel_steps",
     oracle="""
@@ -2334,23 +2365,9 @@ def cep_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t1"))
     )
 
-    def next_step(prev: DataFrame, prev_t: str, etype: str, out_t: str):
-        s = e.filter(F.col("event_type") == etype).select(
-            "user_id", F.col("ts").alias("_ts")
-        )
-        return (
-            s.join(prev, "user_id")
-            .filter(
-                (F.col("_ts") > F.col(prev_t))
-                & (F.col("_ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
-            )
-            .groupBy("user_id")
-            .agg(F.min("_ts").alias(out_t), F.min("t1").alias("t1"))
-        )
-
-    u2 = next_step(u1, "t1", "view", "t2")
-    u3 = next_step(u2, "t2", "click", "t3")
-    u4 = next_step(u3, "t3", "purchase", "t4")
+    u2 = _funnel_next_step(e, u1, "t1", "view", "t2", ["t1"])
+    u3 = _funnel_next_step(e, u2, "t2", "click", "t3", ["t1"])
+    u4 = _funnel_next_step(e, u3, "t3", "purchase", "t4", ["t1"])
 
     counts = None
     for step, (name, df) in enumerate(
@@ -2668,45 +2685,26 @@ def cep_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t1"))
     )
 
-    def next_step(prev: DataFrame, prev_t: str, etype: str, out_t: str,
-                  carry: list):
-        s = e.filter(F.col("event_type") == etype).select(
-            "user_id", F.col("ts").alias("_ts")
-        )
-        return (
-            s.join(prev, "user_id")
-            .filter(
-                (F.col("_ts") > F.col(prev_t))
-                & (F.col("_ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
-            )
-            .groupBy("user_id")
-            .agg(
-                F.min("_ts").alias(out_t),
-                *[F.min(c).alias(c) for c in carry],
-            )
-        )
+    u2 = _funnel_next_step(e, u1, "t1", "view", "t2", ["t1"])
+    u3 = _funnel_next_step(e, u2, "t2", "click", "t3", ["t1", "t2"])
+    u4 = _funnel_next_step(e, u3, "t3", "purchase", "t4", ["t1", "t2", "t3"])
 
-    u2 = next_step(u1, "t1", "view", "t2", ["t1"])
-    u3 = next_step(u2, "t2", "click", "t3", ["t1", "t2"])
-    u4 = next_step(u3, "t3", "purchase", "t4", ["t1", "t2", "t3"])
-
+    # ONE computation of u4, fanned to 4 rows/user by an Expand node
+    # (stack) — a 4-way union of u4 projections would re-plan the
+    # whole 3-hop join chain per branch (code-review catch).
     us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
-    lat = None
-    for step, (hop, a, b) in enumerate(
-        [
-            ("signup->view", "t1", "t2"),
-            ("view->click", "t2", "t3"),
-            ("click->purchase", "t3", "t4"),
-            ("total", "t1", "t4"),
-        ],
-        1,
-    ):
-        row = u4.select(
-            F.lit(step).cast("int").alias("step"),
-            F.lit(hop).alias("hop"),
-            (us(b) - us(a)).alias("us"),
+    lat = u4.select(
+        us("t1").alias("u1"), us("t2").alias("u2"),
+        us("t3").alias("u3"), us("t4").alias("u4"),
+    ).select(
+        F.expr(
+            "stack(4,"
+            " 1, 'signup->view',    u2 - u1,"
+            " 2, 'view->click',     u3 - u2,"
+            " 3, 'click->purchase', u4 - u3,"
+            " 4, 'total',           u4 - u1) AS (step, hop, us)"
         )
-        lat = row if lat is None else lat.unionByName(row)
+    )
     return lat.groupBy("step", "hop").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("us").alias("min_us"),

@@ -516,6 +516,7 @@ def merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // count(*) AS BIGINT) AS avg_cents
     FROM orders
     WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      AND o_orderdate IS NOT NULL
     GROUP BY o_custkey
     """,
 )
@@ -538,8 +539,15 @@ def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters reach the scan); in a partitioned lakehouse layout the
     history branch IS the stored table.  avg from merged sums, never
     averaged averages."""
+    # NULL o_orderdate rows are excluded on BOTH sides: a date-
+    # partitioned refresh has no partition to place them in, and
+    # without this filter they fall out of hist AND delta while the
+    # full-rescan oracle would count them (caught by code review on a
+    # NULL-ridden snapshot).
     o = table(spark, sf_dir, "orders").filter(
-        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+        F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
     )
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
 

@@ -1059,8 +1059,9 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spend
     )
     SELECT custkey, cents, cum_cents,
-           CAST((CAST(cum_cents AS HUGEINT) * 1000000) // total
-                AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN total > 0
+                THEN (CAST(cum_cents AS HUGEINT) * 1000000) // total
+                END AS BIGINT) AS share_ppm,
            CASE WHEN 5 * (cum_cents - cents) < 4 * total
                 THEN 1 ELSE 0 END AS in_top80
     FROM cum
@@ -1076,9 +1077,12 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale-safe two-pass spelling of the SAME total order:
     1. per-customer spend (one shuffle), grand total + max as a 1-row
        broadcast;
-    2. value-range bucket id = (cents·64) DIV (max+1) — equal spends
-       can never straddle a bucket, so (bucket DESC, cents DESC,
-       custkey) is exactly the global (cents DESC, custkey) order;
+    2. min-shifted value-range bucket id = ((cents−min)·64) DIV
+       (max−min+1) — divisor ≥ 1 and monotone on ANY domain (the
+       unshifted form divides by zero at max = −1 and inverts order
+       for negative max); equal spends can never straddle a bucket,
+       so (bucket DESC, cents DESC, custkey) is exactly the global
+       (cents DESC, custkey) order;
     3. per-bucket totals (≤ 65 rows) get their running offset on a
        BOUNDED window input — the corpus_token_budget precedent — and
        broadcast back;
@@ -1100,10 +1104,18 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     scalars = spend.agg(
-        F.max("cents").alias("mx"), F.sum("cents").cast("long").alias("total")
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.sum("cents").cast("long").alias("total"),
     )
+    # Min-SHIFTED value-range buckets: ((cents-mn)*64) DIV (mx-mn+1).
+    # The unshifted (cents*64) DIV (mx+1) divides by zero at mx = -1
+    # and INVERTS the bucket order for negative mx (negative divisor),
+    # silently breaking the composed global order on refund-heavy
+    # domains — code-review catch. The shifted divisor is >= 1 and the
+    # bucket id is monotone in cents on ANY domain.
     b = spend.crossJoin(F.broadcast(scalars)).withColumn(
-        "bkt", F.expr("(cents * 64) DIV (mx + 1)")
+        "bkt", F.expr("((cents - mn) * 64) DIV (mx - mn + 1)")
     )
     btot = b.groupBy("bkt").agg(F.sum("cents").cast("long").alias("btot"))
     # ≤ 65 rows by construction — the ordered window input is bounded.
@@ -1125,8 +1137,14 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         "cents",
         "cum_cents",
-        F.expr(
-            "(CAST(cum_cents AS DECIMAL(38,0)) * 1000000) DIV total"
+        # NULL share for a non-positive grand total (ANSI DIV 0 would
+        # throw; a negative total has no meaningful share) — mirrored
+        # in the oracle's CASE WHEN total > 0.
+        F.when(
+            F.col("total") > 0,
+            F.expr(
+                "(CAST(cum_cents AS DECIMAL(38,0)) * 1000000) DIV total"
+            ),
         ).alias("share_ppm"),
         F.when(
             5 * (F.col("cum_cents") - F.col("cents")) < 4 * F.col("total"),
@@ -1187,6 +1205,12 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "okey",
         "custkey",
         "cents",
-        F.expr("_num DIV _tot").alias("share_ppm"),
+        # share is defined only for a positive total: a zero total
+        # throws DIVIDE_BY_ZERO under ANSI while DuckDB's // yields
+        # NULL, and a negative total has no meaningful share — both
+        # engines pin NULL (code-review catch, refund-heavy class).
+        F.when(F.col("_tot") > 0, F.expr("_num DIV _tot")).alias(
+            "share_ppm"
+        ),
         "spend_rank",
     )

@@ -2087,3 +2087,119 @@ def test_retention_three_spellings_agree(spark):
         for r in registry.QUERIES["stream_retention"](spark, sf).collect()
     }
     assert bitmap == panel and len(bitmap) > 1
+
+
+def test_incremental_agg_null_date_rows_excluded_both_sides(spark, tmp_path):
+    """A NULL o_orderdate row must be excluded from BOTH the engine
+    plan and the oracle semantics (a date-partitioned refresh has no
+    partition for it) — caught by code review: without the filter the
+    row fell out of hist AND delta while the full-rescan oracle
+    counted it."""
+    import datetime as ddt
+    import os
+
+    import duckdb
+    from spark_cep_spark import registry
+    from spark_cep_spark.operators.relational import (  # noqa: F401
+        merge_incremental_agg,
+    )
+
+    registry.load_all()
+    rows = [
+        (1, 10, "O", 100.0, ddt.datetime(2000, 5, 1), "1-URGENT"),
+        (2, 10, "O", 50.0, None, "1-URGENT"),  # dateless
+        (3, 10, "O", 25.0, ddt.datetime(2001, 3, 1), "1-URGENT"),
+        (4, 20, "O", 75.0, None, "1-URGENT"),  # dateless-only customer
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "snap")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "orders.parquet"))
+    for f in os.listdir("/root/testdata/sf0.001"):
+        if f != "orders.parquet":
+            os.symlink(os.path.join("/root/testdata/sf0.001", f),
+                       os.path.join(d, f))
+    got = {
+        r.custkey: (r.n_orders, r.sum_cents)
+        for r in registry.QUERIES["merge_incremental_agg"](spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(d, 'orders.parquet')}/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(registry.ORACLES["merge_incremental_agg"])
+        .fetchall()
+    }
+    assert got == want == {10: (2, 12500)}
+
+
+def test_pareto_and_share_survive_degenerate_value_domains(spark, tmp_path):
+    """Refund-heavy / zero-total domains (code-review catch): pareto's
+    min-shifted buckets must keep the exact global order when ALL
+    spends are negative (incl. max = -1, the divide-by-zero case of
+    the unshifted form), and both ops must emit NULL share for a
+    non-positive total instead of throwing under ANSI."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+    from spark_cep_spark import registry
+
+    registry.load_all()
+    rows = [
+        # custkey, price: all-negative domain with max total = -0.01
+        (1, 101, -0.01),
+        (2, 102, -5.00),
+        (3, 103, -2.50),
+        # a zero-total customer (offsetting rows)
+        (4, 104, 3.00),
+        (5, 104, -3.00),
+    ]
+    df = spark.createDataFrame(
+        [(k, c, p, None, None, None) for k, c, p in
+         [(r[0], r[1], r[2]) for r in rows]],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderstatus string, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "neg")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "orders.parquet"))
+    for f in os.listdir("/root/testdata/sf0.001"):
+        if f != "orders.parquet":
+            os.symlink(os.path.join("/root/testdata/sf0.001", f),
+                       os.path.join(d, f))
+
+    out = registry.QUERIES["win_pareto_share"](spark, d).collect()
+    # grand total = -751 cents (non-positive) -> share NULL everywhere
+    assert all(r.share_ppm is None for r in out) and len(out) == 4
+    # cum_cents must equal the naive global window on the same spends
+    spend = (
+        df.filter("o_custkey IS NOT NULL AND o_totalprice IS NOT NULL")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .cast("long").alias("cents"))
+    )
+    wg = W.orderBy(F.desc("cents"), F.asc("custkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = {
+        r.custkey: r.cum
+        for r in spend.select(
+            "custkey", F.sum("cents").over(wg).cast("long").alias("cum")
+        ).collect()
+    }
+    assert {r.custkey: r.cum_cents for r in out} == want
+
+    st = registry.QUERIES["win_share_of_total"](spark, d).collect()
+    zero_total = [r for r in st if r.custkey == 104]
+    others = [r for r in st if r.custkey != 104]
+    assert zero_total and all(r.share_ppm is None for r in zero_total)
+    # negative single-order customers: total < 0 -> NULL share too
+    assert all(r.share_ppm is None for r in others)

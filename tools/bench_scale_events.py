@@ -100,6 +100,11 @@ def main() -> None:
     args = ap.parse_args()
     if args.only:
         only = args.only.split(",")
+        unknown = sorted(set(only) - set(OPS))
+        if unknown:
+            # fail LOUDLY: a typo would otherwise filter OPS to empty
+            # and the probe would exit 0 having measured nothing
+            raise SystemExit(f"--only keys not in OPS: {unknown}")
         OPS[:] = [k for k in OPS if k in only]
 
     import spark_cep_spark
