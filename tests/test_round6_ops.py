@@ -2203,3 +2203,35 @@ def test_pareto_and_share_survive_degenerate_value_domains(spark, tmp_path):
     assert zero_total and all(r.share_ppm is None for r in zero_total)
     # negative single-order customers: total < 0 -> NULL share too
     assert all(r.share_ppm is None for r in others)
+
+
+def test_bitmap_id_mapping_injective_on_mixed_sign_ids(spark):
+    """agg_bitmap_distinct / agg_bitmap_retention are exact only if
+    id → (bitmap_bucket_number, bitmap_bit_position) is injective —
+    pinned here across negative ids, bucket boundaries, and zero
+    (empirically Spark partitions the full integer line cleanly, but
+    nothing in the docs promises it for negatives)."""
+    ids = [-70000, -32769, -32768, -32767, -1, 0, 1, 2,
+           32767, 32768, 32769, 70000]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    rows = df.selectExpr(
+        "user_id",
+        "bitmap_bucket_number(user_id) AS b",
+        "bitmap_bit_position(user_id) AS p",
+    ).collect()
+    assert len({(r.b, r.p) for r in rows}) == len(ids)
+    # and the bitmap count agrees with the exact distinct
+    got = (
+        df.selectExpr("bitmap_bucket_number(user_id) AS b",
+                      "bitmap_bit_position(user_id) AS p")
+        .groupBy("b")
+        .agg(F_expr("bitmap_count(bitmap_construct_agg(p))").alias("c"))
+        .agg(F_expr("sum(c)").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert got == len(ids)
+
+
+def F_expr(e):
+    import pyspark.sql.functions as F
+    return F.expr(e)
