@@ -1058,3 +1058,49 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_own_version"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS grp FROM supplier
+    )
+    SELECT c.grp AS grp,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_supp
+    FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+    GROUP BY c.grp
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics
+    reconciliation and dimension-with-unknowns joins need (a plain
+    equi-join silently drops every NULL-keyed row from both sides).
+    The derived key NULLIF(nationkey % 5, 0) plants a real NULL cohort
+    so the fixture exercises the NULL⋈NULL group.
+
+    100 TB shape: Spark treats EqualNullSafe as a HASH-JOIN key (it
+    compiles to coalesce-tagged equality), so the plan is the same
+    shuffled/broadcast equi-join as `=` — NOT a nested loop; pinned in
+    tests. One shuffle each side on the tagged key."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("NULLIF(c_nationkey % 5, 0)").alias("c_grp")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr("NULLIF(s_nationkey % 5, 0)").alias("s_grp")
+    )
+    return (
+        c.join(s, c.c_grp.eqNullSafe(s.s_grp))
+        .groupBy(F.col("c_grp").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("c_custkey").cast("long").alias("n_cust"),
+            F.countDistinct("s_suppkey").cast("long").alias("n_supp"),
+        )
+    )

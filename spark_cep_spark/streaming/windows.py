@@ -915,3 +915,31 @@ def wau_stream(
     """Streaming face: membership state for a (window, user) pair is
     evicted once the watermark passes the window's end."""
     return wau_agg(events_stream.withWatermark("ts", watermark))
+
+
+# ---------------------------------------------------------------------------
+# Streaming OHLC candles (the agg_ohlc batch key's streaming face)
+
+def ohlc_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face of operators/aggregates.agg_ohlc: the SAME
+    declarative min_by/max_by candle aggregation over the watermarked
+    stream — open/close ride one (value, padded-(ts,id)-key) pair of
+    incremental state per (user, day) group, exactly like any
+    streaming sum; no kernel needed because the whole op is built-in
+    aggregates. Proven multi-micro-batch == the batch key in tests."""
+    e = events_stream.withWatermark("ts", watermark)
+    key = F.format_string(
+        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.round(F.sum("value"), 6).alias("turnover"),
+    )

@@ -2235,3 +2235,19 @@ def test_bitmap_id_mapping_injective_on_mixed_sign_ids(spark):
 def F_expr(e):
     import pyspark.sql.functions as F
     return F.expr(e)
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    """EqualNullSafe must compile to a hash-family join (Spark tags
+    the key with coalesce, keeping it equi) — a NestedLoop here would
+    be the quadratic trap; and the NULL<=>NULL group must be present."""
+    from spark_cep_spark import registry
+    from spark_cep_spark.operators.joins import join_null_safe  # noqa: F401
+
+    registry.load_all()
+    df = registry.QUERIES["join_null_safe"](spark, SF_CHECK)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    null_grp = [r for r in rows if r.grp is None]
+    assert null_grp and null_grp[0].n_pairs > 0

@@ -827,3 +827,22 @@ def test_wau_stream_equals_batch(spark, sf_dir, staged):
     g = {r["win_start"]: r["wau"] for r in got.collect()}
     w = {r["win_start"]: r["wau"] for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_ohlc_stream_equals_batch(spark, sf_dir, staged):
+    """Streaming OHLC candles (declarative min_by/max_by state)
+    drained multi-micro-batch must equal the agg_ohlc batch key."""
+    from spark_cep_spark.operators.aggregates import agg_ohlc
+    from spark_cep_spark.streaming.windows import ohlc_stream
+    from spark_cep_spark.streaming import harness
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        ohlc_stream(stream, watermark="35 days"), "complete"
+    )
+    want = agg_ohlc(spark, sf_dir)
+    cols = ["user_id", "day", "open", "high", "low", "close",
+            "volume", "turnover"]
+    g = {tuple(r[c] for c in cols) for r in got.collect()}
+    w = {tuple(r[c] for c in cols) for r in want.collect()}
+    assert g == w and len(g) > 0
