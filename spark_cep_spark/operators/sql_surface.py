@@ -416,3 +416,39 @@ def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "sql_exists_flag",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+           NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey) AS orderless
+    FROM customer c
+    """,
+)
+def sql_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a PROJECTED flag (not a filter): every customer row
+    survives, annotated with has-urgent-order / orderless booleans —
+    the mark-join shape. A semi/anti join can only keep or drop rows;
+    projecting existence forces Spark's ExistenceJoin physical variant
+    (the subquery side joins with a synthetic exists# flag), still a
+    hash join on the correlation key — plan-pinned in tests.  At
+    100 TB this costs the same one shuffle per subquery as a semi
+    join; the alternative (LEFT JOIN + DISTINCT + CASE) pays an extra
+    dedup aggregate."""
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+               NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey) AS orderless
+        FROM customer c
+        """
+    )

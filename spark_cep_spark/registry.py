@@ -170,6 +170,7 @@ DRIVER_PRIORITY: list[str] = [
 # FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
     # (a) round-6g keys (newest, zero driver evidence)
+    "sql_exists_flag",
     "join_null_safe",
     "rollup_wow",
     "cep_funnel_latency",

@@ -44,6 +44,7 @@ ORDERS_KEYS = [
     "sql_subquery_correlated",
     "sql_qualify",
     "sql_pivot",
+    "sql_exists_flag",
     # TPC-H orders readers
     "tpch_q4",
     "tpch_q13",

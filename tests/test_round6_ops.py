@@ -2251,3 +2251,19 @@ def test_null_safe_join_is_hash_not_nested_loop(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     null_grp = [r for r in rows if r.grp is None]
     assert null_grp and null_grp[0].n_pairs > 0
+
+
+def test_exists_flag_plans_existence_join(spark):
+    """Projected EXISTS must compile to the ExistenceJoin hash variant
+    (a semi join can't carry the flag; a left-join+dedup would pay an
+    extra aggregate)."""
+    from spark_cep_spark import registry
+    from spark_cep_spark.operators.sql_surface import (  # noqa: F401
+        sql_exists_flag,
+    )
+
+    registry.load_all()
+    df = registry.QUERIES["sql_exists_flag"](spark, SF_CHECK)
+    plan = _executed_plan(df)
+    assert "ExistenceJoin" in plan, plan[:2000]
+    assert "NestedLoop" not in plan.split("== Initial Plan ==")[0]
