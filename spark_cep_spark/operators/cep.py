@@ -2712,3 +2712,167 @@ def cep_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(us, 0.9)"), 6).alias("p90_us"),
         F.max("us").alias("max_us"),
     )
+
+
+_RUN_AGG_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             coalesce(event_type, '') AS et,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND (value IS NULL OR abs(value) <= 1e12)
+    ),
+    mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS rn, FALSE AS in_run,
+             CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s,
+             CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS BIGINT) AS dl,
+             CAST(NULL AS BIGINT) AS em_anchor,
+             CAST(NULL AS BIGINT) AS em_n, CAST(NULL AS BIGINT) AS em_s
+      FROM mx
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN e.et = 'signup'
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                <= 3 * (w.s + e.cents))
+                  THEN FALSE
+                  ELSE TRUE END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                  THEN w.n + 1
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE w.n END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                  THEN w.s + e.cents
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE w.s END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' THEN e.tus
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                <= 3 * (w.s + e.cents))
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.anchor END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' THEN e.tus + 604800000000
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                <= 3 * (w.s + e.cents))
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.dl END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0
+                  THEN w.anchor
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                <= 3 * (w.s + e.cents))
+                       AND w.n > 0
+                  THEN w.anchor END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0 THEN w.n
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                <= 3 * (w.s + e.cents))
+                       AND w.n > 0
+                  THEN w.n END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0 THEN w.s
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                <= 3 * (w.s + e.cents))
+                       AND w.n > 0
+                  THEN w.s END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ),
+    closes AS (
+      SELECT user_id, em_anchor AS anchor, em_n AS n, em_s AS s
+      FROM walk WHERE em_anchor IS NOT NULL
+      UNION ALL
+      SELECT w.user_id, w.anchor, w.n, w.s
+      FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mxrn
+      WHERE w.in_run AND w.n > 0
+    )
+    SELECT user_id, make_timestamp(anchor) AS anchor_ts,
+           n AS n_b, s AS sum_b_cents
+    FROM closes
+"""
+
+
+@register("cep_run_agg", oracle=_RUN_AGG_ORACLE)
+def cep_run_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-aggregate kleene matching — the standard
+    MATCH_RECOGNIZE DEFINE-aggregate feature the SQL dialect rejects
+    with a pointed error on quantified steps, shipped as its own
+    operator: PATTERN (A -> B+) WITHIN 7 DAYS where each candidate B
+    binds iff value ≤ 1.5 × the run's RUNNING average including
+    itself (2·cents·(n+1) ≤ 3·(sum+cents), exact cross-multiplied
+    integers).  Run extension depends on the accepted prefix — no
+    window frame expresses it — so the batch face applies the SAME
+    pure kernel the streaming face uses (advance_run_agg,
+    streaming/nfa.py) per key via applyInPandas: kernel = single
+    source of truth, this oracle = the brute-force recursive-CTE walk
+    of the definition.
+
+    100 TB shape: one (user) shuffle into an O(rows-per-key) scan
+    with O(1) state — the win_ewma/win_cusum tier-(b) class; keys
+    parallelize, no driver state."""
+    import pandas as pd
+
+    from spark_cep_spark.streaming.nfa import advance_run_agg
+
+    # cents domain bounded against adversarial readings (±Inf/1e308
+    # overflow the BIGINT cast under ANSI on both engines) — the
+    # rollup_lttb precedent; the bound is mirrored in the oracle.
+    e = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("value").isNull() | (F.abs("value") <= 1e12))
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        rows = [
+            [int(t), int(i) if not pd.isna(i) else 0, et,
+             None if pd.isna(c) else int(c)]
+            for t, i, et, c in zip(
+                ts_us.tolist(), pdf["event_id"].tolist(),
+                pdf["event_type"].tolist(), pdf["cents"].tolist(),
+            )
+        ]
+        _, out = advance_run_agg(None, rows, 1 << 62)
+        uid = pdf["user_id"].iloc[0] if len(pdf) else None
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(out),
+                "anchor_ts": pd.to_datetime([r[0] for r in out], unit="us"),
+                "n_b": [r[1] for r in out],
+                "sum_b_cents": [r[2] for r in out],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        fn,
+        "user_id long, anchor_ts timestamp, n_b long, sum_b_cents long",
+    )

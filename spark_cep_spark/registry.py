@@ -170,6 +170,7 @@ DRIVER_PRIORITY: list[str] = [
 # FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
     # (a) round-6g keys (newest, zero driver evidence)
+    "cep_run_agg",
     "sql_exists_flag",
     "join_null_safe",
     "rollup_wow",

@@ -4125,3 +4125,165 @@ def retention_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_RUN_AGG_WITHIN_US = 7 * 86_400 * 1_000_000
+
+
+def advance_run_agg(
+    state: list | None, matured: list, wm_us: int
+) -> tuple[list | None, list]:
+    """Pure running-aggregate kleene kernel — the semantics the SQL
+    dialect rejects with 'correlation is not supported on quantified
+    steps', implemented as its own operator: PATTERN (A -> B+) where
+    A = signup anchors a run and each candidate B = view binds iff,
+    INCLUDING itself, value ≤ 1.5 × the run's running average
+    (standard MATCH_RECOGNIZE DEFINE-aggregate semantics, RUNNING,
+    current row included) — in exact cross-multiplied integers:
+    2·cents·(n+1) ≤ 3·(sum+cents).  The run force-closes at
+    anchor + 7 days (WITHIN), at a failing B row, or never on ignored
+    rows (other event types / NULL values — relaxed matching).  A
+    match emits [anchor_us, n_b, sum_b_cents] when ≥ 1 row bound.
+
+    state: None (idle) or [n, sum, anchor_us, deadline_us] for the
+    open run; matured: (ts, id)-sorted [ts_us, eid, etype, cents];
+    wm_us closes runs whose deadline has passed even with no further
+    events (the wrapper sets an event-time timer at the deadline).
+    O(1) state; chunking-invariant given monotone wm (property-
+    tested)."""
+    st = None if state is None else list(state)
+    out = []
+    for ts, _eid, et, c in matured:
+        if st is not None and ts > st[3]:
+            if st[0] > 0:
+                out.append([st[2], st[0], st[1]])
+            st = None
+        if st is None:
+            if et == "signup":
+                st = [0, 0, ts, ts + _RUN_AGG_WITHIN_US]
+        elif et == "view" and c is not None:
+            if 2 * c * (st[0] + 1) <= 3 * (st[1] + c):
+                st[0] += 1
+                st[1] += c
+            else:
+                if st[0] > 0:
+                    out.append([st[2], st[0], st[1]])
+                st = None
+    if st is not None and st[3] <= wm_us:
+        if st[0] > 0:
+            out.append([st[2], st[0], st[1]])
+        st = None
+    return st, out
+
+
+def run_agg_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of operators/cep.cep_run_agg: the running-
+    aggregate kleene kernel behind applyInPandasWithState.  Per-key
+    state = the open run's [n, sum, anchor, deadline] (four ints)
+    plus the watermark buffer; the event-time timer is set at
+    min(buffered ts, open-run DEADLINE) so a run with no further
+    events still closes and emits when the watermark passes
+    anchor + 7 days — the WITHIN-bound emission no batch recompute
+    can deliver at streaming latency."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(
+            F.col(time_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & (F.col("value").isNull() | (F.abs("value") <= 1e12))
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("anchor_ts", T.TimestampType()),
+            T.StructField("n_b", T.LongType()),
+            T.StructField("sum_b_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "s": None}
+        buf, s = st["buf"], st["s"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, et, c in zip(
+                    ts_us.tolist(),
+                    pdf["eid"].tolist(),
+                    pdf["et"].tolist(),
+                    pdf["cents"].tolist(),
+                ):
+                    if eid is None or pd.isna(eid):
+                        continue
+                    buf.append(
+                        [
+                            int(ts),
+                            int(eid),
+                            None if et is None else str(et),
+                            None if c is None or pd.isna(c) else int(c),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        s, rows = advance_run_agg(s, matured, wm_us)
+
+        if buf or s is not None:
+            state.update((json.dumps({"buf": buf, "s": s}),))
+            timers = []
+            if buf:
+                timers.append(min(e[0] for e in buf) // _US_PER_MS + 1)
+            if s is not None:
+                # wake at the open run's deadline to close + emit
+                timers.append(s[3] // _US_PER_MS + 1)
+            state.setTimeoutTimestamp(
+                max(min(timers), state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "anchor_ts": pd.to_datetime(
+                        [r[0] for r in rows], unit="us"
+                    ),
+                    "n_b": [r[1] for r in rows],
+                    "sum_b_cents": [r[2] for r in rows],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

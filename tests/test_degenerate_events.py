@@ -84,7 +84,7 @@ EVENTS_KEYS = [
     "rollup_lttb",
     # round-6g
     "agg_bitmap_retention", "stream_retention", "stream_wau",
-    "cep_funnel_latency",
+    "cep_funnel_latency", "cep_run_agg",
 ]
 
 
@@ -150,7 +150,7 @@ EMPTY_SWEEP_KEYS = [
     "rollup_lttb",
     # round-6g
     "agg_bitmap_retention", "stream_retention", "stream_wau",
-    "cep_funnel_latency",
+    "cep_funnel_latency", "cep_run_agg",
 ]
 
 

@@ -2267,3 +2267,207 @@ def test_exists_flag_plans_existence_join(spark):
     plan = _executed_plan(df)
     assert "ExistenceJoin" in plan, plan[:2000]
     assert "NestedLoop" not in plan.split("== Initial Plan ==")[0]
+
+
+# ---------------------------------------------------------------------------
+# round-6g: running-aggregate kleene (DEFINE-aggregate semantics)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.sampled_from(["signup", "view", "click", None]),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=200)),
+            st.integers(min_value=0, max_value=20),  # day gaps
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=3),
+)
+def test_run_agg_kernel_brute_force_and_chunking(evs, cuts):
+    """Inline brute-force transcription of the run-agg definition vs
+    the kernel, then chunked replay with a monotone watermark — the
+    chunking-invariance property every streaming face must hold."""
+    from spark_cep_spark.streaming.nfa import (
+        _RUN_AGG_WITHIN_US,
+        advance_run_agg,
+    )
+
+    DAY = 86_400_000_000
+    t = 0
+    rows = []
+    for i, (et, c, gap) in enumerate(evs):
+        t += gap * DAY // 4
+        rows.append([t, i, et, c])
+
+    # brute force (independent transcription)
+    st_, want = None, []
+    for ts, _eid, et, c in rows:
+        if st_ is not None and ts > st_[3]:
+            if st_[0] > 0:
+                want.append([st_[2], st_[0], st_[1]])
+            st_ = None
+        if st_ is None:
+            if et == "signup":
+                st_ = [0, 0, ts, ts + _RUN_AGG_WITHIN_US]
+        elif et == "view" and c is not None:
+            if 2 * c * (st_[0] + 1) <= 3 * (st_[1] + c):
+                st_ = [st_[0] + 1, st_[1] + c, st_[2], st_[3]]
+            else:
+                if st_[0] > 0:
+                    want.append([st_[2], st_[0], st_[1]])
+                st_ = None
+    if st_ is not None and st_[0] > 0:
+        want.append([st_[2], st_[0], st_[1]])
+
+    FAR = 1 << 62
+    _, whole = advance_run_agg(None, [r[:] for r in rows], FAR)
+    assert whole == want
+
+    bounds = sorted({c for c in cuts if c <= len(rows)})
+    stt, got, prev_i = None, [], 0
+    for b in bounds + [len(rows)]:
+        chunk = rows[prev_i:b]
+        wm = chunk[-1][0] if chunk else (rows[prev_i - 1][0] if prev_i else 0)
+        stt, part = advance_run_agg(stt, [r[:] for r in chunk], wm)
+        got.extend(part)
+        prev_i = b
+    stt, part = advance_run_agg(stt, [], FAR)
+    got.extend(part)
+    assert got == whole
+
+
+def test_run_agg_stream_equals_batch(spark, sf_dir):
+    """Multi-micro-batch AvailableNow emission equals the cep_run_agg
+    batch key over the same rows (sentinel extends the watermark past
+    every run deadline, so deadline-timer emission is exercised)."""
+    import datetime as ddt
+    import glob
+    import os
+    import tempfile
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import run_agg_stream
+    from spark_cep_spark import registry
+
+    registry.load_all()
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = {
+        (r["key"], r["anchor_ts"], r["n_b"], r["sum_b_cents"])
+        for r in harness.run_available_now(
+            run_agg_stream(stream, watermark="0 seconds"), "append"
+        ).filter("key <> -1").collect()
+    }
+    d = tempfile.mkdtemp()
+    spark.read.parquet(staged).filter("user_id <> -1").write.parquet(
+        os.path.join(d, "events.parquet"), mode="overwrite"
+    )
+    for f in os.listdir("/root/testdata/sf0.001"):
+        if f != "events.parquet":
+            os.symlink(os.path.join("/root/testdata/sf0.001", f),
+                       os.path.join(d, f))
+    want = {
+        (r["user_id"], r["anchor_ts"], r["n_b"], r["sum_b_cents"])
+        for r in registry.QUERIES["cep_run_agg"](spark, d).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_run_agg_stream_under_rocksdb_state_store(spark, sf_dir):
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import run_agg_stream
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+        got = harness.run_available_now(
+            run_agg_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        )
+        assert got.count() >= 0
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
+def test_run_agg_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for run_agg_stream: the open run's
+    [n, sum, anchor, deadline] and the buffer must resume exactly —
+    a lost run state would re-anchor mid-run and change emissions."""
+    import os
+    import shutil
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import run_agg_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+
+    def run(src_dir, out, ckpt):
+        stream = harness.events_stream(spark, src_dir, max_files_per_trigger=2)
+        q = (
+            run_agg_stream(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    copy_ordered(parts[:4])
+    run(src, out, ckpt)
+    copy_ordered(parts[4:])
+    run(src, out, ckpt)
+
+    got = {
+        (r["key"], r["anchor_ts"], r["n_b"], r["sum_b_cents"])
+        for r in spark.read.parquet(out).collect()
+    }
+    uninterrupted = {
+        (r["key"], r["anchor_ts"], r["n_b"], r["sum_b_cents"])
+        for r in harness.run_available_now(
+            run_agg_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        ).collect()
+    }
+    assert got == uninterrupted

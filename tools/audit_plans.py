@@ -118,6 +118,10 @@ PYTHON_OK = {
     # the next score); cost independent of corpus size
     "win_holt",  # coupled level+trend recurrence, win_ewma's shape:
     # no window frame expresses it; keys parallelize, state = 2 floats
+    "cep_run_agg",  # running-aggregate kleene extension — whether row
+    # i binds depends on the ACCEPTED prefix (no window frame
+    # expresses it); batch face = the same pure kernel the streaming
+    # face uses, per key (win_ewma/win_cusum tier-(b) class)
     "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
     # sequential per key (each kept point changes the next triangle) —
     # the documented tier-(b) applyInPandas integer kernel; one (user)

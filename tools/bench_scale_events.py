@@ -79,6 +79,7 @@ OPS = [
     "stream_retention",
     "stream_wau",
     "cep_funnel_latency",
+    "cep_run_agg",
 ]
 
 STREAM_NFA_SQL = """
