@@ -633,7 +633,9 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         if where and (plus or braced):
             raise ValueError(
                 f"step {name}: correlation is not supported on "
-                "quantified ({n}/+) steps"
+                "quantified ({n}/+) steps (running-aggregate extension "
+                "over the kleene variable is available as the "
+                "cep_run_agg operator, operators/cep.py)"
             )
         if gap and (plus or braced):
             raise ValueError(
