@@ -2724,7 +2724,7 @@ _RUN_AGG_ORACLE = """
                                 ORDER BY ts, event_id) AS rn
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        AND (value IS NULL OR abs(value) <= 1e12)
+        AND (value IS NULL OR abs(value) <= 1e9)
     ),
     mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
     walk AS (
@@ -2838,13 +2838,16 @@ def cep_run_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_cep_spark.streaming.nfa import advance_run_agg
 
-    # cents domain bounded against adversarial readings (±Inf/1e308
-    # overflow the BIGINT cast under ANSI on both engines) — the
-    # rollup_lttb precedent; the bound is mirrored in the oracle.
+    # cents domain bounded against adversarial readings — sized for the
+    # ORACLE's cross-multiplication 2·cents·(n+1) (±1e9 dollars = ±1e11
+    # cents keeps 3·sum within BIGINT for runs of ~10^7 rows), not just
+    # for the cast (the rollup_lttb ±1e12 bound would let the DuckDB
+    # walk overflow on long runs — code-review catch); mirrored in the
+    # oracle.
     e = table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
-        & (F.col("value").isNull() | (F.abs("value") <= 1e12))
+        & (F.col("value").isNull() | (F.abs("value") <= 1e9))
     ).select(
         "user_id", "ts", "event_id", "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),

@@ -4169,7 +4169,12 @@ def advance_run_agg(
                 if st[0] > 0:
                     out.append([st[2], st[0], st[1]])
                 st = None
-    if st is not None and st[3] <= wm_us:
+    # strictly-less: the event path accepts ts == deadline, so a
+    # watermark landing exactly on the deadline must NOT close the run
+    # (a tie event can still arrive in the next chunk) — closing on <=
+    # broke chunking invariance at the boundary (code-review catch,
+    # reproduced: whole [[0,3,300]] vs chunked [[0,2,200]]).
+    if st is not None and st[3] < wm_us:
         if st[0] > 0:
             out.append([st[2], st[0], st[1]])
         st = None
@@ -4196,7 +4201,7 @@ def run_agg_stream(
         .filter(
             F.col(time_col).isNotNull()
             & F.col(key_col).isNotNull()
-            & (F.col("value").isNull() | (F.abs("value") <= 1e12))
+            & (F.col("value").isNull() | (F.abs("value") <= 1e9))
         )
         .select(
             F.col(key_col).alias("key"),
@@ -4236,12 +4241,13 @@ def run_agg_stream(
                     pdf["et"].tolist(),
                     pdf["cents"].tolist(),
                 ):
-                    if eid is None or pd.isna(eid):
-                        continue
+                    # NULL event_id maps to 0 (sort tie-break only) —
+                    # the batch face keeps such rows; dropping them
+                    # here would diverge streaming from batch.
                     buf.append(
                         [
                             int(ts),
-                            int(eid),
+                            0 if eid is None or pd.isna(eid) else int(eid),
                             None if et is None else str(et),
                             None if c is None or pd.isna(c) else int(c),
                         ]

@@ -928,13 +928,18 @@ def ohlc_stream(
     stream — open/close ride one (value, padded-(ts,id)-key) pair of
     incremental state per (user, day) group, exactly like any
     streaming sum; no kernel needed because the whole op is built-in
-    aggregates. Proven multi-micro-batch == the batch key in tests."""
+    aggregates.  The day is a 1-day F.window (NOT date_trunc: grouping
+    by a plain expression strips the event-time tag, so the watermark
+    could never evict state and append mode would be impossible —
+    code-review catch); win.start == date_trunc('day') under UTC, so
+    the output matches the batch key column for column.  Proven
+    multi-micro-batch == the batch key in tests."""
     e = events_stream.withWatermark("ts", watermark)
     key = F.format_string(
         "%020d%012d", F.unix_micros("ts"), F.col("event_id")
     )
     return e.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
+        "user_id", F.window("ts", "1 day").alias("win")
     ).agg(
         F.min_by("value", key).alias("open"),
         F.max("value").alias("high"),
@@ -942,4 +947,8 @@ def ohlc_stream(
         F.max_by("value", key).alias("close"),
         F.count(F.lit(1)).alias("volume"),
         F.round(F.sum("value"), 6).alias("turnover"),
+    ).select(
+        "user_id",
+        F.col("win.start").alias("day"),
+        "open", "high", "low", "close", "volume", "turnover",
     )

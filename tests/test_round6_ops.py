@@ -2221,20 +2221,17 @@ def test_bitmap_id_mapping_injective_on_mixed_sign_ids(spark):
     ).collect()
     assert len({(r.b, r.p) for r in rows}) == len(ids)
     # and the bitmap count agrees with the exact distinct
+    import pyspark.sql.functions as F
+
     got = (
         df.selectExpr("bitmap_bucket_number(user_id) AS b",
                       "bitmap_bit_position(user_id) AS p")
         .groupBy("b")
-        .agg(F_expr("bitmap_count(bitmap_construct_agg(p))").alias("c"))
-        .agg(F_expr("sum(c)").alias("n"))
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(p))").alias("c"))
+        .agg(F.expr("sum(c)").alias("n"))
         .collect()[0]["n"]
     )
     assert got == len(ids)
-
-
-def F_expr(e):
-    import pyspark.sql.functions as F
-    return F.expr(e)
 
 
 def test_null_safe_join_is_hash_not_nested_loop(spark):
@@ -2407,7 +2404,9 @@ def test_run_agg_stream_under_rocksdb_state_store(spark, sf_dir):
             ),
             "append",
         )
-        assert got.count() >= 0
+        # fail-closes inside the staged data emit without any sentinel,
+        # so a zero count means the RocksDB path lost state
+        assert got.count() > 0
     finally:
         if prev is None:
             spark.conf.unset(conf)
