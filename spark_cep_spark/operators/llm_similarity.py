@@ -1187,7 +1187,9 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY u1.i, u2.i
     )
     SELECT i, j,
-           round((n * sxy - sxi * sxj) * 1.0 / n / n / 1e6, 6) AS cov
+           -- + 0.0 folds IEEE -0.0 (tiny negative covariances round to
+           -- the negative zero) to +0.0 — STANDING ORACLE RULE 4
+           round((n * sxy - sxi * sxj) * 1.0 / n / n / 1e6, 6) + 0.0 AS cov
     FROM p
     """,
 )
@@ -1260,13 +1262,17 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select(
             (F.col("idx") / 64).cast("long").alias("i"),
             (F.col("idx") % 64).cast("long").alias("j"),
-            F.round(
-                (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj"))
-                * 1.0
-                / F.col("n")
-                / F.col("n")
-                / 1e6,
-                6,
+            (
+                F.round(
+                    (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj"))
+                    * 1.0
+                    / F.col("n")
+                    / F.col("n")
+                    / 1e6,
+                    6,
+                )
+                # + 0.0 normalizes IEEE signed zero (RULE 4, registry.py)
+                + F.lit(0.0)
             ).alias("cov"),
         )
         .filter(F.col("i") <= F.col("j"))

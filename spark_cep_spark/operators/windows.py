@@ -617,7 +617,7 @@ def anomaly_zscore(e: DataFrame) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     )
-    SELECT event_id, user_id, ts, round(c, 4) AS trend_corr
+    SELECT event_id, user_id, ts, round(c, 4) + 0.0 AS trend_corr
     FROM s WHERE n = 30
     """,
 )
@@ -660,7 +660,14 @@ def rolling_corr(e: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
     )
     return s.filter(F.col("n") == 30).select(
-        "event_id", "user_id", "ts", F.round("c", 4).alias("trend_corr")
+        "event_id",
+        "user_id",
+        "ts",
+        # + 0.0 normalizes IEEE signed zero: round() can emit -0.0 for a
+        # tiny negative corr, and DuckDB/Spark disagree on which zero they
+        # produce — the driver's value-hash is bit-level, so -0.0 vs +0.0
+        # flips the hash (round-6's only red row). -0.0 + 0.0 = +0.0.
+        (F.round("c", 4) + F.lit(0.0)).alias("trend_corr"),
     )
 
 

@@ -28,6 +28,13 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
      Spark ``size()``/INT outputs to BIGINT when the oracle emits
      BIGINT) — ``tools/check_oracle.py`` fails kind mismatches and
      warns on width mismatches.
+  4. Signed zero: ``round(x, n)`` on a tiny negative double emits
+     ``-0.0``, and the two engines can disagree on WHICH zero they
+     produce (round-6's only red row, ``win_rolling_corr``) — the
+     driver hash is bit-level, so ``-0.0 != +0.0``. Any rounded double
+     OUTPUT column whose value can be a tiny negative must add
+     ``+ 0.0`` after the round on BOTH sides (IEEE: ``-0.0 + 0.0 =
+     +0.0``). ``tools/check_oracle.py`` compares sign bits at zero.
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
@@ -99,77 +106,17 @@ def load_all() -> None:
 
 # The first 50 keys the driver will check this round, in order. See the
 # module docstring ("DRIVER WINDOW") for the selection rationale.
-# Round 6 window = the round-5 NEXT_ROTATION verbatim: (a) the 7 keys
-# NEW in round 5 with zero driver evidence (all exact-pass
-# tools/check_oracle.py locally), then (b) the 33 §2 keys whose only
-# driver evidence is round 1 — after this window, every registered
-# key's latest driver evidence is round 3 or newer. Keys NEW in round 6
-# are appended at the end as they land (window holds 50).
+# Round 7 window = win_rolling_corr first (round-6's only red row —
+# signed-zero fix must land driver evidence), then the round-6
+# NEXT_ROTATION verbatim: the 6g/6f/6d/6e keys with zero driver
+# evidence (every one exact-passes tools/check_oracle.py locally).
+# Keys NEW in round 7 are appended at the end as they land (window
+# holds 50; each append pushes the window's last rotation key back to
+# the front of NEXT_ROTATION's remainder).
 DRIVER_PRIORITY: list[str] = [
-    # (a) round-5 keys, zero driver evidence
-    "text_bigram_lm",
-    "join_asof_nearest",
-    "agg_weighted",
-    "win_lag_ignore_nulls",
-    "cep_group_times",
-    "cep_skip_to_last",
-    "cep_all_rows",
-    # (b) §2 keys whose only driver evidence is round 1
-    "scan_csv_json",
-    "scan_orc",
-    "case_when",
-    "distinct_select",
-    "limit_topk",
-    "sample",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "merge_upsert",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_theta_range",
-    "join_cross",
-    "join_skew_salted",
-    "join_interval_banded",
-    "agg_approx",
-    "agg_stats",
-    "having",
-    "agg_pivot",
-    "fn_explode",
-    "rollup_hypertable",
-    "agg_histogram",
-    "rollup_gapfill",
-    "agg_sketches",
-    "agg_unpivot",
-    "win_analytic",
-    "win_frame_range",
-    "win_percentiles",
-    "win_ewma",
-    "cep_seq",
-    # (c) NEW in round 6 — appended as they land
-    "agg_weighted_median",
-    "agg_corr",
-    "win_streak",
-    "win_anomaly_zscore",
+    # (a) the round-6 red row, fixed this round
     "win_rolling_corr",
-    "cep_funnel_steps",
-    "merge_scd2",
-    "join_bucketed",
-    "pipeline_mix_temperature",
-    "corpus_quality_deciles",
-]
-
-# Keys to rotate into DRIVER_PRIORITY next round: first the round-6
-# through 6e additions that did NOT fit this round's 50-key window
-# (zero driver evidence; every one exact-passes tools/check_oracle.py
-# locally — emb_pca_power via its eigh-cos rows-only probe), then the
-# cohort whose latest driver evidence is round 3 — the oldest
-# remaining once the round-6 window lands. The round-7 window = the
-# FIRST 50 of this list, verbatim.
-NEXT_ROTATION: list[str] = [
-    # (a) round-6g keys (newest, zero driver evidence)
+    # (b) round-6 NEXT_ROTATION, verbatim order
     "cep_run_agg",
     "sql_exists_flag",
     "join_null_safe",
@@ -186,14 +133,12 @@ NEXT_ROTATION: list[str] = [
     "join_scd2_pit",
     "merge_snapshot_diff",
     "agg_bitmap_retention",
-    # (a) round-6f keys (zero driver evidence)
     "join_bloom_pruned",
     "agg_bitmap_distinct",
     "scan_zorder",
     "sql_qualify",
     "stream_distinct_users",
     "rollup_lttb",
-    # (a') round-6d/6e keys (zero driver evidence)
     "tpch_q2",
     "tpch_q4",
     "tpch_q6",
@@ -221,6 +166,14 @@ NEXT_ROTATION: list[str] = [
     "fn_hof",
     "agg_regression",
     "agg_ttest",
+]
+
+# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
+# round-6 staging list (zero or round-3-only driver evidence; all
+# exact-pass tools/check_oracle.py locally). Keys NEW in round 7 that
+# do not fit the round-7 window are prepended as they land. The
+# round-8 window = the FIRST 50 of this list, verbatim.
+NEXT_ROTATION: list[str] = [
     "pipeline_dedup_eval",
     "agg_chi2",
     "fn_variant",
@@ -281,7 +234,6 @@ NEXT_ROTATION: list[str] = [
     "agg_benford",
     "cep_sql_subset",
     "win_time_range",
-    # (b) latest evidence = round 3
     "agg_collect",
     "agg_distinct",
     "cep_absence",

@@ -2950,7 +2950,10 @@ def advance_trendcorr(
                 syy = sum((p[1] - my) ** 2 for p in pairs)
                 if sxx > 0 and syy > 0:
                     c = sxy / (sxx * syy) ** 0.5
-                    alerts.append([eid, ts_us, round(c, 4)])
+                    # + 0.0 folds IEEE -0.0 to +0.0, matching the batch
+                    # face's signed-zero normalization (windows.py
+                    # rolling_corr) so streaming==batch stays bit-exact.
+                    alerts.append([eid, ts_us, round(c, 4) + 0.0])
     return ring, alerts
 
 

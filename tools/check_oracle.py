@@ -84,6 +84,11 @@ def values_equal(a, b, tol=0.0):
             return True
         if tol:
             return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+        # Bit-exact at zero: the driver's value-hash distinguishes -0.0
+        # from +0.0 (round-6's only red row, win_rolling_corr) while
+        # `==` does not — require matching sign bit when either is zero.
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(values_equal(x, y, tol) for x, y in zip(a, b))
