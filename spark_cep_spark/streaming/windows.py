@@ -541,11 +541,14 @@ def dynamic_rules_stream(
     Scale: the rules table is dimension-sized by contract (one row per
     event type / tenant rule), so the re-read is a metadata-cheap
     scan and the join is always a broadcast hash join against the
-    micro-batch. Exactly-once: the parquet sink + checkpoint give the
-    standard idempotent-epoch guarantee; a replayed epoch re-reads
-    the CURRENT rules (documented at-least-once semantics for rule
-    VERSIONS, exactly-once for events — the industry-standard
-    trade-off for broadcast rule refresh).
+    micro-batch. Exactly-once FOR EVENTS: a manual write inside
+    foreachBatch sits outside the file sink's transaction log, so a
+    blind append would duplicate a replayed micro-batch's alerts —
+    instead each epoch dynamically OVERWRITES its own epoch_id
+    partition (idempotent replay: re-running epoch N replaces epoch
+    N's rows, never doubles them). Rule VERSIONS stay at-least-once:
+    a replayed epoch re-reads the CURRENT rules — the
+    industry-standard trade-off for broadcast rule refresh.
 
     Returns the started StreamingQuery (AvailableNow)."""
     from pyspark.sql import functions as SF
@@ -566,7 +569,13 @@ def dynamic_rules_stream(
                 SF.col("rule_id"),
             )
         )
-        alerts.write.mode("append").parquet(out_path)
+        (
+            alerts.withColumn("epoch_id", SF.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
 
     return (
         events_stream.writeStream.foreachBatch(apply_rules)

@@ -85,6 +85,8 @@ EVENTS_KEYS = [
     # round-6g
     "agg_bitmap_retention", "stream_retention", "stream_wau",
     "cep_funnel_latency", "cep_run_agg",
+    # round-7
+    "cep_sql_run_agg",
 ]
 
 
@@ -151,6 +153,8 @@ EMPTY_SWEEP_KEYS = [
     # round-6g
     "agg_bitmap_retention", "stream_retention", "stream_wau",
     "cep_funnel_latency", "cep_run_agg",
+    # round-7
+    "cep_sql_run_agg",
 ]
 
 

@@ -122,6 +122,10 @@ PYTHON_OK = {
     # i binds depends on the ACCEPTED prefix (no window frame
     # expresses it); batch face = the same pure kernel the streaming
     # face uses, per key (win_ewma/win_cusum tier-(b) class)
+    "cep_sql_run_agg",  # the same advance_kleene_agg kernel reached
+    # from MATCH_RECOGNIZE text (round 7) — anchor/candidate predicates
+    # evaluate JVM-side into booleans; only the prefix-dependent
+    # aggregate check crosses into Python (5 narrow columns, O(1) state)
     "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
     # sequential per key (each kept point changes the next triangle) —
     # the documented tier-(b) applyInPandas integer kernel; one (user)
