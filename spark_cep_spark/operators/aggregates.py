@@ -1815,3 +1815,154 @@ def rollup_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_ratio_ppm"
         ),
     )
+
+
+@register(
+    "rollup_twap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS tus,
+             event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL AND abs(value) <= 1e9
+    ),
+    w AS (
+      SELECT user_id, day, tus, cents,
+             lead(tus) OVER (PARTITION BY user_id, day
+                             ORDER BY tus, event_id) AS nxt
+      FROM e
+    ),
+    seg AS (
+      SELECT user_id, day, cents, nxt - tus AS dus
+      FROM w WHERE nxt IS NOT NULL
+    )
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dus) AS BIGINT) AS span_us,
+           round(CAST(sum(cents * dus) AS DOUBLE)
+                 / CAST(sum(dus) AS DOUBLE) / 100.0, 6) AS twap
+    FROM seg
+    GROUP BY user_id, day
+    HAVING sum(dus) > 0
+    """,
+)
+def rollup_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (user, day) — the financial /
+    metering rollup a plain avg() gets wrong when observations are
+    irregularly spaced: each observation's value holds until the next
+    observation that day (last-observation-carried-forward), so TWAP =
+    sum(value_i * dt_i) / sum(dt_i) over the day's observed span (the
+    day's last event opens no segment; single-event days emit
+    nothing).
+
+    Exact-arithmetic discipline: dt in exact integer microseconds,
+    value in exact integer cents, and the value x time products
+    accumulate as decimal(38,0) / HUGEINT — cents(1e11) x day-span-us
+    (8.6e10) overflows int64 per SEGMENT (the win_pareto_share /
+    agg_regression quadratic-sum lesson), so the widening is
+    preemptive, not reactive. One IEEE division at the end.
+
+    100 TB shape: ONE (user) shuffle serves the lead() window and the
+    (user, day) rollup (day nests inside user); map-side combine on
+    the aggregate. Same tier as the other event windows."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.abs("value") <= 1e9)
+        )
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.unix_micros("ts").alias("tus"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = W.partitionBy("user_id", "day").orderBy("tus", "event_id")
+    seg = (
+        e.withColumn("nxt", F.lead("tus").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "user_id",
+            "day",
+            "cents",
+            (F.col("nxt") - F.col("tus")).alias("dus"),
+        )
+    )
+    num = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dus"))
+    den = F.sum("dus")
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            den.cast("long").alias("span_us"),
+            F.round(
+                num.cast("double") / den.cast("double") / 100.0, 6
+            ).alias("twap"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+@register(
+    "agg_hll_union",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_5pct
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      AND ts IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (Apache DataSketches via
+    Spark's hll_sketch_agg / hll_union_agg) — the re-aggregatable
+    approximate-distinct layout a 100 TB warehouse materializes:
+    per-(event_type, day) sketches roll up to event_type by sketch
+    UNION, never re-touching raw ids — the property approx_count_
+    distinct (agg_approx) lacks and the exact bitmaps
+    (agg_bitmap_distinct) pay 4 KiB/bucket for.
+
+    Oracle contract: the estimate itself has no SQL spelling, so the
+    HASHED output carries the exact distinct count plus the INVARIANT
+    `|union-estimate - exact| <= 5% of exact` as a boolean the oracle
+    pins TRUE — an estimator regression flips the hash. The
+    merged-equals-direct sketch property (union of day sketches vs
+    one direct sketch) is pinned in tests/test_round7_ops.py.
+
+    100 TB shape: two map-side-combinable aggregations; the shuffle
+    carries one <= 1.5 KiB sketch per (type, day) then per type —
+    constant-size state, the entire point of the sketch family."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("est"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("merged_within_5pct"),
+    )

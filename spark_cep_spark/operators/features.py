@@ -128,3 +128,119 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col, n, n_null, n_distinct, min_v, max_v)"
     ).orderBy("col")
+
+
+@register(
+    "feat_scale",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE value IS NOT NULL AND abs(value) <= 1e9
+        AND event_type IS NOT NULL
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(cents) AS BIGINT) AS mn,
+             CAST(max(cents) AS BIGINT) AS mx,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS HUGEINT) AS s2
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.cents / 100.0, 2) AS value,
+           CASE WHEN st.mx > st.mn
+                THEN round((e.cents - st.mn) * 1.0 / (st.mx - st.mn), 6)
+                     + 0.0
+                ELSE 0.0 END AS minmax,
+           CASE WHEN st.n >= 2 AND st.n * st.s2 > st.s * st.s
+                THEN round((CAST(st.n AS DOUBLE) * e.cents - st.s)
+                           / sqrt(CAST(st.n AS DOUBLE)
+                                  * (CAST(st.n AS DOUBLE)
+                                     * CAST(st.s2 AS DOUBLE)
+                                     - CAST(st.s AS DOUBLE)
+                                       * CAST(st.s AS DOUBLE))),
+                           6) + 0.0
+                ELSE 0.0 END AS zscore
+    FROM e JOIN st USING (event_type)
+    """,
+)
+def feat_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling — the two standard normalizations a
+    feature pipeline applies before any model: min-max to [0, 1] and
+    the population z-score, each computed against the row's
+    event_type group. Degenerate groups (constant value, or n < 2 for
+    the z-score) emit 0.0 — the conventional neutral encoding.
+
+    Exact-arithmetic discipline: all moments are exact integers in
+    cents (the quadratic sum as decimal(38,0)/HUGEINT — the
+    agg_regression lesson), and the z-score is algebraically
+    rearranged so the ONLY float operations are one sqrt of an exact
+    integer expression and one division, spelled identically on both
+    engines: z = (n*x - s) / sqrt(n * (n*s2 - s^2)). Both outputs are
+    rounded 6dp with signed zero folded (+ 0.0, RULE 4 — a value at
+    the group mean rounds to zero from either side).
+
+    100 TB shape: one map-side-combinable group aggregate over a
+    dimension-sized key (event types), broadcast back to the fact
+    scan by AQE — the classic stats-then-scale two-pass, no window
+    anywhere."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & (F.abs("value") <= 1e9)
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").cast("long").alias("mn"),
+        F.max("cents").cast("long").alias("mx"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("s2"),
+    )
+    n, mn, mx, s, s2 = (F.col(c) for c in ("n", "mn", "mx", "s", "s2"))
+    c = F.col("cents")
+    minmax = F.when(
+        mx > mn,
+        F.round((c - mn) * 1.0 / (mx - mn), 6) + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    var_num = (
+        n.cast("decimal(38,0)") * s2
+        - s.cast("decimal(38,0)") * s.cast("decimal(38,0)")
+    )
+    # numerator in DOUBLE on both engines: n x cents overflows int64
+    # once n reaches ~1e8 rows per group (identical IEEE ops keep the
+    # two engines bit-aligned; the z-score is a float anyway)
+    z = F.when(
+        (n >= 2) & (var_num > 0),
+        F.round(
+            (n.cast("double") * c - s)
+            / F.sqrt(
+                n.cast("double")
+                * (
+                    n.cast("double") * s2.cast("double")
+                    - s.cast("double") * s.cast("double")
+                )
+            ),
+            6,
+        )
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return e.join(st, "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(c / 100.0, 2).alias("value"),
+        minmax.alias("minmax"),
+        z.alias("zscore"),
+    )

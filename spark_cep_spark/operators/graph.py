@@ -516,3 +516,95 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "component").select(
         "node", "component", "csize"
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    lab0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+    s1 AS (SELECT adj.u AS node, l.label, count(*) AS tw
+           FROM adj JOIN lab0 l ON l.node = adj.v GROUP BY adj.u, l.label),
+    lab1 AS (SELECT node, label FROM (
+      SELECT node, label, row_number() OVER (PARTITION BY node
+             ORDER BY tw DESC, label) AS rk FROM s1) WHERE rk = 1),
+    s2 AS (SELECT adj.u AS node, l.label, count(*) AS tw
+           FROM adj JOIN lab1 l ON l.node = adj.v GROUP BY adj.u, l.label),
+    lab2 AS (SELECT node, label FROM (
+      SELECT node, label, row_number() OVER (PARTITION BY node
+             ORDER BY tw DESC, label) AS rk FROM s2) WHERE rk = 1),
+    s3 AS (SELECT adj.u AS node, l.label, count(*) AS tw
+           FROM adj JOIN lab2 l ON l.node = adj.v GROUP BY adj.u, l.label),
+    lab3 AS (SELECT node, label FROM (
+      SELECT node, label, row_number() OVER (PARTITION BY node
+             ORDER BY tw DESC, label) AS rk FROM s3) WHERE rk = 1),
+    s4 AS (SELECT adj.u AS node, l.label, count(*) AS tw
+           FROM adj JOIN lab3 l ON l.node = adj.v GROUP BY adj.u, l.label),
+    lab4 AS (SELECT node, label FROM (
+      SELECT node, label, row_number() OVER (PARTITION BY node
+             ORDER BY tw DESC, label) AS rk FROM s4) WHERE rk = 1)
+    SELECT node, CAST(label AS BIGINT) AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS csize
+    FROM lab4
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al 2007; the GraphX/GraphFrames LPA face) over the part
+    co-occurrence graph: every node starts as its own label; each of
+    4 SYNCHRONOUS rounds reassigns every node the most frequent label
+    among its neighbors, ties broken by the SMALLEST label — the
+    deterministic variant (classic LPA tie-breaks randomly, which no
+    oracle could replay). Emits each node's community and its size.
+
+    100 TB shape: one round = one equi-join of the adjacency against
+    the previous labels + a (node, label) hash aggregate + a per-NODE
+    top-1 window (bounded by the node's degree, never the graph) —
+    the Pregel message-pass expressed as joins, exactly like
+    graph_pagerank. Fixed 4 rounds (LPA converges in a few rounds on
+    co-occurrence topologies; a production run adds a
+    labels-changed-counter stop). The adjacency persists once; labels
+    localCheckpoint per round to truncate lineage. Exact integer
+    counts end to end — no float anywhere, so the argmax can never
+    flip on engine noise.
+
+    Oracle: the same 4 rounds unrolled as chained CTEs — the
+    brute-force replay of the definition."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("u").alias("nu"), F.col("v").alias("nv"))
+        .unionAll(
+            edges.select(F.col("v").alias("nu"), F.col("u").alias("nv"))
+        )
+        .persist()
+    )
+    labels = adj.select(F.col("nu").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w_top = W.partitionBy("node").orderBy(F.desc("tw"), "label")
+    for _ in range(4):
+        msgs = (
+            adj.join(
+                labels.withColumnRenamed("node", "nv"), "nv"
+            )
+            .groupBy(F.col("nu").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("tw"))
+        )
+        labels = (
+            msgs.withColumn("rk", F.row_number().over(w_top))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "node",
+            F.col("label").cast("long").alias("community"),
+            "csize",
+        )
+    )

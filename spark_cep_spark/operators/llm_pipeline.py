@@ -1616,3 +1616,307 @@ def corpus_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("source", "rk")
     )
+
+
+def _distributed_ntile_by(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str,
+    n_range_parts: int = 32,
+) -> DataFrame:
+    """Per-GROUP exact ntile(n) without a per-group single-partition
+    window — the grouped generalization of _distributed_ntile (which
+    is global). PARTITION BY <group> ORDER BY <order_cols> windows are
+    bounded by rows-per-group, which at corpus scale is NOT bounded
+    (one language can be most of the crawl); instead: range-partition
+    on (group, order_cols), collect per-(partition, group) row counts
+    (bounded by n_range_parts x |groups| — groups are dimension-sized
+    by contract: languages, sources), derive each row's per-group
+    global rank as offset + local row_number (the local window spans
+    one range partition), and apply ntile's fat-tile rule with the
+    GROUP's total as columns. Identical assignment to
+    `ntile(n) OVER (PARTITION BY group ORDER BY ...)`."""
+    from pyspark import StorageLevel
+
+    r = (
+        df.repartitionByRange(n_range_parts, group_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rows = (
+        r.groupBy("_pid", group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_group: dict = {}
+    for row in rows:
+        per_group.setdefault(row[group_col], []).append(
+            (row["_pid"], row["n"])
+        )
+    offs, tots = [], []
+    for key, lst in per_group.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            offs.append((key, pid, acc))
+            acc += n
+        tots.append((key, acc))
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offs, f"{group_col} string, _pid int, _offset long"
+    )
+    tot_df = spark.createDataFrame(tots, f"{group_col} string, _gn long")
+    wl = W.partitionBy("_pid", group_col).orderBy(*order_cols)
+    g = (
+        r.join(F.broadcast(off_df), ["_pid", group_col])
+        .join(F.broadcast(tot_df), group_col)
+        .withColumn("_grank", F.col("_offset") + F.row_number().over(wl))
+    )
+    q = F.floor(F.col("_gn") / n_tiles)
+    rem = F.col("_gn") % n_tiles
+    fat_span = rem * (q + 1)
+    tile = F.when(
+        F.col("_grank") <= fat_span, (F.col("_grank") - 1) / (q + 1)
+    ).otherwise(
+        rem
+        + (F.col("_grank") - fat_span - 1) / F.greatest(q, F.lit(1))
+    )
+    return g.withColumn(out_col, (F.floor(tile) + 1).cast("long")).drop(
+        "_pid", "_offset", "_grank", "_gn"
+    )
+
+
+@register(
+    "pipeline_ccnet_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(w[1:len(w)-1]) AS w1,
+             unnest(w[2:len(w)]) AS w2
+      FROM t WHERE len(w) >= 2
+    ),
+    n2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+           FROM big GROUP BY w1, w2),
+    n1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_first
+           FROM big GROUP BY w1),
+    scored AS (
+      SELECT big.doc_id,
+             round(avg(ln(n1.n_first * 1.0 / n2.n_pair)), 6) AS avg_nll
+      FROM big
+      JOIN n2 ON n2.w1 = big.w1 AND n2.w2 = big.w2
+      JOIN n1 ON n1.w1 = big.w1
+      GROUP BY big.doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, t.lang, s.avg_nll,
+             CAST(ntile(3) OVER (PARTITION BY t.lang
+                                 ORDER BY s.avg_nll, s.doc_id)
+                  AS BIGINT) AS bucket_id
+      FROM scored s JOIN t ON t.doc_id = s.doc_id
+    )
+    SELECT doc_id, lang, avg_nll, bucket_id,
+           CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al 2019): score
+    every document under the corpus bigram LM (text_perplexity_bigram's
+    avg negative log-likelihood) and split EACH LANGUAGE into
+    head / middle / tail perplexity tertiles — the standard
+    quality-stratified corpus layout (train on head+middle, sample the
+    tail) that keeps per-language quality comparable instead of letting
+    high-resource languages define "fluent".
+
+    Cross-engine determinism: the tertile ORDER key is the ROUNDED
+    avg_nll — the exact column text_perplexity_bigram already proves
+    hash-identical across engines — with doc_id tie-break, so the
+    ranking can never flip on libm ulps. The per-lang tertile is the
+    grouped two-phase distributed ntile (_distributed_ntile_by): never
+    a per-language single-partition window (one language can be most
+    of a crawl).
+
+    100 TB shape: LM counts are map-side-combinable word aggregates,
+    score joins are co-partitioned equi-joins (no broadcast hints —
+    web-corpus bigram vocab exceeds an executor), and the bucket
+    assignment adds one range shuffle plus a |partitions|x|langs|
+    bounded collect."""
+    d = table(spark, sf_dir, "documents")
+    pairs = F.arrays_zip(
+        F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)")
+        .alias("w1"),
+        F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)")
+        .alias("w2"),
+    )
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    n2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    n1 = big.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    nll = F.log(F.col("n_first") * 1.0 / F.col("n_pair"))
+    scored = (
+        big.join(n2, ["w1", "w2"])
+        .join(n1, "w1")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(nll), 6).alias("avg_nll"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    ranked = _distributed_ntile_by(
+        scored,
+        group_col="lang",
+        order_cols=["avg_nll", "doc_id"],
+        n_tiles=3,
+        out_col="bucket_id",
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        "bucket_id",
+        F.when(F.col("bucket_id") == 1, "head")
+        .when(F.col("bucket_id") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+_DSIR_TARGET_SOURCE = "src0"
+
+
+@register(
+    "pipeline_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substr(md5(t), 1, 6) AS INTEGER) % 256
+                  AS BIGINT) AS bucket
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS t
+        FROM documents
+      )
+    ),
+    bc AS (
+      SELECT bucket,
+             CAST(1 + sum(CASE WHEN source = '{_DSIR_TARGET_SOURCE}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+             CAST(1 + sum(CASE WHEN source <> '{_DSIR_TARGET_SOURCE}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS r_b
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(256 + sum(t_b - 1) AS BIGINT) AS tt,
+             CAST(256 + sum(r_b - 1) AS BIGINT) AS rt
+      FROM bc
+    ),
+    lam AS (
+      SELECT bucket,
+             ln(t_b * 1.0 / tt) - ln(r_b * 1.0 / rt) AS lam
+      FROM bc, tot
+    ),
+    dc AS (
+      SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY doc_id, source, bucket
+    ),
+    folded AS (
+      SELECT doc_id, source,
+             CAST(sum(cnt) AS BIGINT) AS n_toks,
+             list_sum(list_transform(
+               list_sort(list(ROW(bucket, cnt * lam.lam))),
+               x -> x[2])) AS w
+      FROM dc JOIN lam USING (bucket)
+      GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, n_toks,
+           round(w, 6) + 0.0 AS weight,
+           source = '{_DSIR_TARGET_SOURCE}' AS is_target
+    FROM folded
+    """,
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al 2023, Data Selection via
+    Importance Resampling): score every document by how target-like
+    its hashed unigram features are — weight(doc) = sum over feature
+    buckets of count_b(doc) x [ln p_target(b) - ln p_raw(b)], Laplace
+    +1 smoothing, 256 md5 feature buckets (the text_feat_hash
+    convention) — the standard cheap way to upsample domain-relevant
+    web data toward a target corpus (here: source {_DSIR_TARGET_SOURCE}
+    as the target domain).
+
+    Cross-engine float discipline: the per-bucket log-ratio is
+    ln(exact-int ratio) spelled identically on both engines; the
+    per-document sum folds the (bucket-sorted) contribution array
+    left-to-right on BOTH engines (F.aggregate / list_sum), so the
+    accumulation order is fixed and only libm ulps remain — rounded
+    6dp, signed zero normalized (+ 0.0, RULE 4: a near-neutral doc's
+    weight rounds to zero from either side).
+
+    100 TB shape: token explode -> (doc, bucket) counts (map-side
+    combinable, bounded at docs x 256), the 256-row lambda table is a
+    broadcast BY CONSTRUCTION (fixed bucket space — that bound is the
+    hashing trick's point), one doc-keyed fold. No vocabulary join,
+    no driver state beyond 256 rows."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), " "),
+                lambda t: t != "",
+            )
+        ).alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("t"), 1, 6), 16, 10).cast("long") % 256)
+        .alias("bucket"),
+    )
+    is_t = F.col("source") == _DSIR_TARGET_SOURCE
+    bc = tok.groupBy("bucket").agg(
+        (1 + F.sum(F.when(is_t, 1).otherwise(0))).cast("long").alias("t_b"),
+        (1 + F.sum(F.when(~is_t, 1).otherwise(0))).cast("long").alias("r_b"),
+    )
+    tot = bc.agg(
+        (256 + F.sum(F.col("t_b") - 1)).cast("long").alias("tt"),
+        (256 + F.sum(F.col("r_b") - 1)).cast("long").alias("rt"),
+    )
+    lam = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log(F.col("t_b") * 1.0 / F.col("tt"))
+            - F.log(F.col("r_b") * 1.0 / F.col("rt"))
+        ).alias("lam"),
+    )
+    dc = tok.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    folded = (
+        dc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.expr(
+                "aggregate(array_sort(collect_list("
+                "struct(bucket, cnt * lam AS contrib))), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x.contrib)"
+            ).alias("w"),
+        )
+    )
+    return folded.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        (F.round("w", 6) + F.lit(0.0)).alias("weight"),
+        (F.col("source") == _DSIR_TARGET_SOURCE).alias("is_target"),
+    )

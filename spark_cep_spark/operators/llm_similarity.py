@@ -673,6 +673,9 @@ def planted_recall_probe(
             spark, q, df, k=1, n_cells=16, nprobe=4
         ),
         "sim_ann_pq": lambda: topk_pq(spark, q, df, k=1),
+        "sim_ann_ivfpq": lambda: topk_ivfpq(
+            spark, q, df, k=1, n_cells=16, nprobe=4
+        ),
     }[method]
     got = fn().collect()
     hits = sum(
@@ -2013,3 +2016,161 @@ def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return topk_matmul_arrow(spark, q, e, k=10)
+
+
+def topk_ivfpq(
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    seed: int = 7,
+    train_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF + PQ composed — the FAISS IVFPQ
+    serving shape (Jégou et al 2011): the coarse quantizer bounds
+    WHICH candidates are touched (nprobe of n_cells KMeans cells),
+    the product quantizer bounds the BYTES per touched candidate
+    (ADC over n_sub codeword ids instead of the raw vector), and the
+    per-query shortlist is exactly re-ranked against the raw vectors
+    so returned sims are exact — only the shortlist is approximate,
+    the same contract as topk_lsh/topk_ivf/topk_pq.
+
+    Distributed shape: ONE KMeans fit (seeded, sample-trainable) +
+    one bounded codebook train; candidates carry a `cell` column;
+    queries broadcast with their ADC tables AND their probed-cell
+    sets; one mapInPandas pass scores each candidate batch against
+    only the queries probing its cells; global shortlist window; one
+    id equi-join re-ranks. At 100 TB: the scan touches nprobe/n_cells
+    of the corpus and 8 bytes per touched row — multiplicative
+    savings, which is why this is the standard billion-scale layout.
+    Simplification vs the paper: PQ encodes raw vectors, not
+    cell residuals (documented; residual encoding is a second
+    broadcast of the centers away)."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    qrows, dim = _valid_rows(queries.select(id_col, vec_col).collect())
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, sim double, rk integer"
+        )
+    candidates = valid_vectors(candidates, vec_col, dim)
+
+    cand_vec = candidates.select(
+        id_col,
+        vec_col,
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"),
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell"
+    ).fit(cand_vec.select("_fv"))
+    cb = model.transform(cand_vec).select(id_col, vec_col, "cell")
+    centers = np.array(model.clusterCenters())  # (n_cells, D)
+
+    sample_rows = (
+        candidates.select(vec_col).orderBy(id_col).limit(train_cap).collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    books = _train_codebooks(sample, n_sub, n_codes, seed)
+
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
+    dsub = qmat.shape[1] // n_sub
+    tables = np.einsum(
+        "qsd,scd->qsc", qmat.reshape(len(qids), n_sub, dsub), books
+    )
+    # per-query probed cells (nearest centers by euclidean — the
+    # KMeans metric), computed once on the bounded query set
+    d2c = ((qmat[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    probed = np.argsort(d2c, axis=1)[:, :nprobe]  # (Q, nprobe)
+    bc = spark.sparkContext.broadcast((qids, tables, books, probed))
+
+    def adc_scan(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        ids, tabs, bks, prb = bc.value
+        sub_idx = np.arange(n_sub)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            csub = cmat.reshape(len(pdf), n_sub, dsub)
+            d2 = ((csub[:, :, None, :] - bks[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(-1)  # (C, n_sub)
+            out = []
+            for j in range(len(ids)):
+                # IVF gate: only candidates in this query's probed cells
+                mask = np.isin(cells, prb[j]) & (cand_ids != ids[j])
+                if not mask.any():
+                    continue
+                cids = cand_ids[mask]
+                approx = tabs[j][sub_idx[None, :], codes[mask]].sum(1)
+                if len(cids) > shortlist:
+                    idx = np.argpartition(-approx, shortlist)[:shortlist]
+                    cids, approx = cids[idx], approx[idx]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": ids[j], "neighbor_id": cids, "approx": approx}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = cb.mapInPandas(
+        adc_scan, "qid long, neighbor_id long, approx double"
+    )
+    wa = W.partitionBy("qid").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    short = (
+        partial.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= shortlist)
+        .select("qid", "neighbor_id")
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+    )
+    rescored = (
+        short.join(
+            candidates.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("ce"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            _dot(F.col("qe"), F.col("ce")).alias("sim_raw"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
+    )
+
+
+@register("sim_ann_ivfpq")  # approximate shortlist → rows-only
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN over the fixture (same queries as sim_topk)
+    — the billion-scale serving layout. Recall contract asserted on
+    planted near-duplicates (tests + check_oracle's rows-only gate);
+    returned sims are exact (shortlist re-ranked)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return topk_ivfpq(spark, q, e, k=10)

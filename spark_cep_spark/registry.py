@@ -155,6 +155,27 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
+    # (c) NEW in round 7 — appended as they land (each append pushes
+    # the window's last rotation key back to NEXT_ROTATION's front)
+    "cep_sql_run_agg",
+    "text_rep_signals",
+    "text_gopher_rules",
+    "pipeline_ccnet_buckets",
+    "pipeline_dsir_weights",
+    "graph_label_propagation",
+    "sim_ann_ivfpq",
+    "rollup_twap",
+    "feat_scale",
+    "scan_binaryfile",
+    "agg_hll_union",
+]
+
+# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
+# round-6 staging list (zero or round-3-only driver evidence; all
+# exact-pass tools/check_oracle.py locally). Keys NEW in round 7 that
+# do not fit the round-7 window are prepended as they land. The
+# round-8 window = the FIRST 50 of this list, verbatim.
+NEXT_ROTATION: list[str] = [
     "tpch_q22",
     "cep_skip_to_first",
     "cep_sql_skip_last_kleene",
@@ -165,17 +186,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_collocations",
     "fn_hof",
     "agg_regression",
-    # (c) NEW in round 7 — appended as they land (each append pushes
-    # the window's last rotation key back to NEXT_ROTATION's front)
-    "cep_sql_run_agg",
-]
-
-# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
-# round-6 staging list (zero or round-3-only driver evidence; all
-# exact-pass tools/check_oracle.py locally). Keys NEW in round 7 that
-# do not fit the round-7 window are prepended as they land. The
-# round-8 window = the FIRST 50 of this list, verbatim.
-NEXT_ROTATION: list[str] = [
     "agg_ttest",
     "pipeline_dedup_eval",
     "agg_chi2",

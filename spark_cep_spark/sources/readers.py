@@ -285,3 +285,58 @@ def scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yb").alias("y_lo"),
         F.max("yb").alias("y_hi"),
     )
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < 200 AND text IS NOT NULL
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's `binaryFile` source — the ingestion face of the
+    multimodal family (SURVEY §2.11): opaque media payloads enter the
+    engine as whole files with (path, length, content) and typed
+    metadata derived downstream (llm_multimodal's decode plumbing
+    consumes exactly this shape). Staged fixture: the first 200
+    documents' UTF-8 bytes written as one file each (bounded,
+    documented scaffolding — at 100 TB the files already exist in
+    object storage and ONLY this read path runs: whole-file splits,
+    no decode, predicate pushdown on path/length metadata).
+
+    Full oracle (the scan_csv_json lossless-round-trip discipline):
+    doc_id parsed back from the file name, byte length and md5 of the
+    content must equal the source table's — proving the bytes survive
+    the filesystem round-trip untouched."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    bin_dir = os.path.join(SCRATCH, "docs_binary")
+    import shutil
+
+    shutil.rmtree(bin_dir, ignore_errors=True)
+    os.makedirs(bin_dir)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()  # bounded by contract: 200 rows of fixture text
+    )
+    for r in rows:
+        with open(os.path.join(bin_dir, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .load(bin_dir)
+        .select(
+            F.regexp_extract(
+                F.col("path"), r"(\d+)\.bin$", 1
+            )
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )

@@ -86,7 +86,7 @@ EVENTS_KEYS = [
     "agg_bitmap_retention", "stream_retention", "stream_wau",
     "cep_funnel_latency", "cep_run_agg",
     # round-7
-    "cep_sql_run_agg",
+    "cep_sql_run_agg", "rollup_twap", "feat_scale", "agg_hll_union",
 ]
 
 
@@ -154,7 +154,7 @@ EMPTY_SWEEP_KEYS = [
     "agg_bitmap_retention", "stream_retention", "stream_wau",
     "cep_funnel_latency", "cep_run_agg",
     # round-7
-    "cep_sql_run_agg",
+    "cep_sql_run_agg", "rollup_twap", "feat_scale", "agg_hll_union",
 ]
 
 

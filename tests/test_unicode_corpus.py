@@ -73,6 +73,12 @@ KEYS = [
     "corpus_sample_fixed_k",
     "fn_hof",
     "map_in_arrow",
+    # round-7: Gopher repetition/rules, CCNet buckets, DSIR weights —
+    # all tokenize raw text, so the unicode path is load-bearing
+    "text_rep_signals",
+    "text_gopher_rules",
+    "pipeline_ccnet_buckets",
+    "pipeline_dsir_weights",
 ]
 
 

@@ -23,6 +23,10 @@ import time
 sys.path.insert(0, "/root/repo")
 
 OPS = [
+    "text_rep_signals",
+    "text_gopher_rules",
+    "pipeline_ccnet_buckets",
+    "pipeline_dsir_weights",
     "dedup_exact",
     "dedup_near",
     "dedup_minhash_lsh",

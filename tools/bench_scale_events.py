@@ -80,6 +80,10 @@ OPS = [
     "stream_wau",
     "cep_funnel_latency",
     "cep_run_agg",
+    "cep_sql_run_agg",
+    "rollup_twap",
+    "feat_scale",
+    "agg_hll_union",
 ]
 
 STREAM_NFA_SQL = """

@@ -58,6 +58,7 @@ OPS = [
     "merge_snapshot_diff",
     "join_scd2_pit",
     "graph_components",
+    "graph_label_propagation",
     "win_pareto_share",
     "win_share_of_total",
     "merge_incremental_agg",
