@@ -4580,3 +4580,179 @@ def kleene_agg_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+def advance_twap(
+    state: dict | None, matured: list, wm_us: int
+) -> tuple[dict | None, list]:
+    """Pure per-key TWAP kernel (streaming face of
+    operators/aggregates.rollup_twap): last-observation-carried-forward
+    segments within each UTC day, day rows emitted once the watermark
+    passes the day boundary.
+
+    state: None or {'last': [day, ts_us, cents] | None,
+    'days': [[day, n_segments, span_us, num], ...]} (num = sum of
+    cents x dt products — Python arbitrary-precision ints, JSON-safe);
+    matured: (ts, id)-sorted [ts_us, eid, cents] rows (NULL-value rows
+    are filtered JVM-side, matching the batch face's filter).
+
+    A day closes when wm_us >= (day+1)*86400e6: matured rows satisfy
+    ts <= wm, and a tie row at exactly the boundary belongs to the
+    NEXT day, so no segment of a closed day can still grow — the
+    boundary condition that keeps the kernel chunking-invariant
+    (property-tested). Emission = [day, n_segments, span_us, num]
+    for days with span > 0; single-event days emit nothing (the batch
+    face's HAVING span > 0)."""
+    st = {"last": None, "days": []} if state is None else state
+    days = {d: [n, sp, nm] for d, n, sp, nm in st["days"]}
+    last = st["last"]
+    for ts, _eid, cents in matured:
+        d = ts // _DAY_US
+        if last is not None and last[0] == d:
+            acc = days.setdefault(d, [0, 0, 0])
+            dt = ts - last[1]
+            acc[0] += 1
+            acc[1] += dt
+            acc[2] += last[2] * dt
+        last = [d, ts, cents]
+    out = []
+    for d in sorted(days):
+        if (d + 1) * _DAY_US <= wm_us:
+            n, sp, nm = days.pop(d)
+            if sp > 0:
+                out.append([d, n, sp, nm])
+            if last is not None and last[0] == d:
+                last = None  # a closed day's tail can't open segments
+    st = {"last": last, "days": [[d, *days[d]] for d in sorted(days)]}
+    if st["last"] is None and not st["days"]:
+        st = None
+    return st, out
+
+
+def twap_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of rollup_twap: per-key daily time-weighted
+    averages behind applyInPandasWithState. Value rows filter and
+    project JVM-side (the batch face's exact filter: non-null ts/key/
+    value, |value| <= 1e9, cents = round(value*100)); per-key state =
+    the open days' [n, span, num] accumulators plus the last
+    observation and the watermark buffer; the event-time timer fires
+    at min(buffered ts, earliest open day's end) so a day with no
+    further events still emits when the watermark crosses midnight."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(
+            F.col(time_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col("value").isNotNull()
+            & (F.abs("value") <= 1e9)
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            # derive from the input: a string/non-long PARTITION BY key
+            # flows through unchanged (round-6 ADVICE — never
+            # hard-code the key's LongType)
+            T.StructField("key", prepared.schema["key"].dataType),
+            T.StructField("day", T.DateType()),
+            T.StructField("n_segments", T.LongType()),
+            T.StructField("span_us", T.LongType()),
+            T.StructField("twap", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "s": None}
+        buf, s = st["buf"], st["s"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, c in zip(
+                    ts_us.tolist(),
+                    pdf["eid"].tolist(),
+                    pdf["cents"].tolist(),
+                ):
+                    buf.append(
+                        [
+                            int(ts),
+                            0 if eid is None or pd.isna(eid) else int(eid),
+                            int(c),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        s, rows = advance_twap(s, matured, wm_us)
+
+        if buf or s is not None:
+            state.update((json.dumps({"buf": buf, "s": s}),))
+            timers = []
+            if buf:
+                timers.append(min(e[0] for e in buf) // _US_PER_MS + 1)
+            if s is not None and s["days"]:
+                # wake when the earliest open day's boundary passes
+                timers.append(
+                    (s["days"][0][0] + 1) * _DAY_US // _US_PER_MS + 1
+                )
+            if timers:
+                state.setTimeoutTimestamp(
+                    max(min(timers), state.getCurrentWatermarkMs() + 1)
+                )
+            # no timer when state is only the trailing observation (an
+            # empty-accumulator day emits nothing at close; the next
+            # event or query end resolves it)
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "day": [
+                        pd.Timestamp(r[0] * 86400, unit="s").date()
+                        for r in rows
+                    ],
+                    "n_segments": [r[1] for r in rows],
+                    "span_us": [r[2] for r in rows],
+                    # same arithmetic as the batch face: exact-int
+                    # num -> nearest double, one division chain
+                    "twap": [
+                        round(float(r[3]) / float(r[2]) / 100.0, 6)
+                        for r in rows
+                    ],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

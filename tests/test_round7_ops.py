@@ -590,3 +590,140 @@ def test_twap_referee_single_user(spark, tmp_path):
     assert r["n_segments"] == 2
     assert r["span_us"] == 40_000_000
     assert abs(r["twap"] - 25.0) < 1e-9
+
+
+def test_twap_kernel_chunking_invariance():
+    """advance_twap: any micro-batch chunking of the same ordered rows
+    (with monotone watermarks) must emit exactly the unchunked result
+    — including the day-boundary tie case (an event at exactly
+    midnight belongs to the NEXT day; a watermark landing exactly on
+    the boundary may close the earlier day)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_cep_spark.streaming.nfa import _DAY_US, advance_twap
+
+    FAR = 1 << 62
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3 * _DAY_US),
+                st.integers(min_value=-1000, max_value=1000),
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+        st.data(),
+    )
+    def check(raw, data):
+        rows = sorted(
+            [[ts, i, c] for i, (ts, c) in enumerate(raw)],
+            key=lambda r: (r[0], r[1]),
+        )
+        _, whole = advance_twap(None, [r[:] for r in rows], FAR)
+        n_cuts = data.draw(st.integers(min_value=0, max_value=3))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=len(rows)),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                )
+            )
+        )
+        got, stt, prev = [], None, 0
+        for b in cuts + [len(rows)]:
+            chunk = [r[:] for r in rows[prev:b]]
+            wm = chunk[-1][0] if chunk else (rows[prev - 1][0] if prev else 0)
+            stt, part = advance_twap(stt, chunk, wm)
+            got.extend(part)
+            prev = b
+        stt, part = advance_twap(stt, [], FAR)
+        got.extend(part)
+        assert got == whole
+
+    check()
+
+
+def test_twap_stream_equals_batch(spark, sf_dir):
+    """twap_stream over multiple micro-batches emits exactly the
+    rollup_twap batch rows (far-future sentinel drives every day past
+    the watermark so deadline-timer emission is exercised)."""
+    import datetime as ddt
+    import glob
+    import os
+    import tempfile
+
+    from spark_cep_spark import registry
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import twap_stream
+
+    registry.load_all()
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = {
+        (r["key"], r["day"], r["n_segments"], r["span_us"], r["twap"])
+        for r in harness.run_available_now(
+            twap_stream(stream, watermark="0 seconds"), "append"
+        )
+        .filter("key <> -1")
+        .collect()
+    }
+    d = tempfile.mkdtemp()
+    spark.read.parquet(staged).filter("user_id <> -1").write.parquet(
+        os.path.join(d, "events.parquet"), mode="overwrite"
+    )
+    for f in os.listdir("/root/testdata/sf0.001"):
+        if f != "events.parquet":
+            os.symlink(
+                os.path.join("/root/testdata/sf0.001", f),
+                os.path.join(d, f),
+            )
+    want = {
+        (r["user_id"], r["day"], r["n_segments"], r["span_us"], r["twap"])
+        for r in registry.QUERIES["rollup_twap"](spark, d).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_twap_stream_under_rocksdb_state_store(spark, sf_dir):
+    """The big-int day accumulators (JSON payload) must round-trip the
+    RocksDB state store provider, same as the other kernels."""
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import twap_stream
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=4)
+        got = harness.run_available_now(
+            twap_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        )
+        assert got.count() > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
