@@ -1840,7 +1840,11 @@ def rollup_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, day,
            CAST(count(*) AS BIGINT) AS n_segments,
            CAST(sum(dus) AS BIGINT) AS span_us,
-           round(CAST(sum(cents * dus) AS DOUBLE)
+           -- widen the OPERAND: cents(1e11) x day-span-us(8.6e10)
+           -- overflows the BIGINT product per segment and DuckDB
+           -- products raise instead of widening (review catch —
+           -- the Spark side already sums decimal(38,0))
+           round(CAST(sum(CAST(cents AS HUGEINT) * dus) AS DOUBLE)
                  / CAST(sum(dus) AS DOUBLE) / 100.0, 6) AS twap
     FROM seg
     GROUP BY user_id, day

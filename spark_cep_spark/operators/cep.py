@@ -2856,10 +2856,15 @@ def cep_run_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # NULL event_id → 0 BEFORE the sort (the streaming wrapper's
+        # order): a NaN sorting LAST on a timestamp tie would order
+        # the two faces differently — review catch, cep_sql_run_agg
+        pdf = pdf.assign(event_id=pdf["event_id"].fillna(0)).sort_values(
+            ["ts", "event_id"]
+        )
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         rows = [
-            [int(t), int(i) if not pd.isna(i) else 0, et,
+            [int(t), int(i), et,
              None if pd.isna(c) else int(c)]
             for t, i, et, c in zip(
                 ts_us.tolist(), pdf["event_id"].tolist(),

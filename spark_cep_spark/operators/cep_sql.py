@@ -1670,14 +1670,18 @@ def _compile_run_agg(
     names = [f.name for f in fields]
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "eid"])
+        # NULL event_id → 0 BEFORE the sort: the streaming wrapper maps
+        # NULL to 0 pre-sort, so on timestamp ties a NaN sorting LAST
+        # here would order the faces differently and the prefix-
+        # dependent bind could diverge (review catch)
+        pdf = pdf.assign(eid=pdf["eid"].fillna(0)).sort_values(
+            ["ts", "eid"]
+        )
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         rows = [
             [
                 int(t),
-                # NULL event_id → 0 (sort tie-break only), matching the
-                # streaming wrapper so the two faces stay row-identical
-                0 if pd.isna(e) else int(e),
+                int(e),
                 bool(ia),
                 bool(ic),
                 None if pd.isna(v) else conv(v),

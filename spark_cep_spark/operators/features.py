@@ -146,7 +146,10 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(min(cents) AS BIGINT) AS mn,
              CAST(max(cents) AS BIGINT) AS mx,
              CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(cents * cents) AS HUGEINT) AS s2
+             -- widen the OPERAND, not the sum: DuckDB BIGINT*BIGINT
+             -- products raise on overflow (sums widen, products do
+             -- not) — the rollup_wow convention (review catch)
+             sum(CAST(cents AS HUGEINT) * cents) AS s2
       FROM e GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
@@ -155,7 +158,8 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN round((e.cents - st.mn) * 1.0 / (st.mx - st.mn), 6)
                      + 0.0
                 ELSE 0.0 END AS minmax,
-           CASE WHEN st.n >= 2 AND st.n * st.s2 > st.s * st.s
+           CASE WHEN st.n >= 2
+                AND st.n * st.s2 > CAST(st.s AS HUGEINT) * st.s
                 THEN round((CAST(st.n AS DOUBLE) * e.cents - st.s)
                            / sqrt(CAST(st.n AS DOUBLE)
                                   * (CAST(st.n AS DOUBLE)

@@ -1663,14 +1663,47 @@ def _distributed_ntile_by(
             acc += n
         tots.append((key, acc))
     spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    # group dtype derived from the input (a long/date group key flows
+    # through unchanged), and the joins are NULL-SAFE: SQL's
+    # PARTITION BY treats NULL as its own partition, so a null-unsafe
+    # equi-join here would silently DROP every NULL-group row while
+    # the oracle's ntile keeps them (review catch)
+    gtype = df.schema[group_col].dataType
     off_df = spark.createDataFrame(
-        offs, f"{group_col} string, _pid int, _offset long"
+        offs,
+        T.StructType(
+            [
+                T.StructField("_g", gtype, True),
+                T.StructField("_pid", T.IntegerType(), False),
+                T.StructField("_offset", T.LongType(), False),
+            ]
+        ),
     )
-    tot_df = spark.createDataFrame(tots, f"{group_col} string, _gn long")
+    tot_df = spark.createDataFrame(
+        tots,
+        T.StructType(
+            [
+                T.StructField("_g2", gtype, True),
+                T.StructField("_gn", T.LongType(), False),
+            ]
+        ),
+    )
     wl = W.partitionBy("_pid", group_col).orderBy(*order_cols)
     g = (
-        r.join(F.broadcast(off_df), ["_pid", group_col])
-        .join(F.broadcast(tot_df), group_col)
+        r.join(
+            F.broadcast(off_df),
+            (r["_pid"] == off_df["_pid"])
+            & r[group_col].eqNullSafe(off_df["_g"]),
+        )
+        .drop(off_df["_pid"])
+        .drop("_g")
+        .join(
+            F.broadcast(tot_df),
+            F.col(group_col).eqNullSafe(tot_df["_g2"]),
+        )
+        .drop("_g2")
         .withColumn("_grank", F.col("_offset") + F.row_number().over(wl))
     )
     q = F.floor(F.col("_gn") / n_tiles)

@@ -54,10 +54,15 @@ class _CodecProfiler:
     (local-mode Python workers inherit the env), the module-global
     `json` is replaced with this proxy: every loads/dumps in the
     stateful operators is timed and the per-process running totals are
-    flushed to /tmp/spark_graft_codec_<pid>.json every 100 calls.
-    tools/profile_state_codec.py sums the files against the drain's
-    wall clock. Zero overhead when the env var is absent (the plain
-    module is used)."""
+    flushed to /tmp/spark_graft_codec_<pid>.json every 20 calls.
+    tools/profile_state_codec.py deletes the counter files between
+    measured drains; a missing file RESETS this worker's totals
+    (Python workers are reused across queries, so without the reset a
+    measured drain would report the warm run's cumulative codec time
+    too — review catch). Zero overhead when the env var is absent
+    (the plain module is used); up to 19 trailing calls per worker
+    stay unflushed, a documented under-count far inside the decision
+    margin."""
 
     def __init__(self, mod):
         self._mod = mod
@@ -65,25 +70,38 @@ class _CodecProfiler:
         self._n = 0
         self._bytes = 0
 
-    def _flush(self):
+    def _path(self):
         import os as _os
 
-        path = f"/tmp/spark_graft_codec_{_os.getpid()}.json"
-        with open(path, "w") as f:
-            self._mod.dump(
-                {"sec": self._t, "calls": self._n, "bytes": self._bytes}, f
-            )
+        return f"/tmp/spark_graft_codec_{_os.getpid()}.json"
+
+    def _tick(self, dt, nbytes):
+        import os as _os
+
+        if self._n and not _os.path.exists(self._path()):
+            self._t = 0.0
+            self._n = 0
+            self._bytes = 0
+        self._t += dt
+        self._n += 1
+        self._bytes += nbytes
+        if self._n % 20 == 0:
+            with open(self._path(), "w") as f:
+                self._mod.dump(
+                    {
+                        "sec": self._t,
+                        "calls": self._n,
+                        "bytes": self._bytes,
+                    },
+                    f,
+                )
 
     def loads(self, s):
         import time as _time
 
         t0 = _time.perf_counter()
         out = self._mod.loads(s)
-        self._t += _time.perf_counter() - t0
-        self._n += 1
-        self._bytes += len(s)
-        if self._n % 20 == 0:
-            self._flush()
+        self._tick(_time.perf_counter() - t0, len(s))
         return out
 
     def dumps(self, obj):
@@ -91,11 +109,7 @@ class _CodecProfiler:
 
         t0 = _time.perf_counter()
         out = self._mod.dumps(obj)
-        self._t += _time.perf_counter() - t0
-        self._n += 1
-        self._bytes += len(out)
-        if self._n % 20 == 0:
-            self._flush()
+        self._tick(_time.perf_counter() - t0, len(out))
         return out
 
 

@@ -544,13 +544,18 @@ def dynamic_rules_stream(
     micro-batch. Exactly-once FOR EVENTS: a manual write inside
     foreachBatch sits outside the file sink's transaction log, so a
     blind append would duplicate a replayed micro-batch's alerts —
-    instead each epoch dynamically OVERWRITES its own epoch_id
-    partition (idempotent replay: re-running epoch N replaces epoch
-    N's rows, never doubles them). Rule VERSIONS stay at-least-once:
-    a replayed epoch re-reads the CURRENT rules — the
+    instead each epoch OVERWRITES its own epoch_id=N partition
+    directory DIRECTLY (idempotent replay: re-running epoch N
+    replaces epoch N's rows — including the empty case, where a
+    dynamic-partition overwrite would touch nothing and leave the
+    failed attempt's stale rows behind; the direct-path overwrite
+    truncates them — review catch). Rule VERSIONS stay
+    at-least-once: a replayed epoch re-reads the CURRENT rules — the
     industry-standard trade-off for broadcast rule refresh.
 
     Returns the started StreamingQuery (AvailableNow)."""
+    import os as _os
+
     from pyspark.sql import functions as SF
 
     def apply_rules(batch_df: DataFrame, epoch_id: int) -> None:
@@ -569,12 +574,8 @@ def dynamic_rules_stream(
                 SF.col("rule_id"),
             )
         )
-        (
-            alerts.withColumn("epoch_id", SF.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
-            .parquet(out_path)
+        alerts.write.mode("overwrite").parquet(
+            _os.path.join(out_path, f"epoch_id={epoch_id}")
         )
 
     return (

@@ -727,3 +727,47 @@ def test_twap_stream_under_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prev)
+
+
+def test_ccnet_buckets_keeps_null_lang_docs(spark, tmp_path):
+    """SQL's PARTITION BY treats NULL as its own partition; the grouped
+    distributed ntile must too (null-safe joins — a plain equi-join
+    silently dropped NULL-lang docs, review catch). Spark output is
+    compared against the DuckDB oracle on a fixture WITH a NULL lang."""
+    import os
+
+    import duckdb
+
+    from spark_cep_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    rows = [
+        (i, " ".join(["w%d" % (i + j) for j in range(8)]),
+         None if i % 4 == 0 else ("en" if i % 2 == 0 else "fr"),
+         "s", 40)
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    d = str(tmp_path / "nl")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["lang"], r["bucket_id"])
+        for r in QUERIES["pipeline_ccnet_buckets"](spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], r[3])
+        for r in con.execute(ORACLES["pipeline_ccnet_buckets"]).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert any(lang is None for _, lang, _ in got), "fixture lost NULLs"
