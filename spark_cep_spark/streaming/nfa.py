@@ -69,6 +69,7 @@ class _CodecProfiler:
         self._t = 0.0
         self._n = 0
         self._bytes = 0
+        self._flushed = False
 
     def _path(self):
         import os as _os
@@ -78,10 +79,15 @@ class _CodecProfiler:
     def _tick(self, dt, nbytes):
         import os as _os
 
-        if self._n and not _os.path.exists(self._path()):
+        # reset only when a PREVIOUSLY FLUSHED file has vanished (the
+        # profiler's between-drain clear) — checking bare existence
+        # would re-reset on every call before the first flush and the
+        # counter could never reach the flush threshold
+        if self._flushed and not _os.path.exists(self._path()):
             self._t = 0.0
             self._n = 0
             self._bytes = 0
+            self._flushed = False
         self._t += dt
         self._n += 1
         self._bytes += nbytes
@@ -95,6 +101,7 @@ class _CodecProfiler:
                     },
                     f,
                 )
+            self._flushed = True
 
     def loads(self, s):
         import time as _time
