@@ -2174,3 +2174,156 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return topk_ivfpq(spark, q, e, k=10)
+
+
+@register(
+    "emb_mrl_eval",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS ei
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS (SELECT vec_id AS qid, ei AS qi FROM e WHERE vec_id < 20),
+    pr AS (
+      SELECT q.qid, e.vec_id AS cid,
+             unnest(q.qi) AS a, unnest(e.ei) AS b,
+             unnest(range(1, 65)) AS i
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.qid
+    ),
+    dots AS (
+      SELECT qid, cid,
+             CAST(sum(CASE WHEN i <= 8  THEN a * b END) AS BIGINT) AS d8,
+             CAST(sum(CASE WHEN i <= 16 THEN a * b END) AS BIGINT) AS d16,
+             CAST(sum(CASE WHEN i <= 32 THEN a * b END) AS BIGINT) AS d32,
+             CAST(sum(a * b) AS BIGINT) AS d64
+      FROM pr GROUP BY qid, cid
+    ),
+    tops AS (
+      -- max over ROW(dot, -cid) = highest dot, ties to SMALLEST cid
+      -- (struct comparison is lexicographic; same spelling as Spark's
+      -- max(struct(dot, -cid)))
+      SELECT qid,
+             -(max(ROW(d8,  -cid))[2]) AS t8,
+             -(max(ROW(d16, -cid))[2]) AS t16,
+             -(max(ROW(d32, -cid))[2]) AS t32,
+             -(max(ROW(d64, -cid))[2]) AS t64
+      FROM dots GROUP BY qid
+    ),
+    lv AS (
+      SELECT * FROM (VALUES (CAST(8 AS BIGINT), 1), (16, 2), (32, 3),
+                            (64, 4)) AS t(trunc_dim, ord)
+    )
+    SELECT lv.trunc_dim,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE lv.trunc_dim
+                    WHEN 8  THEN CAST(t8  = t64 AS INT)
+                    WHEN 16 THEN CAST(t16 = t64 AS INT)
+                    WHEN 32 THEN CAST(t32 = t64 AS INT)
+                    ELSE 1 END) AS BIGINT) AS n_agree,
+           round(sum(CASE lv.trunc_dim
+                     WHEN 8  THEN CAST(t8  = t64 AS INT)
+                     WHEN 16 THEN CAST(t16 = t64 AS INT)
+                     WHEN 32 THEN CAST(t32 = t64 AS INT)
+                     ELSE 1 END) * 1.0 / count(*), 6) AS agree_frac
+    FROM tops CROSS JOIN lv
+    GROUP BY lv.trunc_dim
+    """,
+)
+def emb_mrl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al 2022 — the
+    MRL serving question): if we keep only the first d of 64 embedding
+    dimensions, how often does the top-1 neighbor survive? For d in
+    {8, 16, 32, 64}: top-1 by TRUNCATED dot product vs top-1 by the
+    full vector, agreement fraction over 20 query vectors — the table
+    you read before shipping truncated embeddings to a cheaper index.
+
+    Exactness: components quantize to 1e6-scaled BIGINTs (the sim_rrf
+    convention; float32 -> float64 is exact, round is the shared
+    half-away spelling), every truncated dot is an exact integer
+    PREFIX SUM of the same per-position products, and top-1 ties
+    break on the smallest neighbor id — so the argmax chain runs on
+    identical integers in both engines.
+
+    100 TB shape: the 20-query side broadcasts (bounded by contract);
+    the candidate scan computes all four prefix dots in ONE pass over
+    each vector (4 slice-folds of the same array — no explode, no
+    per-dim rescan); one (qid) top-1 aggregate. Cost is the exact
+    brute-force scan sim_topk already budgets; the d<64 columns ride
+    along free."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000000).cast("long"),
+        ).alias("ei"),
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("ei").alias("qi")
+        )
+    )
+
+    def pdot(d: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qi", 1, d), F.slice("ei", 1, d),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dots = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            pdot(8).alias("d8"),
+            pdot(16).alias("d16"),
+            pdot(32).alias("d32"),
+            pdot(64).alias("d64"),
+        )
+    )
+    tops = dots.groupBy("qid").agg(
+        *[
+            (
+                -F.max(
+                    F.struct(F.col(c), (-F.col("cid")).alias("nc"))
+                )["nc"]
+            ).alias(f"t{c[1:]}")
+            for c in ("d8", "d16", "d32", "d64")
+        ]
+    )
+    lv = spark.createDataFrame(
+        [(8,), (16,), (32,), (64,)], "trunc_dim long"
+    )
+    agree = {
+        8: (F.col("t8") == F.col("t64")).cast("int"),
+        16: (F.col("t16") == F.col("t64")).cast("int"),
+        32: (F.col("t32") == F.col("t64")).cast("int"),
+        64: F.lit(1),
+    }
+    agree_col = (
+        F.when(F.col("trunc_dim") == 8, agree[8])
+        .when(F.col("trunc_dim") == 16, agree[16])
+        .when(F.col("trunc_dim") == 32, agree[32])
+        .otherwise(agree[64])
+    )
+    return (
+        tops.crossJoin(F.broadcast(lv))
+        .groupBy("trunc_dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(agree_col).cast("long").alias("n_agree"),
+            F.round(
+                F.sum(agree_col) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("agree_frac"),
+        )
+    )

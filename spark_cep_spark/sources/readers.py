@@ -340,3 +340,86 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+@register(
+    "layout_compaction",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           CAST(4 AS BIGINT) AS n_files_after,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST('0x' || substr(md5(
+                 l_orderkey || '|' || l_partkey || '|' ||
+                 CAST(round(l_quantity * 100) AS BIGINT)), 1, 8)
+               AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+      AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+    """,
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the warehouse maintenance job every
+    streaming ingest eventually needs (a micro-batch sink leaves
+    thousands of KB-sized files; scans then pay per-file open cost and
+    the driver pays per-file planning): write a 64-fragment layout,
+    compact it to 4 files, and PROVE row identity across the rewrite
+    with an order-independent content fingerprint (sum of per-row
+    32-bit md5 prefixes — 32 bits per row keeps the sum inside BIGINT
+    to 2^31 rows; floats enter the hash as exact integer cents, never
+    engine-formatted strings).
+
+    The emitted file counts are the CONTRACT (64 -> 4, pinned by the
+    oracle's literals): round-robin repartition leaves no empty
+    partition at any fixture SF, so a count drift means the compaction
+    didn't do what it claims. At 100 TB the same job is
+    read -> repartition(target) -> write per partition-date, and the
+    fingerprint check is how you ship it without a diff of 10^11
+    rows."""
+    import shutil
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    frag_dir = os.path.join(SCRATCH, "compact_frag")
+    comp_dir = os.path.join(SCRATCH, "compact_out")
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    shutil.rmtree(comp_dir, ignore_errors=True)
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        # null guards mirror the oracle: concat_ws SKIPS a null element
+        # while DuckDB's || nulls the whole string — a null row would
+        # silently diverge the fingerprints
+        .filter(
+            (F.col("l_orderkey") % 10 == 0)
+            & F.col("l_partkey").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    li.repartition(64).write.parquet(frag_dir)
+    n_before = len(
+        [f for f in os.listdir(frag_dir) if f.endswith(".parquet")]
+    )
+    spark.read.parquet(frag_dir).repartition(4).write.parquet(comp_dir)
+    n_after = len(
+        [f for f in os.listdir(comp_dir) if f.endswith(".parquet")]
+    )
+    row_key = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_partkey"),
+        F.round(F.col("l_quantity") * 100).cast("long"),
+    )
+    return (
+        spark.read.parquet(comp_dir)
+        .select(
+            F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .agg(
+            F.lit(n_before).cast("long").alias("n_files_before"),
+            F.lit(n_after).cast("long").alias("n_files_after"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("fingerprint"),
+        )
+    )

@@ -31,6 +31,8 @@ NESTED_LOOP_OK = {
     "join_theta_range",
     "join_interval",
     "sim_topk",
+    "emb_mrl_eval",  # broadcast 20-query set x candidates (the sim_topk
+    # shape) + a 4-row truncation-level broadcast onto 20 top-1 rows
     "sim_knn_class",
     "sim_maxsim",  # same broadcast query-set x candidates scan as sim_topk
     "dedup_embed",
@@ -110,6 +112,8 @@ PYTHON_OK = {
     "dedup_near_arrow",  # Arrow-batched per-doc minhash (no shingle explode)
     "sim_ann_pq",  # Arrow-batched ADC scan over 8-byte codes — the point
     # of PQ is that this stage is bandwidth-bound, not compute-bound
+    "sim_ann_ivfpq",  # IVF x PQ composed: the same Arrow-batched ADC
+    # scan, further bounded to each query's nprobe cells
     "emb_covariance",  # mapInPandas partial Gram (one BLAS X^T.X per
     # Arrow batch) — the shuffle-minimal alternative to an n x d
     # self-join; shuffle carries only partitions x d^2 partial rows
