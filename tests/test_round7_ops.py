@@ -771,3 +771,62 @@ def test_ccnet_buckets_keeps_null_lang_docs(spark, tmp_path):
     con.close()
     assert got == want
     assert any(lang is None for _, lang, _ in got), "fixture lost NULLs"
+
+
+def test_twap_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for twap_stream: open-day accumulators, the
+    last observation, and the buffer must resume exactly — lost state
+    would restart segments mid-day and change the weighted averages."""
+    import os
+    import shutil
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import twap_stream
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+
+    def run(src_dir, out, ckpt):
+        stream = harness.events_stream(spark, src_dir, max_files_per_trigger=2)
+        q = (
+            twap_stream(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    copy_ordered(parts[:4])
+    run(src, out, ckpt)
+    copy_ordered(parts[4:])
+    run(src, out, ckpt)
+
+    cols = ("key", "day", "n_segments", "span_us", "twap")
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out).collect()
+    }
+    uninterrupted = {
+        tuple(r[c] for c in cols)
+        for r in harness.run_available_now(
+            twap_stream(
+                harness.events_stream(spark, staged, max_files_per_trigger=2),
+                watermark="0 seconds",
+            ),
+            "append",
+        ).collect()
+    }
+    assert got == uninterrupted and len(got) > 0
