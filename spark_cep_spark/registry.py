@@ -38,10 +38,11 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
-keys absent from it follow in module-import order. Round 6 window =
-the 7 round-5 keys with zero driver evidence, the 33 §2 keys whose
-only driver evidence is round 1, and the keys NEW in round 6 — after
-which every registered key's latest driver evidence is round 3+.
+keys absent from it follow in module-import order. Round 7 window =
+win_rolling_corr (round-6's only red row, fixed), the front of the
+round-6 staging list (6g/6f/6d keys with zero driver evidence), and
+the 13 keys NEW in round 7 — each new-key append pushed the window's
+last staged key back to NEXT_ROTATION's front.
 """
 
 from __future__ import annotations

@@ -78,6 +78,10 @@ NESTED_LOOP_OK = {
     "win_pareto_share",  # 1-row (max, total) scalar broadcast feeding
     # the value-range bucket id — same constant-size build side as
     # text_surprisal; the point of the op is avoiding the global window
+    "pipeline_dsir_weights",  # 1-row (target-total, raw-total) scalar
+    # broadcast into the 256-row bucket table — same constant-size
+    # build side as text_surprisal; the lambda table itself joins back
+    # as a bounded 256-row broadcast equi-join
     "join_bloom_pruned",  # 1-row bitset-array broadcast into the fact
     # probe (element_at on a shared array; a LITERAL array would be
     # CreateArray rebuilt per row — the 8x probe caught that live).
