@@ -42,11 +42,20 @@ def _psi_sum_sql(cur: str, ctot: str, ref: str, rtot: str, n: int) -> str:
     """The PSI sum over n bins with Laplace +0.5 smoothing, as ONE
     fixed-order expression — `cur`/`ref` are printf-style column-name
     templates ('c{i}'). Identical text runs on both engines, so the
-    accumulation order (left-to-right) is identical too."""
+    accumulation order (left-to-right) is identical too.
+
+    The smoothing literal is spelled `0.5e0` — identical TEXT is not
+    enough, the literal must parse to the same TYPE: Spark reads a
+    bare `0.5` as DECIMAL, so `(count + 0.5) / (total + 5.0)` ran the
+    whole chain in truncated decimal arithmetic (~1e-8 relative error)
+    while DuckDB's division promoted to DOUBLE — invisible under
+    round(·,6) until an sf0.001 value landed within 5e-8 of a rounding
+    boundary (stream_drift_psi, caught by the full small-SF sweep).
+    Scientific notation parses as DOUBLE in BOTH engines."""
     terms = []
     for i in range(n):
-        p = f"(({cur.format(i=i)} + 0.5) / ({ctot} + {n}*0.5))"
-        q = f"(({ref.format(i=i)} + 0.5) / ({rtot} + {n}*0.5))"
+        p = f"(({cur.format(i=i)} + 0.5e0) / ({ctot} + {n}*0.5e0))"
+        q = f"(({ref.format(i=i)} + 0.5e0) / ({rtot} + {n}*0.5e0))"
         terms.append(f"(({p}) - ({q})) * ln(({p}) / ({q}))")
     return " + ".join(terms)
 

@@ -35,6 +35,15 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
      OUTPUT column whose value can be a tiny negative must add
      ``+ 0.0`` after the round on BOTH sides (IEEE: ``-0.0 + 0.0 =
      +0.0``). ``tools/check_oracle.py`` compares sign bits at zero.
+  5. Literal TYPING in shared SQL text: identical text is not enough
+     — Spark parses a bare ``0.5`` as DECIMAL, so an all-int/decimal
+     chain like ``(count + 0.5) / (total + 5.0)`` runs in truncated
+     decimal arithmetic (~1e-8 relative error) while DuckDB's ``/``
+     promotes to DOUBLE. Invisible under ``round(·,6)`` until a value
+     lands near a boundary (stream_drift_psi at sf0.001, round 7).
+     Spell float literals in shared expression text in scientific
+     notation (``0.5e0``) — DOUBLE in both engines — or ensure one
+     operand is already DOUBLE.
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
