@@ -3231,3 +3231,106 @@ def cep_sql_run_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("B_count").alias("n_b"),
         F.col("B_sum_cents").alias("sum_b_cents"),
     )
+
+
+_RUN_COUNT_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, coalesce(event_type, '') AS et,
+             epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS rn, FALSE AS in_run,
+             CAST(0 AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS BIGINT) AS dl,
+             CAST(NULL AS BIGINT) AS em_anchor, CAST(NULL AS BIGINT) AS em_n
+      FROM mx
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN e.et = 'signup'
+                  WHEN e.et = 'purchase' AND w.n + 1 > 3 THEN FALSE
+                  ELSE TRUE END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'purchase' AND w.n + 1 <= 3 THEN w.n + 1
+                  WHEN e.et = 'purchase' THEN CAST(0 AS BIGINT)
+                  ELSE w.n END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' THEN e.tus
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'purchase' AND w.n + 1 > 3
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.anchor END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' THEN e.tus + 604800000000
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'purchase' AND w.n + 1 > 3
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.dl END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0
+                  THEN w.anchor
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                       AND w.n + 1 > 3
+                  THEN w.anchor END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0 THEN w.n
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                       AND w.n + 1 > 3
+                  THEN w.n END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ),
+    closes AS (
+      SELECT user_id, em_anchor AS anchor, em_n AS n
+      FROM walk WHERE em_anchor IS NOT NULL
+      UNION ALL
+      SELECT w.user_id, w.anchor, w.n
+      FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mxrn
+      WHERE w.in_run AND w.n > 0
+    )
+    SELECT user_id, make_timestamp(anchor) AS anchor_ts, n AS n_b
+    FROM closes
+"""
+
+
+@register("cep_sql_run_count", oracle=_RUN_COUNT_ORACLE)
+def cep_sql_run_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COUNT-cap form of the DEFINE-aggregate grammar, oracle-backed
+    (cep_sql_run_agg covers the AVG form; the sum_cap/count_cap forms
+    were fixture-tested only — this key gives count_cap hash evidence):
+    PATTERN (A -> B+) WITHIN 7 DAYS where a purchase binds iff it is at
+    most the run's THIRD (COUNT(B.*) <= 3, RUNNING, current row
+    included) — the standard bounded-repetition-with-relaxed-gaps shape
+    a plain B{1,3} cannot express (times() binds contiguous runs; this
+    counts across ignored interleaved events). A fourth purchase closes
+    the match and is consumed; the oracle replays the walk as a
+    recursive CTE (the _RUN_AGG_ORACLE structure minus the sum
+    state)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    out = match_recognize(
+        e,
+        """
+        PATTERN ( A -> B+ )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'purchase' AND COUNT(B.*) <= 3
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("t_A").alias("anchor_ts"),
+        F.col("B_count").alias("n_b"),
+    )

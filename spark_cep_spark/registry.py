@@ -162,7 +162,6 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q15",
     "tpch_q16",
     "tpch_q17",
-    "tpch_q19",
     # (c) NEW in round 7 — appended as they land (each append pushes
     # the window's last rotation key back to NEXT_ROTATION's front)
     "cep_sql_run_agg",
@@ -178,6 +177,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_hll_union",
     "emb_mrl_eval",
     "layout_compaction",
+    "cep_sql_run_count",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -186,6 +186,7 @@ DRIVER_PRIORITY: list[str] = [
 # do not fit the round-7 window are prepended as they land. The
 # round-8 window = the FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
+    "tpch_q19",
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",

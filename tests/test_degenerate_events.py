@@ -87,6 +87,7 @@ EVENTS_KEYS = [
     "cep_funnel_latency", "cep_run_agg",
     # round-7
     "cep_sql_run_agg", "rollup_twap", "feat_scale", "agg_hll_union",
+    "cep_sql_run_count",
 ]
 
 
@@ -155,6 +156,7 @@ EMPTY_SWEEP_KEYS = [
     "cep_funnel_latency", "cep_run_agg",
     # round-7
     "cep_sql_run_agg", "rollup_twap", "feat_scale", "agg_hll_union",
+    "cep_sql_run_count",
 ]
 
 

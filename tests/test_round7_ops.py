@@ -830,3 +830,62 @@ def test_twap_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == uninterrupted and len(got) > 0
+
+
+def test_cep_sql_run_count_streaming_equals_batch(spark, sf_dir):
+    """The COUNT-cap DEFINE-aggregate form on a streaming input equals
+    the batch compilation (the count_cap path through
+    kleene_agg_stream — no value column, v rides as a constant)."""
+    import datetime as ddt
+    import glob
+    import os
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.streaming import harness
+
+    text = """
+        PATTERN ( A -> B+ )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'purchase' AND COUNT(B.*) <= 3
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+    """
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    def prep(df):
+        return df.filter(
+            "user_id IS NOT NULL AND ts IS NOT NULL"
+        ).select("user_id", "ts", "event_id", "event_type")
+
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            match_recognize(
+                prep(harness.events_stream(spark, staged, max_files_per_trigger=2)),
+                text,
+                watermark="0 seconds",
+            ),
+            "append",
+        )
+        .filter("key <> -1")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in match_recognize(
+            prep(spark.read.parquet(staged)).filter("user_id <> -1"), text
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -134,6 +134,7 @@ PYTHON_OK = {
     # from MATCH_RECOGNIZE text (round 7) — anchor/candidate predicates
     # evaluate JVM-side into booleans; only the prefix-dependent
     # aggregate check crosses into Python (5 narrow columns, O(1) state)
+    "cep_sql_run_count",  # the COUNT-cap form of the same kernel path
     "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
     # sequential per key (each kept point changes the next triangle) —
     # the documented tier-(b) applyInPandas integer kernel; one (user)
