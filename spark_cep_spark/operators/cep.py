@@ -2720,8 +2720,11 @@ _RUN_AGG_ORACLE = """
              coalesce(event_type, '') AS et,
              CAST(round(value * 100) AS BIGINT) AS cents,
              epoch_us(ts) AS tus,
+             -- coalesce(event_id, 0): DuckDB sorts NULL LAST, the
+             -- kernel faces map NULL event_id to 0 BEFORE sorting —
+             -- a NULL id tied on ts must order identically everywhere
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND (value IS NULL OR abs(value) <= 1e9)

@@ -3237,8 +3237,10 @@ _RUN_COUNT_ORACLE = """
     WITH RECURSIVE ev AS (
       SELECT user_id, coalesce(event_type, '') AS et,
              epoch_us(ts) AS tus,
+             -- coalesce(event_id, 0): the kernel faces map NULL
+             -- event_id to 0 pre-sort; DuckDB's default is NULLS LAST
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),

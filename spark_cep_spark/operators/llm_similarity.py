@@ -2185,6 +2185,12 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                             x -> CAST(round(x * 1000000) AS BIGINT)) AS ei
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = 64
+        -- element validity must gate on BOTH sides: Spark's aggregate
+        -- fold poisons a dot to NULL on one NULL element while
+        -- DuckDB's conditional sum would skip it (and a NaN element
+        -- raises in DuckDB's CAST) — review catch
+        AND len(list_filter(embedding,
+                            x -> x IS NULL OR isnan(x))) = 0
     ),
     q AS (SELECT vec_id AS qid, ei AS qi FROM e WHERE vec_id < 20),
     pr AS (
@@ -2255,7 +2261,13 @@ def emb_mrl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force scan sim_topk already budgets; the d<64 columns ride
     along free."""
     e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        # mirror the oracle's element gate (NULL poisons the fold,
+        # NaN casts diverge across engines)
+        & ~F.exists(
+            "embedding", lambda x: x.isNull() | F.isnan(x)
+        )
     ).select(
         "vec_id",
         F.transform(

@@ -28,6 +28,9 @@ DEGENERATE_EVENTS = [
     (3, _ts(0), 1, "view", 3.0, "{}"),          # exact tie with 4/5
     (4, _ts(0), 1, "click", 4.0, "{}"),
     (5, _ts(0), 1, "purchase", 5.0, "{}"),
+    (None, _ts(0), 1, "purchase", 6.0, "{}"),   # NULL id ON the tie —
+    # the sort-order class the round-7 kernel faces normalize (NULL->0
+    # pre-sort on batch+streaming, coalesce(event_id,0) in the oracles)
     (7, _ts(5), 1, "error", -1.0, ""),          # duplicate id below
     (7, _ts(6), 1, "error", 0.0, ""),           # duplicate event_id
     (8, _ts(7), 1, "error", 1e308, "{}"),       # extreme value

@@ -45,6 +45,9 @@ LINEITEM_KEYS = [
     # out of the probe the same way it falls out of the join)
     "join_bloom_pruned",
     "graph_components",
+    # round-7: LPA communities + the compaction maintenance job
+    "graph_label_propagation",
+    "layout_compaction",
 ]
 
 

@@ -889,3 +889,62 @@ def test_cep_sql_run_count_streaming_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_run_agg_null_event_id_tie_matches_oracle(spark, tmp_path):
+    """A NULL event_id tied on the timestamp must order identically in
+    the batch kernel face, the streaming wrapper convention (NULL->0),
+    and the DuckDB walk oracle (coalesce(event_id,0)) — second-review
+    catch: the faces normalized NULL->0 pre-sort while the oracles
+    sorted NULL LAST, invisible on fixtures with no NULL-id ties."""
+    import datetime as ddt
+    import os
+
+    import duckdb
+
+    from spark_cep_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    t0 = ddt.datetime(2026, 4, 1)
+    for key, cand, cols in (
+        ("cep_sql_run_count", "purchase", ("user_id", "anchor_ts", "n_b")),
+        (
+            "cep_run_agg",
+            "view",
+            ("user_id", "anchor_ts", "n_b", "sum_b_cents"),
+        ),
+    ):
+        rows = [
+            # NULL-id candidate TIED with the signup: with NULL->0
+            # ordering the candidate (id 0) precedes the signup (id 3)
+            # -> ignored; NULLS-LAST ordering would bind it as the
+            # run's first B.
+            (None, t0, 1, cand, 1.0, "{}"),
+            (3, t0, 1, "signup", 0.0, "{}"),
+            (4, t0 + ddt.timedelta(minutes=1), 1, cand, 2.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        d = str(tmp_path / f"nt_{key}")
+        os.makedirs(d)
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in QUERIES[key](spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(ORACLES[key]).fetchall()
+        )
+        con.close()
+        assert got == want, (key, got, want)
+        # the tied NULL-id candidate precedes the signup: exactly one
+        # match binding exactly ONE row (the minute-later candidate)
+        assert len(got) == 1 and got[0][2] == 1, (key, got)
