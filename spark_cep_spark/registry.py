@@ -47,10 +47,10 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
-keys absent from it follow in module-import order. Round 7 window =
-win_rolling_corr (round-6's only red row, fixed), the front of the
-round-6 staging list (6g/6f/6d keys with zero driver evidence), and
-the 13 keys NEW in round 7 — each new-key append pushed the window's
+keys absent from it follow in module-import order. Round 8 window =
+the first 50 of round-7's NEXT_ROTATION verbatim (tpch_q19–q22 lead
+the never-driver-checked cohort; all exact-pass locally), with keys
+NEW in round 8 appended as they land — each append pushes the window's
 last staged key back to NEXT_ROTATION's front.
 """
 
@@ -116,76 +116,12 @@ def load_all() -> None:
 
 # The first 50 keys the driver will check this round, in order. See the
 # module docstring ("DRIVER WINDOW") for the selection rationale.
-# Round 7 window = win_rolling_corr first (round-6's only red row —
-# signed-zero fix must land driver evidence), then the round-6
-# NEXT_ROTATION verbatim: the 6g/6f/6d/6e keys with zero driver
-# evidence (every one exact-passes tools/check_oracle.py locally).
-# Keys NEW in round 7 are appended at the end as they land (window
-# holds 50; each append pushes the window's last rotation key back to
-# the front of NEXT_ROTATION's remainder).
+# Round 8 window = the first 50 of round-7's NEXT_ROTATION, verbatim
+# (tpch_q19-q22 lead; every key exact-passes tools/check_oracle.py
+# locally). Keys NEW in round 8 are appended at the end as they land
+# (window holds 50; each append pushes the window's last staged key
+# back to NEXT_ROTATION's front).
 DRIVER_PRIORITY: list[str] = [
-    # (a) the round-6 red row, fixed this round
-    "win_rolling_corr",
-    # (b) round-6 NEXT_ROTATION, verbatim order
-    "cep_run_agg",
-    "sql_exists_flag",
-    "join_null_safe",
-    "rollup_wow",
-    "cep_funnel_latency",
-    "stream_wau",
-    "sql_pivot",
-    "sql_unpivot",
-    "merge_incremental_agg",
-    "win_share_of_total",
-    "stream_retention",
-    "win_pareto_share",
-    "graph_components",
-    "join_scd2_pit",
-    "merge_snapshot_diff",
-    "agg_bitmap_retention",
-    "join_bloom_pruned",
-    "agg_bitmap_distinct",
-    "scan_zorder",
-    "sql_qualify",
-    "stream_distinct_users",
-    "rollup_lttb",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    # (c) NEW in round 7 — appended as they land (each append pushes
-    # the window's last rotation key back to NEXT_ROTATION's front)
-    "cep_sql_run_agg",
-    "text_rep_signals",
-    "text_gopher_rules",
-    "pipeline_ccnet_buckets",
-    "pipeline_dsir_weights",
-    "graph_label_propagation",
-    "sim_ann_ivfpq",
-    "rollup_twap",
-    "feat_scale",
-    "scan_binaryfile",
-    "agg_hll_union",
-    "emb_mrl_eval",
-    "layout_compaction",
-    "cep_sql_run_count",
-]
-
-# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
-# round-6 staging list (zero or round-3-only driver evidence; all
-# exact-pass tools/check_oracle.py locally). Keys NEW in round 7 that
-# do not fit the round-7 window are prepended as they land. The
-# round-8 window = the FIRST 50 of this list, verbatim.
-NEXT_ROTATION: list[str] = [
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
@@ -236,6 +172,15 @@ NEXT_ROTATION: list[str] = [
     "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",
+]
+
+# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
+# never-driver-checked staging cohort first (all exact-pass locally),
+# then the displaced round-7 window (freshest driver evidence) at the
+# back. Keys NEW in round 8 that do not fit the round-8 window are
+# prepended as they land. The round-9 window = the FIRST 50 of this
+# list, verbatim.
+NEXT_ROTATION: list[str] = [
     "text_bm25_topk",
     "sim_rrf_hybrid",
     "win_cusum",
@@ -310,6 +255,56 @@ NEXT_ROTATION: list[str] = [
     "udf_surface",
     "udtf_tokens",
     "win_frame_rows",
+    "win_rolling_corr",
+    "cep_run_agg",
+    "sql_exists_flag",
+    "join_null_safe",
+    "rollup_wow",
+    "cep_funnel_latency",
+    "stream_wau",
+    "sql_pivot",
+    "sql_unpivot",
+    "merge_incremental_agg",
+    "win_share_of_total",
+    "stream_retention",
+    "win_pareto_share",
+    "graph_components",
+    "join_scd2_pit",
+    "merge_snapshot_diff",
+    "agg_bitmap_retention",
+    "join_bloom_pruned",
+    "agg_bitmap_distinct",
+    "scan_zorder",
+    "sql_qualify",
+    "stream_distinct_users",
+    "rollup_lttb",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "cep_sql_run_agg",
+    "text_rep_signals",
+    "text_gopher_rules",
+    "pipeline_ccnet_buckets",
+    "pipeline_dsir_weights",
+    "graph_label_propagation",
+    "sim_ann_ivfpq",
+    "rollup_twap",
+    "feat_scale",
+    "scan_binaryfile",
+    "agg_hll_union",
+    "emb_mrl_eval",
+    "layout_compaction",
+    "cep_sql_run_count",
 ]
 
 
