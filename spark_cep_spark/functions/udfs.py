@@ -84,7 +84,7 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_map",
     oracle="""
     SELECT user_id, event_id, ts,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_no
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS seq_no
     FROM events
     WHERE event_type = 'purchase'
     """,
@@ -97,7 +97,16 @@ def grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
 
     def number(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # NULL event_id sorts as 0 (temp key only — output keeps NULL)
+        # to match the oracle's ORDER BY ts, coalesce(event_id, 0):
+        # pandas NaN sorts LAST, DuckDB NULLS LAST, Spark NULLS FIRST —
+        # the three disagree on a timestamp tie (round-8 parity sweep).
+        pdf = (
+            pdf.assign(_eid0=pdf["event_id"].fillna(0))
+            .sort_values(["ts", "_eid0"])
+            .drop(columns="_eid0")
+            .reset_index(drop=True)
+        )
         pdf["seq_no"] = range(1, len(pdf) + 1)
         return pdf[["user_id", "event_id", "ts", "seq_no"]]
 

@@ -1294,7 +1294,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     )
     SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
@@ -1313,7 +1313,7 @@ def agg_path_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's contribution to 10 rows before the aggregate, so state per
     key is capped at any scale."""
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
     r = e.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 10
     )
@@ -1493,7 +1493,7 @@ def _lttb_oracle_sql(k: int = 8) -> str:
     WITH pts AS (
       SELECT user_id,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn,
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn,
              count(*) OVER (PARTITION BY user_id) AS n,
              CAST(floor(epoch(ts)) AS BIGINT) AS x,
              CAST(round(value * 100) AS BIGINT) AS y
@@ -1557,7 +1557,11 @@ def _lttb_kernel_factory(k: int = 8):
     def kernel(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pdf = (  # NULL id sorts as 0, output keeps NULL (round-8 parity)
+            pdf.assign(_eid0=pdf["event_id"].fillna(0))
+            .sort_values(["ts", "_eid0"], kind="mergesort")
+            .drop(columns="_eid0")
+        )
         xs = [int(v) for v in pdf["x"]]
         ys = [int(v) for v in pdf["y"]]
         n = len(xs)
@@ -1830,7 +1834,7 @@ def rollup_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT user_id, day, tus, cents,
              lead(tus) OVER (PARTITION BY user_id, day
-                             ORDER BY tus, event_id) AS nxt
+                             ORDER BY tus, coalesce(event_id, 0)) AS nxt
       FROM e
     ),
     seg AS (
@@ -1886,7 +1890,7 @@ def rollup_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
-    w = W.partitionBy("user_id", "day").orderBy("tus", "event_id")
+    w = W.partitionBy("user_id", "day").orderBy("tus", F.coalesce(F.col("event_id"), F.lit(0)))
     seg = (
         e.withColumn("nxt", F.lead("tus").over(w))
         .filter(F.col("nxt").isNotNull())

@@ -525,7 +525,12 @@ class Pattern:
             # per-key sequence number — ONE window shuffle on the key,
             # shared by every step of the pattern.
             rn = F.row_number().over(
-                W.partitionBy(key_col).orderBy(time_col, id_col)
+                # NULL id ties sort as 0 — the streaming kernel's and
+                # the DuckDB oracles' convention (coalesce(event_id,0));
+                # Spark's bare NULLS-FIRST would flip the tie order
+                W.partitionBy(key_col).orderBy(
+                    time_col, F.coalesce(F.col(id_col), F.lit(0))
+                )
             )
             events = events.withColumn("_rn", rn)
 
@@ -702,7 +707,17 @@ class Pattern:
                     [F.col("cand_ts")]
                     + ([F.col("cand_rn")] if has_strict else [])
                     + (
-                        [F.col("cand_eid")]
+                        # eid0 = coalesce(id, 0) ORDERS the tie (the
+                        # kernel/oracle NULL->0 convention — Spark's
+                        # struct compare sorts a NULL field FIRST,
+                        # DuckDB's LAST); the raw cand_eid after it
+                        # only NAMES the winner (round-8 parity catch)
+                        [
+                            F.coalesce(F.col("cand_eid"), F.lit(0)).alias(
+                                "eid0"
+                            ),
+                            F.col("cand_eid"),
+                        ]
                         if (emit_ids or carried)
                         else []
                     )
@@ -793,14 +808,14 @@ def cep_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
          p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
          s2 AS (
            SELECT v.user_id, v.event_id, v.ts AS t_view,
-                  min({'ts': c.ts, 'id': c.event_id}) AS mc
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id}) AS mc
            FROM v JOIN c ON c.user_id = v.user_id
                         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
            GROUP BY v.user_id, v.event_id, v.ts
          ),
          s3 AS (
            SELECT s2.user_id, s2.event_id, s2.t_view, s2.mc,
-                  min({'ts': p.ts, 'id': p.event_id}) AS mp
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id}) AS mp
            FROM s2 JOIN p ON p.user_id = s2.user_id
                          AND p.ts > s2.mc.ts AND p.ts <= s2.t_view + INTERVAL 24 HOUR
            GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.mc
@@ -817,8 +832,10 @@ def cep_seq_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     id_<step> column names the exact event the step bound, under the
     deterministic lexicographic-(ts, event_id) earliest-match policy —
     the exact join-back-to-attributes handle when timestamps tie.
-    Oracle: DuckDB min over a named struct {'ts','id'} is the same
-    lexicographic min as Spark's min(struct(ts, id))."""
+    Oracle: DuckDB min over a named struct {'ts','id0','id'} is the
+    same lexicographic min as Spark's min(struct(ts, eid0, id)) —
+    id0 = coalesce(id, 0) carries the tie so a NULL id orders as 0
+    on both engines (round-8 NULL-tie sweep)."""
     events = table(spark, sf_dir, "events")
     pat = (
         Pattern.begin("view", "event_type = 'view'")
@@ -837,7 +854,7 @@ def cep_seq_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
          p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
          s2 AS (
            SELECT v.user_id, v.event_id, v.ts AS t_view, v.value AS v_view,
-                  min({'ts': c.ts, 'id': c.event_id, 'v': c.value}) AS mc
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id, 'v': c.value}) AS mc
            FROM v JOIN c ON c.user_id = v.user_id
                         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
            GROUP BY v.user_id, v.event_id, v.ts, v.value
@@ -885,14 +902,14 @@ def cep_seq_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
          p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
          s2 AS (
            SELECT v.user_id, v.event_id, v.ts AS t_view, v.value AS v_view,
-                  min({'ts': c.ts, 'id': c.event_id, 'v': c.value}) AS mc
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id, 'v': c.value}) AS mc
            FROM v JOIN c ON c.user_id = v.user_id
                         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
            GROUP BY v.user_id, v.event_id, v.ts, v.value
          ),
          s3 AS (
            SELECT s2.user_id, s2.event_id, s2.t_view, s2.v_view, s2.mc,
-                  min({'ts': p.ts, 'id': p.event_id, 'v': p.value}) AS mp
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id, 'v': p.value}) AS mp
            FROM s2 JOIN p ON p.user_id = s2.user_id
                          AND p.ts > s2.mc.ts AND p.ts <= s2.t_view + INTERVAL 24 HOUR
                          AND p.value > s2.v_view
@@ -970,11 +987,11 @@ def cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS rn_all
       FROM events
     ), err AS (
       SELECT user_id, event_id, ts, rn_all,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_err
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS rn_err
       FROM seq WHERE event_type = 'error'
     )
     SELECT user_id, min(ts) AS run_start, max(ts) AS run_end, count(*) AS run_len
@@ -987,7 +1004,7 @@ def cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleene-plus: runs of ≥3 CONSECUTIVE errors in a user's event
     sequence — gaps-and-islands (row_number difference trick)."""
     e = table(spark, sf_dir, "events")
-    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
     seq = e.withColumn("rn_all", F.row_number().over(w_all))
     err = seq.filter(F.col("event_type") == "error").withColumn(
         "rn_err", F.row_number().over(w_all)
@@ -1012,7 +1029,7 @@ def cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
              avg(value) OVER w AS trail_avg,
              count(*) OVER w AS trail_n
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
     )
     SELECT user_id, event_id, ts, value, round(trail_avg, 6) AS trail_avg
@@ -1025,7 +1042,7 @@ def cep_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 events, ≥3 required) — rolling-state predicate; streaming twin is
     a running aggregate in keyed state."""
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, -1)
+    w = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0))).rowsBetween(-5, -1)
     t = e.select(
         "user_id",
         "event_id",
@@ -1051,7 +1068,7 @@ def cep_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
                AS rn
       FROM events
     )
@@ -1164,7 +1181,7 @@ def cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     ),
     m AS (
@@ -1210,7 +1227,7 @@ def cep_kleene_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, ts, value, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     ),
     m AS (
@@ -1292,8 +1309,9 @@ def select_non_overlapping(
         matches,
         key_col,
         # tiebreak_col makes equal-(start, end) ordering deterministic —
-        # without it the kept match under a tie is partition-order luck
-        [start_col, end_col, tiebreak_col],
+        # without it the kept match under a tie is partition-order luck.
+        # NULL ids sort as 0 (kernel/oracle convention, round-8 sweep).
+        [start_col, end_col, F.coalesce(F.col(tiebreak_col), F.lit(0))],
         start_col,
         end_col,
         inclusive=False,
@@ -1368,7 +1386,7 @@ def select_skip_to(
     return _greedy_scan(
         matches,
         key_col,
-        [start_col, resume_col, tiebreak_col],
+        [start_col, resume_col, F.coalesce(F.col(tiebreak_col), F.lit(0))],
         start_col,
         resume_col,
         inclusive=True,
@@ -1399,7 +1417,7 @@ def select_skip_to(
     numbered AS (
       SELECT user_id, event_id, t_view, t_click, t_purchase,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY t_view, t_click, event_id) AS rn
+                                ORDER BY t_view, t_click, coalesce(event_id, 0)) AS rn
       FROM s3
     ),
     sel AS (
@@ -1442,7 +1460,7 @@ def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE
     e AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     ),
     m AS (
@@ -1472,7 +1490,7 @@ def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, event_id, t_s, t_err_first, t_err_last, err_count,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY t_s, t_err_first, event_id) AS rn
+                                ORDER BY t_s, t_err_first, coalesce(event_id, 0)) AS rn
       FROM matches
     ),
     sel AS (
@@ -1561,13 +1579,13 @@ def rows_per_match(
                WHERE event_type = 'purchase'),
          s2 AS (
            SELECT v.user_id, v.event_id, v.ts AS t_view,
-                  min({'ts': c.ts, 'id': c.event_id}) AS mc
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id}) AS mc
            FROM v JOIN c ON c.user_id = v.user_id
                         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
            GROUP BY v.user_id, v.event_id, v.ts),
          s3 AS (
            SELECT s2.user_id, s2.event_id, s2.t_view, s2.mc,
-                  min({'ts': p.ts, 'id': p.event_id}) AS mp
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id}) AS mp
            FROM s2 JOIN p ON p.user_id = s2.user_id
                          AND p.ts > s2.mc.ts
                          AND p.ts <= s2.t_view + INTERVAL 6 HOUR
@@ -1666,14 +1684,14 @@ def rows_per_match_running(
          s2 AS (
            SELECT v.user_id, v.event_id, v.ts AS t_view,
                   v.value AS v_view,
-                  min({'ts': c.ts, 'id': c.event_id, 'val': c.value})
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id, 'val': c.value})
                     AS mc
            FROM v JOIN c ON c.user_id = v.user_id
                         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
            GROUP BY v.user_id, v.event_id, v.ts, v.value),
          s3 AS (
            SELECT s2.user_id, s2.event_id, s2.t_view, s2.v_view, s2.mc,
-                  min({'ts': p.ts, 'id': p.event_id, 'val': p.value})
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id, 'val': p.value})
                     AS mp
            FROM s2 JOIN p ON p.user_id = s2.user_id
                          AND p.ts > s2.mc.ts
@@ -1750,7 +1768,7 @@ def cep_measures_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, event_id, t_view, t_click, t_purchase,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY t_view, t_purchase, event_id) AS rn
+                                ORDER BY t_view, t_purchase, coalesce(event_id, 0)) AS rn
       FROM s3
     ),
     sel AS (
@@ -1797,14 +1815,14 @@ def cep_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
                avg(value) OVER w AS trail_avg,
                count(*) OVER w AS trail_n
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) t
       WHERE trail_n >= 3 AND value > 3 * trail_avg
     ),
     numbered AS (
       SELECT user_id, event_id, ts, value, trail_avg,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM spikes
     ),
     sel AS (
@@ -1839,7 +1857,7 @@ def cep_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp. Streaming face = the same recurrence in keyed state
     (threshold_stream's tail state + a last-alert timestamp)."""
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, -1)
+    w = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0))).rowsBetween(-5, -1)
     spikes = (
         e.select(
             "user_id",
@@ -2130,7 +2148,7 @@ def cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
                AS rn
       FROM events
     ),
@@ -2401,7 +2419,7 @@ def _trend_runs(e: DataFrame) -> DataFrame:
     on the SAME partitioning assigns run ids (gaps-and-islands), and
     the per-run rollup rides the same shuffle. Output one row per
     maximal run of >= 2 same-direction transitions."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
     prev_v = F.lag("value").over(w)
     prev_ts = F.lag("ts").over(w)
     d = (
@@ -2467,7 +2485,7 @@ def _trend_runs(e: DataFrame) -> DataFrame:
                   WHEN value < lag(value) OVER w THEN -1
                   ELSE 0 END AS dir
       FROM events WHERE value IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
     ),
     c AS (
       SELECT *,
@@ -2475,12 +2493,12 @@ def _trend_runs(e: DataFrame) -> DataFrame:
                     OR lag(dir) OVER w2 <> dir
                   THEN 1 ELSE 0 END AS chg
       FROM d
-      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
     ),
     seg AS (
       SELECT *,
              CAST(sum(chg)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS run_id
       FROM c
@@ -2530,7 +2548,7 @@ def cep_trend_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN value < lag(value) OVER w THEN -1
                   ELSE 0 END AS dir
       FROM events WHERE value IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
     ),
     c AS (
       SELECT *,
@@ -2538,12 +2556,12 @@ def cep_trend_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR lag(dir) OVER w2 <> dir
                   THEN 1 ELSE 0 END AS chg
       FROM d
-      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
     ),
     seg AS (
       SELECT *,
              CAST(sum(chg)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS run_id
       FROM c

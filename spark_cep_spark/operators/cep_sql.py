@@ -1918,8 +1918,11 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
         # reference — one per-key window sort, the same (ts, event_id)
         # order the streaming kernel's buffer uses, so both engines
         # navigate the identical row sequence
-        order = [parsed.time_col] + (
-            ["event_id"] if "event_id" in df.columns else []
+        order = [F.col(parsed.time_col)] + (
+            # NULL id ties sort as 0 (kernel/oracle convention)
+            [F.coalesce(F.col("event_id"), F.lit(0))]
+            if "event_id" in df.columns
+            else []
         )
         w = W.partitionBy(parsed.key_col).orderBy(*order)
         for d, col, k in parsed.nav:
@@ -1930,8 +1933,10 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     if parsed.anchor_start:
         # ^ : pre-project the per-key row number the rewritten anchor
         # predicate references (same (ts, event_id) order as nav)
-        order = [parsed.time_col] + (
-            ["event_id"] if "event_id" in df.columns else []
+        order = [F.col(parsed.time_col)] + (
+            [F.coalesce(F.col("event_id"), F.lit(0))]
+            if "event_id" in df.columns
+            else []
         )
         df = df.withColumn(
             "__mr_rn",
@@ -2009,7 +2014,9 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
         pos0 = next(
             s for s in parsed.pattern.steps if s.contiguity != "absent"
         )
-        wmn = W.partitionBy("key").orderBy(f"t_{pos0.name}", "anchor_id")
+        wmn = W.partitionBy("key").orderBy(
+            f"t_{pos0.name}", F.coalesce(F.col("anchor_id"), F.lit(0))
+        )
         out = out.withColumn(
             parsed.match_number_alias,
             F.row_number().over(wmn).cast("long"),
@@ -2125,7 +2132,7 @@ def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, ts, event_type, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
                AS rn
       FROM events
     ),
@@ -2172,7 +2179,7 @@ def cep_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, ts, event_type,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     ),
     a AS (SELECT user_id, event_id, ts FROM e
@@ -2256,7 +2263,7 @@ def cep_sql_anchor_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE
     e AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     ),
     m AS (
@@ -2286,7 +2293,7 @@ def cep_sql_anchor_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, event_id, t_v, t_c_first, t_c_last, c_count,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY t_v, t_c_last, event_id) AS rn
+                                ORDER BY t_v, t_c_last, coalesce(event_id, 0)) AS rn
       FROM matches
     ),
     sel AS (
@@ -2468,13 +2475,13 @@ def cep_sql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
          b1a AS (
            SELECT s.user_id, s.event_id, s.ts AS t_signup,
                   s.value AS v_s,
-                  min({'ts': e.ts, 'id': e.event_id, 'v': e.value}) AS me
+                  min({'ts': e.ts, 'id0': coalesce(e.event_id, 0), 'id': e.event_id, 'v': e.value}) AS me
            FROM s JOIN e ON e.user_id = s.user_id
                         AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOUR
            GROUP BY s.user_id, s.event_id, s.ts, s.value),
          b1 AS (
            SELECT b1a.user_id, b1a.event_id, b1a.t_signup, b1a.v_s,
-                  b1a.me, min({'ts': p.ts, 'id': p.event_id,
+                  b1a.me, min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id,
                                'v': p.value}) AS mp
            FROM b1a JOIN p ON p.user_id = b1a.user_id
                           AND p.ts > b1a.me.ts
@@ -2484,7 +2491,7 @@ def cep_sql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
          b2 AS (
            SELECT s.user_id, s.event_id, s.ts AS t_signup,
                   s.value AS v_s,
-                  min({'ts': p.ts, 'id': p.event_id, 'v': p.value}) AS mp
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id, 'v': p.value}) AS mp
            FROM s JOIN p ON p.user_id = s.user_id
                         AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
            GROUP BY s.user_id, s.event_id, s.ts, s.value)
@@ -2596,7 +2603,7 @@ def cep_group_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
                AS rn
       FROM events
     ),
@@ -2731,7 +2738,7 @@ def cep_sql_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, ts, value, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     ),
     m AS (
@@ -2805,7 +2812,7 @@ def cep_sql_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, ts, event_type, value,
              lag(value) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id) AS pv
+                              ORDER BY ts, coalesce(event_id, 0)) AS pv
       FROM events),
     d AS (SELECT user_id, event_id, ts FROM e
           WHERE event_type = 'click' AND value < pv),
@@ -2850,7 +2857,7 @@ def cep_sql_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, ts, event_type, value,
              lead(value) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS nv
+                               ORDER BY ts, coalesce(event_id, 0)) AS nv
       FROM events),
     a AS (SELECT user_id, event_id, ts FROM e
           WHERE event_type = 'view' AND value >= 2 * nv),
@@ -2967,7 +2974,7 @@ def cep_sql_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE event_type = 'click'),
          s2 AS (
            SELECT v.user_id, v.event_id, v.ts AS t_v,
-                  min({'ts': c.ts, 'id': c.event_id}) AS mc
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id}) AS mc
            FROM v JOIN c ON c.user_id = v.user_id
                         AND c.ts > v.ts
                         AND c.ts <= v.ts + INTERVAL 3 HOUR
@@ -3019,7 +3026,7 @@ def cep_sql_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY v.user_id, v.event_id, v.ts),
          s3 AS (
            SELECT s2.user_id, s2.event_id, s2.t_v,
-                  min({'ts': p.ts, 'id': p.event_id}) AS mp
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id}) AS mp
            FROM s2 JOIN p ON p.user_id = s2.user_id
                          AND p.ts > s2.t_c
                          AND p.ts <= s2.t_v + INTERVAL 24 HOUR
@@ -3075,7 +3082,7 @@ def cep_sql_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, event_id, t_v, t_p,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY t_v, t_p, event_id) AS rn
+                                ORDER BY t_v, t_p, coalesce(event_id, 0)) AS rn
       FROM s2
     ),
     sel AS (
@@ -3133,7 +3140,7 @@ def cep_sql_match_number(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE event_type = 'purchase'),
          s2 AS (
            SELECT c.user_id, c.event_id, c.ts AS t_c,
-                  min({'ts': p.ts, 'id': p.event_id}) AS mp
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id}) AS mp
            FROM c JOIN p ON p.user_id = c.user_id
                         AND p.ts > c.ts
                         AND p.ts <= c.ts + INTERVAL 4 HOUR
@@ -3141,7 +3148,7 @@ def cep_sql_match_number(spark: SparkSession, sf_dir: str) -> DataFrame:
          n AS (
            SELECT user_id, event_id, t_c, mp,
                   CAST(row_number() OVER (PARTITION BY user_id
-                                          ORDER BY t_c, event_id)
+                                          ORDER BY t_c, coalesce(event_id, 0))
                        AS BIGINT) AS match_seq
            FROM s2)
     SELECT user_id AS key, event_id AS anchor_id, match_seq,

@@ -44,7 +44,7 @@ from spark_cep_spark.registry import register
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
                AS prev_type
       FROM events)
     SELECT prev_type, event_type AS next_type,
@@ -60,7 +60,7 @@ def graph_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair — 25 output rows regardless of input scale, so the aggregate
     is map-side-combinable down to almost nothing."""
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     )

@@ -195,7 +195,7 @@ def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE e AS (
       SELECT user_id, event_id, ts, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     ),
     r AS (
@@ -228,7 +228,11 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pdf = (  # NULL id sorts as 0, output keeps NULL (round-8 parity)
+            pdf.assign(_eid0=pdf["event_id"].fillna(0))
+            .sort_values(["ts", "_eid0"], kind="mergesort")
+            .drop(columns="_eid0")
+        )
         out, prev = [], None
         for x in pdf["value"]:
             prev = x if prev is None else 0.3 * x + 0.7 * prev
@@ -315,10 +319,10 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_start
       FROM events WHERE ts IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)))
     SELECT event_id, user_id,
            CAST(sum(is_start) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
+                                    ORDER BY ts, coalesce(event_id, 0)
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS BIGINT)
              AS session_id
@@ -340,7 +344,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts nulls FIRST, DuckDB LAST — session ids would diverge
     otherwise), mirroring the streaming faces' null discipline."""
     e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
     prev = F.lag("ts").over(w)
     # microsecond-exact gap compare (a seconds cast truncates and
     # disagrees with the oracle's INTERVAL arithmetic on sub-second
@@ -407,12 +411,12 @@ def win_period_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
            last_value(CASE WHEN event_type = 'view' THEN NULL
                            ELSE value END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS v_filled,
            last_value(CASE WHEN event_type = 'view' THEN NULL
                            ELSE value END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS v_prev
     FROM events
@@ -439,7 +443,7 @@ def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.when(
         F.col("event_type") == "view", F.lit(None).cast("double")
     ).otherwise(F.col("value"))
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
     return e.select(
         "event_id",
         "user_id",
@@ -547,7 +551,7 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
              stddev_samp(value) OVER w AS sd,
              count(*) OVER w AS n_hist
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, user_id, ts, value,
@@ -581,7 +585,7 @@ def anomaly_zscore(e: DataFrame) -> DataFrame:
     (shared with the streaming-equality tests)."""
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
         .rowsBetween(-20, -1)
     )
     s = e.select(
@@ -614,7 +618,7 @@ def anomaly_zscore(e: DataFrame) -> DataFrame:
              corr(value, CAST(epoch_ms(ts) AS DOUBLE)) OVER w AS c,
              count(*) OVER w AS n
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, user_id, ts, round(c, 4) + 0.0 AS trend_corr
@@ -647,7 +651,7 @@ def rolling_corr(e: DataFrame) -> DataFrame:
     (shared with the streaming-equality tests)."""
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
         .rowsBetween(-29, W.currentRow)
     )
     s = e.select(
@@ -684,7 +688,7 @@ _CUSUM_K, _CUSUM_H = 5.0, 25.0
     e AS (
       SELECT e.user_id, e.event_id, e.ts, e.value, mu.mu,
              row_number() OVER (PARTITION BY e.user_id
-                                ORDER BY e.ts, e.event_id) AS rn
+                                ORDER BY e.ts, coalesce(e.event_id, 0)) AS rn
       FROM events e JOIN mu ON mu.user_id = e.user_id
       WHERE e.value IS NOT NULL
     ),
@@ -754,7 +758,11 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, h = _CUSUM_K, _CUSUM_H
 
     def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pdf = (  # NULL id sorts as 0, output keeps NULL (round-8 parity)
+            pdf.assign(_eid0=pdf["event_id"].fillna(0))
+            .sort_values(["ts", "_eid0"], kind="mergesort")
+            .drop(columns="_eid0")
+        )
         s_hi = s_lo = 0.0
         hs, ls, al = [], [], []
         m = pdf["mu"].iloc[0] if len(pdf) else 0.0
@@ -790,7 +798,7 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
              mad(value) OVER w AS mad_,
              count(value) OVER w AS n_hist
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, user_id, ts, value,
@@ -825,7 +833,7 @@ def rolling_median(e: DataFrame) -> DataFrame:
     run it over staged file subsets)."""
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
         .rowsBetween(-10, 0)
     )
 
@@ -878,7 +886,7 @@ def rolling_median(e: DataFrame) -> DataFrame:
     WITH RECURSIVE e AS (
       SELECT user_id, event_id, ts, value,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
       FROM events
     ),
     r AS (
@@ -924,7 +932,11 @@ def holt_smooth(e: DataFrame) -> DataFrame:
     events = e.select("user_id", "event_id", "ts", "value")
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pdf = (  # NULL id sorts as 0, output keeps NULL (round-8 parity)
+            pdf.assign(_eid0=pdf["event_id"].fillna(0))
+            .sort_values(["ts", "_eid0"], kind="mergesort")
+            .drop(columns="_eid0")
+        )
         ls, bs, fs = [], [], []
         l = b = None
         for x in pdf["value"]:
@@ -1006,7 +1018,7 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT user_id, cents,
              max(cents) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id
+                              ORDER BY ts, coalesce(event_id, 0)
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS runmax
       FROM c)
@@ -1030,7 +1042,7 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("value") * 100).cast("long")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     r = e.select(

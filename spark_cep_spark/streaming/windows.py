@@ -166,7 +166,7 @@ def session_stream(events_stream: DataFrame, watermark: str = "10 minutes") -> D
     SELECT user_id, event_type, event_id, ts FROM (
         SELECT user_id, event_type, event_id, ts,
                row_number() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts, event_id) AS rn
+                                  ORDER BY ts, coalesce(event_id, 0)) AS rn
         FROM events) t
     WHERE rn = 1
     """,
@@ -177,7 +177,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (arbitrary-winner semantics — asserted on counts in tests); the
     batch twin pins the winner so the oracle hash is stable."""
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
     return (
         e.select("user_id", "event_type", "event_id", "ts", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
@@ -472,11 +472,11 @@ def trending_stream(
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_start
       FROM events WHERE ts IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))),
     sess AS (
       SELECT event_id, user_id, ts,
              sum(is_start) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id
+                                 ORDER BY ts, coalesce(event_id, 0)
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS sid
       FROM seq)
@@ -504,7 +504,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Null-ts events dropped on both sides (Spark sorts nulls first,
     # DuckDB last), matching the streaming face's null discipline.
     e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", F.coalesce(F.col("event_id"), F.lit(0)))
     prev = F.lag("ts").over(w)
     is_start = F.when(
         prev.isNull()
@@ -695,7 +695,7 @@ def dynamic_session_agg(events: DataFrame) -> DataFrame:
     w AS (
       SELECT user_id, ts, event_id, gap_min,
              max(ts + INTERVAL (gap_min) MINUTE) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0)
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS runmax
       FROM g),
@@ -706,7 +706,7 @@ def dynamic_session_agg(events: DataFrame) -> DataFrame:
       FROM w),
     s AS (
       SELECT user_id, ts, gap_min,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, coalesce(event_id, 0))
                AS sid
       FROM f)
     SELECT user_id, min(ts) AS session_start,
