@@ -608,6 +608,17 @@ def _parse_run_agg_conjunct(conj: str, var: str) -> RunAggSpec | None:
                 f"DEFINE aggregate conjunct {conj.strip()!r}: SUM "
                 "needs a column (SUM(*) is not defined)"
             )
+        if agg == "COUNT" and not (star or acol == "*"):
+            # COUNT(B.col) would have to skip NULL-col candidate rows
+            # (SQL COUNT ignores NULLs) while the kernel counts bound
+            # ROWS — silently accepting it would give it COUNT(B.*)
+            # semantics. Reject rather than mislead (round-8 ADVICE).
+            raise ValueError(
+                f"DEFINE aggregate conjunct {conj.strip()!r}: COUNT "
+                "over a column is not supported — the run cap counts "
+                "bound rows; use COUNT(B.*) or COUNT(*) (to gate on "
+                "non-NULL values, add `B.col IS NOT NULL` to DEFINE)"
+            )
         fr = Fraction(num)
         col = None if (star or acol == "*") else acol
         form = "sum_cap" if agg == "SUM" else "count_cap"

@@ -597,6 +597,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .localCheckpoint(eager=False)
         )
+    # Materialize the final labels (the per-round checkpoints are lazy,
+    # so the whole 4-round chain still hangs off adj until first
+    # evaluation), then release the adjacency — never-unpersisted
+    # adjacency leaks executor storage across a full-registry sweep
+    # (round-8 ADVICE). One job either way: the driver's collect would
+    # have run the same chain.
+    labels = labels.localCheckpoint(eager=True)
+    adj.unpersist()
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("csize")
     )

@@ -1715,9 +1715,19 @@ def _distributed_ntile_by(
         rem
         + (F.col("_grank") - fat_span - 1) / F.greatest(q, F.lit(1))
     )
-    return g.withColumn(out_col, (F.floor(tile) + 1).cast("long")).drop(
+    out = g.withColumn(out_col, (F.floor(tile) + 1).cast("long")).drop(
         "_pid", "_offset", "_grank", "_gn"
     )
+    # Materialize the ranked output NOW (localCheckpoint pins it and
+    # cuts the lineage back to r), then release r: unpersisting the
+    # range-partitioned input lazily would re-sample range boundaries
+    # on the next evaluation and mis-assign ranks, while never
+    # unpersisting leaks cached partitions across a full-registry
+    # sweep (round-8 ADVICE). The checkpoint blocks are GC-reclaimed
+    # with the returned frame, unlike the forever-persist they replace.
+    out = out.localCheckpoint(eager=True)
+    r.unpersist()
+    return out
 
 
 @register(

@@ -175,3 +175,26 @@ def test_tie_fixture_order_actually_matters(spark, tie_dir):
         con.close()
     ok, _why, _ = frames_equal(a, b, tol=0.0)
     assert not ok, "tie order does not affect win_ewma on this fixture"
+
+
+def test_count_over_column_rejected_pointed(spark, tie_dir):
+    """COUNT(B.col) in a DEFINE run-cap is REJECTED with a pointed
+    error (round-8 ADVICE): the kernel's cap counts bound ROWS, so
+    silently accepting COUNT(B.col) would give it COUNT(B.*) semantics
+    while SQL's COUNT(col) skips NULLs — a lie, not a feature."""
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.operators.relational import table
+
+    events = table(spark, tie_dir, "events")
+    with pytest.raises(ValueError, match=r"COUNT.*column.*COUNT\(B"):
+        match_recognize(
+            events,
+            """
+            PATTERN ( A -> B+ )
+            WITHIN 7 DAYS
+            DEFINE A AS event_type = 'signup',
+                   B AS event_type = 'view' AND COUNT(B.value) <= 3
+            PARTITION BY user_id
+            ORDER BY ts
+            """,
+        )
