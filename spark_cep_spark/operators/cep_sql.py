@@ -95,11 +95,18 @@ Connectors (Flink-CEP contiguity modes, spelled infix):
               on the accepted prefix — no window frame expresses it):
               anchor/candidate predicates evaluate JVM-side, only the
               aggregate check runs in Python with O(1) per-key state.
-              Exactly PATTERN (A -> B+) with an explicit AFTER MATCH
-              SKIP PAST LAST ROW; one aggregate conjunct per step;
-              MEASURES / navigation / composite keys / anchors are
-              rejected with pointed errors (fixed output columns:
-              key, t_<A>, <B>_count[, <B>_sum_<col>]).
+              PATTERN (A -> B+) or (A -> B+ -> C) (terminal-confirm,
+              round 8: a match exists only when a C row arrives while
+              the run is open with ≥1 bound B — greedy B+ first, the
+              C row is consumed, unconfirmed runs die unemitted) with
+              an explicit AFTER MATCH SKIP PAST LAST ROW; one
+              aggregate conjunct per step.  MEASURES over the
+              kernel's outputs compile to renames (round 8):
+              SUM|COUNT|AVG(B.col) and A.<order col> /
+              C.<order col>; other measures / navigation / composite
+              keys / anchors are rejected with pointed errors
+              (default output columns: key, t_<A>,
+              <B>_count[, <B>_sum_<col>][, t_<C>]).
     AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW /
     SKIP TO FIRST <step> / SKIP TO LAST <step>  (round 5; FIRST +
               kleene targets + explicit NEXT ROW round 6d)
@@ -1068,18 +1075,123 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     if run_agg_info is not None:
         # The DEFINE-aggregate path compiles to the sequential
         # advance_kleene_agg kernel, whose scan shape is exactly
-        # PATTERN (A -> B+) WITHIN <bound> with SKIP PAST LAST ROW —
-        # reject everything the kernel does not express, pointedly.
+        # PATTERN (A -> B+) or (A -> B+ -> C) WITHIN <bound> with
+        # SKIP PAST LAST ROW — reject everything the kernel does not
+        # express, pointedly.
         b_name, spec = run_agg_info
-        if len(pattern.steps) != 2:
+        if len(pattern.steps) not in (2, 3):
             raise ValueError(
                 "a running-aggregate DEFINE supports exactly "
-                "PATTERN (A -> B+) — one plain anchor step, then the "
-                f"aggregate Kleene step (got {len(pattern.steps)} steps)"
+                "PATTERN (A -> B+) or (A -> B+ -> C) — one plain "
+                "anchor step, the aggregate Kleene step, then at most "
+                "one plain terminal-confirm step (got "
+                f"{len(pattern.steps)} steps)"
             )
         a_name = pattern.steps[0].name
+        if pattern.steps[1].name != b_name:
+            raise ValueError(
+                f"the aggregate Kleene step {b_name!r} must "
+                "immediately follow the anchor: PATTERN (A -> B+) or "
+                "(A -> B+ -> C)"
+            )
+        conf_name: str | None = None
+        if len(pattern.steps) == 3:
+            c_step = pattern.steps[2]
+            if c_step.contiguity != "relaxed":
+                raise ValueError(
+                    f"the terminal-confirm step {c_step.name!r} of a "
+                    "running-aggregate pattern takes the relaxed -> "
+                    "connector and cannot be negated (the kernel scans "
+                    "forward for the FIRST confirming row; => strict "
+                    "contiguity would race the run's own candidates)"
+                )
+            if c_step.where is not None:
+                raise ValueError(
+                    f"the terminal-confirm step {c_step.name!r} cannot "
+                    "carry a correlation clause with a "
+                    "running-aggregate DEFINE (the kernel keeps one "
+                    "accumulator — fold the condition into the step's "
+                    "own predicate)"
+                )
+            if c_step.gap is not None:
+                raise ValueError(
+                    f"the terminal-confirm step {c_step.name!r} cannot "
+                    "carry a gapped connector with a running-aggregate "
+                    "DEFINE (the WITHIN bound is the only deadline the "
+                    "kernel tracks)"
+                )
+            conf_name = c_step.name
+        # MEASURES over the kernel's outputs compile to renames (no
+        # extra state): COUNT(B.col) → the bound-row count (every
+        # bound row has a non-NULL value by the bind rule, so SQL's
+        # NULL-skipping COUNT agrees), SUM(B.col) → the exact running
+        # sum, AVG(B.col) → sum/count as double, A.<order col> /
+        # C.<order col> → the anchor / confirm timestamps.
+        run_measures: list[tuple[str, str]] = []
+        _m_agg = re.compile(
+            r"^\s*(SUM|COUNT|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*"
+            r"([A-Za-z_]\w*)\s*\)\s*$",
+            re.I,
+        )
+        _m_ref = re.compile(
+            r"^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*$"
+        )
+        for alias, expr in pattern.measures:
+            m_agg = _m_agg.match(expr)
+            m_ref = _m_ref.match(expr)
+            if m_agg:
+                agg, stp, col = (
+                    m_agg.group(1).upper(),
+                    m_agg.group(2),
+                    m_agg.group(3),
+                )
+                if stp != b_name:
+                    raise ValueError(
+                        f"measure {alias!r}: {agg} must range over the "
+                        f"aggregate Kleene step {b_name!r}"
+                    )
+                if spec.col is None:
+                    raise ValueError(
+                        f"measure {alias!r}: the COUNT-cap DEFINE form "
+                        "carries no value column — the default output "
+                        "already emits the bound-row count"
+                    )
+                if col != spec.col:
+                    raise ValueError(
+                        f"measure {alias!r}: the kernel carries one "
+                        f"accumulator, over {b_name}.{spec.col} (got "
+                        f"{stp}.{col})"
+                    )
+                kind = {"SUM": "s", "COUNT": "n", "AVG": "avg"}[agg]
+            elif m_ref:
+                stp, col = m_ref.group(1), m_ref.group(2)
+                if stp == a_name:
+                    kind = "t_anchor"
+                elif conf_name is not None and stp == conf_name:
+                    kind = "t_conf"
+                else:
+                    raise ValueError(
+                        f"measure {alias!r}: a plain step reference "
+                        "must name the anchor or the terminal-confirm "
+                        f"step (got {stp!r})"
+                    )
+                if col != time_col:
+                    raise ValueError(
+                        f"measure {alias!r}: only the ORDER BY column "
+                        f"{time_col!r} of a bound step is available "
+                        f"(the kernel carries timestamps, not rows; "
+                        f"got {stp}.{col})"
+                    )
+            else:
+                raise ValueError(
+                    f"measure {alias!r} ({expr!r}) is not of a "
+                    "supported running-aggregate form: "
+                    f"SUM|COUNT|AVG({b_name}.{spec.col or '<col>'}), "
+                    f"{a_name}.{time_col}"
+                    + (f", or {conf_name}.{time_col}" if conf_name else "")
+                )
+            run_measures.append((alias, kind))
         for bad, what in (
-            (pattern.measures, "MEASURES"),
             (pattern.subsets, "SUBSET"),
             (all_nav_specs, "PREV/NEXT navigation"),
             (all_rows, "ALL ROWS PER MATCH"),
@@ -1095,7 +1207,8 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     "DEFINE (the kernel emits the fixed columns key, "
                     f"t_{a_name}, {b_name}_count"
                     + (f", {b_name}_sum_{spec.col}" if spec.col else "")
-                    + ")"
+                    + (f", t_{conf_name}" if conf_name else "")
+                    + " — MEASURES may rename/select them)"
                 )
         if skip != "skip_past_last_row":
             raise ValueError(
@@ -1106,7 +1219,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 "which is PAST LAST ROW semantics, not the default "
                 "SKIP TO NEXT ROW's overlapping matches"
             )
-        run_agg = (a_name, b_name, spec)
+        run_agg = (a_name, b_name, spec, conf_name, run_measures)
     return ParsedPatternQuery(
         pattern=pattern,
         key_col=key_col,
@@ -1584,18 +1697,22 @@ def _compile_run_agg(
     df: DataFrame, parsed: ParsedPatternQuery, watermark: str = "10 minutes"
 ) -> DataFrame:
     """Compile a running-aggregate MATCH_RECOGNIZE query (PATTERN
-    (A -> B+) with a DEFINE aggregate on B) for either engine via the
-    shared advance_kleene_agg kernel.
+    (A -> B+) or (A -> B+ -> C) with a DEFINE aggregate on B) for
+    either engine via the shared advance_kleene_agg kernel.
 
-    Spark-first split: the anchor/candidate predicates and the value
-    column are evaluated JVM-side into five narrow columns (key, ts,
-    eid, __is_a, __is_c, __v) — filters and the projection reach the
-    scan; only the run-dependent aggregate check (inexpressible as a
-    window frame: whether a row binds depends on which earlier rows
-    bound) crosses into Python, with O(1) per-key state.  Batch runs
-    the kernel per key via applyInPandas (wm = +inf force-closes open
-    runs at partition end); streaming via kleene_agg_stream's
-    applyInPandasWithState with the deadline timer.
+    Spark-first split: the anchor/candidate/confirm predicates and
+    the value column are evaluated JVM-side into narrow columns (key,
+    ts, eid, __is_a, __is_c, __v[, __is_conf]) — filters and the
+    projection reach the scan; only the run-dependent aggregate check
+    (inexpressible as a window frame: whether a row binds depends on
+    which earlier rows bound) crosses into Python, with O(1) per-key
+    state.  Batch runs the kernel per key via applyInPandas (wm =
+    +inf force-closes open runs at partition end — in the confirm
+    shape unconfirmed runs just die); streaming via
+    kleene_agg_stream's applyInPandasWithState with the deadline
+    timer.  MEASURES compile to renames/selections of the kernel's
+    fixed outputs (parse_pattern_sql validated them into (alias,
+    kind) pairs) — no extra kernel state.
 
     100 TB shape: ONE key shuffle into an O(rows-per-key) scan with
     O(1) state — the same tier-(b) class as win_ewma/cep_run_agg;
@@ -1609,11 +1726,15 @@ def _compile_run_agg(
     from spark_cep_spark.streaming.nfa import (
         _interval_to_ms,
         advance_kleene_agg,
+        kleene_agg_out_columns,
+        kleene_agg_out_fields,
         kleene_agg_stream,
     )
 
-    a_name, b_name, spec = parsed.run_agg
-    a_step, b_step = parsed.pattern.steps
+    a_name, b_name, spec, conf_name, run_measures = parsed.run_agg
+    a_step, b_step = parsed.pattern.steps[:2]
+    conf_step = parsed.pattern.steps[2] if conf_name is not None else None
+    confirm = conf_step is not None
     bind = _compile_run_agg_bind(spec)
     within_us = _interval_to_ms(parsed.pattern.time_bound) * 1000
     key_col, time_col = parsed.key_col, parsed.time_col
@@ -1639,16 +1760,19 @@ def _compile_run_agg(
                 f"or float typed (got {vt.simpleString()}; cast "
                 "decimals explicitly to pick the arithmetic)"
             )
-    out_t = f"t_{a_name}"
-    out_n = f"{b_name}_count"
-    out_s = None if val_col is None else f"{b_name}_sum_{val_col}"
+    if run_measures:
+        out_spec = list(run_measures)
+    else:
+        out_spec = [(f"t_{a_name}", "t_anchor"), (f"{b_name}_count", "n")]
+        if val_col is not None:
+            out_spec.append((f"{b_name}_sum_{val_col}", "s"))
+        if confirm:
+            out_spec.append((f"t_{conf_name}", "t_conf"))
 
     if df.isStreaming:
         df = df.withWatermark(time_col, watermark)
     id_col = "event_id" if "event_id" in df.columns else None
-    prepared = df.filter(
-        F.col(key_col).isNotNull() & F.col(time_col).isNotNull()
-    ).select(
+    proj = [
         F.col(key_col).alias("key"),
         F.col(time_col).alias("ts"),
         (F.col(id_col) if id_col else F.lit(0)).cast("long").alias("eid"),
@@ -1658,25 +1782,25 @@ def _compile_run_agg(
         (
             F.col(val_col) if val_col is not None else F.lit(0).cast("long")
         ).alias("__v"),
-    )
+    ]
+    if confirm:
+        proj.append(
+            F.coalesce(F.expr(conf_step.predicate), F.lit(False)).alias(
+                "__is_conf"
+            )
+        )
+    prepared = df.filter(
+        F.col(key_col).isNotNull() & F.col(time_col).isNotNull()
+    ).select(*proj)
 
     if df.isStreaming:
         return kleene_agg_stream(
-            prepared, bind, within_us, (out_t, out_n, out_s), integral
+            prepared, bind, within_us, out_spec, integral, confirm=confirm
         )
 
     conv = int if integral else float
-    fields = [
-        T.StructField("key", prepared.schema["key"].dataType),
-        T.StructField(out_t, T.TimestampType()),
-        T.StructField(out_n, T.LongType()),
-    ]
-    if out_s is not None:
-        fields.append(
-            T.StructField(
-                out_s, T.LongType() if integral else T.DoubleType()
-            )
-        )
+    fields = [T.StructField("key", prepared.schema["key"].dataType)]
+    fields += kleene_agg_out_fields(out_spec, integral)
     out_schema = T.StructType(fields)
     names = [f.name for f in fields]
 
@@ -1689,6 +1813,9 @@ def _compile_run_agg(
             ["ts", "eid"]
         )
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        confs = (
+            pdf["__is_conf"].tolist() if confirm else [False] * len(pdf)
+        )
         rows = [
             [
                 int(t),
@@ -1696,26 +1823,25 @@ def _compile_run_agg(
                 bool(ia),
                 bool(ic),
                 None if pd.isna(v) else conv(v),
+                bool(cf),
             ]
-            for t, e, ia, ic, v in zip(
+            for t, e, ia, ic, v, cf in zip(
                 ts_us.tolist(),
                 pdf["eid"].tolist(),
                 pdf["__is_a"].tolist(),
                 pdf["__is_c"].tolist(),
                 pdf["__v"].tolist(),
+                confs,
             )
         ]
         # wm = +inf: batch sees the whole partition, so every open run
         # force-closes at partition end (same sentinel as cep_run_agg)
-        _, out = advance_kleene_agg(None, rows, 1 << 62, bind, within_us)
+        _, out = advance_kleene_agg(
+            None, rows, 1 << 62, bind, within_us, confirm=confirm
+        )
         key = pdf["key"].iloc[0] if len(pdf) else None
-        data = {
-            "key": [key] * len(out),
-            out_t: pd.to_datetime([r[0] for r in out], unit="us"),
-            out_n: [r[1] for r in out],
-        }
-        if out_s is not None:
-            data[out_s] = [r[2] for r in out]
+        data = {"key": [key] * len(out)}
+        data.update(kleene_agg_out_columns(out, out_spec))
         return pd.DataFrame(data, columns=names)
 
     return prepared.groupBy("key").applyInPandas(fn, out_schema)
@@ -3353,4 +3479,171 @@ def cep_sql_run_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("user_id"),
         F.col("t_A").alias("anchor_ts"),
         F.col("B_count").alias("n_b"),
+    )
+
+
+_RUN_AGG_CONFIRM_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             coalesce(event_type, '') AS et,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             -- coalesce(event_id, 0): DuckDB sorts NULL LAST, the
+             -- kernel faces map NULL event_id to 0 BEFORE sorting
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND (value IS NULL OR abs(value) <= 1e9)
+    ),
+    mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS rn, FALSE AS in_run,
+             CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s,
+             CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS BIGINT) AS dl,
+             CAST(NULL AS BIGINT) AS em_anchor,
+             CAST(NULL AS BIGINT) AS em_n, CAST(NULL AS BIGINT) AS em_s,
+             CAST(NULL AS BIGINT) AS em_conf
+      FROM mx
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             -- in_run: greedy B+ first (bind-extend), then the C
+             -- confirm closes, then a bind-failing B kills; deadline
+             -- expiry / idle re-anchors on a signup
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN e.et = 'signup'
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                  THEN TRUE
+                  WHEN e.et = 'purchase' AND w.n > 0 THEN FALSE
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL THEN FALSE
+                  ELSE TRUE END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                  THEN w.n + 1
+                  WHEN e.et = 'purchase' AND w.n > 0
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE w.n END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                  THEN w.s + e.cents
+                  WHEN e.et = 'purchase' AND w.n > 0
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE w.s END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' THEN e.tus
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                  THEN w.anchor
+                  WHEN e.et = 'purchase' AND w.n > 0
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.anchor END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' THEN e.tus + 604800000000
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                  THEN w.dl
+                  WHEN e.et = 'purchase' AND w.n > 0
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.dl END,
+             -- emissions: ONLY a confirm row inside the deadline with
+             -- n >= 1 emits — deadline expiry and bind-failing rows
+             -- kill the run unemitted (an unconfirmed run is not a
+             -- match), and there is no partition-end close
+             CASE WHEN w.in_run AND e.tus <= w.dl
+                       AND e.et = 'purchase' AND w.n > 0
+                  THEN w.anchor END,
+             CASE WHEN w.in_run AND e.tus <= w.dl
+                       AND e.et = 'purchase' AND w.n > 0
+                  THEN w.n END,
+             CASE WHEN w.in_run AND e.tus <= w.dl
+                       AND e.et = 'purchase' AND w.n > 0
+                  THEN w.s END,
+             CASE WHEN w.in_run AND e.tus <= w.dl
+                       AND e.et = 'purchase' AND w.n > 0
+                  THEN e.tus END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, make_timestamp(em_anchor) AS anchor_ts,
+           make_timestamp(em_conf) AS confirm_ts,
+           em_n AS n_b, em_s AS run_total
+    FROM walk WHERE em_anchor IS NOT NULL
+"""
+
+
+@register("cep_sql_run_agg_confirm", oracle=_RUN_AGG_CONFIRM_ORACLE)
+def cep_sql_run_agg_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal-confirm DEFINE-aggregate shape (round-8 verdict
+    item 3): PATTERN (A -> B+ -> C) WITHIN 7 DAYS — a signup opens the
+    run, views bind while cents ≤ 1.5 × the RUNNING average (current
+    row included, exact cross-multiplied integers), and the match
+    exists ONLY if a purchase arrives while the run is open with ≥ 1
+    bound view (the run-ends-with-a-purchase funnel shape).  Deadline
+    expiry and bind-failing views kill the run UNEMITTED — the
+    semantic difference from cep_sql_run_agg, whose every run closes.
+    MEASURES (also round 8) rename the kernel's outputs: the anchor /
+    confirm timestamps and the run's COUNT/SUM — compiled as pure
+    selections, no extra kernel state.  Same advance_kleene_agg
+    kernel on both engines (confirm=True flag; batch applyInPandas
+    here, kleene_agg_stream's applyInPandasWithState for streams);
+    the oracle replays the definition as a recursive-CTE walk.
+
+    100 TB shape: identical to cep_sql_run_agg — predicates JVM-side
+    into narrow booleans, ONE (user) shuffle into an O(rows-per-key)
+    scan with O(1) state."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("value").isNull() | (F.abs("value") <= 1e9))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = match_recognize(
+        e,
+        """
+        PATTERN ( A -> B+ -> C )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view' AND B.cents <= 1.5 * AVG(B.cents),
+               C AS event_type = 'purchase'
+        MEASURES A.ts AS anchor_ts,
+                 C.ts AS confirm_ts,
+                 COUNT(B.cents) AS n_b,
+                 SUM(B.cents) AS run_total
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "anchor_ts",
+        "confirm_ts",
+        "n_b",
+        "run_total",
     )

@@ -171,7 +171,9 @@ DRIVER_PRIORITY: list[str] = [
     "win_drawdown",
     "rollup_retention_cohort",
     "cep_sql_alternation",
-    "agg_cube",
+    # NEW in round 8 (appends push the window's last staged key back
+    # to NEXT_ROTATION's front — see the module docstring)
+    "cep_sql_run_agg_confirm",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -181,6 +183,7 @@ DRIVER_PRIORITY: list[str] = [
 # prepended as they land. The round-9 window = the FIRST 50 of this
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
+    "agg_cube",  # displaced from the round-8 window by round-8 keys
     "text_bm25_topk",
     "sim_rrf_hybrid",
     "win_cusum",

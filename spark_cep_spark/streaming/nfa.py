@@ -4315,6 +4315,7 @@ def advance_kleene_agg(
     wm_us: int,
     bind,
     within_us: int,
+    confirm: bool = False,
 ) -> tuple[list | None, list]:
     """Generic running-aggregate kleene kernel — PATTERN (A -> B+)
     WITHIN <bound> where each candidate B binds iff `bind(n, s, v)`
@@ -4337,33 +4338,53 @@ def advance_kleene_agg(
     anchor + within_us; a close emits [anchor_us, n, s] when ≥ 1 row
     bound.
 
-    state: None (idle) or [n, sum, anchor_us, deadline_us].  O(1)
-    state; chunking-invariant given monotone wm (property-tested)."""
+    confirm=True switches to the terminal-confirm shape
+    PATTERN (A -> B+ -> C) (round-8 verdict item 3): rows carry a
+    sixth element is_conf, and a match exists ONLY when a confirm row
+    arrives while the run is open with ≥ 1 bound B — emitting
+    [anchor_us, n, s, conf_ts_us] and consuming the C row (SKIP PAST
+    LAST ROW).  Greedy B+ first: a row that both bind-extends and
+    confirms extends; a bind-FAILING row that also confirms closes
+    the match (the NFA's B+ branch dies, its C branch completes).  A
+    confirm row with n == 0 is skipped (relaxed contiguity — B+ needs
+    ≥ 1 row, so A·C alone is not a match and noise rows don't kill
+    partials).  Deadline/watermark expiry and bind-failing rows kill
+    the run WITHOUT emitting — an unconfirmed run is not a match.
+
+    state: None (idle) or [n, sum, anchor_us, deadline_us] — confirm
+    adds no state.  O(1) state; chunking-invariant given monotone wm
+    (property-tested)."""
     st = None if state is None else list(state)
     out = []
-    for ts, _eid, is_a, is_c, v in matured:
+    for row in matured:
+        ts, _eid, is_a, is_c, v = row[:5]
+        is_conf = confirm and row[5]
         if st is not None and ts > st[3]:
-            if st[0] > 0:
+            if not confirm and st[0] > 0:
                 out.append([st[2], st[0], st[1]])
             st = None
         if st is None:
             if is_a:
                 st = [0, 0, ts, ts + within_us]
+        elif is_c and v is not None and bind(st[0], st[1], v):
+            st[0] += 1
+            st[1] += v
+        elif is_conf and st[0] > 0:
+            out.append([st[2], st[0], st[1], ts])
+            st = None
         elif is_c and v is not None:
-            if bind(st[0], st[1], v):
-                st[0] += 1
-                st[1] += v
-            else:
-                if st[0] > 0:
-                    out.append([st[2], st[0], st[1]])
-                st = None
+            # bind false: the failing row is consumed, the run dies —
+            # unconfirmed runs emit only in the 2-step shape
+            if not confirm and st[0] > 0:
+                out.append([st[2], st[0], st[1]])
+            st = None
     # strictly-less: the event path accepts ts == deadline, so a
     # watermark landing exactly on the deadline must NOT close the run
     # (a tie event can still arrive in the next chunk) — closing on <=
     # broke chunking invariance at the boundary (code-review catch,
     # reproduced: whole [[0,3,300]] vs chunked [[0,2,200]]).
     if st is not None and st[3] < wm_us:
-        if st[0] > 0:
+        if not confirm and st[0] > 0:
             out.append([st[2], st[0], st[1]])
         st = None
     return st, out
@@ -4486,22 +4507,66 @@ def run_agg_stream(
     )
 
 
+def kleene_agg_out_fields(out_spec: list, integral: bool) -> list:
+    """Output StructFields for a kleene-agg out_spec — shared by the
+    batch (applyInPandas) and streaming (applyInPandasWithState)
+    faces so their schemas can never drift.  out_spec entries are
+    (column name, kind) with kind ∈ {'t_anchor', 't_conf', 'n', 's',
+    'avg'}: the anchor / confirm timestamps, the bound-row count, the
+    exact running sum (long for integral inputs, double otherwise),
+    and the sum/count average (always double)."""
+    kind_t = {
+        "t_anchor": T.TimestampType(),
+        "t_conf": T.TimestampType(),
+        "n": T.LongType(),
+        "s": T.LongType() if integral else T.DoubleType(),
+        "avg": T.DoubleType(),
+    }
+    return [T.StructField(name, kind_t[kind]) for name, kind in out_spec]
+
+
+def kleene_agg_out_columns(rows: list, out_spec: list) -> dict:
+    """Materialize kernel emission rows ([anchor_us, n, s] or
+    [anchor_us, n, s, conf_us]) into {column name: values} per the
+    out_spec — the single row→column mapping both faces use.  'avg'
+    divides the EXACT accumulators (Python int/int true division is
+    correctly rounded, identical to the oracle's double division for
+    magnitudes < 2^53 — the cents domain bound guarantees that)."""
+    makers = {
+        "t_anchor": lambda r: r[0],
+        "t_conf": lambda r: r[3],
+        "n": lambda r: r[1],
+        "s": lambda r: r[2],
+        "avg": lambda r: r[2] / r[1],
+    }
+    data = {}
+    for name, kind in out_spec:
+        vals = [makers[kind](r) for r in rows]
+        if kind in ("t_anchor", "t_conf"):
+            vals = pd.to_datetime(vals, unit="us")
+        data[name] = vals
+    return data
+
+
 def kleene_agg_stream(
     prepared: DataFrame,
     bind,
     within_us: int,
-    out_cols: tuple,
+    out_spec: list,
     integral: bool,
+    confirm: bool = False,
 ) -> DataFrame:
     """Streaming face of the dialect's DEFINE-aggregate compilation
     (cep_sql.py _compile_run_agg): the generic advance_kleene_agg
     kernel behind applyInPandasWithState.
 
     `prepared` must already carry the watermark and the projection
-    (key, ts, eid, __is_a, __is_c, __v) — the anchor/candidate
-    predicates are plain Spark SQL booleans evaluated JVM-side, so
-    the Python boundary moves five narrow columns, not the event row.
-    out_cols = (anchor-ts name, count name, sum name or None);
+    (key, ts, eid, __is_a, __is_c, __v[, __is_conf when confirm]) —
+    the anchor/candidate/confirm predicates are plain Spark SQL
+    booleans evaluated JVM-side, so the Python boundary moves a few
+    narrow columns, not the event row.  out_spec = [(name, kind)]
+    per kleene_agg_out_fields (MEASURES compile to renames of the
+    kernel's fixed outputs — no extra state);
     `integral` converts __v via int() (arbitrary-precision sums —
     the exact-arithmetic path) vs float().  Key and value dtypes are
     derived from the input schema (a string key flows through
@@ -4510,21 +4575,11 @@ def kleene_agg_stream(
     Per-key state = the open run's [n, sum, anchor, deadline] plus
     the watermark buffer (JSON payload, same codec as the NFA); the
     event-time timer is min(buffered ts, open-run deadline) so a run
-    with no further events still closes and emits when the watermark
-    passes anchor + within_us."""
+    with no further events still closes when the watermark passes
+    anchor + within_us (and, in the 2-step shape, emits)."""
     key_type = prepared.schema["key"].dataType
-    t_name, n_name, s_name = out_cols
-    fields = [
-        T.StructField("key", key_type),
-        T.StructField(t_name, T.TimestampType()),
-        T.StructField(n_name, T.LongType()),
-    ]
-    if s_name is not None:
-        fields.append(
-            T.StructField(
-                s_name, T.LongType() if integral else T.DoubleType()
-            )
-        )
+    fields = [T.StructField("key", key_type)]
+    fields += kleene_agg_out_fields(out_spec, integral)
     out_schema = T.StructType(fields)
     state_schema = T.StructType([T.StructField("payload", T.StringType())])
     conv = int if integral else float
@@ -4543,12 +4598,18 @@ def kleene_agg_stream(
                 if len(pdf) == 0:
                     continue
                 ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-                for ts, eid, ia, ic, v in zip(
+                confs = (
+                    pdf["__is_conf"].tolist()
+                    if confirm
+                    else [False] * len(pdf)
+                )
+                for ts, eid, ia, ic, v, cf in zip(
                     ts_us.tolist(),
                     pdf["eid"].tolist(),
                     pdf["__is_a"].tolist(),
                     pdf["__is_c"].tolist(),
                     pdf["__v"].tolist(),
+                    confs,
                 ):
                     # NULL event_id maps to 0 (sort tie-break only) —
                     # the batch face keeps such rows; dropping them
@@ -4560,6 +4621,7 @@ def kleene_agg_stream(
                             bool(ia),
                             bool(ic),
                             None if v is None or pd.isna(v) else conv(v),
+                            bool(cf),
                         ]
                     )
 
@@ -4568,7 +4630,9 @@ def kleene_agg_stream(
         matured = [e for e in buf if e[0] <= wm_us]
         buf = [e for e in buf if e[0] > wm_us]
 
-        s, rows = advance_kleene_agg(s, matured, wm_us, bind, within_us)
+        s, rows = advance_kleene_agg(
+            s, matured, wm_us, bind, within_us, confirm=confirm
+        )
 
         if buf or s is not None:
             state.update((json.dumps({"buf": buf, "s": s}),))
@@ -4585,13 +4649,8 @@ def kleene_agg_stream(
             state.remove()
 
         if rows:
-            data = {
-                "key": [key[0]] * len(rows),
-                t_name: pd.to_datetime([r[0] for r in rows], unit="us"),
-                n_name: [r[1] for r in rows],
-            }
-            if s_name is not None:
-                data[s_name] = [r[2] for r in rows]
+            data = {"key": [key[0]] * len(rows)}
+            data.update(kleene_agg_out_columns(rows, out_spec))
             yield pd.DataFrame(data)
 
     return prepared.groupBy("key").applyInPandasWithState(

@@ -91,6 +91,8 @@ EVENTS_KEYS = [
     # round-7
     "cep_sql_run_agg", "rollup_twap", "feat_scale", "agg_hll_union",
     "cep_sql_run_count",
+    # round-8
+    "cep_sql_run_agg_confirm",
 ]
 
 
@@ -160,6 +162,8 @@ EMPTY_SWEEP_KEYS = [
     # round-7
     "cep_sql_run_agg", "rollup_twap", "feat_scale", "agg_hll_union",
     "cep_sql_run_count",
+    # round-8
+    "cep_sql_run_agg_confirm",
 ]
 
 

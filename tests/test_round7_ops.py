@@ -152,22 +152,26 @@ def test_run_agg_dialect_pointed_errors():
         parse_pattern_sql(
             base.format(extra="AFTER MATCH SKIP TO LAST B")
         )
-    with pytest.raises(ValueError, match="MEASURES is not supported"):
+    # round 8 lifted the blanket MEASURES rejection to supported
+    # renames of the kernel outputs — unsupported forms stay pointed
+    with pytest.raises(ValueError, match="not of a supported"):
         parse_pattern_sql(
             base.format(
                 extra="AFTER MATCH SKIP PAST LAST ROW "
-                "MEASURES count(B.cents) AS n"
+                "MEASURES max(B.cents) AS m"
             )
         )
-    # a three-step pattern cannot take the aggregate DEFINE
-    with pytest.raises(ValueError, match="exactly"):
+    # round 8 lifted the 2-step restriction to (A -> B+ -> C); a
+    # FOUR-step pattern keeps the pointed rejection
+    with pytest.raises(ValueError, match=r"A -> B\+ -> C"):
         parse_pattern_sql("""
-            PATTERN ( A -> B+ -> C )
+            PATTERN ( A -> B+ -> C -> D )
             WITHIN 7 DAYS
             DEFINE A AS event_type = 'signup',
                    B AS event_type = 'view'
                         AND B.cents <= 1.5 * AVG(B.cents),
-                   C AS event_type = 'purchase'
+                   C AS event_type = 'purchase',
+                   D AS event_type = 'error'
             AFTER MATCH SKIP PAST LAST ROW
         """)
     # aggregate + other correlation on the same kleene step

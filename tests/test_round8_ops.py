@@ -22,6 +22,9 @@ import sys
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo/tools")
 
@@ -175,6 +178,318 @@ def test_tie_fixture_order_actually_matters(spark, tie_dir):
         con.close()
     ok, _why, _ = frames_equal(a, b, tol=0.0)
     assert not ok, "tie order does not affect win_ewma on this fixture"
+
+
+# ---------------------------------------------------------------------------
+# Terminal-confirm DEFINE-aggregate (round-8 verdict item 3):
+# PATTERN (A -> B+ -> C) + MEASURES over the run aggregate, compiling to
+# the same advance_kleene_agg kernel (confirm=True) on both engines.
+# ---------------------------------------------------------------------------
+
+_RAC_TEXT = """
+    PATTERN ( A -> B+ -> C )
+    WITHIN 7 DAYS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'view' AND B.cents <= 1.5 * AVG(B.cents),
+           C AS event_type = 'purchase'
+    MEASURES A.ts AS anchor_ts,
+             C.ts AS confirm_ts,
+             COUNT(B.cents) AS n_b,
+             SUM(B.cents) AS run_total
+    AFTER MATCH SKIP PAST LAST ROW
+    PARTITION BY user_id
+    ORDER BY ts
+"""
+
+
+def test_kleene_agg_confirm_kernel_semantics():
+    """Hand-walked confirm-mode kernel cases: greedy B+ first, C
+    closes with ≥1 bound B, bind-fail kills unemitted, a bind-failing
+    row that ALSO confirms completes the match, C at n=0 is skipped
+    (relaxed), deadline/watermark expiry never emits."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: 2 * v * (n + 1) <= 3 * (s + v)  # noqa: E731
+    W = 1000  # within_us
+
+    def run(rows, wm=1 << 62):
+        _, out = advance_kleene_agg(None, rows, wm, bind, W, confirm=True)
+        return out
+
+    # rows: [ts, eid, is_a, is_c, v, is_conf]
+    A = lambda t: [t, 0, True, False, None, False]  # noqa: E731
+    B = lambda t, v: [t, 0, False, True, v, False]  # noqa: E731
+    C = lambda t: [t, 0, False, False, None, True]  # noqa: E731
+
+    # happy path: A, B(10), B(12), C → one match [anchor, 2, 22, t_C]
+    assert run([A(0), B(1, 10), B(2, 12), C(3)]) == [[0, 2, 22, 3]]
+    # no C → no match (2-step shape would emit at partition end)
+    assert run([A(0), B(1, 10), B(2, 12)]) == []
+    # bind-fail kills unemitted; later C finds nothing
+    assert run([A(0), B(1, 10), B(2, 1000), C(3)]) == []
+    # a bind-FAILING row that also confirms completes the match
+    BC = [2, 0, False, True, 1000, True]
+    assert run([A(0), B(1, 10), BC]) == [[0, 1, 10, 2]]
+    # a bind-EXTENDING row that also confirms extends (greedy B+) —
+    # the later plain C closes with n=2
+    BC2 = [2, 0, False, True, 11, True]
+    assert run([A(0), B(1, 10), BC2, C(3)]) == [[0, 2, 21, 3]]
+    # C at n=0 is relaxed noise: run survives, binds later, C closes
+    assert run([A(0), C(1), B(2, 10), C(3)]) == [[0, 1, 10, 3]]
+    # deadline expiry kills unemitted; the late C cannot close it,
+    # and a post-deadline A re-anchors
+    assert run([A(0), B(1, 10), C(W + 5)]) == []
+    out = run([A(0), B(1, 10), A(W + 5), B(W + 6, 7), C(W + 7)])
+    assert out == [[W + 5, 1, 7, W + 7]]
+    # watermark passing the deadline closes WITHOUT emitting
+    st, out = advance_kleene_agg(
+        None, [A(0), B(1, 10)], W + 1, bind, W, confirm=True
+    )
+    assert st is None and out == []
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),  # ts increment
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.integers(1, 30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(1, 39), max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_kleene_agg_confirm_chunking_invariance(evs, cuts):
+    """Any micro-batch chunking of the same ordered stream (with
+    monotone watermarks at chunk boundaries) must emit exactly the
+    whole-stream result — the streaming face's correctness contract."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: s + v <= 40  # noqa: E731
+    W = 60
+    t = 0
+    rows = []
+    for dt, et, v in evs:
+        t += dt
+        rows.append(
+            [
+                t,
+                0,
+                et == "a",
+                et == "b",
+                v if et == "b" else None,
+                et == "c",
+            ]
+        )
+    _, whole = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, confirm=True
+    )
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    stt, got, prev = None, [], 0
+    for b in bounds:
+        chunk = rows[prev:b]
+        wm = chunk[-1][0] if chunk else (rows[prev - 1][0] if prev else 0)
+        stt, part = advance_kleene_agg(
+            stt, chunk, wm, bind, W, confirm=True
+        )
+        got += part
+        prev = b
+    stt, part = advance_kleene_agg(stt, [], 1 << 62, bind, W, confirm=True)
+    got += part
+    assert got == whole
+
+
+def test_cep_sql_run_agg_confirm_small_fixture(spark):
+    """Hand-computed confirm + MEASURES fixture through the full
+    dialect path (text → parse → batch compile)."""
+    import datetime as ddt
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    t0 = ddt.datetime(2026, 1, 1)
+    m = lambda k: t0 + ddt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: signup, views 10+12 bind, purchase confirms
+        (1, m(0), 1, "signup", 0.10),
+        (2, m(1), 1, "view", 0.10),
+        (3, m(2), 1, "view", 0.12),
+        (4, m(3), 1, "purchase", 9.99),
+        # user 1 again: second signup, view, NO purchase → unemitted
+        (5, m(4), 1, "signup", 0.10),
+        (6, m(5), 1, "view", 0.50),
+        # user 2: view 9.00 fails the 1.5×avg bind after 0.10+0.12 —
+        # run dies unemitted, the later purchase finds nothing
+        (7, m(0), 2, "signup", 0.10),
+        (8, m(1), 2, "view", 0.10),
+        (9, m(2), 2, "view", 9.00),
+        (10, m(3), 2, "purchase", 9.99),
+        # user 3: purchase BEFORE any view is relaxed noise
+        (11, m(0), 3, "signup", 0.10),
+        (12, m(1), 3, "purchase", 9.99),
+        (13, m(2), 3, "view", 0.20),
+        (14, m(3), 3, "purchase", 9.99),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    got = {
+        tuple(r)
+        for r in match_recognize(df, _RAC_TEXT).collect()
+    }
+    assert got == {
+        (1, m(0), m(3), 2, 22),
+        (3, m(0), m(3), 1, 20),
+    }
+
+
+def test_cep_sql_run_agg_confirm_streaming_equals_batch(spark, sf_dir):
+    """The SAME confirm + MEASURES text on a streaming input
+    (multi-micro-batch AvailableNow) emits exactly the batch rows."""
+    import datetime as ddt
+    import glob
+    import os
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    def prep(df):
+        return df.filter(
+            "user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND (value IS NULL OR abs(value) <= 1e9)"
+        ).selectExpr(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "CAST(round(value * 100) AS LONG) AS cents",
+        )
+
+    stream = prep(
+        harness.events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            match_recognize(stream, _RAC_TEXT, watermark="0 seconds"),
+            "append",
+        )
+        .filter("key <> -1")
+        .collect()
+    }
+    batch = prep(spark.read.parquet(staged)).filter("user_id <> -1")
+    want = {tuple(r) for r in match_recognize(batch, _RAC_TEXT).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_run_agg_confirm_pointed_errors():
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    base = """
+        PATTERN ( A -> B+ {conn} C )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view' AND B.cents <= 1.5 * AVG(B.cents),
+               C AS {cdef}
+        {extra}
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+    """
+
+    def t(conn="->", cdef="event_type = 'purchase'", extra=""):
+        return base.format(conn=conn, cdef=cdef, extra=extra)
+
+    # strict => into the confirm step
+    with pytest.raises(ValueError, match="relaxed ->"):
+        parse_pattern_sql(t(conn="=>"))
+    # gapped connector into the confirm step
+    with pytest.raises(ValueError, match="gapped"):
+        parse_pattern_sql(t(conn="-[1 HOURS]->"))
+    # correlation on the confirm step
+    with pytest.raises(ValueError, match="correlation"):
+        parse_pattern_sql(
+            t(cdef="event_type = 'purchase' AND C.cents > A.cents")
+        )
+    # measures: aggregate over the wrong column
+    with pytest.raises(ValueError, match="one.*accumulator"):
+        parse_pattern_sql(
+            t(extra="MEASURES SUM(B.other) AS x")
+        )
+    # measures: a bare kleene-step ref is caught by the general
+    # measure validation (corr_plan) before the run-agg conversion
+    with pytest.raises(ValueError, match="without an aggregate"):
+        parse_pattern_sql(t(extra="MEASURES B.ts AS x"))
+    # measures: plain ref must be anchor/confirm + the ORDER BY column
+    with pytest.raises(ValueError, match="ORDER BY column"):
+        parse_pattern_sql(t(extra="MEASURES C.cents AS x"))
+    with pytest.raises(ValueError, match="ORDER BY column"):
+        parse_pattern_sql(t(extra="MEASURES A.cents AS x"))
+    # count-cap form has no value column to aggregate in MEASURES
+    with pytest.raises(ValueError, match="COUNT-cap"):
+        parse_pattern_sql("""
+            PATTERN ( A -> B+ )
+            WITHIN 7 DAYS
+            DEFINE A AS event_type = 'signup',
+                   B AS event_type = 'view' AND COUNT(B.*) <= 3
+            MEASURES SUM(B.cents) AS x
+            AFTER MATCH SKIP PAST LAST ROW
+            PARTITION BY user_id
+            ORDER BY ts
+        """)
+
+
+def test_run_agg_measures_rename_two_step(spark):
+    """MEASURES on the 2-step shape: pure renames of the kernel
+    outputs, incl. the AVG measure (exact sum / exact count as
+    double)."""
+    import datetime as ddt
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    t0 = ddt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 0),
+        (2, t0 + ddt.timedelta(minutes=1), 1, "c", 60),
+        (3, t0 + ddt.timedelta(minutes=2), 1, "c", 30),
+        (4, t0 + ddt.timedelta(minutes=3), 1, "c", 20),  # sum 110 > 100
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, v long",
+    )
+    out = match_recognize(
+        df,
+        """
+        PATTERN ( A -> B+ )
+        WITHIN 1 HOURS
+        DEFINE A AS event_type = 'a',
+               B AS event_type = 'c' AND SUM(B.v) <= 100
+        MEASURES A.ts AS started, COUNT(B.v) AS n,
+                 SUM(B.v) AS total, AVG(B.v) AS mean
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    assert out.columns == ["key", "started", "n", "total", "mean"]
+    assert [tuple(r) for r in out.collect()] == [(1, t0, 2, 90, 45.0)]
 
 
 def test_count_over_column_rejected_pointed(spark, tie_dir):

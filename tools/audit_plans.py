@@ -135,6 +135,9 @@ PYTHON_OK = {
     # evaluate JVM-side into booleans; only the prefix-dependent
     # aggregate check crosses into Python (5 narrow columns, O(1) state)
     "cep_sql_run_count",  # the COUNT-cap form of the same kernel path
+    "cep_sql_run_agg_confirm",  # the terminal-confirm (A -> B+ -> C)
+    # form of the same kernel path (round 8) — identical JVM/Python
+    # split, one extra JVM-side boolean column
     "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
     # sequential per key (each kept point changes the next triangle) —
     # the documented tier-(b) applyInPandas integer kernel; one (user)
