@@ -667,17 +667,38 @@ def planted_recall_probe(
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = df.filter(F.col("vec_id") >= 1000)
+
+    def _index_probe():
+        # build on the base corpus, APPEND the twins against the
+        # stored quantizers, serve from disk — the full persistent
+        # lifecycle under the same recall gate
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivfpq_recall_")
+        try:
+            idx = IvfPqIndex.build(
+                spark, df.filter(F.col("vec_id") < 1000), path
+            )
+            idx.append(q)
+            return IvfPqIndex.load(spark, path).query(
+                q, k=1, nprobe=4
+            ).collect()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
     fn = {
-        "sim_ann_lsh": lambda: topk_lsh(spark, q, df, k=1),
+        "sim_ann_lsh": lambda: topk_lsh(spark, q, df, k=1).collect(),
         "sim_ann_ivf": lambda: topk_ivf(
             spark, q, df, k=1, n_cells=16, nprobe=4
-        ),
-        "sim_ann_pq": lambda: topk_pq(spark, q, df, k=1),
+        ).collect(),
+        "sim_ann_pq": lambda: topk_pq(spark, q, df, k=1).collect(),
         "sim_ann_ivfpq": lambda: topk_ivfpq(
             spark, q, df, k=1, n_cells=16, nprobe=4
-        ),
+        ).collect(),
+        "sim_ann_ivfpq_index": _index_probe,
     }[method]
-    got = fn().collect()
+    got = fn()
     hits = sum(
         1 for r in got if r.rk == 1 and r.neighbor_id == r.qid - 1000
     )
@@ -2174,6 +2195,393 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return topk_ivfpq(spark, q, e, k=10)
+
+
+class IvfPqIndex:
+    """Persistent IVF×PQ index — the production ending of
+    `topk_ivfpq` (round-8 verdict item 4): quantizers are trained and
+    the corpus encoded ONCE, then the stored index serves queries and
+    absorbs appends without rebuild — the FAISS IVFADC serving layout
+    (Jégou et al 2011) on plain parquet.
+
+    Layout (no side formats):
+      <path>/cells/      (vec_id, embedding, codes) partitioned BY
+                         CELL.  A query probing nprobe cells triggers
+                         a PARTITION-PRUNED scan (plan-test-pinned);
+                         the ADC pass selects only (vec_id, codes)
+                         so parquet column pruning keeps the bytes
+                         per touched row at the n_sub code ids — IVF
+                         bounds WHICH rows, PQ bounds the BYTES, the
+                         same two multiplicative savings the one-shot
+                         operator composes, now amortized across
+                         queries.  The raw vector rides in the same
+                         row group but is only read for the exact
+                         re-rank of the per-query shortlist.
+      <path>/centroids/  (cell, centroid) — n_cells rows, the
+                         broadcast-sized routing table.
+      <path>/codebooks/  (sub, code, center) — n_sub×n_codes rows,
+                         the PQ tables (KBs).
+
+    One encode kernel (`_encode`) serves BOTH build and append, so a
+    vector is assigned the same cell and codes whether it arrived in
+    the initial bulk load or later — build(all, train=base) equals
+    build(base)+append(rest) bit-for-bit (test-pinned).  Append never
+    re-trains: new vectors are quantized against the STORED
+    centroids/codebooks and their files land inside the existing cell
+    partitions — the incremental-ingest shape of
+    pipeline_incremental_dedup.  (Re-training on drifted data is a
+    rebuild, by design — same as FAISS.)"""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # -- shared quantization kernel -------------------------------------
+    def _load_tables(self):
+        import os
+
+        import numpy as np
+
+        cents = (
+            self.spark.read.parquet(os.path.join(self.path, "centroids"))
+            .orderBy("cell")
+            .collect()
+        )
+        cells = np.array([r["cell"] for r in cents], dtype=np.int64)
+        C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+        bk = (
+            self.spark.read.parquet(os.path.join(self.path, "codebooks"))
+            .orderBy("sub", "code")
+            .collect()
+        )
+        n_sub = 1 + max(r["sub"] for r in bk)
+        n_codes = 1 + max(r["code"] for r in bk)
+        books = np.array([r["center"] for r in bk], dtype=np.float64)
+        books = books.reshape(n_sub, n_codes, -1)
+        return cells, C, books
+
+    def _encode(self, df: DataFrame, cells, C, books) -> DataFrame:
+        """Assign (cell, codes) to every vector via one Arrow-batched
+        mapInPandas pass against the broadcast centroids/codebooks —
+        the single quantization path build and append both use.
+        Deterministic: np.argmin takes the FIRST minimum on exact
+        ties, matching the build-time encoding."""
+        import numpy as np
+
+        id_col, vec_col = self.id_col, self.vec_col
+        n_sub, _, dsub = books.shape
+        dim = C.shape[1]
+        bc = self.spark.sparkContext.broadcast((cells, C, books))
+        df = valid_vectors(df, vec_col, dim).select(id_col, vec_col)
+
+        def enc(batches):
+            cl, cen, bks = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                d2 = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(-1)
+                cell = cl[d2.argmin(1)]
+                xs = X.reshape(len(pdf), n_sub, dsub)
+                dc = ((xs[:, :, None, :] - bks[None, :, :, :]) ** 2).sum(-1)
+                codes = dc.argmin(-1)  # (N, n_sub)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "codes": [
+                            [int(c) for c in row] for row in codes
+                        ],
+                        "cell": cell,
+                    }
+                )
+
+        return df.mapInPandas(
+            enc,
+            f"{id_col} long, {vec_col} array<double>, "
+            "codes array<int>, cell int",
+        )
+
+    # -- lifecycle -------------------------------------------------------
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        candidates: DataFrame,
+        path: str,
+        train_df: DataFrame | None = None,
+        n_cells: int = 16,
+        n_sub: int = 8,
+        n_codes: int = 16,
+        seed: int = 7,
+        train_cap: int = 4096,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        """Train the coarse quantizer (seeded KMeans) and the PQ
+        codebooks on `train_df` (default: the candidates themselves),
+        then encode + store `candidates`.  Passing an explicit
+        train_df pins the quantizers to a base corpus so later
+        appends are bit-for-bit reproducible against a bulk load."""
+        import os
+
+        import numpy as np
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = candidates if train_df is None else train_df
+        probe = (
+            valid_vectors(train, vec_col)
+            .groupBy(F.size(vec_col).alias("d"))
+            .count()
+            .orderBy(F.desc("count"), "d")
+            .first()
+        )
+        if probe is None:
+            raise ValueError("no valid vectors to train on")
+        dim = probe.d
+        if dim % n_sub:
+            raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+        # degenerate-corpus guard: never ask the quantizers for more
+        # cells/codes than there are valid training vectors (Spark
+        # KMeans needs k>1 and the PQ sampler draws without
+        # replacement)
+        n_train = int(probe["count"])
+        n_cells = max(1, min(n_cells, n_train))
+        n_codes = max(1, min(n_codes, n_train))
+        train = valid_vectors(train, vec_col, dim)
+        if n_cells == 1:
+            # Spark KMeans requires k > 1; the k=1 centroid is the mean
+            m = train.select(
+                *[
+                    F.avg(F.col(vec_col)[i]).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            ).first()
+            centers = [(0, [float(m[i]) for i in range(dim)])]
+        else:
+            model = KMeans(
+                k=n_cells, seed=seed, featuresCol="_fv",
+                predictionCol="cell",
+            ).fit(
+                train.select(
+                    array_to_vector(
+                        F.col(vec_col).cast("array<double>")
+                    ).alias("_fv")
+                )
+            )
+            centers = [
+                (int(i), [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ]
+        spark.createDataFrame(
+            centers, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+        # bounded driver-side PQ training sample (first train_cap by
+        # id — deterministic), the standard PQ recipe
+        sample_rows = (
+            train.select(vec_col).orderBy(id_col).limit(train_cap).collect()
+        )
+        sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+        books = _train_codebooks(sample, n_sub, n_codes, seed)
+        book_rows = [
+            (int(s), int(c), [float(x) for x in books[s, c]])
+            for s in range(n_sub)
+            for c in range(n_codes)
+        ]
+        spark.createDataFrame(
+            book_rows, "sub int, code int, center array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebooks")
+        )
+        idx = IvfPqIndex(spark, path, id_col, vec_col)
+        cl, C, bks = idx._load_tables()
+        idx._encode(candidates, cl, C, bks).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(os.path.join(path, "cells"))
+        return idx
+
+    @staticmethod
+    def load(spark: SparkSession, path: str,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "IvfPqIndex":
+        return IvfPqIndex(spark, path, id_col, vec_col)
+
+    def append(self, new_candidates: DataFrame) -> "IvfPqIndex":
+        """Quantize new vectors against the STORED centroids/codebooks
+        (no re-train, no rescan of existing rows — the incremental-
+        ingest shape) and append their files inside the existing cell
+        partitions."""
+        import os
+
+        cl, C, bks = self._load_tables()
+        self._encode(new_candidates, cl, C, bks).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
+        return self
+
+    # -- serving ----------------------------------------------------------
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        shortlist: int = 50,
+    ) -> DataFrame:
+        """Serve top-k from the stored index: route each query to its
+        nprobe nearest stored centroids (driver-side over the tiny
+        routing table), ADC-score ONLY the probed cells reading ONLY
+        (id, codes) — partition + column pruned — then exactly
+        re-rank the per-query shortlist against the raw vectors.
+        Same deterministic contract as topk_ivfpq (rank on
+        (sim desc, id)); returned sims are exact."""
+        import os
+
+        import numpy as np
+
+        cl, C, books = self._load_tables()
+        n_sub, n_codes, dsub = books.shape
+        # queries must match the INDEX dim — a ragged/other-dim query
+        # row is dropped like any invalid vector
+        qrows, dim = _valid_rows(
+            queries.select(self.id_col, self.vec_col).collect(),
+            dim=int(C.shape[1]),
+        )
+        if not qrows or C.shape[0] == 0:
+            return self.spark.createDataFrame(
+                [], "qid long, neighbor_id long, sim double, rk integer"
+            )
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        tables = np.einsum(
+            "qsd,scd->qsc", qmat.reshape(len(qids), n_sub, dsub), books
+        )
+        d2c = ((qmat[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        probed = cl[np.argsort(d2c, axis=1)[:, :nprobe]]  # (Q, nprobe)
+        bc = self.spark.sparkContext.broadcast((qids, tables, probed))
+        probed_union = sorted({int(c) for row in probed for c in row})
+        id_col, vec_col = self.id_col, self.vec_col
+
+        # ADC pass: partition-pruned to the probed cells, column-
+        # pruned to (id, codes, cell) — the raw vectors never move
+        cand = (
+            self.spark.read.parquet(os.path.join(self.path, "cells"))
+            .filter(F.col("cell").isin(probed_union))
+            .select(id_col, "codes", "cell")
+        )
+
+        def adc_scan(batches):
+            ids, tabs, prb = bc.value
+            sub_idx = np.arange(n_sub)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cand_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                cells = pdf["cell"].to_numpy(dtype=np.int64)
+                codes = np.array(list(pdf["codes"]), dtype=np.int64)
+                out = []
+                for j in range(len(ids)):
+                    mask = np.isin(cells, prb[j]) & (cand_ids != ids[j])
+                    if not mask.any():
+                        continue
+                    cids = cand_ids[mask]
+                    approx = tabs[j][
+                        sub_idx[None, :], codes[mask]
+                    ].sum(1)
+                    if len(cids) > shortlist:
+                        idx = np.argpartition(-approx, shortlist)[
+                            :shortlist
+                        ]
+                        cids, approx = cids[idx], approx[idx]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "qid": ids[j],
+                                "neighbor_id": cids,
+                                "approx": approx,
+                            }
+                        )
+                    )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        partial = cand.mapInPandas(
+            adc_scan, "qid long, neighbor_id long, approx double"
+        )
+        wa = W.partitionBy("qid").orderBy(
+            F.col("approx").desc(), F.col("neighbor_id")
+        )
+        short = (
+            partial.withColumn("ra", F.row_number().over(wa))
+            .filter(F.col("ra") <= shortlist)
+            .select("qid", "neighbor_id")
+        )
+        qdf = self.spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in
+             zip(qids, qmat)],
+            "qid long, qe array<double>",
+        )
+        raw = self.spark.read.parquet(
+            os.path.join(self.path, "cells")
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("ce"),
+        )
+        rescored = (
+            short.join(raw, "neighbor_id")
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid",
+                "neighbor_id",
+                _dot(F.col("qe"), F.col("ce")).alias("sim_raw"),
+            )
+        )
+        w = W.partitionBy("qid").orderBy(
+            F.col("sim_raw").desc(), F.col("neighbor_id")
+        )
+        return (
+            rescored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(
+                "qid",
+                "neighbor_id",
+                F.round("sim_raw", 6).alias("sim"),
+                "rk",
+            )
+        )
+
+
+@register("sim_ann_ivfpq_index")  # approximate shortlist → rows-only
+def sim_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent IVF×PQ serving face end-to-end (round-8 verdict
+    item 4): build the stored index on the base corpus (vec_id ≥ 100,
+    quantizers trained there), APPEND the 10–99 cohort against the
+    stored tables (no re-train), and serve the standard vec_id < 10
+    queries from disk — exercising build, incremental ingest, and the
+    partition+column-pruned ADC query in one key.  Rows-only by
+    nature (approximate shortlist); the planted-near-dup recall gate
+    in tools/check_oracle.py covers it like the other ANN keys, and
+    the bit-for-bit append==bulk contract is test-pinned."""
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") >= 100)
+    if valid_vectors(base, "embedding").limit(1).first() is None:
+        # degenerate corpus with no trainable base — no index, no hits
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, sim double, rk integer"
+        )
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    idx = IvfPqIndex.build(spark, base, path)
+    idx.append(
+        e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return IvfPqIndex.load(spark, path).query(q, k=10)
 
 
 @register(

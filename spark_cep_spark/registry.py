@@ -170,10 +170,10 @@ DRIVER_PRIORITY: list[str] = [
     "stream_session_dynamic",
     "win_drawdown",
     "rollup_retention_cohort",
-    "cep_sql_alternation",
     # NEW in round 8 (appends push the window's last staged key back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_confirm",
+    "sim_ann_ivfpq_index",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -183,7 +183,9 @@ DRIVER_PRIORITY: list[str] = [
 # prepended as they land. The round-9 window = the FIRST 50 of this
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
-    "agg_cube",  # displaced from the round-8 window by round-8 keys
+    # displaced from the round-8 window by round-8 keys
+    "cep_sql_alternation",
+    "agg_cube",
     "text_bm25_topk",
     "sim_rrf_hybrid",
     "win_cusum",

@@ -492,6 +492,95 @@ def test_run_agg_measures_rename_two_step(spark):
     assert [tuple(r) for r in out.collect()] == [(1, t0, 2, 90, 45.0)]
 
 
+# ---------------------------------------------------------------------------
+# Persistent IVF×PQ serving face (round-8 verdict item 4): build / append /
+# query from the stored index; append == bulk bit-for-bit; pruned plans.
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_index_append_equals_bulk(spark, tmp_path):
+    """build(all, train=base) must equal build(base)+append(rest)
+    bit-for-bit: identical stored (id, cell, codes) rows and identical
+    query output — one quantization kernel for both ingest paths."""
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.llm_similarity import IvfPqIndex
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = e.filter("vec_id >= 100")
+    rest = e.filter("vec_id >= 10 AND vec_id < 100")
+    both = e.filter("vec_id >= 10")
+    q = e.filter("vec_id < 10")
+
+    p_bulk = str(tmp_path / "bulk")
+    p_incr = str(tmp_path / "incr")
+    IvfPqIndex.build(spark, both, p_bulk, train_df=base)
+    IvfPqIndex.build(spark, base, p_incr).append(rest)
+
+    def stored(p):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(p + "/cells").collect()
+        )
+
+    sb, si = stored(p_bulk), stored(p_incr)
+    assert sb == si and len(sb) > 0
+
+    gb = sorted(
+        map(tuple, IvfPqIndex.load(spark, p_bulk).query(q, k=10).collect())
+    )
+    gi = sorted(
+        map(tuple, IvfPqIndex.load(spark, p_incr).query(q, k=10).collect())
+    )
+    assert gb == gi and len(gb) > 0
+
+
+def test_ivfpq_index_query_plan_pruned(spark, tmp_path):
+    """The ADC pass must be PARTITION-pruned to the probed cells AND
+    COLUMN-pruned to (id, codes, cell) — the raw embedding column must
+    not be read in the scan that feeds the ADC mapInPandas (the PQ
+    byte bound); the re-rank scan alone touches it."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.llm_similarity import IvfPqIndex
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IvfPqIndex.build(
+        spark, e.filter("vec_id >= 10"), str(tmp_path / "ix")
+    )
+    got = idx.query(e.filter("vec_id < 10"), k=5, nprobe=2)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    adc_reads = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "codes" in ln
+    ]
+    assert adc_reads, "no scan reading the codes column found"
+    assert all(
+        "embedding" not in ln for ln in adc_reads
+    ), "ADC scan reads the raw embedding column — PQ byte bound lost"
+
+
+def test_ivfpq_index_planted_recall(spark):
+    """Full persistent lifecycle (build base, append twins, query from
+    disk) under the same planted-near-dup recall gate as the other ANN
+    keys."""
+    from spark_cep_spark.operators.llm_similarity import (
+        planted_recall_probe,
+    )
+
+    hits, total = planted_recall_probe(spark, "sim_ann_ivfpq_index")
+    assert hits >= 0.9 * total, (hits, total)
+
+
 def test_count_over_column_rejected_pointed(spark, tie_dir):
     """COUNT(B.col) in a DEFINE run-cap is REJECTED with a pointed
     error (round-8 ADVICE): the kernel's cap counts bound ROWS, so

@@ -118,6 +118,8 @@ PYTHON_OK = {
     # of PQ is that this stage is bandwidth-bound, not compute-bound
     "sim_ann_ivfpq",  # IVF x PQ composed: the same Arrow-batched ADC
     # scan, further bounded to each query's nprobe cells
+    "sim_ann_ivfpq_index",  # the persistent face of the same ADC scan —
+    # partition-pruned to the probed cells, column-pruned to the codes
     "emb_covariance",  # mapInPandas partial Gram (one BLAS X^T.X per
     # Arrow batch) — the shuffle-minimal alternative to an n x d
     # self-join; shuffle carries only partitions x d^2 partial rows

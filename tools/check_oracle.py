@@ -207,7 +207,8 @@ def main() -> int:
                     n_fail += 1
                     failures.append(key)
                 continue
-            if key in ("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq"):
+            if key in ("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
+                       "sim_ann_ivfpq", "sim_ann_ivfpq_index"):
                 # rows-only forever (approximate candidate sets) — gate
                 # on planted-near-dup recall instead so an ANN recall
                 # regression fails HERE, not just in pytest.
