@@ -1232,6 +1232,218 @@ def pipeline_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 32
+
+
+def _bpe_oracle_chain(n_merges: int) -> str:
+    """The WITH-chain both BPE oracles share: w0 = the distinct-word
+    table (freq + character symbols), then n_merges unrolled stages of
+    (pair count → top-1 pick → greedy left-to-right merge).  Generated
+    by the same Python loop that drives the Spark trainer — the
+    _SPARK_MORTON16 discipline: one spelling, two engines.  The merge
+    fold is DuckDB list_reduce over singleton lists (the accumulator
+    seed is the first symbol), bit-identical to Spark's aggregate()
+    fold from an empty array; LEFT JOIN ON TRUE keeps stages total
+    when a round finds no pair (t.a IS NULL → no-op)."""
+    parts = [
+        "ws AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text),"
+        " '[a-z]+')) AS w FROM documents)",
+        "w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq,"
+        " list_transform(range(1, length(w)+1),"
+        " i -> substring(w, CAST(i AS INTEGER), 1)) AS syms"
+        " FROM ws GROUP BY w)",
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b,"
+            " CAST(sum(freq) AS BIGINT) AS cnt FROM"
+            " (SELECT freq, unnest(list_transform(range(1, len(syms)),"
+            " i -> [syms[CAST(i AS INTEGER)],"
+            " syms[CAST(i AS INTEGER)+1]])) AS pr"
+            f" FROM w{k} WHERE len(syms) >= 2)"
+            " GROUP BY pr[1], pr[2])"
+        )
+        parts.append(
+            f"t{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k}"
+            " ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"w{k+1} AS MATERIALIZED (SELECT w{k}.w, w{k}.freq,"
+            f" CASE WHEN t.a IS NULL OR len(w{k}.syms) < 2"
+            f" THEN w{k}.syms"
+            f" ELSE list_reduce(list_transform(w{k}.syms, s -> [s]),"
+            " (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a"
+            " AND x[1] = t.b"
+            " THEN list_concat(acc[1:len(acc)-1], [t.a || t.b])"
+            " ELSE list_concat(acc, x) END)"
+            f" END AS syms FROM w{k} LEFT JOIN t{k} t ON TRUE)"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_merge_table_oracle(n_merges: int) -> str:
+    selects = [
+        f"SELECT CAST({k + 1} AS BIGINT) AS step, a AS lhs, b AS rhs,"
+        f" a || b AS merged, cnt AS pair_cnt FROM t{k}"
+        for k in range(n_merges)
+    ]
+    return (
+        _bpe_oracle_chain(n_merges)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
+def _bpe_tokens_oracle(n_merges: int) -> str:
+    return (
+        _bpe_oracle_chain(n_merges)
+        + f""",
+    dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                  '[a-z]+')) AS w FROM documents),
+    dwc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+            FROM dw GROUP BY doc_id, w)
+    SELECT d.doc_id,
+           CAST(sum(d.cnt * len(f.syms)) AS BIGINT) AS n_tokens
+    FROM dwc d JOIN w{n_merges} f ON f.w = d.w
+    GROUP BY d.doc_id"""
+    )
+
+
+def bpe_train_words(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+):
+    """Train a BPE tokenizer at corpus scale (round-8 verdict item 5 —
+    pipeline_bpe_pairs iterated to the artifact an LLM pipeline
+    ships): returns (final word table (w, freq, syms), merge list
+    [(step, lhs, rhs, merged, pair_cnt)]).
+
+    Distributed shape: the ONLY corpus-scale work is the initial
+    word-frequency aggregation (map-side combinable); the n_merges
+    training rounds run over the DISTINCT-WORD table (vocabulary-
+    sized — millions of rows at 100 TB, not the corpus), each round
+    one pair aggregation (map-side combinable, key space ≤ current
+    vocab²) + a 1-row driver collect of the winning pair (bounded by
+    contract) + one JVM-side aggregate() fold applying the merge.
+    The word table is eagerly localCheckpoint-ed per round (lineage
+    would otherwise chain n_merges folds and recompute O(n²) of
+    them), releasing the previous round's blocks — the round-8
+    ADVICE discipline.  Tie-break everywhere: (count DESC, lhs, rhs),
+    identical in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w")
+    )
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn(
+            "syms",
+            F.expr(
+                "transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1))"
+            ),
+        )
+    )
+    wf = wf.localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            wf.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        m = a + b
+        merges.append((step, a, b, m, cnt))
+        # tokens are [a-z]+ so the literals are quote-safe
+        nxt = wf.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>), "
+                "(acc, x) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{a}' AND x = '{b}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array('{m}')) "
+                "ELSE concat(acc, array(x)) END)"
+            ),
+        ).localCheckpoint(eager=True)
+        wf.unpersist()
+        wf = nxt
+    return wf, merges
+
+
+@register(
+    "pipeline_bpe_train",
+    oracle=_bpe_merge_table_oracle(_BPE_MERGES),
+)
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-tokenizer MERGE TABLE: 32 BPE merge rounds over the
+    corpus (greedy left-to-right application, (count DESC, lhs, rhs)
+    tie-break), emitted as (step, lhs, rhs, merged, pair_cnt) — the
+    ordered merge list IS the tokenizer artifact a BPE implementation
+    loads.  The oracle replays all 32 rounds as an unrolled WITH chain
+    generated by the same Python loop (list_reduce fold ==
+    aggregate() fold, both engines bit-identical — tested on the
+    odd-run [a,a,a,a,a] case where naive string replace diverges)."""
+    merges = bpe_train_words(spark, sf_dir)[1]
+    return spark.createDataFrame(
+        merges,
+        "step long, lhs string, rhs string, merged string, "
+        "pair_cnt long",
+    )
+
+
+@register(
+    "pipeline_bpe_tokens",
+    oracle=_bpe_tokens_oracle(_BPE_MERGES),
+)
+def pipeline_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the FINAL trained vocab — the
+    number every training-data pipeline actually budgets by (context
+    packing, per-source token quotas, dedup cost models).  Train the
+    32-merge tokenizer, then join each document's word frequencies
+    against the vocabulary's final per-word token length: one
+    corpus-scale (doc_id, w) aggregation + one vocabulary join (AQE
+    broadcasts the vocab side at our SFs; at 100 TB it is a plain
+    shuffle join on w, still vocabulary-bounded on the right)."""
+    wf, _ = bpe_train_words(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    dwc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tl = wf.select("w", F.size("syms").cast("long").alias("tlen"))
+    return (
+        dwc.join(tl, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("tlen")).alias("n_tokens"))
+    )
+
+
 @register(
     "text_readability",
     oracle="""

@@ -168,12 +168,12 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_substring_dedup",
     "join_star_q18",
     "stream_session_dynamic",
-    "win_drawdown",
-    "rollup_retention_cohort",
     # NEW in round 8 (appends push the window's last staged key back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_confirm",
     "sim_ann_ivfpq_index",
+    "pipeline_bpe_train",
+    "pipeline_bpe_tokens",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -184,6 +184,8 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-8 window by round-8 keys
+    "win_drawdown",
+    "rollup_retention_cohort",
     "cep_sql_alternation",
     "agg_cube",
     "text_bm25_topk",

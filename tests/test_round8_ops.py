@@ -581,6 +581,113 @@ def test_ivfpq_index_planted_recall(spark):
     assert hits >= 0.9 * total, (hits, total)
 
 
+# ---------------------------------------------------------------------------
+# Trained BPE tokenizer (round-8 verdict item 5): 32 iterated merges.
+# Referee: an independent pure-Python canonical BPE (Sennrich greedy
+# left-to-right application) must reproduce the Spark trainer exactly —
+# this guards the class where the Spark fold and the generated oracle
+# share a wrong spelling and hash-agree on the wrong answer.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(texts, n_merges):
+    import re as _re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        if t:
+            words.update(_re.findall(r"[a-z]+", t.lower()))
+    syms = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, f in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, {w: len(s) for w, s in syms.items()}, words
+
+
+def test_bpe_trainer_matches_python_reference(spark, tmp_path):
+    import os
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "the cat sat on the mat the cat",
+        "aaaaa aaa aa a",  # odd runs — the greedy left-to-right probe
+        "banana bandana ban",
+        None,
+        "",
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t) if t else None)
+         for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    out = str(tmp_path / "_o")
+    df.coalesce(1).write.parquet(out)
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    import shutil
+
+    shutil.move(os.path.join(out, part),
+                os.path.join(d, "documents.parquet"))
+
+    from spark_cep_spark.operators.llm_text import bpe_train_words
+
+    wf, merges = bpe_train_words(spark, d, n_merges=12)
+    ref_merges, ref_tlen, ref_words = _bpe_reference(
+        [t for t in texts if t], 12
+    )
+    assert merges == ref_merges
+    got_tlen = {
+        r["w"]: len(r["syms"]) for r in wf.select("w", "syms").collect()
+    }
+    assert got_tlen == ref_tlen
+
+    # per-doc token counts under the final vocab, vs a direct recount
+    from spark_cep_spark.registry import QUERIES
+
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in QUERIES["pipeline_bpe_tokens"](spark, d).collect()
+    }
+    # NOTE: the registered key trains 32 merges; recompute reference
+    ref_merges32, ref_tlen32, _ = _bpe_reference(
+        [t for t in texts if t], 32
+    )
+    import re as _re
+
+    want = {}
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = _re.findall(r"[a-z]+", t.lower())
+        if ws:
+            want[i] = sum(ref_tlen32[w] for w in ws)
+    assert got == want
+
+
 def test_count_over_column_rejected_pointed(spark, tie_dir):
     """COUNT(B.col) in a DEFINE run-cap is REJECTED with a pointed
     error (round-8 ADVICE): the kernel's cap counts bound ROWS, so

@@ -79,6 +79,11 @@ KEYS = [
     "text_gopher_rules",
     "pipeline_ccnet_buckets",
     "pipeline_dsir_weights",
+    # round-8: BPE training tokenizes raw text ([a-z]+ after lower()),
+    # so the unicode path (mixed scripts, combining marks, emoji) must
+    # neither crash nor diverge from the oracle's extraction
+    "pipeline_bpe_train",
+    "pipeline_bpe_tokens",
 ]
 
 
