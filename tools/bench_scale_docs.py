@@ -63,6 +63,10 @@ OPS = [
     # round-6c: positional shingle census (two md5-keyed shuffles +
     # per-doc span-union window)
     "pipeline_substring_dedup",
+    # round-8: iterated BPE training (corpus-scale word agg once, then
+    # 32 vocabulary-sized rounds) + token counts under the final vocab
+    "pipeline_bpe_train",
+    "pipeline_bpe_tokens",
     # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
     # quadratically within blocks (measured: >15 min at 40k docs vs
     # 11 s at 5k — the hazard SCALE.md documents; at real scale the
@@ -75,7 +79,17 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--scratch", default="/root/repo/.tmp/scale_docs")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated OPS subset")
     args = ap.parse_args()
+    ops = OPS
+    if args.only:
+        only = [k for k in args.only.split(",") if k]
+        unknown = sorted(set(only) - set(OPS))
+        if unknown:
+            # fail LOUDLY: a typo would otherwise filter OPS to empty
+            raise SystemExit(f"--only keys not in OPS: {unknown}")
+        ops = only
 
     import spark_cep_spark
     from pyspark.sql import functions as F
@@ -125,7 +139,7 @@ def main() -> None:
 
     print(f"| op | {n1} docs (s) | {nN} docs (s) | growth (x{args.mult} data) |")
     print("| --- | --- | --- | --- |")
-    for key in OPS:
+    for key in ops:
         run(key, args.sf_dir)  # warm
         t1 = min(run(key, args.sf_dir), run(key, args.sf_dir))
         tN = run(key, big_dir)

@@ -84,6 +84,8 @@ OPS = [
     "rollup_twap",
     "feat_scale",
     "agg_hll_union",
+    # round-8: terminal-confirm form of the kleene-agg kernel
+    "cep_sql_run_agg_confirm",
 ]
 
 STREAM_NFA_SQL = """
