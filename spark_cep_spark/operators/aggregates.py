@@ -1974,3 +1974,84 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users")
         ).alias("merged_within_5pct"),
     )
+
+
+@register(
+    "rollup_seasonal",
+    oracle="""
+    WITH e AS (
+      SELECT coalesce(event_type, '') AS etype,
+             isodow(ts) AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND abs(value) <= 1e9
+    ),
+    d AS (
+      SELECT etype, dow,
+             sum(cents) AS s_dow,
+             CAST(count(*) AS BIGINT) AS n_dow
+      FROM e GROUP BY etype, dow
+    ),
+    t AS (
+      SELECT etype, sum(s_dow) AS s_all, sum(n_dow) AS n_all
+      FROM d GROUP BY etype
+    )
+    SELECT d.etype, CAST(d.dow AS BIGINT) AS dow, d.n_dow,
+           CASE WHEN t.s_all <> 0
+                THEN round(CAST(d.s_dow * t.n_all AS DOUBLE)
+                           / CAST(d.n_dow * t.s_all AS DOUBLE), 6) + 0.0
+           END AS seasonal_index
+    FROM d JOIN t ON d.etype = t.etype
+    """,
+)
+def rollup_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean(value) on that
+    ISO weekday ÷ the type's overall mean — the classical
+    multiplicative seasonality profile (ratio-to-moving-average
+    method's constant-window special case).  Exact integer
+    cross-multiplication ((Σ_dow · n_all) / (n_dow · Σ_all)) defers
+    the ONLY division to the final double, so both engines round the
+    identical quotient; a zero overall sum pins NULL (no meaningful
+    index).  ISO weekday (Mon=1…Sun=7) via Spark weekday()+1 ==
+    DuckDB isodow().
+
+    100 TB shape: two map-side-combinable hash aggregates — the
+    second groups a ≤(types × 7)-row frame, broadcast back to the
+    per-dow rows by key (AQE broadcasts it); the events scan reads
+    (event_type, ts, value) only.  No window over the full table, no
+    UDF."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.abs("value") <= 1e9)
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("")).alias("etype"),
+            (F.weekday("ts") + F.lit(1)).alias("dow"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    d = e.groupBy("etype", "dow").agg(
+        F.sum("cents").alias("s_dow"),
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+    )
+    t = d.groupBy("etype").agg(
+        F.sum("s_dow").alias("s_all"), F.sum("n_dow").alias("n_all")
+    )
+    return d.join(t, "etype").select(
+        "etype",
+        F.col("dow").cast("long").alias("dow"),
+        "n_dow",
+        F.when(
+            F.col("s_all") != 0,
+            F.round(
+                (F.col("s_dow") * F.col("n_all")).cast("double")
+                / (F.col("n_dow") * F.col("s_all")).cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("seasonal_index"),
+    )

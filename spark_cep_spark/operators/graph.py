@@ -616,3 +616,109 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "csize",
         )
     )
+
+
+_WEDGES_SQL = """
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             greatest(1, 8 - CAST(count(DISTINCT a.l_orderkey) AS BIGINT))
+               AS w
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % 4 = 0 AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+"""
+
+
+@register(
+    "graph_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_WEDGES_SQL}),
+    und AS (SELECT u AS src, v AS dst, w FROM edges
+            UNION ALL SELECT v, u, w FROM edges),
+    seeds AS (
+      SELECT DISTINCT CAST(p_partkey AS BIGINT) AS node
+      FROM part WHERE p_partkey % 100 = 0
+    ),
+    walk AS (
+      SELECT node, CAST(0 AS BIGINT) AS d, 0 AS hops FROM seeds
+      UNION ALL
+      SELECT e.dst, wk.d + e.w, wk.hops + 1
+      FROM walk wk JOIN und e ON e.src = wk.node
+      WHERE wk.hops < 4
+    )
+    SELECT node, min(d) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest path (single-source over a seed
+    SET): minimum path cost from any seed part within ≤ 4 edges of
+    the co-occurrence graph, edge weight = max(1, 8 − shared-order
+    count) (strong ties are cheap) — the Bellman–Ford relaxation
+    primitive behind 'how close is X to the known-bad set'.
+    Spark-first: exactly 4 synchronous min-plus rounds, each ONE
+    equi-join (dist ⋈ adjacency on the node key) + ONE min-aggregate
+    — after round k, dist(n) is exact over all paths with ≤ k edges,
+    which is precisely what the oracle's hop-bounded recursive-CTE
+    walk computes; weights are integers so min() is exact.
+
+    100 TB shape: the Pregel pattern — per-round cost is one shuffle
+    on node id, no driver state beyond the loop counter, adjacency
+    persisted once and released after the rounds (round-8 ADVICE
+    discipline); each round's frame is eagerly localCheckpoint-ed so
+    lineage never chains across rounds.  Frontier size is bounded by
+    the node set; a 1000-executor run scales per-round linearly in
+    edges."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.greatest(
+                F.lit(1),
+                F.lit(8) - F.countDistinct("l_orderkey"),
+            )
+            .cast("long")
+            .alias("w")
+        )
+    )
+    adj = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionAll(
+            edges.select(
+                F.col("v").alias("src"), F.col("u").alias("dst"), "w"
+            )
+        )
+        .persist()
+    )
+    dist = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 100 == 0)
+        .select(F.col("p_partkey").cast("long").alias("node"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+    )
+    for _ in range(4):
+        relaxed = (
+            dist.join(adj, dist["node"] == adj["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("d") + F.col("w")).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    out = dist.select("node", F.col("d").alias("dist"))
+    # materialize before releasing the adjacency (eager checkpoint of
+    # the final frame), then free the cached partitions
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out

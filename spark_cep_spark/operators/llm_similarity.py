@@ -687,6 +687,36 @@ def planted_recall_probe(
         finally:
             shutil.rmtree(path, ignore_errors=True)
 
+    def _delete_probe():
+        # build on base + 30 distractors' worth of deletions: after
+        # tombstoning ids 200–229 AND compacting, the twin queries
+        # must still recover their bases (none of which are deleted)
+        # and no deleted id may surface — recall survives deletion
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivfpq_del_")
+        try:
+            idx = IvfPqIndex.build(
+                spark, df.filter(F.col("vec_id") < 1000), path
+            )
+            idx.append(q)
+            idx.delete(
+                df.filter(
+                    (F.col("vec_id") >= 200) & (F.col("vec_id") < 230)
+                ).select("vec_id")
+            )
+            idx.compact()
+            got = IvfPqIndex.load(spark, path).query(
+                q, k=1, nprobe=4
+            ).collect()
+            assert all(
+                not (200 <= r.neighbor_id < 230) for r in got
+            ), "deleted id surfaced in query results"
+            return got
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
     fn = {
         "sim_ann_lsh": lambda: topk_lsh(spark, q, df, k=1).collect(),
         "sim_ann_ivf": lambda: topk_ivf(
@@ -697,6 +727,7 @@ def planted_recall_probe(
             spark, q, df, k=1, n_cells=16, nprobe=4
         ).collect(),
         "sim_ann_ivfpq_index": _index_probe,
+        "sim_ann_ivfpq_delete": _delete_probe,
     }[method]
     got = fn()
     hits = sum(
@@ -2424,6 +2455,63 @@ class IvfPqIndex:
         ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
         return self
 
+    def _tombstones(self) -> DataFrame | None:
+        """The stored tombstone set (one id column named like id_col),
+        or None when nothing was ever deleted."""
+        import os
+
+        tpath = os.path.join(self.path, "tombstones")
+        if not os.path.isdir(tpath):
+            return None
+        t = self.spark.read.parquet(tpath)
+        return t if t.limit(1).first() is not None else None
+
+    def delete(self, ids: DataFrame) -> "IvfPqIndex":
+        """Logical delete: append the ids to a tombstone table (the
+        LSM-style delete marker — O(deleted), never touches the cell
+        files).  Queries exclude tombstoned rows from both the ADC
+        pass and the re-rank; compact() makes the delete physical.
+        `ids` is any DataFrame whose first column holds the ids."""
+        import os
+
+        ids.select(
+            F.col(ids.columns[0]).cast("long").alias(self.id_col)
+        ).distinct().write.mode("append").parquet(
+            os.path.join(self.path, "tombstones")
+        )
+        return self
+
+    def compact(self) -> "IvfPqIndex":
+        """Physical delete: rewrite the cell files without the
+        tombstoned rows, then clear the tombstone table — query
+        results are bit-for-bit identical before and after
+        (test-pinned; compaction is a pure storage operation).
+
+        100 TB shape: one partition-parallel anti-join against the
+        broadcast-small tombstone set + a partitioned rewrite — the
+        layout_compaction pattern; queries during the rewrite are the
+        caller's concern (no catalog here by design)."""
+        import os
+        import shutil
+
+        tomb = self._tombstones()
+        if tomb is None:
+            return self
+        cells_path = os.path.join(self.path, "cells")
+        live = (
+            self.spark.read.parquet(cells_path)
+            .withColumn("cell", F.col("cell").cast("int"))
+            .join(
+                F.broadcast(tomb), on=self.id_col, how="left_anti"
+            )
+        )
+        tmp = cells_path + "_compact"
+        live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        shutil.rmtree(cells_path)
+        os.rename(tmp, cells_path)
+        shutil.rmtree(os.path.join(self.path, "tombstones"))
+        return self
+
     # -- serving ----------------------------------------------------------
     def query(
         self,
@@ -2467,12 +2555,20 @@ class IvfPqIndex:
         id_col, vec_col = self.id_col, self.vec_col
 
         # ADC pass: partition-pruned to the probed cells, column-
-        # pruned to (id, codes, cell) — the raw vectors never move
+        # pruned to (id, codes, cell) — the raw vectors never move.
+        # Tombstoned rows are excluded by a broadcast anti-join (the
+        # filter composes AFTER partition pruning, so the pruned scan
+        # is unchanged; the tombstone side is O(deleted), tiny).
+        tomb = self._tombstones()
         cand = (
             self.spark.read.parquet(os.path.join(self.path, "cells"))
             .filter(F.col("cell").isin(probed_union))
             .select(id_col, "codes", "cell")
         )
+        if tomb is not None:
+            cand = cand.join(
+                F.broadcast(tomb), on=id_col, how="left_anti"
+            )
 
         def adc_scan(batches):
             ids, tabs, prb = bc.value
@@ -2580,6 +2676,42 @@ def sim_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.append(
         e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
     )
+    q = e.filter(F.col("vec_id") < 10)
+    return IvfPqIndex.load(spark, path).query(q, k=10)
+
+
+@register("sim_ann_ivfpq_delete")  # approximate shortlist → rows-only
+def sim_ann_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete + compaction on the persistent IVF×PQ index — the
+    remaining lifecycle face after build/append/query: tombstone a
+    cohort (LSM-style logical delete, O(deleted), cell files
+    untouched), verify queries exclude it, then COMPACT (physical
+    partitioned rewrite minus the tombstones) and serve the standard
+    queries from the compacted index.  Tombstone-vs-compacted
+    equality and deleted-id exclusion are test-pinned
+    (tests/test_round8_ops.py); the planted-near-dup recall gate in
+    tools/check_oracle.py runs the same lifecycle (delete 30
+    distractors + compact) and requires recall to survive.  Rows-only
+    by nature (approximate shortlist).
+
+    100 TB shape: delete is an O(deleted) append; query adds ONE
+    broadcast anti-join after the partition-pruned ADC scan; compact
+    is a partition-parallel anti-join + rewrite (the
+    layout_compaction pattern) — nothing rescans more than once."""
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") >= 100)
+    if valid_vectors(base, "embedding").limit(1).first() is None:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, sim double, rk integer"
+        )
+    path = tempfile.mkdtemp(prefix="ivfpq_del_")
+    idx = IvfPqIndex.build(spark, base, path)
+    idx.delete(
+        base.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    )
+    idx.compact()
     q = e.filter(F.col("vec_id") < 10)
     return IvfPqIndex.load(spark, path).query(q, k=10)
 

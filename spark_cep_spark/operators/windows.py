@@ -1233,3 +1233,94 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "spend_rank",
     )
+
+
+@register(
+    "win_acf",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, coalesce(event_id, 0))
+    ),
+    g AS (
+      SELECT user_id, 1 AS lag, corr(value, l1) AS c,
+             count(*) FILTER (value IS NOT NULL AND l1 IS NOT NULL)
+               AS n_pairs
+      FROM s GROUP BY user_id
+      UNION ALL
+      SELECT user_id, 2, corr(value, l2),
+             count(*) FILTER (value IS NOT NULL AND l2 IS NOT NULL)
+      FROM s GROUP BY user_id
+      UNION ALL
+      SELECT user_id, 3, corr(value, l3),
+             count(*) FILTER (value IS NOT NULL AND l3 IS NOT NULL)
+      FROM s GROUP BY user_id
+    )
+    SELECT user_id, CAST(lag AS BIGINT) AS lag,
+           round(c, 4) + 0.0 AS acf, CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM g
+    WHERE n_pairs >= 10 AND c IS NOT NULL
+    """,
+)
+def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per user at lags 1–3 over the
+    (ts, id)-ordered value series — the time-series diagnostic behind
+    seasonality/AR-order detection (Box–Jenkins identification step,
+    public methodology).  ACF_k = corr(value_t, value_{t-k}) over the
+    in-partition pairs; emitted only for users with ≥ 10 pairs at
+    that lag, NULL/NaN correlations (zero variance) dropped on BOTH
+    engines (Spark folds its NaN to NULL so the engines agree on the
+    degenerate constant-series class).  round(,4)+0.0 folds IEEE
+    signed zero (RULE 4).
+
+    100 TB shape: ONE (user) shuffle serves all three lag columns
+    (one Window spec) AND the groupBy (same partitioning — Catalyst
+    plans a single exchange); corr is an algebraic map-side-partial
+    aggregate.  No UDF, no driver loop; lags stay JVM-side."""
+    w = W.partitionBy("user_id").orderBy(
+        "ts", F.coalesce(F.col("event_id"), F.lit(0))
+    )
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            F.lag("value", 1).over(w).alias("l1"),
+            F.lag("value", 2).over(w).alias("l2"),
+            F.lag("value", 3).over(w).alias("l3"),
+        )
+    )
+    parts = []
+    for k in (1, 2, 3):
+        lk = F.col(f"l{k}")
+        parts.append(
+            s.groupBy("user_id").agg(
+                F.lit(k).cast("long").alias("lag"),
+                F.corr("value", f"l{k}").alias("c"),
+                F.count(
+                    F.when(
+                        F.col("value").isNotNull() & lk.isNotNull(),
+                        F.lit(1),
+                    )
+                )
+                .cast("long")
+                .alias("n_pairs"),
+            )
+        )
+    g = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    # Spark's corr yields NaN on zero variance where DuckDB yields
+    # NULL — fold NaN to NULL so the degenerate filter agrees
+    c = F.when(F.isnan("c"), F.lit(None)).otherwise(F.col("c"))
+    return g.select(
+        "user_id",
+        "lag",
+        (F.round(c, 4) + F.lit(0.0)).alias("acf"),
+        "n_pairs",
+    ).filter((F.col("n_pairs") >= 10) & F.col("acf").isNotNull())

@@ -162,18 +162,18 @@ DRIVER_PRIORITY: list[str] = [
     "cep_sql_all_rows",
     "cep_sql_match_number",
     "cep_sql_classifier",
-    "agg_psi",
-    "agg_ks",
-    "stream_drift_psi",
-    "pipeline_substring_dedup",
-    "join_star_q18",
-    "stream_session_dynamic",
     # NEW in round 8 (appends push the window's last staged key back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_confirm",
     "sim_ann_ivfpq_index",
     "pipeline_bpe_train",
     "pipeline_bpe_tokens",
+    "cep_sql_run_agg_times",
+    "cep_sql_run_agg_multikey",
+    "win_acf",
+    "rollup_seasonal",
+    "graph_shortest_path",
+    "sim_ann_ivfpq_delete",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -184,6 +184,12 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-8 window by round-8 keys
+    "agg_psi",
+    "agg_ks",
+    "stream_drift_psi",
+    "pipeline_substring_dedup",
+    "join_star_q18",
+    "stream_session_dynamic",
     "win_drawdown",
     "rollup_retention_cohort",
     "cep_sql_alternation",

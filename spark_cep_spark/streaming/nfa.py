@@ -4316,6 +4316,8 @@ def advance_kleene_agg(
     bind,
     within_us: int,
     confirm: bool = False,
+    min_n: int = 1,
+    max_n: int | None = None,
 ) -> tuple[list | None, list]:
     """Generic running-aggregate kleene kernel — PATTERN (A -> B+)
     WITHIN <bound> where each candidate B binds iff `bind(n, s, v)`
@@ -4351,6 +4353,23 @@ def advance_kleene_agg(
     partials).  Deadline/watermark expiry and bind-failing rows kill
     the run WITHOUT emitting — an unconfirmed run is not a match.
 
+    min_n / max_n are the {n,m} quantifier bounds of the Kleene step
+    (round-8 generality notch: PATTERN (A -> B{2,4}) with a
+    DEFINE-aggregate).  Semantics, derived from the greedy NFA:
+    min_n gates EVERY emission (a run closing with fewer bound rows
+    than the quantifier's minimum is not a match and dies silently);
+    max_n saturates B — in the 2-step shape the match completes AT
+    the max-th binding row (greedy: nothing more can bind, the
+    pattern ends — emit immediately and consume through that row),
+    while in the confirm shape the run stays open awaiting C, and
+    candidate rows arriving while saturated are noise (no live
+    B-extension branch exists, so their bind predicate is never
+    evaluated — neither binding nor failing).  A confirm row with
+    n < min_n is likewise noise (C cannot match before B{min}
+    completes), UNLESS it is also a bind-failing candidate, in which
+    case the candidate branch consumes it and the run dies (existing
+    failing-row rule).  Defaults (1, None) are exactly B+.
+
     state: None (idle) or [n, sum, anchor_us, deadline_us] — confirm
     adds no state.  O(1) state; chunking-invariant given monotone wm
     (property-tested)."""
@@ -4360,22 +4379,29 @@ def advance_kleene_agg(
         ts, _eid, is_a, is_c, v = row[:5]
         is_conf = confirm and row[5]
         if st is not None and ts > st[3]:
-            if not confirm and st[0] > 0:
+            if not confirm and st[0] >= min_n:
                 out.append([st[2], st[0], st[1]])
             st = None
+        sat = st is not None and max_n is not None and st[0] >= max_n
         if st is None:
             if is_a:
                 st = [0, 0, ts, ts + within_us]
-        elif is_c and v is not None and bind(st[0], st[1], v):
+        elif is_c and v is not None and not sat and bind(st[0], st[1], v):
             st[0] += 1
             st[1] += v
-        elif is_conf and st[0] > 0:
+            if not confirm and max_n is not None and st[0] == max_n:
+                # greedy completion: B is saturated and the 2-step
+                # pattern has nowhere to extend — the match ends at
+                # this row (SKIP PAST LAST ROW consumes through it)
+                out.append([st[2], st[0], st[1]])
+                st = None
+        elif is_conf and st[0] >= min_n:
             out.append([st[2], st[0], st[1], ts])
             st = None
-        elif is_c and v is not None:
+        elif is_c and v is not None and not sat:
             # bind false: the failing row is consumed, the run dies —
-            # unconfirmed runs emit only in the 2-step shape
-            if not confirm and st[0] > 0:
+            # unconfirmed / sub-min runs emit nothing
+            if not confirm and st[0] >= min_n:
                 out.append([st[2], st[0], st[1]])
             st = None
     # strictly-less: the event path accepts ts == deadline, so a
@@ -4384,7 +4410,7 @@ def advance_kleene_agg(
     # broke chunking invariance at the boundary (code-review catch,
     # reproduced: whole [[0,3,300]] vs chunked [[0,2,200]]).
     if st is not None and st[3] < wm_us:
-        if not confirm and st[0] > 0:
+        if not confirm and st[0] >= min_n:
             out.append([st[2], st[0], st[1]])
         st = None
     return st, out
@@ -4555,6 +4581,9 @@ def kleene_agg_stream(
     out_spec: list,
     integral: bool,
     confirm: bool = False,
+    min_n: int = 1,
+    max_n: int | None = None,
+    key_cols: tuple = ("key",),
 ) -> DataFrame:
     """Streaming face of the dialect's DEFINE-aggregate compilation
     (cep_sql.py _compile_run_agg): the generic advance_kleene_agg
@@ -4576,9 +4605,17 @@ def kleene_agg_stream(
     the watermark buffer (JSON payload, same codec as the NFA); the
     event-time timer is min(buffered ts, open-run deadline) so a run
     with no further events still closes when the watermark passes
-    anchor + within_us (and, in the 2-step shape, emits)."""
-    key_type = prepared.schema["key"].dataType
-    fields = [T.StructField("key", key_type)]
+    anchor + within_us (and, in the 2-step shape, emits).
+
+    min_n / max_n are the Kleene step's {n,m} quantifier bounds
+    (advance_kleene_agg semantics).  key_cols generalizes the
+    partition key to a composite PARTITION BY (round-8): `prepared`
+    carries one projected column per key part, the state op groups
+    by all of them, and the output leads with them in order — each
+    part's dtype derived from the input (round-6 ADVICE)."""
+    fields = [
+        T.StructField(c, prepared.schema[c].dataType) for c in key_cols
+    ]
     fields += kleene_agg_out_fields(out_spec, integral)
     out_schema = T.StructType(fields)
     state_schema = T.StructType([T.StructField("payload", T.StringType())])
@@ -4631,7 +4668,8 @@ def kleene_agg_stream(
         buf = [e for e in buf if e[0] > wm_us]
 
         s, rows = advance_kleene_agg(
-            s, matured, wm_us, bind, within_us, confirm=confirm
+            s, matured, wm_us, bind, within_us, confirm=confirm,
+            min_n=min_n, max_n=max_n,
         )
 
         if buf or s is not None:
@@ -4649,11 +4687,11 @@ def kleene_agg_stream(
             state.remove()
 
         if rows:
-            data = {"key": [key[0]] * len(rows)}
+            data = {c: [key[i]] * len(rows) for i, c in enumerate(key_cols)}
             data.update(kleene_agg_out_columns(rows, out_spec))
             yield pd.DataFrame(data)
 
-    return prepared.groupBy("key").applyInPandasWithState(
+    return prepared.groupBy(*key_cols).applyInPandasWithState(
         process,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -92,7 +92,8 @@ EVENTS_KEYS = [
     "cep_sql_run_agg", "rollup_twap", "feat_scale", "agg_hll_union",
     "cep_sql_run_count",
     # round-8
-    "cep_sql_run_agg_confirm",
+    "cep_sql_run_agg_confirm", "cep_sql_run_agg_times",
+    "cep_sql_run_agg_multikey", "win_acf", "rollup_seasonal",
 ]
 
 
@@ -163,7 +164,8 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_run_agg", "rollup_twap", "feat_scale", "agg_hll_union",
     "cep_sql_run_count",
     # round-8
-    "cep_sql_run_agg_confirm",
+    "cep_sql_run_agg_confirm", "cep_sql_run_agg_times",
+    "cep_sql_run_agg_multikey", "win_acf", "rollup_seasonal",
 ]
 
 

@@ -20,6 +20,7 @@ LINEITEM_KEYS = [
     "win_frame_rows",
     # round-6b: BFS + star joins over empty/degenerate lineitem
     "graph_khop_bfs",
+    "graph_shortest_path",
     "join_star_q5",
     "join_star_q10",
     "join_star_q18",

@@ -126,6 +126,12 @@ TIE_KEYS = [
     "cep_sql_prev",
     "cep_sql_match_number",
     "cep_sql_classifier",
+    # (cep_sql_run_agg_times is NOT here: the 900.x tie value busts
+    # its sum cap at n=1 < min, so it emits nothing on this fixture —
+    # vacuous; the same compile path's tie discipline is exercised by
+    # cep_sql_run_agg_multikey below and the round-7 run-agg tie test)
+    "cep_sql_run_agg_multikey",
+    "win_acf",
     # operators/graph.py
     "graph_transitions",
     # functions/udfs.py
@@ -709,3 +715,473 @@ def test_count_over_column_rejected_pointed(spark, tie_dir):
             ORDER BY ts
             """,
         )
+
+
+# ---------------------------------------------------------------------------
+# {n,m} quantifier bounds on the DEFINE-aggregate Kleene step
+# (advance_kleene_agg min_n/max_n) + composite PARTITION BY — round-8
+# generality notches past the r7 verdict's item-3 list.
+# ---------------------------------------------------------------------------
+
+_RAT_TEXT = """
+    PATTERN ( A -> B{2,4} )
+    WITHIN 7 DAYS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'view' AND SUM(B.cents) <= 25000
+    AFTER MATCH SKIP PAST LAST ROW
+    PARTITION BY user_id
+    ORDER BY ts
+"""
+
+_RAM_TEXT = """
+    PATTERN ( A -> B+ )
+    WITHIN 3 DAYS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'view' AND B.cents <= 2 * AVG(B.cents)
+    AFTER MATCH SKIP PAST LAST ROW
+    PARTITION BY user_id, wk
+    ORDER BY ts
+"""
+
+
+def test_kleene_agg_bounds_kernel_semantics():
+    """Hand-walked {min,max} kernel cases: greedy completion at the
+    max-th bind, min gating every close (cap-fail / deadline /
+    partition-end), saturated-B noise while awaiting C, and defaults
+    (1, None) exactly reproducing B+."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: s + v <= 100  # noqa: E731
+    W = 1000
+
+    def rows(seq):
+        return [
+            [t, i, a, c, v, False]
+            for i, (t, a, c, v) in enumerate(seq)
+        ]
+
+    def run(seq, **kw):
+        _, out = advance_kleene_agg(
+            None, rows(seq), 1 << 62, bind, W, **kw
+        )
+        return out
+
+    A = lambda t: (t, True, False, None)  # noqa: E731
+    B = lambda t, v: (t, False, True, v)  # noqa: E731
+    # greedy completion AT the 3rd bind; the later candidate finds
+    # no open run (SKIP PAST LAST ROW consumed through the 3rd B)
+    assert run(
+        [A(0), B(1, 10), B(2, 20), B(3, 30), B(4, 5)],
+        min_n=2, max_n=3,
+    ) == [[0, 3, 60]]
+    # n=1 < min on a cap-fail: silent death, NOT a 1-row emission
+    assert run([A(0), B(1, 10), B(2, 200)], min_n=2, max_n=3) == []
+    # cap-fail with n=2 in [min, max): emits
+    assert run(
+        [A(0), B(1, 10), B(2, 20), B(3, 200)], min_n=2, max_n=4
+    ) == [[0, 2, 30]]
+    # partition-end close respects min
+    assert run([A(0), B(1, 10), B(2, 20)], min_n=2, max_n=4) == [
+        [0, 2, 30]
+    ]
+    assert run([A(0), B(1, 10)], min_n=2, max_n=4) == []
+    # deadline close respects min (2 binds, then past-deadline anchor)
+    assert run(
+        [A(0), B(1, 10), B(2, 20), A(W + 5)], min_n=2, max_n=4
+    ) == [[0, 2, 30]]
+    # defaults = B+ exactly
+    assert run([A(0), B(1, 10), B(2, 200)]) == [[0, 1, 10]]
+    # confirm shape: B saturates at max=2, the 3rd candidate is noise
+    # (its bind predicate is never evaluated), C still confirms
+    bindc = lambda n, s, v: True  # noqa: E731
+    seq = [
+        [0, 0, True, False, None, False],
+        [1, 1, False, True, 1, False],
+        [2, 2, False, True, 1, False],
+        [3, 3, False, True, 999, False],  # saturated: noise
+        [4, 4, False, False, None, True],
+    ]
+    _, out = advance_kleene_agg(
+        None, seq, 1 << 62, bindc, W, confirm=True, min_n=2, max_n=2
+    )
+    assert out == [[0, 2, 2, 4]]
+    # confirm shape: C before B{min} completes is noise, not a close
+    seq2 = [
+        [0, 0, True, False, None, False],
+        [1, 1, False, True, 1, False],
+        [2, 2, False, False, None, True],  # n=1 < min: noise
+        [3, 3, False, True, 1, False],
+        [4, 4, False, False, None, True],
+    ]
+    _, out = advance_kleene_agg(
+        None, seq2, 1 << 62, bindc, W, confirm=True, min_n=2, max_n=5
+    )
+    assert out == [[0, 2, 2, 4]]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.sampled_from(["a", "b", "x"]),
+            st.integers(1, 30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(1, 39), max_size=4),
+    st.integers(1, 3),
+    st.integers(0, 3),
+)
+@settings(max_examples=200, deadline=None)
+def test_kleene_agg_bounds_chunking_invariance(evs, cuts, lo, extra):
+    """Chunking invariance of the BOUNDED kernel: any micro-batch
+    split with monotone boundary watermarks emits exactly the
+    whole-stream result, for every (min, max) drawn."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: s + v <= 40  # noqa: E731
+    W = 60
+    hi = lo + extra
+    t = 0
+    rows = []
+    for dt, et, v in evs:
+        t += dt
+        rows.append([t, 0, et == "a", et == "b", v if et == "b" else None])
+    kw = dict(min_n=lo, max_n=hi)
+    _, whole = advance_kleene_agg(None, rows, 1 << 62, bind, W, **kw)
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    stt, got, prev = None, [], 0
+    for b in bounds:
+        chunk = rows[prev:b]
+        wm = chunk[-1][0] if chunk else (rows[prev - 1][0] if prev else 0)
+        stt, part = advance_kleene_agg(stt, chunk, wm, bind, W, **kw)
+        got += part
+        prev = b
+    stt, part = advance_kleene_agg(stt, [], 1 << 62, bind, W, **kw)
+    got += part
+    assert got == whole
+
+
+def test_rewrite_run_agg_bounds_detector():
+    from spark_cep_spark.operators.cep_sql import (
+        _rewrite_run_agg_bounds,
+    )
+
+    r = _rewrite_run_agg_bounds(_RAT_TEXT)
+    assert r is not None
+    text, lo, hi = r
+    assert (lo, hi) == (2, 4)
+    assert "B+" in text and "{2,4}" not in text.replace(" ", "")
+    # exact {n} and open {n,} forms
+    t3 = _RAT_TEXT.replace("{2,4}", "{3}")
+    assert _rewrite_run_agg_bounds(t3)[1:] == (3, 3)
+    topen = _RAT_TEXT.replace("{2,4}", "{2,}")
+    assert _rewrite_run_agg_bounds(topen)[1:] == (2, None)
+    # a NON-aggregate quantified step keeps the expansion path
+    plain = _RAT_TEXT.replace("AND SUM(B.cents) <= 25000", "")
+    assert _rewrite_run_agg_bounds(plain) is None
+    # pointed bounds errors
+    with pytest.raises(ValueError, match="min >= 1"):
+        _rewrite_run_agg_bounds(_RAT_TEXT.replace("{2,4}", "{0,4}"))
+    with pytest.raises(ValueError, match="min <= max"):
+        _rewrite_run_agg_bounds(_RAT_TEXT.replace("{2,4}", "{4,2}"))
+
+
+def test_cep_sql_run_agg_times_small_fixture(spark):
+    """Hand-computed {2,4} sum-cap fixture through the full dialect
+    path: greedy completion at the 4th bind, min-gated cap-fail
+    closes, sub-min silent deaths."""
+    t0 = ddt.datetime(2026, 1, 1)
+    m = lambda k: t0 + ddt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: 4 views of 60.00 bind (sum 24000 <= 25000) —
+        # greedy completion at the 4th; the 5th view is past the match
+        (1, m(0), 1, "signup", 0.0),
+        (2, m(1), 1, "view", 60.0),
+        (3, m(2), 1, "view", 60.0),
+        (4, m(3), 1, "view", 60.0),
+        (5, m(4), 1, "view", 60.0),
+        (6, m(5), 1, "view", 60.0),
+        # user 2: views 100+100 bind, 3rd view 100 busts the cap
+        # (sum would be 30000) -> closes with n=2
+        (7, m(0), 2, "signup", 0.0),
+        (8, m(1), 2, "view", 100.0),
+        (9, m(2), 2, "view", 100.0),
+        (10, m(3), 2, "view", 100.0),
+        # user 3: one view then cap-bust -> n=1 < min -> silent death
+        (11, m(0), 3, "signup", 0.0),
+        (12, m(1), 3, "view", 100.0),
+        (13, m(2), 3, "view", 200.0),
+        # user 4: one view to partition end -> n=1 < min -> nothing
+        (14, m(0), 4, "signup", 0.0),
+        (15, m(1), 4, "view", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    got = {tuple(r) for r in match_recognize(df, _RAT_TEXT).collect()}
+    assert got == {
+        (1, m(0), 4, 24000),
+        (2, m(0), 2, 20000),
+    }
+
+
+def test_cep_sql_run_agg_times_streaming_equals_batch(spark, sf_dir):
+    """The SAME {2,4} text on a streaming input (multi-micro-batch
+    AvailableNow) emits exactly the batch rows — the bounds ride the
+    kernel into applyInPandasWithState unchanged."""
+    import glob
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    def prep(df):
+        return df.filter(
+            "user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND (value IS NULL OR abs(value) <= 1e9)"
+        ).selectExpr(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "CAST(round(value * 100) AS LONG) AS cents",
+        )
+
+    stream = prep(
+        harness.events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            match_recognize(stream, _RAT_TEXT, watermark="0 seconds"),
+            "append",
+        )
+        .filter("key <> -1")
+        .collect()
+    }
+    batch = prep(spark.read.parquet(staged)).filter("user_id <> -1")
+    want = {tuple(r) for r in match_recognize(batch, _RAT_TEXT).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_cep_sql_run_agg_multikey_small_fixture(spark):
+    """Composite (user_id, wk) PARTITION BY through the dialect: the
+    same user's runs are scoped per week — an open run at a week
+    boundary closes at ITS partition's end, and each week re-anchors
+    independently."""
+    # Mondays: 2026-01-05 and 2026-01-12
+    t0 = ddt.datetime(2026, 1, 5, 12, 0)
+    h = lambda k: t0 + ddt.timedelta(hours=k)  # noqa: E731
+    rows = [
+        # week 1: signup + two binding views
+        (1, h(0), 1, "signup", 0.0),
+        (2, h(1), 1, "view", 10.0),
+        (3, h(2), 1, "view", 12.0),
+        # week 2 (same user): fresh partition — view before the
+        # week-2 signup is noise, then one binding view
+        (4, h(7 * 24 + 0), 1, "view", 50.0),
+        (5, h(7 * 24 + 1), 1, "signup", 0.0),
+        (6, h(7 * 24 + 2), 1, "view", 20.0),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumn("wk", F.date_trunc("week", F.col("ts")).cast("date"))
+    )
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    got = {tuple(r) for r in match_recognize(df, _RAM_TEXT).collect()}
+    assert got == {
+        (1, ddt.date(2026, 1, 5), h(0), 2, 2200),
+        (1, ddt.date(2026, 1, 12), h(7 * 24 + 1), 1, 2000),
+    }
+
+
+def test_cep_sql_run_agg_multikey_streaming_equals_batch(spark, sf_dir):
+    """The SAME composite-key text on a streaming input: the state op
+    groups by BOTH key parts (kleene_agg_stream key_cols) and each
+    part's dtype (long, date) flows through."""
+    import glob
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    def prep(df):
+        return (
+            df.filter(
+                "user_id IS NOT NULL AND ts IS NOT NULL "
+                "AND (value IS NULL OR abs(value) <= 1e9)"
+            )
+            .selectExpr(
+                "user_id",
+                "ts",
+                "event_id",
+                "event_type",
+                "CAST(round(value * 100) AS LONG) AS cents",
+            )
+            .withColumn(
+                "wk", F.date_trunc("week", F.col("ts")).cast("date")
+            )
+        )
+
+    stream = prep(
+        harness.events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            match_recognize(stream, _RAM_TEXT, watermark="0 seconds"),
+            "append",
+        )
+        .filter("key_user_id <> -1")
+        .collect()
+    }
+    batch = prep(spark.read.parquet(staged)).filter("user_id <> -1")
+    want = {tuple(r) for r in match_recognize(batch, _RAM_TEXT).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_run_agg_bounds_pointed_errors():
+    """The bounded form inherits every run-agg validation on the
+    REWRITTEN text, and two quantified aggregate steps are rejected
+    at the rewriter."""
+    from spark_cep_spark.operators.cep_sql import (
+        _rewrite_run_agg_bounds,
+        match_recognize,
+    )
+
+    with pytest.raises(ValueError, match="at most one quantified"):
+        _rewrite_run_agg_bounds(
+            """
+            PATTERN ( A -> B{2,4} -> C{1,2} )
+            WITHIN 7 DAYS
+            DEFINE A AS event_type = 'signup',
+                   B AS SUM(B.cents) <= 100,
+                   C AS SUM(C.cents) <= 100
+            AFTER MATCH SKIP PAST LAST ROW
+            PARTITION BY user_id
+            ORDER BY ts
+            """
+        )
+    # malformed aggregate conjunct on a bounded step: the rewriter
+    # claims it (routing to the run-agg parse) and the parse's
+    # pointed error fires — NOT the expansion machinery's generic one
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    bad = _RAT_TEXT.replace("SUM(B.cents) <= 25000", "MIN(B.cents) <= 5")
+    rw = _rewrite_run_agg_bounds(bad)
+    assert rw is not None and rw[1:] == (2, 4)
+    with pytest.raises(ValueError, match="not of a supported form"):
+        parse_pattern_sql(rw[0])
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ index delete + compaction (the remaining lifecycle face).
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_delete_tombstone_equals_compact(spark, tmp_path):
+    """Tombstoned query results == post-compaction results bit-for-bit
+    (compaction is pure storage); deleted ids never surface; the
+    tombstone table is cleared by compact; delete composes with a
+    later append."""
+    import numpy as np
+
+    from spark_cep_spark.operators.llm_similarity import IvfPqIndex
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(120, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    idx = IvfPqIndex.build(spark, df.filter(F.col("vec_id") >= 5), path)
+
+    dead = df.filter(
+        (F.col("vec_id") % 3 == 0) & (F.col("vec_id") >= 5)
+    ).select("vec_id")
+    dead_ids = {r.vec_id for r in dead.collect()}
+    idx.delete(dead)
+
+    tombstoned = sorted(
+        tuple(r) for r in idx.query(q, k=8, nprobe=4).collect()
+    )
+    assert tombstoned, "query returned nothing"
+    assert all(r[1] not in dead_ids for r in tombstoned)
+
+    idx.compact()
+    assert idx._tombstones() is None  # cleared
+    compacted = sorted(
+        tuple(r) for r in idx.query(q, k=8, nprobe=4).collect()
+    )
+    assert compacted == tombstoned
+
+    # physically gone: the cells table no longer holds the ids
+    remaining = {
+        r.vec_id
+        for r in spark.read.parquet(path + "/cells")
+        .select("vec_id")
+        .collect()
+    }
+    assert remaining.isdisjoint(dead_ids)
+
+    # append after compact keeps serving (same quantizers)
+    extra = rng.normal(size=(10, 64))
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    idx.append(
+        spark.createDataFrame(
+            [(500 + i, v.tolist()) for i, v in enumerate(extra)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    after = idx.query(q, k=8, nprobe=4).collect()
+    assert len(after) > 0
+
+
+def test_ivfpq_delete_key_registered(spark, sf_dir):
+    """The registered key runs end-to-end on the fixture corpus and
+    never returns a multiple-of-10 base id (the deleted cohort)."""
+    from spark_cep_spark.registry import QUERIES
+
+    got = QUERIES["sim_ann_ivfpq_delete"](spark, sf_dir).collect()
+    assert len(got) > 0
+    assert all(
+        not (r.neighbor_id >= 100 and r.neighbor_id % 10 == 0)
+        for r in got
+    )

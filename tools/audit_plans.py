@@ -140,6 +140,10 @@ PYTHON_OK = {
     "cep_sql_run_agg_confirm",  # the terminal-confirm (A -> B+ -> C)
     # form of the same kernel path (round 8) — identical JVM/Python
     # split, one extra JVM-side boolean column
+    "cep_sql_run_agg_times",  # the {n,m}-bounded form — same kernel,
+    # bounds live in the closure (zero extra state or columns)
+    "cep_sql_run_agg_multikey",  # the composite-PARTITION BY form —
+    # same kernel; the pair key only refines the shuffle hash
     "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
     # sequential per key (each kept point changes the next triangle) —
     # the documented tier-(b) applyInPandas integer kernel; one (user)

@@ -84,8 +84,11 @@ OPS = [
     "rollup_twap",
     "feat_scale",
     "agg_hll_union",
-    # round-8: terminal-confirm form of the kleene-agg kernel
+    # round-8: terminal-confirm form of the kleene-agg kernel,
+    # then the {n,m}-bounded and composite-key forms
     "cep_sql_run_agg_confirm",
+    "cep_sql_run_agg_times",
+    "cep_sql_run_agg_multikey",
 ]
 
 STREAM_NFA_SQL = """
