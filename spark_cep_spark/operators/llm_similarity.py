@@ -717,6 +717,38 @@ def planted_recall_probe(
         finally:
             shutil.rmtree(path, ignore_errors=True)
 
+    def _stream_probe():
+        # stream-ingest the twins (multi-epoch AvailableNow) into the
+        # stored index, then serve — the continuous-indexing face
+        # under the same recall gate
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivfpq_stream_")
+        stage = tempfile.mkdtemp(prefix="ivfpq_stage_")
+        try:
+            idx = IvfPqIndex.build(
+                spark, df.filter(F.col("vec_id") < 1000), path
+            )
+            q.repartition(3).write.mode("overwrite").parquet(stage)
+            stream = (
+                spark.readStream.schema(
+                    "vec_id long, embedding array<double>"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            idx.stream_ingest(
+                stream, checkpoint=stage + "_ckpt"
+            ).awaitTermination()
+            return IvfPqIndex.load(spark, path).query(
+                q, k=1, nprobe=4
+            ).collect()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(stage + "_ckpt", ignore_errors=True)
+
     fn = {
         "sim_ann_lsh": lambda: topk_lsh(spark, q, df, k=1).collect(),
         "sim_ann_ivf": lambda: topk_ivf(
@@ -728,6 +760,7 @@ def planted_recall_probe(
         ).collect(),
         "sim_ann_ivfpq_index": _index_probe,
         "sim_ann_ivfpq_delete": _delete_probe,
+        "sim_index_stream_ingest": _stream_probe,
     }[method]
     got = fn()
     hits = sum(
@@ -2455,6 +2488,26 @@ class IvfPqIndex:
         ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
         return self
 
+    def _read_cells(self) -> DataFrame:
+        """All indexed rows: the bulk/append `cells/` table plus, when
+        the streaming ingest face has written any, `cells_stream/`
+        (epoch_id=N/cell=M layout — ivfpq_stream_ingest).  Both sides
+        expose (id, vec, codes, cell); a filter on `cell` partition-
+        prunes BOTH (cell is a partition column in each layout, and
+        pruning applies at any partition depth)."""
+        import os
+
+        cols = [self.id_col, self.vec_col, "codes", "cell"]
+        cells = self.spark.read.parquet(
+            os.path.join(self.path, "cells")
+        ).select(*cols)
+        spath = os.path.join(self.path, "cells_stream")
+        if os.path.isdir(spath):
+            cells = cells.unionAll(
+                self.spark.read.parquet(spath).select(*cols)
+            )
+        return cells
+
     def _tombstones(self) -> DataFrame | None:
         """The stored tombstone set (one id column named like id_col),
         or None when nothing was ever deleted."""
@@ -2482,10 +2535,12 @@ class IvfPqIndex:
         return self
 
     def compact(self) -> "IvfPqIndex":
-        """Physical delete: rewrite the cell files without the
-        tombstoned rows, then clear the tombstone table — query
-        results are bit-for-bit identical before and after
-        (test-pinned; compaction is a pure storage operation).
+        """Physical maintenance: rewrite the cell files without the
+        tombstoned rows AND fold any streaming-ingested epochs
+        (`cells_stream/`) into the main layout, then clear the
+        tombstone table / stream area — query results are bit-for-bit
+        identical before and after (test-pinned; compaction is a pure
+        storage operation).
 
         100 TB shape: one partition-parallel anti-join against the
         broadcast-small tombstone set + a partitioned rewrite — the
@@ -2495,22 +2550,64 @@ class IvfPqIndex:
         import shutil
 
         tomb = self._tombstones()
-        if tomb is None:
+        spath = os.path.join(self.path, "cells_stream")
+        has_stream = os.path.isdir(spath)
+        if tomb is None and not has_stream:
             return self
         cells_path = os.path.join(self.path, "cells")
-        live = (
-            self.spark.read.parquet(cells_path)
-            .withColumn("cell", F.col("cell").cast("int"))
-            .join(
+        live = self._read_cells().withColumn(
+            "cell", F.col("cell").cast("int")
+        )
+        if tomb is not None:
+            live = live.join(
                 F.broadcast(tomb), on=self.id_col, how="left_anti"
             )
-        )
         tmp = cells_path + "_compact"
         live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
         shutil.rmtree(cells_path)
         os.rename(tmp, cells_path)
-        shutil.rmtree(os.path.join(self.path, "tombstones"))
+        if has_stream:
+            shutil.rmtree(spath)
+        if tomb is not None:
+            shutil.rmtree(os.path.join(self.path, "tombstones"))
         return self
+
+    def stream_ingest(
+        self, embeddings_stream: DataFrame, checkpoint: str
+    ):
+        """Streaming ingest into the stored index (the continuous-
+        indexing face): each micro-batch is quantized against the
+        STORED centroids/codebooks — the exact `_encode` kernel bulk
+        build and batch append use, so a vector gets the same (cell,
+        codes) whichever path delivered it — and written to its OWN
+        `cells_stream/epoch_id=N/` directory (partitioned by cell
+        inside).  Exactly-once: a replayed epoch OVERWRITES its own
+        epoch directory — including the empty case, where the direct-
+        path overwrite truncates a failed attempt's stale rows (the
+        dynamic_rules_stream pattern, streaming/windows.py).  Queries
+        see streamed rows immediately via _read_cells; compact()
+        folds the epochs into the main layout.
+
+        Returns the started StreamingQuery (caller picks the
+        trigger via the stream; tests use AvailableNow)."""
+        import os as _os
+
+        cl, C, bks = self._load_tables()
+        spath = _os.path.join(self.path, "cells_stream")
+
+        def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+            self._encode(batch_df, cl, C, bks).write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(
+                _os.path.join(spath, f"epoch_id={epoch_id}")
+            )
+
+        return (
+            embeddings_stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
     # -- serving ----------------------------------------------------------
     def query(
@@ -2561,7 +2658,7 @@ class IvfPqIndex:
         # is unchanged; the tombstone side is O(deleted), tiny).
         tomb = self._tombstones()
         cand = (
-            self.spark.read.parquet(os.path.join(self.path, "cells"))
+            self._read_cells()
             .filter(F.col("cell").isin(probed_union))
             .select(id_col, "codes", "cell")
         )
@@ -2621,9 +2718,7 @@ class IvfPqIndex:
              zip(qids, qmat)],
             "qid long, qe array<double>",
         )
-        raw = self.spark.read.parquet(
-            os.path.join(self.path, "cells")
-        ).select(
+        raw = self._read_cells().select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("ce"),
         )
@@ -2712,6 +2807,49 @@ def sim_ann_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("vec_id") % 10 == 0).select("vec_id")
     )
     idx.compact()
+    q = e.filter(F.col("vec_id") < 10)
+    return IvfPqIndex.load(spark, path).query(q, k=10)
+
+
+@register("sim_index_stream_ingest")  # approximate shortlist → rows-only
+def sim_index_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous indexing: the 10–99 cohort arrives as a STREAM
+    (multi-epoch AvailableNow) and is quantized into the stored
+    IVF×PQ index by the exactly-once foreachBatch face — each epoch
+    owns and overwrites its own cells_stream/epoch_id=N/ directory
+    (the dynamic_rules_stream idempotency pattern), so a replayed
+    micro-batch can never duplicate vectors.  Queries then serve from
+    bulk + streamed rows together.  stream-ingest == batch append
+    bit-for-bit is test-pinned (same _encode kernel, same quantizers);
+    the planted recall gate runs the same lifecycle.  Rows-only by
+    nature (approximate shortlist).
+
+    100 TB shape: per-epoch cost is ONE Arrow-batched encode pass over
+    the micro-batch against broadcast quantizers + a partitioned
+    write; queries add partition-pruned scans over the epoch dirs
+    (compact() folds them into the main layout when they accumulate —
+    the small-file story is layout_compaction's)."""
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") >= 100)
+    if valid_vectors(base, "embedding").limit(1).first() is None:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, sim double, rk integer"
+        )
+    path = tempfile.mkdtemp(prefix="ivfpq_si_")
+    stage = tempfile.mkdtemp(prefix="ivfpq_si_stage_")
+    idx = IvfPqIndex.build(spark, base, path)
+    cohort = e.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 100)
+    ).select("vec_id", "embedding")
+    cohort.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    idx.stream_ingest(stream, checkpoint=stage + "_ckpt").awaitTermination()
     q = e.filter(F.col("vec_id") < 10)
     return IvfPqIndex.load(spark, path).query(q, k=10)
 

@@ -1997,3 +1997,108 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_ok.alias("stop_ok"),
         (wc_ok & ml_ok & st_ok).alias("keep"),
     )
+
+
+@register(
+    "text_bigram_kn",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    big AS (
+      SELECT ts[g.i] AS w1, ts[g.i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+    n2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM big GROUP BY w1, w2),
+    n1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS n_first FROM big GROUP BY w1),
+    fw AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS n1p_fw FROM n2 GROUP BY w1),
+    bw AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw FROM n2 GROUP BY w2),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM n2)
+    SELECT n2.w1, n2.w2, n2.n_pair,
+           round(CAST(n1p_bw AS DOUBLE) / t, 6) AS p_cont,
+           round(CAST((4 * n_pair - 3) * t + 3 * n1p_fw * n1p_bw AS DOUBLE)
+                 / CAST(4 * t * n_first AS DOUBLE), 6) AS p_kn
+    FROM n2
+    JOIN n1 ON n2.w1 = n1.w1
+    JOIN fw ON n2.w1 = fw.w1
+    JOIN bw ON n2.w2 = bw.w2
+    CROSS JOIN tt
+    ORDER BY n2.n_pair DESC, n2.w1, n2.w2
+    LIMIT 200
+    """,
+)
+def text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
+    smoothing KenLM-class quality models use, upgrading
+    text_bigram_lm's raw MLE): with absolute discount D = 0.75,
+      P_KN(w2|w1) = (c(w1,w2) − D)/c(w1·)
+                    + D·N₁₊(w1·)/c(w1·) · N₁₊(·w2)/N₁₊(··)
+    — the continuation probability P_cont(w2) rewards words that
+    follow MANY histories, not merely frequent ones (the 'San
+    Francisco' correction).  Exact-arithmetic spelling: with D = 3/4
+    and every count ≥ 1 the discount never clamps, so the whole
+    expression folds to ONE integer-valued fraction
+      ((4·c₁₂ − 3)·T + 3·N₁₊fw·N₁₊bw) / (4·T·c₁),
+    divided once as double on both engines — no intermediate float
+    products to diverge (RULE 5 class).  Top-200 by pair count, ties
+    lexicographic.  Count products stay within BIGINT while
+    T·c₁₂ < 2⁶¹ (documented bound; a 10⁹-type corpus with 10⁹-count
+    heads needs the decimal(38,0) widening, the win_pareto_share
+    lesson).
+
+    100 TB shape: bigrams from the tail-zip projection (no token
+    self-join); FOUR map-side-combinable aggregates; the type total T
+    is a 1-row broadcast scalar; fw/bw re-aggregate the ALREADY
+    unique n2 table (type counts, not corpus scans); final top-200 is
+    TakeOrderedAndProject — bounded per-partition heaps, never a
+    global rank window."""
+    d = table(spark, sf_dir, "documents")
+    pairs = F.arrays_zip(
+        F.expr(
+            "slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"
+        ).alias("w1"),
+        F.expr(
+            "slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"
+        ).alias("w2"),
+    )
+    big = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    n2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    n1 = big.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    fw = n2.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_fw")
+    )
+    bw = n2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_bw")
+    )
+    tt = n2.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    return (
+        n2.join(n1, "w1")
+        .join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.col("n1p_bw").cast("double") / F.col("t"), 6
+            ).alias("p_cont"),
+            F.round(
+                (
+                    (4 * F.col("n_pair") - 3) * F.col("t")
+                    + 3 * F.col("n1p_fw") * F.col("n1p_bw")
+                ).cast("double")
+                / (4 * F.col("t") * F.col("n_first")).cast("double"),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+        .limit(200)
+    )

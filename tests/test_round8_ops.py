@@ -1185,3 +1185,110 @@ def test_ivfpq_delete_key_registered(spark, sf_dir):
         not (r.neighbor_id >= 100 and r.neighbor_id % 10 == 0)
         for r in got
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ streaming ingest (continuous indexing, exactly-once epochs).
+# ---------------------------------------------------------------------------
+
+
+def _norm_rows(rng, n, d=64, off=0):
+    import numpy as np
+
+    x = rng.normal(size=(n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return [(off + i, v.tolist()) for i, v in enumerate(x)]
+
+
+def test_ivfpq_stream_ingest_equals_batch_append(spark, tmp_path):
+    """stream_ingest == batch append bit-for-bit on query results
+    (same _encode kernel, same stored quantizers); a REPLAY of the
+    same staged files from a fresh checkpoint neither duplicates ids
+    nor changes results (epoch-directory overwrite); compact folds
+    the epochs and preserves results; delete excludes streamed ids."""
+    import shutil
+
+    import numpy as np
+
+    from spark_cep_spark.operators.llm_similarity import IvfPqIndex
+
+    rng = np.random.RandomState(23)
+    base_rows = _norm_rows(rng, 100)
+    new_rows = _norm_rows(rng, 30, off=300)
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(base_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    q = base.filter(F.col("vec_id") < 5)
+
+    # batch-append reference
+    pb = str(tmp_path / "batch")
+    IvfPqIndex.build(spark, base, pb).append(new)
+    want = sorted(
+        tuple(r)
+        for r in IvfPqIndex.load(spark, pb).query(q, k=8).collect()
+    )
+
+    # streaming ingest, 3 epochs
+    ps = str(tmp_path / "stream")
+    stage = str(tmp_path / "stage")
+    idx = IvfPqIndex.build(spark, base, ps)
+    new.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def run_stream(ckpt):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        idx.stream_ingest(s, checkpoint=ckpt).awaitTermination()
+
+    run_stream(str(tmp_path / "ckpt1"))
+    got = sorted(
+        tuple(r)
+        for r in IvfPqIndex.load(spark, ps).query(q, k=8).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # replay from a FRESH checkpoint: same files, epochs rewritten —
+    # no duplicate ids, identical results
+    run_stream(str(tmp_path / "ckpt2"))
+    streamed = spark.read.parquet(ps + "/cells_stream")
+    ids = [r.vec_id for r in streamed.select("vec_id").collect()]
+    assert sorted(ids) == sorted(r[0] for r in new_rows)  # no dups
+    got2 = sorted(
+        tuple(r)
+        for r in IvfPqIndex.load(spark, ps).query(q, k=8).collect()
+    )
+    assert got2 == want
+
+    # compact folds the epochs into the main layout, results unchanged
+    idx.compact()
+    assert not os.path.isdir(ps + "/cells_stream")
+    got3 = sorted(
+        tuple(r)
+        for r in IvfPqIndex.load(spark, ps).query(q, k=8).collect()
+    )
+    assert got3 == want
+
+    # a streamed id can be tombstoned like any other
+    idx.delete(spark.createDataFrame([(300,)], "vec_id long"))
+    got4 = IvfPqIndex.load(spark, ps).query(q, k=8).collect()
+    assert all(r.neighbor_id != 300 for r in got4)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_ivfpq_stream_ingest_key_registered(spark, sf_dir):
+    """The registered key equals the batch-append key bit-for-bit on
+    the fixture corpus — the continuous-indexing face is the SAME
+    index a bulk loader would have produced."""
+    from spark_cep_spark.registry import QUERIES
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["sim_index_stream_ingest"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["sim_ann_ivfpq_index"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

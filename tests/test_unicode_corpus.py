@@ -84,6 +84,10 @@ KEYS = [
     # neither crash nor diverge from the oracle's extraction
     "pipeline_bpe_train",
     "pipeline_bpe_tokens",
+    # round-8: KN smoothing zips raw-text token tails — the bigram
+    # extraction must agree with the oracle's 1-based list slicing on
+    # multi-byte scripts
+    "text_bigram_kn",
 ]
 
 

@@ -209,7 +209,8 @@ def main() -> int:
                 continue
             if key in ("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
                        "sim_ann_ivfpq", "sim_ann_ivfpq_index",
-                       "sim_ann_ivfpq_delete"):
+                       "sim_ann_ivfpq_delete",
+                       "sim_index_stream_ingest"):
                 # rows-only forever (approximate candidate sets) — gate
                 # on planted-near-dup recall instead so an ANN recall
                 # regression fails HERE, not just in pytest.
