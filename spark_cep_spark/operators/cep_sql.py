@@ -675,6 +675,54 @@ def _compile_run_agg_bind(spec: RunAggSpec):
     return lambda n, s, v: op(q * (n + 1), p)
 
 
+@dataclass(frozen=True)
+class RunCorrSpec:
+    """One anchor-correlation conjunct alongside a running-aggregate
+    DEFINE: `B.b_col CMP A.a_col` (either orientation in the text —
+    a reversed spelling is normalized by flipping CMP).  The anchor
+    row's a_col value is captured when the run opens (O(1) state);
+    each candidate's b_col is compared against it in the kernel.
+    SQL 3VL: a NULL operand makes the DEFINE non-true — an anchor row
+    with NULL a_col cannot open a run, a candidate with NULL b_col is
+    a non-candidate (noise), mirroring the coalesce(pred, FALSE)
+    discipline of the JVM-side predicates."""
+
+    b_col: str
+    cmp: str
+    a_col: str
+
+
+_AC_CMP = r"(<=|>=|<>|!=|=|<|>)"
+_AC_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=",
+            "<>": "<>", "!=": "!="}
+_AC_OPS = {
+    "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    "=": _op.eq, "<>": _op.ne, "!=": _op.ne,
+}
+
+
+def _parse_anchor_corr_conjunct(
+    conj: str, var: str, anchor: str
+) -> RunCorrSpec | None:
+    """Parse one `B.col CMP A.col` / `A.col CMP B.col` conjunct on
+    Kleene step `var` with anchor step `anchor`, or None when the
+    conjunct is not of that shape (the caller then raises the general
+    correlation-on-quantified error)."""
+    m = re.match(
+        rf"^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*{_AC_CMP}\s*"
+        rf"([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*$",
+        _mask_literals(conj),
+    )
+    if not m:
+        return None
+    lvar, lcol, cmp_, rvar, rcol = m.groups()
+    if lvar == var and rvar == anchor:
+        return RunCorrSpec(lcol, cmp_, rcol)
+    if lvar == anchor and rvar == var:
+        return RunCorrSpec(rcol, _AC_FLIP[cmp_], lcol)
+    return None
+
+
 def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     """Parse the dialect above into a Pattern + partition/order columns.
 
@@ -836,31 +884,53 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
             # standard's DEFINE-aggregate feature (RUNNING semantics,
             # current row included) — compiles to the shared
             # advance_kleene_agg kernel.  Exactly ONE aggregate
-            # conjunct is supported (one accumulator per run); any
-            # other self/cross-step correlation keeps the pointed
-            # rejection below.
+            # conjunct (one accumulator per run) plus, since round 8,
+            # at most one ANCHOR-correlation conjunct
+            # (B.col CMP A.col — the anchor row's value is O(1) extra
+            # run state) are supported; any other self/cross-step
+            # correlation keeps the pointed rejection below.
+            a_name0 = pattern.steps[0].name
             conjs = [
                 c[1:-1] if c.startswith("(") and c.endswith(")") else c
                 for c in _split_top_level_and(where)
             ]
-            specs = [_parse_run_agg_conjunct(c, name) for c in conjs]
-            if all(s is not None for s in specs):
+            specs, corrs, others = [], [], []
+            for c in conjs:
+                s = _parse_run_agg_conjunct(c, name)
+                if s is not None:
+                    specs.append(s)
+                    continue
+                ac = _parse_anchor_corr_conjunct(c, name, a_name0)
+                if ac is not None:
+                    corrs.append(ac)
+                    continue
+                others.append(c)
+            if specs and not others:
                 if len(specs) > 1:
                     raise ValueError(
                         f"step {name}: at most one running-aggregate "
                         "conjunct per Kleene step (one accumulator "
                         "per run)"
                     )
-                run_agg_info = (name, specs[0])
+                if len(corrs) > 1:
+                    raise ValueError(
+                        f"step {name}: at most one anchor-correlation "
+                        "conjunct alongside a running-aggregate DEFINE "
+                        "(the kernel carries one anchor value per run)"
+                    )
+                run_agg_info = (
+                    name, specs[0], corrs[0] if corrs else None
+                )
                 where = None
         if where and (plus or braced):
             raise ValueError(
                 f"step {name}: correlation is not supported on "
                 "quantified ({n}/+) steps (a RUNNING-aggregate DEFINE "
                 "over the kleene variable itself — e.g. "
-                "B.col <= 1.5 * AVG(B.col) — compiles natively; other "
-                "correlation is available as the cep_run_agg operator, "
-                "operators/cep.py)"
+                "B.col <= 1.5 * AVG(B.col), optionally AND-ed with "
+                "one anchor comparison B.col CMP A.col — compiles "
+                "natively; other correlation is available as the "
+                "cep_run_agg operator, operators/cep.py)"
             )
         if gap and (plus or braced):
             raise ValueError(
@@ -1078,7 +1148,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         # PATTERN (A -> B+) or (A -> B+ -> C) WITHIN <bound> with
         # SKIP PAST LAST ROW — reject everything the kernel does not
         # express, pointedly.
-        b_name, spec = run_agg_info
+        b_name, spec, corr = run_agg_info
         if len(pattern.steps) not in (2, 3):
             raise ValueError(
                 "a running-aggregate DEFINE supports exactly "
@@ -1218,7 +1288,9 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 "which is PAST LAST ROW semantics, not the default "
                 "SKIP TO NEXT ROW's overlapping matches"
             )
-        run_agg = (a_name, b_name, spec, conf_name, run_measures)
+        run_agg = (
+            a_name, b_name, spec, conf_name, run_measures, corr
+        )
     return ParsedPatternQuery(
         pattern=pattern,
         key_col=key_col,
@@ -1741,7 +1813,9 @@ def _compile_run_agg(
         kleene_agg_stream,
     )
 
-    a_name, b_name, spec, conf_name, run_measures = parsed.run_agg
+    a_name, b_name, spec, conf_name, run_measures, corr = (
+        parsed.run_agg
+    )
     a_step, b_step = parsed.pattern.steps[:2]
     conf_step = parsed.pattern.steps[2] if conf_name is not None else None
     confirm = conf_step is not None
@@ -1770,6 +1844,31 @@ def _compile_run_agg(
                 f"or float typed (got {vt.simpleString()}; cast "
                 "decimals explicitly to pick the arithmetic)"
             )
+    def _num_conv(col: str, what: str):
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} is not a column of the input "
+                f"({df.columns})"
+            )
+        t = df.schema[col].dataType
+        if isinstance(
+            t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return int
+        if isinstance(t, (T.FloatType, T.DoubleType)):
+            return float
+        raise ValueError(
+            f"{what} column {col!r} must be integer or float typed "
+            f"(got {t.simpleString()})"
+        )
+
+    corr_fn = None
+    if corr is not None:
+        bx_conv = _num_conv(corr.b_col, "anchor-correlation")
+        ay_conv = _num_conv(corr.a_col, "anchor-correlation")
+        _ac_op = _AC_OPS[corr.cmp]
+        corr_fn = lambda bx, ay: _ac_op(bx, ay)  # noqa: E731
+
     if run_measures:
         out_spec = list(run_measures)
     else:
@@ -1805,12 +1904,20 @@ def _compile_run_agg(
             F.col(val_col) if val_col is not None else F.lit(0).cast("long")
         ).alias("__v"),
     ]
-    if confirm:
+    if confirm or corr is not None:
+        # the kernel's row layout is positional: __is_conf always
+        # precedes __bx/__ay, so corr without confirm still carries
+        # the (all-False) confirm column
         proj.append(
-            F.coalesce(F.expr(conf_step.predicate), F.lit(False)).alias(
-                "__is_conf"
-            )
+            (
+                F.coalesce(F.expr(conf_step.predicate), F.lit(False))
+                if confirm
+                else F.lit(False)
+            ).alias("__is_conf")
         )
+    if corr is not None:
+        proj.append(F.col(corr.b_col).alias("__bx"))
+        proj.append(F.col(corr.a_col).alias("__ay"))
     prepared = df.filter(
         key_notnull & F.col(time_col).isNotNull()
     ).select(*proj)
@@ -1819,6 +1926,8 @@ def _compile_run_agg(
         return kleene_agg_stream(
             prepared, bind, within_us, out_spec, integral,
             confirm=confirm, min_n=min_n, max_n=max_n, key_cols=key_out,
+            corr=corr_fn,
+            corr_convs=(bx_conv, ay_conv) if corr is not None else None,
         )
 
     conv = int if integral else float
@@ -1838,9 +1947,23 @@ def _compile_run_agg(
             ["ts", "eid"]
         )
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        n_rows = len(pdf)
         confs = (
-            pdf["__is_conf"].tolist() if confirm else [False] * len(pdf)
+            pdf["__is_conf"].tolist()
+            if "__is_conf" in pdf.columns
+            else [False] * n_rows
         )
+        if corr_fn is not None:
+            bxs = [
+                None if pd.isna(x) else bx_conv(x)
+                for x in pdf["__bx"].tolist()
+            ]
+            ays = [
+                None if pd.isna(x) else ay_conv(x)
+                for x in pdf["__ay"].tolist()
+            ]
+        else:
+            bxs = ays = [None] * n_rows
         rows = [
             [
                 int(t),
@@ -1849,21 +1972,25 @@ def _compile_run_agg(
                 bool(ic),
                 None if pd.isna(v) else conv(v),
                 bool(cf),
+                bx,
+                ay,
             ]
-            for t, e, ia, ic, v, cf in zip(
+            for t, e, ia, ic, v, cf, bx, ay in zip(
                 ts_us.tolist(),
                 pdf["eid"].tolist(),
                 pdf["__is_a"].tolist(),
                 pdf["__is_c"].tolist(),
                 pdf["__v"].tolist(),
                 confs,
+                bxs,
+                ays,
             )
         ]
         # wm = +inf: batch sees the whole partition, so every open run
         # force-closes at partition end (same sentinel as cep_run_agg)
         _, out = advance_kleene_agg(
             None, rows, 1 << 62, bind, within_us, confirm=confirm,
-            min_n=min_n, max_n=max_n,
+            min_n=min_n, max_n=max_n, corr=corr_fn,
         )
         # dtype=object: an emission-less group yields empty columns,
         # and pandas' default float64 cannot Arrow-cast to date32 /
@@ -4135,6 +4262,187 @@ def cep_sql_run_agg_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("key_user_id").alias("user_id"),
         F.col("key_wk").alias("wk"),
+        F.col("t_A").alias("anchor_ts"),
+        F.col("B_count").alias("n_b"),
+        F.col("B_sum_cents").alias("sum_b_cents"),
+    )
+
+
+_RUN_AGG_CORR_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             coalesce(event_type, '') AS et,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND (value IS NULL OR abs(value) <= 1e9)
+    ),
+    mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS rn, FALSE AS in_run,
+             CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s,
+             CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS BIGINT) AS dl,
+             CAST(NULL AS BIGINT) AS ac,
+             CAST(NULL AS BIGINT) AS em_anchor,
+             CAST(NULL AS BIGINT) AS em_n, CAST(NULL AS BIGINT) AS em_s
+      FROM mx
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             -- open: signup WITH a non-NULL cents (NULL anchor value
+             -- cannot open — 3VL); bind: view, cents <= 1.5 x RUNNING
+             -- avg incl. itself AND cents >= the anchor's cents
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN e.et = 'signup' AND e.cents IS NOT NULL
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                  <= 3 * (w.s + e.cents)
+                                AND e.cents >= w.ac)
+                  THEN FALSE
+                  ELSE TRUE END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                       AND e.cents >= w.ac
+                  THEN w.n + 1
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE w.n END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents * (w.n + 1) <= 3 * (w.s + e.cents)
+                       AND e.cents >= w.ac
+                  THEN w.s + e.cents
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE w.s END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' AND e.cents IS NOT NULL
+                  THEN e.tus
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                  <= 3 * (w.s + e.cents)
+                                AND e.cents >= w.ac)
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.anchor END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' AND e.cents IS NOT NULL
+                  THEN e.tus + 604800000000
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                  <= 3 * (w.s + e.cents)
+                                AND e.cents >= w.ac)
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.dl END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' AND e.cents IS NOT NULL
+                  THEN e.cents
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                  <= 3 * (w.s + e.cents)
+                                AND e.cents >= w.ac)
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.ac END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0
+                  THEN w.anchor
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                  <= 3 * (w.s + e.cents)
+                                AND e.cents >= w.ac)
+                       AND w.n > 0
+                  THEN w.anchor END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0 THEN w.n
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                  <= 3 * (w.s + e.cents)
+                                AND e.cents >= w.ac)
+                       AND w.n > 0
+                  THEN w.n END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0 THEN w.s
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents * (w.n + 1)
+                                  <= 3 * (w.s + e.cents)
+                                AND e.cents >= w.ac)
+                       AND w.n > 0
+                  THEN w.s END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ),
+    closes AS (
+      SELECT user_id, em_anchor AS anchor, em_n AS n, em_s AS s
+      FROM walk WHERE em_anchor IS NOT NULL
+      UNION ALL
+      SELECT w.user_id, w.anchor, w.n, w.s
+      FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mxrn
+      WHERE w.in_run AND w.n > 0
+    )
+    SELECT user_id, make_timestamp(anchor) AS anchor_ts,
+           n AS n_b, s AS sum_b_cents
+    FROM closes
+"""
+
+
+@register("cep_sql_run_agg_corr", oracle=_RUN_AGG_CORR_ORACLE)
+def cep_sql_run_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed aggregate + anchor-correlation DEFINE — the LAST entry on
+    the r7 verdict's item-3 restriction list: PATTERN (A -> B+)
+    WITHIN 7 DAYS where a view binds iff BOTH the running-aggregate
+    condition (cents <= 1.5 x RUNNING avg incl. itself, exact
+    cross-multiplied integers) AND the anchor comparison
+    (B.cents >= A.cents — at least the signup's own cents) hold.  The
+    anchor row's value is O(1) extra run state captured at open; SQL
+    3VL pins NULLs (a signup with NULL cents cannot open, a view with
+    NULL cents is a non-candidate).  Same advance_kleene_agg kernel
+    on both engines (corr closure); the oracle replays the definition
+    as a recursive-CTE walk carrying the anchor value.
+
+    100 TB shape: identical to cep_sql_run_agg — the two correlation
+    operands ride as two more narrow JVM-projected columns across the
+    Arrow boundary; ONE (user) shuffle, O(1) per-key state."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("value").isNull() | (F.abs("value") <= 1e9))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = match_recognize(
+        e,
+        """
+        PATTERN ( A -> B+ )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view'
+                    AND B.cents <= 1.5 * AVG(B.cents)
+                    AND B.cents >= A.cents
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
         F.col("t_A").alias("anchor_ts"),
         F.col("B_count").alias("n_b"),
         F.col("B_sum_cents").alias("sum_b_cents"),

@@ -4318,6 +4318,7 @@ def advance_kleene_agg(
     confirm: bool = False,
     min_n: int = 1,
     max_n: int | None = None,
+    corr=None,
 ) -> tuple[list | None, list]:
     """Generic running-aggregate kleene kernel — PATTERN (A -> B+)
     WITHIN <bound> where each candidate B binds iff `bind(n, s, v)`
@@ -4370,23 +4371,45 @@ def advance_kleene_agg(
     case the candidate branch consumes it and the run dies (existing
     failing-row rule).  Defaults (1, None) are exactly B+.
 
-    state: None (idle) or [n, sum, anchor_us, deadline_us] — confirm
-    adds no state.  O(1) state; chunking-invariant given monotone wm
-    (property-tested)."""
+    corr (round-8) carries an anchor-correlation conjunct
+    (B.col CMP A.col): rows extend to [..., is_conf, bx, ay], the
+    anchor's ay is captured into the state when the run opens (an
+    anchor row with NULL ay cannot open — SQL 3VL), and a candidate
+    additionally needs corr(bx, ay) to bind; a candidate with NULL bx
+    is a NON-candidate (noise), mirroring the coalesce(pred, FALSE)
+    discipline of the JVM-side predicates.  A candidate failing
+    EITHER the aggregate bind or the anchor comparison is a failing
+    row (consumed, run dies).
+
+    state: None (idle) or [n, sum, anchor_us, deadline_us(, ay)] —
+    confirm adds no state, corr adds the one anchor value.  O(1)
+    state; chunking-invariant given monotone wm (property-tested)."""
     st = None if state is None else list(state)
     out = []
     for row in matured:
         ts, _eid, is_a, is_c, v = row[:5]
         is_conf = confirm and row[5]
+        if corr is not None:
+            bx, ay_row = row[6], row[7]
+            if is_c and bx is None:
+                is_c = False
         if st is not None and ts > st[3]:
             if not confirm and st[0] >= min_n:
                 out.append([st[2], st[0], st[1]])
             st = None
         sat = st is not None and max_n is not None and st[0] >= max_n
         if st is None:
-            if is_a:
+            if is_a and (corr is None or ay_row is not None):
                 st = [0, 0, ts, ts + within_us]
-        elif is_c and v is not None and not sat and bind(st[0], st[1], v):
+                if corr is not None:
+                    st.append(ay_row)
+        elif (
+            is_c
+            and v is not None
+            and not sat
+            and bind(st[0], st[1], v)
+            and (corr is None or corr(bx, st[4]))
+        ):
             st[0] += 1
             st[1] += v
             if not confirm and max_n is not None and st[0] == max_n:
@@ -4584,6 +4607,8 @@ def kleene_agg_stream(
     min_n: int = 1,
     max_n: int | None = None,
     key_cols: tuple = ("key",),
+    corr=None,
+    corr_convs: tuple | None = None,
 ) -> DataFrame:
     """Streaming face of the dialect's DEFINE-aggregate compilation
     (cep_sql.py _compile_run_agg): the generic advance_kleene_agg
@@ -4634,19 +4659,34 @@ def kleene_agg_stream(
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
+                n_rows = len(pdf)
                 ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
                 confs = (
                     pdf["__is_conf"].tolist()
-                    if confirm
-                    else [False] * len(pdf)
+                    if "__is_conf" in pdf.columns
+                    else [False] * n_rows
                 )
-                for ts, eid, ia, ic, v, cf in zip(
+                if corr is not None:
+                    bxc, ayc = corr_convs
+                    bxs = [
+                        None if x is None or pd.isna(x) else bxc(x)
+                        for x in pdf["__bx"].tolist()
+                    ]
+                    ays = [
+                        None if x is None or pd.isna(x) else ayc(x)
+                        for x in pdf["__ay"].tolist()
+                    ]
+                else:
+                    bxs = ays = [None] * n_rows
+                for ts, eid, ia, ic, v, cf, bx, ay in zip(
                     ts_us.tolist(),
                     pdf["eid"].tolist(),
                     pdf["__is_a"].tolist(),
                     pdf["__is_c"].tolist(),
                     pdf["__v"].tolist(),
                     confs,
+                    bxs,
+                    ays,
                 ):
                     # NULL event_id maps to 0 (sort tie-break only) —
                     # the batch face keeps such rows; dropping them
@@ -4659,6 +4699,8 @@ def kleene_agg_stream(
                             bool(ic),
                             None if v is None or pd.isna(v) else conv(v),
                             bool(cf),
+                            bx,
+                            ay,
                         ]
                     )
 
@@ -4669,7 +4711,7 @@ def kleene_agg_stream(
 
         s, rows = advance_kleene_agg(
             s, matured, wm_us, bind, within_us, confirm=confirm,
-            min_n=min_n, max_n=max_n,
+            min_n=min_n, max_n=max_n, corr=corr,
         )
 
         if buf or s is not None:

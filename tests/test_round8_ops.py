@@ -131,6 +131,7 @@ TIE_KEYS = [
     # vacuous; the same compile path's tie discipline is exercised by
     # cep_sql_run_agg_multikey below and the round-7 run-agg tie test)
     "cep_sql_run_agg_multikey",
+    "cep_sql_run_agg_corr",
     "win_acf",
     # operators/graph.py
     "graph_transitions",
@@ -1292,3 +1293,243 @@ def test_ivfpq_stream_ingest_key_registered(spark, sf_dir):
         for r in QUERIES["sim_ann_ivfpq_index"](spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Mixed aggregate + anchor-correlation DEFINE (the last item-3 notch).
+# ---------------------------------------------------------------------------
+
+_RACO_TEXT = """
+    PATTERN ( A -> B+ )
+    WITHIN 7 DAYS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'view'
+                AND B.cents <= 1.5 * AVG(B.cents)
+                AND B.cents >= A.cents
+    AFTER MATCH SKIP PAST LAST ROW
+    PARTITION BY user_id
+    ORDER BY ts
+"""
+
+
+def test_kleene_agg_corr_kernel_semantics():
+    """Hand-walked corr-mode kernel cases: anchor value captured at
+    open, candidates need BOTH binds, NULL operands follow 3VL
+    (NULL ay never opens, NULL bx is a non-candidate), corr composes
+    with bounds and confirm."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: True  # noqa: E731  (agg always true)
+    ge = lambda bx, ay: bx >= ay  # noqa: E731
+    W = 1000
+
+    def run(rows, **kw):
+        _, out = advance_kleene_agg(
+            None, rows, 1 << 62, bind, W, corr=ge, **kw
+        )
+        return out
+
+    A = lambda t, ay: [t, 0, True, False, None, False, None, ay]  # noqa: E731
+    B = lambda t, v, bx: [t, 0, False, True, v, False, bx, None]  # noqa: E731
+    # bx >= ay binds; a smaller bx is a failing candidate (consumed)
+    assert run([A(0, 50), B(1, 10, 60), B(2, 20, 70)]) == [[0, 2, 30]]
+    assert run([A(0, 50), B(1, 10, 60), B(2, 20, 40)]) == [[0, 1, 10]]
+    # NULL ay: the anchor cannot open — later B finds no run
+    assert run([A(0, None), B(1, 10, 60)]) == []
+    # NULL bx: non-candidate (noise), run stays open to partition end
+    assert run([A(0, 50), B(1, 10, None), B(2, 20, 70)]) == [[0, 1, 20]]
+    # corr + bounds: the 2nd bind greedily completes at max
+    assert run(
+        [A(0, 50), B(1, 10, 60), B(2, 20, 70), B(3, 5, 80)],
+        min_n=1, max_n=2,
+    ) == [[0, 2, 30]]
+    # corr + confirm: C closes only after >= 1 corr-passing bind
+    C = lambda t: [t, 0, False, False, None, True, None, None]  # noqa: E731
+    _, out = advance_kleene_agg(
+        None,
+        [A(0, 50), B(1, 10, 60), C(2)],
+        1 << 62,
+        bind,
+        W,
+        corr=ge,
+        confirm=True,
+    )
+    assert out == [[0, 1, 10, 2]]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.sampled_from(["a", "b", "x"]),
+            st.integers(1, 30),
+            st.integers(0, 12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(1, 39), max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_kleene_agg_corr_chunking_invariance(evs, cuts):
+    """Chunking invariance of the corr-mode kernel: any micro-batch
+    split with monotone boundary watermarks emits exactly the
+    whole-stream result."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: s + v <= 40  # noqa: E731
+    ge = lambda bx, ay: bx >= ay  # noqa: E731
+    W = 60
+    t = 0
+    rows = []
+    for dt, et, v, x in evs:
+        t += dt
+        rows.append(
+            [
+                t,
+                0,
+                et == "a",
+                et == "b",
+                v if et == "b" else None,
+                False,
+                x if et == "b" else None,
+                x if et == "a" else None,
+            ]
+        )
+    _, whole = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, corr=ge
+    )
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    stt, got, prev = None, [], 0
+    for b in bounds:
+        chunk = rows[prev:b]
+        wm = chunk[-1][0] if chunk else (rows[prev - 1][0] if prev else 0)
+        stt, part = advance_kleene_agg(
+            stt, chunk, wm, bind, W, corr=ge
+        )
+        got += part
+        prev = b
+    stt, part = advance_kleene_agg(stt, [], 1 << 62, bind, W, corr=ge)
+    got += part
+    assert got == whole
+
+
+def test_cep_sql_run_agg_corr_small_fixture(spark):
+    """Hand-computed mixed agg+corr fixture through the full dialect
+    path, including the reversed-orientation spelling."""
+    t0 = ddt.datetime(2026, 1, 1)
+    m = lambda k: t0 + ddt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: signup cents 1000; views 1500, 2000 pass both binds;
+        # view 500 fails the anchor comparison -> closes with n=2
+        (1, m(0), 1, "signup", 10.0),
+        (2, m(1), 1, "view", 15.0),
+        (3, m(2), 1, "view", 20.0),
+        (4, m(3), 1, "view", 5.0),
+        # user 2: signup with NULL value cannot open
+        (5, m(0), 2, "signup", None),
+        (6, m(1), 2, "view", 15.0),
+        # user 3: view with NULL value is a non-candidate (noise)
+        (7, m(0), 3, "signup", 10.0),
+        (8, m(1), 3, "view", None),
+        (9, m(2), 3, "view", 12.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    got = {tuple(r) for r in match_recognize(df, _RACO_TEXT).collect()}
+    assert got == {
+        (1, m(0), 2, 3500),
+        (3, m(0), 1, 1200),
+    }
+    # reversed orientation (A.cents <= B.cents) compiles identically
+    rev = _RACO_TEXT.replace("B.cents >= A.cents", "A.cents <= B.cents")
+    got2 = {tuple(r) for r in match_recognize(df, rev).collect()}
+    assert got2 == got
+
+
+def test_cep_sql_run_agg_corr_streaming_equals_batch(spark, sf_dir):
+    """The SAME mixed agg+corr text on a streaming input emits exactly
+    the batch rows — the corr operands ride the kernel into
+    applyInPandasWithState unchanged."""
+    import glob
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    def prep(df):
+        return df.filter(
+            "user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND (value IS NULL OR abs(value) <= 1e9)"
+        ).selectExpr(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "CAST(round(value * 100) AS LONG) AS cents",
+        )
+
+    stream = prep(
+        harness.events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            match_recognize(stream, _RACO_TEXT, watermark="0 seconds"),
+            "append",
+        )
+        .filter("key <> -1")
+        .collect()
+    }
+    batch = prep(spark.read.parquet(staged)).filter("user_id <> -1")
+    want = {
+        tuple(r) for r in match_recognize(batch, _RACO_TEXT).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_run_agg_corr_pointed_errors():
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    # two anchor-correlation conjuncts
+    with pytest.raises(ValueError, match="at most one anchor-corr"):
+        parse_pattern_sql(
+            _RACO_TEXT.replace(
+                "AND B.cents >= A.cents",
+                "AND B.cents >= A.cents AND B.cents <= A.cents",
+            )
+        )
+    # correlation against a NON-anchor step (the terminal-confirm C)
+    # stays rejected with the pointed error
+    with pytest.raises(ValueError, match="correlation is not supported"):
+        parse_pattern_sql(
+            _RACO_TEXT.replace("B.cents >= A.cents", "B.cents >= C.cents")
+            .replace(
+                "PATTERN ( A -> B+ )", "PATTERN ( A -> B+ -> C )"
+            )
+            .replace(
+                "ORDER BY ts",
+                "ORDER BY ts",
+            )
+            .replace(
+                "DEFINE A AS event_type = 'signup',",
+                "DEFINE A AS event_type = 'signup',\n"
+                "           C AS event_type = 'purchase',",
+            )
+        )

@@ -120,6 +120,10 @@ PYTHON_OK = {
     # scan, further bounded to each query's nprobe cells
     "sim_ann_ivfpq_index",  # the persistent face of the same ADC scan —
     # partition-pruned to the probed cells, column-pruned to the codes
+    "sim_ann_ivfpq_delete",  # same ADC scan + one broadcast anti-join
+    # against the O(deleted) tombstone table (after partition pruning)
+    "sim_index_stream_ingest",  # same ADC scan over bulk + epoch-dir
+    # streamed rows; ingest itself is the _encode Arrow pass per batch
     "emb_covariance",  # mapInPandas partial Gram (one BLAS X^T.X per
     # Arrow batch) — the shuffle-minimal alternative to an n x d
     # self-join; shuffle carries only partitions x d^2 partial rows
@@ -144,6 +148,8 @@ PYTHON_OK = {
     # bounds live in the closure (zero extra state or columns)
     "cep_sql_run_agg_multikey",  # the composite-PARTITION BY form —
     # same kernel; the pair key only refines the shuffle hash
+    "cep_sql_run_agg_corr",  # the mixed agg+anchor-correlation form —
+    # same kernel; two more narrow JVM columns cross the boundary
     "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
     # sequential per key (each kept point changes the next triangle) —
     # the documented tier-(b) applyInPandas integer kernel; one (user)

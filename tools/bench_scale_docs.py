@@ -42,6 +42,8 @@ OPS = [
     "text_vocab",
     "corpus_token_budget",
     "text_bigram_lm",
+    # round-8: KN smoothing (same bigram zip + two extra type aggs)
+    "text_bigram_kn",
     # round-6: decile rank (distributed ntile), mix weights, BM25,
     # hybrid RRF (embeddings stay 1x — the lexical side is what grows)
     "corpus_quality_deciles",

@@ -89,6 +89,11 @@ OPS = [
     "cep_sql_run_agg_confirm",
     "cep_sql_run_agg_times",
     "cep_sql_run_agg_multikey",
+    # round-8: lag-correlation (one shuffle, 3 lags), dow seasonal
+    # index (two hash aggs)
+    "win_acf",
+    "rollup_seasonal",
+    "cep_sql_run_agg_corr",
 ]
 
 STREAM_NFA_SQL = """

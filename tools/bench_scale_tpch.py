@@ -59,6 +59,9 @@ OPS = [
     "join_scd2_pit",
     "graph_components",
     "graph_label_propagation",
+    # round-8: 4-round min-plus relaxation (one join + one min-agg
+    # per round over the amplified edge set)
+    "graph_shortest_path",
     "win_pareto_share",
     "win_share_of_total",
     "merge_incremental_agg",
