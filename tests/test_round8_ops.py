@@ -1533,3 +1533,44 @@ def test_run_agg_corr_pointed_errors():
                 "           C AS event_type = 'purchase',",
             )
         )
+
+
+def test_run_agg_bounds_compose_with_corr(spark):
+    """{n,m} bounds + anchor-correlation in ONE DEFINE go through the
+    rewriter into the same kernel: greedy completion at the max-th
+    corr-passing bind."""
+    t0 = ddt.datetime(2026, 1, 1)
+    m = lambda k: t0 + ddt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "signup", 10.0),
+        (2, m(1), 1, "view", 15.0),   # >= anchor: binds (n=1)
+        (3, m(2), 1, "view", 5.0),    # < anchor: failing row, but
+        # n=1 >= min=1 -> emits [n=1]
+        (4, m(3), 1, "signup", 10.0),
+        (5, m(4), 1, "view", 15.0),
+        (6, m(5), 1, "view", 20.0),   # 2nd bind == max -> completes
+        (7, m(6), 1, "view", 25.0),   # past the match
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    text = """
+        PATTERN ( A -> B{1,2} )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view'
+                    AND SUM(B.cents) <= 100000
+                    AND B.cents >= A.cents
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+    """
+    got = {tuple(r) for r in match_recognize(df, text).collect()}
+    assert got == {
+        (1, m(0), 1, 1500),
+        (1, m(3), 2, 3500),
+    }
