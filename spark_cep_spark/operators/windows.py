@@ -1239,88 +1239,145 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_acf",
     oracle="""
     WITH s AS (
-      SELECT user_id, value,
-             lag(value, 1) OVER w AS l1,
-             lag(value, 2) OVER w AS l2,
-             lag(value, 3) OVER w AS l3
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS l1,
+             lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS l2,
+             lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS l3
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND (value IS NULL OR abs(value) <= 1e6)
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY ts, coalesce(event_id, 0))
     ),
+    p AS (
+      SELECT user_id, 1 AS lag, x, l1 AS y FROM s
+      UNION ALL SELECT user_id, 2, x, l2 FROM s
+      UNION ALL SELECT user_id, 3, x, l3 FROM s
+    ),
     g AS (
-      SELECT user_id, 1 AS lag, corr(value, l1) AS c,
-             count(*) FILTER (value IS NOT NULL AND l1 IS NOT NULL)
-               AS n_pairs
-      FROM s GROUP BY user_id
-      UNION ALL
-      SELECT user_id, 2, corr(value, l2),
-             count(*) FILTER (value IS NOT NULL AND l2 IS NOT NULL)
-      FROM s GROUP BY user_id
-      UNION ALL
-      SELECT user_id, 3, corr(value, l3),
-             count(*) FILTER (value IS NOT NULL AND l3 IS NOT NULL)
-      FROM s GROUP BY user_id
+      SELECT user_id, lag,
+             CAST(count(*) FILTER (x IS NOT NULL AND y IS NOT NULL)
+                  AS HUGEINT) AS n,
+             CAST(coalesce(sum(x)  FILTER (x IS NOT NULL AND y IS NOT NULL), 0) AS HUGEINT) AS sx,
+             CAST(coalesce(sum(y)  FILTER (x IS NOT NULL AND y IS NOT NULL), 0) AS HUGEINT) AS sy,
+             CAST(coalesce(sum(x * y) FILTER (x IS NOT NULL AND y IS NOT NULL), 0) AS HUGEINT) AS sxy,
+             CAST(coalesce(sum(x * x) FILTER (x IS NOT NULL AND y IS NOT NULL), 0) AS HUGEINT) AS sxx,
+             CAST(coalesce(sum(y * y) FILTER (x IS NOT NULL AND y IS NOT NULL), 0) AS HUGEINT) AS syy
+      FROM p GROUP BY user_id, lag
     )
     SELECT user_id, CAST(lag AS BIGINT) AS lag,
-           round(c, 4) + 0.0 AS acf, CAST(n_pairs AS BIGINT) AS n_pairs
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+             + 0.0 AS acf,
+           CAST(n AS BIGINT) AS n_pairs
     FROM g
-    WHERE n_pairs >= 10 AND c IS NOT NULL
+    WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """,
 )
 def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function per user at lags 1–3 over the
     (ts, id)-ordered value series — the time-series diagnostic behind
     seasonality/AR-order detection (Box–Jenkins identification step,
-    public methodology).  ACF_k = corr(value_t, value_{t-k}) over the
-    in-partition pairs; emitted only for users with ≥ 10 pairs at
-    that lag, NULL/NaN correlations (zero variance) dropped on BOTH
-    engines (Spark folds its NaN to NULL so the engines agree on the
-    degenerate constant-series class).  round(,4)+0.0 folds IEEE
-    signed zero (RULE 4).
+    public methodology).  ACF_k = Pearson corr(x_t, x_{t−k}) over the
+    in-partition pairs with both sides non-NULL, emitted for users
+    with ≥ 10 pairs at that lag.
+
+    Exact-arithmetic spelling (the RULE-discipline story AND the
+    ANSI-safety fix): values enter as exact integer cents, the six
+    co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    DECIMAL(38,0)/HUGEINT, and the correlation is assembled as
+    (n·Σxy − ΣxΣy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)) with the
+    division reached ONLY under the exact integer guards
+    denx > 0 AND deny > 0 — so a constant series (zero variance)
+    yields no row instead of Spark's ANSI DIVIDE_BY_ZERO (the
+    degenerate-sweep catch), and both engines divide bit-identical
+    doubles.  |value| ≤ 1e6 bound keeps every product inside
+    DECIMAL(38,0) at 10⁶ rows per key (documented).
 
     100 TB shape: ONE (user) shuffle serves all three lag columns
-    (one Window spec) AND the groupBy (same partitioning — Catalyst
-    plans a single exchange); corr is an algebraic map-side-partial
-    aggregate.  No UDF, no driver loop; lags stay JVM-side."""
+    (one Window spec) AND the groupBy (same partitioning — a single
+    exchange in the plan); the co-moments are map-side-combinable
+    algebraic aggregates.  No UDF, no driver loop; lags stay
+    JVM-side."""
     w = W.partitionBy("user_id").orderBy(
         "ts", F.coalesce(F.col("event_id"), F.lit(0))
     )
+    x = F.round(F.col("value") * 100).cast("long")
     s = (
         table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("value").isNull() | (F.abs("value") <= 1e6))
+        )
         .select(
             "user_id",
-            "value",
-            F.lag("value", 1).over(w).alias("l1"),
-            F.lag("value", 2).over(w).alias("l2"),
-            F.lag("value", 3).over(w).alias("l3"),
+            x.alias("x"),
+            F.lag(x, 1).over(w).alias("l1"),
+            F.lag(x, 2).over(w).alias("l2"),
+            F.lag(x, 3).over(w).alias("l3"),
         )
     )
+    dec = "decimal(38,0)"
     parts = []
     for k in (1, 2, 3):
-        lk = F.col(f"l{k}")
+        y = F.col(f"l{k}")
+        both = F.col("x").isNotNull() & y.isNotNull()
+        xb = F.when(both, F.col("x").cast(dec))
+        yb = F.when(both, y.cast(dec))
         parts.append(
             s.groupBy("user_id").agg(
                 F.lit(k).cast("long").alias("lag"),
-                F.corr("value", f"l{k}").alias("c"),
-                F.count(
-                    F.when(
-                        F.col("value").isNotNull() & lk.isNotNull(),
-                        F.lit(1),
-                    )
-                )
-                .cast("long")
-                .alias("n_pairs"),
+                F.count(F.when(both, F.lit(1)))
+                .cast(dec)
+                .alias("n"),
+                F.coalesce(F.sum(xb), F.lit(0).cast(dec)).alias("sx"),
+                F.coalesce(F.sum(yb), F.lit(0).cast(dec)).alias("sy"),
+                F.coalesce(F.sum(xb * y), F.lit(0).cast(dec)).alias(
+                    "sxy"
+                ),
+                F.coalesce(
+                    F.sum(xb * F.col("x")), F.lit(0).cast(dec)
+                ).alias("sxx"),
+                F.coalesce(F.sum(yb * y), F.lit(0).cast(dec)).alias(
+                    "syy"
+                ),
             )
         )
     g = parts[0].unionAll(parts[1]).unionAll(parts[2])
-    # Spark's corr yields NaN on zero variance where DuckDB yields
-    # NULL — fold NaN to NULL so the degenerate filter agrees
-    c = F.when(F.isnan("c"), F.lit(None)).otherwise(F.col("c"))
-    return g.select(
-        "user_id",
-        "lag",
-        (F.round(c, 4) + F.lit(0.0)).alias("acf"),
-        "n_pairs",
-    ).filter((F.col("n_pairs") >= 10) & F.col("acf").isNotNull())
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        g.select(
+            "user_id",
+            "lag",
+            F.col("n").cast("long").alias("n_pairs"),
+            num.alias("_num"),
+            denx.alias("_dx"),
+            deny.alias("_dy"),
+        )
+        .filter(
+            (F.col("n_pairs") >= 10)
+            & (F.col("_dx") > 0)
+            & (F.col("_dy") > 0)
+        )
+        .select(
+            "user_id",
+            "lag",
+            (
+                F.round(
+                    F.col("_num").cast("double")
+                    / (
+                        F.sqrt(F.col("_dx").cast("double"))
+                        * F.sqrt(F.col("_dy").cast("double"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("acf"),
+            "n_pairs",
+        )
+    )

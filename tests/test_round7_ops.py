@@ -174,13 +174,25 @@ def test_run_agg_dialect_pointed_errors():
                    D AS event_type = 'error'
             AFTER MATCH SKIP PAST LAST ROW
         """)
-    # aggregate + other correlation on the same kleene step
+    # aggregate + ANCHOR correlation on the same kleene step: round 8
+    # lifted this into the kernel (cep_sql_run_agg_corr) — it must
+    # PARSE, carrying the RunCorrSpec
+    parsed = parse_pattern_sql("""
+        PATTERN ( A -> B+ )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS B.cents <= 1.5 * AVG(B.cents) AND B.cents > A.cents
+        AFTER MATCH SKIP PAST LAST ROW
+    """)
+    assert parsed.run_agg is not None and parsed.run_agg[5] is not None
+    # aggregate + NON-anchor correlation keeps the pointed rejection
     with pytest.raises(ValueError, match="correlation is not supported"):
         parse_pattern_sql("""
-            PATTERN ( A -> B+ )
+            PATTERN ( A -> B+ -> C )
             WITHIN 7 DAYS
             DEFINE A AS event_type = 'signup',
-                   B AS B.cents <= 1.5 * AVG(B.cents) AND B.cents > A.cents
+                   B AS B.cents <= 1.5 * AVG(B.cents) AND B.cents > C.cents,
+                   C AS event_type = 'purchase'
             AFTER MATCH SKIP PAST LAST ROW
         """)
     # braced quantifier keeps the general rejection

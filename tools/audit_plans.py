@@ -71,6 +71,9 @@ NESTED_LOOP_OK = {
     # build side as text_surprisal
     "text_collocations",  # 1-row N_total broadcast into the
     # min-count-pruned bigram table — same shape as text_surprisal
+    "text_bigram_kn",  # 1-row distinct-bigram-type total T broadcast
+    # into the top-200-bounded pair table — same constant-size build
+    # side as text_surprisal (T is the KN continuation denominator)
     "pipeline_dedup_eval",  # the final precision/recall row combines
     # three 1-row count aggregates — all build sides constant-size
     "tpch_q11",  # 1-row regional-total broadcast into the per-part
