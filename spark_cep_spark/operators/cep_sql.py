@@ -1823,28 +1823,10 @@ def _compile_run_agg(
     within_us = _interval_to_ms(parsed.pattern.time_bound) * 1000
     key_col, time_col = parsed.key_col, parsed.time_col
 
-    val_col = spec.col
-    integral = True
-    if val_col is not None:
-        if val_col not in df.columns:
-            raise ValueError(
-                f"DEFINE aggregate column {val_col!r} is not a column "
-                f"of the input ({df.columns})"
-            )
-        vt = df.schema[val_col].dataType
-        if isinstance(
-            vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-        ):
-            integral = True
-        elif isinstance(vt, (T.FloatType, T.DoubleType)):
-            integral = False
-        else:
-            raise ValueError(
-                f"DEFINE aggregate column {val_col!r} must be integer "
-                f"or float typed (got {vt.simpleString()}; cast "
-                "decimals explicitly to pick the arithmetic)"
-            )
     def _num_conv(col: str, what: str):
+        """int/float converter for a numeric input column, with the
+        shared pointed errors (one dispatch for the aggregate value
+        AND the correlation operands)."""
         if col not in df.columns:
             raise ValueError(
                 f"{what} column {col!r} is not a column of the input "
@@ -1859,15 +1841,22 @@ def _compile_run_agg(
             return float
         raise ValueError(
             f"{what} column {col!r} must be integer or float typed "
-            f"(got {t.simpleString()})"
+            f"(got {t.simpleString()}; cast decimals explicitly to "
+            "pick the arithmetic)"
         )
+
+    val_col = spec.col
+    integral = (
+        _num_conv(val_col, "DEFINE aggregate") is int
+        if val_col is not None
+        else True
+    )
 
     corr_fn = None
     if corr is not None:
         bx_conv = _num_conv(corr.b_col, "anchor-correlation")
         ay_conv = _num_conv(corr.a_col, "anchor-correlation")
-        _ac_op = _AC_OPS[corr.cmp]
-        corr_fn = lambda bx, ay: _ac_op(bx, ay)  # noqa: E731
+        corr_fn = _AC_OPS[corr.cmp]
 
     if run_measures:
         out_spec = list(run_measures)

@@ -2488,24 +2488,53 @@ class IvfPqIndex:
         ).partitionBy("cell").parquet(os.path.join(self.path, "cells"))
         return self
 
+    def _cells_schema(self) -> str:
+        """The canonical cell-row schema _encode emits."""
+        return (
+            f"{self.id_col} long, {self.vec_col} array<double>, "
+            "codes array<int>, cell int"
+        )
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        import os
+
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _read_cells(self) -> DataFrame:
-        """All indexed rows: the bulk/append `cells/` table plus, when
-        the streaming ingest face has written any, `cells_stream/`
-        (epoch_id=N/cell=M layout — ivfpq_stream_ingest).  Both sides
-        expose (id, vec, codes, cell); a filter on `cell` partition-
-        prunes BOTH (cell is a partition column in each layout, and
-        pruning applies at any partition depth)."""
+        """All indexed rows: the bulk/append `cells/` table plus every
+        non-empty streaming epoch under `cells_stream/epoch_id=N/`
+        (ivfpq_stream_ingest).  Every side exposes (id, vec, codes,
+        cell) and is partitioned by cell, so a filter on `cell`
+        partition-prunes each read.
+
+        FILELESS directories (a compaction that dropped every row, or
+        an epoch whose batch was entirely invalid vectors) carry only
+        _SUCCESS and would crash schema inference — they read as the
+        canonical EMPTY frame / are skipped instead (code-review
+        catch: a delete-everything compact must not brick the index,
+        and one empty epoch must not take down queries)."""
+        import glob as _glob
         import os
 
         cols = [self.id_col, self.vec_col, "codes", "cell"]
-        cells = self.spark.read.parquet(
-            os.path.join(self.path, "cells")
-        ).select(*cols)
+        cpath = os.path.join(self.path, "cells")
+        if self._has_parquet(cpath):
+            cells = self.spark.read.parquet(cpath).select(*cols)
+        else:
+            cells = self.spark.createDataFrame([], self._cells_schema())
         spath = os.path.join(self.path, "cells_stream")
         if os.path.isdir(spath):
-            cells = cells.unionAll(
-                self.spark.read.parquet(spath).select(*cols)
-            )
+            for d in sorted(
+                _glob.glob(os.path.join(spath, "epoch_id=*"))
+            ):
+                if self._has_parquet(d):
+                    cells = cells.unionAll(
+                        self.spark.read.parquet(d).select(*cols)
+                    )
         return cells
 
     def _tombstones(self) -> DataFrame | None:

@@ -1296,11 +1296,11 @@ def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles.  |value| ≤ 1e6 bound keeps every product inside
     DECIMAL(38,0) at 10⁶ rows per key (documented).
 
-    100 TB shape: ONE (user) shuffle serves all three lag columns
-    (one Window spec) AND the groupBy (same partitioning — a single
-    exchange in the plan); the co-moments are map-side-combinable
-    algebraic aggregates.  No UDF, no driver loop; lags stay
-    JVM-side."""
+    100 TB shape: the (user) window — sort plus ALL THREE lag columns
+    — evaluates exactly once; stack unpivots to (lag, x, y) rows and
+    one (user, lag) hash aggregate computes every co-moment with
+    map-side partial combine.  Two exchanges total (window key, then
+    agg key); no UDF, no driver loop; lags stay JVM-side."""
     w = W.partitionBy("user_id").orderBy(
         "ts", F.coalesce(F.col("event_id"), F.lit(0))
     )
@@ -1320,33 +1320,27 @@ def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag(x, 3).over(w).alias("l3"),
         )
     )
+    # ONE pass: the window (sort + all three lags) evaluates once,
+    # stack unpivots each row into its three (lag, x, y) pairs, and a
+    # single (user, lag) aggregate computes all co-moments — the
+    # three-branch union would re-run the per-partition sort + lag
+    # computation per branch (code-review catch)
     dec = "decimal(38,0)"
-    parts = []
-    for k in (1, 2, 3):
-        y = F.col(f"l{k}")
-        both = F.col("x").isNotNull() & y.isNotNull()
-        xb = F.when(both, F.col("x").cast(dec))
-        yb = F.when(both, y.cast(dec))
-        parts.append(
-            s.groupBy("user_id").agg(
-                F.lit(k).cast("long").alias("lag"),
-                F.count(F.when(both, F.lit(1)))
-                .cast(dec)
-                .alias("n"),
-                F.coalesce(F.sum(xb), F.lit(0).cast(dec)).alias("sx"),
-                F.coalesce(F.sum(yb), F.lit(0).cast(dec)).alias("sy"),
-                F.coalesce(F.sum(xb * y), F.lit(0).cast(dec)).alias(
-                    "sxy"
-                ),
-                F.coalesce(
-                    F.sum(xb * F.col("x")), F.lit(0).cast(dec)
-                ).alias("sxx"),
-                F.coalesce(F.sum(yb * y), F.lit(0).cast(dec)).alias(
-                    "syy"
-                ),
-            )
-        )
-    g = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    stacked = s.selectExpr(
+        "user_id",
+        "stack(3, CAST(1 AS BIGINT), x, l1,"
+        "         CAST(2 AS BIGINT), x, l2,"
+        "         CAST(3 AS BIGINT), x, l3) AS (lag, xv, yv)",
+    ).filter("xv IS NOT NULL AND yv IS NOT NULL")
+    xd, yd = F.col("xv").cast(dec), F.col("yv").cast(dec)
+    g = stacked.groupBy("user_id", "lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("yv")).alias("sxy"),
+        F.sum(xd * F.col("xv")).alias("sxx"),
+        F.sum(yd * F.col("yv")).alias("syy"),
+    )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")

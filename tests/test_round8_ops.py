@@ -1574,3 +1574,50 @@ def test_run_agg_bounds_compose_with_corr(spark):
         (1, m(0), 1, 1500),
         (1, m(3), 2, 3500),
     }
+
+
+def test_ivfpq_empty_compact_and_empty_epoch_survive(spark, tmp_path):
+    """The two review-caught lifecycle edges: (a) delete-EVERYTHING +
+    compact leaves a fileless cells/ dir — the index must keep
+    serving (empty results), accept a later append, and serve again;
+    (b) a streaming epoch whose batch is entirely invalid vectors
+    writes a fileless epoch dir — queries must not crash on it."""
+    import numpy as np
+
+    from spark_cep_spark.operators.llm_similarity import IvfPqIndex
+
+    rng = np.random.RandomState(31)
+    base = rng.normal(size=(60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    schema = "vec_id long, embedding array<double>"
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)], schema
+    )
+    q = df.filter(F.col("vec_id") < 3)
+
+    # (a) delete everything, compact, keep serving
+    p = str(tmp_path / "idx")
+    idx = IvfPqIndex.build(spark, df, p)
+    idx.delete(df.select("vec_id"))
+    idx.compact()
+    assert idx.query(q, k=5).collect() == []
+    # the index is NOT bricked: append works and queries serve again
+    idx.append(df.filter(F.col("vec_id") >= 3))
+    got = idx.query(q, k=5).collect()
+    assert len(got) > 0
+
+    # (b) an all-invalid micro-batch (wrong dim) -> fileless epoch
+    stage = str(tmp_path / "stage")
+    bad = spark.createDataFrame([(900, [1.0, 2.0])], schema)
+    bad.coalesce(1).write.mode("overwrite").parquet(stage)
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    idx.stream_ingest(s, checkpoint=str(tmp_path / "ck")).awaitTermination()
+    got2 = idx.query(q, k=5).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+    idx.compact()  # folds the fileless epoch away without error
+    got3 = idx.query(q, k=5).collect()
+    assert sorted(map(tuple, got3)) == sorted(map(tuple, got))
