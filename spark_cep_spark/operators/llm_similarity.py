@@ -3046,3 +3046,106 @@ def emb_mrl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agree_frac"),
         )
     )
+
+
+@register(
+    "sim_bq_hamming",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding,
+                            x -> x IS NULL OR isnan(x))) = 0
+    ),
+    sig AS (
+      -- bit 63 spelled as the min-long literal: DuckDB's << checks
+      -- overflow at 1 << 63 where Spark's shiftleft wraps (Java)
+      SELECT vec_id,
+             coalesce(bit_or(CASE WHEN x > 0 THEN
+                      CASE WHEN i = 64
+                           THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                           ELSE (CAST(1 AS BIGINT) << (i - 1)) END
+                      END), 0) AS sig
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, 65)) AS i
+            FROM e)
+      GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS qid, sig AS qsig FROM sig WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, s.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.qsig, s.sig)) AS BIGINT) AS hamming
+      FROM q CROSS JOIN sig s
+      WHERE s.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, hamming,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY hamming, neighbor_id)
+                  AS BIGINT) AS rk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, hamming, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def sim_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization + Hamming top-k — the 32×-compression ANN
+    trick modern vector stores ship (sign-bit quantization, public:
+    Jégou et al's BQ lineage / Qdrant-class BQ): with dim = 64 each
+    vector packs into ONE int64 (bit i set iff embedding[i] > 0), and
+    candidate distance is bit_count(xor(sig_q, sig_c)) — whole-stage
+    codegen end to end, no floats move after the one-time packing.
+    Top-10 per query (vec_id < 10), ties by neighbor id — fully
+    deterministic, so unlike the float-scoring ANN keys this one has
+    an EXACT SQL oracle.  Element validity gates on BOTH sides (a
+    NULL/NaN element row drops — the emb_mrl_eval discipline).
+
+    100 TB shape: packing is one aggregate-HOF projection (64 bit-ops
+    per row, ~8 B out per vector — 32× smaller than int8, 256× vs
+    float64); the query side is 20 signatures BROADCAST against the
+    corpus scan (the sim_topk shape, allowlisted), so the scan reads
+    ONE long column; rank is a bounded per-query top-k.  The exact
+    re-rank composes downstream like topk_ivfpq's shortlist stage."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & (
+            F.size(
+                F.filter(
+                    "embedding",
+                    lambda x: x.isNull() | F.isnan(x),
+                )
+            )
+            == 0
+        )
+    )
+    sig = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc | IF(embedding[i] > CAST(0 AS DOUBLE), "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        ).alias("sig"),
+    )
+    q = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    scored = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rk") <= 10)
+        .select("qid", "neighbor_id", "hamming", "rk")
+    )

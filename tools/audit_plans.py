@@ -85,6 +85,9 @@ NESTED_LOOP_OK = {
     # broadcast into the 256-row bucket table — same constant-size
     # build side as text_surprisal; the lambda table itself joins back
     # as a bounded 256-row broadcast equi-join
+    "sim_bq_hamming",  # 20-signature query set broadcast against the
+    # one-long-column corpus scan (the sim_topk shape); candidate cost
+    # is one xor+popcount per row
     "join_bloom_pruned",  # 1-row bitset-array broadcast into the fact
     # probe (element_at on a shared array; a LITERAL array would be
     # CreateArray rebuilt per row — the 8x probe caught that live).
