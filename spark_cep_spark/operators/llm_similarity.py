@@ -2363,11 +2363,7 @@ class IvfPqIndex:
                     }
                 )
 
-        return df.mapInPandas(
-            enc,
-            f"{id_col} long, {vec_col} array<double>, "
-            "codes array<int>, cell int",
-        )
+        return df.mapInPandas(enc, self._cells_schema())
 
     # -- lifecycle -------------------------------------------------------
     @staticmethod
@@ -2495,46 +2491,39 @@ class IvfPqIndex:
             "codes array<int>, cell int"
         )
 
-    @staticmethod
-    def _has_parquet(path: str) -> bool:
-        import os
-
-        for root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
     def _read_cells(self) -> DataFrame:
-        """All indexed rows: the bulk/append `cells/` table plus every
-        non-empty streaming epoch under `cells_stream/epoch_id=N/`
-        (ivfpq_stream_ingest).  Every side exposes (id, vec, codes,
-        cell) and is partitioned by cell, so a filter on `cell`
-        partition-prunes each read.
+        """All indexed rows: the bulk/append `cells/` table plus the
+        streaming epochs under `cells_stream/epoch_id=N/`
+        (ivfpq_stream_ingest).  Both sides expose (id, vec, codes,
+        cell) and are partitioned by cell, so a filter on `cell`
+        partition-prunes each read (at any partition depth — the
+        epoch_id level doesn't interfere).
 
-        FILELESS directories (a compaction that dropped every row, or
-        an epoch whose batch was entirely invalid vectors) carry only
-        _SUCCESS and would crash schema inference — they read as the
-        canonical EMPTY frame / are skipped instead (code-review
-        catch: a delete-everything compact must not brick the index,
-        and one empty epoch must not take down queries)."""
-        import glob as _glob
+        Both reads carry the EXPLICIT canonical schema, which (a)
+        skips schema inference, so FILELESS directories — a
+        compaction that dropped every row, or an epoch whose batch
+        was entirely invalid vectors — read as empty frames instead
+        of crashing (code-review catch: a delete-everything compact
+        must not brick the index), and (b) costs no driver-side file
+        walk or per-epoch union; discovered partition columns not in
+        the schema (epoch_id) are appended and dropped by the
+        select."""
         import os
 
         cols = [self.id_col, self.vec_col, "codes", "cell"]
-        cpath = os.path.join(self.path, "cells")
-        if self._has_parquet(cpath):
-            cells = self.spark.read.parquet(cpath).select(*cols)
-        else:
-            cells = self.spark.createDataFrame([], self._cells_schema())
+        schema = self._cells_schema()
+        cells = (
+            self.spark.read.schema(schema)
+            .parquet(os.path.join(self.path, "cells"))
+            .select(*cols)
+        )
         spath = os.path.join(self.path, "cells_stream")
         if os.path.isdir(spath):
-            for d in sorted(
-                _glob.glob(os.path.join(spath, "epoch_id=*"))
-            ):
-                if self._has_parquet(d):
-                    cells = cells.unionAll(
-                        self.spark.read.parquet(d).select(*cols)
-                    )
+            cells = cells.unionAll(
+                self.spark.read.schema(schema)
+                .parquet(spath)
+                .select(*cols)
+            )
         return cells
 
     def _tombstones(self) -> DataFrame | None:
@@ -3103,8 +3092,8 @@ def sim_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: packing is one aggregate-HOF projection (64 bit-ops
     per row, ~8 B out per vector — 32× smaller than int8, 256× vs
-    float64); the query side is 20 signatures BROADCAST against the
-    corpus scan (the sim_topk shape, allowlisted), so the scan reads
+    float64); the query side is 10 signatures (vec_id < 10) BROADCAST
+    against the corpus scan (the sim_topk shape, allowlisted), so the scan reads
     ONE long column; rank is a bounded per-query top-k.  The exact
     re-rank composes downstream like topk_ivfpq's shortlist stage."""
     e = table(spark, sf_dir, "embeddings").filter(

@@ -1240,13 +1240,19 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT user_id,
-             CAST(round(value * 100) AS BIGINT) AS x,
-             lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS l1,
-             lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS l2,
-             lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS l3
-      FROM events
-      WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        AND (value IS NULL OR abs(value) <= 1e6)
+             xv AS x,
+             lag(xv, 1) OVER w AS l1,
+             lag(xv, 2) OVER w AS l2,
+             lag(xv, 3) OVER w AS l3
+      FROM (SELECT user_id, ts, event_id,
+                   -- out-of-bound values NULL like missing ones so
+                   -- the ROW keeps its position (lag alignment is
+                   -- preserved around an outlier — review catch)
+                   CASE WHEN abs(value) <= 1e6
+                        THEN CAST(round(value * 100) AS BIGINT)
+                   END AS xv
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL)
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY ts, coalesce(event_id, 0))
     ),
@@ -1293,8 +1299,10 @@ def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     denx > 0 AND deny > 0 — so a constant series (zero variance)
     yields no row instead of Spark's ANSI DIVIDE_BY_ZERO (the
     degenerate-sweep catch), and both engines divide bit-identical
-    doubles.  |value| ≤ 1e6 bound keeps every product inside
-    DECIMAL(38,0) at 10⁶ rows per key (documented).
+    doubles.  |value| > 1e6 outliers are NULLED IN PLACE (the row
+    keeps its series position so lag alignment never shifts; the
+    bound keeps every product inside DECIMAL(38,0) at 10⁶ rows per
+    key).
 
     100 TB shape: the (user) window — sort plus ALL THREE lag columns
     — evaluates exactly once; stack unpivots to (lag, x, y) rows and
@@ -1304,14 +1312,15 @@ def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy(
         "ts", F.coalesce(F.col("event_id"), F.lit(0))
     )
-    x = F.round(F.col("value") * 100).cast("long")
+    # out-of-bound values NULL like missing ones — the row keeps its
+    # series position, so lag-k pairs stay k events apart around an
+    # outlier (review catch: deleting the row would shift alignment)
+    x = F.when(
+        F.abs("value") <= 1e6, F.round(F.col("value") * 100).cast("long")
+    )
     s = (
         table(spark, sf_dir, "events")
-        .filter(
-            F.col("user_id").isNotNull()
-            & F.col("ts").isNotNull()
-            & (F.col("value").isNull() | (F.abs("value") <= 1e6))
-        )
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select(
             "user_id",
             x.alias("x"),

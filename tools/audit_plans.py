@@ -85,7 +85,7 @@ NESTED_LOOP_OK = {
     # broadcast into the 256-row bucket table — same constant-size
     # build side as text_surprisal; the lambda table itself joins back
     # as a bounded 256-row broadcast equi-join
-    "sim_bq_hamming",  # 20-signature query set broadcast against the
+    "sim_bq_hamming",  # 10-signature query set broadcast against the
     # one-long-column corpus scan (the sim_topk shape); candidate cost
     # is one xor+popcount per row
     "join_bloom_pruned",  # 1-row bitset-array broadcast into the fact
