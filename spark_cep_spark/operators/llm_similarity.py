@@ -3138,3 +3138,131 @@ def sim_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("qid", "neighbor_id", "hamming", "rk")
     )
+
+
+@register(
+    "sim_bq_rerank",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding,
+                            x -> x IS NULL OR isnan(x))) = 0
+    ),
+    sig AS (
+      SELECT vec_id,
+             coalesce(bit_or(CASE WHEN x > 0 THEN
+                      CASE WHEN i = 64
+                           THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                           ELSE (CAST(1 AS BIGINT) << (i - 1)) END
+                      END), 0) AS sig
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, 65)) AS i
+            FROM e)
+      GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS qid, sig AS qsig FROM sig WHERE vec_id < 10),
+    short AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, s.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY bit_count(xor(q.qsig, s.sig)), s.vec_id
+               ) AS rh
+        FROM q CROSS JOIN sig s
+        WHERE s.vec_id <> q.qid) t
+      WHERE rh <= 50
+    ),
+    rescored AS (
+      SELECT sh.qid, sh.neighbor_id,
+             list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                              CAST(ce.embedding AS DOUBLE[])) AS sim_raw
+      FROM short sh
+      JOIN e qe ON qe.vec_id = sh.qid
+      JOIN e ce ON ce.vec_id = sh.neighbor_id
+    )
+    SELECT qid, neighbor_id, round(sim_raw, 6) AS sim, rk FROM (
+      SELECT qid, neighbor_id, sim_raw,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim_raw DESC, neighbor_id) AS rk
+      FROM rescored) t
+    WHERE rk <= 10
+    """,
+)
+def sim_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full binary-quantization serving pattern: Hamming
+    shortlist (top-50 by bit_count(xor), ties by id — exact integers,
+    so the CANDIDATE SET is deterministic) → exact cosine re-rank of
+    the shortlist (the sim_topk dot-product discipline) → top-10.
+    This is the two-stage recall/precision trade every BQ deployment
+    ships: the cheap stage touches one int64 per candidate, the
+    expensive stage touches 50 raw vectors per query — and unlike the
+    float-bucketed ANN keys, BOTH stages are deterministic, so the
+    composition keeps an EXACT SQL oracle.
+
+    100 TB shape: stage 1 is the sim_bq_hamming scan (one long column,
+    xor+popcount in codegen, 10-signature broadcast); stage 2 joins
+    50 ids/query back to the raw vectors by key — the shortlist bound
+    makes the expensive stage's cost INDEPENDENT of corpus size."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & (
+            F.size(
+                F.filter(
+                    "embedding",
+                    lambda x: x.isNull() | F.isnan(x),
+                )
+            )
+            == 0
+        )
+    )
+    sig = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc | IF(embedding[i] > CAST(0 AS DOUBLE), "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        ).alias("sig"),
+    )
+    q = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    wh = W.partitionBy("qid").orderBy("hamming", "neighbor_id")
+    short = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig"))).alias(
+                "hamming"
+            ),
+        )
+        .withColumn("rh", F.row_number().over(wh))
+        .filter(F.col("rh") <= 50)
+        .select("qid", "neighbor_id")
+    )
+    qe = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    rescored = (
+        short.join(F.broadcast(qe), "qid")
+        .join(ce, "neighbor_id")
+        .select("qid", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("sim_raw"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round("sim_raw", 6).alias("sim"),
+            "rk",
+        )
+    )

@@ -88,6 +88,9 @@ NESTED_LOOP_OK = {
     "sim_bq_hamming",  # 10-signature query set broadcast against the
     # one-long-column corpus scan (the sim_topk shape); candidate cost
     # is one xor+popcount per row
+    "sim_bq_rerank",  # the same 10-signature broadcast scan for the
+    # Hamming shortlist; the re-rank stage is bounded equi-joins over
+    # 50 ids/query
     "join_bloom_pruned",  # 1-row bitset-array broadcast into the fact
     # probe (element_at on a shared array; a LITERAL array would be
     # CreateArray rebuilt per row — the 8x probe caught that live).
