@@ -1384,3 +1384,194 @@ def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+@register(
+    "win_pacf",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             xv AS x,
+             lag(xv, 1) OVER w AS l1,
+             lag(xv, 2) OVER w AS l2,
+             lag(xv, 3) OVER w AS l3
+      FROM (SELECT user_id, ts, event_id,
+                   CASE WHEN abs(value) <= 1e6
+                        THEN CAST(round(value * 100) AS BIGINT)
+                   END AS xv
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, coalesce(event_id, 0))
+    ),
+    p AS (
+      SELECT user_id, 1 AS lag, x, l1 AS y FROM s
+      UNION ALL SELECT user_id, 2, x, l2 FROM s
+      UNION ALL SELECT user_id, 3, x, l3 FROM s
+    ),
+    g AS (
+      SELECT user_id, lag,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+      GROUP BY user_id, lag
+    ),
+    r AS (
+      SELECT user_id, lag,
+             CAST(n AS BIGINT) AS n_pairs,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS rk
+      FROM g
+    ),
+    wide AS (
+      SELECT user_id,
+             min(n_pairs) AS n_min,
+             max(CASE WHEN lag = 1 THEN rk END) AS r1,
+             max(CASE WHEN lag = 2 THEN rk END) AS r2,
+             max(CASE WHEN lag = 3 THEN rk END) AS r3
+      FROM r GROUP BY user_id
+      HAVING count(rk) = 3
+    ),
+    dl AS (
+      SELECT user_id, n_min, r1, r2, r3,
+             CASE WHEN 1 - r1 * r1 <> 0
+                  THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS p22
+      FROM wide
+    ),
+    dl2 AS (
+      SELECT user_id, n_min, r1, r2, r3, p22,
+             r1 * (1 - p22) AS p21
+      FROM dl
+    )
+    SELECT user_id,
+           round(r1, 4) + 0.0 AS pacf1,
+           round(p22, 4) + 0.0 AS pacf2,
+           CASE WHEN 1 - p21 * r1 - p22 * r2 <> 0
+                THEN round((r3 - p21 * r2 - p22 * r1)
+                           / (1 - p21 * r1 - p22 * r2), 4) + 0.0
+           END AS pacf3,
+           n_min AS n_pairs_min
+    FROM dl2
+    WHERE n_min >= 10 AND p22 IS NOT NULL
+    """,
+)
+def win_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 (Durbin–Levinson, public
+    Box–Jenkins methodology) — win_acf's partner diagnostic: PACF_k is
+    the correlation at lag k AFTER removing the shorter-lag structure
+    (φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²); φ33 = (r3 − φ21·r2 −
+    φ22·r1)/(1 − φ21·r1 − φ22·r2), φ21 = r1(1 − φ22)) — an AR(p)
+    process cuts off after lag p in PACF, which is how the AR order
+    is read.
+
+    Parity: the three r_k come from the SAME exact integer co-moments
+    as win_acf (DECIMAL(38,0)/HUGEINT, outliers nulled in place, one
+    division each under exact integer variance guards), and the
+    Durbin–Levinson combination is the identical double expression
+    tree on both engines — so every intermediate is bit-identical and
+    the 4dp round matches.  Degenerate guards: zero-variance lags,
+    |r1| = 1 (p22 denominator), and a zero level-3 denominator all
+    pin NULL/no-row on BOTH engines.
+
+    100 TB shape: identical to win_acf — one windowed pass (sort +
+    3 lags), one stacked (user, lag) co-moment aggregate, then a
+    3-row-per-user pivot and pure column math.  No UDF."""
+    w = W.partitionBy("user_id").orderBy(
+        "ts", F.coalesce(F.col("event_id"), F.lit(0))
+    )
+    x = F.when(
+        F.abs("value") <= 1e6, F.round(F.col("value") * 100).cast("long")
+    )
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            x.alias("x"),
+            F.lag(x, 1).over(w).alias("l1"),
+            F.lag(x, 2).over(w).alias("l2"),
+            F.lag(x, 3).over(w).alias("l3"),
+        )
+    )
+    dec = "decimal(38,0)"
+    stacked = s.selectExpr(
+        "user_id",
+        "stack(3, CAST(1 AS BIGINT), x, l1,"
+        "         CAST(2 AS BIGINT), x, l2,"
+        "         CAST(3 AS BIGINT), x, l3) AS (lag, xv, yv)",
+    ).filter("xv IS NOT NULL AND yv IS NOT NULL")
+    xd, yd = F.col("xv").cast(dec), F.col("yv").cast(dec)
+    g = stacked.groupBy("user_id", "lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("yv")).alias("sxy"),
+        F.sum(xd * F.col("xv")).alias("sxx"),
+        F.sum(yd * F.col("yv")).alias("syy"),
+    )
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = g.select(
+        "user_id",
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+        ).alias("rk"),
+    )
+    wide = (
+        r.groupBy("user_id")
+        .agg(
+            F.min("n_pairs").alias("n_min"),
+            F.max(F.when(F.col("lag") == 1, F.col("rk"))).alias("r1"),
+            F.max(F.when(F.col("lag") == 2, F.col("rk"))).alias("r2"),
+            F.max(F.when(F.col("lag") == 3, F.col("rk"))).alias("r3"),
+            F.count("rk").alias("_nr"),
+        )
+        .filter(F.col("_nr") == 3)
+    )
+    p22 = F.when(
+        F.lit(1.0) - F.col("r1") * F.col("r1") != 0,
+        (F.col("r2") - F.col("r1") * F.col("r1"))
+        / (F.lit(1.0) - F.col("r1") * F.col("r1")),
+    )
+    dl = wide.withColumn("p22", p22).withColumn(
+        "p21", F.col("r1") * (F.lit(1.0) - F.col("p22"))
+    )
+    den3 = (
+        F.lit(1.0)
+        - F.col("p21") * F.col("r1")
+        - F.col("p22") * F.col("r2")
+    )
+    return (
+        dl.filter((F.col("n_min") >= 10) & F.col("p22").isNotNull())
+        .select(
+            "user_id",
+            (F.round(F.col("r1"), 4) + F.lit(0.0)).alias("pacf1"),
+            (F.round(F.col("p22"), 4) + F.lit(0.0)).alias("pacf2"),
+            F.when(
+                den3 != 0,
+                F.round(
+                    (
+                        F.col("r3")
+                        - F.col("p21") * F.col("r2")
+                        - F.col("p22") * F.col("r1")
+                    )
+                    / den3,
+                    4,
+                )
+                + F.lit(0.0),
+            ).alias("pacf3"),
+            F.col("n_min").alias("n_pairs_min"),
+        )
+    )

@@ -156,7 +156,6 @@ DRIVER_PRIORITY: list[str] = [
     "cep_measures_running",
     "emb_pca_power",
     "agg_path_string",
-    "corpus_ngram_novelty",
     # NEW in round 8 (appends push the window's last staged key back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_confirm",
@@ -174,6 +173,7 @@ DRIVER_PRIORITY: list[str] = [
     "cep_sql_run_agg_corr",
     "sim_bq_hamming",
     "sim_bq_rerank",
+    "win_pacf",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -184,6 +184,7 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-8 window by round-8 keys
+    "corpus_ngram_novelty",
     "cep_sql_multikey",
     "cep_sql_string_key",
     "cep_sql_all_rows",

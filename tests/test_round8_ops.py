@@ -133,6 +133,7 @@ TIE_KEYS = [
     "cep_sql_run_agg_multikey",
     "cep_sql_run_agg_corr",
     "win_acf",
+    "win_pacf",
     # operators/graph.py
     "graph_transitions",
     # functions/udfs.py

@@ -94,6 +94,7 @@ OPS = [
     "win_acf",
     "rollup_seasonal",
     "cep_sql_run_agg_corr",
+    "win_pacf",
 ]
 
 STREAM_NFA_SQL = """
