@@ -2055,3 +2055,104 @@ def rollup_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "agg_log2_quantile",
+    oracle="""
+    WITH e AS (
+      SELECT coalesce(event_type, '') AS etype,
+             length(bin(CAST(round(value * 100) AS BIGINT))) AS b
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND value > 0 AND value <= 1e9
+    ),
+    c AS (
+      SELECT etype, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM e GROUP BY etype, b
+    ),
+    cum AS (
+      SELECT etype, b, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY etype ORDER BY b)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY etype) AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT etype, max(tot) AS n,
+           CAST(min(CASE WHEN cum * 100 >= 50 * tot THEN b END)
+                AS BIGINT) AS q50_bucket,
+           CAST(min(CASE WHEN cum * 100 >= 90 * tot THEN b END)
+                AS BIGINT) AS q90_bucket,
+           CAST(min(CASE WHEN cum * 100 >= 99 * tot THEN b END)
+                AS BIGINT) AS q99_bucket,
+           (CAST(1 AS BIGINT)
+            << min(CASE WHEN cum * 100 >= 99 * tot THEN b END)) - 1
+             AS q99_ub_cents
+    FROM cum GROUP BY etype
+    """,
+)
+def agg_log2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bounded-relative-error quantiles — the DDSketch idea
+    (Masson et al 2019, VLDB) on exact base-2 buckets: a positive
+    cents value lands in bucket b = its bit length (b = ⌊log₂ v⌋ + 1,
+    computed as length(bin(v)) — an exact INTEGER operation on both
+    engines, never libm log, which disagrees at boundary ulps — the
+    width_bucket lesson), so a bucket spans [2^(b−1), 2^b) and any
+    quantile read from the histogram is within 2× of the true value.
+    Per event type: q50/q90/q99 bucket ids (smallest bucket whose
+    cumulative count covers the rank, exact cross-multiplied
+    cum·100 ≥ p·tot) and the q99 upper bound in cents.
+
+    WHY this beats exact quantiles at 100 TB: the state is ≤ 64
+    counters per group — map-side combinable, mergeable across
+    partitions / days / clusters by plain addition (the same
+    re-aggregation story as agg_hll_union), where exact percentiles
+    need a full sort and approx_percentile's GK sketch is
+    order-sensitive and un-oracle-able.  One hash aggregate + one
+    ≤64-rows-per-group window.  Positive-domain by contract (a
+    latency/price sketch; two's-complement bit lengths of negatives
+    diverge between engines)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("value") > 0)
+            & (F.col("value") <= 1e9)
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("")).alias("etype"),
+            F.length(
+                F.bin(F.round(F.col("value") * 100).cast("long"))
+            ).alias("b"),
+        )
+    )
+    c = e.groupBy("etype", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = W.partitionBy("etype").orderBy("b")
+    wt = W.partitionBy("etype")
+    cum = c.select(
+        "etype",
+        "b",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+
+    def qb(p: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= p * F.col("tot"), F.col("b"))
+        ).cast("long")
+
+    return cum.groupBy("etype").agg(
+        F.max("tot").alias("n"),
+        qb(50).alias("q50_bucket"),
+        qb(90).alias("q90_bucket"),
+        qb(99).alias("q99_bucket"),
+    ).withColumn(
+        "q99_ub_cents",
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), "
+            "CAST(q99_bucket AS INT)) - 1 AS BIGINT)"
+        ),
+    )

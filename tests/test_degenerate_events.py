@@ -94,7 +94,7 @@ EVENTS_KEYS = [
     # round-8
     "cep_sql_run_agg_confirm", "cep_sql_run_agg_times",
     "cep_sql_run_agg_multikey", "win_acf", "rollup_seasonal",
-    "cep_sql_run_agg_corr", "win_pacf",
+    "cep_sql_run_agg_corr", "win_pacf", "agg_log2_quantile",
 ]
 
 
@@ -167,7 +167,7 @@ EMPTY_SWEEP_KEYS = [
     # round-8
     "cep_sql_run_agg_confirm", "cep_sql_run_agg_times",
     "cep_sql_run_agg_multikey", "win_acf", "rollup_seasonal",
-    "cep_sql_run_agg_corr", "win_pacf",
+    "cep_sql_run_agg_corr", "win_pacf", "agg_log2_quantile",
 ]
 
 

@@ -95,6 +95,7 @@ OPS = [
     "rollup_seasonal",
     "cep_sql_run_agg_corr",
     "win_pacf",
+    "agg_log2_quantile",
 ]
 
 STREAM_NFA_SQL = """
