@@ -962,3 +962,121 @@ def ohlc_stream(
         F.col("win.start").alias("day"),
         "open", "high", "low", "close", "volume", "turnover",
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous mergeable quantile sketch (windowed base-2 log histogram)
+
+
+def log2q_counts(events: DataFrame) -> DataFrame:
+    """Shared kernel: per 6-hour tumbling window and event type, the
+    base-2 bit-length bucket counts of positive cents — the STATEFUL
+    half of a continuous quantile sketch (agg_log2_quantile's
+    buckets over windows).  State = ≤64 counters per (window, type):
+    the mergeable-by-addition property is exactly what windowed
+    streaming aggregation needs."""
+    return (
+        events.filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("value") > 0)
+            & (F.col("value") <= 1e9)
+        )
+        .select(
+            "ts",
+            F.coalesce(F.col("event_type"), F.lit("")).alias("etype"),
+            F.length(
+                F.bin(F.round(F.col("value") * 100).cast("long"))
+            ).alias("b"),
+        )
+        .groupBy(F.window("ts", "6 hours").alias("win"), "etype", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "etype", "b", "cnt")
+    )
+
+
+def log2q_select(counts: DataFrame) -> DataFrame:
+    """Quantile finisher over the emitted bucket counts: q50/q99
+    bucket per (window, type) via the exact cross-multiplied rank
+    threshold — a stateless view over ≤64 rows per group."""
+    wc = W.partitionBy("win_start", "etype").orderBy("b")
+    wt = W.partitionBy("win_start", "etype")
+    cum = counts.select(
+        "win_start",
+        "etype",
+        "b",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+
+    def qb(p: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= p * F.col("tot"), F.col("b"))
+        ).cast("long")
+
+    return cum.groupBy("win_start", "etype").agg(
+        F.max("tot").alias("n"),
+        qb(50).alias("q50_bucket"),
+        qb(99).alias("q99_bucket"),
+    )
+
+
+@register(
+    "stream_log2_quantile",
+    oracle="""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,
+             coalesce(event_type, '') AS etype,
+             length(bin(CAST(round(value * 100) AS BIGINT))) AS b
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND value > 0 AND value <= 1e9
+    ),
+    c AS (
+      SELECT win_start, etype, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM e GROUP BY win_start, etype, b
+    ),
+    cum AS (
+      SELECT win_start, etype, b,
+             CAST(sum(cnt) OVER (PARTITION BY win_start, etype
+                                 ORDER BY b) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY win_start, etype)
+                  AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT win_start, etype, max(tot) AS n,
+           CAST(min(CASE WHEN cum * 100 >= 50 * tot THEN b END)
+                AS BIGINT) AS q50_bucket,
+           CAST(min(CASE WHEN cum * 100 >= 99 * tot THEN b END)
+                AS BIGINT) AS q99_bucket
+    FROM cum GROUP BY win_start, etype
+    """,
+)
+def stream_log2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quantile monitoring: per 6-hour window and event
+    type, the q50/q99 base-2 sketch buckets (agg_log2_quantile's
+    exact bit-length histogram over tumbling windows) — the
+    latency-SLO dashboard query, streamed.  Batch twin of
+    log2q_stream: the streaming face keeps ONLY the ≤64 bucket
+    counters per (window, type) in state (watermark-bounded, appended
+    once the window closes — mergeable by addition, so late partials
+    combine exactly); the quantile read is a stateless view over the
+    emitted counts, so streaming == batch by construction
+    (tests/test_streaming.py pins it under multi-micro-batch
+    AvailableNow).
+
+    100 TB shape: the count state shards by (window, type, bucket) —
+    bounded at 64 x types x open-windows rows total; the finisher
+    windows over ≤64 rows per group.  No raw value ever sits in
+    state."""
+    return log2q_select(log2q_counts(table(spark, sf_dir, "events")))
+
+
+def log2q_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face: watermark-bounded windowed bucket counts
+    (append mode emits each (window, type, bucket) count exactly
+    once, when the window closes).  Compose with log2q_select on the
+    materialized output for the continuous quantile view."""
+    return log2q_counts(events_stream.withWatermark("ts", watermark))

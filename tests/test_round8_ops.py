@@ -1622,3 +1622,65 @@ def test_ivfpq_empty_compact_and_empty_epoch_survive(spark, tmp_path):
     idx.compact()  # folds the fileless epoch away without error
     got3 = idx.query(q, k=5).collect()
     assert sorted(map(tuple, got3)) == sorted(map(tuple, got))
+
+
+def test_log2_sketch_mergeable_by_addition(spark, sf_dir):
+    """The sketch's 100 TB claim, pinned: per-DAY partial bucket
+    counts summed by plain addition then read as quantiles equal the
+    direct whole-table sketch exactly (the agg_hll_union invariant,
+    but exact) — re-aggregation without touching raw values."""
+    from spark_cep_spark.io import table as _table
+
+    e = (
+        _table(spark, sf_dir, "events")
+        .filter(
+            "ts IS NOT NULL AND value IS NOT NULL "
+            "AND value > 0 AND value <= 1e9"
+        )
+        .selectExpr(
+            "CAST(ts AS DATE) AS day",
+            "coalesce(event_type, '') AS etype",
+            "length(bin(CAST(round(value * 100) AS BIGINT))) AS b",
+        )
+    )
+    # partials per (day, etype, b), merged by addition across days
+    merged = (
+        e.groupBy("day", "etype", "b")
+        .count()
+        .groupBy("etype", "b")
+        .agg(F.sum("count").cast("long").alias("cnt"))
+    )
+
+    def read_q(counts):
+        from pyspark.sql import Window as W2
+
+        wc = W2.partitionBy("etype").orderBy("b")
+        wt = W2.partitionBy("etype")
+        cum = counts.select(
+            "etype",
+            "b",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wt).alias("tot"),
+        )
+        return cum.groupBy("etype").agg(
+            F.max("tot").alias("n"),
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= 50 * F.col("tot"), F.col("b")
+                )
+            ).alias("q50"),
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= 99 * F.col("tot"), F.col("b")
+                )
+            ).alias("q99"),
+        )
+
+    direct = read_q(
+        e.groupBy("etype", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    )
+    a = sorted(tuple(r) for r in read_q(merged).collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b and len(a) > 0

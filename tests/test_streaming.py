@@ -846,3 +846,26 @@ def test_ohlc_stream_equals_batch(spark, sf_dir, staged):
     g = {tuple(r[c] for c in cols) for r in got.collect()}
     w = {tuple(r[c] for c in cols) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_log2q_stream_equals_batch(spark, sf_dir, staged):
+    """Continuous quantile sketch: the streaming face keeps only the
+    <=64 bucket counters per (window, type) in state; the stateless
+    log2q_select over the materialized append output must equal the
+    batch twin end-to-end (mergeable-by-addition means multi-micro-
+    batch partials combine exactly)."""
+    from spark_cep_spark.streaming.windows import (
+        log2q_select,
+        log2q_stream,
+        stream_log2_quantile,
+    )
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = log2q_select(
+        harness.run_available_now(
+            log2q_stream(stream, watermark="35 days"), "complete"
+        )
+    )
+    want = stream_log2_quantile(spark, sf_dir)
+    cols = ["win_start", "etype", "n", "q50_bucket", "q99_bucket"]
+    assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
