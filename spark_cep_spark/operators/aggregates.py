@@ -2156,3 +2156,75 @@ def agg_log2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(q99_bucket AS INT)) - 1 AS BIGINT)"
         ),
     )
+
+
+@register(
+    "rollup_ohlc_multi",
+    oracle="""
+    SELECT user_id,
+           date_trunc('day', ts) AS day,
+           arg_min(value, printf('%020d%012d', epoch_us(ts),
+                                 coalesce(event_id, 0))) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, printf('%020d%012d', epoch_us(ts),
+                                 coalesce(event_id, 0))) AS close,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS turnover_cents
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND abs(value) <= 1e9
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def rollup_ohlc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical candle rollup — the hypertable continuous-
+    aggregate pattern: DAY candles are derived from HOUR candle
+    PARTIALS (open = earliest non-empty hour's open via
+    min_by(open, hour), close = max_by, high/low = max/min of the
+    partials, volume/turnover = sums), never from the raw ticks.
+    Because hours partition the day, the merge is LOSSLESS: the
+    oracle computes the day candles DIRECTLY from raw rows and the
+    two must agree bit-for-bit — the invariant that makes cascaded
+    rollups (1m → 1h → 1d → 1mo) trustworthy.  Tie-breaks by the
+    zero-padded (epoch-micros, coalesce(event_id, 0)) key (the
+    agg_ohlc discipline + the NULL-tie convention); turnover in
+    exact integer cents.
+
+    100 TB shape: the raw scan feeds ONE hour-grain partial aggregate
+    (group-count-bounded shuffle); the day merge then runs on the
+    24×-smaller candle table — at petabyte tick volumes every coarser
+    resolution reads the previous one, not the raw data, which is the
+    entire point of hypertable rollups."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.abs("value") <= 1e9)
+    )
+    key = F.format_string(
+        "%020d%012d",
+        F.unix_micros("ts"),
+        F.coalesce(F.col("event_id"), F.lit(0)),
+    )
+    hours = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "turnover_cents"
+        ),
+    )
+    return hours.groupBy(
+        "user_id", F.date_trunc("day", "hr").alias("day")
+    ).agg(
+        F.min_by("open", F.col("hr")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("hr")).alias("close"),
+        F.sum("volume").cast("long").alias("volume"),
+        F.sum("turnover_cents").cast("long").alias("turnover_cents"),
+    )

@@ -96,6 +96,7 @@ OPS = [
     "cep_sql_run_agg_corr",
     "win_pacf",
     "agg_log2_quantile",
+    "rollup_ohlc_multi",
 ]
 
 STREAM_NFA_SQL = """
