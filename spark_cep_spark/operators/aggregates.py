@@ -2228,3 +2228,79 @@ def rollup_ohlc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("volume").cast("long").alias("volume"),
         F.sum("turnover_cents").cast("long").alias("turnover_cents"),
     )
+
+
+@register(
+    "profile_skew",
+    oracle="""
+    WITH k AS (
+      SELECT 'user_id' AS key_col,
+             coalesce(CAST(user_id AS VARCHAR), '<NULL>') AS key
+      FROM events
+      UNION ALL
+      SELECT 'event_type', coalesce(event_type, '<NULL>') FROM events
+    ),
+    c AS (
+      SELECT key_col, key, CAST(count(*) AS BIGINT) AS cnt
+      FROM k GROUP BY key_col, key
+    ),
+    s AS (
+      SELECT key_col,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             arg_max(key, printf('%020d%s', cnt, key)) AS top_key
+      FROM c GROUP BY key_col
+    )
+    SELECT key_col, n_distinct, total, max_cnt, top_key,
+           CAST(max_cnt * 1000000 AS BIGINT) // total AS top_share_ppm,
+           CAST(max_cnt * n_distinct * 1000 AS BIGINT) // total
+             AS skew_ratio_millis
+    FROM s
+    """,
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew census — the diagnostic you run BEFORE keying a
+    100 TB join/agg on a column: per candidate key column, the
+    distinct count, the heaviest key and its exact ppm share of rows,
+    and the skew ratio max·distinct/total (1000 = perfectly uniform;
+    a hot key pushes it toward distinct·1000) — the number that
+    decides between a plain hash join, AQE skew handling, and salting
+    (join_skew_salted).  Exact integer arithmetic throughout (ppm and
+    millis by integer division); the heaviest key is tie-broken by a
+    zero-padded (count, key) string — the agg_ohlc arg_max
+    discipline — so both engines pick the same key.
+
+    100 TB shape: one stacked projection + two map-side-combinable
+    aggregates; the per-key count table is the only shuffle and is
+    distinct-bounded.  NULL keys are surveyed as their own '<NULL>'
+    bucket — a NULL-heavy key column is the classic silent skew."""
+    e = table(spark, sf_dir, "events")
+    k = e.selectExpr(
+        "stack(2, 'user_id', coalesce(CAST(user_id AS STRING), '<NULL>'),"
+        " 'event_type', coalesce(event_type, '<NULL>')) AS (key_col, key)"
+    )
+    c = k.groupBy("key_col", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    s = c.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.max_by(
+            "key", F.format_string("%020d%s", F.col("cnt"), F.col("key"))
+        ).alias("top_key"),
+    )
+    return s.select(
+        "key_col",
+        "n_distinct",
+        "total",
+        "max_cnt",
+        "top_key",
+        F.expr("CAST(max_cnt * 1000000 AS BIGINT) DIV total").alias(
+            "top_share_ppm"
+        ),
+        F.expr(
+            "CAST(max_cnt * n_distinct * 1000 AS BIGINT) DIV total"
+        ).alias("skew_ratio_millis"),
+    )

@@ -152,7 +152,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_readability",
     "text_zipf_fit",
     "graph_khop_bfs",
-    "stream_topk",
     # NEW in round 8 (appends push the window's last staged key back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_confirm",
@@ -174,6 +173,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_log2_quantile",
     "stream_log2_quantile",
     "rollup_ohlc_multi",
+    "profile_skew",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -184,6 +184,7 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-8 window by round-8 keys
+    "stream_topk",
     "cep_measures_running",
     "emb_pca_power",
     "agg_path_string",

@@ -95,7 +95,7 @@ EVENTS_KEYS = [
     "cep_sql_run_agg_confirm", "cep_sql_run_agg_times",
     "cep_sql_run_agg_multikey", "win_acf", "rollup_seasonal",
     "cep_sql_run_agg_corr", "win_pacf", "agg_log2_quantile",
-    "stream_log2_quantile", "rollup_ohlc_multi",
+    "stream_log2_quantile", "rollup_ohlc_multi", "profile_skew",
 ]
 
 
@@ -169,7 +169,7 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_run_agg_confirm", "cep_sql_run_agg_times",
     "cep_sql_run_agg_multikey", "win_acf", "rollup_seasonal",
     "cep_sql_run_agg_corr", "win_pacf", "agg_log2_quantile",
-    "stream_log2_quantile", "rollup_ohlc_multi",
+    "stream_log2_quantile", "rollup_ohlc_multi", "profile_skew",
 ]
 
 
