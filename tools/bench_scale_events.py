@@ -97,6 +97,7 @@ OPS = [
     "win_pacf",
     "agg_log2_quantile",
     "rollup_ohlc_multi",
+    "profile_skew",
 ]
 
 STREAM_NFA_SQL = """
