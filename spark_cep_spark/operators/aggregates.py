@@ -2112,6 +2112,11 @@ def agg_log2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤64-rows-per-group window.  Positive-domain by contract (a
     latency/price sketch; two's-complement bit lengths of negatives
     diverge between engines)."""
+    from spark_cep_spark.streaming.windows import (
+        log2_bucket,
+        log2q_select,
+    )
+
     e = (
         table(spark, sf_dir, "events")
         .filter(
@@ -2122,34 +2127,13 @@ def agg_log2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.coalesce(F.col("event_type"), F.lit("")).alias("etype"),
-            F.length(
-                F.bin(F.round(F.col("value") * 100).cast("long"))
-            ).alias("b"),
+            log2_bucket().alias("b"),
         )
     )
     c = e.groupBy("etype", "b").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    wc = W.partitionBy("etype").orderBy("b")
-    wt = W.partitionBy("etype")
-    cum = c.select(
-        "etype",
-        "b",
-        F.sum("cnt").over(wc).alias("cum"),
-        F.sum("cnt").over(wt).alias("tot"),
-    )
-
-    def qb(p: int):
-        return F.min(
-            F.when(F.col("cum") * 100 >= p * F.col("tot"), F.col("b"))
-        ).cast("long")
-
-    return cum.groupBy("etype").agg(
-        F.max("tot").alias("n"),
-        qb(50).alias("q50_bucket"),
-        qb(90).alias("q90_bucket"),
-        qb(99).alias("q99_bucket"),
-    ).withColumn(
+    return log2q_select(c, keys=("etype",), ps=(50, 90, 99)).withColumn(
         "q99_ub_cents",
         F.expr(
             "CAST(shiftleft(CAST(1 AS BIGINT), "
@@ -2253,9 +2237,10 @@ def rollup_ohlc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY key_col
     )
     SELECT key_col, n_distinct, total, max_cnt, top_key,
-           CAST(max_cnt * 1000000 AS BIGINT) // total AS top_share_ppm,
-           CAST(max_cnt * n_distinct * 1000 AS BIGINT) // total
-             AS skew_ratio_millis
+           CAST(CAST(max_cnt AS HUGEINT) * 1000000 // total AS BIGINT)
+             AS top_share_ppm,
+           CAST(CAST(max_cnt AS HUGEINT) * n_distinct * 1000 // total
+                AS BIGINT) AS skew_ratio_millis
     FROM s
     """,
 )
@@ -2297,10 +2282,15 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         "max_cnt",
         "top_key",
-        F.expr("CAST(max_cnt * 1000000 AS BIGINT) DIV total").alias(
-            "top_share_ppm"
-        ),
+        # products widened to DECIMAL(38,0): at 10^12 rows x 10^9
+        # distinct keys the int64 product wraps on Spark and errors on
+        # DuckDB — exactly where the diagnostic matters (review catch)
         F.expr(
-            "CAST(max_cnt * n_distinct * 1000 AS BIGINT) DIV total"
+            "CAST(CAST(max_cnt AS DECIMAL(38,0)) * 1000000 DIV total "
+            "AS BIGINT)"
+        ).alias("top_share_ppm"),
+        F.expr(
+            "CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_distinct * 1000 "
+            "DIV total AS BIGINT)"
         ).alias("skew_ratio_millis"),
     )

@@ -3037,6 +3037,37 @@ def emb_mrl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bq_sigs(spark: SparkSession, sf_dir: str):
+    """Shared binary-quantization substrate for sim_bq_hamming /
+    sim_bq_rerank: the element-validity-gated 64-dim corpus `e` and
+    its one-int64 sign-bit signature table `sig` (bit i set iff
+    embedding[i] > 0, packed by one aggregate HOF — the trickiest
+    expression in this family lives HERE once; its oracle twin needs
+    the min-long special case at bit 63)."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & (
+            F.size(
+                F.filter(
+                    "embedding",
+                    lambda x: x.isNull() | F.isnan(x),
+                )
+            )
+            == 0
+        )
+    )
+    sig = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc | IF(embedding[i] > CAST(0 AS DOUBLE), "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        ).alias("sig"),
+    )
+    return e, sig
+
+
 @register(
     "sim_bq_hamming",
     oracle="""
@@ -3205,27 +3236,7 @@ def sim_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     xor+popcount in codegen, 10-signature broadcast); stage 2 joins
     50 ids/query back to the raw vectors by key — the shortlist bound
     makes the expensive stage's cost INDEPENDENT of corpus size."""
-    e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & (F.size("embedding") == 64)
-        & (
-            F.size(
-                F.filter(
-                    "embedding",
-                    lambda x: x.isNull() | F.isnan(x),
-                )
-            )
-            == 0
-        )
-    )
-    sig = e.select(
-        "vec_id",
-        F.expr(
-            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), "
-            "(acc, i) -> acc | IF(embedding[i] > CAST(0 AS DOUBLE), "
-            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
-        ).alias("sig"),
-    )
+    e, sig = _bq_sigs(spark, sf_dir)
     q = sig.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
     )

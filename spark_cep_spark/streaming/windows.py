@@ -968,6 +968,15 @@ def ohlc_stream(
 # Continuous mergeable quantile sketch (windowed base-2 log histogram)
 
 
+def log2_bucket(value_col: str = "value"):
+    """The sketch's bucket expression — exact bit length of positive
+    cents (never libm log).  ONE definition serves the batch op
+    (agg_log2_quantile), the streaming face, and the tests."""
+    return F.length(
+        F.bin(F.round(F.col(value_col) * 100).cast("long"))
+    )
+
+
 def log2q_counts(events: DataFrame) -> DataFrame:
     """Shared kernel: per 6-hour tumbling window and event type, the
     base-2 bit-length bucket counts of positive cents — the STATEFUL
@@ -985,9 +994,7 @@ def log2q_counts(events: DataFrame) -> DataFrame:
         .select(
             "ts",
             F.coalesce(F.col("event_type"), F.lit("")).alias("etype"),
-            F.length(
-                F.bin(F.round(F.col("value") * 100).cast("long"))
-            ).alias("b"),
+            log2_bucket().alias("b"),
         )
         .groupBy(F.window("ts", "6 hours").alias("win"), "etype", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -995,15 +1002,21 @@ def log2q_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def log2q_select(counts: DataFrame) -> DataFrame:
-    """Quantile finisher over the emitted bucket counts: q50/q99
-    bucket per (window, type) via the exact cross-multiplied rank
-    threshold — a stateless view over ≤64 rows per group."""
-    wc = W.partitionBy("win_start", "etype").orderBy("b")
-    wt = W.partitionBy("win_start", "etype")
+def log2q_select(
+    counts: DataFrame,
+    keys: tuple = ("win_start", "etype"),
+    ps: tuple = (50, 99),
+) -> DataFrame:
+    """Quantile finisher over bucket counts: the smallest bucket whose
+    cumulative count covers each rank p (exact cross-multiplied
+    cum·100 ≥ p·tot) per key group — a stateless view over ≤64 rows
+    per group.  ONE definition of the rank rule serves the batch op,
+    the streaming face, and the mergeability proof (review catch:
+    three copies would let the threshold convention drift)."""
+    wc = W.partitionBy(*keys).orderBy("b")
+    wt = W.partitionBy(*keys)
     cum = counts.select(
-        "win_start",
-        "etype",
+        *keys,
         "b",
         F.sum("cnt").over(wc).alias("cum"),
         F.sum("cnt").over(wt).alias("tot"),
@@ -1014,10 +1027,9 @@ def log2q_select(counts: DataFrame) -> DataFrame:
             F.when(F.col("cum") * 100 >= p * F.col("tot"), F.col("b"))
         ).cast("long")
 
-    return cum.groupBy("win_start", "etype").agg(
+    return cum.groupBy(*keys).agg(
         F.max("tot").alias("n"),
-        qb(50).alias("q50_bucket"),
-        qb(99).alias("q99_bucket"),
+        *[qb(p).alias(f"q{p}_bucket") for p in ps],
     )
 
 

@@ -1652,29 +1652,11 @@ def test_log2_sketch_mergeable_by_addition(spark, sf_dir):
     )
 
     def read_q(counts):
-        from pyspark.sql import Window as W2
+        from spark_cep_spark.streaming.windows import log2q_select
 
-        wc = W2.partitionBy("etype").orderBy("b")
-        wt = W2.partitionBy("etype")
-        cum = counts.select(
-            "etype",
-            "b",
-            F.sum("cnt").over(wc).alias("cum"),
-            F.sum("cnt").over(wt).alias("tot"),
-        )
-        return cum.groupBy("etype").agg(
-            F.max("tot").alias("n"),
-            F.min(
-                F.when(
-                    F.col("cum") * 100 >= 50 * F.col("tot"), F.col("b")
-                )
-            ).alias("q50"),
-            F.min(
-                F.when(
-                    F.col("cum") * 100 >= 99 * F.col("tot"), F.col("b")
-                )
-            ).alias("q99"),
-        )
+        # the SHARED finisher: the invariant under test is that
+        # merged-by-addition partials feed it identically
+        return log2q_select(counts, keys=("etype",), ps=(50, 99))
 
     direct = read_q(
         e.groupBy("etype", "b").agg(

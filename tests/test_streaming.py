@@ -848,24 +848,42 @@ def test_ohlc_stream_equals_batch(spark, sf_dir, staged):
     assert g == w and len(g) > 0
 
 
-def test_log2q_stream_equals_batch(spark, sf_dir, staged):
-    """Continuous quantile sketch: the streaming face keeps only the
-    <=64 bucket counters per (window, type) in state; the stateless
-    log2q_select over the materialized append output must equal the
-    batch twin end-to-end (mergeable-by-addition means multi-micro-
-    batch partials combine exactly)."""
+def test_log2q_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Continuous quantile sketch under the PRODUCTION path: APPEND
+    mode with a short watermark — a far-future sentinel row pushes
+    the watermark past every fixture window so each (window, type)
+    count row is emitted exactly once when its window CLOSES; the
+    stateless log2q_select over the appended counts must equal the
+    batch twin (mergeable-by-addition means multi-micro-batch
+    partials combine exactly).  The sentinel's own window is filtered
+    from both sides."""
+    import datetime as _ddt
+    import glob as _glob
+    import os
+
     from spark_cep_spark.streaming.windows import (
         log2q_select,
         log2q_stream,
         stream_log2_quantile,
     )
 
-    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
-    got = log2q_select(
-        harness.run_available_now(
-            log2q_stream(stream, watermark="35 days"), "complete"
-        )
+    staged2 = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, _ddt.datetime(2030, 1, 1), -1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
     )
+    sentinel.coalesce(1).write.mode("append").parquet(staged2)
+    newest = max(
+        _glob.glob(os.path.join(staged2, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged2, max_files_per_trigger=2)
+    counts = harness.run_available_now(
+        log2q_stream(stream, watermark="10 minutes"), "append"
+    ).filter("win_start < timestamp'2029-01-01'")
+    got = log2q_select(counts)
     want = stream_log2_quantile(spark, sf_dir)
     cols = ["win_start", "etype", "n", "q50_bucket", "q99_bucket"]
     assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
