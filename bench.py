@@ -148,8 +148,16 @@ def stream_bench(spark) -> dict:
         ("windowed_agg", lambda s: tumbling_stream(s), "update"),
     ):
         drain(build, mode)  # warm (checkpoint init, codegen, Arrow)
-        secs = min(drain(build, mode), drain(build, mode))
+        # Median-of-3 with min/max recorded (round-8 verdict item 3):
+        # the 100k-event point swings ~2x run-to-run on identical code
+        # (micro-batch machinery noise), so a single-run or min-of-2
+        # number cannot falsify a real regression. The median is the
+        # headline; the spread bounds what a regression claim can mean.
+        runs = sorted(drain(build, mode) for _ in range(3))
+        secs = runs[1]
         out[f"{name}_sec"] = round(secs, 4)
+        out[f"{name}_sec_min"] = round(runs[0], 4)
+        out[f"{name}_sec_max"] = round(runs[2], 4)
         out[f"{name}_events_per_sec"] = round(n_events / secs)
 
     # Second scale point (round-6 verdict item 5): the 1x drain is
@@ -193,9 +201,12 @@ def stream_bench(spark) -> dict:
         return time.perf_counter() - t0
 
     drain8()  # warm
-    secs8 = min(drain8(), drain8())
+    runs8 = sorted(drain8() for _ in range(3))
+    secs8 = runs8[1]
     out["n_events_8x"] = n8
     out["nfa_variants_8x_sec"] = round(secs8, 4)
+    out["nfa_variants_8x_sec_min"] = round(runs8[0], 4)
+    out["nfa_variants_8x_sec_max"] = round(runs8[2], 4)
     out["nfa_variants_8x_events_per_sec"] = round(n8 / secs8)
     return out
 

@@ -1999,8 +1999,11 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.etype, CAST(d.dow AS BIGINT) AS dow, d.n_dow,
            CASE WHEN t.s_all <> 0
-                THEN round(CAST(d.s_dow * t.n_all AS DOUBLE)
-                           / CAST(d.n_dow * t.s_all AS DOUBLE), 6) + 0.0
+                THEN round(CAST(CAST(d.s_dow AS HUGEINT)
+                                * CAST(t.n_all AS HUGEINT) AS DOUBLE)
+                           / CAST(CAST(d.n_dow AS HUGEINT)
+                                  * CAST(t.s_all AS HUGEINT) AS DOUBLE),
+                           6) + 0.0
            END AS seasonal_index
     FROM d JOIN t ON d.etype = t.etype
     """,
@@ -2047,9 +2050,17 @@ def rollup_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dow",
         F.when(
             F.col("s_all") != 0,
+            # DECIMAL(38,0) cross-products: at 100 TB s_dow*n_all can
+            # exceed int64 (same failure class profile_skew widened for)
             F.round(
-                (F.col("s_dow") * F.col("n_all")).cast("double")
-                / (F.col("n_dow") * F.col("s_all")).cast("double"),
+                (
+                    F.col("s_dow").cast("decimal(38,0)")
+                    * F.col("n_all").cast("decimal(38,0)")
+                ).cast("double")
+                / (
+                    F.col("n_dow").cast("decimal(38,0)")
+                    * F.col("s_all").cast("decimal(38,0)")
+                ).cast("double"),
                 6,
             )
             + F.lit(0.0),

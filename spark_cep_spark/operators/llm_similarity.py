@@ -1669,7 +1669,7 @@ def emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.col("score").desc(), F.col("vec_id"))
         .limit(50)
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
     )
 
 
@@ -2582,8 +2582,15 @@ class IvfPqIndex:
             )
         tmp = cells_path + "_compact"
         live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        shutil.rmtree(cells_path)
+        # Crash-safe swap: keep a complete cells/ layout on disk at
+        # every step (old aside -> new in place -> drop old), so a
+        # crash mid-swap leaves either the old or the new layout
+        # recoverable by rename — never a missing cells/ directory.
+        old = cells_path + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(cells_path, old)
         os.rename(tmp, cells_path)
+        shutil.rmtree(old)
         if has_stream:
             shutil.rmtree(spath)
         if tomb is not None:
@@ -3127,27 +3134,7 @@ def sim_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus scan (the sim_topk shape, allowlisted), so the scan reads
     ONE long column; rank is a bounded per-query top-k.  The exact
     re-rank composes downstream like topk_ivfpq's shortlist stage."""
-    e = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & (F.size("embedding") == 64)
-        & (
-            F.size(
-                F.filter(
-                    "embedding",
-                    lambda x: x.isNull() | F.isnan(x),
-                )
-            )
-            == 0
-        )
-    )
-    sig = e.select(
-        "vec_id",
-        F.expr(
-            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), "
-            "(acc, i) -> acc | IF(embedding[i] > CAST(0 AS DOUBLE), "
-            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
-        ).alias("sig"),
-    )
+    _, sig = _bq_sigs(spark, sf_dir)
     q = sig.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
     )

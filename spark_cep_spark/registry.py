@@ -116,74 +116,13 @@ def load_all() -> None:
 
 # The first 50 keys the driver will check this round, in order. See the
 # module docstring ("DRIVER WINDOW") for the selection rationale.
-# Round 8 window = the first 50 of round-7's NEXT_ROTATION, verbatim
-# (tpch_q19-q22 lead; every key exact-passes tools/check_oracle.py
-# locally). Keys NEW in round 8 are appended at the end as they land
-# (window holds 50; each append pushes the window's last staged key
-# back to NEXT_ROTATION's front).
+# Round 9 window = the first 50 of round-8's NEXT_ROTATION, verbatim
+# (stream_topk / cep_measures_running / emb_pca_power lead the
+# never-driver-checked cohort; every key exact-passes
+# tools/check_oracle.py locally). Keys NEW in round 9 are appended at
+# the end as they land (window holds 50; each append pushes the
+# window's last staged key back to NEXT_ROTATION's front).
 DRIVER_PRIORITY: list[str] = [
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "cep_skip_to_first",
-    "cep_sql_skip_last_kleene",
-    "cep_sql_exclusion",
-    "feat_target_encode",
-    "profile_columns",
-    "corpus_sample_fixed_k",
-    "text_collocations",
-    "fn_hof",
-    "agg_regression",
-    "agg_ttest",
-    "pipeline_dedup_eval",
-    "agg_chi2",
-    "fn_variant",
-    "map_in_arrow",
-    "sim_topk_arrow",
-    "cep_sql_anchor_start",
-    "cep_sql_anchor_end",
-    "cep_sql_prev",
-    "cep_sql_next",
-    "join_star_q5",
-    "join_star_q10",
-    "agg_heavy_hitters",
-    "pipeline_bpe_pairs",
-    "text_readability",
-    "text_zipf_fit",
-    "graph_khop_bfs",
-    # NEW in round 8 (appends push the window's last staged key back
-    # to NEXT_ROTATION's front — see the module docstring)
-    "cep_sql_run_agg_confirm",
-    "sim_ann_ivfpq_index",
-    "pipeline_bpe_train",
-    "pipeline_bpe_tokens",
-    "cep_sql_run_agg_times",
-    "cep_sql_run_agg_multikey",
-    "win_acf",
-    "rollup_seasonal",
-    "graph_shortest_path",
-    "sim_ann_ivfpq_delete",
-    "text_bigram_kn",
-    "sim_index_stream_ingest",
-    "cep_sql_run_agg_corr",
-    "sim_bq_hamming",
-    "sim_bq_rerank",
-    "win_pacf",
-    "agg_log2_quantile",
-    "stream_log2_quantile",
-    "rollup_ohlc_multi",
-    "profile_skew",
-]
-
-# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
-# never-driver-checked staging cohort first (all exact-pass locally),
-# then the displaced round-7 window (freshest driver evidence) at the
-# back. Keys NEW in round 8 that do not fit the round-8 window are
-# prepended as they land. The round-9 window = the FIRST 50 of this
-# list, verbatim.
-NEXT_ROTATION: list[str] = [
-    # displaced from the round-8 window by round-8 keys
     "stream_topk",
     "cep_measures_running",
     "emb_pca_power",
@@ -234,6 +173,15 @@ NEXT_ROTATION: list[str] = [
     "cep_kleene",
     "cep_kleene_plus",
     "cep_threshold",
+]
+
+# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
+# never-driver-checked staging cohort first (all exact-pass locally),
+# then the displaced round-8 window (freshest driver evidence) at the
+# back. Keys NEW in round 9 that do not fit the round-9 window are
+# prepended as they land. The round-10 window = the FIRST 50 of this
+# list, verbatim.
+NEXT_ROTATION: list[str] = [
     "corpus_pack",
     "corpus_sample_stratified",
     "corpus_split",
@@ -328,6 +276,57 @@ NEXT_ROTATION: list[str] = [
     "emb_mrl_eval",
     "layout_compaction",
     "cep_sql_run_count",
+    # displaced round-8 window (freshest driver evidence — r08 green)
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "cep_skip_to_first",
+    "cep_sql_skip_last_kleene",
+    "cep_sql_exclusion",
+    "feat_target_encode",
+    "profile_columns",
+    "corpus_sample_fixed_k",
+    "text_collocations",
+    "fn_hof",
+    "agg_regression",
+    "agg_ttest",
+    "pipeline_dedup_eval",
+    "agg_chi2",
+    "fn_variant",
+    "map_in_arrow",
+    "sim_topk_arrow",
+    "cep_sql_anchor_start",
+    "cep_sql_anchor_end",
+    "cep_sql_prev",
+    "cep_sql_next",
+    "join_star_q5",
+    "join_star_q10",
+    "agg_heavy_hitters",
+    "pipeline_bpe_pairs",
+    "text_readability",
+    "text_zipf_fit",
+    "graph_khop_bfs",
+    "cep_sql_run_agg_confirm",
+    "sim_ann_ivfpq_index",
+    "pipeline_bpe_train",
+    "pipeline_bpe_tokens",
+    "cep_sql_run_agg_times",
+    "cep_sql_run_agg_multikey",
+    "win_acf",
+    "rollup_seasonal",
+    "graph_shortest_path",
+    "sim_ann_ivfpq_delete",
+    "text_bigram_kn",
+    "sim_index_stream_ingest",
+    "cep_sql_run_agg_corr",
+    "sim_bq_hamming",
+    "sim_bq_rerank",
+    "win_pacf",
+    "agg_log2_quantile",
+    "stream_log2_quantile",
+    "rollup_ohlc_multi",
+    "profile_skew",
 ]
 
 

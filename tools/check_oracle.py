@@ -103,7 +103,9 @@ def frames_equal(
     int64 hash-mismatched on identical values), so a dtype-KIND mismatch
     (int vs float vs object...) is a hard fail even when `==` holds.
     Same-kind width differences (int32 vs int64, float32 vs float64) are
-    unified for the value compare but surfaced as warnings."""
+    a HARD FAIL since round 9: the driver's schema compare may be width-
+    strict, and a width drift (row_number() without .cast('long')) is
+    always a one-line fix — catch it here, never in CORRECTNESS_r{N}."""
     warns: list[str] = []
     if list(a.columns) != list(b.columns):
         return False, f"columns {list(a.columns)} vs {list(b.columns)}", warns
@@ -119,7 +121,13 @@ def frames_equal(
                 warns,
             )
         if str(a[c].dtype) != str(b[c].dtype):
-            warns.append(f"col {c}: dtype {a[c].dtype} vs {b[c].dtype}")
+            return (
+                False,
+                f"col {c}: dtype WIDTH mismatch {a[c].dtype} vs "
+                f"{b[c].dtype} (hard fail since r9 — cast to the oracle "
+                "width, e.g. .cast('long'))",
+                warns,
+            )
     a = a.copy()
     b = b.copy()
     for df in (a, b):
