@@ -55,8 +55,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad("c_mktsegment", 12, "*").alias("padded"),
         F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
         F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
-        F.length("c_name").alias("name_len"),
-        F.instr(F.col("c_name"), "1").alias("pos1"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.instr(F.col("c_name"), "1").cast("long").alias("pos1"),
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("vowelled"),
         F.substring("c_name", 1, 4).alias("l4"),
         F.expr("right(c_name, 3)").alias("r3"),
@@ -87,22 +87,22 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.year(d).alias("yr"),
-        F.month(d).alias("mo"),
-        F.dayofmonth(d).alias("dom"),
-        F.hour(d).alias("hr"),
-        F.quarter(d).alias("qtr"),
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.hour(d).cast("long").alias("hr"),
+        F.quarter(d).cast("long").alias("qtr"),
         # DATE-typed outputs are cast to TIMESTAMP on BOTH sides: engines
         # surface DATE differently to the comparator (date vs datetime64).
         F.date_trunc("month", d).alias("month_start"),
         (d + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
         F.unix_timestamp(d).alias("epoch_s"),
         F.to_date(d).cast("timestamp").alias("od"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date(d)).alias(
-            "days_to_2002"
-        ),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date(d))
+        .cast("long")
+        .alias("days_to_2002"),
         F.last_day(d).cast("timestamp").alias("month_end"),
-        (F.year(d) * 12 + F.month(d)).alias("month_index"),
+        (F.year(d) * 12 + F.month(d)).cast("long").alias("month_index"),
     )
 
 

@@ -111,7 +111,7 @@ def grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["user_id", "event_id", "ts", "seq_no"]]
 
     return e.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
-        number, "user_id long, event_id long, ts timestamp, seq_no int"
+        number, "user_id long, event_id long, ts timestamp, seq_no long"
     )
 
 

@@ -260,7 +260,7 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
 
 
 @register(

@@ -367,7 +367,8 @@ _SIMHASH_ORACLE = """
                       CAST(concat('0x', substring(md5(tok), 1, 4)) AS INTEGER) AS hv
                FROM tok),
          fp AS (SELECT doc_id, {terms} AS simhash FROM h GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(a.simhash AS BIGINT) AS simhash
     FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 """.format(
     terms=" + ".join(

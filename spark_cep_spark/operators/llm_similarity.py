@@ -116,7 +116,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 10)
         .select(
             "qid",
@@ -170,7 +170,7 @@ def sim_knn_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
-    nn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    nn = scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= 10)
     votes = nn.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("c"))
     wv = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("label"))
     return (
@@ -201,7 +201,7 @@ def topk_matmul(
     qrows, dim = _valid_rows(queries.select(id_col, vec_col).collect())
     if not qrows:
         return spark.createDataFrame(
-            [], "qid long, neighbor_id long, sim double, rk integer"
+            [], "qid long, neighbor_id long, sim double, rk long"
         )
     candidates = valid_vectors(candidates, vec_col, dim)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -234,7 +234,7 @@ def topk_matmul(
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
     return (
-        partial.withColumn("rk", F.row_number().over(w))
+        partial.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
     )
@@ -368,7 +368,7 @@ def topk_lsh(
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
     )
@@ -421,7 +421,7 @@ def topk_ivf(
     )
     if probe is None:
         return spark.createDataFrame(
-            [], "qid long, neighbor_id long, sim double, rk integer"
+            [], "qid long, neighbor_id long, sim double, rk long"
         )
     dim = probe.d
     candidates = valid_vectors(candidates, vec_col, dim)
@@ -468,7 +468,7 @@ def topk_ivf(
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
     )
@@ -561,7 +561,7 @@ def topk_pq(
     qrows, dim = _valid_rows(queries.select(id_col, vec_col).collect())
     if not qrows:
         return spark.createDataFrame(
-            [], "qid long, neighbor_id long, sim double, rk integer"
+            [], "qid long, neighbor_id long, sim double, rk long"
         )
     candidates = valid_vectors(candidates, vec_col, dim)
     sample_rows = (
@@ -625,7 +625,7 @@ def topk_pq(
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
     return (
-        rescored.withColumn("rk", F.row_number().over(w))
+        rescored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
     )
@@ -1069,7 +1069,7 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("qid").orderBy(F.col("score_raw").desc(), "vec_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
         .select(
             "qid",
@@ -1481,7 +1481,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = q.crossJoin(c).select("qid", "vec_id", "cv", ip.alias("ip"))
     w = W.partitionBy("qid").orderBy(F.col("ip").desc(), F.col("vec_id"))
     cand = (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 32)
         .select("qid", "vec_id", "cv", "ip")
     )
@@ -1831,7 +1831,7 @@ class IvfIndex:
         )
         if not qrows or C.shape[0] == 0:
             return self.spark.createDataFrame(
-                [], "qid long, neighbor_id long, sim double, rk integer"
+                [], "qid long, neighbor_id long, sim double, rk long"
             )
         qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
         d2 = ((qmat[:, None, :] - C[None, :, :]) ** 2).sum(-1)
@@ -1861,7 +1861,7 @@ class IvfIndex:
             F.col("sim_raw").desc(), F.col("neighbor_id")
         )
         return (
-            scored.withColumn("rk", F.row_number().over(w))
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= k)
             .select(
                 "qid",
@@ -2018,7 +2018,7 @@ def topk_matmul_arrow(
     qrows, dim = _valid_rows(queries.select(id_col, vec_col).collect())
     if not qrows:
         return spark.createDataFrame(
-            [], "qid long, neighbor_id long, sim double, rk integer"
+            [], "qid long, neighbor_id long, sim double, rk long"
         )
     candidates = valid_vectors(candidates, vec_col, dim)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -2065,7 +2065,7 @@ def topk_matmul_arrow(
         F.col("sim_raw").desc(), F.col("neighbor_id")
     )
     return (
-        partial.withColumn("rk", F.row_number().over(w))
+        partial.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select(
             "qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk"
@@ -2146,7 +2146,7 @@ def topk_ivfpq(
     qrows, dim = _valid_rows(queries.select(id_col, vec_col).collect())
     if not qrows:
         return spark.createDataFrame(
-            [], "qid long, neighbor_id long, sim double, rk integer"
+            [], "qid long, neighbor_id long, sim double, rk long"
         )
     candidates = valid_vectors(candidates, vec_col, dim)
 
@@ -2244,7 +2244,7 @@ def topk_ivfpq(
         F.col("sim_raw").desc(), F.col("neighbor_id")
     )
     return (
-        rescored.withColumn("rk", F.row_number().over(w))
+        rescored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rk")
     )
@@ -2663,7 +2663,7 @@ class IvfPqIndex:
         )
         if not qrows or C.shape[0] == 0:
             return self.spark.createDataFrame(
-                [], "qid long, neighbor_id long, sim double, rk integer"
+                [], "qid long, neighbor_id long, sim double, rk long"
             )
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
@@ -2760,7 +2760,7 @@ class IvfPqIndex:
             F.col("sim_raw").desc(), F.col("neighbor_id")
         )
         return (
-            rescored.withColumn("rk", F.row_number().over(w))
+            rescored.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= k)
             .select(
                 "qid",
@@ -2789,7 +2789,7 @@ def sim_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if valid_vectors(base, "embedding").limit(1).first() is None:
         # degenerate corpus with no trainable base — no index, no hits
         return spark.createDataFrame(
-            [], "qid long, neighbor_id long, sim double, rk integer"
+            [], "qid long, neighbor_id long, sim double, rk long"
         )
     path = tempfile.mkdtemp(prefix="ivfpq_idx_")
     idx = IvfPqIndex.build(spark, base, path)
@@ -2824,7 +2824,7 @@ def sim_ann_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.filter(F.col("vec_id") >= 100)
     if valid_vectors(base, "embedding").limit(1).first() is None:
         return spark.createDataFrame(
-            [], "qid long, neighbor_id long, sim double, rk integer"
+            [], "qid long, neighbor_id long, sim double, rk long"
         )
     path = tempfile.mkdtemp(prefix="ivfpq_del_")
     idx = IvfPqIndex.build(spark, base, path)
@@ -2860,7 +2860,7 @@ def sim_index_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.filter(F.col("vec_id") >= 100)
     if valid_vectors(base, "embedding").limit(1).first() is None:
         return spark.createDataFrame(
-            [], "qid long, neighbor_id long, sim double, rk integer"
+            [], "qid long, neighbor_id long, sim double, rk long"
         )
     path = tempfile.mkdtemp(prefix="ivfpq_si_")
     stage = tempfile.mkdtemp(prefix="ivfpq_si_stage_")

@@ -171,8 +171,10 @@ DRIVER_PRIORITY: list[str] = [
     "agg_distinct",
     "cep_absence",
     "cep_kleene",
-    "cep_kleene_plus",
-    "cep_threshold",
+    # NEW in round 9 (appends push the window's last staged keys back
+    # to NEXT_ROTATION's front — see the module docstring)
+    "cep_sql_run_agg_measures",
+    "cep_sql_run_agg_exclusion",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -182,6 +184,9 @@ DRIVER_PRIORITY: list[str] = [
 # prepended as they land. The round-10 window = the FIRST 50 of this
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
+    # displaced from the round-9 window by round-9 keys
+    "cep_kleene_plus",
+    "cep_threshold",
     "corpus_pack",
     "corpus_sample_stratified",
     "corpus_split",

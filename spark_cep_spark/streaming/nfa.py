@@ -4319,6 +4319,7 @@ def advance_kleene_agg(
     min_n: int = 1,
     max_n: int | None = None,
     corr=None,
+    emit_rows: bool = False,
 ) -> tuple[list | None, list]:
     """Generic running-aggregate kleene kernel — PATTERN (A -> B+)
     WITHIN <bound> where each candidate B binds iff `bind(n, s, v)`
@@ -4381,13 +4382,46 @@ def advance_kleene_agg(
     EITHER the aggregate bind or the anchor comparison is a failing
     row (consumed, run dies).
 
-    state: None (idle) or [n, sum, anchor_us, deadline_us(, ay)] —
-    confirm adds no state, corr adds the one anchor value.  O(1)
-    state; chunking-invariant given monotone wm (property-tested)."""
+    emit_rows=True (round-9, the ALL ROWS PER MATCH face) switches the
+    emission from one record per match to one record PER BOUND ROW of
+    each emitted match: state gains a trailing row buffer (the match's
+    rows are unknown-complete until the match closes, so FINAL measures
+    force buffering — O(rows-per-match) state, bounded by the WITHIN
+    deadline), and each emission record is
+    [row_ts_us, row_eid, cls, n_run, s_run, n_final, s_final,
+    anchor_us, conf_us|None] where cls ∈ {0: anchor, 1: bound
+    candidate, 2: confirm} and (n_run, s_run) are the RUNNING
+    count/sum AT that row (0/0 on the anchor row; == final on the
+    confirm row — SQL-standard RUNNING vs FINAL semantics).  WHICH
+    matches emit is unchanged — the flag only widens what a match
+    emission contains, so the two faces share every close rule.
+
+    state: None (idle) or [n, sum, anchor_us, deadline_us(, ay)
+    (, rows_buf)] — confirm adds no state, corr adds the one anchor
+    value, emit_rows appends the row buffer LAST.  O(1) state without
+    emit_rows; chunking-invariant given monotone wm (property-tested)."""
     st = None if state is None else list(state)
     out = []
+
+    def _emit(conf_rec=None):
+        """One match emission — per-match record, or per-row records
+        (+ the confirm row) under emit_rows."""
+        if not emit_rows:
+            rec = [st[2], st[0], st[1]]
+            if conf_rec is not None:
+                rec.append(conf_rec[0])
+            out.append(rec)
+            return
+        n_fin, s_fin = st[0], st[1]
+        conf_us = conf_rec[0] if conf_rec is not None else None
+        recs = st[-1] if conf_rec is None else st[-1] + [conf_rec]
+        for r in recs:
+            out.append(
+                [r[0], r[1], r[2], r[3], r[4], n_fin, s_fin, st[2], conf_us]
+            )
+
     for row in matured:
-        ts, _eid, is_a, is_c, v = row[:5]
+        ts, eid, is_a, is_c, v = row[:5]
         is_conf = confirm and row[5]
         if corr is not None:
             bx, ay_row = row[6], row[7]
@@ -4395,7 +4429,7 @@ def advance_kleene_agg(
                 is_c = False
         if st is not None and ts > st[3]:
             if not confirm and st[0] >= min_n:
-                out.append([st[2], st[0], st[1]])
+                _emit()
             st = None
         sat = st is not None and max_n is not None and st[0] >= max_n
         if st is None:
@@ -4403,6 +4437,8 @@ def advance_kleene_agg(
                 st = [0, 0, ts, ts + within_us]
                 if corr is not None:
                     st.append(ay_row)
+                if emit_rows:
+                    st.append([[ts, eid, 0, 0, 0]])
         elif (
             is_c
             and v is not None
@@ -4412,20 +4448,22 @@ def advance_kleene_agg(
         ):
             st[0] += 1
             st[1] += v
+            if emit_rows:
+                st[-1].append([ts, eid, 1, st[0], st[1]])
             if not confirm and max_n is not None and st[0] == max_n:
                 # greedy completion: B is saturated and the 2-step
                 # pattern has nowhere to extend — the match ends at
                 # this row (SKIP PAST LAST ROW consumes through it)
-                out.append([st[2], st[0], st[1]])
+                _emit()
                 st = None
         elif is_conf and st[0] >= min_n:
-            out.append([st[2], st[0], st[1], ts])
+            _emit([ts, eid, 2, st[0], st[1]])
             st = None
         elif is_c and v is not None and not sat:
             # bind false: the failing row is consumed, the run dies —
             # unconfirmed / sub-min runs emit nothing
             if not confirm and st[0] >= min_n:
-                out.append([st[2], st[0], st[1]])
+                _emit()
             st = None
     # strictly-less: the event path accepts ts == deadline, so a
     # watermark landing exactly on the deadline must NOT close the run
@@ -4434,7 +4472,7 @@ def advance_kleene_agg(
     # reproduced: whole [[0,3,300]] vs chunked [[0,2,200]]).
     if st is not None and st[3] < wm_us:
         if not confirm and st[0] >= min_n:
-            out.append([st[2], st[0], st[1]])
+            _emit()
         st = None
     return st, out
 
@@ -4563,35 +4601,79 @@ def kleene_agg_out_fields(out_spec: list, integral: bool) -> list:
     (column name, kind) with kind ∈ {'t_anchor', 't_conf', 'n', 's',
     'avg'}: the anchor / confirm timestamps, the bound-row count, the
     exact running sum (long for integral inputs, double otherwise),
-    and the sum/count average (always double)."""
+    and the sum/count average (always double).  The emit_rows (ALL
+    ROWS PER MATCH) face adds: 'row_ts'/'row_eid' (the bound row
+    itself), 'cls' (the classifier step name), and the RUNNING twins
+    'rn'/'rs'/'ravg' (count/sum/avg AT the row — NULL sum/avg on the
+    anchor row, where zero rows have bound)."""
     kind_t = {
         "t_anchor": T.TimestampType(),
         "t_conf": T.TimestampType(),
         "n": T.LongType(),
         "s": T.LongType() if integral else T.DoubleType(),
         "avg": T.DoubleType(),
+        "row_ts": T.TimestampType(),
+        "row_eid": T.LongType(),
+        "cls": T.StringType(),
+        "rn": T.LongType(),
+        "rs": T.LongType() if integral else T.DoubleType(),
+        "ravg": T.DoubleType(),
     }
     return [T.StructField(name, kind_t[kind]) for name, kind in out_spec]
 
 
-def kleene_agg_out_columns(rows: list, out_spec: list) -> dict:
+def filter_excluded_rows(rows: list, exclude_cls: tuple) -> list:
+    """Drop emit_rows records whose classifier code is excluded —
+    the {- step -} ALL ROWS semantics (excluded rows vanish from the
+    OUTPUT but still feed the measures, which were accumulated before
+    this filter).  One helper so the batch and streaming faces cannot
+    drift."""
+    if not exclude_cls:
+        return rows
+    return [r for r in rows if r[2] not in exclude_cls]
+
+
+def kleene_agg_out_columns(
+    rows: list,
+    out_spec: list,
+    emit_rows: bool = False,
+    cls_names: tuple = (),
+) -> dict:
     """Materialize kernel emission rows ([anchor_us, n, s] or
-    [anchor_us, n, s, conf_us]) into {column name: values} per the
-    out_spec — the single row→column mapping both faces use.  'avg'
-    divides the EXACT accumulators (Python int/int true division is
-    correctly rounded, identical to the oracle's double division for
-    magnitudes < 2^53 — the cents domain bound guarantees that)."""
-    makers = {
-        "t_anchor": lambda r: r[0],
-        "t_conf": lambda r: r[3],
-        "n": lambda r: r[1],
-        "s": lambda r: r[2],
-        "avg": lambda r: r[2] / r[1],
-    }
+    [anchor_us, n, s, conf_us]; under emit_rows [row_ts, row_eid, cls,
+    n_run, s_run, n_fin, s_fin, anchor_us, conf_us]) into
+    {column name: values} per the out_spec — the single row→column
+    mapping both faces use.  'avg' divides the EXACT accumulators
+    (Python int/int true division is correctly rounded, identical to
+    the oracle's double division for magnitudes < 2^53 — the cents
+    domain bound guarantees that).  RUNNING sum/avg are NULL when no
+    row has bound yet (SQL: aggregate over the empty set)."""
+    if emit_rows:
+        makers = {
+            "row_ts": lambda r: r[0],
+            "row_eid": lambda r: r[1],
+            "cls": lambda r: cls_names[r[2]],
+            "rn": lambda r: r[3],
+            "rs": lambda r: r[4] if r[3] else None,
+            "ravg": lambda r: r[4] / r[3] if r[3] else None,
+            "n": lambda r: r[5],
+            "s": lambda r: r[6],
+            "avg": lambda r: r[6] / r[5],
+            "t_anchor": lambda r: r[7],
+            "t_conf": lambda r: r[8],
+        }
+    else:
+        makers = {
+            "t_anchor": lambda r: r[0],
+            "t_conf": lambda r: r[3],
+            "n": lambda r: r[1],
+            "s": lambda r: r[2],
+            "avg": lambda r: r[2] / r[1],
+        }
     data = {}
     for name, kind in out_spec:
         vals = [makers[kind](r) for r in rows]
-        if kind in ("t_anchor", "t_conf"):
+        if kind in ("t_anchor", "t_conf", "row_ts"):
             vals = pd.to_datetime(vals, unit="us")
         data[name] = vals
     return data
@@ -4609,6 +4691,9 @@ def kleene_agg_stream(
     key_cols: tuple = ("key",),
     corr=None,
     corr_convs: tuple | None = None,
+    emit_rows: bool = False,
+    exclude_cls: tuple = (),
+    cls_names: tuple = (),
 ) -> DataFrame:
     """Streaming face of the dialect's DEFINE-aggregate compilation
     (cep_sql.py _compile_run_agg): the generic advance_kleene_agg
@@ -4711,8 +4796,9 @@ def kleene_agg_stream(
 
         s, rows = advance_kleene_agg(
             s, matured, wm_us, bind, within_us, confirm=confirm,
-            min_n=min_n, max_n=max_n, corr=corr,
+            min_n=min_n, max_n=max_n, corr=corr, emit_rows=emit_rows,
         )
+        rows = filter_excluded_rows(rows, exclude_cls)
 
         if buf or s is not None:
             state.update((json.dumps({"buf": buf, "s": s}),))
@@ -4730,7 +4816,11 @@ def kleene_agg_stream(
 
         if rows:
             data = {c: [key[i]] * len(rows) for i, c in enumerate(key_cols)}
-            data.update(kleene_agg_out_columns(rows, out_spec))
+            data.update(
+                kleene_agg_out_columns(
+                    rows, out_spec, emit_rows=emit_rows, cls_names=cls_names
+                )
+            )
             yield pd.DataFrame(data)
 
     return prepared.groupBy(*key_cols).applyInPandasWithState(

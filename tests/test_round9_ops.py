@@ -1,0 +1,476 @@
+"""Round-9 batteries.
+
+FINAL/RUNNING MEASURES + ALL ROWS PER MATCH + {- step -} exclusion
+composed with the DEFINE-aggregate (run-agg) path (VERDICT r8 items
+4-5): the advance_kleene_agg kernel's emit_rows face must (a) emit
+per-row records whose RUNNING columns replay the accumulator AT each
+row and whose FINAL columns repeat the close state, (b) emit for
+exactly the same matches as the ONE ROW face, (c) stay
+chunking-invariant with the row buffer in state, and (d) drop excluded
+steps' rows from the output WITHOUT touching the measures.
+"""
+
+from __future__ import annotations
+
+import datetime as ddt
+import shutil
+import sys
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/tools")
+
+from spark_cep_spark.registry import QUERIES, load_all  # noqa: E402
+
+load_all()
+
+T0 = ddt.datetime(2026, 2, 1)
+
+
+def _m(k):
+    return T0 + ddt.timedelta(minutes=k)
+
+
+# ---------------------------------------------------------------------------
+# kernel: emit_rows semantics + invariances
+# ---------------------------------------------------------------------------
+
+
+def _mk_rows(evs):
+    """evs: (ts, et, v) with et in a/b/c/x -> kernel rows."""
+    return [
+        [t, i + 1, et == "a", et == "b", v if et == "b" else None, et == "c"]
+        for i, (t, et, v) in enumerate(evs)
+    ]
+
+
+def test_kleene_agg_emit_rows_kernel_semantics():
+    """Hand-computed emit_rows fixture: per-row records carry
+    (cls, running n/s, final n/s, anchor, conf); which matches emit is
+    identical to the per-match face."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: s + v <= 40  # noqa: E731
+    W = 60
+    evs = [
+        (0, "a", 0),    # anchor
+        (5, "b", 10),   # binds  n=1 s=10
+        (10, "x", 0),   # noise
+        (15, "b", 20),  # binds  n=2 s=30
+        (20, "c", 0),   # confirm
+        (25, "a", 0),   # anchor 2
+        (30, "b", 50),  # bind fails -> run dies
+        (35, "c", 0),   # nothing to confirm
+    ]
+    rows = _mk_rows(evs)
+    _, per_match = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, confirm=True
+    )
+    assert per_match == [[0, 2, 30, 20]]
+    _, per_row = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, confirm=True, emit_rows=True
+    )
+    # [row_ts, row_eid, cls, n_run, s_run, n_fin, s_fin, anchor, conf]
+    assert per_row == [
+        [0, 1, 0, 0, 0, 2, 30, 0, 20],
+        [5, 2, 1, 1, 10, 2, 30, 0, 20],
+        [15, 4, 1, 2, 30, 2, 30, 0, 20],
+        [20, 5, 2, 2, 30, 2, 30, 0, 20],
+    ]
+
+
+def test_kleene_agg_emit_rows_two_step_and_bounds():
+    """2-step shape: close (bind-fail / watermark / max saturation)
+    emits the buffered rows with conf=None; max_n completes greedily
+    AT the saturating row."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: True  # noqa: E731
+    W = 60
+    evs = [(0, "a", 0), (5, "b", 10), (10, "b", 20), (15, "b", 30)]
+    rows = _mk_rows(evs)
+    _, out = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, emit_rows=True, max_n=2
+    )
+    assert out == [
+        [0, 1, 0, 0, 0, 2, 30, 0, None],
+        [5, 2, 1, 1, 10, 2, 30, 0, None],
+        [10, 3, 1, 2, 30, 2, 30, 0, None],
+    ]
+    # min_n gate: a run closing below min emits NOTHING (no rows)
+    _, out2 = advance_kleene_agg(
+        None, rows[:2], 1 << 62, bind, W, emit_rows=True, min_n=3
+    )
+    assert out2 == []
+
+
+def test_filter_excluded_rows_shared_helper():
+    from spark_cep_spark.streaming.nfa import filter_excluded_rows
+
+    recs = [
+        [0, 1, 0, 0, 0, 2, 30, 0, 20],
+        [5, 2, 1, 1, 10, 2, 30, 0, 20],
+        [20, 5, 2, 2, 30, 2, 30, 0, 20],
+    ]
+    assert filter_excluded_rows(recs, ()) == recs
+    assert filter_excluded_rows(recs, (1,)) == [recs[0], recs[2]]
+    assert filter_excluded_rows(recs, (0, 2)) == [recs[1]]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.integers(1, 30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(1, 39), max_size=4),
+    st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_kleene_agg_emit_rows_chunking_invariance(evs, cuts, confirm):
+    """Any micro-batch chunking (monotone watermarks at boundaries)
+    emits exactly the whole-stream per-row records — the row buffer
+    lives in state, so matches spanning chunk boundaries must
+    reassemble byte-identically."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: s + v <= 40  # noqa: E731
+    W = 60
+    t = 0
+    rows = []
+    for i, (dt, et, v) in enumerate(evs):
+        t += dt
+        rows.append(
+            [t, i + 1, et == "a", et == "b",
+             v if et == "b" else None, et == "c"]
+        )
+    kw = dict(confirm=confirm, emit_rows=True)
+    _, whole = advance_kleene_agg(None, rows, 1 << 62, bind, W, **kw)
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    stt, got, prev = None, [], 0
+    for b in bounds:
+        chunk = rows[prev:b]
+        wm = chunk[-1][0] if chunk else (rows[prev - 1][0] if prev else 0)
+        stt, part = advance_kleene_agg(stt, chunk, wm, bind, W, **kw)
+        got += part
+        prev = b
+    stt, part = advance_kleene_agg(stt, [], 1 << 62, bind, W, **kw)
+    got += part
+    assert got == whole
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.integers(1, 30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_emit_rows_match_set_equals_per_match_face(evs, confirm):
+    """emit_rows only WIDENS emissions: grouping the per-row records
+    by (anchor, conf) reproduces the per-match face exactly — same
+    matches, same final aggregates."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: s + v <= 40  # noqa: E731
+    W = 60
+    t = 0
+    rows = []
+    for i, (dt, et, v) in enumerate(evs):
+        t += dt
+        rows.append(
+            [t, i + 1, et == "a", et == "b",
+             v if et == "b" else None, et == "c"]
+        )
+    _, per_match = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, confirm=confirm
+    )
+    _, per_row = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, confirm=confirm, emit_rows=True
+    )
+    seen = []
+    for r in per_row:
+        key = [r[7], r[5], r[6]] + ([r[8]] if confirm else [])
+        if key not in seen:
+            seen.append(key)
+    assert seen == per_match
+    # per-match rows: anchor + n_fin bound rows (+ confirm row)
+    expect_rows = sum(1 + m[1] + (1 if confirm else 0) for m in per_match)
+    assert len(per_row) == expect_rows
+
+
+# ---------------------------------------------------------------------------
+# dialect: small fixtures through the full parse -> compile path
+# ---------------------------------------------------------------------------
+
+_RAM_TEXT = """
+    PATTERN ( A -> B+ -> C )
+    WITHIN 2 HOURS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'view' AND SUM(B.cents) <= 600,
+           C AS event_type = 'purchase'
+    MEASURES RUNNING COUNT(B.cents) AS n_so_far,
+             RUNNING SUM(B.cents) AS sum_so_far,
+             FINAL SUM(B.cents) AS total,
+             FINAL COUNT(B.cents) AS n_total
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PARTITION BY user_id
+    ORDER BY ts
+"""
+
+_RAX_TEXT = """
+    PATTERN ( A -> {- B+ -} -> C )
+    WITHIN 2 HOURS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'view' AND SUM(B.cents) <= 600,
+           C AS event_type = 'purchase'
+    MEASURES CLASSIFIER() AS cls,
+             FINAL COUNT(B.cents) AS n_b,
+             FINAL SUM(B.cents) AS total
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PARTITION BY user_id
+    ORDER BY ts
+"""
+
+
+def _fixture_df(spark):
+    rows = [
+        # user 1: full match (anchor, 2 binds, confirm)
+        (1, _m(0), 1, "signup", 1.0),
+        (2, _m(10), 1, "view", 1.0),
+        (3, _m(20), 1, "view", 2.0),
+        (4, _m(30), 1, "purchase", 9.0),
+        # user 2: bind fails (700 > 600) -> run dies, no match
+        (5, _m(0), 2, "signup", 1.0),
+        (6, _m(10), 2, "view", 7.0),
+        (7, _m(20), 2, "purchase", 9.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+
+
+def test_cep_sql_run_agg_measures_small_fixture(spark):
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    got = sorted(
+        tuple(r) for r in match_recognize(_fixture_df(spark), _RAM_TEXT).collect()
+    )
+    assert got == [
+        (1, _m(0), 1, 0, None, 300, 2),
+        (1, _m(10), 2, 1, 100, 300, 2),
+        (1, _m(20), 3, 2, 300, 300, 2),
+        (1, _m(30), 4, 2, 300, 300, 2),
+    ]
+
+
+def test_cep_sql_run_agg_exclusion_small_fixture(spark):
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    got = sorted(
+        tuple(r) for r in match_recognize(_fixture_df(spark), _RAX_TEXT).collect()
+    )
+    assert got == [
+        (1, _m(0), 1, "A", 2, 300),
+        (1, _m(30), 4, "C", 2, 300),
+    ]
+
+
+def test_run_agg_all_rows_default_measures(spark):
+    """No MEASURES: ALL ROWS defaults to the RUNNING count/sum twins
+    (the SQL standard's bare-aggregate semantics)."""
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    out = match_recognize(
+        _fixture_df(spark),
+        """
+        PATTERN ( A -> B+ -> C )
+        WITHIN 2 HOURS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view' AND SUM(B.cents) <= 600,
+               C AS event_type = 'purchase'
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    assert out.columns == ["key", "ts", "event_id", "B_count", "B_sum_cents"]
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        (1, _m(0), 1, 0, None),
+        (1, _m(10), 2, 1, 100),
+        (1, _m(20), 3, 2, 300),
+        (1, _m(30), 4, 2, 300),
+    ]
+
+
+def test_run_agg_rows_pointed_errors(spark):
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    # MATCH_NUMBER() still rejected on the run-agg path
+    with pytest.raises(ValueError, match="MATCH_NUMBER"):
+        parse_pattern_sql(
+            """
+            PATTERN ( A -> B+ )
+            WITHIN 1 HOURS
+            DEFINE A AS event_type = 'signup',
+                   B AS event_type = 'view' AND SUM(B.cents) <= 600
+            MEASURES MATCH_NUMBER() AS mn
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            """
+        )
+    # SUM(B.*) is malformed — the generic validator refuses the bare
+    # star form (only COUNT(B.*) is rewritten through)
+    with pytest.raises(ValueError, match="SUM|unqualified"):
+        parse_pattern_sql(
+            """
+            PATTERN ( A -> B+ )
+            WITHIN 1 HOURS
+            DEFINE A AS event_type = 'signup',
+                   B AS event_type = 'view' AND SUM(B.cents) <= 600
+            MEASURES SUM(B.*) AS s
+            AFTER MATCH SKIP PAST LAST ROW
+            """
+        )
+    # COUNT(B.*) parses — the standard count-the-run form
+    p = parse_pattern_sql(
+        """
+        PATTERN ( A -> B+ )
+        WITHIN 1 HOURS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view' AND SUM(B.cents) <= 600
+        MEASURES COUNT(B.*) AS nb
+        AFTER MATCH SKIP PAST LAST ROW
+        """
+    )
+    assert p.run_agg[4] == [("nb", "n")]
+    # FINAL/RUNNING on the NON-run-agg path stays rejected (the
+    # generic validator sees the unstripped prefix)
+    with pytest.raises(ValueError, match="FINAL|unqualified"):
+        parse_pattern_sql(
+            """
+            PATTERN ( v -> c )
+            WITHIN 1 HOURS
+            DEFINE v AS event_type = 'view', c AS event_type = 'click'
+            MEASURES FINAL c.value AS cv
+            """
+        )
+    # exclusion without ALL ROWS stays rejected
+    with pytest.raises(ValueError, match="exclusion requires ALL ROWS"):
+        parse_pattern_sql(
+            """
+            PATTERN ( A -> {- B+ -} -> C )
+            WITHIN 1 HOURS
+            DEFINE A AS event_type = 'signup',
+                   B AS event_type = 'view' AND SUM(B.cents) <= 600,
+                   C AS event_type = 'purchase'
+            AFTER MATCH SKIP PAST LAST ROW
+            """
+        )
+
+
+def test_exclusion_consistent_with_measures_key(spark, sf_dir):
+    """The exclusion key's rows are exactly the measures key's
+    anchor/confirm rows (same matches, same FINAL values) — the two
+    registered keys must agree because they share every kernel
+    decision and differ only in the output filter."""
+    qm = QUERIES["cep_sql_run_agg_measures"]
+    qx = QUERIES["cep_sql_run_agg_exclusion"]
+    m = qm(spark, sf_dir).collect()
+    x = qx(spark, sf_dir).collect()
+    # measures key: anchor rows have n_so_far=0; confirm rows have
+    # n_so_far == n_total AND event follows the last bind — identify
+    # A/C rows as (first row, last row) per (user, total, n_total)
+    # via the exclusion key instead: every exclusion row must appear
+    # in the measures key's output with matching FINAL values.
+    m_set = {(r.user_id, r.ts, r.event_id, r.n_total, r.total) for r in m}
+    for r in x:
+        assert (r.user_id, r.ts, r.event_id, r.n_b, r.total) in m_set
+    # 2 rows per match in the exclusion key; match count agrees
+    n_matches_m = sum(1 for r in m if r.n_so_far == 0)
+    assert len(x) == 2 * n_matches_m > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming == batch (multi-micro-batch AvailableNow)
+# ---------------------------------------------------------------------------
+
+
+def _staged_stream_pair(spark, sf_dir, text):
+    import glob
+    import os
+
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    def prep(df):
+        return df.filter(
+            "user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND (value IS NULL OR abs(value) <= 1e9)"
+        ).selectExpr(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "CAST(round(value * 100) AS LONG) AS cents",
+        )
+
+    stream = prep(
+        harness.events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            match_recognize(stream, text, watermark="0 seconds"), "append"
+        )
+        .filter("key <> -1")
+        .collect()
+    }
+    batch = prep(spark.read.parquet(staged)).filter("user_id <> -1")
+    want = {tuple(r) for r in match_recognize(batch, text).collect()}
+    return got, want
+
+
+_RAM_SF_TEXT = _RAM_TEXT.replace("2 HOURS", "7 DAYS").replace("600", "25000")
+_RAX_SF_TEXT = _RAX_TEXT.replace("2 HOURS", "7 DAYS").replace("600", "25000")
+
+
+def test_cep_sql_run_agg_measures_streaming_equals_batch(spark, sf_dir):
+    got, want = _staged_stream_pair(spark, sf_dir, _RAM_SF_TEXT)
+    assert got == want and len(want) > 0
+
+
+def test_cep_sql_run_agg_exclusion_streaming_equals_batch(spark, sf_dir):
+    got, want = _staged_stream_pair(spark, sf_dir, _RAX_SF_TEXT)
+    assert got == want and len(want) > 0
