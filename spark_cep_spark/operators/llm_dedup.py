@@ -40,7 +40,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup, keep-first by doc_id. One shuffle on the text hash;
     at 100 TB hash first (md5/xxhash64) so the shuffle moves 16-byte
     keys, never full documents."""
-    d = table(spark, sf_dir, "documents")
+    return exact_keepers(table(spark, sf_dir, "documents"))
+
+
+def exact_keepers(d: DataFrame) -> DataFrame:
+    """(doc_id, text_hash) of the kept (lowest-doc_id) copy per exact
+    text — shared by dedup_exact and pipeline_e2e's dedup stage."""
     w = W.partitionBy("text_hash").orderBy("doc_id")
     return (
         d.select("doc_id", F.md5("text").alias("text_hash"))
@@ -360,33 +365,13 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 _N_SIMHASH_BITS = 16
 
-_SIMHASH_ORACLE = """
-    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
-         h AS (SELECT doc_id,
-                      CAST(concat('0x', substring(md5(tok), 1, 4)) AS INTEGER) AS hv
-               FROM tok),
-         fp AS (SELECT doc_id, {terms} AS simhash FROM h GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(a.simhash AS BIGINT) AS simhash
-    FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-""".format(
-    terms=" + ".join(
-        f"(CASE WHEN sum(2 * ((hv >> {i}) & 1) - 1) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(_N_SIMHASH_BITS)
-    )
-)
 
-
-@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: pairs of docs with IDENTICAL 16-bit simhash,
-    built from md5-prefix token hashes so DuckDB reproduces every bit
-    (the xxhash64 variant above, simhash64, is the faster scale
-    primitive — unit-tested instead). Shape: per-token explode →
-    groupBy(doc) partial-summed bit votes → self-join on fingerprint —
-    the shuffle carries 16-byte hashes and fingerprints, never text."""
-    d = table(spark, sf_dir, "documents")
+def simhash_md5_fp(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the md5-prefix 16-bit SimHash fingerprint,
+    DuckDB-reproducible bit for bit (the oracle twin is
+    _SIMHASH_FP_CTES) — shared by dedup_simhash and pipeline_e2e's
+    near-dedup stage.  The xxhash64 variant (simhash64) is the faster
+    Spark-only primitive; THIS one exists to be oracle-checkable."""
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
@@ -403,11 +388,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(_N_SIMHASH_BITS)
     ]
+    return votes.select(
+        "doc_id", sum(fp_terms[1:], fp_terms[0]).cast("long").alias("simhash")
+    )
+
+
+# The fingerprint CTEs, source-parameterized so pipeline_e2e can run
+# them over its survivor set — ONE spelling of the md5 bit-vote terms.
+_SIMHASH_FP_CTES = """
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM {src}),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(tok), 1, 4)) AS INTEGER) AS hv
+          FROM tok),
+    fp AS (SELECT doc_id, {terms} AS simhash FROM h GROUP BY doc_id)
+""".replace(
+    "{terms}",
+    " + ".join(
+        f"(CASE WHEN sum(2 * ((hv >> {i}) & 1) - 1) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_N_SIMHASH_BITS)
+    ),
+)
+
+_SIMHASH_ORACLE = (
+    "WITH "
+    + _SIMHASH_FP_CTES.format(src="documents")
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(a.simhash AS BIGINT) AS simhash
+    FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+)
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: pairs of docs with IDENTICAL 16-bit simhash,
+    built from md5-prefix token hashes so DuckDB reproduces every bit
+    (the xxhash64 variant above, simhash64, is the faster scale
+    primitive — unit-tested instead). Shape: per-token explode →
+    groupBy(doc) partial-summed bit votes → self-join on fingerprint —
+    the shuffle carries 16-byte hashes and fingerprints, never text."""
+    d = table(spark, sf_dir, "documents")
     # self-join: persist so the token explode + bit-vote aggregate run
     # once, not once per join side
-    fp = votes.select(
-        "doc_id", sum(fp_terms[1:], fp_terms[0]).cast("long").alias("simhash")
-    ).persist()
+    fp = simhash_md5_fp(d).persist()
     a = fp.alias("a")
     b = fp.alias("b")
     return (

@@ -1789,7 +1789,13 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-corpus bigram vocab exceeds an executor), and the bucket
     assignment adds one range shuffle plus a |partitions|x|langs|
     bounded collect."""
-    d = table(spark, sf_dir, "documents")
+    return ccnet_buckets_df(spark, table(spark, sf_dir, "documents"))
+
+
+def ccnet_buckets_df(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """CCNet bucketing over an arbitrary documents frame — shared by
+    pipeline_ccnet_buckets and pipeline_e2e (the LM is trained on the
+    SAME frame it scores, so the e2e stage retrains on survivors)."""
     pairs = F.arrays_zip(
         F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)")
         .alias("w1"),
@@ -1909,7 +1915,13 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast BY CONSTRUCTION (fixed bucket space — that bound is the
     hashing trick's point), one doc-keyed fold. No vocabulary join,
     no driver state beyond 256 rows."""
-    d = table(spark, sf_dir, "documents")
+    return dsir_weights_df(spark, table(spark, sf_dir, "documents"))
+
+
+def dsir_weights_df(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """DSIR weights over an arbitrary documents frame — shared by
+    pipeline_dsir_weights and pipeline_e2e (the target/raw bucket
+    statistics are estimated on the SAME frame being weighted)."""
     tok = d.select(
         "doc_id",
         "source",
@@ -1962,4 +1974,193 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         (F.round("w", 6) + F.lit(0.0)).alias("weight"),
         (F.col("source") == _DSIR_TARGET_SOURCE).alias("is_target"),
+    )
+
+
+_E2E_BPE_MERGES = 8
+
+
+def _e2e_oracle() -> str:
+    """Composed oracle for pipeline_e2e: gopher keep -> exact dedup ->
+    simhash near-dedup -> (ccnet buckets + dsir weights + bpe token
+    counts, each recomputed ON THE SURVIVOR SET).  Every stage CTE is
+    the already-proven stage oracle's text re-sourced to the previous
+    stage's output (simhash fingerprint CTEs and the BPE chain are
+    literally the SAME generated fragments the stage keys use —
+    _SIMHASH_FP_CTES / _bpe_oracle_chain_parts — so the trickiest
+    expressions cannot drift)."""
+    from spark_cep_spark.operators.llm_dedup import _SIMHASH_FP_CTES
+    from spark_cep_spark.operators.llm_text import (
+        _GOPHER_STOPWORDS,
+        _bpe_oracle_chain_parts,
+    )
+
+    n = _E2E_BPE_MERGES
+    parts = [
+        # stage 1: gopher rules (text_gopher_rules oracle, keep only)
+        "gt AS (SELECT doc_id, list_filter(string_split(coalesce(text,"
+        " ''), ' '), x -> x <> '') AS w FROM documents)",
+        "gs AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,"
+        " CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)"
+        " AS BIGINT) AS sum_len,"
+        f" CAST(len(list_filter(string_split('{_GOPHER_STOPWORDS}', ' '),"
+        " s -> list_contains(w, s))) AS BIGINT) AS n_stop_hits FROM gt)",
+        "gk AS (SELECT doc_id FROM gs WHERE n_words BETWEEN 10 AND 100000"
+        " AND 2 * n_words <= sum_len AND sum_len <= 10 * n_words"
+        " AND n_stop_hits >= 2)",
+        "d1 AS (SELECT d.* FROM documents d JOIN gk USING (doc_id))",
+        # stage 2: exact dedup keep-first (dedup_exact oracle)
+        "ex AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER"
+        " (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM d1)"
+        " WHERE rn = 1)",
+        "d2 AS (SELECT d1.* FROM d1 JOIN ex USING (doc_id))",
+        # stage 3: simhash near-dedup keep-first (dedup_simhash
+        # fingerprint CTEs, re-sourced)
+        _SIMHASH_FP_CTES.format(src="d2").strip().rstrip(","),
+        "nr AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER"
+        " (PARTITION BY simhash ORDER BY doc_id) AS rn FROM fp)"
+        " WHERE rn = 1)",
+        "surv AS (SELECT d2.* FROM d2 JOIN nr USING (doc_id))",
+        # stage 4: ccnet buckets on survivors (pipeline_ccnet_buckets
+        # oracle, c-prefixed)
+        "ct AS (SELECT doc_id, lang, string_split(text, ' ') AS w"
+        " FROM surv)",
+        "cbig AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,"
+        " unnest(w[2:len(w)]) AS w2 FROM ct WHERE len(w) >= 2)",
+        "cn2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair"
+        " FROM cbig GROUP BY w1, w2)",
+        "cn1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_first"
+        " FROM cbig GROUP BY w1)",
+        "cscored AS (SELECT cbig.doc_id,"
+        " round(avg(ln(cn1.n_first * 1.0 / cn2.n_pair)), 6) AS avg_nll"
+        " FROM cbig JOIN cn2 ON cn2.w1 = cbig.w1 AND cn2.w2 = cbig.w2"
+        " JOIN cn1 ON cn1.w1 = cbig.w1 GROUP BY cbig.doc_id)",
+        "cranked AS (SELECT s.doc_id, t.lang, s.avg_nll,"
+        " CAST(ntile(3) OVER (PARTITION BY t.lang"
+        " ORDER BY s.avg_nll, s.doc_id) AS BIGINT) AS bucket_id"
+        " FROM cscored s JOIN ct t ON t.doc_id = s.doc_id)",
+        # stage 5: dsir weights on survivors (pipeline_dsir_weights
+        # oracle, d-prefixed)
+        "dtok AS (SELECT doc_id, source,"
+        " CAST(CAST('0x' || substr(md5(t), 1, 6) AS INTEGER) % 256"
+        " AS BIGINT) AS bucket FROM (SELECT doc_id, source,"
+        " unnest(list_filter(string_split(coalesce(text, ''), ' '),"
+        " x -> x <> '')) AS t FROM surv))",
+        f"dbc AS (SELECT bucket, CAST(1 + sum(CASE WHEN source ="
+        f" '{_DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS BIGINT) AS t_b,"
+        f" CAST(1 + sum(CASE WHEN source <> '{_DSIR_TARGET_SOURCE}'"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS r_b FROM dtok GROUP BY bucket)",
+        "dtot AS (SELECT CAST(256 + sum(t_b - 1) AS BIGINT) AS tt,"
+        " CAST(256 + sum(r_b - 1) AS BIGINT) AS rt FROM dbc)",
+        "dlam AS (SELECT bucket, ln(t_b * 1.0 / tt) - ln(r_b * 1.0 / rt)"
+        " AS lam FROM dbc, dtot)",
+        "ddc AS (SELECT doc_id, source, bucket,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM dtok"
+        " GROUP BY doc_id, source, bucket)",
+        "dfolded AS (SELECT doc_id, source, CAST(sum(cnt) AS BIGINT)"
+        " AS n_toks, list_sum(list_transform(list_sort(list(ROW(bucket,"
+        " cnt * dlam.lam))), x -> x[2])) AS w FROM ddc"
+        " JOIN dlam USING (bucket) GROUP BY doc_id, source)",
+        # stage 6: BPE tokenizer trained on survivors + per-doc counts
+        # (pipeline_bpe_tokens oracle chain, re-sourced)
+        *_bpe_oracle_chain_parts(n, src="surv"),
+        "bdw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-z]+')) AS w FROM surv)",
+        "bdwc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM bdw GROUP BY doc_id, w)",
+        "btk AS (SELECT d.doc_id, CAST(sum(d.cnt * len(f.syms))"
+        f" AS BIGINT) AS n_tokens FROM bdwc d JOIN w{n} f ON f.w = d.w"
+        " GROUP BY d.doc_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT r.doc_id, r.lang, r.avg_nll, r.bucket_id,
+           CASE r.bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           f.source, f.n_toks, round(f.w, 6) + 0.0 AS weight,
+           k.n_tokens
+    FROM cranked r
+    JOIN dfolded f USING (doc_id)
+    JOIN btk k USING (doc_id)
+    """
+    )
+
+
+@register("pipeline_e2e", oracle=_e2e_oracle())
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus pipeline integration (round-9 verdict item
+    7) — the artifact an LLM data team actually ships, as ONE key:
+    gopher quality rules -> exact dedup (md5 keep-first) -> simhash
+    near-dedup (16-bit md5 fingerprint keep-first) -> on the SURVIVOR
+    set: ccnet perplexity tertiles per language + dsir importance
+    weights + a freshly-trained BPE tokenizer's per-document token
+    counts.  One row per surviving document with its bucket, weight,
+    and token budget.  Every stage is the registered stage operator's
+    own code (gopher_stats / exact_keepers / simhash_md5_fp /
+    ccnet_buckets_df / dsir_weights_df / bpe_doc_tokens — shared
+    functions, not copies), and the oracle is the composition of the
+    stage oracles re-sourced stage-to-stage — so a schema or
+    convention drift ANYWHERE in the chain fails this one key (the
+    cross-stage regression canary).
+
+    The downstream stages recompute their statistics ON SURVIVORS
+    (LM, dsir bucket ratios, BPE merges) — the real pipeline
+    semantics: filtering first changes what the models see.  BPE uses
+    8 merges here (tokenizer size is a config; the 32-merge artifact
+    is pipeline_bpe_train's contract) to keep the composed key's
+    latency in the driver-gate budget.
+
+    100 TB shape: the filter stages are one codegen projection + two
+    16-byte-key shuffles (hash/fingerprint, never text); survivors
+    materialize ONCE (eager localCheckpoint — the BPE trainer's 8
+    rounds and three stage scans must not re-run the dedup lineage);
+    downstream stages keep their own documented postures.  No stage
+    sees pre-filter data, so the whole chain's cost tracks the KEPT
+    fraction — the reason real pipelines order cheap filters first."""
+    from spark_cep_spark.operators.llm_dedup import (
+        exact_keepers,
+        simhash_md5_fp,
+    )
+    from spark_cep_spark.operators.llm_text import (
+        bpe_doc_tokens,
+        gopher_stats,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    kept = d.join(
+        gopher_stats(d).filter("keep").select("doc_id"), "doc_id"
+    )
+    kept = kept.join(exact_keepers(kept).select("doc_id"), "doc_id")
+    wn = W.partitionBy("simhash").orderBy("doc_id")
+    near = (
+        simhash_md5_fp(kept)
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    # materialize survivors once: the BPE trainer alone launches
+    # n_merges jobs over this frame (eager checkpoint = the
+    # _distributed_ntile_by discipline; blocks GC with the frame)
+    surv = kept.join(near, "doc_id").localCheckpoint(eager=True)
+    cc = ccnet_buckets_df(spark, surv)
+    dw = dsir_weights_df(spark, surv).select(
+        "doc_id", "source", "n_toks", "weight"
+    )
+    tk = bpe_doc_tokens(spark, surv, n_merges=_E2E_BPE_MERGES)
+    return (
+        cc.join(dw, "doc_id")
+        .join(tk, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_nll",
+            "bucket_id",
+            "bucket",
+            "source",
+            "n_toks",
+            "weight",
+            "n_tokens",
+        )
     )

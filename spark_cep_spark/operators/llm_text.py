@@ -1235,19 +1235,15 @@ def pipeline_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 32
 
 
-def _bpe_oracle_chain(n_merges: int) -> str:
-    """The WITH-chain both BPE oracles share: w0 = the distinct-word
-    table (freq + character symbols), then n_merges unrolled stages of
-    (pair count → top-1 pick → greedy left-to-right merge).  Generated
-    by the same Python loop that drives the Spark trainer — the
-    _SPARK_MORTON16 discipline: one spelling, two engines.  The merge
-    fold is DuckDB list_reduce over singleton lists (the accumulator
-    seed is the first symbol), bit-identical to Spark's aggregate()
-    fold from an empty array; LEFT JOIN ON TRUE keeps stages total
-    when a round finds no pair (t.a IS NULL → no-op)."""
+def _bpe_oracle_chain_parts(
+    n_merges: int, src: str = "documents"
+) -> list:
+    """CTE parts of the BPE oracle chain, without the WITH keyword —
+    so pipeline_e2e can splice the chain after its own CTEs with a
+    different source relation (the filtered survivor set)."""
     parts = [
         "ws AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text),"
-        " '[a-z]+')) AS w FROM documents)",
+        f" '[a-z]+')) AS w FROM {src})",
         "w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq,"
         " list_transform(range(1, length(w)+1),"
         " i -> substring(w, CAST(i AS INTEGER), 1)) AS syms"
@@ -1278,7 +1274,20 @@ def _bpe_oracle_chain(n_merges: int) -> str:
             " ELSE list_concat(acc, x) END)"
             f" END AS syms FROM w{k} LEFT JOIN t{k} t ON TRUE)"
         )
-    return "WITH " + ",\n".join(parts)
+    return parts
+
+
+def _bpe_oracle_chain(n_merges: int, src: str = "documents") -> str:
+    """The WITH-chain both BPE oracles share: w0 = the distinct-word
+    table (freq + character symbols), then n_merges unrolled stages of
+    (pair count → top-1 pick → greedy left-to-right merge).  Generated
+    by the same Python loop that drives the Spark trainer — the
+    _SPARK_MORTON16 discipline: one spelling, two engines.  The merge
+    fold is DuckDB list_reduce over singleton lists (the accumulator
+    seed is the first symbol), bit-identical to Spark's aggregate()
+    fold from an empty array; LEFT JOIN ON TRUE keeps stages total
+    when a round finds no pair (t.a IS NULL → no-op)."""
+    return "WITH " + ",\n".join(_bpe_oracle_chain_parts(n_merges, src))
 
 
 def _bpe_merge_table_oracle(n_merges: int) -> str:
@@ -1311,7 +1320,10 @@ def _bpe_tokens_oracle(n_merges: int) -> str:
 
 
 def bpe_train_words(
-    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _BPE_MERGES,
+    docs: DataFrame | None = None,
 ):
     """Train a BPE tokenizer at corpus scale (round-8 verdict item 5 —
     pipeline_bpe_pairs iterated to the artifact an LLM pipeline
@@ -1330,7 +1342,8 @@ def bpe_train_words(
     them), releasing the previous round's blocks — the round-8
     ADVICE discipline.  Tie-break everywhere: (count DESC, lhs, rhs),
     identical in both engines."""
-    docs = table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
@@ -1424,8 +1437,18 @@ def pipeline_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale (doc_id, w) aggregation + one vocabulary join (AQE
     broadcasts the vocab side at our SFs; at 100 TB it is a plain
     shuffle join on w, still vocabulary-bounded on the right)."""
-    wf, _ = bpe_train_words(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
+    return bpe_doc_tokens(
+        spark, table(spark, sf_dir, "documents"), _BPE_MERGES
+    )
+
+
+def bpe_doc_tokens(
+    spark: SparkSession, docs: DataFrame, n_merges: int = _BPE_MERGES
+) -> DataFrame:
+    """Per-document (doc_id, n_tokens) under a tokenizer trained on
+    THE SAME docs frame — shared by pipeline_bpe_tokens (whole corpus)
+    and pipeline_e2e (the filtered survivor set, fewer merges)."""
+    wf, _ = bpe_train_words(spark, None, n_merges=n_merges, docs=docs)
     dwc = (
         docs.select(
             "doc_id",
@@ -1956,7 +1979,13 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied integers (2·n <= sum_len <= 10·n), never a float
     compare; the emitted mean is one IEEE division of exact BIGINTs
     for display only."""
-    d = table(spark, sf_dir, "documents")
+    return gopher_stats(table(spark, sf_dir, "documents"))
+
+
+def gopher_stats(d: DataFrame) -> DataFrame:
+    """The Gopher rule evaluation over an arbitrary documents frame —
+    shared by text_gopher_rules and pipeline_e2e's first stage (ONE
+    spelling of the stopword/band expressions, two call sites)."""
     stop_arr = F.split(F.lit(_GOPHER_STOPWORDS), " ")
     w = F.filter(
         F.split(F.coalesce("text", F.lit("")), " "), lambda x: x != ""

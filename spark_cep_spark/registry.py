@@ -170,11 +170,11 @@ DRIVER_PRIORITY: list[str] = [
     "agg_collect",
     "agg_distinct",
     "cep_absence",
-    "cep_kleene",
     # NEW in round 9 (appends push the window's last staged keys back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_measures",
     "cep_sql_run_agg_exclusion",
+    "pipeline_e2e",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -185,6 +185,7 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-9 window by round-9 keys
+    "cep_kleene",
     "cep_kleene_plus",
     "cep_threshold",
     "corpus_pack",

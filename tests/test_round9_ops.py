@@ -474,3 +474,61 @@ def test_cep_sql_run_agg_measures_streaming_equals_batch(spark, sf_dir):
 def test_cep_sql_run_agg_exclusion_streaming_equals_batch(spark, sf_dir):
     got, want = _staged_stream_pair(spark, sf_dir, _RAX_SF_TEXT)
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# pipeline_e2e (round-9 verdict item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_e2e_stage_consistency(spark, sf_dir):
+    """The composed key must agree with its own stages run standalone:
+    survivors are exactly (gopher keep ∩ exact keepers ∩ simhash
+    keep-first), one output row each, every column well-formed."""
+    from spark_cep_spark.io import table
+    from spark_cep_spark.operators.llm_dedup import (
+        exact_keepers,
+        simhash_md5_fp,
+    )
+    from spark_cep_spark.operators.llm_text import gopher_stats
+    from pyspark.sql import Window as W
+
+    out = QUERIES["pipeline_e2e"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))  # one row per survivor
+
+    d = table(spark, sf_dir, "documents")
+    kept = d.join(
+        gopher_stats(d).filter("keep").select("doc_id"), "doc_id"
+    )
+    kept = kept.join(exact_keepers(kept).select("doc_id"), "doc_id")
+    wn = W.partitionBy("simhash").orderBy("doc_id")
+    near = (
+        simhash_md5_fp(kept)
+        .withColumn("rn", F.row_number().over(wn))
+        .filter("rn = 1")
+        .select("doc_id")
+    )
+    want = sorted(
+        r.doc_id for r in kept.join(near, "doc_id").select("doc_id").collect()
+    )
+    assert sorted(ids) == want
+
+    for r in rows:
+        assert r.bucket in ("head", "middle", "tail")
+        assert r.bucket_id in (1, 2, 3)
+        assert r.n_tokens >= r.n_toks > 0  # BPE merges only shrink
+        assert r.weight is not None
+
+
+def test_pipeline_e2e_filters_actually_filter(spark, sf_dir):
+    """The e2e survivor count is strictly below the document count
+    (the fixture contains sub-10-word docs and exact/near dups by
+    construction) — guards against a stage silently passing through."""
+    from spark_cep_spark.io import table
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    n_surv = QUERIES["pipeline_e2e"](spark, sf_dir).count()
+    assert 0 < n_surv < n_docs
