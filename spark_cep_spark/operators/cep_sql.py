@@ -1307,15 +1307,15 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     + (f", or {conf_name}.{time_col}" if conf_name else "")
                 )
             run_measures.append((alias, kind))
-        # ALL ROWS PER MATCH, CLASSIFIER(), and {- step -} exclusion
-        # compose with the run-agg path since round 9 (the kernel's
-        # emit_rows face); MATCH_NUMBER() would need a per-key match
-        # counter the O(1)/O(match) state does not carry, and
-        # SUBSET/navigation/anchors have no kernel spelling.
+        # ALL ROWS PER MATCH, CLASSIFIER(), {- step -} exclusion, and
+        # MATCH_NUMBER() all compose with the run-agg path since round
+        # 9 (the kernel's emit_rows face + the faces' per-key match
+        # counter); SUBSET/navigation/anchors have no kernel spelling.
+        if match_number_alias is not None:
+            run_measures.append((match_number_alias, "mn"))
         for bad, what in (
             (pattern.subsets, "SUBSET"),
             (all_nav_specs, "PREV/NEXT navigation"),
-            (match_number_alias, "MATCH_NUMBER()"),
             (anchor_start or anchor_end, "^/$ anchors"),
         ):
             if bad:
@@ -1856,6 +1856,7 @@ def _compile_run_agg(
     from spark_cep_spark.streaming.nfa import (
         _interval_to_ms,
         advance_kleene_agg,
+        assign_match_numbers,
         filter_excluded_rows,
         kleene_agg_out_columns,
         kleene_agg_out_fields,
@@ -2053,6 +2054,8 @@ def _compile_run_agg(
             None, rows, 1 << 62, bind, within_us, confirm=confirm,
             min_n=min_n, max_n=max_n, corr=corr_fn, emit_rows=all_rows,
         )
+        if any(k == "mn" for _, k in out_spec):
+            assign_match_numbers(out, all_rows, 0)
         out = filter_excluded_rows(out, excl_codes)
         # dtype=object: an emission-less group yields empty columns,
         # and pandas' default float64 cannot Arrow-cast to date32 /
@@ -4798,6 +4801,65 @@ def cep_sql_run_agg_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "cls",
+        "n_b",
+        "total",
+    )
+
+
+@register(
+    "cep_sql_run_agg_match_number",
+    oracle=_RUN_AGG_ROWS_ORACLE_TMPL.format(
+        body="""
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY row_anc) AS BIGINT) AS mn,
+           make_timestamp(tus) AS confirm_ts,
+           row_n AS n_b, row_s AS total
+    FROM walk WHERE row_cls = 2
+    """
+    ),
+)
+def cep_sql_run_agg_match_number(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_NUMBER() composed with the DEFINE-aggregate path (round
+    9 — the last per-match function the run-agg kernel lacked): each
+    key's confirmed matches number 1, 2, 3... in close order (SKIP
+    PAST LAST ROW runs never overlap, so close order == anchor order
+    == the standard's numbering).  The faces share ONE helper
+    (assign_match_numbers): the batch face numbers from 0 per
+    partition; the streaming face persists the counter in the state
+    payload so numbers keep increasing across micro-batches —
+    chunking-invariance holds because emission order is maturation
+    order.  The honest stream cost: a key that ever matched keeps one
+    tiny state row alive (the counter must survive idleness).  The
+    oracle numbers the recursive walk's emission rows by the
+    anchor-rn run id.
+
+    100 TB shape: identical to cep_sql_run_agg_confirm plus one
+    integer per emission — predicates JVM-side, ONE (user) shuffle,
+    O(1) state + the counter."""
+    out = match_recognize(
+        _run_agg_rows_input(spark, sf_dir),
+        """
+        PATTERN ( A -> B+ -> C )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view' AND SUM(B.cents) <= 25000,
+               C AS event_type = 'purchase'
+        MEASURES MATCH_NUMBER() AS mn,
+                 C.ts AS confirm_ts,
+                 COUNT(B.cents) AS n_b,
+                 SUM(B.cents) AS total
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "mn",
+        "confirm_ts",
         "n_b",
         "total",
     )

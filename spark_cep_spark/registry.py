@@ -168,13 +168,13 @@ DRIVER_PRIORITY: list[str] = [
     "cep_sql_subset",
     "win_time_range",
     "agg_collect",
-    "agg_distinct",
-    "cep_absence",
     # NEW in round 9 (appends push the window's last staged keys back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_measures",
     "cep_sql_run_agg_exclusion",
     "pipeline_e2e",
+    "cep_sql_run_agg_match_number",
+    "stream_asof_enrich",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -185,6 +185,8 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-9 window by round-9 keys
+    "agg_distinct",
+    "cep_absence",
     "cep_kleene",
     "cep_kleene_plus",
     "cep_threshold",

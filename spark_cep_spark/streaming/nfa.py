@@ -4618,8 +4618,31 @@ def kleene_agg_out_fields(out_spec: list, integral: bool) -> list:
         "rn": T.LongType(),
         "rs": T.LongType() if integral else T.DoubleType(),
         "ravg": T.DoubleType(),
+        "mn": T.LongType(),
     }
     return [T.StructField(name, kind_t[kind]) for name, kind in out_spec]
+
+
+def assign_match_numbers(rows: list, emit_rows: bool, start: int) -> int:
+    """Append MATCH_NUMBER() (1-based, per key, in match-close order)
+    to each emission record IN PLACE and return the updated counter.
+    Call BEFORE filter_excluded_rows — an excluded anchor row must
+    still advance the numbering.  SKIP PAST LAST ROW runs never
+    overlap, so close order == anchor order == the standard's
+    numbering.  The counter lives in the caller (batch: 0 per
+    partition; streaming: persisted in the state payload so numbers
+    keep increasing across micro-batches — chunking-invariant)."""
+    mn = start
+    if emit_rows:
+        for r in rows:
+            if r[2] == 0:  # each match's records lead with its anchor
+                mn += 1
+            r.append(mn)
+    else:
+        for r in rows:
+            mn += 1
+            r.append(mn)
+    return mn
 
 
 def filter_excluded_rows(rows: list, exclude_cls: tuple) -> list:
@@ -4661,6 +4684,8 @@ def kleene_agg_out_columns(
             "avg": lambda r: r[6] / r[5],
             "t_anchor": lambda r: r[7],
             "t_conf": lambda r: r[8],
+            # assign_match_numbers appends mn LAST (only when requested)
+            "mn": lambda r: r[-1],
         }
     else:
         makers = {
@@ -4669,6 +4694,7 @@ def kleene_agg_out_columns(
             "n": lambda r: r[1],
             "s": lambda r: r[2],
             "avg": lambda r: r[2] / r[1],
+            "mn": lambda r: r[-1],
         }
     data = {}
     for name, kind in out_spec:
@@ -4730,6 +4756,7 @@ def kleene_agg_stream(
     out_schema = T.StructType(fields)
     state_schema = T.StructType([T.StructField("payload", T.StringType())])
     conv = int if integral else float
+    wants_mn = any(k == "mn" for _, k in out_spec)
 
     def process(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -4739,6 +4766,7 @@ def kleene_agg_stream(
         else:
             st = {"buf": [], "s": None}
         buf, s = st["buf"], st["s"]
+        mn = st.get("mn", 0)
 
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -4798,19 +4826,25 @@ def kleene_agg_stream(
             s, matured, wm_us, bind, within_us, confirm=confirm,
             min_n=min_n, max_n=max_n, corr=corr, emit_rows=emit_rows,
         )
+        if wants_mn:
+            mn = assign_match_numbers(rows, emit_rows, mn)
         rows = filter_excluded_rows(rows, exclude_cls)
 
-        if buf or s is not None:
-            state.update((json.dumps({"buf": buf, "s": s}),))
+        if buf or s is not None or (wants_mn and mn):
+            # MATCH_NUMBER keeps one tiny row per ever-matching key
+            # alive (the counter must survive idleness — the honest
+            # cost of per-key numbering on an unbounded stream)
+            state.update((json.dumps({"buf": buf, "s": s, "mn": mn}),))
             timers = []
             if buf:
                 timers.append(min(e[0] for e in buf) // _US_PER_MS + 1)
             if s is not None:
                 # wake at the open run's deadline to close + emit
                 timers.append(s[3] // _US_PER_MS + 1)
-            state.setTimeoutTimestamp(
-                max(min(timers), state.getCurrentWatermarkMs() + 1)
-            )
+            if timers:
+                state.setTimeoutTimestamp(
+                    max(min(timers), state.getCurrentWatermarkMs() + 1)
+                )
         elif state.exists:
             state.remove()
 
@@ -4996,6 +5030,150 @@ def twap_stream(
                         round(float(r[3]) / float(r[2]) / 100.0, 6)
                         for r in rows
                     ],
+                }
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def advance_asof_enrich(
+    state: list | None, matured: list, wm_us: int
+) -> tuple[list | None, list]:
+    """Pure per-key temporal-join kernel (streaming face of
+    stream_asof_enrich — the Flink event-time temporal table join /
+    DuckDB ASOF JOIN shape): enrich each FACT row with the latest
+    DIMENSION observation at-or-before it in (ts, eid) order.
+
+    state: None or [dim_ts_us, dim_eid, dim_val] — the single latest
+    valid dimension observation (O(1): LOCF needs no history);
+    matured: (ts, id)-sorted [ts_us, eid, is_dim, val] rows.  A
+    dimension row with NULL val is ignored (the batch twin's
+    ignorenulls=True last()); a fact row emits
+    [ts_us, eid, dim_val | None, age_us | None] where age_us is the
+    exact integer event-time staleness of the joined value.  wm_us is
+    unused (LOCF has no deadline) but kept for kernel-signature
+    uniformity; chunking-invariance is trivial — state is the last
+    observation, emission is per-fact-row immediate."""
+    st = None if state is None else list(state)
+    out = []
+    for ts, eid, is_dim, val in matured:
+        if is_dim:
+            if val is not None:
+                st = [ts, eid, val]
+        elif st is None:
+            out.append([ts, eid, None, None])
+        else:
+            out.append([ts, eid, st[2], ts - st[0]])
+    return st, out
+
+
+def asof_enrich_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    dim_type: str = "view",
+    fact_type: str = "purchase",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming temporal join behind applyInPandasWithState: the
+    watermark buffer totally orders each key's rows by (ts, eid), so
+    a fact row always sees every dimension update at-or-before it —
+    the correctness Structured Streaming's built-in stream-stream
+    join cannot give for LOCF enrichment (it joins on equality within
+    a time bound, not latest-at-or-before).  Per-key state = ONE
+    dimension observation + the watermark buffer; the event-time
+    timer fires at the earliest buffered row so enrichment latency is
+    one watermark, never a window length."""
+    prepared = (
+        events_stream.withWatermark(time_col, watermark)
+        .filter(
+            F.col(time_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & (F.col("value").isNull() | (F.abs("value") <= 1e9))
+            & F.col("event_type").isin(dim_type, fact_type)
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            (F.col("event_type") == dim_type).alias("is_dim"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", prepared.schema["key"].dataType),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField(f"{dim_type}_cents", T.LongType()),
+            T.StructField("age_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "s": None}
+        buf, s = st["buf"], st["s"]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                for ts, eid, isd, c in zip(
+                    ts_us.tolist(),
+                    pdf["eid"].tolist(),
+                    pdf["is_dim"].tolist(),
+                    pdf["cents"].tolist(),
+                ):
+                    buf.append(
+                        [
+                            int(ts),
+                            0 if eid is None or pd.isna(eid) else int(eid),
+                            bool(isd),
+                            None if c is None or pd.isna(c) else int(c),
+                        ]
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        buf.sort(key=lambda e: (e[0], e[1]))
+        matured = [e for e in buf if e[0] <= wm_us]
+        buf = [e for e in buf if e[0] > wm_us]
+
+        s, rows = advance_asof_enrich(s, matured, wm_us)
+
+        if buf or s is not None:
+            state.update((json.dumps({"buf": buf, "s": s}),))
+            if buf:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e[0] for e in buf) // _US_PER_MS + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "ts": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "event_id": [r[1] for r in rows],
+                    f"{dim_type}_cents": [r[2] for r in rows],
+                    "age_us": [r[3] for r in rows],
                 }
             )
 

@@ -1092,3 +1092,107 @@ def log2q_stream(
     once, when the window closes).  Compose with log2q_select on the
     materialized output for the continuous quantile view."""
     return log2q_counts(events_stream.withWatermark("ts", watermark))
+
+
+# ---------------------------------------------------------------------------
+# Temporal (as-of) enrichment join — the Flink event-time temporal
+# table join / DuckDB ASOF JOIN, round 9.
+
+def asof_enrich(events: DataFrame) -> DataFrame:
+    """Batch twin of asof_enrich_stream (streaming/nfa.py): enrich
+    each purchase with the user's latest at-or-before view value in
+    (ts, coalesce(event_id, 0)) order — one window pass, pure JVM
+    (last(..., ignorenulls=True) over an unbounded-preceding frame),
+    no join at all.  age_us is the exact integer staleness of the
+    joined observation."""
+    e = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("value").isNull() | (F.abs("value") <= 1e9))
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.coalesce("event_id", F.lit(0)).cast("long").alias("event_id"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dim_val = F.when(
+        (F.col("event_type") == "view") & F.col("cents").isNotNull(),
+        F.col("cents"),
+    )
+    dim_tus = F.when(
+        (F.col("event_type") == "view") & F.col("cents").isNotNull(),
+        F.unix_micros("ts"),
+    )
+    return (
+        e.withColumn("view_cents", F.last(dim_val, ignorenulls=True).over(w))
+        .withColumn("view_tus", F.last(dim_tus, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "view_cents",
+            (F.unix_micros("ts") - F.col("view_tus")).alias("age_us"),
+        )
+    )
+
+
+@register(
+    "stream_asof_enrich",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, coalesce(event_id, 0) AS event_id,
+             coalesce(event_type, '') AS et,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND (value IS NULL OR abs(value) <= 1e9)
+        AND coalesce(event_type, '') IN ('view', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, ts, event_id, et,
+             last_value(CASE WHEN et = 'view' AND cents IS NOT NULL
+                             THEN cents END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS view_cents,
+             last_value(CASE WHEN et = 'view' AND cents IS NOT NULL
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS view_tus
+      FROM e
+    )
+    SELECT user_id, ts, event_id, view_cents,
+           epoch_us(ts) - view_tus AS age_us
+    FROM w WHERE et = 'purchase'
+    """,
+)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time temporal join (Flink's temporal table join, DuckDB's
+    ASOF JOIN — an operator Structured Streaming's built-in
+    stream-stream join cannot express, since it matches on equality
+    within a bound, not latest-at-or-before): each purchase is
+    enriched with the user's most recent prior view value and the
+    exact staleness (age_us) of that observation.  This batch twin is
+    ONE window pass (no join); the streaming face
+    (asof_enrich_stream, streaming/nfa.py) runs the same LOCF walk in
+    applyInPandasWithState with O(1) state — one observation per key
+    — and is pinned streaming == batch under multi-micro-batch
+    AvailableNow in tests.
+
+    100 TB shape: batch = one (user) shuffle + one ordered window
+    scan in whole-stage codegen; streaming state is ONE row per key
+    regardless of stream length (LOCF needs no history) — the
+    smallest state of any operator in the streaming family."""
+    return asof_enrich(table(spark, sf_dir, "events"))

@@ -532,3 +532,191 @@ def test_pipeline_e2e_filters_actually_filter(spark, sf_dir):
     n_docs = table(spark, sf_dir, "documents").count()
     n_surv = QUERIES["pipeline_e2e"](spark, sf_dir).count()
     assert 0 < n_surv < n_docs
+
+
+# ---------------------------------------------------------------------------
+# MATCH_NUMBER() on the run-agg path
+# ---------------------------------------------------------------------------
+
+_RMN_TEXT = """
+    PATTERN ( A -> B+ -> C )
+    WITHIN 7 DAYS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'view' AND SUM(B.cents) <= 25000,
+           C AS event_type = 'purchase'
+    MEASURES MATCH_NUMBER() AS mn,
+             C.ts AS confirm_ts,
+             COUNT(B.cents) AS n_b,
+             SUM(B.cents) AS total
+    AFTER MATCH SKIP PAST LAST ROW
+    PARTITION BY user_id
+    ORDER BY ts
+"""
+
+
+def test_assign_match_numbers_helper():
+    from spark_cep_spark.streaming.nfa import assign_match_numbers
+
+    per_match = [[0, 2, 30, 20], [100, 1, 10, 120]]
+    assert assign_match_numbers(per_match, False, 3) == 5
+    assert [r[-1] for r in per_match] == [4, 5]
+    per_row = [
+        [0, 1, 0, 0, 0, 1, 10, 0, 20],
+        [5, 2, 1, 1, 10, 1, 10, 0, 20],
+        [20, 5, 2, 1, 10, 0, 20, 0, 20],
+        [30, 6, 0, 0, 0, 1, 5, 30, 40],
+        [40, 8, 2, 1, 5, 1, 5, 30, 40],
+    ]
+    assert assign_match_numbers(per_row, True, 0) == 2
+    assert [r[-1] for r in per_row] == [1, 1, 1, 2, 2]
+
+
+def test_run_agg_match_number_small_fixture(spark):
+    """Two sequential matches for user 1 number 1, 2; user 2's single
+    match numbers 1 — numbering is per key, in close order."""
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    rows = [
+        (1, _m(0), 1, "signup", 1.0),
+        (2, _m(10), 1, "view", 1.0),
+        (3, _m(30), 1, "purchase", 9.0),
+        (4, _m(40), 1, "signup", 1.0),
+        (5, _m(50), 1, "view", 2.0),
+        (6, _m(60), 1, "purchase", 9.0),
+        (7, _m(0), 2, "signup", 1.0),
+        (8, _m(10), 2, "view", 3.0),
+        (9, _m(20), 2, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    got = sorted(
+        (r.key, r.mn, r.n_b, r.total)
+        for r in match_recognize(df, _RMN_TEXT).collect()
+    )
+    assert got == [(1, 1, 1, 100), (1, 2, 1, 200), (2, 1, 1, 300)]
+
+
+def test_run_agg_match_number_streaming_equals_batch(spark, sf_dir):
+    """The per-key counter persists across micro-batches: numbers
+    assigned over 3 AvailableNow batches equal the batch numbering."""
+    got, want = _staged_stream_pair(spark, sf_dir, _RMN_TEXT)
+    assert got == want and len(want) > 0
+    # and numbering is dense 1..k per key in both
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for r in want:  # columns: key, confirm_ts, n_b, total, mn (mn last)
+        per_key[r[0]].append(r[-1])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_key.values())
+
+
+# ---------------------------------------------------------------------------
+# stream_asof_enrich (temporal join)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_enrich_kernel_semantics():
+    from spark_cep_spark.streaming.nfa import advance_asof_enrich
+
+    rows = [
+        [0, 1, False, None],    # fact before any dim -> NULLs
+        [5, 2, True, 100],      # dim
+        [10, 3, False, None],   # fact -> 100, age 5
+        [15, 4, True, None],    # dim with NULL val: ignored
+        [20, 5, True, 200],     # dim
+        [20, 6, False, None],   # same-ts fact, later eid -> 200, age 0
+        [30, 7, False, None],   # fact -> 200, age 10
+    ]
+    st, out = advance_asof_enrich(None, rows, 1 << 62)
+    assert out == [
+        [0, 1, None, None],
+        [10, 3, 100, 5],
+        [20, 6, 200, 0],
+        [30, 7, 200, 10],
+    ]
+    assert st == [20, 5, 200]
+    # state carries across chunks
+    st2, out2 = advance_asof_enrich(st, [[40, 8, False, None]], 1 << 62)
+    assert out2 == [[40, 8, 200, 20]] and st2 == st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.booleans(),
+            st.one_of(st.none(), st.integers(1, 30)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(1, 39), max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_asof_enrich_chunking_invariance(evs, cuts):
+    from spark_cep_spark.streaming.nfa import advance_asof_enrich
+
+    t = 0
+    rows = []
+    for i, (dt, isd, v) in enumerate(evs):
+        t += dt
+        rows.append([t, i + 1, isd, v if isd else None])
+    _, whole = advance_asof_enrich(None, rows, 1 << 62)
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    stt, got, prev = None, [], 0
+    for b in bounds:
+        chunk = rows[prev:b]
+        wm = chunk[-1][0] if chunk else 0
+        stt, part = advance_asof_enrich(stt, chunk, wm)
+        got += part
+        prev = b
+    assert got == whole
+
+
+def test_asof_enrich_streaming_equals_batch(spark, sf_dir):
+    """The applyInPandasWithState temporal join emits exactly the
+    batch window-pass twin under multi-micro-batch AvailableNow —
+    including facts whose latest dim observation landed in an EARLIER
+    micro-batch (the state-carry case)."""
+    import glob
+    import os
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import asof_enrich_stream
+    from spark_cep_spark.streaming.windows import asof_enrich
+    from spark_cep_spark.io import table
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            asof_enrich_stream(stream, watermark="0 seconds"), "append"
+        )
+        .filter("key <> -1")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in asof_enrich(spark.read.parquet(staged))
+        .filter("user_id <> -1")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # the enrichment actually fires: most purchases have a prior view
+    assert sum(1 for r in want if r[3] is not None) > 0
