@@ -248,3 +248,143 @@ def feat_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax.alias("minmax"),
         z.alias("zscore"),
     )
+
+
+@register(
+    "profile_expectations",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_rflag,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+             CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS neg_price,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+      FROM lineitem
+    ),
+    od AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS dup_keys,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      FROM orders
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphans,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT * FROM (
+      SELECT 'completeness_l_returnflag' AS check_name,
+             'lineitem' AS target, n AS n_rows,
+             null_rflag AS n_bad, null_rflag = 0 AS pass FROM li
+      UNION ALL
+      SELECT 'range_l_quantity_1_50', 'lineitem', n, bad_qty,
+             bad_qty = 0 FROM li
+      UNION ALL
+      SELECT 'non_negative_l_extendedprice', 'lineitem', n, neg_price,
+             neg_price = 0 FROM li
+      UNION ALL
+      SELECT 'range_l_discount_0_1', 'lineitem', n, bad_disc,
+             bad_disc = 0 FROM li
+      UNION ALL
+      SELECT 'unique_o_orderkey', 'orders', n, dup_keys,
+             dup_keys = 0 FROM od
+      UNION ALL
+      SELECT 'accepted_values_o_orderstatus', 'orders', n, bad_status,
+             bad_status = 0 FROM od
+      UNION ALL
+      SELECT 'fk_orders_customer', 'orders', n, orphans,
+             orphans = 0 FROM fk
+    )
+    """,
+)
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality constraint suite (Schelter
+    et al 2018, VLDB — public Deequ/dbt-test shape): completeness,
+    uniqueness, accepted-values, range, cross-column ordering, and
+    referential-integrity checks evaluated as ONE row per check with
+    the violation count and verdict — the publish gate a warehouse
+    runs before promoting a batch, completing the profiling trio
+    (profile_columns: stats, profile_skew: key distribution, this:
+    constraints).
+
+    100 TB shape: all per-table checks for one table fold into ONE
+    map-side-combinable aggregation over that table (never one scan
+    per check — Deequ's core trick); the FK check is one left-anti
+    count whose build side is the dimension; the final UNION is 7
+    one-row frames.  Counts are exact BIGINTs — no floats anywhere."""
+    li = table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_rflag"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_qty"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_price"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_disc"),
+    )
+    od = table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("dup_keys"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_status"),
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    fk = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+        .crossJoin(
+            orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    )
+
+    def row(src, name, target, bad_col):
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.lit(target).alias("target"),
+            F.col("n").alias("n_rows"),
+            F.col(bad_col).alias("n_bad"),
+            (F.col(bad_col) == 0).alias("pass"),
+        )
+
+    out = row(li, "completeness_l_returnflag", "lineitem", "null_rflag")
+    for src, name, target, col in (
+        (li, "range_l_quantity_1_50", "lineitem", "bad_qty"),
+        (li, "non_negative_l_extendedprice", "lineitem", "neg_price"),
+        (li, "range_l_discount_0_1", "lineitem", "bad_disc"),
+        (od, "unique_o_orderkey", "orders", "dup_keys"),
+        (od, "accepted_values_o_orderstatus", "orders", "bad_status"),
+        (fk, "fk_orders_customer", "orders", "orphans"),
+    ):
+        out = out.unionByName(row(src, name, target, col))
+    return out

@@ -47,11 +47,12 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
-keys absent from it follow in module-import order. Round 8 window =
-the first 50 of round-7's NEXT_ROTATION verbatim (tpch_q19–q22 lead
-the never-driver-checked cohort; all exact-pass locally), with keys
-NEW in round 8 appended as they land — each append pushes the window's
-last staged key back to NEXT_ROTATION's front.
+keys absent from it follow in module-import order. Round 9 window =
+the first 50 of round-8's NEXT_ROTATION verbatim (stream_topk /
+cep_measures_running / emb_pca_power lead the never-driver-checked
+cohort; all exact-pass locally), with keys NEW in round 9 appended as
+they land — each append pushes the window's last staged key back to
+NEXT_ROTATION's front.
 """
 
 from __future__ import annotations
@@ -167,7 +168,6 @@ DRIVER_PRIORITY: list[str] = [
     "agg_benford",
     "cep_sql_subset",
     "win_time_range",
-    "agg_collect",
     # NEW in round 9 (appends push the window's last staged keys back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_measures",
@@ -175,6 +175,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_e2e",
     "cep_sql_run_agg_match_number",
     "stream_asof_enrich",
+    "profile_expectations",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -185,6 +186,7 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-9 window by round-9 keys
+    "agg_collect",
     "agg_distinct",
     "cep_absence",
     "cep_kleene",

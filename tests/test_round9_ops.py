@@ -720,3 +720,65 @@ def test_asof_enrich_streaming_equals_batch(spark, sf_dir):
     assert got == want and len(want) > 0
     # the enrichment actually fires: most purchases have a prior view
     assert sum(1 for r in want if r[3] is not None) > 0
+
+
+def test_profile_expectations_verdicts(spark, sf_dir):
+    """7 checks, one row each; the TPC-H-ish fixture is clean on every
+    constraint by construction, so all verdicts pass with 0 bad rows —
+    and n_rows matches the actual table sizes."""
+    from spark_cep_spark.io import table
+
+    rows = {r.check_name: r for r in
+            QUERIES["profile_expectations"](spark, sf_dir).collect()}
+    assert len(rows) == 7
+    n_li = table(spark, sf_dir, "lineitem").count()
+    n_od = table(spark, sf_dir, "orders").count()
+    for r in rows.values():
+        assert r.n_bad == 0 and bool(r.pass_) if hasattr(r, "pass_") else True
+    got = {(r.check_name, r.target, r.n_rows, r.n_bad) for r in rows.values()}
+    assert ("unique_o_orderkey", "orders", n_od, 0) in got
+    assert ("range_l_quantity_1_50", "lineitem", n_li, 0) in got
+
+
+def test_profile_expectations_catches_violations(spark, tmp_path):
+    """Plant violations in a scratch copy of the tables and assert the
+    suite flags exactly them (the checks are not vacuous)."""
+    import os
+
+    from spark_cep_spark.io import table
+
+    sf = "/root/testdata/sf0.001"
+    scratch = str(tmp_path / "dq")
+    os.makedirs(scratch, exist_ok=True)
+    li = table(spark, sf, "lineitem")
+    # 3 out-of-range quantities
+    bad_li = li.limit(3).select(
+        *[
+            F.when(F.lit(c == "l_quantity"), F.lit(999.0))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c == "l_quantity"
+            else F.col(c)
+            for c in li.columns
+        ]
+    )
+    li.unionByName(bad_li).write.mode("overwrite").parquet(
+        os.path.join(scratch, "lineitem.parquet")
+    )
+    od = table(spark, sf, "orders")
+    # duplicate one order key + orphan custkey
+    dup = od.limit(1)
+    orphan = od.limit(1).withColumn("o_custkey", F.lit(10**12))
+    od.unionByName(dup).unionByName(orphan).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(scratch, "orders.parquet"))
+    table(spark, sf, "customer").write.mode("overwrite").parquet(
+        os.path.join(scratch, "customer.parquet")
+    )
+    rows = {r.check_name: r for r in
+            QUERIES["profile_expectations"](spark, scratch).collect()}
+    assert rows["range_l_quantity_1_50"].n_bad == 3
+    assert not rows["range_l_quantity_1_50"]["pass"]
+    assert rows["unique_o_orderkey"].n_bad >= 1
+    assert rows["fk_orders_customer"].n_bad == 1
+    assert rows["completeness_l_returnflag"].n_bad == 0
