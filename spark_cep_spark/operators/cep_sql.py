@@ -549,7 +549,7 @@ _RA_CMP = r"(<=|>=|<|>)"
 _RA_SELF_RE = re.compile(
     rf"^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*{_RA_CMP}\s*"
     rf"(?:{_RA_NUM}\s*\*\s*)?"
-    rf"(AVG|SUM)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)"
+    rf"(AVG|SUM|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)"
     rf"(?:\s*\*\s*{_RA_NUM})?\s*$",
     re.I,
 )
@@ -596,7 +596,12 @@ def _parse_run_agg_conjunct(conj: str, var: str) -> RunAggSpec | None:
                 "factor must be positive (cross-multiplication flips "
                 "the inequality otherwise)"
             )
-        form = "cur_vs_avg" if agg.upper() == "AVG" else "cur_vs_sum"
+        form = {
+            "AVG": "cur_vs_avg",
+            "SUM": "cur_vs_sum",
+            "MIN": "cur_vs_min",
+            "MAX": "cur_vs_max",
+        }[agg.upper()]
         return RunAggSpec(
             form, lcol, cmp_, fr.numerator, fr.denominator
         )
@@ -659,7 +664,11 @@ def _compile_run_agg_bind(spec: RunAggSpec):
     """Compile a RunAggSpec into the kernel's bind(n, s, v) predicate.
     All forms are cross-multiplied by the positive q (and, for the
     average, by the positive n+1), so integer inputs never divide —
-    the exact-arithmetic discipline the oracles rely on."""
+    the exact-arithmetic discipline the oracles rely on.  For the
+    MIN/MAX forms, `s` is the run's min/max accumulator (the kernel's
+    combine closure — see _run_agg_combine) and the RUNNING view
+    including the candidate is min/max(s, v) with v itself when the
+    run is empty."""
     op = _RA_OPS[spec.cmp]
     p, q = spec.p, spec.q
     if spec.form == "cur_vs_avg":
@@ -668,11 +677,29 @@ def _compile_run_agg_bind(spec: RunAggSpec):
     if spec.form == "cur_vs_sum":
         # v CMP (p/q)·(s+v)  ⟺  q·v CMP p·(s+v)
         return lambda n, s, v: op(q * v, p * (s + v))
+    if spec.form == "cur_vs_min":
+        # v CMP (p/q)·min_run  ⟺  q·v CMP p·min(s, v) (v when empty)
+        return lambda n, s, v: op(q * v, p * (v if n == 0 else min(s, v)))
+    if spec.form == "cur_vs_max":
+        # v CMP (p/q)·max_run  ⟺  q·v CMP p·max(s, v) (v when empty)
+        return lambda n, s, v: op(q * v, p * (v if n == 0 else max(s, v)))
     if spec.form == "sum_cap":
         # (s+v) CMP p/q  ⟺  q·(s+v) CMP p
         return lambda n, s, v: op(q * (s + v), p)
     # count_cap: (n+1) CMP p/q  ⟺  q·(n+1) CMP p
     return lambda n, s, v: op(q * (n + 1), p)
+
+
+def _run_agg_combine(spec: RunAggSpec):
+    """The kernel accumulator-update closure for a RunAggSpec: None
+    (exact running sum, the default +=) for the sum/avg/count family,
+    min/max for the round-9 MIN/MAX forms.  One accumulator per run —
+    the documented kernel restriction — so forms cannot mix."""
+    if spec.form == "cur_vs_min":
+        return min
+    if spec.form == "cur_vs_max":
+        return max
+    return None
 
 
 @dataclass(frozen=True)
@@ -1234,10 +1261,16 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         # coincide — both prefixes are accepted and equal there.
         run_measures: list[tuple[str, str]] = []
         _m_agg = re.compile(
-            r"^\s*(SUM|COUNT|AVG)\s*\(\s*"
+            r"^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*"
             r"([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*|\*)\s*\)\s*$",
             re.I,
         )
+        # which MEASURES aggregates the one-accumulator kernel can
+        # serve, per DEFINE form ('s' = the accumulator itself)
+        _form_aggs = {
+            "cur_vs_min": {"MIN": "s", "COUNT": "n"},
+            "cur_vs_max": {"MAX": "s", "COUNT": "n"},
+        }.get(spec.form, {"SUM": "s", "COUNT": "n", "AVG": "avg"})
         _m_ref = re.compile(
             r"^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*$"
         )
@@ -1275,7 +1308,14 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                             f"accumulator, over {b_name}.{spec.col} (got "
                             f"{stp}.{col})"
                         )
-                kind = {"SUM": "s", "COUNT": "n", "AVG": "avg"}[agg]
+                if agg not in _form_aggs:
+                    raise ValueError(
+                        f"measure {alias!r}: {agg} is not available "
+                        f"with this DEFINE form — the kernel carries "
+                        f"ONE accumulator ({spec.form}); supported: "
+                        f"{', '.join(sorted(_form_aggs))}"
+                    )
+                kind = _form_aggs[agg]
                 if all_rows and prefix != "FINAL":
                     # bare aggregate = RUNNING under ALL ROWS (standard)
                     kind = {"s": "rs", "n": "rn", "avg": "ravg"}[kind]
@@ -1877,6 +1917,10 @@ def _compile_run_agg(
     conf_step = parsed.pattern.steps[2] if conf_name is not None else None
     confirm = conf_step is not None
     bind = _compile_run_agg_bind(spec)
+    combine = _run_agg_combine(spec)
+    acc_label = {"cur_vs_min": "min", "cur_vs_max": "max"}.get(
+        spec.form, "sum"
+    )
     within_us = _interval_to_ms(parsed.pattern.time_bound) * 1000
     key_col, time_col = parsed.key_col, parsed.time_col
 
@@ -1928,13 +1972,15 @@ def _compile_run_agg(
         else:
             out_spec.append((f"{b_name}_count", "rn"))
             if val_col is not None:
-                out_spec.append((f"{b_name}_sum_{val_col}", "rs"))
+                out_spec.append(
+                    (f"{b_name}_{acc_label}_{val_col}", "rs")
+                )
     elif run_measures:
         out_spec = list(run_measures)
     else:
         out_spec = [(f"t_{a_name}", "t_anchor"), (f"{b_name}_count", "n")]
         if val_col is not None:
-            out_spec.append((f"{b_name}_sum_{val_col}", "s"))
+            out_spec.append((f"{b_name}_{acc_label}_{val_col}", "s"))
         if confirm:
             out_spec.append((f"t_{conf_name}", "t_conf"))
 
@@ -1989,7 +2035,7 @@ def _compile_run_agg(
             corr=corr_fn,
             corr_convs=(bx_conv, ay_conv) if corr is not None else None,
             emit_rows=all_rows, exclude_cls=excl_codes,
-            cls_names=cls_names,
+            cls_names=cls_names, combine=combine,
         )
 
     conv = int if integral else float
@@ -2053,6 +2099,7 @@ def _compile_run_agg(
         _, out = advance_kleene_agg(
             None, rows, 1 << 62, bind, within_us, confirm=confirm,
             min_n=min_n, max_n=max_n, corr=corr_fn, emit_rows=all_rows,
+            combine=combine,
         )
         if any(k == "mn" for _, k in out_spec):
             assign_match_numbers(out, all_rows, 0)
@@ -4862,4 +4909,161 @@ def cep_sql_run_agg_match_number(
         "confirm_ts",
         "n_b",
         "total",
+    )
+
+
+_RUN_AGG_PEAK_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             coalesce(event_type, '') AS et,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             -- coalesce(event_id, 0): the kernel faces map NULL
+             -- event_id to 0 pre-sort; DuckDB's default is NULLS LAST
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND (value IS NULL OR abs(value) <= 1e9)
+    ),
+    mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
+    walk AS (
+      -- state s = the run's MAX accumulator; bind (p/q = 1/2,
+      -- cross-multiplied): 2*v >= max_run including v (v alone when
+      -- the run is empty)
+      SELECT user_id, 0 AS rn, FALSE AS in_run,
+             CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s,
+             CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS BIGINT) AS dl,
+             CAST(NULL AS BIGINT) AS em_anchor,
+             CAST(NULL AS BIGINT) AS em_n, CAST(NULL AS BIGINT) AS em_s
+      FROM mx
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN e.et = 'signup'
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents >=
+                                CASE WHEN w.n = 0 THEN e.cents
+                                     ELSE greatest(w.s, e.cents) END)
+                  THEN FALSE
+                  ELSE TRUE END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents >=
+                           CASE WHEN w.n = 0 THEN e.cents
+                                ELSE greatest(w.s, e.cents) END
+                  THEN w.n + 1
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE w.n END,
+             CASE WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(0 AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND 2 * e.cents >=
+                           CASE WHEN w.n = 0 THEN e.cents
+                                ELSE greatest(w.s, e.cents) END
+                  THEN CASE WHEN w.n = 0 THEN e.cents
+                            ELSE greatest(w.s, e.cents) END
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE w.s END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' THEN e.tus
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents >=
+                                CASE WHEN w.n = 0 THEN e.cents
+                                     ELSE greatest(w.s, e.cents) END)
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.anchor END,
+             CASE WHEN ((NOT w.in_run) OR (w.in_run AND e.tus > w.dl))
+                       AND e.et = 'signup' THEN e.tus + 604800000000
+                  WHEN (NOT w.in_run) OR (w.in_run AND e.tus > w.dl)
+                  THEN CAST(NULL AS BIGINT)
+                  WHEN e.et = 'view' AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents >=
+                                CASE WHEN w.n = 0 THEN e.cents
+                                     ELSE greatest(w.s, e.cents) END)
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE w.dl END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0
+                  THEN w.anchor
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents >=
+                                CASE WHEN w.n = 0 THEN e.cents
+                                     ELSE greatest(w.s, e.cents) END)
+                       AND w.n > 0
+                  THEN w.anchor END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0 THEN w.n
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents >=
+                                CASE WHEN w.n = 0 THEN e.cents
+                                     ELSE greatest(w.s, e.cents) END)
+                       AND w.n > 0
+                  THEN w.n END,
+             CASE WHEN w.in_run AND e.tus > w.dl AND w.n > 0 THEN w.s
+                  WHEN w.in_run AND e.tus <= w.dl AND e.et = 'view'
+                       AND e.cents IS NOT NULL
+                       AND NOT (2 * e.cents >=
+                                CASE WHEN w.n = 0 THEN e.cents
+                                     ELSE greatest(w.s, e.cents) END)
+                       AND w.n > 0
+                  THEN w.s END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ),
+    closes AS (
+      SELECT user_id, em_anchor AS anchor, em_n AS n, em_s AS s
+      FROM walk WHERE em_anchor IS NOT NULL
+      UNION ALL
+      SELECT w.user_id, w.anchor, w.n, w.s
+      FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mxrn
+      WHERE w.in_run AND w.n > 0
+    )
+    SELECT user_id, make_timestamp(anchor) AS anchor_ts,
+           n AS n_b, s AS peak_cents
+    FROM closes
+"""
+
+
+@register("cep_sql_run_agg_peak", oracle=_RUN_AGG_PEAK_ORACLE)
+def cep_sql_run_agg_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIN/MAX DEFINE-aggregate forms (round 9 — the last
+    aggregate family the one-accumulator kernel lacked): PATTERN
+    (A -> B+) WITHIN 7 DAYS where a view binds iff its cents stay
+    within half of the run's RUNNING PEAK including itself
+    (`B.cents >= 0.5 * MAX(B.cents)`) — the drawdown-bounded run
+    every monitoring stack wants ("alert when the metric halves from
+    its high").  The kernel's accumulator update is now a pluggable
+    combine closure (sum by default, min/max here — one accumulator
+    per run, the documented restriction, so forms cannot mix);
+    MEASURES gains MAX(B.col)/MIN(B.col) mapped to the accumulator,
+    and the factor stays an exact cross-multiplied fraction (0.5 =
+    1/2 — never a float compare).  The oracle replays the walk with a
+    greatest() accumulator.
+
+    100 TB shape: identical to cep_sql_run_agg — predicates JVM-side,
+    ONE (user) shuffle, O(1) state."""
+    out = match_recognize(
+        _run_agg_rows_input(spark, sf_dir),
+        """
+        PATTERN ( A -> B+ )
+        WITHIN 7 DAYS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view'
+                    AND B.cents >= 0.5 * MAX(B.cents)
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("t_A").alias("anchor_ts"),
+        F.col("B_count").alias("n_b"),
+        F.col("B_max_cents").alias("peak_cents"),
     )

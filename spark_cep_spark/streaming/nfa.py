@@ -4320,6 +4320,7 @@ def advance_kleene_agg(
     max_n: int | None = None,
     corr=None,
     emit_rows: bool = False,
+    combine=None,
 ) -> tuple[list | None, list]:
     """Generic running-aggregate kleene kernel — PATTERN (A -> B+)
     WITHIN <bound> where each candidate B binds iff `bind(n, s, v)`
@@ -4396,7 +4397,16 @@ def advance_kleene_agg(
     matches emit is unchanged — the flag only widens what a match
     emission contains, so the two faces share every close rule.
 
-    state: None (idle) or [n, sum, anchor_us, deadline_us(, ay)
+    combine (round-9, the MIN/MAX DEFINE forms) replaces the
+    accumulator's update rule: default None keeps the exact running
+    SUM (st[1] += v); a callable folds st[1] = combine(st[1], v) with
+    the FIRST bound value seeding the accumulator (min/max over an
+    empty run is undefined, so the seed is v itself — for sum the
+    seed v equals 0 + v, which is why one rule serves all forms).
+    The bind predicate still receives (n, s, v) and computes its own
+    RUNNING view including v.
+
+    state: None (idle) or [n, acc, anchor_us, deadline_us(, ay)
     (, rows_buf)] — confirm adds no state, corr adds the one anchor
     value, emit_rows appends the row buffer LAST.  O(1) state without
     emit_rows; chunking-invariant given monotone wm (property-tested)."""
@@ -4447,7 +4457,10 @@ def advance_kleene_agg(
             and (corr is None or corr(bx, st[4]))
         ):
             st[0] += 1
-            st[1] += v
+            if combine is None:
+                st[1] += v
+            else:
+                st[1] = v if st[0] == 1 else combine(st[1], v)
             if emit_rows:
                 st[-1].append([ts, eid, 1, st[0], st[1]])
             if not confirm and max_n is not None and st[0] == max_n:
@@ -4720,6 +4733,7 @@ def kleene_agg_stream(
     emit_rows: bool = False,
     exclude_cls: tuple = (),
     cls_names: tuple = (),
+    combine=None,
 ) -> DataFrame:
     """Streaming face of the dialect's DEFINE-aggregate compilation
     (cep_sql.py _compile_run_agg): the generic advance_kleene_agg
@@ -4825,6 +4839,7 @@ def kleene_agg_stream(
         s, rows = advance_kleene_agg(
             s, matured, wm_us, bind, within_us, confirm=confirm,
             min_n=min_n, max_n=max_n, corr=corr, emit_rows=emit_rows,
+            combine=combine,
         )
         if wants_mn:
             mn = assign_match_numbers(rows, emit_rows, mn)

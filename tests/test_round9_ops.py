@@ -782,3 +782,142 @@ def test_profile_expectations_catches_violations(spark, tmp_path):
     assert rows["unique_o_orderkey"].n_bad >= 1
     assert rows["fk_orders_customer"].n_bad == 1
     assert rows["completeness_l_returnflag"].n_bad == 0
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX DEFINE-aggregate forms (combine closure)
+# ---------------------------------------------------------------------------
+
+
+def test_kleene_agg_combine_max_semantics():
+    """cur_vs_max: a candidate binds while >= half the running peak
+    including itself; the accumulator tracks the max, seeded by the
+    first bound value."""
+    from spark_cep_spark.operators.cep_sql import (
+        RunAggSpec,
+        _compile_run_agg_bind,
+        _run_agg_combine,
+    )
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    spec = RunAggSpec("cur_vs_max", "cents", ">=", 1, 2)
+    bind, combine = _compile_run_agg_bind(spec), _run_agg_combine(spec)
+    assert combine is max
+    evs = [
+        (0, "a", 0),
+        (5, "b", 100),   # binds (first), acc=100
+        (10, "b", 60),   # 2*60 >= max(100,60) -> binds, acc=100
+        (15, "b", 200),  # 2*200 >= 200 -> binds, acc=200
+        (20, "b", 90),   # 2*90=180 < max(200,90)=200 -> FAILS, run dies
+        (25, "a", 0),
+        (30, "b", 10),   # first bind of run 2
+    ]
+    rows = _mk_rows(evs)
+    _, out = advance_kleene_agg(
+        None, rows, 1 << 62, bind, 60, combine=combine
+    )
+    assert out == [[0, 3, 200], [25, 1, 10]]
+
+
+def test_run_agg_minmax_parse_and_pointed_errors():
+    from spark_cep_spark.operators.cep_sql import parse_pattern_sql
+
+    p = parse_pattern_sql(
+        """
+        PATTERN ( A -> B+ )
+        WITHIN 1 HOURS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view' AND B.cents <= 3 * MIN(B.cents)
+        MEASURES MIN(B.cents) AS floor_cents, COUNT(B.*) AS nb
+        AFTER MATCH SKIP PAST LAST ROW
+        """
+    )
+    assert p.run_agg[2].form == "cur_vs_min"
+    assert ("floor_cents", "s") in p.run_agg[4]
+    # SUM measure on a MAX-form DEFINE: one accumulator only
+    with pytest.raises(ValueError, match="ONE accumulator"):
+        parse_pattern_sql(
+            """
+            PATTERN ( A -> B+ )
+            WITHIN 1 HOURS
+            DEFINE A AS event_type = 'signup',
+                   B AS event_type = 'view'
+                        AND B.cents >= 0.5 * MAX(B.cents)
+            MEASURES SUM(B.cents) AS total
+            AFTER MATCH SKIP PAST LAST ROW
+            """
+        )
+    # MIN measure on a SUM-form DEFINE likewise
+    with pytest.raises(ValueError, match="ONE accumulator"):
+        parse_pattern_sql(
+            """
+            PATTERN ( A -> B+ )
+            WITHIN 1 HOURS
+            DEFINE A AS event_type = 'signup',
+                   B AS event_type = 'view' AND SUM(B.cents) <= 600
+            MEASURES MIN(B.cents) AS floor_cents
+            AFTER MATCH SKIP PAST LAST ROW
+            """
+        )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.sampled_from(["a", "b", "x"]),
+            st.integers(1, 30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(1, 39), max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_kleene_agg_combine_chunking_invariance(evs, cuts):
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: 2 * v >= (v if n == 0 else max(s, v))  # noqa: E731
+    W = 60
+    t = 0
+    rows = []
+    for i, (dt, et, v) in enumerate(evs):
+        t += dt
+        rows.append(
+            [t, i + 1, et == "a", et == "b",
+             v if et == "b" else None, False]
+        )
+    _, whole = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, combine=max
+    )
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    stt, got, prev = None, [], 0
+    for b in bounds:
+        chunk = rows[prev:b]
+        wm = chunk[-1][0] if chunk else (rows[prev - 1][0] if prev else 0)
+        stt, part = advance_kleene_agg(
+            stt, chunk, wm, bind, W, combine=max
+        )
+        got += part
+        prev = b
+    stt, part = advance_kleene_agg(
+        stt, [], 1 << 62, bind, W, combine=max
+    )
+    got += part
+    assert got == whole
+
+
+_PEAK_TEXT = """
+    PATTERN ( A -> B+ )
+    WITHIN 7 DAYS
+    DEFINE A AS event_type = 'signup',
+           B AS event_type = 'view' AND B.cents >= 0.5 * MAX(B.cents)
+    AFTER MATCH SKIP PAST LAST ROW
+    PARTITION BY user_id
+    ORDER BY ts
+"""
+
+
+def test_run_agg_peak_streaming_equals_batch(spark, sf_dir):
+    got, want = _staged_stream_pair(spark, sf_dir, _PEAK_TEXT)
+    assert got == want and len(want) > 0
