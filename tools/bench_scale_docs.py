@@ -69,6 +69,9 @@ OPS = [
     # 32 vocabulary-sized rounds) + token counts under the final vocab
     "pipeline_bpe_train",
     "pipeline_bpe_tokens",
+    # round-9: the composed gopher->dedup->ccnet/dsir/bpe chain — the
+    # cross-stage regression canary; survivors materialize once
+    "pipeline_e2e",
     # dedup_edit_nn is deliberately NOT probed at 8x: pairs grow
     # quadratically within blocks (measured: >15 min at 40k docs vs
     # 11 s at 5k — the hazard SCALE.md documents; at real scale the

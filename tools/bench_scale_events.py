@@ -98,6 +98,14 @@ OPS = [
     "agg_log2_quantile",
     "rollup_ohlc_multi",
     "profile_skew",
+    # round-9: ALL ROWS emit_rows face (per-row output), exclusion
+    # variant, per-key match numbering, MIN/MAX combine form, and the
+    # O(1)-state temporal (as-of) enrichment join
+    "cep_sql_run_agg_measures",
+    "cep_sql_run_agg_exclusion",
+    "cep_sql_run_agg_match_number",
+    "cep_sql_run_agg_peak",
+    "stream_asof_enrich",
 ]
 
 STREAM_NFA_SQL = """

@@ -69,6 +69,9 @@ OPS = [
     "agg_regression",
     "profile_columns",
     "feat_target_encode",
+    # round-9: the Deequ-style constraint suite (one fused aggregation
+    # per table + one broadcast anti-join)
+    "profile_expectations",
 ]
 
 
