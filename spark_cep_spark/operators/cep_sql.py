@@ -1964,6 +1964,24 @@ def _compile_run_agg(
         # with the row's own (ts, event_id), then CLASSIFIER() if
         # requested, then the measures (default: the RUNNING count/sum
         # twins, the standard's bare-aggregate semantics).
+        reserved = {"ts", "event_id"} | (
+            {f"key_{c}" for c in parsed.key_cols}
+            if parsed.key_cols
+            else {"key"}
+        )
+        for alias in [parsed.classifier_alias] + [
+            a for a, _ in run_measures
+        ]:
+            if alias is None:
+                continue
+            if alias in reserved:
+                raise ValueError(
+                    f"measure alias {alias!r} collides with an ALL "
+                    "ROWS PER MATCH output column (the per-row mode "
+                    f"always emits {sorted(reserved)}) — pick another "
+                    "alias"
+                )
+            reserved.add(alias)  # also rejects two measures sharing one
         out_spec = [("ts", "row_ts"), ("event_id", "row_eid")]
         if parsed.classifier_alias is not None:
             out_spec.append((parsed.classifier_alias, "cls"))

@@ -325,19 +325,20 @@ def test_run_agg_all_rows_default_measures(spark):
 def test_run_agg_rows_pointed_errors(spark):
     from spark_cep_spark.operators.cep_sql import parse_pattern_sql
 
-    # MATCH_NUMBER() still rejected on the run-agg path
-    with pytest.raises(ValueError, match="MATCH_NUMBER"):
-        parse_pattern_sql(
-            """
-            PATTERN ( A -> B+ )
-            WITHIN 1 HOURS
-            DEFINE A AS event_type = 'signup',
-                   B AS event_type = 'view' AND SUM(B.cents) <= 600
-            MEASURES MATCH_NUMBER() AS mn
-            ALL ROWS PER MATCH
-            AFTER MATCH SKIP PAST LAST ROW
-            """
-        )
+    # MATCH_NUMBER() composes with the run-agg path (round 9 —
+    # assign_match_numbers): the alias lands as the 'mn' kind
+    p_mn = parse_pattern_sql(
+        """
+        PATTERN ( A -> B+ )
+        WITHIN 1 HOURS
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'view' AND SUM(B.cents) <= 600
+        MEASURES MATCH_NUMBER() AS mn
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        """
+    )
+    assert ("mn", "mn") in p_mn.run_agg[4]
     # SUM(B.*) is malformed — the generic validator refuses the bare
     # star form (only COUNT(B.*) is rewritten through)
     with pytest.raises(ValueError, match="SUM|unqualified"):
@@ -519,7 +520,10 @@ def test_pipeline_e2e_stage_consistency(spark, sf_dir):
     for r in rows:
         assert r.bucket in ("head", "middle", "tail")
         assert r.bucket_id in (1, 2, 3)
-        assert r.n_tokens >= r.n_toks > 0  # BPE merges only shrink
+        # n_toks counts whitespace tokens (dsir), n_tokens counts BPE
+        # symbols over [a-z]+ runs — different token definitions, so
+        # only positivity is a guaranteed property
+        assert r.n_toks > 0 and r.n_tokens > 0
         assert r.weight is not None
 
 
@@ -734,7 +738,8 @@ def test_profile_expectations_verdicts(spark, sf_dir):
     n_li = table(spark, sf_dir, "lineitem").count()
     n_od = table(spark, sf_dir, "orders").count()
     for r in rows.values():
-        assert r.n_bad == 0 and bool(r.pass_) if hasattr(r, "pass_") else True
+        assert r.n_bad == 0
+        assert r["pass"] is True  # 'pass' is a keyword — index access
     got = {(r.check_name, r.target, r.n_rows, r.n_bad) for r in rows.values()}
     assert ("unique_o_orderkey", "orders", n_od, 0) in got
     assert ("range_l_quantity_1_50", "lineitem", n_li, 0) in got
