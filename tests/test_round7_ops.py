@@ -153,8 +153,10 @@ def test_run_agg_dialect_pointed_errors():
             base.format(extra="AFTER MATCH SKIP TO LAST B")
         )
     # round 8 lifted the blanket MEASURES rejection to supported
-    # renames of the kernel outputs — unsupported forms stay pointed
-    with pytest.raises(ValueError, match="not of a supported"):
+    # renames of the kernel outputs; round 9 made MAX/MIN measures
+    # valid on MAX/MIN DEFINE forms — on this AVG-form DEFINE the
+    # one-accumulator error stays pointed
+    with pytest.raises(ValueError, match="ONE accumulator"):
         parse_pattern_sql(
             base.format(
                 extra="AFTER MATCH SKIP PAST LAST ROW "
