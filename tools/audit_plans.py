@@ -56,6 +56,10 @@ NESTED_LOOP_OK = {
     "agg_heavy_hitters",  # 1-row grand-total broadcast into the per-key
     # counts (frequency > n/k threshold) — same constant-size build
     # side as text_surprisal
+    "profile_expectations",  # 1-row orphan-count x 1-row total cross
+    # join (both sides single-row aggregates — the Deequ FK check)
+    "pipeline_e2e",  # inherits pipeline_dsir_weights' 256-row lambda x
+    # 1-row totals broadcast cross join (fixed bucket space)
     "sim_rrf_hybrid",  # inherits text_bm25_topk's 1-row scalar
     # broadcast on its lexical branch (the semantic branch is pure
     # equi-joins on exact-integer components)
@@ -159,6 +163,16 @@ PYTHON_OK = {
     # same kernel; the pair key only refines the shuffle hash
     "cep_sql_run_agg_corr",  # the mixed agg+anchor-correlation form —
     # same kernel; two more narrow JVM columns cross the boundary
+    "cep_sql_run_agg_measures",  # the emit_rows (ALL ROWS) face of the
+    # same kernel path (round 9) — identical JVM/Python split; the
+    # per-row output is the mode's contract, state O(rows-per-match)
+    # bounded by the WITHIN deadline
+    "cep_sql_run_agg_exclusion",  # same emit_rows face + the shared
+    # filter_excluded_rows emission filter (2 rows/match out)
+    "cep_sql_run_agg_match_number",  # same kernel + the per-key match
+    # counter (assign_match_numbers) — one integer of extra state
+    "cep_sql_run_agg_peak",  # the MIN/MAX combine form — same kernel,
+    # the accumulator update closure changes, nothing else
     "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
     # sequential per key (each kept point changes the next triangle) —
     # the documented tier-(b) applyInPandas integer kernel; one (user)
