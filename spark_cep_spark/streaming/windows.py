@@ -1196,3 +1196,101 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of stream length (LOCF needs no history) — the
     smallest state of any operator in the streaming family."""
     return asof_enrich(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Continuous data-quality monitoring — profile_expectations' streaming
+# face (round 9): per-window violation counters over the event stream.
+
+def dq_monitor_agg(events: DataFrame) -> DataFrame:
+    """Per-hour data-quality counters over the event stream: volume,
+    NULL-field counts, domain violations (|value| > 1e9 — the corrupt
+    magnitude the pipeline filters), and unknown event types — the
+    Deequ-style checks recast as ONE windowed aggregation, so a bad
+    producer deploy shows up as a counter step in the very next
+    window instead of at the nightly batch gate."""
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("null_user"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("null_value"),
+            F.sum(
+                F.when(
+                    F.col("value").isNotNull()
+                    & (F.abs("value") > 1e9),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("bad_magnitude"),
+            F.sum(
+                F.when(
+                    F.col("event_type").isNull()
+                    | ~F.col("event_type").isin(
+                        "signup", "view", "click", "purchase", "error"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("bad_type"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_events",
+            "null_user",
+            "null_value",
+            "bad_magnitude",
+            "bad_type",
+        )
+    )
+
+
+@register(
+    "stream_dq_monitor",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_user,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_value,
+           CAST(sum(CASE WHEN value IS NOT NULL AND abs(value) > 1e9
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_magnitude,
+           CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                         ('signup', 'view', 'click', 'purchase', 'error')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_type
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY time_bucket(INTERVAL '1 hour', ts)
+    """,
+)
+def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring (the streaming face of
+    profile_expectations' constraint suite): per-hour counters for
+    volume, completeness (NULL user/value), domain violations
+    (|value| > 1e9), and schema-drift signals (unexpected event
+    types) — ONE map-side-combinable windowed aggregation, the
+    standard freshness/quality dashboard feed.  The streaming face
+    (dq_monitor_stream) is the identical aggregation under a
+    watermark — counters emit as windows close, and the batch twin
+    here is what the driver hashes.
+
+    100 TB shape: pure codegen scan -> partial agg -> one (window)
+    shuffle of counter rows; adding a check adds a column, never a
+    scan or shuffle; state is one counter row per open window."""
+    return dq_monitor_agg(table(spark, sf_dir, "events"))
+
+
+def dq_monitor_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face: watermark bounds state; append mode emits each
+    hour's verdict row exactly once when the window closes."""
+    return dq_monitor_agg(events_stream.withWatermark("ts", watermark))

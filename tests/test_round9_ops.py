@@ -926,3 +926,66 @@ _PEAK_TEXT = """
 def test_run_agg_peak_streaming_equals_batch(spark, sf_dir):
     got, want = _staged_stream_pair(spark, sf_dir, _PEAK_TEXT)
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# stream_dq_monitor
+# ---------------------------------------------------------------------------
+
+
+def test_dq_monitor_streaming_equals_batch(spark, sf_dir):
+    """The windowed DQ counters under multi-micro-batch AvailableNow
+    equal the batch twin (closed windows only — the stream's final
+    watermark leaves the last window open in append mode)."""
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.windows import (
+        dq_monitor_agg,
+        dq_monitor_stream,
+    )
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            dq_monitor_stream(stream, watermark="0 seconds"), "append"
+        ).collect()
+    }
+    batch = dq_monitor_agg(spark.read.parquet(staged))
+    max_ts = spark.read.parquet(staged).agg(F.max("ts")).first()[0]
+    want = {
+        tuple(r)
+        for r in batch.filter(
+            F.col("win_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(max_ts)
+        ).collect()
+    }
+    assert want <= got and len(want) > 0
+    # every emitted row matches the batch twin exactly
+    batch_all = {tuple(r) for r in batch.collect()}
+    assert got <= batch_all
+
+
+def test_dq_monitor_counts_planted_violations(spark):
+    """Planted NULLs / bad magnitudes / unknown types land in the
+    right counters of the right window."""
+    rows = [
+        (1, _m(0), 1, "view", 1.0),
+        (2, _m(1), None, "view", 2.0),          # null_user
+        (3, _m(2), 2, "view", None),            # null_value
+        (4, _m(3), 3, "view", 2.5e9),           # bad_magnitude
+        (5, _m(4), 4, "refund", 1.0),           # bad_type
+        (6, _m(70), 5, "view", 1.0),            # next window
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    from spark_cep_spark.streaming.windows import dq_monitor_agg
+
+    got = {tuple(r) for r in dq_monitor_agg(df).collect()}
+    assert got == {
+        (_m(0), 5, 1, 1, 1, 1),
+        (_m(60), 1, 0, 0, 0, 0),
+    }
