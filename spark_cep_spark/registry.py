@@ -165,7 +165,6 @@ DRIVER_PRIORITY: list[str] = [
     "set_except_all",
     "set_intersect_all",
     "sim_range_search",
-    "agg_benford",
     # NEW in round 9 (appends push the window's last staged keys back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_measures",
@@ -176,6 +175,7 @@ DRIVER_PRIORITY: list[str] = [
     "profile_expectations",
     "cep_sql_run_agg_peak",
     "stream_dq_monitor",
+    "stream_asof_ttl",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -186,6 +186,7 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-9 window by round-9 keys
+    "agg_benford",
     "cep_sql_subset",
     "win_time_range",
     "agg_collect",

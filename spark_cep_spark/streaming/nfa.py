@@ -5058,7 +5058,10 @@ def twap_stream(
 
 
 def advance_asof_enrich(
-    state: list | None, matured: list, wm_us: int
+    state: list | None,
+    matured: list,
+    wm_us: int,
+    ttl_us: int | None = None,
 ) -> tuple[list | None, list]:
     """Pure per-key temporal-join kernel (streaming face of
     stream_asof_enrich — the Flink event-time temporal table join /
@@ -5074,14 +5077,23 @@ def advance_asof_enrich(
     exact integer event-time staleness of the joined value.  wm_us is
     unused (LOCF has no deadline) but kept for kernel-signature
     uniformity; chunking-invariance is trivial — state is the last
-    observation, emission is per-fact-row immediate."""
+    observation, emission is per-fact-row immediate.
+
+    ttl_us (round-9, the Flink temporal-join TTL): an observation
+    older than ttl_us at the fact's event time no longer joins — the
+    fact emits NULLs, exactly as if no observation existed (stale
+    reference data must not silently enrich).  The observation stays
+    in state (a LATER dim update refreshes it), so the check is pure
+    arithmetic — no state churn, still O(1)."""
     st = None if state is None else list(state)
     out = []
     for ts, eid, is_dim, val in matured:
         if is_dim:
             if val is not None:
                 st = [ts, eid, val]
-        elif st is None:
+        elif st is None or (
+            ttl_us is not None and ts - st[0] > ttl_us
+        ):
             out.append([ts, eid, None, None])
         else:
             out.append([ts, eid, st[2], ts - st[0]])
@@ -5096,6 +5108,7 @@ def asof_enrich_stream(
     dim_type: str = "view",
     fact_type: str = "purchase",
     watermark: str = "10 minutes",
+    ttl_us: int | None = None,
 ) -> DataFrame:
     """Streaming temporal join behind applyInPandasWithState: the
     watermark buffer totally orders each key's rows by (ts, eid), so
@@ -5167,7 +5180,7 @@ def asof_enrich_stream(
         matured = [e for e in buf if e[0] <= wm_us]
         buf = [e for e in buf if e[0] > wm_us]
 
-        s, rows = advance_asof_enrich(s, matured, wm_us)
+        s, rows = advance_asof_enrich(s, matured, wm_us, ttl_us=ttl_us)
 
         if buf or s is not None:
             state.update((json.dumps({"buf": buf, "s": s}),))

@@ -1098,13 +1098,14 @@ def log2q_stream(
 # Temporal (as-of) enrichment join — the Flink event-time temporal
 # table join / DuckDB ASOF JOIN, round 9.
 
-def asof_enrich(events: DataFrame) -> DataFrame:
+def asof_enrich(events: DataFrame, ttl_us: int | None = None) -> DataFrame:
     """Batch twin of asof_enrich_stream (streaming/nfa.py): enrich
     each purchase with the user's latest at-or-before view value in
     (ts, coalesce(event_id, 0)) order — one window pass, pure JVM
     (last(..., ignorenulls=True) over an unbounded-preceding frame),
     no join at all.  age_us is the exact integer staleness of the
-    joined observation."""
+    joined observation.  ttl_us expires observations older than the
+    bound AT the fact's event time (NULLs out, kernel parity)."""
     e = (
         events.filter(
             F.col("user_id").isNotNull()
@@ -1133,17 +1134,21 @@ def asof_enrich(events: DataFrame) -> DataFrame:
         (F.col("event_type") == "view") & F.col("cents").isNotNull(),
         F.unix_micros("ts"),
     )
-    return (
+    out = (
         e.withColumn("view_cents", F.last(dim_val, ignorenulls=True).over(w))
         .withColumn("view_tus", F.last(dim_tus, ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            "view_cents",
-            (F.unix_micros("ts") - F.col("view_tus")).alias("age_us"),
+        .withColumn(
+            "age_us", F.unix_micros("ts") - F.col("view_tus")
         )
+    )
+    if ttl_us is not None:
+        live = F.col("age_us") <= F.lit(ttl_us)
+        out = out.withColumn(
+            "view_cents", F.when(live, F.col("view_cents"))
+        ).withColumn("age_us", F.when(live, F.col("age_us")))
+    return out.select(
+        "user_id", "ts", "event_id", "view_cents", "age_us"
     )
 
 
@@ -1294,3 +1299,56 @@ def dq_monitor_stream(
     """Streaming face: watermark bounds state; append mode emits each
     hour's verdict row exactly once when the window closes."""
     return dq_monitor_agg(events_stream.withWatermark("ts", watermark))
+
+
+@register(
+    "stream_asof_ttl",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, coalesce(event_id, 0) AS event_id,
+             coalesce(event_type, '') AS et,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND (value IS NULL OR abs(value) <= 1e9)
+        AND coalesce(event_type, '') IN ('view', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, ts, event_id, et,
+             last_value(CASE WHEN et = 'view' AND cents IS NOT NULL
+                             THEN cents END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS view_cents,
+             last_value(CASE WHEN et = 'view' AND cents IS NOT NULL
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS view_tus
+      FROM e
+    )
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - view_tus <= 3600000000
+                THEN view_cents END AS view_cents,
+           CASE WHEN epoch_us(ts) - view_tus <= 3600000000
+                THEN epoch_us(ts) - view_tus END AS age_us
+    FROM w WHERE et = 'purchase'
+    """,
+)
+def stream_asof_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TTL'd temporal join (Flink temporal table join with a state
+    TTL): a dimension observation older than ONE HOUR at the fact's
+    event time no longer enriches — the fact emits NULLs, exactly as
+    if no observation existed.  The staleness check is pure
+    arithmetic on the same O(1) LOCF state (the observation stays —
+    a later update refreshes it); stale reference data silently
+    enriching facts is the classic temporal-join correctness bug this
+    variant exists to prevent.  Same kernel (advance_asof_enrich,
+    ttl_us), same one-window-pass batch twin, streaming == batch
+    pinned in tests.
+
+    100 TB shape: identical to stream_asof_enrich — ONE observation
+    per key, one window pass batch-side, plus one comparison."""
+    return asof_enrich(
+        table(spark, sf_dir, "events"), ttl_us=3_600_000_000
+    )

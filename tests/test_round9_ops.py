@@ -989,3 +989,168 @@ def test_dq_monitor_counts_planted_violations(spark):
         (_m(0), 5, 1, 1, 1, 1),
         (_m(60), 1, 0, 0, 0, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# TTL'd temporal join + checkpoint kill-and-resume for the new kernels
+# ---------------------------------------------------------------------------
+
+
+def test_asof_ttl_kernel_and_batch(spark):
+    from spark_cep_spark.streaming.nfa import advance_asof_enrich
+
+    rows = [
+        [0, 1, True, 100],
+        [50, 2, False, None],    # age 50 <= 60 -> joins
+        [200, 3, False, None],   # age 200 > 60 -> NULLs (stale)
+        [210, 4, True, 300],     # refresh
+        [220, 5, False, None],   # age 10 -> joins 300
+    ]
+    _, out = advance_asof_enrich(None, rows, 1 << 62, ttl_us=60)
+    assert out == [
+        [50, 2, 100, 50],
+        [200, 3, None, None],
+        [220, 5, 300, 10],
+    ]
+
+
+def test_asof_ttl_streaming_equals_batch(spark, sf_dir):
+    import glob
+    import os
+
+    from spark_cep_spark.streaming import harness
+    from spark_cep_spark.streaming.nfa import asof_enrich_stream
+    from spark_cep_spark.streaming.windows import asof_enrich
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=6)
+    sentinel = spark.createDataFrame(
+        [(10**9, ddt.datetime(2026, 1, 1), -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+    newest = max(
+        glob.glob(os.path.join(staged, "part-*")), key=os.path.getmtime
+    )
+    os.utime(newest, (1_700_000_000 + 10_000 * 3600,) * 2)
+
+    ttl = 3_600_000_000
+    stream = harness.events_stream(spark, staged, max_files_per_trigger=2)
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            asof_enrich_stream(stream, watermark="0 seconds", ttl_us=ttl),
+            "append",
+        )
+        .filter("key <> -1")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in asof_enrich(spark.read.parquet(staged), ttl_us=ttl)
+        .filter("user_id <> -1")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # the TTL actually bites somewhere: some fact has a stale dim
+    full = {
+        tuple(r)
+        for r in asof_enrich(spark.read.parquet(staged))
+        .filter("user_id <> -1")
+        .collect()
+    }
+    n_joined_full = sum(1 for r in full if r[3] is not None)
+    n_joined_ttl = sum(1 for r in want if r[3] is not None)
+    assert n_joined_ttl < n_joined_full
+
+
+def _kill_resume_stream(spark, sf_dir, tmp_path, build, out_cols):
+    """Drain half the staged files to a parquet sink, add the rest,
+    restart from the same checkpoint; return (resumed_df, n_first,
+    uninterrupted_df)."""
+    import os
+
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_events_files_sorted(spark, sf_dir, n_files=8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.startswith("part"))
+
+    def run(out, ckpt):
+        stream = harness.events_stream(spark, src, max_files_per_trigger=2)
+        q = (
+            build(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def copy_ordered(names):
+        for f in names:
+            dst = os.path.join(src, f)
+            shutil.copy(os.path.join(staged, f), dst)
+            os.utime(dst, (1_700_000_000 + parts.index(f) * 3600,) * 2)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    copy_ordered(parts[:4])
+    run(out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    copy_ordered(parts[4:])
+    run(out, ckpt)
+    got = spark.read.parquet(out)
+    uninterrupted = harness.run_available_now(
+        build(harness.events_stream(spark, staged, max_files_per_trigger=2)),
+        "append",
+    )
+    return got, n_first, uninterrupted
+
+
+def test_run_agg_rows_state_survives_checkpoint_restart(
+    spark, sf_dir, tmp_path
+):
+    """Kill-and-resume for the emit_rows face: the row BUFFER in state
+    (not just counters) must round-trip the checkpoint — matches whose
+    anchor landed before the restart and confirm after must emit their
+    full per-row records exactly once."""
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    def build(stream):
+        prepped = stream.filter(
+            "user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND (value IS NULL OR abs(value) <= 1e9)"
+        ).selectExpr(
+            "user_id", "ts", "event_id", "event_type",
+            "CAST(round(value * 100) AS LONG) AS cents",
+        )
+        return match_recognize(prepped, _RAM_SF_TEXT, watermark="0 seconds")
+
+    got, n_first, uninterrupted = _kill_resume_stream(
+        spark, sf_dir, tmp_path, build, None
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, uninterrupted.collect())
+    )
+    assert 0 < n_first < got.count()
+
+
+def test_asof_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for the temporal join: the last-observation
+    state must resume, so facts after the restart still join dim
+    updates from before it."""
+    from spark_cep_spark.streaming.nfa import asof_enrich_stream
+
+    def build(stream):
+        return asof_enrich_stream(stream, watermark="0 seconds")
+
+    got, n_first, uninterrupted = _kill_resume_stream(
+        spark, sf_dir, tmp_path, build, None
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, uninterrupted.collect())
+    )
+    assert 0 < n_first < got.count()
