@@ -645,7 +645,7 @@ def _parse_run_agg_conjunct(conj: str, var: str) -> RunAggSpec | None:
     ):
         raise ValueError(
             f"DEFINE aggregate conjunct {conj.strip()!r} is not of a "
-            "supported form: <B.col CMP [k *] AVG|SUM(B.col)>, "
+            "supported form: <B.col CMP [k *] AVG|SUM|MIN|MAX(B.col)>, "
             "<SUM(B.col) CMP k>, or <COUNT(B.*)|COUNT(*) CMP k> "
             "(CMP one of < <= > >=, k an unsigned numeric literal)"
         )
@@ -1342,7 +1342,8 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 raise ValueError(
                     f"measure {alias!r} ({expr!r}) is not of a "
                     "supported running-aggregate form: "
-                    f"SUM|COUNT|AVG({b_name}.{spec.col or '<col>'}), "
+                    f"{'|'.join(sorted(_form_aggs))}"
+                    f"({b_name}.{spec.col or '<col>'}), "
                     f"{a_name}.{time_col}"
                     + (f", or {conf_name}.{time_col}" if conf_name else "")
                 )
@@ -2001,6 +2002,16 @@ def _compile_run_agg(
             out_spec.append((f"{b_name}_{acc_label}_{val_col}", "s"))
         if confirm:
             out_spec.append((f"t_{conf_name}", "t_conf"))
+    # duplicate output names collapse silently in the column dict
+    # (ONE ROW mode included — review catch): fail pointedly instead
+    names_seen: set[str] = set()
+    for nm, _ in out_spec:
+        if nm in names_seen:
+            raise ValueError(
+                f"two MEASURES share the output alias {nm!r} — "
+                "aliases must be unique"
+            )
+        names_seen.add(nm)
 
     if df.isStreaming:
         df = df.withWatermark(time_col, watermark)

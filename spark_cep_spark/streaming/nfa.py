@@ -5176,7 +5176,11 @@ def asof_enrich_stream(
                     )
 
         wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
-        buf.sort(key=lambda e: (e[0], e[1]))
+        # third key: on an exact (ts, eid) tie — reachable when two
+        # NULL event_ids both map to 0 — the DIMENSION row orders
+        # before the fact (a same-instant observation is visible to
+        # the fact), deterministically on every face (review catch)
+        buf.sort(key=lambda e: (e[0], e[1], not e[2]))
         matured = [e for e in buf if e[0] <= wm_us]
         buf = [e for e in buf if e[0] > wm_us]
 

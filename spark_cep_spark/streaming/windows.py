@@ -1123,7 +1123,14 @@ def asof_enrich(events: DataFrame, ttl_us: int | None = None) -> DataFrame:
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        # third key: on an exact (ts, event_id) tie the view orders
+        # BEFORE the purchase (a same-instant observation is visible
+        # to the fact) — deterministic on every face (review catch)
+        .orderBy(
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "view", 0).otherwise(1),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     dim_val = F.when(
@@ -1168,12 +1175,14 @@ def asof_enrich(events: DataFrame, ttl_us: int | None = None) -> DataFrame:
       SELECT user_id, ts, event_id, et,
              last_value(CASE WHEN et = 'view' AND cents IS NOT NULL
                              THEN cents END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts, event_id,
+                     CASE WHEN et = 'view' THEN 0 ELSE 1 END
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS view_cents,
              last_value(CASE WHEN et = 'view' AND cents IS NOT NULL
                              THEN epoch_us(ts) END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts, event_id,
+                     CASE WHEN et = 'view' THEN 0 ELSE 1 END
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS view_tus
       FROM e
@@ -1317,12 +1326,14 @@ def dq_monitor_stream(
       SELECT user_id, ts, event_id, et,
              last_value(CASE WHEN et = 'view' AND cents IS NOT NULL
                              THEN cents END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts, event_id,
+                     CASE WHEN et = 'view' THEN 0 ELSE 1 END
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS view_cents,
              last_value(CASE WHEN et = 'view' AND cents IS NOT NULL
                              THEN epoch_us(ts) END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts, event_id,
+                     CASE WHEN et = 'view' THEN 0 ELSE 1 END
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS view_tus
       FROM e

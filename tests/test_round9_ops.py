@@ -745,14 +745,14 @@ def test_profile_expectations_verdicts(spark, sf_dir):
     assert ("range_l_quantity_1_50", "lineitem", n_li, 0) in got
 
 
-def test_profile_expectations_catches_violations(spark, tmp_path):
+def test_profile_expectations_catches_violations(spark, sf_dir, tmp_path):
     """Plant violations in a scratch copy of the tables and assert the
     suite flags exactly them (the checks are not vacuous)."""
     import os
 
     from spark_cep_spark.io import table
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     scratch = str(tmp_path / "dq")
     os.makedirs(scratch, exist_ok=True)
     li = table(spark, sf, "lineitem")
