@@ -96,6 +96,10 @@ EVENTS_KEYS = [
     "cep_sql_run_agg_multikey", "win_acf", "rollup_seasonal",
     "cep_sql_run_agg_corr", "win_pacf", "agg_log2_quantile",
     "stream_log2_quantile", "rollup_ohlc_multi", "profile_skew",
+    # round-9
+    "cep_sql_run_agg_measures", "cep_sql_run_agg_exclusion",
+    "cep_sql_run_agg_match_number", "cep_sql_run_agg_peak",
+    "stream_asof_enrich", "stream_asof_ttl", "stream_dq_monitor",
 ]
 
 
@@ -170,6 +174,10 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_run_agg_multikey", "win_acf", "rollup_seasonal",
     "cep_sql_run_agg_corr", "win_pacf", "agg_log2_quantile",
     "stream_log2_quantile", "rollup_ohlc_multi", "profile_skew",
+    # round-9
+    "cep_sql_run_agg_measures", "cep_sql_run_agg_exclusion",
+    "cep_sql_run_agg_match_number", "cep_sql_run_agg_peak",
+    "stream_asof_enrich", "stream_asof_ttl", "stream_dq_monitor",
 ]
 
 

@@ -38,6 +38,8 @@ ORDERS_KEYS = [
     "join_anti",
     "join_bloom_pruned",
     "join_star_q18",
+    # round-9: the Deequ suite (orders-side uniqueness/FK checks)
+    "profile_expectations",
     # SQL surface
     "sql_cte",
     "sql_subqueries",

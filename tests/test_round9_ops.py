@@ -1154,3 +1154,27 @@ def test_asof_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
         map(tuple, uninterrupted.collect())
     )
     assert 0 < n_first < got.count()
+
+
+def test_pipeline_e2e_zero_survivors(spark, sf_dir, tmp_path):
+    """Every document failing the gopher gate (sub-10-word texts) must
+    yield an EMPTY result, not a crash — the BPE trainer, ntile
+    bucketer, and dsir fold all run over zero survivors."""
+    import os
+    import shutil as sh
+
+    dst = str(tmp_path / "zero")
+    os.makedirs(dst)
+    for f in os.listdir(sf_dir):
+        if f != "documents.parquet":
+            os.symlink(os.path.join(sf_dir, f), os.path.join(dst, f))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tiny = docs.limit(3).selectExpr(
+        "doc_id", "'one two' AS text", "lang", "source", "n_chars"
+    )
+    out = dst + "/_o"
+    tiny.coalesce(1).write.parquet(out)
+    p = next(x for x in os.listdir(out) if x.endswith(".parquet"))
+    sh.move(os.path.join(out, p), os.path.join(dst, "documents.parquet"))
+    sh.rmtree(out)
+    assert QUERIES["pipeline_e2e"](spark, dst).count() == 0
