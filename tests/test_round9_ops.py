@@ -1178,3 +1178,121 @@ def test_pipeline_e2e_zero_survivors(spark, sf_dir, tmp_path):
     sh.move(os.path.join(out, p), os.path.join(dst, "documents.parquet"))
     sh.rmtree(out)
     assert QUERIES["pipeline_e2e"](spark, dst).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: kernel vs an independent reference interpreter
+# ---------------------------------------------------------------------------
+
+
+def _ref_kleene_agg(rows, within, bind, confirm, min_n, max_n, combine):
+    """Independent reference interpreter for the kleene-agg semantics,
+    written in a different style (explicit phase enum + per-run record
+    list) so a kernel mutation cannot hide in shared structure.  Spec:
+    greedy B+ with consume-on-fail, deadline = anchor + within
+    (inclusive), min_n gates every emission, max_n saturates (2-step:
+    emit AT the max-th bind; confirm: wait for C, saturated candidates
+    are noise), confirm shape emits only on C with n >= min_n."""
+    IDLE, OPEN = 0, 1
+    phase, run, out = IDLE, None, []
+    for ts, eid, is_a, is_c, v, is_conf in rows:
+        if phase == OPEN and ts > run["deadline"]:
+            if not confirm and run["n"] >= min_n:
+                out.append([run["anchor"], run["n"], run["acc"]])
+            phase, run = IDLE, None
+        if phase == IDLE:
+            if is_a:
+                phase = OPEN
+                run = {"anchor": ts, "deadline": ts + within,
+                       "n": 0, "acc": 0}
+            continue
+        saturated = max_n is not None and run["n"] >= max_n
+        if is_c and v is not None and not saturated:
+            if bind(run["n"], run["acc"], v):
+                run["n"] += 1
+                run["acc"] = (
+                    v if run["n"] == 1 and combine is not None
+                    else (combine or (lambda a, b: a + b))(run["acc"], v)
+                )
+                if (
+                    not confirm
+                    and max_n is not None
+                    and run["n"] == max_n
+                ):
+                    out.append([run["anchor"], run["n"], run["acc"]])
+                    phase, run = IDLE, None
+                continue
+            if confirm and is_conf and run["n"] >= min_n:
+                # bind-failing row that also confirms: C completes
+                out.append([run["anchor"], run["n"], run["acc"], ts])
+                phase, run = IDLE, None
+                continue
+            if not confirm and run["n"] >= min_n:
+                out.append([run["anchor"], run["n"], run["acc"]])
+            phase, run = IDLE, None
+            continue
+        if confirm and is_conf and run["n"] >= min_n:
+            out.append([run["anchor"], run["n"], run["acc"], ts])
+            phase, run = IDLE, None
+    if phase == OPEN and not confirm and run["n"] >= min_n:
+        out.append([run["anchor"], run["n"], run["acc"]])
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.sampled_from(["a", "b", "c", "ab", "bc", "x"]),
+            st.integers(-5, 30),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.booleans(),
+    st.integers(1, 3),
+    st.one_of(st.none(), st.integers(1, 4)),
+    st.sampled_from(["sum", "min", "max"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_kleene_agg_kernel_equals_reference(
+    evs, confirm, min_n, max_n, acc_kind
+):
+    """advance_kleene_agg == the independent interpreter across the
+    full flag matrix (confirm x min_n x max_n x combine), including
+    rows that are simultaneously anchor+candidate or candidate+confirm
+    and negative values under the MIN/MAX forms."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    if max_n is not None and max_n < min_n:
+        max_n = min_n
+    combine = {"sum": None, "min": min, "max": max}[acc_kind]
+    if acc_kind == "sum":
+        bind = lambda n, s, v: s + v <= 40  # noqa: E731
+    elif acc_kind == "max":
+        # at least a third of the running peak (incl. the candidate)
+        bind = lambda n, s, v: 3 * v >= (v if n == 0 else max(s, v))  # noqa: E731
+    else:
+        # within 3x of the running floor (incl. the candidate)
+        bind = lambda n, s, v: v <= 3 * (v if n == 0 else min(s, v))  # noqa: E731
+    W = 40
+    t = 0
+    rows = []
+    for i, (dt, et, v) in enumerate(evs):
+        t += dt
+        rows.append(
+            [
+                t,
+                i + 1,
+                "a" in et,
+                "b" in et,
+                v if "b" in et else None,
+                "c" in et,
+            ]
+        )
+    _, got = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, confirm=confirm,
+        min_n=min_n, max_n=max_n, combine=combine,
+    )
+    want = _ref_kleene_agg(rows, W, bind, confirm, min_n, max_n, combine)
+    assert got == want
