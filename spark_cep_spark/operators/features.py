@@ -388,3 +388,53 @@ def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(row(src, name, target, col))
     return out
+
+
+@register(
+    "feat_hashed_cross",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_custkey,
+             coalesce(c.c_mktsegment, '') AS seg,
+             coalesce(n.n_name, '') AS nat,
+             coalesce(c.c_mktsegment, '') || '|' ||
+               coalesce(n.n_name, '') AS crossed
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT c_custkey, seg, nat,
+           CAST(CAST('0x' || substr(md5(crossed), 1, 6) AS INTEGER) % 64
+                AS BIGINT) AS cross_bucket
+    FROM x
+    """,
+)
+def feat_hashed_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed feature cross (the wide-and-deep trick, Cheng et al
+    2016): the (market segment x nation) categorical pair hashed into
+    64 buckets — the standard way to feed pairwise interactions to a
+    linear tower without materializing the |A| x |B| vocabulary.
+    md5-prefix bucketing (the _hash_bucket / text_feat_hash
+    convention) keeps the assignment engine-portable and exactly
+    reproducible; NULL categories fold to '' so the cross is total.
+
+    100 TB shape: one broadcast dimension join (nation is tiny) + one
+    codegen projection — no shuffle beyond the join, no vocabulary
+    state anywhere (that absence is the hashing trick's point); the
+    bucket count is a config, collisions are the accepted trade."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit(""))
+    nat = F.coalesce(F.col("n_name"), F.lit(""))
+    crossed = F.concat(seg, F.lit("|"), nat)
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "c_custkey",
+            seg.alias("seg"),
+            nat.alias("nat"),
+            (
+                F.conv(F.substring(F.md5(crossed), 1, 6), 16, 10)
+                .cast("long")
+                % 64
+            ).alias("cross_bucket"),
+        )
+    )

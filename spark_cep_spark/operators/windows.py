@@ -1575,3 +1575,107 @@ def win_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_min").alias("n_pairs_min"),
         )
     )
+
+
+@register(
+    "win_decay_score",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts,
+             coalesce(event_id, 0) AS eid,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL AND value > 0 AND value <= 1e9
+    ),
+    mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS score,
+             CAST(NULL AS BIGINT) AS ptus,
+             CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS eid
+      FROM mx
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             -- halve the accumulated score for every FULL idle hour
+             -- (arithmetic shift == floor division by 2^k; shift
+             -- clamped at 63, where any BIGINT reaches 0)
+             e.cents + (w.score >> CAST(least(
+                 CASE WHEN w.ptus IS NULL THEN 63
+                      ELSE (e.tus - w.ptus) // 3600000000 END,
+                 63) AS INTEGER)),
+             e.tus, e.ts, e.eid
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, ts, eid AS event_id, score
+    FROM walk WHERE rn > 0
+    """,
+)
+def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed activity score over irregular events — the
+    fraud/recsys "recency-weighted engagement" feature: each positive
+    event adds its cents to a per-user score that HALVES for every
+    full hour of inactivity before it (score' = cents + score >>
+    floor_hours(gap), shift clamped at 63 where any int64 reaches 0).
+    Unlike win_ewma's row-weight smoothing this decay is TIME-aware
+    (ten events in a burst and ten spread over a week decay very
+    differently), and the integer halving keeps it EXACT — arithmetic
+    shift is floor division by 2^k on both engines, so the recurrence
+    is bit-identical with no float discipline needed at all (the
+    dyadic trick: a half-life decay whose factor is always a power of
+    two).
+
+    100 TB shape: the recurrence is prefix-dependent (no window frame
+    expresses it) — the win_ewma tier-(b) class: ONE (user) shuffle
+    into an O(rows-per-key) applyInPandas scan with O(1) integer
+    state; keys parallelize, Python ints never overflow."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("value") > 0)
+            & (F.col("value") <= 1e9)
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.coalesce("event_id", F.lit(0)).cast("long").alias("event_id"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", e.schema["user_id"].dataType),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        tus = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        score, ptus, out = 0, None, []
+        for t, c in zip(tus, pdf["cents"].tolist()):
+            dh = 63 if ptus is None else min((t - ptus) // 3_600_000_000, 63)
+            score = int(c) + (score >> dh)
+            out.append(score)
+            ptus = t
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "event_id": pdf["event_id"],
+                "score": out,
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(fn, schema)

@@ -163,8 +163,6 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_dataset_card",
     "emb_outlier",
     "set_except_all",
-    "set_intersect_all",
-    "sim_range_search",
     # NEW in round 9 (appends push the window's last staged keys back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_run_agg_measures",
@@ -176,6 +174,8 @@ DRIVER_PRIORITY: list[str] = [
     "cep_sql_run_agg_peak",
     "stream_dq_monitor",
     "stream_asof_ttl",
+    "feat_hashed_cross",
+    "win_decay_score",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -186,6 +186,8 @@ DRIVER_PRIORITY: list[str] = [
 # list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-9 window by round-9 keys
+    "set_intersect_all",
+    "sim_range_search",
     "agg_benford",
     "cep_sql_subset",
     "win_time_range",

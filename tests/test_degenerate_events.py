@@ -100,6 +100,7 @@ EVENTS_KEYS = [
     "cep_sql_run_agg_measures", "cep_sql_run_agg_exclusion",
     "cep_sql_run_agg_match_number", "cep_sql_run_agg_peak",
     "stream_asof_enrich", "stream_asof_ttl", "stream_dq_monitor",
+    "win_decay_score",
 ]
 
 
@@ -178,6 +179,7 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_run_agg_measures", "cep_sql_run_agg_exclusion",
     "cep_sql_run_agg_match_number", "cep_sql_run_agg_peak",
     "stream_asof_enrich", "stream_asof_ttl", "stream_dq_monitor",
+    "win_decay_score",
 ]
 
 

@@ -1296,3 +1296,67 @@ def test_kleene_agg_kernel_equals_reference(
     )
     want = _ref_kleene_agg(rows, W, bind, confirm, min_n, max_n, combine)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# feat_hashed_cross + win_decay_score
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_cross_properties(spark, sf_dir):
+    """Bucket is a pure function of the (seg, nat) pair: identical
+    pairs share a bucket, buckets stay in [0, 64), every customer
+    appears exactly once."""
+    out = QUERIES["feat_hashed_cross"](spark, sf_dir).collect()
+    assert len(out) == len({r.c_custkey for r in out})
+    by_pair = {}
+    for r in out:
+        assert 0 <= r.cross_bucket < 64
+        b = by_pair.setdefault((r.seg, r.nat), r.cross_bucket)
+        assert b == r.cross_bucket
+    assert len(by_pair) > 1  # the cross actually varies
+
+
+def test_decay_score_hand_fixture(spark):
+    """Hand-computed decay: burst rows keep the full score (gap < 1h
+    -> shift 0); a 2h idle gap halves twice; the first row of a key
+    starts fresh (shift 63 zeroes any carried value)."""
+    rows = [
+        (1, _m(0), 1, "view", 1.0),     # score 100
+        (2, _m(30), 1, "view", 2.0),    # gap 0h: 200 + 100 = 300
+        (3, _m(150), 1, "view", 1.0),   # gap 2h: 100 + (300 >> 2) = 175
+        (4, _m(0), 2, "view", 4.0),     # fresh key: 400
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    import os
+    import shutil as sh
+
+    src = "/root/testdata/sf0.001"
+    dst = "/tmp/decay_fixture"
+    sh.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f != "events.parquet":
+            os.symlink(os.path.join(src, f), os.path.join(dst, f))
+    base = spark.read.parquet(os.path.join(src, "events.parquet"))
+    full = df.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # align to the fixture's schema (extra cols NULL)
+    for c in base.columns:
+        if c not in full.columns:
+            full = full.withColumn(c, F.lit(None).cast(base.schema[c].dataType))
+    out = dst + "/_o"
+    full.select(*base.columns).coalesce(1).write.parquet(out)
+    p = next(x for x in os.listdir(out) if x.endswith(".parquet"))
+    sh.move(os.path.join(out, p), os.path.join(dst, "events.parquet"))
+    sh.rmtree(out)
+    got = sorted(
+        (r.user_id, r.event_id, r.score)
+        for r in QUERIES["win_decay_score"](spark, dst).collect()
+    )
+    assert got == [(1, 1, 100), (1, 2, 300), (1, 3, 175), (2, 4, 400)]

@@ -106,6 +106,9 @@ OPS = [
     "cep_sql_run_agg_match_number",
     "cep_sql_run_agg_peak",
     "stream_asof_enrich",
+    "stream_asof_ttl",
+    "stream_dq_monitor",
+    "win_decay_score",
 ]
 
 STREAM_NFA_SQL = """

@@ -72,6 +72,8 @@ OPS = [
     # round-9: the Deequ-style constraint suite (one fused aggregation
     # per table + one broadcast anti-join)
     "profile_expectations",
+    # round-9: hashed feature cross (broadcast dim join + projection)
+    "feat_hashed_cross",
 ]
 
 
