@@ -173,6 +173,9 @@ PYTHON_OK = {
     # counter (assign_match_numbers) — one integer of extra state
     "cep_sql_run_agg_peak",  # the MIN/MAX combine form — same kernel,
     # the accumulator update closure changes, nothing else
+    "win_decay_score",  # time-decayed integer recurrence (halve per
+    # idle hour) — prefix-dependent like win_ewma, no window frame
+    # expresses it; ONE (user) shuffle, O(1) integer state
     "rollup_lttb",  # LTTB's choose-per-bucket recurrence is genuinely
     # sequential per key (each kept point changes the next triangle) —
     # the documented tier-(b) applyInPandas integer kernel; one (user)
