@@ -47,12 +47,12 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
-keys absent from it follow in module-import order. Round 9 window =
-the first 50 of round-8's NEXT_ROTATION verbatim (stream_topk /
-cep_measures_running / emb_pca_power lead the never-driver-checked
-cohort; all exact-pass locally), with keys NEW in round 9 appended as
-they land — each append pushes the window's last staged key back to
-NEXT_ROTATION's front.
+keys absent from it follow in module-import order. Round 10 window =
+the first 50 of round-9's NEXT_ROTATION verbatim (set_intersect_all /
+sim_range_search / agg_benford / cep_sql_subset / win_time_range lead
+— the final never-driver-checked cohort; all exact-pass locally), with
+keys NEW in round 10 appended as they land — each append pushes the
+window's last staged key back to NEXT_ROTATION's front.
 """
 
 from __future__ import annotations
@@ -117,75 +117,15 @@ def load_all() -> None:
 
 # The first 50 keys the driver will check this round, in order. See the
 # module docstring ("DRIVER WINDOW") for the selection rationale.
-# Round 9 window = the first 50 of round-8's NEXT_ROTATION, verbatim
-# (stream_topk / cep_measures_running / emb_pca_power lead the
-# never-driver-checked cohort; every key exact-passes
-# tools/check_oracle.py locally). Keys NEW in round 9 are appended at
-# the end as they land (window holds 50; each append pushes the
-# window's last staged key back to NEXT_ROTATION's front).
+# Round 10 window = the first 50 of round-9's NEXT_ROTATION, verbatim
+# (set_intersect_all / sim_range_search / agg_benford / cep_sql_subset
+# / win_time_range lead — the last 5 never-driver-checked keys; once
+# this window lands, EVERY registered key has driver evidence). Keys
+# NEW in round 10 are appended at the end as they land (window holds
+# 50; each append pushes the window's last staged key back to
+# NEXT_ROTATION's front).
 DRIVER_PRIORITY: list[str] = [
-    "stream_topk",
-    "cep_measures_running",
-    "emb_pca_power",
-    "agg_path_string",
-    "corpus_ngram_novelty",
-    "cep_sql_multikey",
-    "cep_sql_string_key",
-    "cep_sql_all_rows",
-    "cep_sql_match_number",
-    "cep_sql_classifier",
-    "agg_psi",
-    "agg_ks",
-    "stream_drift_psi",
-    "pipeline_substring_dedup",
-    "join_star_q18",
-    "stream_session_dynamic",
-    "win_drawdown",
-    "rollup_retention_cohort",
-    "cep_sql_alternation",
-    "agg_cube",
-    "text_bm25_topk",
-    "sim_rrf_hybrid",
-    "win_cusum",
-    "text_perplexity_bigram",
-    "cep_trend_runs",
-    "cep_vshape",
-    "agg_gini",
-    "win_rolling_median",
-    "agg_entropy",
-    "pipeline_line_dedup",
-    "text_feat_hash",
-    "emb_covariance",
-    "sim_mmr_rerank",
-    "win_holt",
-    "scan_hive_partitioned",
-    "graph_jaccard_neighbors",
-    "pipeline_dataset_card",
-    "emb_outlier",
-    "set_except_all",
-    # NEW in round 9 (appends push the window's last staged keys back
-    # to NEXT_ROTATION's front — see the module docstring)
-    "cep_sql_run_agg_measures",
-    "cep_sql_run_agg_exclusion",
-    "pipeline_e2e",
-    "cep_sql_run_agg_match_number",
-    "stream_asof_enrich",
-    "profile_expectations",
-    "cep_sql_run_agg_peak",
-    "stream_dq_monitor",
-    "stream_asof_ttl",
-    "feat_hashed_cross",
-    "win_decay_score",
-]
-
-# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
-# never-driver-checked staging cohort first (all exact-pass locally),
-# then the displaced round-8 window (freshest driver evidence) at the
-# back. Keys NEW in round 9 that do not fit the round-9 window are
-# prepended as they land. The round-10 window = the FIRST 50 of this
-# list, verbatim.
-NEXT_ROTATION: list[str] = [
-    # displaced from the round-9 window by round-9 keys
+    # round-10 window = first 50 of round-9's NEXT_ROTATION, verbatim.
     "set_intersect_all",
     "sim_range_search",
     "agg_benford",
@@ -236,6 +176,15 @@ NEXT_ROTATION: list[str] = [
     "text_quality",
     "text_sentiment",
     "text_stats",
+]
+
+# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
+# staged re-confirmation cohort first, then the displaced round-9
+# window (freshest driver evidence) at the back. Keys NEW in round 10
+# that do not fit the round-10 window are prepended as they land. The
+# round-11 window = the FIRST 50 of this list, verbatim.
+NEXT_ROTATION: list[str] = [
+    # remainder of the staged re-confirmation cohort
     "text_tokens",
     "udaf_grouped",
     "udf_surface",
@@ -291,7 +240,6 @@ NEXT_ROTATION: list[str] = [
     "emb_mrl_eval",
     "layout_compaction",
     "cep_sql_run_count",
-    # displaced round-8 window (freshest driver evidence — r08 green)
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
@@ -342,6 +290,57 @@ NEXT_ROTATION: list[str] = [
     "stream_log2_quantile",
     "rollup_ohlc_multi",
     "profile_skew",
+    # displaced round-9 window (freshest driver evidence — r09 green)
+    "stream_topk",
+    "cep_measures_running",
+    "emb_pca_power",
+    "agg_path_string",
+    "corpus_ngram_novelty",
+    "cep_sql_multikey",
+    "cep_sql_string_key",
+    "cep_sql_all_rows",
+    "cep_sql_match_number",
+    "cep_sql_classifier",
+    "agg_psi",
+    "agg_ks",
+    "stream_drift_psi",
+    "pipeline_substring_dedup",
+    "join_star_q18",
+    "stream_session_dynamic",
+    "win_drawdown",
+    "rollup_retention_cohort",
+    "cep_sql_alternation",
+    "agg_cube",
+    "text_bm25_topk",
+    "sim_rrf_hybrid",
+    "win_cusum",
+    "text_perplexity_bigram",
+    "cep_trend_runs",
+    "cep_vshape",
+    "agg_gini",
+    "win_rolling_median",
+    "agg_entropy",
+    "pipeline_line_dedup",
+    "text_feat_hash",
+    "emb_covariance",
+    "sim_mmr_rerank",
+    "win_holt",
+    "scan_hive_partitioned",
+    "graph_jaccard_neighbors",
+    "pipeline_dataset_card",
+    "emb_outlier",
+    "set_except_all",
+    "cep_sql_run_agg_measures",
+    "cep_sql_run_agg_exclusion",
+    "pipeline_e2e",
+    "cep_sql_run_agg_match_number",
+    "stream_asof_enrich",
+    "profile_expectations",
+    "cep_sql_run_agg_peak",
+    "stream_dq_monitor",
+    "stream_asof_ttl",
+    "feat_hashed_cross",
+    "win_decay_score",
 ]
 
 
