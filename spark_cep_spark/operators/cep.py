@@ -1672,6 +1672,100 @@ def rows_per_match_running(
     ).select(key_col, anchor_col, "_e.*")
 
 
+def universal_run_exprs(
+    steps: list[str], specs: list[tuple]
+) -> list[tuple[str, list]]:
+    """Per-spec, per-position Column expressions for the SQL-text
+    universal-set aggregate MEASURES (`RUNNING/FINAL SUM(col)`,
+    `COUNT(col)`, `COUNT(*)`, `AVG(col)` — the column UNQUALIFIED, so
+    the aggregate ranges over ALL bound rows of the match, the
+    standard's universal row-pattern variable). Position i carries the
+    aggregate over rows 1..i (RUNNING) or 1..n (FINAL). Inputs are the
+    hidden per-step carries ``__arm_<col>__<step>`` that
+    parse_pattern_sql registers as measures; arithmetic is a plain
+    left-fold in declared step order — the oracle spells the identical
+    coalesce-fold, so double sums agree bit-for-bit (same IEEE ops,
+    same order). SQL NULL semantics: SUM/AVG over zero non-NULL values
+    so far is NULL (a when-guard on the running non-NULL count), COUNT
+    skips NULLs, COUNT(*) counts bound rows.
+
+    specs: (alias, prefix 'RUNNING'|'FINAL', agg, col|None)."""
+    n = len(steps)
+    out: list[tuple[str, list]] = []
+    for alias, prefix, agg, col in specs:
+        if agg == "count_star":
+            run = [F.lit(i).cast("long") for i in range(1, n + 1)]
+        else:
+            vals = [F.col(f"__arm_{col}__{s}") for s in steps]
+            cnts: list = []
+            sums: list = []
+            c_acc = None
+            s_acc = None
+            for x in vals:
+                c1 = (
+                    F.when(x.isNotNull(), F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                )
+                c_acc = c1 if c_acc is None else c_acc + c1
+                s1 = F.coalesce(x, F.lit(0))
+                s_acc = s1 if s_acc is None else s_acc + s1
+                cnts.append(c_acc)
+                sums.append(s_acc)
+            if agg == "count":
+                run = cnts
+            elif agg == "sum":
+                run = [
+                    F.when(c > 0, s) for c, s in zip(cnts, sums)
+                ]
+            else:  # avg — one double division, same operands both engines
+                run = [
+                    F.when(c > 0, s.cast("double") / c)
+                    for c, s in zip(cnts, sums)
+                ]
+        if prefix == "FINAL":
+            run = [run[-1]] * n
+        out.append((alias, run))
+    return out
+
+
+def rows_per_match_measures(
+    matches: DataFrame,
+    steps: list[str],
+    specs: list[tuple],
+    key_col: str = "key",
+    anchor_col: str = "anchor_id",
+    carry: tuple = (),
+) -> DataFrame:
+    """ALL ROWS PER MATCH with universal-set RUNNING/FINAL aggregate
+    MEASURES (the SQL-text dialect's `MEASURES RUNNING SUM(col) AS a,
+    FINAL SUM(col) AS b` spelling on a fixed chain). Generalizes
+    rows_per_match_running: any bare column, SUM/COUNT/COUNT(*)/AVG,
+    per-measure RUNNING or FINAL semantics — same design, the prefix
+    arithmetic happens INSIDE the array-of-structs before the explode
+    (plain column arithmetic, no window, no extra shuffle) so it
+    composes on STREAMING match output unchanged. `{- step -}`
+    exclusion filters AFTER this unpivot, so running values on the
+    kept rows still count excluded rows (standard semantics: exclusion
+    affects output rows only, not aggregation)."""
+    alias_runs = universal_run_exprs(steps, specs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("seq_no"),
+                F.lit(s).alias("step"),
+                F.col(f"t_{s}").alias("ts"),
+                F.col(f"id_{s}").alias("event_id"),
+                *[run[i - 1].alias(a) for a, run in alias_runs],
+            )
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return matches.select(
+        key_col, anchor_col, *carry, F.explode(entries).alias("_e")
+    ).select(key_col, anchor_col, *carry, "_e.*")
+
+
 @register(
     "cep_measures_running",
     oracle="""

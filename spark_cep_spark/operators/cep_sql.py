@@ -265,6 +265,16 @@ class ParsedPatternQuery:
     # (post-compile equality filter against the per-key max timestamp)
     anchor_start: bool = False
     anchor_end: bool = False
+    # universal-set aggregate MEASURES parsed from the SQL text:
+    # (alias, 'RUNNING'|'FINAL', 'sum'|'count'|'count_star'|'avg',
+    # col|None) — the column UNQUALIFIED, so the aggregate ranges over
+    # ALL bound rows of the match (the standard's universal row
+    # pattern variable). Values ride the match as hidden
+    # __arm_<col>__<step> measure carries; under ALL ROWS PER MATCH
+    # each output row carries the as-of-that-row (RUNNING) or
+    # whole-match (FINAL) value (rows_per_match_measures), under ONE
+    # ROW PER MATCH the two coincide on the single output row.
+    universal_measures: tuple = ()
     # non-None iff a Kleene (+) step carries a running-aggregate
     # DEFINE conjunct (RunAggSpec): (anchor_step, kleene_step, spec).
     # match_recognize then compiles via the advance_kleene_agg kernel
@@ -1036,6 +1046,9 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
     match_number_alias: str | None = None
     classifier_alias: str | None = None
     measure_prefixes: dict[str, str] = {}
+    # (alias, prefix, agg, col|None) universal-set aggregates — see
+    # ParsedPatternQuery.universal_measures
+    universal_specs: list[tuple] = []
     if "MEASURES" in clauses:
         for item in _split_top_level_commas(clauses["MEASURES"]):
             m = re.match(r"^(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.I | re.S)
@@ -1044,13 +1057,18 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     f"malformed MEASURES entry: {item!r} (want expr AS alias)"
                 )
             expr, alias = m.group(1).strip(), m.group(2)
-            # A FINAL/RUNNING semantics prefix (SQL standard) is only
-            # meaningful on the run-agg path — peel it off before the
-            # generic measure validator (which reads column refs) and
-            # remember it; the run-agg section maps it to a kind.
+            # A FINAL/RUNNING semantics prefix (SQL standard): peel it
+            # off before the generic measure validator (which reads
+            # column refs) and remember it. The run-agg section maps
+            # it to a kind; the classic path serves it on universal
+            # aggregates (below), and on step-qualified ONE-ROW
+            # measures it peels to a no-op (the output row is the
+            # match's last, where RUNNING == FINAL).
             pm = re.match(r"^(FINAL|RUNNING)\s+(.+)$", expr, re.I | re.S)
-            if pm and run_agg_info is not None:
-                measure_prefixes[alias] = pm.group(1).upper()
+            prefix: str | None = None
+            if pm:
+                prefix = pm.group(1).upper()
+                measure_prefixes[alias] = prefix
                 expr = pm.group(2).strip()
             if run_agg_info is not None:
                 # COUNT(B.*) (standard): the generic validator only
@@ -1075,8 +1093,77 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     raise ValueError("CLASSIFIER() listed twice")
                 classifier_alias = alias
                 continue
+            if run_agg_info is None:
+                # universal-set aggregate: agg over an UNQUALIFIED
+                # column (or *) ranges over ALL bound rows of the
+                # match — the RUNNING/FINAL surface on the classic
+                # (non-run-agg) path
+                mu = re.fullmatch(
+                    r"(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*"
+                    r"(\*|[A-Za-z_]\w*)\s*\)",
+                    expr,
+                    re.I,
+                )
+                if mu:
+                    agg, col = mu.group(1).upper(), mu.group(2)
+                    if alias.startswith("__arm_"):
+                        raise ValueError(
+                            f"measure alias {alias!r}: the __arm_ "
+                            "prefix is reserved for the universal-"
+                            "aggregate value carries"
+                        )
+                    if col == "*":
+                        if agg != "COUNT":
+                            raise ValueError(
+                                f"measure {alias!r}: {agg}(*) — only "
+                                "COUNT takes the * form"
+                            )
+                        universal_specs.append(
+                            (alias, prefix or "RUNNING", "count_star", None)
+                        )
+                        continue
+                    if agg in ("MIN", "MAX"):
+                        raise ValueError(
+                            f"measure {alias!r}: {agg} over the "
+                            "universal row set is not supported (a "
+                            "NULL-skipping MIN/MAX fold has no shared "
+                            "exact spelling across engines); "
+                            "supported: SUM(col), COUNT(col), "
+                            "COUNT(*), AVG(col)"
+                        )
+                    universal_specs.append(
+                        (alias, prefix or "RUNNING", agg.lower(), col)
+                    )
+                    continue
             pattern.measure(alias, expr)
 
+    if universal_specs:
+        aliases = [a for a, *_ in universal_specs]
+        if len(set(aliases)) != len(aliases):
+            dup = sorted({a for a in aliases if aliases.count(a) > 1})
+            raise ValueError(f"MEASURES alias listed twice: {dup}")
+        reserved = {"key", "anchor_id", "seq_no", "step", "ts", "event_id"}
+        for s in pattern.steps:
+            reserved |= {f"t_{s.name}", f"id_{s.name}"}
+        bad = sorted(set(aliases) & reserved)
+        if bad:
+            raise ValueError(
+                f"measure alias(es) {bad} collide with output columns"
+            )
+        pos_steps = [s for s in pattern.steps if s.contiguity != "absent"]
+        if any(s.contiguity == "kleene" for s in pos_steps):
+            raise ValueError(
+                "a universal-set aggregate MEASURE (SUM/COUNT/AVG over "
+                "an unqualified column) requires a fixed chain — "
+                "aggregate a one_or_more run as agg(<step>.<col>) "
+                "instead"
+            )
+        # ride each referenced column through the match as one hidden
+        # measure per (col, step) — the compile target
+        # (rows_per_match_measures / the ONE-ROW fold) reads them back
+        for c in sorted({c for _a, _p, _g, c in universal_specs if c}):
+            for s in pos_steps:
+                pattern.measure(f"__arm_{c}__{s.name}", f"{s.name}.{c}")
     pattern.within(clauses["WITHIN"])
     pattern.corr_plan()  # surface correlation/measure errors at parse time
     key_raw = clauses.get("PARTITION BY", "user_id").strip() or "user_id"
@@ -1156,13 +1243,22 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         # 9): the kleene-agg kernel's emit_rows face carries the
         # per-row RUNNING state, so FINAL/RUNNING MEASURES and a
         # one_or_more step compose there — see the run_agg branch.
-        if pattern.measures:
+        # Universal-set aggregates (RUNNING/FINAL SUM/COUNT/AVG over
+        # an unqualified column, round 10) compose HERE too, via
+        # rows_per_match_measures — only step-QUALIFIED measures
+        # remain whole-match-only.
+        user_step_measures = [
+            a for a, _e in pattern.measures if not a.startswith("__arm_")
+        ]
+        if user_step_measures:
             raise ValueError(
-                "MEASURES is not supported with ALL ROWS PER MATCH in "
-                "the dialect beyond CLASSIFIER()/MATCH_NUMBER() (a "
-                "measure is a whole-match value; for per-row "
-                "RUNNING/FINAL semantics compose "
-                "rows_per_match_running on the ONE ROW output)"
+                "step-qualified MEASURES are not supported with ALL "
+                "ROWS PER MATCH in the dialect beyond CLASSIFIER()/"
+                "MATCH_NUMBER() (a step-qualified measure is a "
+                "whole-match value; universal-set aggregates — "
+                "RUNNING/FINAL SUM(col)/COUNT(col)/COUNT(*)/AVG(col) "
+                "with the column unqualified — evaluate per row, or "
+                "compose rows_per_match_running on the ONE ROW output)"
             )
         for s in pattern.steps:
             if s.contiguity == "kleene":
@@ -1393,6 +1489,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         excluded=tuple(sorted(excluded)),
         anchor_start=anchor_start,
         anchor_end=anchor_end,
+        universal_measures=tuple(universal_specs),
         run_agg=run_agg,
     )
 
@@ -2254,6 +2351,58 @@ def _rewrite_run_agg_bounds(text: str):
     return new_text, min_n, max_n
 
 
+def _unpivot_all_rows(out: DataFrame, parsed: ParsedPatternQuery) -> DataFrame:
+    """Shared batch/streaming ALL ROWS PER MATCH tail: unpivot each
+    match to one row per bound event (plus universal-aggregate measure
+    columns when declared), then apply {- step -} exclusion and the
+    CLASSIFIER() rename. Exclusion filters AFTER the unpivot, so
+    RUNNING values on kept rows still count excluded rows (standard:
+    exclusion affects output rows only, not aggregation)."""
+    from spark_cep_spark.operators.cep import (
+        rows_per_match,
+        rows_per_match_measures,
+    )
+
+    steps = [
+        s.name for s in parsed.pattern.steps if s.contiguity != "absent"
+    ]
+    carry = (
+        (parsed.match_number_alias,) if parsed.match_number_alias else ()
+    )
+    if parsed.universal_measures:
+        out = rows_per_match_measures(
+            out, steps, list(parsed.universal_measures), carry=carry
+        )
+    else:
+        out = rows_per_match(out, steps, carry=carry)
+    if parsed.excluded:
+        out = out.filter(~F.col("step").isin(*parsed.excluded))
+    if parsed.classifier_alias:
+        out = out.withColumnRenamed("step", parsed.classifier_alias)
+    return out
+
+
+def _fold_universal_one_row(
+    out: DataFrame, parsed: ParsedPatternQuery
+) -> DataFrame:
+    """ONE ROW PER MATCH face of the universal-set aggregate MEASURES:
+    the single output row is the match's LAST row, where RUNNING ==
+    FINAL, so every spec folds to the whole-match value — computed
+    from the hidden __arm_ carries (then dropped) with the SAME
+    left-fold arithmetic as the ALL-ROWS face, so the two modes and
+    both engines agree bit-for-bit."""
+    from spark_cep_spark.operators.cep import universal_run_exprs
+
+    steps = [
+        s.name for s in parsed.pattern.steps if s.contiguity != "absent"
+    ]
+    for alias, run in universal_run_exprs(
+        steps, list(parsed.universal_measures)
+    ):
+        out = out.withColumn(alias, run[-1])
+    return out.drop(*[c for c in out.columns if c.startswith("__arm_")])
+
+
 def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     """Run a SQL-text CEP query against a batch OR streaming DataFrame.
 
@@ -2355,6 +2504,18 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "quantifier/group/PERMUTE expansion (each variant "
                 "would number its matches independently)"
             )
+        if re.search(
+            r"\b(?:SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?:\*|[A-Za-z_]\w*)\s*\)",
+            _mask_literals(cl.get("MEASURES", "")),
+            re.I,
+        ):
+            raise ValueError(
+                "universal-set aggregate MEASURES (SUM/COUNT/AVG over "
+                "an unqualified column) are not supported with "
+                "quantifier/group/PERMUTE expansion (variants bind "
+                "different step sets, so the per-row fold has no "
+                "single spelling)"
+            )
     if grp is not None:
         if len(grp) == 1:
             # exact {n}: one flat chain — recurse so any remaining
@@ -2448,27 +2609,9 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
                 "match_no", parsed.match_number_alias
             )
         if parsed.all_rows:
-            from spark_cep_spark.operators.cep import rows_per_match
-
-            out = rows_per_match(
-                out,
-                [
-                    s.name
-                    for s in parsed.pattern.steps
-                    if s.contiguity != "absent"
-                ],
-                carry=(
-                    (parsed.match_number_alias,)
-                    if parsed.match_number_alias
-                    else ()
-                ),
-            )
-            if parsed.excluded:
-                out = out.filter(~F.col("step").isin(*parsed.excluded))
-            if parsed.classifier_alias:
-                out = out.withColumnRenamed(
-                    "step", parsed.classifier_alias
-                )
+            out = _unpivot_all_rows(out, parsed)
+        elif parsed.universal_measures:
+            out = _fold_universal_one_row(out, parsed)
         return _flatten_key(out)
     if parsed.nav:
         # pre-project the lag/lead columns the rewritten predicates
@@ -2579,25 +2722,9 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
             F.row_number().over(wmn).cast("long"),
         )
     if parsed.all_rows:
-        from spark_cep_spark.operators.cep import rows_per_match
-
-        out = rows_per_match(
-            out,
-            [
-                s.name
-                for s in parsed.pattern.steps
-                if s.contiguity != "absent"
-            ],
-            carry=(
-                (parsed.match_number_alias,)
-                if parsed.match_number_alias
-                else ()
-            ),
-        )
-        if parsed.excluded:
-            out = out.filter(~F.col("step").isin(*parsed.excluded))
-        if parsed.classifier_alias:
-            out = out.withColumnRenamed("step", parsed.classifier_alias)
+        out = _unpivot_all_rows(out, parsed)
+    elif parsed.universal_measures:
+        out = _fold_universal_one_row(out, parsed)
     return _flatten_key(out)
 
 
@@ -3560,6 +3687,103 @@ def cep_sql_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITHIN 3 HOURS
         DEFINE v AS event_type = 'view',
                c AS event_type = 'click'
+        ALL ROWS PER MATCH
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+@register(
+    "cep_sql_final_running",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view,
+                  v.value AS v1,
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id, 'val': c.value})
+                    AS mc
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts, v.value),
+         s3 AS (
+           SELECT s2.user_id, s2.event_id, s2.t_view, s2.v1, s2.mc,
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id, 'val': p.value})
+                    AS mp
+           FROM s2 JOIN p ON p.user_id = s2.user_id
+                         AND p.ts > s2.mc.ts
+                         AND p.ts <= s2.t_view + INTERVAL 6 HOUR
+           GROUP BY s2.user_id, s2.event_id, s2.t_view, s2.v1, s2.mc),
+         r AS (
+           SELECT user_id, event_id AS anchor_id, t_view, mc, mp,
+                  v1, mc.val AS v2, mp.val AS v3,
+                  CAST(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS c1,
+                  CAST(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                    + CAST(CASE WHEN mc.val IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS c2,
+                  CAST(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                    + CAST(CASE WHEN mc.val IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                    + CAST(CASE WHEN mp.val IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS c3,
+                  coalesce(v1, 0) AS s1,
+                  coalesce(v1, 0) + coalesce(mc.val, 0) AS s2,
+                  coalesce(v1, 0) + coalesce(mc.val, 0) + coalesce(mp.val, 0) AS s3
+           FROM s3)
+    SELECT user_id AS key, anchor_id, CAST(1 AS BIGINT) AS seq_no,
+           'v' AS step, t_view AS ts, anchor_id AS event_id,
+           CASE WHEN c1 > 0 THEN s1 END AS run_sum,
+           CASE WHEN c3 > 0 THEN s3 END AS fin_sum,
+           c1 AS n_so_far,
+           CAST(3 AS BIGINT) AS n_rows,
+           CASE WHEN c1 > 0 THEN s1 / c1 END AS avg_so_far
+    FROM r
+    UNION ALL
+    SELECT user_id, anchor_id, CAST(2 AS BIGINT), 'c', mc.ts, mc.id,
+           CASE WHEN c2 > 0 THEN s2 END,
+           CASE WHEN c3 > 0 THEN s3 END,
+           c2, CAST(3 AS BIGINT),
+           CASE WHEN c2 > 0 THEN s2 / c2 END
+    FROM r
+    UNION ALL
+    SELECT user_id, anchor_id, CAST(3 AS BIGINT), 'p', mp.ts, mp.id,
+           CASE WHEN c3 > 0 THEN s3 END,
+           CASE WHEN c3 > 0 THEN s3 END,
+           c3, CAST(3 AS BIGINT),
+           CASE WHEN c3 > 0 THEN s3 / c3 END
+    FROM r
+    """,
+)
+def cep_sql_final_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINAL/RUNNING MEASURES prefixes on the CLASSIC (non-run-agg)
+    ALL ROWS PER MATCH path as SQL TEXT (round 10 — previously only
+    the rows_per_match_running helper face / the run-agg kernel):
+    universal-set aggregates SUM/COUNT/COUNT(*)/AVG over an
+    UNQUALIFIED column range over all bound rows of the match,
+    RUNNING (the ALL-ROWS default) as of each output row, FINAL over
+    the whole match. Compiles to hidden per-step value carries + the
+    rows_per_match_measures unpivot — the prefix arithmetic is a
+    left-fold INSIDE the array-of-structs (no window, no extra
+    shuffle, streams unchanged); the oracle spells the identical
+    coalesce-fold so double sums agree bit-for-bit. SQL NULL
+    semantics: SUM/AVG over zero non-NULL values so far is NULL,
+    COUNT skips NULLs, COUNT(*) counts bound rows."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( v -> c -> p )
+        WITHIN 6 HOURS
+        DEFINE v AS event_type = 'view',
+               c AS event_type = 'click',
+               p AS event_type = 'purchase'
+        MEASURES RUNNING SUM(value) AS run_sum,
+                 FINAL SUM(value) AS fin_sum,
+                 RUNNING COUNT(value) AS n_so_far,
+                 FINAL COUNT(*) AS n_rows,
+                 RUNNING AVG(value) AS avg_so_far
         ALL ROWS PER MATCH
         PARTITION BY user_id
         ORDER BY ts

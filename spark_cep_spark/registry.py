@@ -175,7 +175,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_lang_id",
     "text_quality",
     "text_sentiment",
-    "text_stats",
+    # NEW in round 10 (appends push the window's last staged keys back
+    # to NEXT_ROTATION's front — see the module docstring)
+    "cep_sql_final_running",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -184,6 +186,8 @@ DRIVER_PRIORITY: list[str] = [
 # that do not fit the round-10 window are prepended as they land. The
 # round-11 window = the FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
+    # displaced from the round-10 window by round-10 keys
+    "text_stats",
     # remainder of the staged re-confirmation cohort
     "text_tokens",
     "udaf_grouped",

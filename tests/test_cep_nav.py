@@ -505,7 +505,9 @@ def test_all_rows_clause_stream_equals_batch(spark):
 
 def test_all_rows_clause_rejections(spark):
     df = spark.createDataFrame([(0, T0, 1, "view", 1.0, "{}")], SCHEMA)
-    with pytest.raises(ValueError, match="MEASURES is not supported"):
+    # narrowed in round 10: universal-set aggregates now compose with
+    # ALL ROWS PER MATCH; only step-QUALIFIED measures stay rejected
+    with pytest.raises(ValueError, match="step-qualified MEASURES"):
         match_recognize(
             df,
             """

@@ -101,6 +101,8 @@ EVENTS_KEYS = [
     "cep_sql_run_agg_match_number", "cep_sql_run_agg_peak",
     "stream_asof_enrich", "stream_asof_ttl", "stream_dq_monitor",
     "win_decay_score",
+    # round-10
+    "cep_sql_final_running",
 ]
 
 
@@ -180,6 +182,8 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_run_agg_match_number", "cep_sql_run_agg_peak",
     "stream_asof_enrich", "stream_asof_ttl", "stream_dq_monitor",
     "win_decay_score",
+    # round-10
+    "cep_sql_final_running",
 ]
 
 

@@ -1,0 +1,288 @@
+"""Round-10 operators: FINAL/RUNNING MEASURES on the CLASSIC
+(non-run-agg) SQL-text path — universal-set aggregates
+(SUM/COUNT/COUNT(*)/AVG over an UNQUALIFIED column) range over all
+bound rows of the match, RUNNING as of each ALL-ROWS output row,
+FINAL over the whole match, and fold to the whole-match value in ONE
+ROW mode. Compiles to hidden per-step carries + the
+rows_per_match_measures unpivot (prefix arithmetic inside the
+array-of-structs — no window, no extra shuffle, streams unchanged)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import time
+
+import pytest
+
+from spark_cep_spark.operators.cep_sql import (
+    match_recognize,
+    parse_pattern_sql,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+FR_SQL = """
+PATTERN ( v -> c -> p )
+WITHIN 1 HOUR
+DEFINE v AS event_type = 'view',
+       c AS event_type = 'click',
+       p AS event_type = 'purchase'
+MEASURES RUNNING SUM(value) AS run_sum,
+         FINAL SUM(value) AS fin_sum,
+         RUNNING COUNT(value) AS n_so_far,
+         FINAL COUNT(*) AS n_rows,
+         RUNNING AVG(value) AS avg_so_far
+ALL ROWS PER MATCH
+PARTITION BY user_id
+ORDER BY ts
+"""
+
+# u1: full funnel with a NULL mid-value; u2: NULL anchor value (the
+# SUM/AVG-over-zero-non-NULL edge on row 1); u3: no match (no purchase)
+ROWS = [
+    (0, 0, 1, "view", 10.0),
+    (1, 5, 1, "click", None),
+    (2, 9, 1, "purchase", 2.5),
+    (3, 0, 2, "view", None),
+    (4, 3, 2, "click", 7.0),
+    (5, 8, 2, "purchase", 1.0),
+    (6, 0, 3, "view", 4.0),
+    (7, 5, 3, "click", 3.0),
+]
+
+
+def _fixture(spark):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, m, u, t, v in ROWS
+    ]
+    return spark.createDataFrame(data, SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Parse-level contract
+
+
+def test_parse_extracts_universal_specs():
+    parsed = parse_pattern_sql(FR_SQL)
+    assert parsed.universal_measures == (
+        ("run_sum", "RUNNING", "sum", "value"),
+        ("fin_sum", "FINAL", "sum", "value"),
+        ("n_so_far", "RUNNING", "count", "value"),
+        ("n_rows", "FINAL", "count_star", None),
+        ("avg_so_far", "RUNNING", "avg", "value"),
+    )
+    # one hidden carry per (col, step); no user step-measures
+    assert [a for a, _e in parsed.pattern.measures] == [
+        "__arm_value__v",
+        "__arm_value__c",
+        "__arm_value__p",
+    ]
+
+
+def test_bare_universal_agg_defaults_to_running():
+    parsed = parse_pattern_sql(
+        FR_SQL.replace("RUNNING SUM(value)", "SUM(value)")
+    )
+    assert parsed.universal_measures[0] == ("run_sum", "RUNNING", "sum", "value")
+
+
+def test_min_max_universal_rejected():
+    with pytest.raises(ValueError, match="MIN over the universal"):
+        parse_pattern_sql(FR_SQL.replace("RUNNING SUM(value)", "MIN(value)"))
+
+
+def test_sum_star_rejected():
+    with pytest.raises(ValueError, match=r"only\s+COUNT takes the \* form"):
+        parse_pattern_sql(FR_SQL.replace("FINAL COUNT(*)", "FINAL SUM(*)"))
+
+
+def test_step_qualified_measure_still_rejected_in_all_rows():
+    with pytest.raises(ValueError, match="step-qualified MEASURES"):
+        parse_pattern_sql(
+            FR_SQL.replace("RUNNING SUM(value)", "v.value")
+        )
+
+
+def test_step_qualified_prefix_is_noop_in_one_row(spark):
+    # FINAL <step>.<col> in ONE ROW mode: the output row is the
+    # match's last, where RUNNING == FINAL — both prefixes peel
+    out = match_recognize(
+        _fixture(spark),
+        """
+        PATTERN ( v -> c )
+        WITHIN 1 HOUR
+        DEFINE v AS event_type = 'view',
+               c AS event_type = 'click'
+        MEASURES FINAL v.value AS vv, RUNNING c.value AS cv
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    got = {(r["key"], r["anchor_id"]): (r["vv"], r["cv"]) for r in out.collect()}
+    assert got[(1, 0)] == (10.0, None)
+    assert got[(2, 3)] == (None, 7.0)
+
+
+def test_universal_with_kleene_rejected():
+    with pytest.raises(ValueError, match="fixed chain"):
+        parse_pattern_sql(
+            """
+            PATTERN ( v -> c+ )
+            WITHIN 1 HOUR
+            DEFINE v AS event_type = 'view',
+                   c AS event_type = 'click'
+            MEASURES FINAL COUNT(*) AS n
+            PARTITION BY user_id
+            ORDER BY ts
+            """
+        )
+
+
+def test_universal_with_expansion_rejected(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError, match="not supported with"):
+        match_recognize(
+            df,
+            """
+            PATTERN ( v -> c? )
+            WITHIN 1 HOUR
+            DEFINE v AS event_type = 'view',
+                   c AS event_type = 'click'
+            MEASURES FINAL COUNT(*) AS n
+            PARTITION BY user_id
+            ORDER BY ts
+            """,
+        )
+
+
+def test_alias_collision_and_reserved_prefix_rejected():
+    with pytest.raises(ValueError, match="listed twice"):
+        parse_pattern_sql(
+            FR_SQL.replace("AS fin_sum", "AS run_sum")
+        )
+    with pytest.raises(ValueError, match="collide with output"):
+        parse_pattern_sql(FR_SQL.replace("AS run_sum", "AS seq_no"))
+    with pytest.raises(ValueError, match="reserved"):
+        parse_pattern_sql(FR_SQL.replace("AS run_sum", "AS __arm_x"))
+
+
+# ---------------------------------------------------------------------------
+# Batch semantics
+
+
+def test_batch_running_final_null_semantics(spark):
+    rows = match_recognize(_fixture(spark), FR_SQL).collect()
+    got = {
+        (r["key"], r["seq_no"]): (
+            r["run_sum"], r["fin_sum"], r["n_so_far"], r["n_rows"],
+            r["avg_so_far"],
+        )
+        for r in rows
+    }
+    assert len(rows) == 6  # u1 + u2, 3 rows each; u3 no match
+    # u1: 10.0, NULL, 2.5
+    assert got[(1, 1)] == (10.0, 12.5, 1, 3, 10.0)
+    assert got[(1, 2)] == (10.0, 12.5, 1, 3, 10.0)  # NULL click skipped
+    assert got[(1, 3)] == (12.5, 12.5, 2, 3, 6.25)
+    # u2: NULL anchor — SUM/AVG over zero non-NULLs is NULL, COUNT 0
+    assert got[(2, 1)] == (None, 8.0, 0, 3, None)
+    assert got[(2, 2)] == (7.0, 8.0, 1, 3, 7.0)
+    assert got[(2, 3)] == (8.0, 8.0, 2, 3, 4.0)
+
+
+def test_one_row_fold_equals_last_all_rows_row(spark):
+    all_rows = match_recognize(_fixture(spark), FR_SQL)
+    one_row = match_recognize(
+        _fixture(spark), FR_SQL.replace("ALL ROWS PER MATCH", "")
+    )
+    cols = ["run_sum", "fin_sum", "n_so_far", "n_rows", "avg_so_far"]
+    last = {
+        (r["key"], r["anchor_id"]): tuple(r[c] for c in cols)
+        for r in all_rows.filter("seq_no = 3").collect()
+    }
+    fold = {
+        (r["key"], r["anchor_id"]): tuple(r[c] for c in cols)
+        for r in one_row.collect()
+    }
+    assert fold == last and len(fold) == 2
+    # hidden carries are dropped from the ONE ROW output
+    assert not [c for c in one_row.columns if c.startswith("__arm_")]
+
+
+def test_exclusion_keeps_running_over_excluded_rows(spark):
+    out = match_recognize(
+        _fixture(spark),
+        FR_SQL.replace("( v -> c -> p )", "( v -> {- c -} -> p )"),
+    ).collect()
+    by = {(r["key"], r["seq_no"]): r for r in out}
+    # click rows omitted from the OUTPUT, but the purchase row's
+    # RUNNING values still count the excluded click (standard)
+    assert {(k, s) for k, s in by} == {(1, 1), (1, 3), (2, 1), (2, 3)}
+    assert by[(2, 3)]["run_sum"] == 8.0 and by[(2, 3)]["n_so_far"] == 2
+
+
+def test_universal_composes_with_match_number_and_classifier(spark):
+    out = match_recognize(
+        _fixture(spark),
+        FR_SQL.replace(
+            "RUNNING AVG(value) AS avg_so_far",
+            "RUNNING AVG(value) AS avg_so_far, MATCH_NUMBER() AS mn, "
+            "CLASSIFIER() AS cls",
+        ),
+    ).collect()
+    assert {r["cls"] for r in out} == {"v", "c", "p"}
+    assert all(r["mn"] == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming == batch (multi-micro-batch availableNow)
+
+
+def test_stream_final_running_equals_batch(spark):
+    rows = ROWS + [
+        # u1's second funnel lands in a later file
+        (10, 200, 1, "view", 4.0),
+        (11, 205, 1, "click", 3.0),
+        (12, 209, 1, "purchase", 2.0),
+    ]
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, m, u, t, v in rows
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    chunks = [data[:5], data[5:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "view", 1.0, "{}")]
+        for j, mm in enumerate((500, 1000))
+    ]
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_recognize(sdf, FR_SQL, watermark="0 seconds"), "append"
+    )
+    g = sorted(tuple(r) for r in got.filter("key <> 9").collect())
+    w = sorted(
+        tuple(r)
+        for r in match_recognize(df, FR_SQL)
+        .filter("key <> 9")
+        .select(*got.columns)
+        .collect()
+    )
+    assert g == w and len(g) == 9

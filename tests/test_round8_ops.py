@@ -126,6 +126,9 @@ TIE_KEYS = [
     "cep_sql_prev",
     "cep_sql_match_number",
     "cep_sql_classifier",
+    # round-10: universal RUNNING/FINAL measures ride the same
+    # struct-min bindings — tie flips change run_sum/avg values
+    "cep_sql_final_running",
     # (cep_sql_run_agg_times is NOT here: the 900.x tie value busts
     # its sum cap at n=1 < min, so it emits nothing on this fixture —
     # vacuous; the same compile path's tie discipline is exercised by

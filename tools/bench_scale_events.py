@@ -56,6 +56,8 @@ OPS = [
     # RUNNING/FINAL unpivot, heavy hitters, path agg, windowed top-k
     "cep_sql_prev",
     "cep_measures_running",
+    # round-10: classic ALL ROWS + universal RUNNING/FINAL measures
+    "cep_sql_final_running",
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
