@@ -275,6 +275,12 @@ class ParsedPatternQuery:
     # whole-match (FINAL) value (rows_per_match_measures), under ONE
     # ROW PER MATCH the two coincide on the single output row.
     universal_measures: tuple = ()
+    # {n,m} bounds the kleene-agg kernel runs under when run_agg is
+    # set WITHOUT an explicit _rewrite_run_agg_bounds rewrite: (1,
+    # None) = plain B+; a leading Kleene (A+ -> B) sets (0, None) —
+    # the anchor itself is the +'s first binding, so an empty
+    # candidate run (single-A match) is legal
+    run_agg_bounds: tuple = (1, None)
     # non-None iff a Kleene (+) step carries a running-aggregate
     # DEFINE conjunct (RunAggSpec): (anchor_step, kleene_step, spec).
     # match_recognize then compiles via the advance_kleene_agg kernel
@@ -852,8 +858,14 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
             raise ValueError(f"step {name}: a negated step cannot be quantified")
         if first and neg:
             raise ValueError("pattern cannot start with a negated step")
-        if first and plus:
-            raise ValueError("a + step cannot be the first step")
+        # a leading + step is legal since round 10 — the caller routes
+        # PATTERN (A+ -> B) to the kleene-agg kernel (anchor = the
+        # run's first row, trivially-true bind, B = terminal confirm)
+        if name.startswith("__lk_"):
+            raise ValueError(
+                f"step name {name!r}: the __lk_ prefix is reserved "
+                "(internal leading-Kleene step naming)"
+            )
         if name not in defines:
             raise ValueError(f"step {name} has no DEFINE entry")
         if name in seen:
@@ -898,26 +910,93 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         split[n] = (batch_pred, where)
         nav_map[n] = (pred, (fn, carry, max_prev, has_next))
 
-    name, _, reps, _, braced = lookup(toks[0], first=True)
+    name, _, reps, plus0, braced = lookup(toks[0], first=True)
     f_pred, f_where = split[name]
     if f_where:
         raise ValueError(
             f"step {name}: the first step cannot correlate "
             "(no earlier step to reference)"
         )
-    # a quantified first step expands exactly like Pattern.times, with
-    # the leading sub-step as the anchor; an EXPLICIT {k} always uses
-    # sub-step naming ({1} included) so arities are schema-compatible
-    # (^ pins only the LEADING binding to the key's first row — later
-    # reps follow their ordinary contiguity)
-    first_pred = f"({f_pred}) AND __mr_rn = 1" if anchor_start else f_pred
-    pattern = Pattern.begin(f"{name}_1" if braced else name, first_pred)
-    for i in range(2, reps + 1):
-        pattern.followed_by(f"{name}_{i}", f_pred)
-    rest = toks[1:]
+    leading_kleene = plus0
+    run_agg_info: tuple | None = None
+    if leading_kleene:
+        # PATTERN (A+ -> B) — the classic "run then terminal" spelling
+        # (round 10): the run's FIRST row anchors the match (fixing the
+        # WITHIN window), every further A row binds (relaxed — ignored
+        # rows between members, like every kernel run), and the first
+        # B row inside the deadline confirms and emits.  Compiles to
+        # the SAME advance_kleene_agg kernel as the DEFINE-aggregate
+        # family with a trivially-true bind (count_cap n+1 >= 1) and
+        # min_n=0 (the anchor itself is the +'s first binding, so an
+        # empty candidate run — a single-A match — is legal).  The
+        # kernel is SKIP PAST LAST ROW by construction, so the policy
+        # must be spelled explicitly (the run-agg section enforces it).
+        if braced:
+            raise ValueError(
+                f"step {name}: a leading Kleene step cannot also "
+                "carry a {n} quantifier"
+            )
+        if name in nav_map:
+            raise ValueError(
+                "PREV/NEXT navigation is not supported on a leading "
+                "Kleene step (the kernel scans runs, not fixed offsets)"
+            )
+        if len(toks) != 3:
+            raise ValueError(
+                "a leading Kleene step supports exactly "
+                "PATTERN (A+ -> B) — the run, then ONE plain terminal "
+                f"step (got {len(toks)} pattern tokens)"
+            )
+        conn0, gap0 = _parse_connector(toks[1])
+        if conn0 != "->" or gap0:
+            raise ValueError(
+                "a leading Kleene step takes the relaxed -> connector "
+                "to its terminal (strict/gapped connectors have no "
+                "kernel spelling — the run consumes rows greedily)"
+            )
+        b_name0, negb, repsb, plusb, bracedb = lookup(toks[2], first=False)
+        if negb or plusb or bracedb or repsb != 1:
+            raise ValueError(
+                f"step {b_name0}: the terminal of a leading Kleene "
+                "run must be a plain step (no quantifier/negation)"
+            )
+        b_pred0, b_where0 = split[b_name0]
+        if b_where0:
+            raise ValueError(
+                f"step {b_name0}: the terminal of a leading Kleene "
+                "run cannot carry correlation or aggregate conjuncts "
+                "(fold the condition into the step's own predicate)"
+            )
+        if b_name0 in nav_map:
+            raise ValueError(
+                "PREV/NEXT navigation is not supported on the "
+                "terminal of a leading Kleene run"
+            )
+        pattern = Pattern.begin(name, f_pred)
+        pattern.one_or_more(f"__lk_{name}", f_pred)
+        pattern.followed_by(b_name0, b_pred0)
+        run_agg_info = (
+            f"__lk_{name}",
+            RunAggSpec("count_cap", None, ">=", 1, 1),
+            None,
+        )
+        rest: list = []
+    else:
+        # a quantified first step expands exactly like Pattern.times,
+        # with the leading sub-step as the anchor; an EXPLICIT {k}
+        # always uses sub-step naming ({1} included) so arities are
+        # schema-compatible (^ pins only the LEADING binding to the
+        # key's first row — later reps follow their ordinary
+        # contiguity)
+        first_pred = (
+            f"({f_pred}) AND __mr_rn = 1" if anchor_start else f_pred
+        )
+        pattern = Pattern.begin(f"{name}_1" if braced else name, first_pred)
+        for i in range(2, reps + 1):
+            pattern.followed_by(f"{name}_{i}", f_pred)
+        rest = toks[1:]
     if len(rest) % 2:
         raise ValueError("pattern must alternate step, connector, step, ...")
-    run_agg_info: tuple | None = None
     for i, (conn, tok) in enumerate(zip(rest[::2], rest[1::2])):
         conn, gap = _parse_connector(conn)
         name, neg, reps, plus, braced = lookup(tok, first=False)
@@ -1080,6 +1159,20 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     expr,
                     flags=re.I,
                 )
+                if run_agg_info[0].startswith("__lk_"):
+                    # leading Kleene: the USER variable for the run is
+                    # the anchor step's name (A of A+); retarget its
+                    # COUNT onto the internal kleene step so the
+                    # generic validator sees a kleene aggregate — the
+                    # run-agg section maps it to the anchor-inclusive
+                    # count (kind n1)
+                    a0 = pattern.steps[0].name
+                    expr = re.sub(
+                        rf"\bcount\(\s*{re.escape(a0)}\.__star\s*\)",
+                        f"count(__lk_{a0}.__star)",
+                        expr,
+                        flags=re.I,
+                    )
             # the SQL-standard per-match functions are handled by the
             # compiler, not the measure machinery (they are positional,
             # not value aggregates)
@@ -1301,6 +1394,14 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         # SKIP PAST LAST ROW — reject everything the kernel does not
         # express, pointedly.
         b_name, spec, corr = run_agg_info
+        lk = b_name.startswith("__lk_")  # leading Kleene (A+ -> B)
+        if lk and all_rows:
+            raise ValueError(
+                "ALL ROWS PER MATCH is not supported with a leading "
+                "Kleene step yet (the per-row face would need an "
+                "anchor-inclusive RUNNING count; use the default ONE "
+                "ROW output — t_<A>, <A>_count, t_<B>)"
+            )
         if len(pattern.steps) not in (2, 3):
             raise ValueError(
                 "a running-aggregate DEFINE supports exactly "
@@ -1367,6 +1468,11 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
             "cur_vs_min": {"MIN": "s", "COUNT": "n"},
             "cur_vs_max": {"MAX": "s", "COUNT": "n"},
         }.get(spec.form, {"SUM": "s", "COUNT": "n", "AVG": "avg"})
+        if lk:
+            # the run carries no value accumulator (trivial count
+            # bind); the only run aggregate is the anchor-INCLUSIVE
+            # bound-row count (the anchor is the +'s first binding)
+            _form_aggs = {"COUNT": "n1"}
         _m_ref = re.compile(
             r"^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*$"
         )
@@ -1381,6 +1487,13 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     m_agg.group(3),
                 )
                 if stp != b_name:
+                    if lk and stp == a_name:
+                        raise ValueError(
+                            f"measure {alias!r}: a leading Kleene run "
+                            "carries no value accumulator — only "
+                            f"COUNT({a_name}.*) (the bound-row count, "
+                            "anchor included) is available"
+                        )
                     raise ValueError(
                         f"measure {alias!r}: {agg} must range over the "
                         f"aggregate Kleene step {b_name!r}"
@@ -1435,11 +1548,12 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                         f"got {stp}.{col})"
                     )
             else:
+                disp = a_name if lk else b_name
                 raise ValueError(
                     f"measure {alias!r} ({expr!r}) is not of a "
                     "supported running-aggregate form: "
                     f"{'|'.join(sorted(_form_aggs))}"
-                    f"({b_name}.{spec.col or '<col>'}), "
+                    f"({disp}.{spec.col or '*'}), "
                     f"{a_name}.{time_col}"
                     + (f", or {conf_name}.{time_col}" if conf_name else "")
                 )
@@ -1456,11 +1570,12 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
             (anchor_start or anchor_end, "^/$ anchors"),
         ):
             if bad:
+                _disp = a_name if lk else b_name
                 raise ValueError(
                     f"{what} is not supported with a running-aggregate "
                     "DEFINE (the kernel emits the fixed columns key, "
-                    f"t_{a_name}, {b_name}_count"
-                    + (f", {b_name}_sum_{spec.col}" if spec.col else "")
+                    f"t_{a_name}, {_disp}_count"
+                    + (f", {_disp}_sum_{spec.col}" if spec.col else "")
                     + (f", t_{conf_name}" if conf_name else "")
                     + " — MEASURES may rename/select them)"
                 )
@@ -1490,6 +1605,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         anchor_start=anchor_start,
         anchor_end=anchor_end,
         universal_measures=tuple(universal_specs),
+        run_agg_bounds=(0, None) if leading_kleene else (1, None),
         run_agg=run_agg,
     )
 
@@ -2093,6 +2209,15 @@ def _compile_run_agg(
                 )
     elif run_measures:
         out_spec = list(run_measures)
+    elif b_name.startswith("__lk_"):
+        # leading Kleene (A+ -> B): the run's user variable is the
+        # anchor's name; the count is anchor-INCLUSIVE (n1), and the
+        # confirm timestamp always exists (the shape requires B)
+        out_spec = [
+            (f"t_{a_name}", "t_anchor"),
+            (f"{a_name}_count", "n1"),
+            (f"t_{conf_name}", "t_conf"),
+        ]
     else:
         out_spec = [(f"t_{a_name}", "t_anchor"), (f"{b_name}_count", "n")]
         if val_col is not None:
@@ -2558,7 +2683,10 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
         return _compile_quantifier_batch(df, quant)
     parsed = parse_pattern_sql(text)
     if parsed.run_agg is not None:
-        return _compile_run_agg(df, parsed, **stream_kwargs)
+        mn0, mx0 = parsed.run_agg_bounds
+        return _compile_run_agg(
+            df, parsed, min_n=mn0, max_n=mx0, **stream_kwargs
+        )
     if parsed.key_cols:
         # composite key: ONE synthesized struct column carries the
         # whole PARTITION BY tuple through either engine (struct
@@ -4123,6 +4251,94 @@ def cep_sql_run_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("user_id"),
         F.col("t_A").alias("anchor_ts"),
         F.col("B_count").alias("n_b"),
+    )
+
+
+_LEADING_KLEENE_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type AS et, epoch_us(ts) AS tus,
+             -- only A/B rows walk: other rows are noise to the kernel
+             -- (relaxed runs; a noise row past the deadline closes the
+             -- run but cannot open one, so skipping it is exact)
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('view', 'purchase')
+    ),
+    mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS rn, FALSE AS in_run,
+             CAST(0 AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS BIGINT) AS dl,
+             CAST(NULL AS BIGINT) AS em_anchor,
+             CAST(NULL AS BIGINT) AS em_n, CAST(NULL AS BIGINT) AS em_conf
+      FROM mx
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             -- fresh (idle or past the deadline): a view re-anchors;
+             -- open + in bound: a view binds, a purchase confirms
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN e.et = 'view'
+                  WHEN e.et = 'view' THEN TRUE
+                  ELSE FALSE END,
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN CASE WHEN e.et = 'view' THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END
+                  WHEN e.et = 'view' THEN w.n + 1
+                  ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN CASE WHEN e.et = 'view' THEN e.tus END
+                  WHEN e.et = 'view' THEN w.anchor END,
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN CASE WHEN e.et = 'view'
+                            THEN e.tus + 21600000000 END
+                  WHEN e.et = 'view' THEN w.dl END,
+             CASE WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                  THEN w.anchor END,
+             CASE WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                  THEN w.n END,
+             CASE WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                  THEN e.tus END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id AS key, make_timestamp(em_anchor) AS t_A,
+           em_n AS A_count, make_timestamp(em_conf) AS t_B
+    FROM walk WHERE em_anchor IS NOT NULL
+"""
+
+
+@register("cep_sql_leading_kleene", oracle=_LEADING_KLEENE_ORACLE)
+def cep_sql_leading_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LEADING Kleene step — PATTERN (A+ -> B), the classic
+    "run then terminal" spelling (round-10 verdict item 3a; previously
+    a pointed parse error): the run's FIRST view anchors the match and
+    fixes the WITHIN window, every further view binds (relaxed — noise
+    rows between members ignored), and the first purchase inside the
+    deadline confirms, emitting (t_A, A_count anchor-INCLUSIVE, t_B)
+    with SKIP PAST LAST ROW non-overlap. Compiles to the SAME
+    advance_kleene_agg kernel as the DEFINE-aggregate family with a
+    trivially-true bind and min_n=0 (a single-view run is legal); an
+    unconfirmed run (deadline expiry) emits nothing, and the
+    deadline-crossing row itself can re-anchor. The oracle replays the
+    scan as a recursive walk over the A/B subsequence."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    return match_recognize(
+        e,
+        """
+        PATTERN ( A+ -> B )
+        WITHIN 6 HOURS
+        DEFINE A AS event_type = 'view',
+               B AS event_type = 'purchase'
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
     )
 
 

@@ -4623,6 +4623,9 @@ def kleene_agg_out_fields(out_spec: list, integral: bool) -> list:
         "t_anchor": T.TimestampType(),
         "t_conf": T.TimestampType(),
         "n": T.LongType(),
+        # anchor-INCLUSIVE bound-row count — the leading-Kleene
+        # (A+ -> B) face, where the anchor is the +'s first binding
+        "n1": T.LongType(),
         "s": T.LongType() if integral else T.DoubleType(),
         "avg": T.DoubleType(),
         "row_ts": T.TimestampType(),
@@ -4705,6 +4708,7 @@ def kleene_agg_out_columns(
             "t_anchor": lambda r: r[0],
             "t_conf": lambda r: r[3],
             "n": lambda r: r[1],
+            "n1": lambda r: r[1] + 1,  # leading Kleene: anchor included
             "s": lambda r: r[2],
             "avg": lambda r: r[2] / r[1],
             "mn": lambda r: r[-1],

@@ -102,7 +102,7 @@ EVENTS_KEYS = [
     "stream_asof_enrich", "stream_asof_ttl", "stream_dq_monitor",
     "win_decay_score",
     # round-10
-    "cep_sql_final_running",
+    "cep_sql_final_running", "cep_sql_leading_kleene",
 ]
 
 
@@ -183,7 +183,7 @@ EMPTY_SWEEP_KEYS = [
     "stream_asof_enrich", "stream_asof_ttl", "stream_dq_monitor",
     "win_decay_score",
     # round-10
-    "cep_sql_final_running",
+    "cep_sql_final_running", "cep_sql_leading_kleene",
 ]
 
 

@@ -286,3 +286,177 @@ def test_stream_final_running_equals_batch(spark):
         .collect()
     )
     assert g == w and len(g) == 9
+
+
+# ---------------------------------------------------------------------------
+# Leading Kleene: PATTERN (A+ -> B) on the kleene-agg kernel
+# (trivially-true bind, min_n=0 — the anchor is the +'s first binding)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+LK_SQL = """
+PATTERN ( A+ -> B )
+WITHIN 1 HOUR
+DEFINE A AS event_type = 'view',
+       B AS event_type = 'purchase'
+AFTER MATCH SKIP PAST LAST ROW
+PARTITION BY user_id
+ORDER BY ts
+"""
+
+# u1: run of 3 views (noise click ignored) then purchase; u2: single
+# view then purchase (the min_n=0 edge); u3: first run dies at the
+# deadline (purchase late), the post-deadline view re-anchors
+LK_ROWS = [
+    (0, 0, 1, "view"), (1, 2, 1, "click"), (2, 4, 1, "view"),
+    (3, 6, 1, "view"), (4, 10, 1, "purchase"),
+    (5, 0, 2, "view"), (6, 3, 2, "purchase"),
+    (7, 0, 3, "view"), (8, 200, 3, "purchase"),
+    (9, 220, 3, "view"), (10, 230, 3, "purchase"),
+]
+
+
+def _lk_fixture(spark):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, m, u, t in LK_ROWS
+    ]
+    return spark.createDataFrame(data, SCHEMA)
+
+
+def test_leading_kleene_batch_semantics(spark):
+    got = {
+        r["key"]: (r["A_count"], r["t_A"].minute, r["t_B"].minute)
+        for r in match_recognize(_lk_fixture(spark), LK_SQL).collect()
+    }
+    assert got == {1: (3, 0, 10), 2: (1, 0, 3), 3: (1, 40, 50)}
+    # u3's surviving match re-anchored at minute 220 (3h40m)
+
+
+def test_leading_kleene_measures(spark):
+    out = match_recognize(
+        _lk_fixture(spark),
+        LK_SQL.replace(
+            "AFTER MATCH",
+            "MEASURES COUNT(A.*) AS n_a, A.ts AS t_first, B.ts AS t_b,"
+            " MATCH_NUMBER() AS mn\nAFTER MATCH",
+        ),
+    )
+    assert out.columns == ["key", "n_a", "t_first", "t_b", "mn"]
+    got = {r["key"]: r["n_a"] for r in out.collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_leading_kleene_pointed_errors(spark):
+    df = _lk_fixture(spark)
+    for bad, msg in [
+        (LK_SQL.replace("( A+ -> B )", "( A+ )"), "exactly PATTERN"),
+        (LK_SQL.replace("( A+ -> B )", "( A+ => B )"), "relaxed ->"),
+        (LK_SQL.replace("( A+ -> B )", "( A+ -> B+ )"), "plain step"),
+        (LK_SQL + "ALL ROWS PER MATCH\n", "not supported with a leading"),
+        (
+            LK_SQL.replace("AFTER MATCH SKIP PAST LAST ROW\n", ""),
+            "SKIP PAST LAST ROW",
+        ),
+        (
+            LK_SQL.replace(
+                "AFTER MATCH",
+                "MEASURES SUM(A.value) AS s\nAFTER MATCH",
+            ),
+            "non-one_or_more|no value accumulator",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            match_recognize(df, bad)
+
+
+def test_lk_step_name_prefix_reserved():
+    with pytest.raises(ValueError, match="reserved"):
+        parse_pattern_sql(
+            LK_SQL.replace("A+", "__lk_x+").replace("A AS", "__lk_x AS")
+        )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "x"])),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(1, 39), max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_leading_kleene_kernel_chunking_invariance(evs, cuts):
+    """min_n=0 + trivially-true bind + confirm (the leading-Kleene
+    configuration): any chunking with monotone watermarks equals the
+    whole-stream scan."""
+    from spark_cep_spark.streaming.nfa import advance_kleene_agg
+
+    bind = lambda n, s, v: True  # noqa: E731
+    W = 60
+    t = 0
+    rows = []
+    for d, et in evs:
+        t += d
+        # a+ -> b: anchor and candidate are the SAME predicate
+        rows.append([t, 0, et == "a", et == "a", 0, et == "b"])
+    _, whole = advance_kleene_agg(
+        None, rows, 1 << 62, bind, W, confirm=True, min_n=0
+    )
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    stt, got, prev = None, [], 0
+    for b in bounds:
+        chunk = rows[prev:b]
+        wm = chunk[-1][0] if chunk else (rows[prev - 1][0] if prev else 0)
+        stt, part = advance_kleene_agg(
+            stt, chunk, wm, bind, W, confirm=True, min_n=0
+        )
+        got += part
+        prev = b
+    stt, part = advance_kleene_agg(
+        stt, [], 1 << 62, bind, W, confirm=True, min_n=0
+    )
+    got += part
+    assert got == whole
+    # every emission carries n >= 0 and the conf timestamp
+    for rec in whole:
+        assert len(rec) == 4 and rec[1] >= 0
+
+
+def test_stream_leading_kleene_equals_batch(spark):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, m, u, t in LK_ROWS
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    # split mid-run for u1 so the run state crosses micro-batches
+    chunks = [data[:3], data[3:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "view", 1.0, "{}")]
+        for j, mm in enumerate((600, 1200))
+    ]
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_recognize(sdf, LK_SQL, watermark="0 seconds"), "append"
+    )
+    g = sorted(tuple(r) for r in got.filter("key <> 9").collect())
+    w = sorted(
+        tuple(r)
+        for r in match_recognize(df, LK_SQL)
+        .filter("key <> 9")
+        .select(*got.columns)
+        .collect()
+    )
+    assert g == w and len(g) == 3

@@ -129,6 +129,9 @@ TIE_KEYS = [
     # round-10: universal RUNNING/FINAL measures ride the same
     # struct-min bindings — tie flips change run_sum/avg values
     "cep_sql_final_running",
+    # round-10: leading-Kleene scan order (ts, coalesce(id,0)) decides
+    # which row anchors/binds at a tie
+    "cep_sql_leading_kleene",
     # (cep_sql_run_agg_times is NOT here: the 900.x tie value busts
     # its sum cap at n=1 < min, so it emits nothing on this fixture —
     # vacuous; the same compile path's tie discipline is exercised by

@@ -154,6 +154,10 @@ PYTHON_OK = {
     # evaluate JVM-side into booleans; only the prefix-dependent
     # aggregate check crosses into Python (5 narrow columns, O(1) state)
     "cep_sql_run_count",  # the COUNT-cap form of the same kernel path
+    "cep_sql_leading_kleene",  # PATTERN (A+ -> B) — the same kernel
+    # with a trivially-true bind and min_n=0 (round 10); the run scan
+    # is prefix-dependent (SKIP PAST LAST ROW consumes rows), which no
+    # window frame expresses — same JVM/Python split as its siblings
     "cep_sql_run_agg_confirm",  # the terminal-confirm (A -> B+ -> C)
     # form of the same kernel path (round 8) — identical JVM/Python
     # split, one extra JVM-side boolean column

@@ -58,6 +58,8 @@ OPS = [
     "cep_measures_running",
     # round-10: classic ALL ROWS + universal RUNNING/FINAL measures
     "cep_sql_final_running",
+    # round-10: leading Kleene (A+ -> B) on the kleene-agg kernel
+    "cep_sql_leading_kleene",
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
