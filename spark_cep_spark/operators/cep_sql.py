@@ -2354,7 +2354,13 @@ def _compile_run_agg(
         )
         if any(k == "mn" for _, k in out_spec):
             assign_match_numbers(out, all_rows, 0)
-        out = filter_excluded_rows(out, excl_codes)
+        if all_rows:
+            out = filter_excluded_rows(out, excl_codes)
+        else:
+            # in ONE ROW mode records are [anchor_us, n, s(...)] — r[2]
+            # is the accumulator, not a classifier code; the parser
+            # guarantees exclusion only under ALL ROWS, enforce locally
+            assert not excl_codes, "exclusion requires ALL ROWS PER MATCH"
         # dtype=object: an emission-less group yields empty columns,
         # and pandas' default float64 cannot Arrow-cast to date32 /
         # string key types — object-typed empties cast to anything

@@ -2563,7 +2563,16 @@ class IvfPqIndex:
         100 TB shape: one partition-parallel anti-join against the
         broadcast-small tombstone set + a partitioned rewrite — the
         layout_compaction pattern; queries during the rewrite are the
-        caller's concern (no catalog here by design)."""
+        caller's concern (no catalog here by design).
+
+        SINGLE-WRITER contract: the rename swap below is
+        crash-RECOVERABLE but not atomic — between the two renames
+        `cells/` does not exist, so compact() must not run
+        concurrently with queries on the same index, and recovery
+        after a crash INSIDE the swap window is one manual rename
+        (`mv cells_old cells` if the new layout was not yet moved in,
+        else `mv cells_compact cells`); exactly one complete layout
+        is on disk at every step."""
         import os
         import shutil
 

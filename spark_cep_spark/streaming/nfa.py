@@ -4847,7 +4847,13 @@ def kleene_agg_stream(
         )
         if wants_mn:
             mn = assign_match_numbers(rows, emit_rows, mn)
-        rows = filter_excluded_rows(rows, exclude_cls)
+        if emit_rows:
+            rows = filter_excluded_rows(rows, exclude_cls)
+        else:
+            # ONE-ROW records carry the accumulator at r[2], not a
+            # classifier code — the parser guarantees exclusion only
+            # under ALL ROWS; enforce the invariant locally
+            assert not exclude_cls, "exclusion requires ALL ROWS PER MATCH"
 
         if buf or s is not None or (wants_mn and mn):
             # MATCH_NUMBER keeps one tiny row per ever-matching key

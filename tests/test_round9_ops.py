@@ -364,15 +364,27 @@ def test_run_agg_rows_pointed_errors(spark):
         """
     )
     assert p.run_agg[4] == [("nb", "n")]
-    # FINAL/RUNNING on the NON-run-agg path stays rejected (the
-    # generic validator sees the unstripped prefix)
-    with pytest.raises(ValueError, match="FINAL|unqualified"):
+    # FINAL/RUNNING on the NON-run-agg path: lifted in round 10 — the
+    # prefix peels to a no-op in ONE ROW mode (the output row is the
+    # match's last, where RUNNING == FINAL on a step-qualified ref)
+    p_fr = parse_pattern_sql(
+        """
+        PATTERN ( v -> c )
+        WITHIN 1 HOURS
+        DEFINE v AS event_type = 'view', c AS event_type = 'click'
+        MEASURES FINAL c.value AS cv
+        """
+    )
+    assert ("cv", "c.value") in p_fr.pattern.measures
+    # ...while step-qualified measures under ALL ROWS stay rejected
+    with pytest.raises(ValueError, match="step-qualified MEASURES"):
         parse_pattern_sql(
             """
             PATTERN ( v -> c )
             WITHIN 1 HOURS
             DEFINE v AS event_type = 'view', c AS event_type = 'click'
             MEASURES FINAL c.value AS cv
+            ALL ROWS PER MATCH
             """
         )
     # exclusion without ALL ROWS stays rejected
