@@ -2164,3 +2164,225 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus intake (round 10): the 24/7 ingest composition —
+# quality gate -> near-dedup -> per-window accept/reject counters.
+
+
+def corpus_intake_flags(d: DataFrame) -> DataFrame:
+    """Per-document intake verdicts over a (doc_id, text, ts) frame:
+    the Gopher keep flag (gopher_stats — the ONE shared spelling),
+    and for quality survivors the minhash-signature keep-first dedup
+    verdict (deterministic winner: lowest doc_id per signature — the
+    stream_dedup_near batch-twin convention). Returns one row per
+    input document with (doc_id, ts, n_words, keep, acc): acc = the
+    document enters the corpus (quality-passed AND dedup winner).
+
+    100 TB shape: quality is a pure codegen projection; dedup costs
+    the signature aggregate (one doc-keyed shuffle; the Arrow
+    signature path in SCALE.md removes the shingle explode) plus one
+    signature-keyed window — both on the quality SURVIVOR set only."""
+    from spark_cep_spark.operators.llm_dedup import _minhash_signature
+    from spark_cep_spark.operators.llm_text import gopher_stats
+
+    g = gopher_stats(d.select("doc_id", "text")).select(
+        "doc_id", "n_words", "keep"
+    )
+    flags = d.select("doc_id", "ts", "text").join(g, "doc_id")
+    surv = flags.filter(F.col("keep"))
+    wk = W.partitionBy("sig").orderBy("doc_id")
+    kept = (
+        _minhash_signature(surv.select("doc_id", "text"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("acc"))
+    )
+    return (
+        flags.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ts",
+            "n_words",
+            "keep",
+            F.coalesce("acc", F.lit(False)).alias("acc"),
+        )
+    )
+
+
+def corpus_intake_agg(d: DataFrame) -> DataFrame:
+    """Per-minute intake counters over the flagged documents: volume,
+    quality rejects, duplicate rejects, accepted docs, and the
+    accepted word volume — the ONE dashboard row an ingest team
+    watches. Exact integer counters only (no float discipline)."""
+    fl = corpus_intake_flags(d)
+    return (
+        fl.groupBy(F.date_trunc("minute", F.col("ts")).alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_reject"),
+            F.sum(F.when(F.col("keep") & ~F.col("acc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_reject"),
+            F.sum(F.when(F.col("acc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_accepted"),
+            F.sum(F.when(F.col("acc"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("accepted_words"),
+        )
+    )
+
+
+def _intake_oracle() -> str:
+    """Composed oracle: the gopher CTEs re-sourced to the ts-stamped
+    documents (pipeline_e2e's fragments), the minhash signature SQL
+    re-sourced to the survivor set (minhash_sig_sql — the stage key's
+    own generated text), keep-first per signature, then the per-minute
+    counter rollup."""
+    from spark_cep_spark.operators.llm_dedup import minhash_sig_sql
+    from spark_cep_spark.operators.llm_text import _GOPHER_STOPWORDS
+
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id, text,
+             make_timestamp((1700000000 + doc_id) * 1000000) AS ts
+      FROM documents
+    ),
+    gt AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''),
+                  ' '), x -> x <> '') AS w FROM d0),
+    gs AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(w, x -> length(x))),
+                           0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(string_split('{_GOPHER_STOPWORDS}',
+                                               ' '),
+                                  s -> list_contains(w, s)))
+                  AS BIGINT) AS n_stop_hits
+           FROM gt),
+    gk AS (SELECT doc_id, n_words,
+             (n_words BETWEEN 10 AND 100000
+              AND 2 * n_words <= sum_len AND sum_len <= 10 * n_words
+              AND n_stop_hits >= 2) AS keep
+           FROM gs),
+    surv AS (SELECT d0.doc_id, d0.text FROM d0
+             JOIN gk USING (doc_id) WHERE gk.keep),
+    sigs AS ({minhash_sig_sql("surv")}),
+    kept AS (SELECT doc_id FROM (
+               SELECT doc_id, row_number() OVER
+                      (PARTITION BY sig ORDER BY doc_id) AS rn
+               FROM sigs) WHERE rn = 1),
+    fl AS (SELECT d0.doc_id, d0.ts, gk.n_words, gk.keep,
+                  kept.doc_id IS NOT NULL AS acc
+           FROM d0 JOIN gk USING (doc_id)
+           LEFT JOIN kept USING (doc_id))
+    SELECT date_trunc('minute', ts) AS win_start,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_reject,
+           CAST(sum(CASE WHEN keep AND NOT acc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_reject,
+           CAST(sum(CASE WHEN acc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           CAST(sum(CASE WHEN acc THEN n_words ELSE 0 END) AS BIGINT)
+             AS accepted_words
+    FROM fl
+    GROUP BY date_trunc('minute', ts)
+    """
+
+
+@register("stream_corpus_intake", oracle=_intake_oracle())
+def stream_corpus_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus intake — the composition a data-ingest team
+    runs 24/7 (round-10 verdict item 4): a continuously-deduped,
+    quality-filtered document stream with per-minute accept/reject
+    counters.  Stages, each already proven standalone: the Gopher
+    quality gate (text_gopher_rules), minhash-signature near-dedup
+    keep-first (stream_dedup_near), and a dq_monitor-style windowed
+    counter rollup.  This batch twin stamps the SAME deterministic
+    arrival time the streaming harness uses (ts = epoch 1700000000 +
+    doc_id seconds, stage_documents_files) so the two faces window
+    identically; the streaming faces are corpus_intake_stream (the
+    accepted-docs product, signature dedup within the watermark) and
+    corpus_intake_counters_stream (the dedup-independent counter
+    feed — a streaming dedup drops rows, it cannot flag them, so the
+    per-window duplicate count is the batch twin's column; tests pin
+    the accepted signature set + count against the batch twin, and
+    cross-restart first-arrival-wins via kill-and-resume)."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "ts", F.expr("timestamp_seconds(1700000000 + doc_id)")
+    )
+    return corpus_intake_agg(d)
+
+
+def corpus_intake_stream(
+    docs_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face, the intake PRODUCT: quality gate (pure codegen
+    projection — streaming-legal), then per-doc Arrow minhash
+    signatures, then signature dedup within the watermark
+    (near_dedup_sig_stream — bounded state: one signature per unique
+    surviving doc per watermark horizon).  Emits (doc_id, ts, sig) of
+    accepted documents; the first ARRIVAL per signature wins, so under
+    out-of-order arrival the winner may differ from the batch twin's
+    lowest-doc_id (the documented stream_dedup_near invariant — the
+    accepted COUNT per signature is identical)."""
+    from spark_cep_spark.operators.llm_dedup import near_dedup_sig_stream
+    from spark_cep_spark.operators.llm_text import gopher_stats
+
+    g = gopher_stats(docs_stream.select("doc_id", "text")).select(
+        "doc_id", "keep"
+    )
+    surv = (
+        docs_stream.select("doc_id", "ts", "text")
+        .join(g, "doc_id")
+        .filter(F.col("keep"))
+        .drop("keep")
+    )
+    return near_dedup_sig_stream(surv, watermark=watermark)
+
+
+def corpus_intake_counters_stream(
+    docs_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming face, the COUNTER feed: the dedup-independent intake
+    counters as ONE map-side-combinable windowed aggregation (the
+    dq_monitor pattern) — volume, quality rejects, quality-passed
+    docs and their word volume per minute.  Duplicate rejects need
+    the dedup verdict, which a streaming drop cannot flag — that
+    column lives on the batch twin (run it over the landed bronze
+    layer); every column here is exact under ANY arrival order."""
+    from spark_cep_spark.operators.llm_text import gopher_stats
+
+    g = gopher_stats(docs_stream.select("doc_id", "text")).select(
+        "doc_id", "n_words", "keep"
+    )
+    fl = (
+        docs_stream.select("doc_id", "ts")
+        .join(g, "doc_id")
+        .withWatermark("ts", watermark)
+    )
+    return (
+        fl.groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_reject"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_pass"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("quality_pass_words"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_docs",
+            "n_quality_reject",
+            "n_quality_pass",
+            "quality_pass_words",
+        )
+    )

@@ -160,6 +160,36 @@ def stage_documents_files(
     return out
 
 
+def stage_documents_files_sorted(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, subdir: str | None = None
+) -> str:
+    """Stage documents RANGE-PARTITIONED AND SORTED by the synthetic
+    arrival time (ts = epoch + doc_id seconds), mtimes ascending —
+    arrival order == event-time order, the exact-equivalence staging
+    for order-sensitive streaming intake tests (first-arrival dedup
+    winner == lowest doc_id == the batch twin's winner)."""
+    import pyspark.sql.functions as F  # local alias
+
+    subdir = subdir or f"documents_sorted_{uuid.uuid4().hex[:8]}"
+    out = os.path.join(SCRATCH, subdir)
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        table(spark, sf_dir, "documents")
+        .withColumn(
+            "ts", F.expr("timestamp_seconds(1700000000 + doc_id)")
+        )
+        .repartitionByRange(n_files, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part"))
+    base = 1_700_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out, f), (base + i * 3600,) * 2)
+    return out
+
+
 def documents_stream(
     spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = 2
 ) -> DataFrame:

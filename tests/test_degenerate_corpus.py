@@ -71,6 +71,7 @@ EXTRA_DOC_KEYS = (  # doc-table keys outside the llm_* prefixes
     "stream_dedup_near",
     "fn_hof",  # round 6d: HOF lambdas over the word array
     "map_in_arrow",  # round 6d: Arrow-native batch map over text
+    "stream_corpus_intake",  # round 10: quality+dedup+counter intake
 )
 
 

@@ -460,3 +460,190 @@ def test_stream_leading_kleene_equals_batch(spark):
         .collect()
     )
     assert g == w and len(g) == 3
+
+
+# ---------------------------------------------------------------------------
+# stream_corpus_intake: quality gate -> near-dedup -> window counters
+
+
+def test_intake_stream_accepted_equals_batch_ordered(spark, sf_dir):
+    """Under ordered arrival the streaming intake accepts exactly ONE
+    doc per surviving signature — signature set and count equal the
+    batch twin. (Within a single micro-batch the winner row is
+    engine-arbitrary even under sorted staging, so doc_id-level
+    equality is pinned only ACROSS batch boundaries — the
+    checkpoint-restart test below does that.)"""
+    from spark_cep_spark.operators.llm_pipeline import (
+        corpus_intake_flags,
+        corpus_intake_stream,
+    )
+    from spark_cep_spark.operators.llm_dedup import _minhash_signature
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_documents_files_sorted(spark, sf_dir, n_files=4)
+    stream = harness.documents_stream(spark, staged, max_files_per_trigger=1)
+    got = harness.run_available_now(
+        corpus_intake_stream(stream, watermark="365 days"), "append"
+    )
+    batch_acc = corpus_intake_flags(
+        spark.read.parquet(staged)
+    ).filter("acc")
+    g = {r["sig"] for r in got.select("sig").collect()}
+    docs = spark.read.parquet(staged)
+    w_sigs = _minhash_signature(
+        docs.join(batch_acc.select("doc_id"), "doc_id").select(
+            "doc_id", "text"
+        )
+    )
+    w = {r["sig"] for r in w_sigs.select("sig").collect()}
+    assert g == w and len(g) > 0
+    assert got.count() == batch_acc.count()
+
+
+def test_intake_stream_count_invariant_any_order(spark, sf_dir):
+    """Under ARBITRARY arrival order the winner may differ but the
+    accepted COUNT and signature set equal the batch twin (the
+    stream_dedup_near invariant, composed with the quality gate)."""
+    from spark_cep_spark.operators.llm_pipeline import (
+        corpus_intake_flags,
+        corpus_intake_stream,
+    )
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_documents_files(spark, sf_dir, n_files=6)
+    stream = harness.documents_stream(spark, staged, max_files_per_trigger=2)
+    got = harness.run_available_now(
+        corpus_intake_stream(stream, watermark="365 days"), "append"
+    )
+    batch_acc = corpus_intake_flags(
+        spark.read.parquet(staged)
+    ).filter("acc")
+    assert got.count() == batch_acc.count() > 0
+
+
+def test_intake_counters_stream_equals_batch(spark, sf_dir):
+    """The dedup-independent counter feed under multi-micro-batch
+    AvailableNow equals the batch flags rollup for every closed
+    window (sorted staging, zero-delay watermark)."""
+    from spark_cep_spark.operators.llm_pipeline import (
+        corpus_intake_counters_stream,
+        corpus_intake_flags,
+    )
+    from spark_cep_spark.streaming import harness
+    import pyspark.sql.functions as F
+
+    staged = harness.stage_documents_files_sorted(spark, sf_dir, n_files=4)
+    stream = harness.documents_stream(spark, staged, max_files_per_trigger=1)
+    got = {
+        tuple(r)
+        for r in harness.run_available_now(
+            corpus_intake_counters_stream(stream, watermark="0 seconds"),
+            "append",
+        ).collect()
+    }
+    fl = corpus_intake_flags(spark.read.parquet(staged))
+    batch = (
+        fl.groupBy(F.date_trunc("minute", F.col("ts")).alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_reject"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_pass"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("quality_pass_words"),
+        )
+    )
+    max_ts = spark.read.parquet(staged).agg(F.max("ts")).first()[0]
+    want = {
+        tuple(r)
+        for r in batch.filter(
+            F.col("win_start") + F.expr("INTERVAL 1 MINUTE")
+            <= F.lit(max_ts)
+        ).collect()
+    }
+    assert want <= got and len(want) > 0
+    batch_all = {tuple(r) for r in batch.collect()}
+    assert got <= batch_all
+
+
+def test_intake_counters_consistent_with_registered_key(spark, sf_dir):
+    """The registered batch twin's columns decompose: n_quality_pass ==
+    n_dup_reject + n_accepted per window, totals match the table."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["stream_corpus_intake"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == 500  # sf0.001 docs
+    for r in rows:
+        assert r["n_docs"] == r["n_quality_reject"] + r["n_dup_reject"] + r["n_accepted"]
+        assert r["accepted_words"] >= 10 * r["n_accepted"]  # gopher min
+
+
+def test_intake_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume: a signature accepted before the restart must
+    still suppress its duplicate arriving AFTER the restart — the
+    dropDuplicatesWithinWatermark state is checkpointed, not reset."""
+    import os
+    import shutil as _shutil
+
+    from spark_cep_spark.operators.llm_pipeline import corpus_intake_stream
+    from spark_cep_spark.streaming import harness
+
+    # quality-passing text: >=10 words, mean len in [2,10], >=2 lexicon
+    # stopwords ('the', 'data' ... — the corpus-adapted lexicon)
+    base = "the data table holds value rows and the row keeps data safe"
+    uniq = "a fresh value arrived into the data table as rows grew more"
+    docs1 = [(1, base), (2, base + " extra tail words here now")]
+    docs2 = [(3, base), (4, uniq)]  # 3 duplicates 1's text => same sig
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    from pyspark.sql.functions import expr as F_expr
+
+    def stage(docs, fname, mtime):
+        df = spark.createDataFrame(
+            [
+                (i, t, "en", "web", len(t))
+                for i, t in docs
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).withColumn(
+            "ts", F_expr("timestamp_seconds(1700000000 + doc_id)")
+        )
+        d = str(tmp_path / fname)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = os.path.join(src, fname + ".parquet")
+        _shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (mtime,) * 2)
+
+    stage(docs1, "f1", 1_700_000_000)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = harness.documents_stream(
+            spark, src, max_files_per_trigger=1
+        )
+        q = (
+            corpus_intake_stream(stream, watermark="365 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+    stage(docs2, "f2", 1_700_003_600)
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 3 (duplicate of 1's signature, post-restart) suppressed; 4 fresh
+    assert got == {1, 2, 4}

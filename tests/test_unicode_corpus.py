@@ -56,6 +56,7 @@ KEYS = [
     "corpus_shuffle",
     "corpus_interleave",
     "pipeline_corpus_clean",
+    "stream_corpus_intake",
     "pipeline_scrub_boilerplate",
     "pipeline_dedup_keep_best",
     "pipeline_substring_dedup",

@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 OPS = [
+    "stream_corpus_intake",
     "text_rep_signals",
     "text_gopher_rules",
     "pipeline_ccnet_buckets",
