@@ -2875,12 +2875,11 @@ def _compile_variants_stream(
     time_cols = {p.time_col for _, p in parsed}
     if len(key_cols) != 1 or len(time_cols) != 1:
         raise ValueError("variants disagree on PARTITION BY / ORDER BY")
-    if label_col == "permute_order" and any(
-        p.pattern.measures for _, p in parsed
-    ):
-        # keep both engines' PERMUTE contracts identical: batch rejects
-        # MEASURES with PERMUTE, so the streaming face must too
-        raise ValueError("MEASURES is not supported with PERMUTE")
+    # MEASURES compose with PERMUTE since round 10 on BOTH engines:
+    # batch carries the winner ordering's measure values through the
+    # earliest-completion struct (_compile_permute_batch); streaming
+    # evaluates each ordering's measure env in its own NFA and the
+    # winner emits its values (compile_stream_variants).
     return compile_stream_variants(
         [(desc, p.pattern) for desc, p in parsed],
         df,
@@ -2895,16 +2894,21 @@ def _compile_variants_stream(
 def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
     """Union the n! expanded plans and keep, per anchor, the earliest-
     completing ordering (min over a (t_done, declaration_rank) struct).
+    MEASURES (round 10) ride the same struct as trailing fields — the
+    winner ordering's values, decided strictly by (t_done, rank), with
+    per-ordering values (a measure may reference permuted steps, whose
+    bindings differ by ordering) carried, never compared.
     Scale: each branch is the proven per-key join-agg chain; the winner
     pick is one extra groupBy on the shared (key, anchor) columns."""
     from pyspark.sql import functions as F
 
     perm_names = sorted(expanded[0][0])
+    measure_aliases: list[str] = []
     branches = []
     for rk, (perm, vtext) in enumerate(expanded, start=1):
         parsed = parse_pattern_sql(vtext)
-        if parsed.pattern.measures:
-            raise ValueError("MEASURES is not supported with PERMUTE")
+        if rk == 1:
+            measure_aliases = [a for a, _e in parsed.pattern.measures]
         bdf = parsed.pattern.compile_batch(
             df, key_col=parsed.key_col, time_col=parsed.time_col
         )
@@ -2917,15 +2921,20 @@ def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
     for b in branches[1:]:
         allb = allb.unionByName(b)
     perm_t_cols = [f"t_{n}" for n in perm_names]
+    carried = set(perm_t_cols) | set(measure_aliases)
     group_cols = [
         c
         for c in branches[0].columns
-        if c not in perm_t_cols and not c.startswith("_")
+        if c not in carried and not c.startswith("_")
     ]
-    struct_fields = [
-        F.col("_t_done").alias("td"),
-        F.col("_rk").alias("rk"),
-    ] + [F.col(f"t_{n}").alias(f"t_{n}") for n in perm_names]
+    struct_fields = (
+        [
+            F.col("_t_done").alias("td"),
+            F.col("_rk").alias("rk"),
+        ]
+        + [F.col(f"t_{n}").alias(f"t_{n}") for n in perm_names]
+        + [F.col(a).alias(a) for a in measure_aliases]
+    )
     best = allb.groupBy(*group_cols).agg(
         F.min(F.struct(*struct_fields)).alias("_m")
     )
@@ -2937,6 +2946,7 @@ def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
     return best.select(
         *group_cols,
         *[F.col(f"_m.t_{n}").alias(f"t_{n}") for n in perm_names],
+        *[F.col(f"_m.{a}").alias(a) for a in measure_aliases],
         order_label.alias("permute_order"),
     )
 
@@ -3219,6 +3229,87 @@ def cep_sql_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
         DEFINE V AS event_type = 'view',
                C AS event_type = 'click',
                P AS event_type = 'purchase'
+        """,
+    )
+
+
+@register(
+    "cep_sql_permute_measures",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         cp2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_v, v.value AS v_v,
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id, 'val': c.value}) AS mc
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts, v.value),
+         cp3 AS (
+           SELECT cp2.user_id, cp2.event_id, cp2.t_v, cp2.v_v, cp2.mc,
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id, 'val': p.value}) AS mp
+           FROM cp2 JOIN p ON p.user_id = cp2.user_id
+                          AND p.ts > cp2.mc.ts
+                          AND p.ts <= cp2.t_v + INTERVAL 24 HOUR
+           GROUP BY cp2.user_id, cp2.event_id, cp2.t_v, cp2.v_v, cp2.mc),
+         pc2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_v, v.value AS v_v,
+                  min({'ts': p.ts, 'id0': coalesce(p.event_id, 0), 'id': p.event_id, 'val': p.value}) AS mp
+           FROM v JOIN p ON p.user_id = v.user_id
+                        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts, v.value),
+         pc3 AS (
+           SELECT pc2.user_id, pc2.event_id, pc2.t_v, pc2.v_v, pc2.mp,
+                  min({'ts': c.ts, 'id0': coalesce(c.event_id, 0), 'id': c.event_id, 'val': c.value}) AS mc
+           FROM pc2 JOIN c ON c.user_id = pc2.user_id
+                          AND c.ts > pc2.mp.ts
+                          AND c.ts <= pc2.t_v + INTERVAL 24 HOUR
+           GROUP BY pc2.user_id, pc2.event_id, pc2.t_v, pc2.v_v, pc2.mp),
+         branches AS (
+           SELECT user_id, event_id, t_v, v_v, mc.ts AS t_c, mp.ts AS t_p,
+                  mc.val AS c_val, mp.val AS p_val, mp.ts AS t_done, 1 AS rk
+           FROM cp3
+           UNION ALL
+           SELECT user_id, event_id, t_v, v_v, mc.ts, mp.ts,
+                  mc.val, mp.val, mc.ts AS t_done, 2 AS rk
+           FROM pc3),
+         best AS (
+           SELECT user_id, event_id, t_v, v_v,
+                  min({'td': t_done, 'rk': rk, 'tc': t_c, 'tp': t_p, 'cv': c_val, 'pv': p_val}) AS m
+           FROM branches GROUP BY user_id, event_id, t_v, v_v)
+    SELECT user_id AS key, event_id AS anchor_id, t_v AS t_V,
+           m.tc AS t_C, m.tp AS t_P,
+           m.pv - v_v AS uplift, m.cv AS click_val,
+           CASE WHEN m.rk = 1 THEN 'C->P' ELSE 'P->C' END AS permute_order
+    FROM best
+    """,
+)
+def cep_sql_permute_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES composed with PERMUTE (round-10 verdict item 3b;
+    previously a pointed error on both engines): the winner ordering's
+    bound values feed the measures — here the purchase-vs-view uplift
+    and the click's value, with click/purchase bindable in EITHER
+    order within 24h.  Batch: each ordering compiles and computes its
+    own measure columns; the earliest-completion struct-min carries
+    the winner's values as trailing fields (decided strictly by
+    (t_done, rank) — values never influence the pick).  Streaming:
+    each ordering's NFA evaluates its own measure env and the winner
+    emits (compile_stream_variants mode='earliest').  The oracle
+    mirrors with value-carrying struct-min bindings per ordering (the
+    cep_measures_running convention) and the same winner struct."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( V -> PERMUTE(C, P) )
+        WITHIN 24 HOURS
+        DEFINE V AS event_type = 'view',
+               C AS event_type = 'click',
+               P AS event_type = 'purchase'
+        MEASURES P.value - V.value AS uplift, C.value AS click_val
         """,
     )
 

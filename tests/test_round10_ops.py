@@ -647,3 +647,77 @@ def test_intake_dedup_state_survives_checkpoint_restart(spark, tmp_path):
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     # 3 (duplicate of 1's signature, post-restart) suppressed; 4 fresh
     assert got == {1, 2, 4}
+
+
+# ---------------------------------------------------------------------------
+# MEASURES composed with PERMUTE (both engines)
+
+PM_SQL = """
+PATTERN ( V -> PERMUTE(C, P) )
+WITHIN 1 HOUR
+DEFINE V AS event_type = 'view',
+       C AS event_type = 'click',
+       P AS event_type = 'purchase'
+MEASURES P.value - V.value AS uplift, C.value AS click_val
+PARTITION BY user_id
+ORDER BY ts
+"""
+
+PM_ROWS = [
+    # u1: C then P (C->P wins); u2: P then C (P->C completes earlier)
+    (0, 0, 1, "view", 10.0), (1, 5, 1, "click", 3.0),
+    (2, 9, 1, "purchase", 20.0),
+    (3, 0, 2, "view", 5.0), (4, 2, 2, "purchase", 9.0),
+    (5, 6, 2, "click", 1.5),
+]
+
+
+def test_permute_measures_batch_winner_values(spark):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, m, u, t, v in PM_ROWS
+    ]
+    out = match_recognize(spark.createDataFrame(data, SCHEMA), PM_SQL)
+    got = {
+        r["key"]: (r["uplift"], r["click_val"], r["permute_order"])
+        for r in out.collect()
+    }
+    # the winner ORDERING's bound values feed the measures
+    assert got == {1: (10.0, 3.0, "C->P"), 2: (4.0, 1.5, "P->C")}
+
+
+def test_permute_measures_stream_equals_batch(spark):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, v, "{}")
+        for i, m, u, t, v in PM_ROWS
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    chunks = [data[:3], data[3:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "view", 1.0, "{}")]
+        for j, mm in enumerate((500, 1000))
+    ]
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_recognize(sdf, PM_SQL, watermark="0 seconds"), "append"
+    )
+    g = sorted(tuple(r) for r in got.filter("key <> 9").collect())
+    w = sorted(
+        tuple(r)
+        for r in match_recognize(df, PM_SQL)
+        .filter("key <> 9")
+        .select(*got.columns)
+        .collect()
+    )
+    assert g == w and len(g) == 2

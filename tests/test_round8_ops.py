@@ -132,6 +132,8 @@ TIE_KEYS = [
     # round-10: leading-Kleene scan order (ts, coalesce(id,0)) decides
     # which row anchors/binds at a tie
     "cep_sql_leading_kleene",
+    # round-10: permute winner values ride the (ts, id0) struct mins
+    "cep_sql_permute_measures",
     # (cep_sql_run_agg_times is NOT here: the 900.x tie value busts
     # its sum cap at n=1 < min, so it emits nothing on this fixture —
     # vacuous; the same compile path's tie discipline is exercised by

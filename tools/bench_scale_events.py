@@ -60,6 +60,8 @@ OPS = [
     "cep_sql_final_running",
     # round-10: leading Kleene (A+ -> B) on the kleene-agg kernel
     "cep_sql_leading_kleene",
+    # round-10: MEASURES through the PERMUTE winner struct
+    "cep_sql_permute_measures",
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
