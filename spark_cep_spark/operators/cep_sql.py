@@ -1661,9 +1661,9 @@ _GROUP_RE = re.compile(r"\(([^()]*)\)\s*\{(\d+)(?:\s*,\s*(\d+))?\}")
 
 
 def expand_group_sql(text: str):
-    """Detect a quantified GROUP `( ... ){n}` / `( ... ){n,m}` inside
+    """Detect quantified GROUPs `( ... ){n}` / `( ... ){n,m}` inside
     the PATTERN clause (MATCH_RECOGNIZE sub-pattern quantification,
-    e.g. `(A -> B){2}` = the A-B pair twice) and expand it into flat
+    e.g. `(A -> B){2}` = the A-B pair twice) and expand them into flat
     step chains — repeat r's steps are renamed `<name>_r<r>` (each a
     timestamp column), repeats join with the relaxed `->` connector,
     and each repeat's DEFINE entries are duplicated under the renamed
@@ -1671,51 +1671,71 @@ def expand_group_sql(text: str):
     descending-arity variants, which ride the SAME winner-pick
     machinery as step quantifiers on both engines (union + preference
     groupBy batch-side, the variant NFA runner streaming-side).
+    SEVERAL groups (round 10; previously a pointed error) expand to
+    the cross product of their arity ranges in leftmost-greedy order
+    (the leading group's arity dominates the preference, regex
+    greedy-quantifier semantics), still under the 8-variant cap.
 
     Returns None when the text has no quantified group, else a list
-    of (desc, variant_text) pairs (singleton for `{n}`). Restrictions
-    (pointed errors, not silent misreads): one group per pattern; no
-    nesting; plain step names inside (no ?/{k}/+/!); group steps may
-    not carry correlation clauses (each repeat binds independently —
-    a cross-repeat correlation would silently read the wrong repeat);
+    of (desc, variant_text) pairs (singleton when every group is an
+    exact `{n}`). Restrictions (pointed errors, not silent misreads):
+    no nesting; plain step names inside (no ?/{k}/+/!); step names
+    distinct across groups (repeats of two groups would otherwise
+    rename onto the same `<name>_r<r>` columns); group steps may not
+    carry correlation clauses (each repeat binds independently — a
+    cross-repeat correlation would silently read the wrong repeat);
     MEASURES may not reference group steps (no single binding)."""
     clauses = _split_clauses(text)
     body = clauses.get("PATTERN", "").strip()
     if not (body.startswith("(") and body.endswith(")")):
         return None
     inner_pat = body[1:-1]
-    m = _GROUP_RE.search(inner_pat)
-    if m is None:
+    matches = list(_GROUP_RE.finditer(inner_pat))
+    if not matches:
         return None
-    if _GROUP_RE.search(inner_pat, m.end()):
-        raise ValueError("only one quantified group is supported")
-    lo = int(m.group(2))
-    hi = int(m.group(3)) if m.group(3) else lo
-    if lo < 1:
-        raise ValueError("group {n[,m]} needs n >= 1")
-    if hi < lo:
-        raise ValueError("group {n,m} needs m >= n")
-    if hi - lo > 7 or hi > 8:
-        raise ValueError("group expansion capped at 8 repeats/variants")
-    toks = [
-        t
-        for t in re.split(_CONNECTOR_SPLIT + r"|\s+", m.group(1))
-        if t
-    ]
-    if not toks or len(toks) % 2 == 0:
-        raise ValueError("group must be step (connector step)*")
-    names = toks[::2]
-    conns = toks[1::2]
-    for n in names:
-        if not re.match(r"^[A-Za-z_]\w*$", n):
+    groups = []  # (match, names, conns, lo, hi)
+    n_variants = 1
+    for m in matches:
+        lo = int(m.group(2))
+        hi = int(m.group(3)) if m.group(3) else lo
+        if lo < 1:
+            raise ValueError("group {n[,m]} needs n >= 1")
+        if hi < lo:
+            raise ValueError("group {n,m} needs m >= n")
+        if hi - lo > 7 or hi > 8:
             raise ValueError(
-                f"group steps must be plain step names, got {n!r} "
-                "(no !/?/{k}/+ inside a quantified group)"
+                "group expansion capped at 8 repeats/variants"
             )
-    for c in conns:
-        _parse_connector(c)  # validates; gapped connectors carry over
-    if len(set(names)) != len(names):
-        raise ValueError("duplicate step name inside group")
+        toks = [
+            t
+            for t in re.split(_CONNECTOR_SPLIT + r"|\s+", m.group(1))
+            if t
+        ]
+        if not toks or len(toks) % 2 == 0:
+            raise ValueError("group must be step (connector step)*")
+        names = toks[::2]
+        conns = toks[1::2]
+        for n in names:
+            if not re.match(r"^[A-Za-z_]\w*$", n):
+                raise ValueError(
+                    f"group steps must be plain step names, got {n!r} "
+                    "(no !/?/{k}/+ inside a quantified group)"
+                )
+        for c in conns:
+            _parse_connector(c)  # validates; gapped connectors carry
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate step name inside group")
+        n_variants *= hi - lo + 1
+        groups.append((m, names, conns, lo, hi))
+    all_names = [n for _m, ns, _c, _l, _h in groups for n in ns]
+    if len(set(all_names)) != len(all_names):
+        dup = sorted({n for n in all_names if all_names.count(n) > 1})
+        raise ValueError(
+            f"step name(s) {dup} appear in more than one quantified "
+            "group — repeats would rename onto the same columns"
+        )
+    if n_variants > 8:
+        raise ValueError("group expansion capped at 8 repeats/variants")
 
     # A group was detected, so this text will be expanded rather than
     # handed to parse_pattern_sql first — run the same required-clause
@@ -1734,7 +1754,7 @@ def expand_group_sql(text: str):
             )
         defines[nm.group(1)] = item
     step_names = set(defines)
-    for n in names:
+    for n in all_names:
         if n not in defines:
             raise ValueError(f"group step {n} has no DEFINE entry")
         expr = re.sub(
@@ -1754,7 +1774,7 @@ def expand_group_sql(text: str):
             hit = {
                 q
                 for q, _c in _WHERE_REF.findall(_mask_literals(item))
-            } & set(names)
+            } & set(all_names)
             if hit:
                 raise ValueError(
                     f"measure {item.strip()!r} references group step(s) "
@@ -1762,7 +1782,7 @@ def expand_group_sql(text: str):
                     "no single binding"
                 )
 
-    def _chain(k: int) -> str:
+    def _chain(names: list, conns: list, k: int) -> str:
         parts: list[str] = []
         for r in range(1, k + 1):
             if parts:
@@ -1773,16 +1793,31 @@ def expand_group_sql(text: str):
                 parts.append(f"{n}_r{r}")
         return " ".join(parts)
 
+    import itertools
+
+    # leftmost-greedy cross product: the leading group's arity ranks
+    # first (descending), then the next, ... — regex greedy semantics
+    arity_ranges = [
+        range(h, l - 1, -1) for _m, _ns, _cs, l, h in groups
+    ]
     variants = []
-    for k in range(hi, lo - 1, -1):  # greedy: longest arity first
-        flat = _chain(k)
-        new_pat = (
-            inner_pat[: m.start()] + flat + inner_pat[m.end() :]
-        ).strip()
+    for ks in itertools.product(*arity_ranges):
+        # splice every group's flat chain in, right-to-left so the
+        # earlier matches' spans stay valid
+        new_pat = inner_pat
+        for (m, names, conns, _l, _h), k in sorted(
+            zip(groups, ks), key=lambda t: -t[0][0].start()
+        ):
+            new_pat = (
+                new_pat[: m.start()]
+                + _chain(names, conns, k)
+                + new_pat[m.end() :]
+            )
+        new_pat = new_pat.strip()
         kept = [
             item
             for nm, item in defines.items()
-            if nm not in set(names)
+            if nm not in set(all_names)
         ]
         dup = [
             re.sub(
@@ -1791,6 +1826,7 @@ def expand_group_sql(text: str):
                 defines[n],
                 flags=re.I,
             )
+            for (_m, names, _cs, _l, _h), k in zip(groups, ks)
             for r in range(1, k + 1)
             for n in names
         ]
@@ -3226,6 +3262,95 @@ def cep_sql_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         PATTERN ( V -> PERMUTE(C, P) )
         WITHIN 24 HOURS
+        DEFINE V AS event_type = 'view',
+               C AS event_type = 'click',
+               P AS event_type = 'purchase'
+        """,
+    )
+
+
+@register(
+    "cep_sql_two_groups",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         s1 AS (
+           SELECT a.user_id, a.event_id, a.ts AS t0,
+                  (SELECT min(c.ts) FROM c
+                   WHERE c.user_id = a.user_id AND c.ts > a.ts
+                     AND c.ts <= a.ts + INTERVAL 6 HOUR) AS tc1
+           FROM v a),
+         s2 AS (
+           SELECT *, (SELECT min(v2.ts) FROM v v2
+                      WHERE v2.user_id = s1.user_id AND v2.ts > s1.tc1
+                        AND v2.ts <= s1.t0 + INTERVAL 6 HOUR) AS tv2
+           FROM s1),
+         s3 AS (
+           SELECT *, (SELECT min(c2.ts) FROM c c2
+                      WHERE c2.user_id = s2.user_id AND c2.ts > s2.tv2
+                        AND c2.ts <= s2.t0 + INTERVAL 6 HOUR) AS tc2
+           FROM s2),
+         s4 AS (
+           SELECT *,
+                  (SELECT min(pp.ts) FROM p pp
+                   WHERE pp.user_id = s3.user_id AND pp.ts > s3.tc2
+                     AND pp.ts <= s3.t0 + INTERVAL 6 HOUR) AS pa1,
+                  (SELECT min(pp.ts) FROM p pp
+                   WHERE pp.user_id = s3.user_id AND pp.ts > s3.tc1
+                     AND pp.ts <= s3.t0 + INTERVAL 6 HOUR) AS pb1
+           FROM s3),
+         s5 AS (
+           SELECT *,
+                  (SELECT min(pp.ts) FROM p pp
+                   WHERE pp.user_id = s4.user_id AND pp.ts > s4.pa1
+                     AND pp.ts <= s4.t0 + INTERVAL 6 HOUR) AS pa2,
+                  (SELECT min(pp.ts) FROM p pp
+                   WHERE pp.user_id = s4.user_id AND pp.ts > s4.pb1
+                     AND pp.ts <= s4.t0 + INTERVAL 6 HOUR) AS pb2
+           FROM s4),
+         w AS (
+           SELECT *, CASE
+             WHEN tv2 IS NOT NULL AND tc2 IS NOT NULL
+                  AND pa1 IS NOT NULL AND pa2 IS NOT NULL THEN 1
+             WHEN tv2 IS NOT NULL AND tc2 IS NOT NULL
+                  AND pa1 IS NOT NULL THEN 2
+             WHEN tc1 IS NOT NULL AND pb1 IS NOT NULL
+                  AND pb2 IS NOT NULL THEN 3
+             WHEN tc1 IS NOT NULL AND pb1 IS NOT NULL THEN 4 END AS rk
+           FROM s5)
+    SELECT user_id AS key, event_id AS anchor_id,
+           t0 AS t_V_r1, tc1 AS t_C_r1,
+           CASE WHEN rk IN (1, 2) THEN tv2 END AS t_V_r2,
+           CASE WHEN rk IN (1, 2) THEN tc2 END AS t_C_r2,
+           CASE WHEN rk IN (1, 2) THEN pa1 ELSE pb1 END AS t_P_r1,
+           CASE WHEN rk = 1 THEN pa2 WHEN rk = 3 THEN pb2 END AS t_P_r2,
+           CASE rk WHEN 1 THEN 'V_r1->C_r1->V_r2->C_r2->P_r1->P_r2'
+                   WHEN 2 THEN 'V_r1->C_r1->V_r2->C_r2->P_r1'
+                   WHEN 3 THEN 'V_r1->C_r1->P_r1->P_r2'
+                   ELSE 'V_r1->C_r1->P_r1' END AS variant
+    FROM w WHERE rk IS NOT NULL
+    """,
+)
+def cep_sql_two_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO quantified groups in one pattern — PATTERN
+    ( (V -> C){1,2} -> (P){1,2} ) (round-10 verdict item 3c;
+    previously 'only one quantified group is supported'): the groups'
+    arity ranges expand to their CROSS PRODUCT of flat chains in
+    leftmost-greedy preference order (the leading group's arity
+    dominates — regex greedy-quantifier semantics), riding the SAME
+    variant winner-pick machinery as single groups on both engines
+    (union + preference struct-min batch, the variant NFA runner
+    streaming). The oracle replays each variant as a correlated
+    min-chain and picks the first complete variant per anchor."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( (V -> C){1,2} -> (P){1,2} )
+        WITHIN 6 HOURS
         DEFINE V AS event_type = 'view',
                C AS event_type = 'click',
                P AS event_type = 'purchase'

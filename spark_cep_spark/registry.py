@@ -171,13 +171,13 @@ DRIVER_PRIORITY: list[str] = [
     "stream_static_join",
     "stream_stream_join",
     "stream_tumbling",
-    "text_fingerprint",
     # NEW in round 10 (appends push the window's last staged keys back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_final_running",
     "cep_sql_leading_kleene",
     "stream_corpus_intake",
     "cep_sql_permute_measures",
+    "cep_sql_two_groups",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -187,6 +187,7 @@ DRIVER_PRIORITY: list[str] = [
 # round-11 window = the FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-10 window by round-10 keys
+    "text_fingerprint",
     "text_lang_id",
     "text_quality",
     "text_sentiment",

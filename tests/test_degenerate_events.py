@@ -103,7 +103,7 @@ EVENTS_KEYS = [
     "win_decay_score",
     # round-10
     "cep_sql_final_running", "cep_sql_leading_kleene",
-    "cep_sql_permute_measures",
+    "cep_sql_permute_measures", "cep_sql_two_groups",
 ]
 
 
@@ -185,7 +185,7 @@ EMPTY_SWEEP_KEYS = [
     "win_decay_score",
     # round-10
     "cep_sql_final_running", "cep_sql_leading_kleene",
-    "cep_sql_permute_measures",
+    "cep_sql_permute_measures", "cep_sql_two_groups",
 ]
 
 

@@ -721,3 +721,110 @@ def test_permute_measures_stream_equals_batch(spark):
         .collect()
     )
     assert g == w and len(g) == 2
+
+
+# ---------------------------------------------------------------------------
+# Two quantified groups: cross-product expansion, leftmost-greedy
+
+TG_SQL = """
+PATTERN ( (V -> C){1,2} -> (P){1,2} )
+WITHIN 1 HOUR
+DEFINE V AS event_type = 'view',
+       C AS event_type = 'click',
+       P AS event_type = 'purchase'
+PARTITION BY user_id
+ORDER BY ts
+"""
+
+TG_ROWS = [
+    # u1: full greedy (2,2); its inner V also anchors a (1,2) match
+    (0, 0, 1, "view"), (1, 2, 1, "click"), (2, 4, 1, "view"),
+    (3, 6, 1, "click"), (4, 8, 1, "purchase"), (5, 10, 1, "purchase"),
+    # u2: (1,1); u3: (1,2); u4: (2,1)
+    (6, 0, 2, "view"), (7, 3, 2, "click"), (8, 5, 2, "purchase"),
+    (9, 0, 3, "view"), (10, 2, 3, "click"), (11, 4, 3, "purchase"),
+    (12, 6, 3, "purchase"),
+    (13, 0, 4, "view"), (14, 1, 4, "click"), (15, 2, 4, "view"),
+    (16, 3, 4, "click"), (17, 4, 4, "purchase"),
+]
+
+
+def test_two_groups_expansion_order():
+    from spark_cep_spark.operators.cep_sql import expand_group_sql
+
+    vs = expand_group_sql(TG_SQL)
+    assert [d for d, _ in vs] == [
+        "V_r1->C_r1->V_r2->C_r2->P_r1->P_r2",
+        "V_r1->C_r1->V_r2->C_r2->P_r1",
+        "V_r1->C_r1->P_r1->P_r2",
+        "V_r1->C_r1->P_r1",
+    ]
+
+
+def test_two_groups_pointed_errors():
+    from spark_cep_spark.operators.cep_sql import expand_group_sql
+
+    with pytest.raises(ValueError, match="more than one quantified"):
+        expand_group_sql(
+            TG_SQL.replace("(P){1,2}", "(V -> P){1,2}")
+        )
+    with pytest.raises(ValueError, match="capped at 8"):
+        expand_group_sql(
+            TG_SQL.replace("{1,2} -> (P){1,2}", "{1,4} -> (P){1,3}")
+        )
+
+
+def test_two_groups_batch_greedy_winners(spark):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, m, u, t in TG_ROWS
+    ]
+    out = match_recognize(spark.createDataFrame(data, SCHEMA), TG_SQL)
+    got = {
+        (r["key"], r["anchor_id"]): r["variant"] for r in out.collect()
+    }
+    assert got == {
+        (1, 0): "V_r1->C_r1->V_r2->C_r2->P_r1->P_r2",
+        (1, 2): "V_r1->C_r1->P_r1->P_r2",
+        (2, 6): "V_r1->C_r1->P_r1",
+        (3, 9): "V_r1->C_r1->P_r1->P_r2",
+        (4, 13): "V_r1->C_r1->V_r2->C_r2->P_r1",
+        (4, 15): "V_r1->C_r1->P_r1",
+    }
+
+
+def test_two_groups_stream_equals_batch(spark):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, m, u, t in TG_ROWS
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    chunks = [data[:9], data[9:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "view", 1.0, "{}")]
+        for j, mm in enumerate((500, 1000))
+    ]
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_recognize(sdf, TG_SQL, watermark="0 seconds"), "append"
+    )
+    g = sorted(tuple(r) for r in got.filter("key <> 9").collect())
+    w = sorted(
+        tuple(r)
+        for r in match_recognize(df, TG_SQL)
+        .filter("key <> 9")
+        .select(*got.columns)
+        .collect()
+    )
+    assert g == w and len(g) == 6

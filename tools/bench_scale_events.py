@@ -62,6 +62,8 @@ OPS = [
     "cep_sql_leading_kleene",
     # round-10: MEASURES through the PERMUTE winner struct
     "cep_sql_permute_measures",
+    # round-10: two quantified groups (cross-product variants)
+    "cep_sql_two_groups",
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
