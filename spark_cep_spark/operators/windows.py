@@ -1662,20 +1662,83 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        tus = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
-        score, ptus, out = 0, None, []
-        for t, c in zip(tus, pdf["cents"].tolist()):
-            dh = 63 if ptus is None else min((t - ptus) // 3_600_000_000, 63)
-            score = int(c) + (score >> dh)
-            out.append(score)
-            ptus = t
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "ts": pdf["ts"],
                 "event_id": pdf["event_id"],
-                "score": out,
+                "score": decay_scores(
+                    pdf["ts"].astype("datetime64[us]").astype("int64"),
+                    pdf["cents"],
+                ),
             }
         )
 
     return e.groupBy("user_id").applyInPandas(fn, schema)
+
+
+def decay_scores(tus, cents) -> list:
+    """The dyadic time-decay recurrence over one key's (ts, id)-sorted
+    rows — score' = cents + (score >> min(floor_hours(gap), 63)) —
+    SEGMENT-VECTORIZED (round-10 verdict item 6, the hot-kernel numpy
+    proof): a shift only happens on rows whose gap reaches a full
+    hour, so between shift points the recurrence is a plain int64
+    cumulative sum, which numpy computes EXACTLY (integer adds have no
+    op-order sensitivity — the bit-exactness argument that float
+    kernels lack, which is why this kernel was chosen).  The Python
+    loop runs once per SEGMENT (burst), not per row; a dense burst of
+    k same-hour events costs one cumsum instead of k iterations.
+
+    Exactness guard: numpy int64 wraps silently where Python ints
+    grow, so any segment whose worst-case running score could reach
+    2^62 falls back to the original per-row loop for the WHOLE frame
+    (both paths produce identical values whenever both complete — the
+    output column is int64 anyway, so a true overflow is an error in
+    either path, loud here).  A/B on the sf0.1 fixture in SCALE.md."""
+    import numpy as np
+
+    t = np.asarray(tus, dtype=np.int64)
+    c = np.asarray(cents, dtype=np.int64)
+    n = len(t)
+    if n == 0:
+        return []
+    dh = np.empty(n, dtype=np.int64)
+    dh[0] = 63
+    if n > 1:
+        np.minimum((t[1:] - t[:-1]) // 3_600_000_000, 63, out=dh[1:])
+    bnd = np.flatnonzero(dh > 0)
+    if len(bnd) * 4 > n:
+        # sparse bursts (under ~4 rows per segment): the per-segment
+        # Python overhead exceeds the per-row loop — measured 0.5-0.7x
+        # there vs 4x+ on dense bursts (SCALE.md A/B); pick the loop
+        # when vectorization cannot pay
+        return _decay_scores_loop(t.tolist(), c.tolist())
+    cmax = int(c.max())
+    out = np.empty(n, dtype=np.int64)
+    score = 0
+    for si in range(len(bnd)):
+        b = int(bnd[si])
+        e_ = int(bnd[si + 1]) if si + 1 < len(bnd) else n
+        start = int(c[b]) + (score >> int(dh[b]))
+        # worst-case running score inside this segment
+        if start + (e_ - b) * cmax >= (1 << 62):
+            return _decay_scores_loop(t.tolist(), c.tolist())
+        out[b] = start
+        if e_ - b > 1:
+            np.cumsum(c[b + 1 : e_], out=out[b + 1 : e_])
+            out[b + 1 : e_] += start
+        score = int(out[e_ - 1])
+    return out.tolist()
+
+
+def _decay_scores_loop(tus, cents) -> list:
+    """The original per-row spelling — arbitrary-precision fallback
+    (and the differential reference the fuzz battery runs both of)."""
+    score, ptus, out = 0, None, []
+    for t, cv in zip(list(tus), list(cents)):
+        t = int(t)  # numpy scalars would wrap where Python ints grow
+        dh = 63 if ptus is None else min((t - ptus) // 3_600_000_000, 63)
+        score = int(cv) + (score >> dh)
+        out.append(score)
+        ptus = t
+    return out

@@ -828,3 +828,62 @@ def test_two_groups_stream_equals_batch(spark):
         .collect()
     )
     assert g == w and len(g) == 6
+
+
+# ---------------------------------------------------------------------------
+# decay_scores segment-vectorized fast path == the per-row loop
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 7_300_000_000),  # gap us (spans the 1h edge)
+            st.integers(1, 10**11),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_decay_fast_path_equals_loop(evs):
+    from spark_cep_spark.operators.windows import (
+        _decay_scores_loop,
+        decay_scores,
+    )
+
+    t = 0
+    tus, cents = [], []
+    for gap, c in evs:
+        t += gap
+        tus.append(t)
+        cents.append(c)
+    assert decay_scores(tus, cents) == _decay_scores_loop(tus, cents)
+
+
+def test_decay_fast_path_overflow_falls_back_exactly():
+    from spark_cep_spark.operators.windows import (
+        _decay_scores_loop,
+        decay_scores,
+    )
+
+    # a same-hour burst whose running sum crosses the 2^62 guard —
+    # the fast path must hand the WHOLE frame to the loop, not wrap
+    big = (1 << 61)
+    tus = [0, 1, 2, 3]
+    cents = [big, big, big, big]
+    got = decay_scores(tus, cents)
+    want = _decay_scores_loop(tus, cents)
+    assert got == want and want[-1] == 4 * big
+
+
+def test_decay_dense_burst_and_all_gaps():
+    from spark_cep_spark.operators.windows import (
+        _decay_scores_loop,
+        decay_scores,
+    )
+
+    h = 3_600_000_000
+    # all rows in one burst (single segment) and all rows gapped
+    # (every row its own segment) — the two structural extremes
+    for tus in ([0, 1, 2, 3, 4], [0, h, 2 * h, 3 * h, 5 * h]):
+        cents = [7, 11, 13, 17, 19]
+        assert decay_scores(tus, cents) == _decay_scores_loop(tus, cents)
