@@ -1687,7 +1687,8 @@ def universal_run_exprs(
     coalesce-fold, so double sums agree bit-for-bit (same IEEE ops,
     same order). SQL NULL semantics: SUM/AVG over zero non-NULL values
     so far is NULL (a when-guard on the running non-NULL count), COUNT
-    skips NULLs, COUNT(*) counts bound rows.
+    skips NULLs, COUNT(*) counts bound rows, MIN/MAX fold through
+    least()/greatest() (NULL-skipping identically on both engines).
 
     specs: (alias, prefix 'RUNNING'|'FINAL', agg, col|None)."""
     n = len(steps)
@@ -1695,6 +1696,16 @@ def universal_run_exprs(
     for alias, prefix, agg, col in specs:
         if agg == "count_star":
             run = [F.lit(i).cast("long") for i in range(1, n + 1)]
+        elif agg in ("min", "max"):
+            # least()/greatest() skip NULLs identically on both
+            # engines (all-NULL → NULL) — an exact fold, no arithmetic
+            fn = F.least if agg == "min" else F.greatest
+            vals = [F.col(f"__arm_{col}__{s}") for s in steps]
+            acc = None
+            run = []
+            for x in vals:
+                acc = x if acc is None else fn(acc, x)
+                run.append(acc)
         else:
             vals = [F.col(f"__arm_{col}__{s}") for s in steps]
             cnts: list = []

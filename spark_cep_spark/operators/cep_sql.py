@@ -1215,15 +1215,9 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                             (alias, prefix or "RUNNING", "count_star", None)
                         )
                         continue
-                    if agg in ("MIN", "MAX"):
-                        raise ValueError(
-                            f"measure {alias!r}: {agg} over the "
-                            "universal row set is not supported (a "
-                            "NULL-skipping MIN/MAX fold has no shared "
-                            "exact spelling across engines); "
-                            "supported: SUM(col), COUNT(col), "
-                            "COUNT(*), AVG(col)"
-                        )
+                    # MIN/MAX fold through least()/greatest(), which
+                    # skip NULLs identically on both engines (all-NULL
+                    # → NULL) — exact, no arithmetic at all
                     universal_specs.append(
                         (alias, prefix or "RUNNING", agg.lower(), col)
                     )
@@ -1349,7 +1343,7 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 "ROWS PER MATCH in the dialect beyond CLASSIFIER()/"
                 "MATCH_NUMBER() (a step-qualified measure is a "
                 "whole-match value; universal-set aggregates — "
-                "RUNNING/FINAL SUM(col)/COUNT(col)/COUNT(*)/AVG(col) "
+                "RUNNING/FINAL SUM/COUNT/COUNT(*)/AVG/MIN/MAX "
                 "with the column unqualified — evaluate per row, or "
                 "compose rows_per_match_running on the ONE ROW output)"
             )
@@ -4088,21 +4082,27 @@ def cep_sql_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN c3 > 0 THEN s3 END AS fin_sum,
            c1 AS n_so_far,
            CAST(3 AS BIGINT) AS n_rows,
-           CASE WHEN c1 > 0 THEN s1 / c1 END AS avg_so_far
+           CASE WHEN c1 > 0 THEN s1 / c1 END AS avg_so_far,
+           v1 AS min_so_far,
+           greatest(greatest(v1, v2), v3) AS max_fin
     FROM r
     UNION ALL
     SELECT user_id, anchor_id, CAST(2 AS BIGINT), 'c', mc.ts, mc.id,
            CASE WHEN c2 > 0 THEN s2 END,
            CASE WHEN c3 > 0 THEN s3 END,
            c2, CAST(3 AS BIGINT),
-           CASE WHEN c2 > 0 THEN s2 / c2 END
+           CASE WHEN c2 > 0 THEN s2 / c2 END,
+           least(v1, v2),
+           greatest(greatest(v1, v2), v3)
     FROM r
     UNION ALL
     SELECT user_id, anchor_id, CAST(3 AS BIGINT), 'p', mp.ts, mp.id,
            CASE WHEN c3 > 0 THEN s3 END,
            CASE WHEN c3 > 0 THEN s3 END,
            c3, CAST(3 AS BIGINT),
-           CASE WHEN c3 > 0 THEN s3 / c3 END
+           CASE WHEN c3 > 0 THEN s3 / c3 END,
+           least(least(v1, v2), v3),
+           greatest(greatest(v1, v2), v3)
     FROM r
     """,
 )
@@ -4119,7 +4119,8 @@ def cep_sql_final_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, streams unchanged); the oracle spells the identical
     coalesce-fold so double sums agree bit-for-bit. SQL NULL
     semantics: SUM/AVG over zero non-NULL values so far is NULL,
-    COUNT skips NULLs, COUNT(*) counts bound rows."""
+    COUNT skips NULLs, COUNT(*) counts bound rows, MIN/MAX fold
+    through least()/greatest() (NULL-skipping on both engines)."""
     events = table(spark, sf_dir, "events")
     return match_recognize(
         events,
@@ -4133,7 +4134,9 @@ def cep_sql_final_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FINAL SUM(value) AS fin_sum,
                  RUNNING COUNT(value) AS n_so_far,
                  FINAL COUNT(*) AS n_rows,
-                 RUNNING AVG(value) AS avg_so_far
+                 RUNNING AVG(value) AS avg_so_far,
+                 RUNNING MIN(value) AS min_so_far,
+                 FINAL MAX(value) AS max_fin
         ALL ROWS PER MATCH
         PARTITION BY user_id
         ORDER BY ts

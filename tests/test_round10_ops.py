@@ -93,9 +93,24 @@ def test_bare_universal_agg_defaults_to_running():
     assert parsed.universal_measures[0] == ("run_sum", "RUNNING", "sum", "value")
 
 
-def test_min_max_universal_rejected():
-    with pytest.raises(ValueError, match="MIN over the universal"):
-        parse_pattern_sql(FR_SQL.replace("RUNNING SUM(value)", "MIN(value)"))
+def test_min_max_universal_fold(spark):
+    # MIN/MAX fold through least()/greatest(), NULL-skipping on both
+    # engines — RUNNING min ignores the NULL click, FINAL max sees all
+    out = match_recognize(
+        _fixture(spark),
+        FR_SQL.replace(
+            "RUNNING AVG(value) AS avg_so_far",
+            "RUNNING MIN(value) AS min_so_far, FINAL MAX(value) AS max_fin",
+        ),
+    ).collect()
+    got = {
+        (r["key"], r["seq_no"]): (r["min_so_far"], r["max_fin"])
+        for r in out
+    }
+    assert got[(1, 1)] == (10.0, 10.0)
+    assert got[(1, 2)] == (10.0, 10.0)  # NULL click skipped by MIN
+    assert got[(1, 3)] == (2.5, 10.0)
+    assert got[(2, 1)] == (None, 7.0)  # all-NULL-so-far min is NULL
 
 
 def test_sum_star_rejected():
