@@ -1389,12 +1389,12 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         # express, pointedly.
         b_name, spec, corr = run_agg_info
         lk = b_name.startswith("__lk_")  # leading Kleene (A+ -> B)
-        if lk and all_rows:
+        if lk and excluded:
             raise ValueError(
-                "ALL ROWS PER MATCH is not supported with a leading "
-                "Kleene step yet (the per-row face would need an "
-                "anchor-inclusive RUNNING count; use the default ONE "
-                "ROW output — t_<A>, <A>_count, t_<B>)"
+                "{- step -} exclusion is not supported with a leading "
+                "Kleene step (excluding the run would empty the "
+                "output's A rows; excluding the terminal leaves a "
+                "bare count — filter the output instead)"
             )
         if len(pattern.steps) not in (2, 3):
             raise ValueError(
@@ -1521,7 +1521,9 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                 kind = _form_aggs[agg]
                 if all_rows and prefix != "FINAL":
                     # bare aggregate = RUNNING under ALL ROWS (standard)
-                    kind = {"s": "rs", "n": "rn", "avg": "ravg"}[kind]
+                    kind = {
+                        "s": "rs", "n": "rn", "avg": "ravg", "n1": "rn1",
+                    }[kind]
             elif m_ref:
                 stp, col = m_ref.group(1), m_ref.group(2)
                 if stp == a_name:
@@ -2151,7 +2153,14 @@ def _compile_run_agg(
         parsed.run_agg
     )
     all_rows = parsed.all_rows
-    cls_names = (a_name, b_name, conf_name or "")
+    # leading Kleene: anchor and candidates are the SAME user variable
+    # (A of A+), so CLASSIFIER() names both 'A' — never the internal
+    # __lk_ step name
+    cls_names = (
+        (a_name, a_name, conf_name or "")
+        if b_name.startswith("__lk_")
+        else (a_name, b_name, conf_name or "")
+    )
     excl_codes = tuple(
         code
         for step, code in ((a_name, 0), (b_name, 1), (conf_name, 2))
@@ -2231,6 +2240,10 @@ def _compile_run_agg(
             out_spec.append((parsed.classifier_alias, "cls"))
         if run_measures:
             out_spec.extend(run_measures)
+        elif b_name.startswith("__lk_"):
+            # leading Kleene: the default per-row measure is the
+            # anchor-INCLUSIVE running count under the user variable
+            out_spec.append((f"{a_name}_count", "rn1"))
         else:
             out_spec.append((f"{b_name}_count", "rn"))
             if val_col is not None:
@@ -4560,6 +4573,125 @@ def cep_sql_leading_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITHIN 6 HOURS
         DEFINE A AS event_type = 'view',
                B AS event_type = 'purchase'
+        AFTER MATCH SKIP PAST LAST ROW
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+
+
+_LEADING_KLEENE_ROWS_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type AS et, epoch_us(ts) AS tus, ts,
+             coalesce(event_id, 0) AS eid0,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, coalesce(event_id, 0)) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('view', 'purchase')
+    ),
+    mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS rn, FALSE AS in_run,
+             CAST(0 AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS BIGINT) AS dl,
+             CAST(NULL AS BIGINT) AS arn,
+             CAST(NULL AS BIGINT) AS em_anchor,
+             CAST(NULL AS BIGINT) AS em_n,
+             CAST(NULL AS BIGINT) AS em_conf,
+             CAST(NULL AS BIGINT) AS em_arn,
+             CAST(NULL AS BIGINT) AS em_crn
+      FROM mx
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN e.et = 'view'
+                  WHEN e.et = 'view' THEN TRUE
+                  ELSE FALSE END,
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN CASE WHEN e.et = 'view' THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END
+                  WHEN e.et = 'view' THEN w.n + 1
+                  ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN CASE WHEN e.et = 'view' THEN e.tus END
+                  WHEN e.et = 'view' THEN w.anchor END,
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN CASE WHEN e.et = 'view'
+                            THEN e.tus + 21600000000 END
+                  WHEN e.et = 'view' THEN w.dl END,
+             CASE WHEN (NOT w.in_run) OR (e.tus > w.dl)
+                  THEN CASE WHEN e.et = 'view' THEN e.rn END
+                  WHEN e.et = 'view' THEN w.arn END,
+             CASE WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                  THEN w.anchor END,
+             CASE WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                  THEN w.n END,
+             CASE WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                  THEN e.tus END,
+             CASE WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                  THEN w.arn END,
+             CASE WHEN w.in_run AND e.tus <= w.dl AND e.et = 'purchase'
+                  THEN e.rn END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ),
+    m AS (
+      SELECT user_id, em_anchor, em_n, em_conf, em_arn, em_crn,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY em_arn) AS BIGINT) AS mn
+      FROM walk WHERE em_anchor IS NOT NULL
+    )
+    SELECT m.user_id AS key, e.ts, e.eid0 AS event_id,
+           CAST(row_number() OVER (PARTITION BY m.user_id, m.em_arn
+                                   ORDER BY e.rn) AS BIGINT) AS n_so_far,
+           m.em_n AS n_total, 'A' AS cls,
+           make_timestamp(m.em_anchor) AS t_first,
+           make_timestamp(m.em_conf) AS t_b, m.mn
+    FROM m JOIN ev e
+      ON e.user_id = m.user_id AND e.rn >= m.em_arn
+     AND e.rn < m.em_crn AND e.et = 'view'
+    UNION ALL
+    SELECT m.user_id, e.ts, e.eid0, m.em_n, m.em_n, 'B',
+           make_timestamp(m.em_anchor), make_timestamp(m.em_conf), m.mn
+    FROM m JOIN ev e
+      ON e.user_id = m.user_id AND e.rn = m.em_crn
+"""
+
+
+@register(
+    "cep_sql_leading_kleene_rows", oracle=_LEADING_KLEENE_ROWS_ORACLE
+)
+def cep_sql_leading_kleene_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH face of the leading Kleene (A+ -> B): one
+    output row per bound event — every view of the run plus the
+    confirming purchase — with the anchor-INCLUSIVE RUNNING count
+    (COUNT(A.*) under ALL ROWS is RUNNING by the standard; the anchor
+    row counts 1), the FINAL count on every row, CLASSIFIER() (anchor
+    and candidates are both 'A' — the internal kleene step never
+    leaks), the anchor/confirm timestamps, and MATCH_NUMBER().  Rides
+    the kernel's emit_rows face unchanged — WHICH matches emit is
+    identical to cep_sql_leading_kleene; the oracle extends the same
+    recursive walk with the anchor/confirm row numbers and joins the
+    bound rows back."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    return match_recognize(
+        e,
+        """
+        PATTERN ( A+ -> B )
+        WITHIN 6 HOURS
+        DEFINE A AS event_type = 'view',
+               B AS event_type = 'purchase'
+        MEASURES COUNT(A.*) AS n_so_far,
+                 FINAL COUNT(A.*) AS n_total,
+                 CLASSIFIER() AS cls,
+                 A.ts AS t_first, B.ts AS t_b,
+                 MATCH_NUMBER() AS mn
+        ALL ROWS PER MATCH
         AFTER MATCH SKIP PAST LAST ROW
         PARTITION BY user_id
         ORDER BY ts

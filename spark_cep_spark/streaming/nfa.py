@@ -4632,6 +4632,7 @@ def kleene_agg_out_fields(out_spec: list, integral: bool) -> list:
         "row_eid": T.LongType(),
         "cls": T.StringType(),
         "rn": T.LongType(),
+        "rn1": T.LongType(),
         "rs": T.LongType() if integral else T.DoubleType(),
         "ravg": T.DoubleType(),
         "mn": T.LongType(),
@@ -4693,9 +4694,13 @@ def kleene_agg_out_columns(
             "row_eid": lambda r: r[1],
             "cls": lambda r: cls_names[r[2]],
             "rn": lambda r: r[3],
+            # anchor-inclusive running count (leading Kleene: the
+            # anchor IS the +'s first binding, so its row counts 1)
+            "rn1": lambda r: r[3] + 1,
             "rs": lambda r: r[4] if r[3] else None,
             "ravg": lambda r: r[4] / r[3] if r[3] else None,
             "n": lambda r: r[5],
+            "n1": lambda r: r[5] + 1,
             "s": lambda r: r[6],
             "avg": lambda r: r[6] / r[5],
             "t_anchor": lambda r: r[7],

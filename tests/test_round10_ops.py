@@ -369,7 +369,6 @@ def test_leading_kleene_pointed_errors(spark):
         (LK_SQL.replace("( A+ -> B )", "( A+ )"), "exactly PATTERN"),
         (LK_SQL.replace("( A+ -> B )", "( A+ => B )"), "relaxed ->"),
         (LK_SQL.replace("( A+ -> B )", "( A+ -> B+ )"), "plain step"),
-        (LK_SQL + "ALL ROWS PER MATCH\n", "not supported with a leading"),
         (
             LK_SQL.replace("AFTER MATCH SKIP PAST LAST ROW\n", ""),
             "SKIP PAST LAST ROW",
@@ -902,3 +901,96 @@ def test_decay_dense_burst_and_all_gaps():
     for tus in ([0, 1, 2, 3, 4], [0, h, 2 * h, 3 * h, 5 * h]):
         cents = [7, 11, 13, 17, 19]
         assert decay_scores(tus, cents) == _decay_scores_loop(tus, cents)
+
+
+# ---------------------------------------------------------------------------
+# Leading Kleene ALL ROWS PER MATCH face
+
+LKR_SQL = """
+PATTERN ( A+ -> B )
+WITHIN 1 HOUR
+DEFINE A AS event_type = 'view',
+       B AS event_type = 'purchase'
+MEASURES COUNT(A.*) AS n_so_far,
+         FINAL COUNT(A.*) AS n_total,
+         CLASSIFIER() AS cls,
+         A.ts AS t_first, B.ts AS t_b,
+         MATCH_NUMBER() AS mn
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PARTITION BY user_id
+ORDER BY ts
+"""
+
+
+def test_leading_kleene_all_rows_batch(spark):
+    out = match_recognize(_lk_fixture(spark), LKR_SQL).collect()
+    by = {(r["key"], r["event_id"]): r for r in out}
+    # u1: 3 A rows (noise click not bound) + the B row
+    assert [(by[(1, i)]["cls"], by[(1, i)]["n_so_far"]) for i in (0, 2, 3)] == [
+        ("A", 1), ("A", 2), ("A", 3)
+    ]
+    assert by[(1, 4)]["cls"] == "B" and by[(1, 4)]["n_so_far"] == 3
+    assert all(by[(1, i)]["n_total"] == 3 for i in (0, 2, 3, 4))
+    # u2: single-A match — anchor row counts 1 (anchor-inclusive)
+    assert by[(2, 5)]["n_so_far"] == 1 and by[(2, 6)]["cls"] == "B"
+    # u3: only the re-anchored match emits; internal step never leaks
+    assert {r["cls"] for r in out} == {"A", "B"}
+    assert all(r["mn"] == 1 for r in out)
+
+
+def test_leading_kleene_all_rows_default_output(spark):
+    out = match_recognize(
+        _lk_fixture(spark),
+        LK_SQL + "ALL ROWS PER MATCH\n",
+    )
+    assert "A_count" in out.columns  # anchor-inclusive running count
+    got = {
+        (r["key"], r["event_id"]): r["A_count"] for r in out.collect()
+    }
+    assert got[(1, 0)] == 1 and got[(1, 3)] == 3 and got[(1, 4)] == 3
+
+
+def test_leading_kleene_exclusion_rejected(spark):
+    with pytest.raises(ValueError, match="exclusion is not supported"):
+        match_recognize(
+            _lk_fixture(spark),
+            LKR_SQL.replace("( A+ -> B )", "( {- A+ -} -> B )"),
+        )
+
+
+def test_leading_kleene_all_rows_stream_equals_batch(spark):
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, m, u, t in LK_ROWS
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    chunks = [data[:3], data[3:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "view", 1.0, "{}")]
+        for j, mm in enumerate((600, 1200))
+    ]
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_recognize(sdf, LKR_SQL, watermark="0 seconds"), "append"
+    )
+    g = sorted(tuple(r) for r in got.filter("key <> 9").collect())
+    w = sorted(
+        tuple(r)
+        for r in match_recognize(df, LKR_SQL)
+        .filter("key <> 9")
+        .select(*got.columns)
+        .collect()
+    )
+    assert g == w and len(g) > 0

@@ -158,6 +158,8 @@ PYTHON_OK = {
     # with a trivially-true bind and min_n=0 (round 10); the run scan
     # is prefix-dependent (SKIP PAST LAST ROW consumes rows), which no
     # window frame expresses — same JVM/Python split as its siblings
+    "cep_sql_leading_kleene_rows",  # the ALL ROWS face of the same
+    # scan (emit_rows) — identical kernel, wider emission only
     "cep_sql_run_agg_confirm",  # the terminal-confirm (A -> B+ -> C)
     # form of the same kernel path (round 8) — identical JVM/Python
     # split, one extra JVM-side boolean column

@@ -64,6 +64,7 @@ OPS = [
     "cep_sql_permute_measures",
     # round-10: two quantified groups (cross-product variants)
     "cep_sql_two_groups",
+    "cep_sql_leading_kleene_rows",
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
