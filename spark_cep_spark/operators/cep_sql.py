@@ -1177,11 +1177,23 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
             # compiler, not the measure machinery (they are positional,
             # not value aggregates)
             if re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", expr, re.I):
+                if prefix is not None:
+                    raise ValueError(
+                        f"{prefix} is not applicable to MATCH_NUMBER() "
+                        "(a positional per-match function, not a value "
+                        "aggregate)"
+                    )
                 if match_number_alias is not None:
                     raise ValueError("MATCH_NUMBER() listed twice")
                 match_number_alias = alias
                 continue
             if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr, re.I):
+                if prefix is not None:
+                    raise ValueError(
+                        f"{prefix} is not applicable to CLASSIFIER() "
+                        "(a positional per-match function, not a value "
+                        "aggregate)"
+                    )
                 if classifier_alias is not None:
                     raise ValueError("CLASSIFIER() listed twice")
                 classifier_alias = alias
@@ -1481,12 +1493,16 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
                     m_agg.group(3),
                 )
                 if stp != b_name:
-                    if lk and stp == a_name:
+                    if lk:
+                        # never leak the internal __lk_ step name —
+                        # the user's run variable is the anchor's
                         raise ValueError(
                             f"measure {alias!r}: a leading Kleene run "
                             "carries no value accumulator — only "
                             f"COUNT({a_name}.*) (the bound-row count, "
-                            "anchor included) is available"
+                            f"anchor included) and {a_name}/"
+                            f"{conf_name}.{time_col} references are "
+                            "available"
                         )
                     raise ValueError(
                         f"measure {alias!r}: {agg} must range over the "
@@ -2054,6 +2070,15 @@ def _compile_quantifier_batch(df: DataFrame, variants) -> DataFrame:
     full_cols: list[str] = []
     for desc, vtext in variants:
         parsed = parse_pattern_sql(vtext)
+        for a, _e in parsed.pattern.measures:
+            # same guard as the PERMUTE path: the winner machinery
+            # adds its own label/internal columns
+            if a == "variant" or a.startswith("_"):
+                raise ValueError(
+                    f"measure alias {a!r} collides with a variant "
+                    "output/internal column (variant and _-prefixed "
+                    "names are reserved here)"
+                )
         bdf = parsed.pattern.compile_batch(
             df, key_col=parsed.key_col, time_col=parsed.time_col
         )
@@ -2952,6 +2977,15 @@ def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
         parsed = parse_pattern_sql(vtext)
         if rk == 1:
             measure_aliases = [a for a, _e in parsed.pattern.measures]
+            # Pattern.measure already rejects t_/id_/key/anchor_id
+            # collisions; the PERMUTE machinery adds its own columns
+            for a in measure_aliases:
+                if a == "permute_order" or a.startswith("_"):
+                    raise ValueError(
+                        f"measure alias {a!r} collides with a PERMUTE "
+                        "output/internal column (permute_order and "
+                        "_-prefixed names are reserved here)"
+                    )
         bdf = parsed.pattern.compile_batch(
             df, key_col=parsed.key_col, time_col=parsed.time_col
         )

@@ -2187,10 +2187,11 @@ def corpus_intake_flags(d: DataFrame) -> DataFrame:
     from spark_cep_spark.operators.llm_dedup import _minhash_signature
     from spark_cep_spark.operators.llm_text import gopher_stats
 
-    g = gopher_stats(d.select("doc_id", "text")).select(
-        "doc_id", "n_words", "keep"
-    )
-    flags = d.select("doc_id", "ts", "text").join(g, "doc_id")
+    # quality flags ride the SAME projection (carry=) — no self-join,
+    # one source scan (round-10 review catch)
+    flags = gopher_stats(
+        d.select("doc_id", "ts", "text"), carry=("ts", "text")
+    ).select("doc_id", "ts", "text", "n_words", "keep")
     surv = flags.filter(F.col("keep"))
     wk = W.partitionBy("sig").orderBy("doc_id")
     kept = (
@@ -2200,7 +2201,8 @@ def corpus_intake_flags(d: DataFrame) -> DataFrame:
         .select("doc_id", F.lit(True).alias("acc"))
     )
     return (
-        flags.join(kept, "doc_id", "left")
+        flags.drop("text")
+        .join(kept, "doc_id", "left")
         .select(
             "doc_id",
             "ts",
@@ -2332,14 +2334,16 @@ def corpus_intake_stream(
     from spark_cep_spark.operators.llm_dedup import near_dedup_sig_stream
     from spark_cep_spark.operators.llm_text import gopher_stats
 
-    g = gopher_stats(docs_stream.select("doc_id", "text")).select(
-        "doc_id", "keep"
-    )
+    # flags computed ON the stream projection (carry=) — a join back
+    # to the same source would be a stateful stream-stream self-join
+    # with unbounded state on a 24/7 run (round-10 review catch)
     surv = (
-        docs_stream.select("doc_id", "ts", "text")
-        .join(g, "doc_id")
+        gopher_stats(
+            docs_stream.select("doc_id", "ts", "text"),
+            carry=("ts", "text"),
+        )
         .filter(F.col("keep"))
-        .drop("keep")
+        .select("doc_id", "ts", "text")
     )
     return near_dedup_sig_stream(surv, watermark=watermark)
 
@@ -2356,13 +2360,10 @@ def corpus_intake_counters_stream(
     layer); every column here is exact under ANY arrival order."""
     from spark_cep_spark.operators.llm_text import gopher_stats
 
-    g = gopher_stats(docs_stream.select("doc_id", "text")).select(
-        "doc_id", "n_words", "keep"
-    )
-    fl = (
-        docs_stream.select("doc_id", "ts")
-        .join(g, "doc_id")
-        .withWatermark("ts", watermark)
+    fl = gopher_stats(
+        docs_stream.select("doc_id", "ts", "text"), carry=("ts",)
+    ).select("doc_id", "ts", "n_words", "keep").withWatermark(
+        "ts", watermark
     )
     return (
         fl.groupBy(F.window("ts", "1 minute").alias("win"))

@@ -1982,16 +1982,23 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_stats(table(spark, sf_dir, "documents"))
 
 
-def gopher_stats(d: DataFrame) -> DataFrame:
+def gopher_stats(d: DataFrame, carry: tuple = ()) -> DataFrame:
     """The Gopher rule evaluation over an arbitrary documents frame —
-    shared by text_gopher_rules and pipeline_e2e's first stage (ONE
-    spelling of the stopword/band expressions, two call sites)."""
+    shared by text_gopher_rules, pipeline_e2e's first stage, and the
+    corpus-intake faces (ONE spelling of the stopword/band
+    expressions).  `carry` names extra input columns replicated onto
+    the output UNCHANGED — on a STREAMING input this is the only
+    legal way to keep (ts, text) next to the flags: joining the
+    projection back to its own source would plan as a stateful
+    stream-stream self-join with unbounded state (round-10 review
+    catch), where this stays one pure projection."""
     stop_arr = F.split(F.lit(_GOPHER_STOPWORDS), " ")
     w = F.filter(
         F.split(F.coalesce("text", F.lit("")), " "), lambda x: x != ""
     )
     s = d.select(
         "doc_id",
+        *carry,
         F.size(w).cast("long").alias("n_words"),
         F.coalesce(
             F.expr(
@@ -2015,6 +2022,7 @@ def gopher_stats(d: DataFrame) -> DataFrame:
     st_ok = F.col("n_stop_hits") >= 2
     return s.select(
         "doc_id",
+        *carry,
         "n_words",
         "sum_len",
         F.round(

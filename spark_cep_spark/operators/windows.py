@@ -1714,14 +1714,20 @@ def decay_scores(tus, cents) -> list:
         # when vectorization cannot pay
         return _decay_scores_loop(t.tolist(), c.tolist())
     cmax = int(c.max())
+    cmin = int(c.min())
     out = np.empty(n, dtype=np.int64)
     score = 0
     for si in range(len(bnd)):
         b = int(bnd[si])
         e_ = int(bnd[si + 1]) if si + 1 < len(bnd) else n
         start = int(c[b]) + (score >> int(dh[b]))
-        # worst-case running score inside this segment
-        if start + (e_ - b) * cmax >= (1 << 62):
+        # worst-case running score inside this segment, BOTH signs —
+        # negative cents would wrap int64 downward just as silently
+        # (round-10 review catch; win_decay_score filters cents > 0,
+        # but this helper is exported)
+        hi = start + (e_ - b) * max(cmax, 0)
+        lo = start + (e_ - b) * min(cmin, 0)
+        if hi >= (1 << 62) or lo <= -(1 << 62):
             return _decay_scores_loop(t.tolist(), c.tolist())
         out[b] = start
         if e_ - b > 1:

@@ -994,3 +994,100 @@ def test_leading_kleene_all_rows_stream_equals_batch(spark):
         .collect()
     )
     assert g == w and len(g) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-10 review-pass fixes
+
+def test_prefix_on_per_match_functions_rejected():
+    with pytest.raises(ValueError, match="not applicable to MATCH_NUMBER"):
+        parse_pattern_sql(
+            FR_SQL.replace(
+                "RUNNING SUM(value) AS run_sum",
+                "FINAL MATCH_NUMBER() AS run_sum",
+            )
+        )
+    with pytest.raises(ValueError, match="not applicable to CLASSIFIER"):
+        parse_pattern_sql(
+            FR_SQL.replace(
+                "RUNNING SUM(value) AS run_sum",
+                "RUNNING CLASSIFIER() AS run_sum",
+            )
+        )
+
+
+def test_permute_measure_alias_collisions_pointed(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError, match="permute_order"):
+        match_recognize(
+            df, PM_SQL.replace("AS uplift", "AS permute_order")
+        )
+    with pytest.raises(ValueError, match="reserved here"):
+        match_recognize(df, PM_SQL.replace("AS uplift", "AS _rk"))
+
+
+def test_leading_kleene_terminal_agg_never_leaks_internal_name():
+    with pytest.raises(ValueError) as ei:
+        parse_pattern_sql(
+            LK_SQL.replace(
+                "AFTER MATCH",
+                "MEASURES SUM(B.value) AS s\nAFTER MATCH",
+            )
+        )
+    assert "__lk_" not in str(ei.value)
+
+
+def test_decay_fast_path_negative_overflow_falls_back():
+    from spark_cep_spark.operators.windows import (
+        _decay_scores_loop,
+        decay_scores,
+    )
+
+    big = -(1 << 61)
+    tus = [0, 1, 2, 3, 4]
+    cents = [big] * 5
+    got = decay_scores(tus, cents)
+    want = _decay_scores_loop(tus, cents)
+    assert got == want and want[-1] == 5 * big
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 7_300_000_000),
+            st.integers(-(10**11), 10**11),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_decay_fast_path_equals_loop_signed(evs):
+    from spark_cep_spark.operators.windows import (
+        _decay_scores_loop,
+        decay_scores,
+    )
+
+    t = 0
+    tus, cents = [], []
+    for gap, c in evs:
+        t += gap
+        tus.append(t)
+        cents.append(c)
+    assert decay_scores(tus, cents) == _decay_scores_loop(tus, cents)
+
+
+def test_intake_stream_plans_have_no_stream_stream_join(spark, sf_dir):
+    """The quality gate must stay a projection on the stream — a
+    self-join would hold unbounded state 24/7 (review catch)."""
+    from spark_cep_spark.operators.llm_pipeline import (
+        corpus_intake_counters_stream,
+        corpus_intake_stream,
+    )
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_documents_files(spark, sf_dir, n_files=2)
+    stream = harness.documents_stream(spark, staged, max_files_per_trigger=2)
+    for face in (corpus_intake_stream, corpus_intake_counters_stream):
+        plan = face(stream)._jdf.queryExecution().analyzed().toString()
+        assert "Join" not in plan, plan
