@@ -542,7 +542,9 @@ DEFINE A AS event_type = 'view', B AS event_type = 'click'
         ("( (A -> B){0,2} )", "n >= 1"),
         ("( (A -> B){3,2} )", "m >= n"),
         ("( (A -> B){1,9} )", "capped"),
-        ("( (A -> B){2} -> (A -> B){2} )", "only one quantified group"),
+        # two groups are legal since round 10 — but the SAME step
+        # names in both would rename onto colliding columns
+        ("( (A -> B){2} -> (A -> B){2} )", "more than one quantified"),
         ("( (A -> B?){2} )", "plain step names"),
         ("( (A -> A){2} )", "duplicate step name"),
     ],

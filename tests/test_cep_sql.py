@@ -211,8 +211,10 @@ def test_parse_kleene_plus():
     "bad, msg",
     [
         (
+            # a leading + step is legal since round 10 (routes to the
+            # kleene-agg kernel) but requires the explicit skip policy
             "PATTERN (a+ -> b) WITHIN 1h DEFINE a AS x = 1, b AS y = 2",
-            "cannot be the first step",
+            "SKIP PAST LAST ROW",
         ),
         (
             "PATTERN (a => b+) WITHIN 1h DEFINE a AS x = 1, b AS y = 2",
