@@ -3322,35 +3322,35 @@ def cep_sql_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT a.user_id, a.event_id, a.ts AS t0,
                   (SELECT min(c.ts) FROM c
                    WHERE c.user_id = a.user_id AND c.ts > a.ts
-                     AND c.ts <= a.ts + INTERVAL 6 HOUR) AS tc1
+                     AND c.ts <= a.ts + INTERVAL 24 HOUR) AS tc1
            FROM v a),
          s2 AS (
            SELECT *, (SELECT min(v2.ts) FROM v v2
                       WHERE v2.user_id = s1.user_id AND v2.ts > s1.tc1
-                        AND v2.ts <= s1.t0 + INTERVAL 6 HOUR) AS tv2
+                        AND v2.ts <= s1.t0 + INTERVAL 24 HOUR) AS tv2
            FROM s1),
          s3 AS (
            SELECT *, (SELECT min(c2.ts) FROM c c2
                       WHERE c2.user_id = s2.user_id AND c2.ts > s2.tv2
-                        AND c2.ts <= s2.t0 + INTERVAL 6 HOUR) AS tc2
+                        AND c2.ts <= s2.t0 + INTERVAL 24 HOUR) AS tc2
            FROM s2),
          s4 AS (
            SELECT *,
                   (SELECT min(pp.ts) FROM p pp
                    WHERE pp.user_id = s3.user_id AND pp.ts > s3.tc2
-                     AND pp.ts <= s3.t0 + INTERVAL 6 HOUR) AS pa1,
+                     AND pp.ts <= s3.t0 + INTERVAL 24 HOUR) AS pa1,
                   (SELECT min(pp.ts) FROM p pp
                    WHERE pp.user_id = s3.user_id AND pp.ts > s3.tc1
-                     AND pp.ts <= s3.t0 + INTERVAL 6 HOUR) AS pb1
+                     AND pp.ts <= s3.t0 + INTERVAL 24 HOUR) AS pb1
            FROM s3),
          s5 AS (
            SELECT *,
                   (SELECT min(pp.ts) FROM p pp
                    WHERE pp.user_id = s4.user_id AND pp.ts > s4.pa1
-                     AND pp.ts <= s4.t0 + INTERVAL 6 HOUR) AS pa2,
+                     AND pp.ts <= s4.t0 + INTERVAL 24 HOUR) AS pa2,
                   (SELECT min(pp.ts) FROM p pp
                    WHERE pp.user_id = s4.user_id AND pp.ts > s4.pb1
-                     AND pp.ts <= s4.t0 + INTERVAL 6 HOUR) AS pb2
+                     AND pp.ts <= s4.t0 + INTERVAL 24 HOUR) AS pb2
            FROM s4),
          w AS (
            SELECT *, CASE
@@ -3391,7 +3391,7 @@ def cep_sql_two_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         events,
         """
         PATTERN ( (V -> C){1,2} -> (P){1,2} )
-        WITHIN 6 HOURS
+        WITHIN 24 HOURS
         DEFINE V AS event_type = 'view',
                C AS event_type = 'click',
                P AS event_type = 'purchase'
