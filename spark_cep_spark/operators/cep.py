@@ -1777,6 +1777,159 @@ def rows_per_match_measures(
     ).select(key_col, anchor_col, *carry, "_e.*")
 
 
+def match_all_patterns(
+    df: DataFrame,
+    rules: list,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    **stream_kwargs,
+) -> DataFrame:
+    """MULTI-QUERY pattern matching (round 10): run SEVERAL
+    independent CEP rules over ONE scan and — on a stream — ONE keyed
+    state, emitting EVERY rule's matches labeled by `pattern_name`.
+    This is the continuous multi-query promise of the reference
+    family: an alerting deployment runs its whole rule pack as one
+    stateful operator instead of k separate jobs.
+
+    rules: [(name, Pattern), ...] — fully independent (no winner
+    coordination); each keeps its OWN .within() bound.  Batch: the
+    union of each rule's compile_batch output, padded to the union
+    schema with typed NULLs (a rule emits NULL for steps it does not
+    declare).  Streaming: compile_stream_variants(mode='all') — the
+    same variant NFA multiplexer the quantifier/PERMUTE expansions
+    use, minus the winner pick: k rules share one shuffle, one state
+    entry per key, one Python worker call per micro-batch; k separate
+    compile_stream queries would cost k× all three (and Spark rejects
+    multiple applyInPandasWithStates in one query anyway).
+
+    100 TB shape: state per key = the union of each rule's partials,
+    each bounded by its own WITHIN deadline — identical to running
+    the rules separately, with the per-event and per-batch machinery
+    paid ONCE."""
+    names = [n for n, _p in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("rule names must be unique")
+    if df.isStreaming:
+        from spark_cep_spark.streaming.nfa import compile_stream_variants
+
+        return compile_stream_variants(
+            rules,
+            df,
+            key_col=key_col,
+            time_col=time_col,
+            mode="all",
+            label_col="pattern_name",
+            **stream_kwargs,
+        )
+    compiled = []
+    full_schema: dict[str, str] = {}
+    full_cols: list[str] = []
+    for name, pat in rules:
+        bdf = pat.compile_batch(df, key_col=key_col, time_col=time_col)
+        for c, t in bdf.dtypes:
+            if c not in full_schema:
+                full_schema[c] = t
+                full_cols.append(c)
+            elif full_schema[c] != t:
+                raise ValueError(
+                    f"rule {name!r} emits {c} as {t}, an earlier rule "
+                    f"emitted {full_schema[c]}"
+                )
+        compiled.append((name, bdf))
+    out = None
+    for name, bdf in compiled:
+        for c in full_cols:
+            if c not in bdf.columns:
+                bdf = bdf.withColumn(c, F.lit(None).cast(full_schema[c]))
+        b = bdf.select(*full_cols).withColumn(
+            "pattern_name", F.lit(name)
+        )
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
+@register(
+    "cep_multi_pattern",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'signup'),
+         x AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+         f2 AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, min(c.ts) AS t_click
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts),
+         f3 AS (
+           SELECT f2.user_id, f2.event_id, f2.t_view, f2.t_click,
+                  min(p.ts) AS t_purchase
+           FROM f2 JOIN p ON p.user_id = f2.user_id
+                         AND p.ts > f2.t_click
+                         AND p.ts <= f2.t_view + INTERVAL 6 HOUR
+           GROUP BY f2.user_id, f2.event_id, f2.t_view, f2.t_click),
+         churn AS (
+           SELECT s.user_id, s.event_id, s.ts AS t_signup, min(x.ts) AS t_error
+           FROM s JOIN x ON x.user_id = s.user_id
+                        AND x.ts > s.ts AND x.ts <= s.ts + INTERVAL 6 HOUR
+           GROUP BY s.user_id, s.event_id, s.ts),
+         quick AS (
+           SELECT v.user_id, v.event_id, v.ts AS t_view, min(p.ts) AS t_purchase
+           FROM v JOIN p ON p.user_id = v.user_id
+                        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+           GROUP BY v.user_id, v.event_id, v.ts)
+    SELECT user_id AS key, event_id AS anchor_id, t_view, t_click,
+           t_purchase, CAST(NULL AS TIMESTAMP) AS t_signup,
+           CAST(NULL AS TIMESTAMP) AS t_error, 'funnel' AS pattern_name
+    FROM f3
+    UNION ALL
+    SELECT user_id, event_id, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           t_signup, t_error, 'churn_risk'
+    FROM churn
+    UNION ALL
+    SELECT user_id, event_id, t_view, CAST(NULL AS TIMESTAMP),
+           t_purchase, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           'quick_buy'
+    FROM quick
+    """,
+)
+def cep_multi_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three independent alert rules — the 6h view→click→purchase
+    funnel, a 6h signup→error churn signal, and a 1h view→purchase
+    quick-buy — evaluated as ONE multi-query pass (match_all_patterns):
+    one scan batch-side, one keyed state + one shuffle streaming-side,
+    every rule's matches labeled by pattern_name.  Rules keep their
+    OWN WITHIN bounds (6h/6h/1h here — mode='all' lifts the shared-
+    bound restriction the winner-pick modes need)."""
+    events = table(spark, sf_dir, "events")
+    rules = [
+        (
+            "funnel",
+            Pattern.begin("view", "event_type = 'view'")
+            .followed_by("click", "event_type = 'click'")
+            .followed_by("purchase", "event_type = 'purchase'")
+            .within("6 HOURS"),
+        ),
+        (
+            "churn_risk",
+            Pattern.begin("signup", "event_type = 'signup'")
+            .followed_by("error", "event_type = 'error'")
+            .within("6 HOURS"),
+        ),
+        (
+            "quick_buy",
+            Pattern.begin("view", "event_type = 'view'")
+            .followed_by("purchase", "event_type = 'purchase'")
+            .within("1 HOURS"),
+        ),
+    ]
+    return match_all_patterns(events, rules)
+
+
 @register(
     "cep_measures_running",
     oracle="""

@@ -169,7 +169,6 @@ DRIVER_PRIORITY: list[str] = [
     "stream_session",
     "stream_sliding",
     "stream_static_join",
-    "stream_stream_join",
     # NEW in round 10 (appends push the window's last staged keys back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_sql_final_running",
@@ -178,6 +177,7 @@ DRIVER_PRIORITY: list[str] = [
     "cep_sql_permute_measures",
     "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows",
+    "cep_multi_pattern",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -187,6 +187,7 @@ DRIVER_PRIORITY: list[str] = [
 # round-11 window = the FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-10 window by round-10 keys
+    "stream_stream_join",
     "stream_tumbling",
     "text_fingerprint",
     "text_lang_id",

@@ -2048,13 +2048,20 @@ def advance_variants(
              complete and steal the win). 'earliest' — winner = min
              (t_done, rank); since every candidate's t_done <= wm and
              any future completion binds ts > wm, a seen candidate is
-             unbeatable and the decision emits immediately.
+             unbeatable and the decision emits immediately. 'all'
+             (round 10, the MULTI-QUERY face) — no winner at all:
+             every variant is an INDEPENDENT rule and every completed
+             match emits immediately (advance_nfa_full emits each
+             match exactly once, so no suppression state is needed —
+             pend/done stay empty); variants may then carry their OWN
+             .within() bounds (sp['bound_us'] overrides).
 
     Returns (per_var', pend', done', decided_rows) with decided_rows
     = [(anchor_eid, payload_row), ...].
     """
     done_set = {(d[0], d[1]) for d in done}
     by_anchor: dict = {(p[0], p[1]): p[2] for p in pend}
+    decided_all: list = []
     for rank, sp in enumerate(specs, start=1):
         o, n = sp["off"], sp["n"]
         matured_v = [
@@ -2065,7 +2072,7 @@ def advance_variants(
             per_var[rank - 1],
             matured_v,
             sp["contig"],
-            bound_us,
+            sp.get("bound_us", bound_us),
             wm_us,
             corr=sp.get("corr"),
             val_cols=val_cols,
@@ -2078,10 +2085,15 @@ def advance_variants(
         for mt in matches:
             b = mt[1]
             anchor = (b[0][0], b[0][1])
+            env = mt[2] if len(mt) > 2 else None
+            if mode == "all":
+                decided_all.append((anchor[1], sp["row"](b, env)))
+                continue
             if anchor in done_set:
                 continue  # decision already emitted for this anchor
-            env = mt[2] if len(mt) > 2 else None
             by_anchor.setdefault(anchor, {})[str(rank)] = sp["row"](b, env)
+    if mode == "all":
+        return per_var, [], [], decided_all
 
     # which anchors does each variant still hold a live partial for?
     # (the only way a better-preference variant can steal a decision)
@@ -2169,7 +2181,7 @@ def compile_stream_variants(
     compile_stream queries would cost k× all three and could not
     coordinate the winner pick at all.
     """
-    if mode not in ("preference", "earliest"):
+    if mode not in ("preference", "earliest", "all"):
         raise ValueError(f"unknown mode {mode!r}")
     if not variants:
         raise ValueError("no variants")
@@ -2197,10 +2209,15 @@ def compile_stream_variants(
         if bound_us_shared is None:
             bound_us_shared = b_us
         elif b_us != bound_us_shared:
-            raise ValueError(
-                "variants must share the .within() bound "
-                f"({pat.time_bound} differs)"
-            )
+            if mode != "all":
+                raise ValueError(
+                    "variants must share the .within() bound "
+                    f"({pat.time_bound} differs)"
+                )
+            # mode='all': independent rules keep their own deadlines;
+            # the shared bound (used for timeout/suppression math)
+            # becomes the MAX so no rule's window is cut short
+            bound_us_shared = max(bound_us_shared, b_us)
         plan = pat.corr_plan()
         all_cols |= set(plan["all_cols"])
         contig = [s.contiguity for s in steps]
@@ -2225,6 +2242,8 @@ def compile_stream_variants(
                     (a, _compile_measure_py(e)) for a, e in pat.measures
                 ],
                 "pat": pat,
+                # mode='all' lets each rule keep its own deadline
+                "bound_us": b_us,
             }
         )
     bound_us = bound_us_shared

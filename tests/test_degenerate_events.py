@@ -104,7 +104,7 @@ EVENTS_KEYS = [
     # round-10
     "cep_sql_final_running", "cep_sql_leading_kleene",
     "cep_sql_permute_measures", "cep_sql_two_groups",
-    "cep_sql_leading_kleene_rows",
+    "cep_sql_leading_kleene_rows", "cep_multi_pattern",
 ]
 
 
@@ -187,7 +187,7 @@ EMPTY_SWEEP_KEYS = [
     # round-10
     "cep_sql_final_running", "cep_sql_leading_kleene",
     "cep_sql_permute_measures", "cep_sql_two_groups",
-    "cep_sql_leading_kleene_rows",
+    "cep_sql_leading_kleene_rows", "cep_multi_pattern",
 ]
 
 

@@ -1091,3 +1091,184 @@ def test_intake_stream_plans_have_no_stream_stream_join(spark, sf_dir):
     for face in (corpus_intake_stream, corpus_intake_counters_stream):
         plan = face(stream)._jdf.queryExecution().analyzed().toString()
         assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Multi-query pattern pack: mode='all' (every rule emits, own bounds)
+
+
+def _mp_rules():
+    from spark_cep_spark.operators.cep import Pattern
+
+    return [
+        (
+            "funnel",
+            Pattern.begin("view", "event_type = 'view'")
+            .followed_by("click", "event_type = 'click'")
+            .followed_by("purchase", "event_type = 'purchase'")
+            .within("1 HOURS"),
+        ),
+        (
+            "churn_risk",
+            Pattern.begin("signup", "event_type = 'signup'")
+            .followed_by("error", "event_type = 'error'")
+            .within("1 HOURS"),
+        ),
+        (
+            "quick_buy",
+            Pattern.begin("view", "event_type = 'view'")
+            .followed_by("purchase", "event_type = 'purchase'")
+            .within("2 HOURS"),  # rules keep their OWN bounds
+        ),
+    ]
+
+
+MP_ROWS = [
+    (0, 0, 1, "view"), (1, 5, 1, "click"), (2, 9, 1, "purchase"),
+    (3, 0, 2, "signup"), (4, 30, 2, "error"),
+    # u3: purchase at 90min — only the 2h quick_buy rule fires
+    (5, 0, 3, "view"), (6, 90, 3, "purchase"),
+]
+
+
+def test_multi_pattern_batch_all_rules_fire(spark):
+    from spark_cep_spark.operators.cep import match_all_patterns
+
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, m, u, t in MP_ROWS
+    ]
+    out = match_all_patterns(
+        spark.createDataFrame(data, SCHEMA), _mp_rules()
+    )
+    got = {
+        (r["key"], r["pattern_name"]) for r in out.collect()
+    }
+    # u1 fires BOTH view rules (independent — no winner pick) + u2
+    # churn + u3 only the longer-bound rule
+    assert got == {
+        (1, "funnel"), (1, "quick_buy"), (2, "churn_risk"),
+        (3, "quick_buy"),
+    }
+    # a rule emits NULL for steps it does not declare
+    row = {r["pattern_name"]: r for r in out.filter("key = 2").collect()}
+    assert row["churn_risk"]["t_view"] is None
+    assert row["churn_risk"]["t_error"] is not None
+
+
+def test_multi_pattern_duplicate_names_rejected(spark):
+    from spark_cep_spark.operators.cep import match_all_patterns
+
+    rules = _mp_rules()
+    rules.append(rules[0])
+    with pytest.raises(ValueError, match="unique"):
+        match_all_patterns(spark.createDataFrame([], SCHEMA), rules)
+
+
+def test_multi_pattern_stream_equals_batch(spark):
+    from spark_cep_spark.operators.cep import match_all_patterns
+
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, m, u, t in MP_ROWS
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    d = tempfile.mkdtemp()
+    chunks = [data[:3], data[3:]] + [
+        [(100 + j, T0 + dt.timedelta(minutes=mm), 9, "view", 1.0, "{}")]
+        for j, mm in enumerate((600, 1200))
+    ]
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    from spark_cep_spark.streaming import harness
+
+    got = harness.run_available_now(
+        match_all_patterns(sdf, _mp_rules(), watermark="0 seconds"),
+        "append",
+    )
+    # NULL-padded timestamp columns: sort by repr (None < datetime
+    # comparisons are not defined)
+    g = sorted(
+        (tuple(r) for r in got.filter("key <> 9").collect()), key=repr
+    )
+    w = sorted(
+        (
+            tuple(r)
+            for r in match_all_patterns(df, _mp_rules())
+            .filter("key <> 9")
+            .select(*got.columns)
+            .collect()
+        ),
+        key=repr,
+    )
+    assert g == w and len(g) == 4
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from("vcpsx")),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(st.integers(1, 29), max_size=3),
+)
+@settings(max_examples=150, deadline=None)
+def test_advance_variants_mode_all_chunking_invariance(evs, cuts):
+    """mode='all' must be chunking-invariant like the winner modes —
+    every rule's matches, each exactly once, under any micro-batch
+    split (rules with DIFFERENT bounds)."""
+    from spark_cep_spark.streaming.nfa import advance_variants
+
+    # two rules over flag slices: r1 = v->p within 50, r2 = s->x
+    # within 25; flags vector = [is_v, is_p, is_s, is_x]
+    specs = [
+        {
+            "off": 0, "n": 2, "contig": ["relaxed", "relaxed"],
+            "gaps": None, "corr": None, "env_names": None,
+            "run_cols": None, "emit_env": False, "bound_us": 50,
+            "row": lambda b, env: {"td": b[-1][0], "_td": b[-1][0],
+                                   "r": 1},
+        },
+        {
+            "off": 2, "n": 2, "contig": ["relaxed", "relaxed"],
+            "gaps": None, "corr": None, "env_names": None,
+            "run_cols": None, "emit_env": False, "bound_us": 25,
+            "row": lambda b, env: {"td": b[-1][0], "_td": b[-1][0],
+                                   "r": 2},
+        },
+    ]
+    t = 0
+    rows = []
+    for i, (d, et) in enumerate(evs):
+        t += d
+        flags = [et == "v", et == "p", et == "s", et == "x"]
+        rows.append([t, i, flags])
+
+    def run(chunks):
+        pv, pend, done, out = [[], []], [], [], []
+        prev_wm = 0
+        for ch, wm in chunks:
+            pv, pend, done, part = advance_variants(
+                pv, pend, done, ch, wm, specs, 50, "all"
+            )
+            out += part
+        return sorted((eid, r["r"], r["td"]) for eid, r in out)
+
+    whole = run([(rows, 1 << 62)])
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    chunks, prev = [], 0
+    for b in bounds:
+        ch = rows[prev:b]
+        wm = ch[-1][0] if ch else (rows[prev - 1][0] if prev else 0)
+        chunks.append((ch, wm))
+        prev = b
+    chunks.append(([], 1 << 62))
+    assert run(chunks) == whole

@@ -137,6 +137,7 @@ TIE_KEYS = [
     # round-10: two-group variant chains bind by min-ts per step
     "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows",
+    "cep_multi_pattern",
     # (cep_sql_run_agg_times is NOT here: the 900.x tie value busts
     # its sum cap at n=1 < min, so it emits nothing on this fixture —
     # vacuous; the same compile path's tie discipline is exercised by

@@ -65,6 +65,8 @@ OPS = [
     # round-10: two quantified groups (cross-product variants)
     "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows",
+    # round-10: multi-query rule pack (one scan / one state)
+    "cep_multi_pattern",
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
