@@ -2930,6 +2930,63 @@ def match_recognize(df: DataFrame, text: str, **stream_kwargs) -> DataFrame:
     return _flatten_key(out)
 
 
+def match_recognize_all(
+    df: DataFrame, rules: list, **stream_kwargs
+) -> DataFrame:
+    """SQL-text face of the multi-query rule pack
+    (operators/cep.match_all_patterns): rules = [(name, sql_text),
+    ...] — each text a CLASSIC dialect query (plain chain; the
+    pointed errors below keep the surface honest), all evaluated over
+    ONE scan and, on a stream, ONE keyed state, every rule's matches
+    labeled `pattern_name`.  Each rule keeps its own WITHIN bound.
+
+    Restrictions (pointed): rules must share PARTITION BY / ORDER BY
+    (one shuffle key); no ALL ROWS / MEASURES / run-agg / nav /
+    anchors / skip policies / expansion inside a rule — each of those
+    shapes its own output schema or state machine, which the shared
+    union-schema emission cannot represent. Compose those as
+    standalone queries."""
+    parsed_rules = []
+    for name, text_ in rules:
+        p = parse_pattern_sql(text_)
+        for bad, what in (
+            (p.all_rows, "ALL ROWS PER MATCH"),
+            (p.pattern.measures, "MEASURES"),
+            (p.universal_measures, "MEASURES"),
+            (p.run_agg, "a running-aggregate DEFINE"),
+            (p.nav, "PREV/NEXT navigation"),
+            (p.anchor_start or p.anchor_end, "^/$ anchors"),
+            (p.skip, "an AFTER MATCH skip policy"),
+            (p.key_cols, "a composite PARTITION BY"),
+            (p.match_number_alias or p.classifier_alias,
+             "MATCH_NUMBER()/CLASSIFIER()"),
+        ):
+            if bad:
+                raise ValueError(
+                    f"rule {name!r}: {what} is not supported inside a "
+                    "multi-query rule pack (it shapes its own output "
+                    "schema or state machine) — run it as a "
+                    "standalone query"
+                )
+        parsed_rules.append((name, p))
+    keys = {p.key_col for _n, p in parsed_rules}
+    times = {p.time_col for _n, p in parsed_rules}
+    if len(keys) != 1 or len(times) != 1:
+        raise ValueError(
+            "rules disagree on PARTITION BY / ORDER BY — a rule pack "
+            "shares ONE shuffle key"
+        )
+    from spark_cep_spark.operators.cep import match_all_patterns
+
+    return match_all_patterns(
+        df,
+        [(n, p.pattern) for n, p in parsed_rules],
+        key_col=keys.pop(),
+        time_col=times.pop(),
+        **stream_kwargs,
+    )
+
+
 def _compile_variants_stream(
     df: DataFrame, variants, mode: str, label_col: str, **stream_kwargs
 ) -> DataFrame:

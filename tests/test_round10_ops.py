@@ -1272,3 +1272,72 @@ def test_advance_variants_mode_all_chunking_invariance(evs, cuts):
         prev = b
     chunks.append(([], 1 << 62))
     assert run(chunks) == whole
+
+
+# ---------------------------------------------------------------------------
+# SQL-text face of the rule pack
+
+
+def test_match_recognize_all_text_face(spark):
+    from spark_cep_spark.operators.cep_sql import match_recognize_all
+
+    data = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, m, u, t in MP_ROWS
+    ]
+    out = match_recognize_all(
+        spark.createDataFrame(data, SCHEMA),
+        [
+            (
+                "funnel",
+                """
+                PATTERN ( view -> click -> purchase )
+                WITHIN 1 HOUR
+                DEFINE view AS event_type = 'view',
+                       click AS event_type = 'click',
+                       purchase AS event_type = 'purchase'
+                PARTITION BY user_id
+                ORDER BY ts
+                """,
+            ),
+            (
+                "quick_buy",
+                """
+                PATTERN ( view -> purchase )
+                WITHIN 2 HOURS
+                DEFINE view AS event_type = 'view',
+                       purchase AS event_type = 'purchase'
+                PARTITION BY user_id
+                ORDER BY ts
+                """,
+            ),
+        ],
+    )
+    got = {(r["key"], r["pattern_name"]) for r in out.collect()}
+    assert got == {(1, "funnel"), (1, "quick_buy"), (3, "quick_buy")}
+
+
+def test_match_recognize_all_pointed_errors(spark):
+    from spark_cep_spark.operators.cep_sql import match_recognize_all
+
+    df = spark.createDataFrame([], SCHEMA)
+    base = (
+        "r1",
+        """
+        PATTERN ( v -> p )
+        WITHIN 1 HOUR
+        DEFINE v AS event_type = 'view', p AS event_type = 'purchase'
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
+    )
+    bad = base[1].replace(
+        "PARTITION BY user_id", "MEASURES p.value AS pv\nPARTITION BY user_id"
+    )
+    with pytest.raises(ValueError, match="MEASURES is not supported inside"):
+        match_recognize_all(df, [base, ("r2", bad)])
+    with pytest.raises(ValueError, match="disagree on PARTITION"):
+        match_recognize_all(
+            df,
+            [base, ("r2", base[1].replace("BY user_id", "BY event_id"))],
+        )
