@@ -47,12 +47,13 @@ driver's value-hash is representation-sensitive, not `==`-tolerant):
 
 DRIVER WINDOW: the driver checks only the FIRST 50 registered keys per
 round (registration order). ``DRIVER_PRIORITY`` below pins the window;
-keys absent from it follow in module-import order. Round 10 window =
-the first 50 of round-9's NEXT_ROTATION verbatim (set_intersect_all /
-sim_range_search / agg_benford / cep_sql_subset / win_time_range lead
-— the final never-driver-checked cohort; all exact-pass locally), with
-keys NEW in round 10 appended as they land — each append pushes the
-window's last staged key back to NEXT_ROTATION's front.
+keys absent from it follow in module-import order. Round 11 window =
+the first 50 of round-10's NEXT_ROTATION verbatim (stream_stream_join
+/ stream_tumbling / text_* lead — the oldest-driver-evidence r1–r3
+re-confirmation cohort; every key already has driver evidence, so the
+window's job is freshness), with keys NEW in round 11 appended as they
+land — each append pushes the window's last staged key back to
+NEXT_ROTATION's front.
 """
 
 from __future__ import annotations
@@ -117,76 +118,15 @@ def load_all() -> None:
 
 # The first 50 keys the driver will check this round, in order. See the
 # module docstring ("DRIVER WINDOW") for the selection rationale.
-# Round 10 window = the first 50 of round-9's NEXT_ROTATION, verbatim
-# (set_intersect_all / sim_range_search / agg_benford / cep_sql_subset
-# / win_time_range lead — the last 5 never-driver-checked keys; once
-# this window lands, EVERY registered key has driver evidence). Keys
-# NEW in round 10 are appended at the end as they land (window holds
-# 50; each append pushes the window's last staged key back to
-# NEXT_ROTATION's front).
+# Round 11 window = the first 50 of round-10's NEXT_ROTATION, verbatim
+# (stream_stream_join / stream_tumbling / text_* lead — the
+# oldest-driver-evidence re-confirmation cohort; every key has driver
+# evidence since r10, so the window now advances the freshness
+# frontier). Keys NEW in round 11 are appended at the end as they land
+# (window holds 50; each append pushes the window's last staged key
+# back to NEXT_ROTATION's front).
 DRIVER_PRIORITY: list[str] = [
-    # round-10 window = first 50 of round-9's NEXT_ROTATION, verbatim.
-    "set_intersect_all",
-    "sim_range_search",
-    "agg_benford",
-    "cep_sql_subset",
-    "win_time_range",
-    "agg_collect",
-    "agg_distinct",
-    "cep_absence",
-    "cep_kleene",
-    "cep_kleene_plus",
-    "cep_threshold",
-    "corpus_pack",
-    "corpus_sample_stratified",
-    "corpus_split",
-    "dedup_cluster",
-    "dedup_embed",
-    "dedup_exact",
-    "dedup_jaccard",
-    "dedup_near",
-    "dedup_near_arrow",
-    "dedup_simhash",
-    "emb_centroid",
-    "emb_quantize",
-    "fn_array",
-    "fn_date",
-    "fn_hash",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_null",
-    "fn_string",
-    "grouped_map",
-    "map_in_pandas",
-    "multimodal_ingest",
-    "pipeline_corpus_clean",
-    "sim_knn_class",
-    "sim_topk",
-    "sim_topk_pandas",
-    "sql_cte",
-    "stream_dedup",
-    "stream_session",
-    "stream_sliding",
-    "stream_static_join",
-    # NEW in round 10 (appends push the window's last staged keys back
-    # to NEXT_ROTATION's front — see the module docstring)
-    "cep_sql_final_running",
-    "cep_sql_leading_kleene",
-    "stream_corpus_intake",
-    "cep_sql_permute_measures",
-    "cep_sql_two_groups",
-    "cep_sql_leading_kleene_rows",
-    "cep_multi_pattern",
-]
-
-# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
-# staged re-confirmation cohort first, then the displaced round-9
-# window (freshest driver evidence) at the back. Keys NEW in round 10
-# that do not fit the round-10 window are prepended as they land. The
-# round-11 window = the FIRST 50 of this list, verbatim.
-NEXT_ROTATION: list[str] = [
-    # displaced from the round-10 window by round-10 keys
+    # round-11 window = first 50 of round-10's NEXT_ROTATION, verbatim.
     "stream_stream_join",
     "stream_tumbling",
     "text_fingerprint",
@@ -194,7 +134,6 @@ NEXT_ROTATION: list[str] = [
     "text_quality",
     "text_sentiment",
     "text_stats",
-    # remainder of the staged re-confirmation cohort
     "text_tokens",
     "udaf_grouped",
     "udf_surface",
@@ -238,6 +177,15 @@ NEXT_ROTATION: list[str] = [
     "tpch_q17",
     "cep_sql_run_agg",
     "text_rep_signals",
+]
+
+# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
+# staged re-confirmation cohort first, then the displaced round-10
+# window (freshest driver evidence) at the back. Window keys displaced
+# by keys NEW in round 11 are prepended as they land. The round-12
+# window = the FIRST 50 of this list, verbatim.
+NEXT_ROTATION: list[str] = [
+    # remainder of the staged re-confirmation cohort
     "text_gopher_rules",
     "pipeline_ccnet_buckets",
     "pipeline_dsir_weights",
@@ -300,7 +248,6 @@ NEXT_ROTATION: list[str] = [
     "stream_log2_quantile",
     "rollup_ohlc_multi",
     "profile_skew",
-    # displaced round-9 window (freshest driver evidence — r09 green)
     "stream_topk",
     "cep_measures_running",
     "emb_pca_power",
@@ -351,6 +298,57 @@ NEXT_ROTATION: list[str] = [
     "stream_asof_ttl",
     "feat_hashed_cross",
     "win_decay_score",
+    # displaced round-10 window (freshest driver evidence — r10 green)
+    "set_intersect_all",
+    "sim_range_search",
+    "agg_benford",
+    "cep_sql_subset",
+    "win_time_range",
+    "agg_collect",
+    "agg_distinct",
+    "cep_absence",
+    "cep_kleene",
+    "cep_kleene_plus",
+    "cep_threshold",
+    "corpus_pack",
+    "corpus_sample_stratified",
+    "corpus_split",
+    "dedup_cluster",
+    "dedup_embed",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_near",
+    "dedup_near_arrow",
+    "dedup_simhash",
+    "emb_centroid",
+    "emb_quantize",
+    "fn_array",
+    "fn_date",
+    "fn_hash",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_null",
+    "fn_string",
+    "grouped_map",
+    "map_in_pandas",
+    "multimodal_ingest",
+    "pipeline_corpus_clean",
+    "sim_knn_class",
+    "sim_topk",
+    "sim_topk_pandas",
+    "sql_cte",
+    "stream_dedup",
+    "stream_session",
+    "stream_sliding",
+    "stream_static_join",
+    "cep_sql_final_running",
+    "cep_sql_leading_kleene",
+    "stream_corpus_intake",
+    "cep_sql_permute_measures",
+    "cep_sql_two_groups",
+    "cep_sql_leading_kleene_rows",
+    "cep_multi_pattern",
 ]
 
 
