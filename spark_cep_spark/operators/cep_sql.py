@@ -1244,6 +1244,12 @@ def parse_pattern_sql(text: str) -> ParsedPatternQuery:
         reserved = {"key", "anchor_id", "seq_no", "step", "ts", "event_id"}
         for s in pattern.steps:
             reserved |= {f"t_{s.name}", f"id_{s.name}"}
+        # MATCH_NUMBER()/CLASSIFIER() aliases surface as output columns
+        # too — a universal aggregate reusing one would silently emit
+        # duplicate columns after the unpivot/rename
+        reserved |= {
+            a for a in (match_number_alias, classifier_alias) if a
+        }
         bad = sorted(set(aliases) & reserved)
         if bad:
             raise ValueError(

@@ -2475,9 +2475,17 @@ def compile_stream_variants(
                     ),
                 )
             )
+            # partial wakeups use the OWNING spec's bound (mode='all'
+            # lets rules differ): a short-WITHIN rule's last partial
+            # must not keep the key's state until the longest rule's
+            # horizon. pend/done only exist in the shared-bound modes.
             nxt_us = min(
                 [e[0] for e in buf]
-                + [p[0][0][0] + bound_us for plist in per_var for p in plist]
+                + [
+                    p[0][0][0] + sp.get("bound_us", bound_us)
+                    for sp, plist in zip(specs, per_var)
+                    for p in plist
+                ]
                 + [p[0] + bound_us for p in pend]
                 + [d[0] + bound_us for d in done]
             )

@@ -188,6 +188,37 @@ def test_alias_collision_and_reserved_prefix_rejected():
         parse_pattern_sql(FR_SQL.replace("AS run_sum", "AS __arm_x"))
 
 
+def test_universal_alias_collides_with_match_number_classifier():
+    # a universal aggregate alias equal to the MATCH_NUMBER() /
+    # CLASSIFIER() alias would silently duplicate output columns after
+    # the unpivot/rename — must raise at parse time (round-10 advice)
+    with pytest.raises(ValueError, match="collide with output"):
+        parse_pattern_sql(
+            """
+            PATTERN ( v -> c )
+            WITHIN 1 HOUR
+            DEFINE v AS event_type = 'view',
+                   c AS event_type = 'click'
+            MEASURES MATCH_NUMBER() AS mn, FINAL COUNT(*) AS mn
+            PARTITION BY user_id
+            ORDER BY ts
+            """
+        )
+    with pytest.raises(ValueError, match="collide with output"):
+        parse_pattern_sql(
+            """
+            PATTERN ( v -> c )
+            WITHIN 1 HOUR
+            DEFINE v AS event_type = 'view',
+                   c AS event_type = 'click'
+            MEASURES CLASSIFIER() AS lbl, RUNNING SUM(value) AS lbl
+            PARTITION BY user_id
+            ORDER BY ts
+            ALL ROWS PER MATCH
+            """
+        )
+
+
 # ---------------------------------------------------------------------------
 # Batch semantics
 
