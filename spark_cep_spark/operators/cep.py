@@ -1821,11 +1821,29 @@ def match_all_patterns(
             label_col="pattern_name",
             **stream_kwargs,
         )
-    compiled = []
+    return union_label_pack(
+        [
+            (
+                name,
+                pat.compile_batch(df, key_col=key_col, time_col=time_col),
+            )
+            for name, pat in rules
+        ]
+    )
+
+
+def union_label_pack(
+    compiled: list, label_col: str = "pattern_name"
+) -> DataFrame:
+    """Union per-rule batch plans into ONE labeled pack output:
+    union schema in first-appearance order, typed-NULL padding for
+    columns a rule does not emit, same-name/different-type collisions
+    rejected pointedly. Shared by match_all_patterns (chain packs)
+    and cep_sql.match_recognize_all (round 11: mixed chain +
+    running-aggregate packs)."""
     full_schema: dict[str, str] = {}
     full_cols: list[str] = []
-    for name, pat in rules:
-        bdf = pat.compile_batch(df, key_col=key_col, time_col=time_col)
+    for name, bdf in compiled:
         for c, t in bdf.dtypes:
             if c not in full_schema:
                 full_schema[c] = t
@@ -1835,15 +1853,12 @@ def match_all_patterns(
                     f"rule {name!r} emits {c} as {t}, an earlier rule "
                     f"emitted {full_schema[c]}"
                 )
-        compiled.append((name, bdf))
     out = None
     for name, bdf in compiled:
         for c in full_cols:
             if c not in bdf.columns:
                 bdf = bdf.withColumn(c, F.lit(None).cast(full_schema[c]))
-        b = bdf.select(*full_cols).withColumn(
-            "pattern_name", F.lit(name)
-        )
+        b = bdf.select(*full_cols).withColumn(label_col, F.lit(name))
         out = b if out is None else out.unionByName(b)
     return out
 

@@ -176,7 +176,9 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q16",
     "tpch_q17",
     "cep_sql_run_agg",
-    "text_rep_signals",
+    # NEW in round 11 (appends push the window's last staged keys back
+    # to NEXT_ROTATION's front — see the module docstring)
+    "cep_multi_rules_mixed",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -185,6 +187,8 @@ DRIVER_PRIORITY: list[str] = [
 # by keys NEW in round 11 are prepended as they land. The round-12
 # window = the FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
+    # displaced from the round-11 window by round-11 keys
+    "text_rep_signals",
     # remainder of the staged re-confirmation cohort
     "text_gopher_rules",
     "pipeline_ccnet_buckets",

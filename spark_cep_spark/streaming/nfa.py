@@ -2013,6 +2013,64 @@ def advance_match_number(
     return pending, next_no, out
 
 
+class KleeneAggRuleSpec:
+    """A running-aggregate rule inside a multi-query pack (round 11):
+    everything the variant multiplexer needs to drive
+    advance_kleene_agg ALONGSIDE chain NFAs in one keyed state.
+    Built by cep_sql.match_recognize_all for DEFINE-aggregate rules —
+    the threshold half of a mixed funnel+threshold alerting pack.
+
+    step_preds: [(step_name, predicate_sql)] in kernel order
+    (anchor, candidate[, confirm]) — each predicate a plain Spark SQL
+    boolean, evaluated JVM-side into the pack's shared flag columns.
+    out_spec: [(column, kind)] with the ONE-ROW kinds of
+    kleene_agg_out_fields (t_anchor / n / n1 / s / avg / t_conf).
+    val_col: the aggregate's input column (joins the pack's shared
+    value projection) or None; integral picks int vs float
+    conversion — the exact-arithmetic discipline of the standalone
+    faces. bound_us is the rule's OWN WITHIN (mode='all' keeps
+    per-rule deadlines)."""
+
+    def __init__(
+        self,
+        step_preds: list,
+        bound_us: int,
+        bind,
+        out_spec: list,
+        integral: bool,
+        val_col: str | None = None,
+        confirm: bool = False,
+        min_n: int = 1,
+        max_n: int | None = None,
+        combine=None,
+    ):
+        if confirm != (len(step_preds) == 3):
+            raise ValueError("confirm rules carry exactly 3 step_preds")
+        self.step_preds = step_preds
+        self.bound_us = bound_us
+        self.bind = bind
+        self.out_spec = out_spec
+        self.integral = integral
+        self.val_col = val_col
+        self.confirm = confirm
+        self.min_n = min_n
+        self.max_n = max_n
+        self.combine = combine
+
+
+# ONE-ROW kernel record ([anchor_us, n, s(, conf_us)]) → payload value,
+# per out_spec kind — the variant-pack face of kleene_agg_out_columns
+# (kept in lockstep; timestamps stay integer µs, the emitter converts)
+_KA_ROW_MAKERS = {
+    "t_anchor": lambda r: r[0],
+    "t_conf": lambda r: r[3],
+    "n": lambda r: r[1],
+    "n1": lambda r: r[1] + 1,  # leading Kleene: anchor included
+    "s": lambda r: r[2],
+    "avg": lambda r: r[2] / r[1],
+}
+
+
 def advance_variants(
     per_var: list,
     pend: list,
@@ -2054,7 +2112,13 @@ def advance_variants(
              match emits immediately (advance_nfa_full emits each
              match exactly once, so no suppression state is needed —
              pend/done stay empty); variants may then carry their OWN
-             .within() bounds (sp['bound_us'] overrides).
+             .within() bounds (sp['bound_us'] overrides). Round 11:
+             mode='all' specs may also be kleene-agg rules
+             (sp['kind'] == 'kleene_agg', built from
+             KleeneAggRuleSpec) — each drives advance_kleene_agg on
+             its flag slice + value column with its own state slot
+             ([st] or []), so a mixed funnel+threshold pack runs as
+             ONE scan and ONE keyed state.
 
     Returns (per_var', pend', done', decided_rows) with decided_rows
     = [(anchor_eid, payload_row), ...].
@@ -2063,6 +2127,48 @@ def advance_variants(
     by_anchor: dict = {(p[0], p[1]): p[2] for p in pend}
     decided_all: list = []
     for rank, sp in enumerate(specs, start=1):
+        if sp.get("kind") == "kleene_agg":
+            # a running-aggregate rule rides the SAME matured rows:
+            # its anchor/candidate/confirm predicates occupy a flag
+            # slice like any chain's steps, its value column the
+            # shared val tuple; state slot = the kernel's single open
+            # run (or empty). Only legal under mode='all' (no winner
+            # coordination — enforced at compile).
+            o, n = sp["off"], sp["n"]
+            vi = sp.get("val_idx")
+            conv = int if sp["integral"] else float
+            matured_v = []
+            for e in matured:
+                fl = e[2][o : o + n]
+                v = e[3][vi] if vi is not None else 0
+                matured_v.append(
+                    [
+                        e[0],
+                        e[1],
+                        fl[0],
+                        fl[1],
+                        None if v is None else conv(v),
+                        fl[2] if sp["confirm"] else False,
+                    ]
+                )
+            slot = per_var[rank - 1]
+            st, recs = advance_kleene_agg(
+                slot[0] if slot else None,
+                matured_v,
+                wm_us,
+                sp["bind"],
+                sp["bound_us"],
+                confirm=sp["confirm"],
+                min_n=sp["min_n"],
+                max_n=sp["max_n"],
+                combine=sp["combine"],
+            )
+            per_var[rank - 1] = [st] if st is not None else []
+            for rec in recs:
+                # the kernel's ONE-ROW record carries no anchor eid —
+                # anchor_id emits NULL, matching the batch face
+                decided_all.append((None, sp["row"](rec)))
+            continue
         o, n = sp["off"], sp["n"]
         matured_v = [
             [e[0], e[1], e[2][o : o + n]] + ([e[3]] if val_cols else [])
@@ -2189,7 +2295,39 @@ def compile_stream_variants(
     all_cols: set = set()
     any_sk = False
     bound_us_shared: int | None = None
+    has_ka = any(isinstance(p, KleeneAggRuleSpec) for _d, p in variants)
+    if has_ka and mode != "all":
+        raise ValueError(
+            "running-aggregate rules join a pack only under mode='all' "
+            "(they are independent rules, not alternation variants)"
+        )
     for desc, pat in variants:
+        if isinstance(pat, KleeneAggRuleSpec):
+            b_us = pat.bound_us
+            if bound_us_shared is None:
+                bound_us_shared = b_us
+            else:
+                bound_us_shared = max(bound_us_shared, b_us)
+            if pat.val_col is not None:
+                all_cols.add(pat.val_col)
+            specs.append(
+                {
+                    "desc": desc,
+                    "kind": "kleene_agg",
+                    "n": len(pat.step_preds),
+                    "flag_preds": [p for _n, p in pat.step_preds],
+                    "bound_us": b_us,
+                    "bind": pat.bind,
+                    "confirm": pat.confirm,
+                    "min_n": pat.min_n,
+                    "max_n": pat.max_n,
+                    "combine": pat.combine,
+                    "integral": pat.integral,
+                    "val_col": pat.val_col,
+                    "out_spec": pat.out_spec,
+                }
+            )
+            continue
         steps = pat.steps
         if not steps:
             raise ValueError(f"{desc}: empty pattern")
@@ -2252,6 +2390,13 @@ def compile_stream_variants(
     for sp in specs:
         sp["off"] = off
         off += sp["n"]
+        if sp.get("kind") == "kleene_agg":
+            sp["val_idx"] = (
+                val_cols.index(sp["val_col"])
+                if sp["val_col"] is not None
+                else None
+            )
+            continue
         plan = sp["plan"]
         sp["corr"] = (
             [
@@ -2303,6 +2448,12 @@ def compile_stream_variants(
 
     ev_types = {f.name: f.dataType for f in events_stream.schema.fields}
     for sp in specs:
+        if sp.get("kind") == "kleene_agg":
+            for fld in kleene_agg_out_fields(
+                sp["out_spec"], sp["integral"]
+            ):
+                _add(fld.name, fld.dataType, sp["desc"])
+            continue
         for s in sp["pos_steps"]:
             if s.contiguity == "kleene":
                 _add(f"t_{s.name}_first", T.TimestampType(), sp["desc"])
@@ -2352,9 +2503,13 @@ def compile_stream_variants(
     }
 
     flags = [
-        F.expr(s.predicate).cast("boolean").alias(f"m_{sp['off'] + i}")
+        F.expr(p).cast("boolean").alias(f"m_{sp['off'] + i}")
         for sp in specs
-        for i, s in enumerate(sp["steps"])
+        for i, p in enumerate(
+            sp["flag_preds"]
+            if sp.get("kind") == "kleene_agg"
+            else [s.predicate for s in sp["steps"]]
+        )
     ]
     prepared = events_stream.withWatermark(time_col, watermark).select(
         F.col(key_col).alias("key"),
@@ -2363,7 +2518,10 @@ def compile_stream_variants(
         *flags,
         *[F.col(c).alias(f"v_{c}") for c in val_cols],
     )
-    if filter_nonmatching and not any_sk:
+    # a kleene-agg rule's watermark must advance on ALL traffic (the
+    # 2-step shape EMITS on deadline close — parity with the
+    # standalone kleene_agg_stream face, which never filters)
+    if filter_nonmatching and not any_sk and not has_ka:
         # see compile_stream's CAVEAT: Catalyst pushes this filter
         # below the watermark node, so the watermark — which DRIVES
         # the pending-preference decisions here — advances only on
@@ -2402,7 +2560,18 @@ def compile_stream_variants(
         row["_td"] = _last_pos(bound)[0]
         return row
 
+    def _ka_row(sp: dict, rec: list) -> dict:
+        row = {
+            name: _KA_ROW_MAKERS[kind](rec)
+            for name, kind in sp["out_spec"]
+        }
+        row["_label"] = sp["desc"]
+        return row
+
     for sp in specs:
+        if sp.get("kind") == "kleene_agg":
+            sp["row"] = (lambda sp_: lambda rec: _ka_row(sp_, rec))(sp)
+            continue
         sp["emit_env"] = bool(sp["measures"])
         sp["row"] = (lambda sp_: lambda b, env: _row(sp_, b, env))(sp)
 
@@ -2482,7 +2651,11 @@ def compile_stream_variants(
             nxt_us = min(
                 [e[0] for e in buf]
                 + [
-                    p[0][0][0] + sp.get("bound_us", bound_us)
+                    (
+                        p[3]  # kleene-agg slot: the open run's deadline
+                        if sp.get("kind") == "kleene_agg"
+                        else p[0][0][0] + sp.get("bound_us", bound_us)
+                    )
                     for sp, plist in zip(specs, per_var)
                     for p in plist
                 ]

@@ -105,6 +105,8 @@ EVENTS_KEYS = [
     "cep_sql_final_running", "cep_sql_leading_kleene",
     "cep_sql_permute_measures", "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows", "cep_multi_pattern",
+    # round-11
+    "cep_multi_rules_mixed",
 ]
 
 
@@ -188,6 +190,8 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_final_running", "cep_sql_leading_kleene",
     "cep_sql_permute_measures", "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows", "cep_multi_pattern",
+    # round-11
+    "cep_multi_rules_mixed",
 ]
 
 

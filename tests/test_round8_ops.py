@@ -138,6 +138,8 @@ TIE_KEYS = [
     "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows",
     "cep_multi_pattern",
+    # round-11: mixed pack — chain min-ts winners + run-agg scan order
+    "cep_multi_rules_mixed",
     # (cep_sql_run_agg_times is NOT here: the 900.x tie value busts
     # its sum cap at n=1 < min, so it emits nothing on this fixture —
     # vacuous; the same compile path's tie discipline is exercised by

@@ -160,6 +160,10 @@ PYTHON_OK = {
     # window frame expresses — same JVM/Python split as its siblings
     "cep_sql_leading_kleene_rows",  # the ALL ROWS face of the same
     # scan (emit_rows) — identical kernel, wider emission only
+    "cep_multi_rules_mixed",  # mixed rule pack (round 11): the chain
+    # half is a pure join-agg plan; the run-agg half is the SAME
+    # advance_kleene_agg Python kernel as cep_sql_run_agg — identical
+    # JVM/Python split, unioned with typed-NULL padding
     "cep_sql_run_agg_confirm",  # the terminal-confirm (A -> B+ -> C)
     # form of the same kernel path (round 8) — identical JVM/Python
     # split, one extra JVM-side boolean column

@@ -67,6 +67,8 @@ OPS = [
     "cep_sql_leading_kleene_rows",
     # round-10: multi-query rule pack (one scan / one state)
     "cep_multi_pattern",
+    # round-11: mixed chain + run-agg pack (one scan / one state)
+    "cep_multi_rules_mixed",
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
