@@ -1645,10 +1645,21 @@ def expand_permute_sql(text: str):
         return None
     if _PERMUTE_RE.search(text, m.end()):
         raise ValueError("only one PERMUTE group is supported")
-    if not re.match(r"\s*\)", text[m.end() :]):
+    # round 11: a trailing plain '-> step' chain AFTER the group is
+    # legal SQL:2016 (`PERMUTE(a, b) -> confirm`) — each ordering
+    # variant keeps the suffix verbatim (the splice below carries
+    # text[m.end():]); anything fancier after the group stays a
+    # pointed error
+    mt = re.match(
+        r"((?:\s*->\s*[A-Za-z_]\w*)*)\s*\)", text[m.end() :]
+    )
+    if mt is None:
         raise ValueError(
-            "PERMUTE group must be the last element of the PATTERN clause"
+            "after a PERMUTE group the PATTERN clause may only "
+            "continue with a plain '-> step' chain (no quantifiers, "
+            "negation, or a second group)"
         )
+    suffix = re.findall(r"[A-Za-z_]\w*", mt.group(1))
     names = [t.strip() for t in m.group(1).split(",") if t.strip()]
     if len(names) < 2:
         raise ValueError("PERMUTE needs at least two step names")
@@ -1669,6 +1680,11 @@ def expand_permute_sql(text: str):
             )
     if len(set(names)) != len(names):
         raise ValueError("duplicate step name inside PERMUTE")
+    if len(set(suffix)) != len(suffix) or set(suffix) & set(names):
+        raise ValueError(
+            "steps after a PERMUTE group must be distinct and must "
+            "not repeat a permuted step name"
+        )
     return [
         (perm, text[: m.start()] + " -> ".join(perm) + text[m.end() :])
         for perm in permutations(names)
@@ -3169,11 +3185,20 @@ def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
     from pyspark.sql import functions as F
 
     perm_names = sorted(expanded[0][0])
+    # round 11: steps AFTER the permuted group (`PERMUTE(a,b) ->
+    # confirm`) — different orderings may bind DIFFERENT suffix rows,
+    # so the suffix t_ columns must ride the winner struct (carried,
+    # never grouped on), and the completion time is the FINAL step of
+    # the whole pattern, not the ordering's last permuted step
+    suffix_names: list[str] = []
     measure_aliases: list[str] = []
     branches = []
     for rk, (perm, vtext) in enumerate(expanded, start=1):
         parsed = parse_pattern_sql(vtext)
         if rk == 1:
+            step_names = [s.name for s in parsed.pattern.steps]
+            last_perm = max(step_names.index(n) for n in perm)
+            suffix_names = step_names[last_perm + 1 :]
             measure_aliases = [a for a, _e in parsed.pattern.measures]
             # Pattern.measure already rejects t_/id_/key/anchor_id
             # collisions; the PERMUTE machinery adds its own columns
@@ -3187,16 +3212,17 @@ def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
         bdf = parsed.pattern.compile_batch(
             df, key_col=parsed.key_col, time_col=parsed.time_col
         )
+        done_name = suffix_names[-1] if suffix_names else perm[-1]
         branches.append(
-            bdf.withColumn("_t_done", F.col(f"t_{perm[-1]}")).withColumn(
+            bdf.withColumn("_t_done", F.col(f"t_{done_name}")).withColumn(
                 "_rk", F.lit(rk)
             )
         )
     allb = branches[0]
     for b in branches[1:]:
         allb = allb.unionByName(b)
-    perm_t_cols = [f"t_{n}" for n in perm_names]
-    carried = set(perm_t_cols) | set(measure_aliases)
+    carried_names = perm_names + suffix_names
+    carried = {f"t_{n}" for n in carried_names} | set(measure_aliases)
     group_cols = [
         c
         for c in branches[0].columns
@@ -3207,7 +3233,7 @@ def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
             F.col("_t_done").alias("td"),
             F.col("_rk").alias("rk"),
         ]
-        + [F.col(f"t_{n}").alias(f"t_{n}") for n in perm_names]
+        + [F.col(f"t_{n}").alias(f"t_{n}") for n in carried_names]
         + [F.col(a).alias(a) for a in measure_aliases]
     )
     best = allb.groupBy(*group_cols).agg(
@@ -3220,7 +3246,7 @@ def _compile_permute_batch(df: DataFrame, expanded) -> DataFrame:
         ).otherwise(order_label)
     return best.select(
         *group_cols,
-        *[F.col(f"_m.t_{n}").alias(f"t_{n}") for n in perm_names],
+        *[F.col(f"_m.t_{n}").alias(f"t_{n}") for n in carried_names],
         *[F.col(f"_m.{a}").alias(a) for a in measure_aliases],
         order_label.alias("permute_order"),
     )
@@ -6291,4 +6317,89 @@ def cep_multi_rules_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 """,
             ),
         ],
+    )
+
+
+@register(
+    "cep_sql_permute_confirm",
+    oracle="""
+    WITH cl AS (SELECT user_id, event_id, ts FROM events
+                WHERE value >= 20),
+         pu AS (SELECT user_id, event_id, ts FROM events
+                WHERE value <= 60),
+         er AS (SELECT user_id, ts FROM events
+                WHERE event_type = 'error'),
+         o1a AS (
+           SELECT a.user_id, a.event_id, a.ts AS t_c, min(b.ts) AS t_p
+           FROM cl a JOIN pu b ON b.user_id = a.user_id
+                              AND b.ts > a.ts
+                              AND b.ts <= a.ts + INTERVAL 12 HOUR
+           GROUP BY a.user_id, a.event_id, a.ts),
+         o1 AS (
+           SELECT o1a.user_id, o1a.event_id, o1a.t_c, o1a.t_p,
+                  min(e.ts) AS t_e
+           FROM o1a JOIN er e ON e.user_id = o1a.user_id
+                             AND e.ts > o1a.t_p
+                             AND e.ts <= o1a.t_c + INTERVAL 12 HOUR
+           GROUP BY o1a.user_id, o1a.event_id, o1a.t_c, o1a.t_p),
+         o2a AS (
+           SELECT a.user_id, a.event_id, a.ts AS t_p, min(b.ts) AS t_c
+           FROM pu a JOIN cl b ON b.user_id = a.user_id
+                              AND b.ts > a.ts
+                              AND b.ts <= a.ts + INTERVAL 12 HOUR
+           GROUP BY a.user_id, a.event_id, a.ts),
+         o2 AS (
+           SELECT o2a.user_id, o2a.event_id, o2a.t_c, o2a.t_p,
+                  min(e.ts) AS t_e
+           FROM o2a JOIN er e ON e.user_id = o2a.user_id
+                             AND e.ts > o2a.t_c
+                             AND e.ts <= o2a.t_p + INTERVAL 12 HOUR
+           GROUP BY o2a.user_id, o2a.event_id, o2a.t_c, o2a.t_p),
+         branches AS (
+           SELECT user_id, event_id, t_c, t_p, t_e, 1 AS rk FROM o1
+           UNION ALL
+           SELECT user_id, event_id, t_c, t_p, t_e, 2 AS rk FROM o2),
+         best AS (
+           SELECT user_id, event_id,
+                  min({'td': t_e, 'rk': rk, 'tc': t_c, 'tp': t_p,
+                       'te': t_e}) AS m
+           FROM branches GROUP BY user_id, event_id)
+    SELECT user_id AS key, event_id AS anchor_id,
+           m.tc AS t_C, m.tp AS t_P, m.te AS t_E,
+           CASE WHEN m.rk = 1 THEN 'C->P' ELSE 'P->C' END
+             AS permute_order
+    FROM best
+    """,
+)
+def cep_sql_permute_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`PERMUTE(...) -> terminal` (round 11, verdict item 3): the
+    trailing-terminal composition — the most common PERMUTE spelling
+    after bare PERMUTE — previously a pointed error ("PERMUTE group
+    must be the last element").  The n! expansion machinery composes
+    naturally: each ordering variant keeps the suffix chain verbatim
+    (`PERMUTE(C,P) -> E` expands to `C->P->E` and `P->C->E`), the
+    completion time becomes the FINAL step of the whole pattern, and
+    the suffix t_ columns ride the winner struct (different orderings
+    may bind DIFFERENT confirm rows, so they are carried, never
+    grouped on — the round-11 _compile_permute_batch change).
+    OVERLAPPING step predicates (value >= 20 / value <= 60) make the
+    two orderings share anchor events, so the (t_done, rank) winner
+    pick is genuinely exercised.  Streaming rides the existing
+    variant NFA (mode='earliest') untouched — its _td was already the
+    last bound step.  The ≤3-step / 16-variant expansion cap stands.
+
+    100 TB shape: n! (≤6) proven join-agg branches + ONE winner-pick
+    groupBy on (key, anchor) — branch count fixed by the pattern."""
+    events = table(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        """
+        PATTERN ( PERMUTE(C, P) -> E )
+        WITHIN 12 HOURS
+        DEFINE C AS value >= 20,
+               P AS value <= 60,
+               E AS event_type = 'error'
+        PARTITION BY user_id
+        ORDER BY ts
+        """,
     )

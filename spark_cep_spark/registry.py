@@ -175,10 +175,10 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q15",
     "tpch_q16",
     "tpch_q17",
-    "cep_sql_run_agg",
     # NEW in round 11 (appends push the window's last staged keys back
     # to NEXT_ROTATION's front — see the module docstring)
     "cep_multi_rules_mixed",
+    "cep_sql_permute_confirm",
 ]
 
 # Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
@@ -188,6 +188,7 @@ DRIVER_PRIORITY: list[str] = [
 # window = the FIRST 50 of this list, verbatim.
 NEXT_ROTATION: list[str] = [
     # displaced from the round-11 window by round-11 keys
+    "cep_sql_run_agg",
     "text_rep_signals",
     # remainder of the staged re-confirmation cohort
     "text_gopher_rules",

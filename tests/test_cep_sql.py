@@ -434,7 +434,12 @@ def test_permute_text_equals_dataframe_face(spark, sf_dir):
     "bad, msg",
     [
         ("PATTERN ( V -> PERMUTE(C) )", "at least two"),
-        ("PATTERN ( V -> PERMUTE(C, P) -> X )", "last element"),
+        # round 11: a plain '-> step' suffix is now LEGAL — only
+        # quantified/negated/duplicate suffixes stay pointed errors
+        ("PATTERN ( V -> PERMUTE(C, P) -> X? )", "may only continue"),
+        ("PATTERN ( V -> PERMUTE(C, P) -> !X )", "may only continue"),
+        ("PATTERN ( V -> PERMUTE(C, P) -> C )", "not repeat"),
+        ("PATTERN ( V -> PERMUTE(C, P) -> X -> X )", "distinct"),
         ("PATTERN ( V -> PERMUTE(C, C) )", "duplicate"),
         ("PATTERN ( V -> PERMUTE(C, !P) )", "plain step names"),
         (

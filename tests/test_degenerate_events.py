@@ -106,7 +106,7 @@ EVENTS_KEYS = [
     "cep_sql_permute_measures", "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows", "cep_multi_pattern",
     # round-11
-    "cep_multi_rules_mixed",
+    "cep_multi_rules_mixed", "cep_sql_permute_confirm",
 ]
 
 
@@ -191,7 +191,7 @@ EMPTY_SWEEP_KEYS = [
     "cep_sql_permute_measures", "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows", "cep_multi_pattern",
     # round-11
-    "cep_multi_rules_mixed",
+    "cep_multi_rules_mixed", "cep_sql_permute_confirm",
 ]
 
 

@@ -286,3 +286,111 @@ def test_advance_variants_mixed_chunking_invariance(evs, cuts):
         prev = b
     chunks.append(([], 1 << 62))
     assert run(chunks) == whole
+
+
+# ---------------------------------------------------------------------------
+# PERMUTE(...) -> terminal (round 11, verdict item 3)
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+PC_SQL = """
+PATTERN ( PERMUTE(a, b) -> x )
+WITHIN 1 HOUR
+DEFINE a AS value >= 2, b AS value <= 3, x AS event_type = 'X'
+PARTITION BY user_id
+ORDER BY ts
+"""
+
+
+def _pc_rows():
+    def _t(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    return [
+        # user 1: anchor@1 (v=2.5 satisfies BOTH a and b), then 4.0
+        # (a-only) at t2, then X — ordering b->a completes (b@1, a@2);
+        # ordering a->b needs a b after t1: the 1.0 row at t3 gives
+        # a->b a LATER confirm; winner = earliest confirm
+        (1, _t(1), 1, "view", 2.5, "{}"),
+        (2, _t(2), 1, "view", 4.0, "{}"),
+        (3, _t(3), 1, "view", 1.0, "{}"),
+        (4, _t(4), 1, "X", 10.0, "{}"),
+        # user 2: a@1 (v=5), b@2 (v=1), X@3 — only a->b
+        (5, _t(1), 2, "view", 5.0, "{}"),
+        (6, _t(2), 2, "view", 1.0, "{}"),
+        (7, _t(3), 2, "X", 10.0, "{}"),
+        # user 3: a@1, b@2 but NO X -> no match
+        (8, _t(1), 3, "view", 5.0, "{}"),
+        (9, _t(2), 3, "view", 1.0, "{}"),
+    ]
+
+
+def test_permute_confirm_batch_winner_per_anchor(spark):
+    from spark_cep_spark.operators.cep_sql import match_recognize
+
+    out = match_recognize(
+        spark.createDataFrame(_pc_rows(), EV_SCHEMA), PC_SQL
+    )
+    assert out.columns == [
+        "key", "anchor_id", "t_a", "t_b", "t_x", "permute_order",
+    ]
+    got = {
+        (r["key"], r["anchor_id"]): (
+            r["t_a"].minute, r["t_b"].minute, r["t_x"].minute,
+            r["permute_order"],
+        )
+        for r in out.collect()
+    }
+    # user 1: BOTH orderings anchor at event 1 and confirm at the
+    # same X@4 (a->b binds b@3; b->a binds a@2) — declaration rank
+    # breaks the (td) tie: a->b wins
+    assert got[(1, 1)] == (1, 3, 4, "a->b")
+    # user 1, anchor 2 (v=4.0, a-only): a@2 -> b@3 -> X@4
+    assert got[(1, 2)] == (2, 3, 4, "a->b")
+    assert got[(2, 5)] == (1, 2, 3, "a->b")
+    # user 2, anchor 6 (v=1 satisfies both): b->a has no later a;
+    # a->b (anchor a=nothing later)... v=1 is b-only for a (needs
+    # >=2): as an 'a' anchor it fails, as 'b' anchor needs later a —
+    # none. 3 matches total.
+    assert len(got) == 3
+
+
+def test_permute_confirm_stream_equals_batch(spark):
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.streaming import harness
+
+    rows = _pc_rows()
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    batch = match_recognize(df, PC_SQL)
+    d = tempfile.mkdtemp()
+    chunks = [rows[:4], rows[4:]] + [
+        [(100 + j, dt.datetime(2024, 1, 1, h, 0), 9, "view", 0.0, "{}")]
+        for j, h in enumerate((10, 20))
+    ]
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, EV_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"f{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+    got = harness.run_available_now(
+        match_recognize(sdf, PC_SQL, watermark="0 seconds"), "append"
+    )
+    g = sorted(
+        (tuple(r) for r in got.filter("key <> 9").collect()), key=repr
+    )
+    w = sorted(
+        (
+            tuple(r)
+            for r in batch.filter("key <> 9").select(*got.columns).collect()
+        ),
+        key=repr,
+    )
+    assert g == w and len(g) == 3

@@ -140,6 +140,8 @@ TIE_KEYS = [
     "cep_multi_pattern",
     # round-11: mixed pack — chain min-ts winners + run-agg scan order
     "cep_multi_rules_mixed",
+    # round-11: suffix t_ values ride the (td, rk) winner struct
+    "cep_sql_permute_confirm",
     # (cep_sql_run_agg_times is NOT here: the 900.x tie value busts
     # its sum cap at n=1 < min, so it emits nothing on this fixture —
     # vacuous; the same compile path's tie discipline is exercised by

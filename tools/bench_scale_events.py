@@ -69,6 +69,8 @@ OPS = [
     "cep_multi_pattern",
     # round-11: mixed chain + run-agg pack (one scan / one state)
     "cep_multi_rules_mixed",
+    # round-11: PERMUTE -> terminal (suffix rides the winner struct)
+    "cep_sql_permute_confirm",
     "agg_heavy_hitters",
     "agg_path_string",
     "stream_topk",
