@@ -22,6 +22,25 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE coalescing sizes partitions by SHUFFLE BYTES, which is the
+    # wrong proxy for a Python-boundary stage: a grouped applyInPandas
+    # costs milliseconds of per-GROUP dispatch (pandas frame build +
+    # kernel + output frame) regardless of group bytes.  Measured
+    # (round 11, sf0.1): the run-agg family's 2.6 MB exchange was
+    # coalesced 32 -> 2 partitions, serializing 7,487 x ~6 ms of
+    # Python work on 2 cores — cep_sql_run_agg_multikey 28.4 s wall.
+    # Lowering the coalesce floor (default 1 MB) to 16 KB keeps the
+    # fan-out: same query 3.2 s (9x), cep_sql_run_agg 5.4 -> 1.1 s,
+    # cep_sql_leading_kleene 7.1 -> 1.1 s.  Scale posture: the floor
+    # only matters when a stage's shuffle is small-in-bytes but
+    # expensive-per-row (reduced corpora feeding Python kernels); at
+    # 100 TB the same pathology appears whenever a selective stage
+    # feeds applyInPandas, and partitions above the floor are sized by
+    # advisoryPartitionSizeInBytes exactly as before.  Env-overridable
+    # for cluster tuning.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16KB"
+    ),
     # The static planner's post-filter size estimates are optimistic
     # enough at bench scale to broadcast a 600k-row filtered fact table
     # (measured: q3 builds a broadcast hash relation of filtered
