@@ -1752,10 +1752,25 @@ def compile_stream_multi(
         )
     n_flags = off
 
+    # transport only UNIQUE step predicates (rule packs repeat them
+    # across rules) — the per-group serializer pays per column; the
+    # kernel layout is re-expanded per event in `process` (same
+    # discipline as compile_stream_variants)
+    flag_texts: list[str] = []
+    flag_of: dict[str, int] = {}
+    expand_idx: list[int] = []
+    for sp in specs:
+        for s in sp["steps"]:
+            j = flag_of.get(s.predicate)
+            if j is None:
+                j = flag_of[s.predicate] = len(flag_texts)
+                flag_texts.append(s.predicate)
+            expand_idx.append(j)
+    n_uniq = len(flag_texts)
+    full_layout = expand_idx == list(range(n_flags))
     flags = [
-        F.expr(s.predicate).cast("boolean").alias(f"m_{sp['off'] + i}")
-        for sp in specs
-        for i, s in enumerate(sp["steps"])
+        F.expr(p).cast("boolean").alias(f"m_{j}")
+        for j, p in enumerate(flag_texts)
     ]
     prepared = events_stream.withWatermark(time_col, watermark).select(
         F.col(key_col).alias("key"),
@@ -1767,7 +1782,7 @@ def compile_stream_multi(
     if not any_sk:
         # an event matching NO step of ANY pattern is globally inert
         prepared = prepared.filter(
-            " OR ".join(f"m_{i}" for i in range(n_flags))
+            " OR ".join(f"m_{i}" for i in range(n_uniq))
         )
 
     out_schema = T.StructType(
@@ -1827,17 +1842,18 @@ def compile_stream_multi(
                 ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
                 # batch .tolist() + zip: ~10x cheaper than per-row .iloc
                 cols = [ts_us.tolist(), pdf["eid"].tolist()]
-                cols += [pdf[f"m_{i}"].tolist() for i in range(n_flags)]
+                cols += [pdf[f"m_{i}"].tolist() for i in range(n_uniq)]
                 cols += [pdf[f"v_{c}"].tolist() for c in val_cols]
                 for row in zip(*cols):
+                    uf = [bool(x) for x in row[2 : 2 + n_uniq]]
                     entry = [
                         int(row[0]),
                         int(row[1]),
-                        [bool(x) for x in row[2 : 2 + n_flags]],
+                        uf if full_layout else [uf[j] for j in expand_idx],
                     ]
                     if val_cols:
                         entry.append(
-                            [_py(x) for x in row[2 + n_flags :]]
+                            [_py(x) for x in row[2 + n_uniq :]]
                         )
                     buf.append(entry)
 
@@ -2502,14 +2518,35 @@ def compile_stream_variants(
         c for c in union_cols if isinstance(union_types[c], T.TimestampType)
     }
 
-    flags = [
-        F.expr(p).cast("boolean").alias(f"m_{sp['off'] + i}")
-        for sp in specs
-        for i, p in enumerate(
+    # Variant expansions repeat the SAME step predicates across
+    # orderings (the bench's 3-variant quantifier ships 3 identical
+    # (S, V, P) triples), and applyInPandasWithState's serializer
+    # converts every column per GROUP — so redundant flag columns cost
+    # groups x columns on both the Arrow boundary and the key shuffle
+    # (guide §2.3 "project before the exchange" / §4.1 "pass only the
+    # columns the function needs").  Transport only the UNIQUE
+    # predicates; `process` re-expands each event's flag list to the
+    # kernel's per-spec layout (one list-index pass per event), so
+    # advance_variants and its property tests are untouched.
+    flag_texts: list[str] = []
+    flag_of: dict[str, int] = {}
+    expand_idx: list[int] = []  # (spec, step) position -> unique index
+    for sp in specs:
+        for p in (
             sp["flag_preds"]
             if sp.get("kind") == "kleene_agg"
             else [s.predicate for s in sp["steps"]]
-        )
+        ):
+            j = flag_of.get(p)
+            if j is None:
+                j = flag_of[p] = len(flag_texts)
+                flag_texts.append(p)
+            expand_idx.append(j)
+    n_uniq = len(flag_texts)
+    full_layout = expand_idx == list(range(n_flags))  # nothing shared
+    flags = [
+        F.expr(p).cast("boolean").alias(f"m_{j}")
+        for j, p in enumerate(flag_texts)
     ]
     prepared = events_stream.withWatermark(time_col, watermark).select(
         F.col(key_col).alias("key"),
@@ -2528,7 +2565,7 @@ def compile_stream_variants(
         # matching events. Pass filter_nonmatching=False when
         # non-matching traffic must drive the event clock.
         prepared = prepared.filter(
-            " OR ".join(f"m_{i}" for i in range(n_flags))
+            " OR ".join(f"m_{i}" for i in range(n_uniq))
         )
 
     out_schema = T.StructType(
@@ -2601,16 +2638,19 @@ def compile_stream_variants(
                     continue
                 ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
                 cols = [ts_us.tolist(), pdf["eid"].tolist()]
-                cols += [pdf[f"m_{i}"].tolist() for i in range(n_flags)]
+                cols += [pdf[f"m_{i}"].tolist() for i in range(n_uniq)]
                 cols += [pdf[f"v_{c}"].tolist() for c in val_cols]
                 for row in zip(*cols):
+                    # re-expand transported unique flags to the
+                    # kernel's per-(spec, step) layout
+                    uf = [bool(x) for x in row[2 : 2 + n_uniq]]
                     entry = [
                         int(row[0]),
                         int(row[1]),
-                        [bool(x) for x in row[2 : 2 + n_flags]],
+                        uf if full_layout else [uf[j] for j in expand_idx],
                     ]
                     if val_cols:
-                        entry.append([_py(x) for x in row[2 + n_flags :]])
+                        entry.append([_py(x) for x in row[2 + n_uniq :]])
                     buf.append(entry)
 
         wm_ms = state.getCurrentWatermarkMs()
