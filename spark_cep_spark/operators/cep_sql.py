@@ -204,6 +204,7 @@ from __future__ import annotations
 import math
 import operator as _op
 import re
+from collections.abc import Iterator
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -2413,7 +2414,12 @@ def _compile_run_agg(
     proj = [
         *key_proj,
         F.col(time_col).alias("ts"),
-        (F.col(id_col) if id_col else F.lit(0)).cast("long").alias("eid"),
+        # NULL id -> 0 at the source: both faces previously filled 0
+        # pre-sort Python-side; hoisting the coalesce JVM-side lets the
+        # batch face sort on eid directly (sortWithinPartitions below)
+        F.coalesce(
+            (F.col(id_col) if id_col else F.lit(0)).cast("long"), F.lit(0)
+        ).alias("eid"),
         # NULL predicate results are non-binding rows (SQL 3VL)
         F.coalesce(F.expr(a_step.predicate), F.lit(False)).alias("__is_a"),
         F.coalesce(F.expr(b_step.predicate), F.lit(False)).alias("__is_c"),
@@ -2456,89 +2462,123 @@ def _compile_run_agg(
     fields += kleene_agg_out_fields(out_spec, integral)
     out_schema = T.StructType(fields)
     names = [f.name for f in fields]
+    want_mn = any(k == "mn" for _, k in out_spec)
+    if not all_rows:
+        # in ONE ROW mode records are [anchor_us, n, s(...)] — r[2] is
+        # the accumulator, not a classifier code; the parser guarantees
+        # exclusion only under ALL ROWS, enforce locally
+        assert not excl_codes, "exclusion requires ALL ROWS PER MATCH"
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # NULL event_id → 0 BEFORE the sort: the streaming wrapper maps
-        # NULL to 0 pre-sort, so on timestamp ties a NaN sorting LAST
-        # here would order the faces differently and the prefix-
-        # dependent bind could diverge (review catch)
-        pdf = pdf.assign(eid=pdf["eid"].fillna(0)).sort_values(
-            ["ts", "eid"]
-        )
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        n_rows = len(pdf)
-        confs = (
-            pdf["__is_conf"].tolist()
-            if "__is_conf" in pdf.columns
-            else [False] * n_rows
-        )
-        if corr_fn is not None:
-            bxs = [
-                None if pd.isna(x) else bx_conv(x)
-                for x in pdf["__bx"].tolist()
-            ]
-            ays = [
-                None if pd.isna(x) else ay_conv(x)
-                for x in pdf["__ay"].tolist()
-            ]
-        else:
-            bxs = ays = [None] * n_rows
-        rows = [
-            [
-                int(t),
-                int(e),
-                bool(ia),
-                bool(ic),
-                None if pd.isna(v) else conv(v),
-                bool(cf),
-                bx,
-                ay,
-            ]
-            for t, e, ia, ic, v, cf, bx, ay in zip(
-                ts_us.tolist(),
-                pdf["eid"].tolist(),
-                pdf["__is_a"].tolist(),
-                pdf["__is_c"].tolist(),
-                pdf["__v"].tolist(),
-                confs,
-                bxs,
-                ays,
-            )
-        ]
-        # wm = +inf: batch sees the whole partition, so every open run
-        # force-closes at partition end (same sentinel as cep_run_agg)
-        _, out = advance_kleene_agg(
-            None, rows, 1 << 62, bind, within_us, confirm=confirm,
-            min_n=min_n, max_n=max_n, corr=corr_fn, emit_rows=all_rows,
-            combine=combine,
-        )
-        if any(k == "mn" for _, k in out_spec):
-            assign_match_numbers(out, all_rows, 0)
-        if all_rows:
-            out = filter_excluded_rows(out, excl_codes)
-        else:
-            # in ONE ROW mode records are [anchor_us, n, s(...)] — r[2]
-            # is the accumulator, not a classifier code; the parser
-            # guarantees exclusion only under ALL ROWS, enforce locally
-            assert not excl_codes, "exclusion requires ALL ROWS PER MATCH"
-        # dtype=object: an emission-less group yields empty columns,
-        # and pandas' default float64 cannot Arrow-cast to date32 /
-        # string key types — object-typed empties cast to anything
-        data = {
-            c: pd.Series(
-                [pdf[c].iloc[0] if len(pdf) else None] * len(out),
-                dtype=object,
-            )
-            for c in key_out
-        }
-        data.update(
-            kleene_agg_out_columns(
-                out, out_spec, emit_rows=all_rows, cls_names=cls_names
-            )
-        )
-        return pd.DataFrame(data, columns=names)
+    # Batch face: ONE hash shuffle on the key, keys laid out
+    # contiguously and (ts, eid)-sorted inside each partition, then a
+    # mapInPandas pass that runs the kernel once per key run.  This
+    # replaced groupBy().applyInPandas (round 11): per-GROUP pandas
+    # dispatch (frame build + per-group sort + per-group output frame)
+    # measured ~6 ms/group — 7,487 (user, week) groups cost 44 CPU-s
+    # of pure overhead in cep_sql_run_agg_multikey; iterating key runs
+    # inside Arrow batches pays that once per BATCH instead.  Same
+    # exchange count (the groupBy shuffled identically), same kernel,
+    # same per-key record order — outputs are row-for-row identical.
+    n_key = len(key_out)
 
-    return prepared.groupBy(*key_out).applyInPandas(fn, out_schema)
+    def fn_map(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pend_key: tuple | None = None
+        pend_rows: list = []
+        out_keys: list = []  # one key tuple per emission record
+        out_recs: list = []
+
+        def flush():
+            if pend_key is None or not pend_rows:
+                return
+            # wm = +inf: batch sees the whole key run, so every open
+            # run force-closes at key end (same sentinel as cep_run_agg)
+            _, out = advance_kleene_agg(
+                None, pend_rows, 1 << 62, bind, within_us,
+                confirm=confirm, min_n=min_n, max_n=max_n, corr=corr_fn,
+                emit_rows=all_rows, combine=combine,
+            )
+            if want_mn:
+                assign_match_numbers(out, all_rows, 0)
+            if all_rows:
+                out = filter_excluded_rows(out, excl_codes)
+            if out:
+                out_keys.extend([pend_key] * len(out))
+                out_recs.extend(out)
+
+        def emit() -> "pd.DataFrame":
+            # key values are the exact objects pandas delivered
+            # (int / datetime.date / str) — Arrow casts them back to
+            # the input key dtypes; kernel columns via the shared
+            # row->column mapping both faces use
+            data = {
+                c: [kt[i] for kt in out_keys]
+                for i, c in enumerate(key_out)
+            }
+            data.update(
+                kleene_agg_out_columns(
+                    out_recs, out_spec, emit_rows=all_rows,
+                    cls_names=cls_names,
+                )
+            )
+            return pd.DataFrame(data, columns=names)
+
+        for pdf in pdfs:
+            n_rows = len(pdf)
+            if not n_rows:
+                continue
+            ts_l = (
+                pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+            )
+            eid_l = pdf["eid"].tolist()
+            ia_l = pdf["__is_a"].tolist()
+            ic_l = pdf["__is_c"].tolist()
+            v_l = pdf["__v"].tolist()
+            cf_l = (
+                pdf["__is_conf"].tolist()
+                if "__is_conf" in pdf.columns
+                else [False] * n_rows
+            )
+            if corr_fn is not None:
+                bx_l = [
+                    None if pd.isna(x) else bx_conv(x)
+                    for x in pdf["__bx"].tolist()
+                ]
+                ay_l = [
+                    None if pd.isna(x) else ay_conv(x)
+                    for x in pdf["__ay"].tolist()
+                ]
+            else:
+                bx_l = ay_l = [None] * n_rows
+            key_l = list(zip(*[pdf[c].tolist() for c in key_out]))
+            for i in range(n_rows):
+                k = key_l[i]
+                if k != pend_key:
+                    flush()
+                    pend_key, pend_rows = k, []
+                pend_rows.append(
+                    [
+                        ts_l[i],
+                        int(eid_l[i]),
+                        bool(ia_l[i]),
+                        bool(ic_l[i]),
+                        None if pd.isna(v_l[i]) else conv(v_l[i]),
+                        bool(cf_l[i]),
+                        bx_l[i],
+                        ay_l[i],
+                    ]
+                )
+            if out_recs:
+                yield emit()
+                out_keys, out_recs = [], []
+        flush()
+        if out_recs:
+            yield emit()
+
+    return (
+        prepared.repartition(*[F.col(c) for c in key_out])
+        .sortWithinPartitions(*key_out, "ts", "eid")
+        .mapInPandas(fn_map, out_schema)
+    )
 
 
 _RA_BOUNDS_TOKEN = re.compile(
