@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
+from spark_cep_spark.operators.grouped import keyed_partition_apply
 from spark_cep_spark.registry import register
 
 
@@ -1661,7 +1662,9 @@ def rollup_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("y"),
         )
     )
-    return e.groupBy("user_id").applyInPandas(
+    return keyed_partition_apply(
+        e,
+        "user_id",
         _lttb_kernel_factory(8),
         "user_id long, sel_no long, x long, y long",
     )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
+from spark_cep_spark.operators.grouped import keyed_partition_apply
 from spark_cep_spark.registry import register
 
 # step-qualified column reference inside a correlation clause: `view.value`
@@ -3176,7 +3177,9 @@ def cep_run_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return e.groupBy("user_id").applyInPandas(
+    return keyed_partition_apply(
+        e,
+        "user_id",
         fn,
         "user_id long, anchor_ts timestamp, n_b long, sum_b_cents long",
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_cep_spark.io import table
+from spark_cep_spark.operators.grouped import keyed_partition_apply
 from spark_cep_spark.registry import register
 
 
@@ -240,13 +241,11 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["ewma"] = out
         return pdf
 
-    return (
-        events.repartition("user_id")
-        .groupBy("user_id")
-        .applyInPandas(
-            ewma,
-            "user_id long, event_id long, ts timestamp, value double, ewma double",
-        )
+    return keyed_partition_apply(
+        events,
+        "user_id",
+        ewma,
+        "user_id long, event_id long, ts timestamp, value double, ewma double",
     )
 
 
@@ -778,14 +777,12 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["s_hi"], pdf["s_lo"], pdf["alarm"] = hs, ls, al
         return pdf.drop(columns=["mu"])
 
-    return (
-        joined.repartition("user_id")
-        .groupBy("user_id")
-        .applyInPandas(
-            cusum,
-            "user_id long, event_id long, ts timestamp, value double, "
-            "s_hi double, s_lo double, alarm int",
-        )
+    return keyed_partition_apply(
+        joined,
+        "user_id",
+        cusum,
+        "user_id long, event_id long, ts timestamp, value double, "
+        "s_hi double, s_lo double, alarm int",
     )
 
 
@@ -952,14 +949,12 @@ def holt_smooth(e: DataFrame) -> DataFrame:
         pdf["level"], pdf["trend"], pdf["forecast"] = ls, bs, fs
         return pdf
 
-    return (
-        events.repartition("user_id")
-        .groupBy("user_id")
-        .applyInPandas(
-            holt,
-            "user_id long, event_id long, ts timestamp, value double, "
-            "level double, trend double, forecast double",
-        )
+    return keyed_partition_apply(
+        events,
+        "user_id",
+        holt,
+        "user_id long, event_id long, ts timestamp, value double, "
+        "level double, trend double, forecast double",
     )
 
 
@@ -1674,7 +1669,7 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return e.groupBy("user_id").applyInPandas(fn, schema)
+    return keyed_partition_apply(e, "user_id", fn, schema)
 
 
 def decay_scores(tus, cents) -> list:
