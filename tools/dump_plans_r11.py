@@ -1,0 +1,96 @@
+"""Dump .explain("formatted") for round-11-touched queries.
+
+Usage:
+  python tools/dump_plans_r11.py --out plans/r11 --suffix after
+  python tools/dump_plans_r11.py --src /tmp/r10tree --out plans/r11 --suffix before
+
+--src points at the source tree to import spark_cep_spark from (a git
+worktree of the pre-round commit for the `before` files).  Plans are
+built at sf0.1 (planning only — no execution).  The streaming NFA
+plan is captured on the unstarted streaming DataFrame (same plan the
+micro-batch executor instantiates).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import os
+import sys
+
+BATCH_KEYS = [
+    "cep_sql_run_agg",
+    "cep_sql_run_agg_multikey",
+    "cep_sql_run_agg_confirm",
+    "cep_sql_run_agg_measures",
+    "cep_sql_leading_kleene",
+    "cep_sql_leading_kleene_rows",
+    "cep_multi_rules_mixed",
+    "win_ewma",
+    # bench headline (conf-level change only — AQE coalesce floor)
+    "agg_group",
+    "join_inner_equi",
+    "win_topk_per_group",
+    "dedup_exact",
+]
+
+STREAM_NFA_SQL = """
+PATTERN ( S -> V{1,3} -> P )
+WITHIN 2 HOURS
+PARTITION BY user_id
+DEFINE S AS event_type = 'signup',
+       V AS event_type = 'view',
+       P AS event_type = 'purchase'
+"""
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/repo")
+    ap.add_argument("--out", default="plans/r11")
+    ap.add_argument("--suffix", required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    sys.path.insert(0, args.src)
+    import spark_cep_spark
+    from spark_cep_spark.session import get_spark
+
+    spark_cep_spark.load_all()
+    spark = get_spark("plans_r11")
+    os.makedirs(args.out, exist_ok=True)
+
+    for key in BATCH_KEYS:
+        fn = spark_cep_spark.QUERIES.get(key)
+        if fn is None:
+            print(f"skip {key} (absent in this tree)")
+            continue
+        df = fn(spark, args.sf_dir)
+        path = os.path.join(args.out, f"{key}_{args.suffix}.txt")
+        with open(path, "w") as f:
+            f.write(explain_str(df))
+        print(f"wrote {path}")
+
+    # streaming NFA (the bench's nfa_variants query)
+    from spark_cep_spark.operators.cep_sql import match_recognize
+    from spark_cep_spark.streaming import harness
+
+    staged = harness.stage_events_files_sorted(spark, args.sf_dir, n_files=8)
+    sdf = harness.events_stream(spark, staged, max_files_per_trigger=4)
+    out = match_recognize(sdf, STREAM_NFA_SQL, watermark="0 seconds")
+    path = os.path.join(args.out, f"stream_nfa_variants_{args.suffix}.txt")
+    with open(path, "w") as f:
+        f.write(explain_str(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
