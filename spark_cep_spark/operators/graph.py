@@ -174,7 +174,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the wedge join: high-degree hubs only ever appear as
     destinations, so no reducer receives a hub's full neighborhood
     squared. Plain equi-joins throughout — Catalyst picks
-    broadcast/SMJ freely and AQE handles residual skew."""
+    broadcast/SMJ freely and AQE handles residual skew.
+
+    The corner explode (one array per triangle -> three member rows)
+    replaces a 3-way UNION of projections of `tri`: a union re-plans
+    its input per branch, so the wedge join — the op's entire cost —
+    would run three times for one logical result."""
     edges = cooccurrence_edges(spark, sf_dir).persist()
     und = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
@@ -191,9 +196,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).persist()
 
+    # persisted: both wedge sides read it, and exchange reuse across
+    # AQE-replanned branches is not guaranteed
     ranked = oriented.join(
         deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "dd"), "dst"
-    )
+    ).persist()
     w1 = ranked.select(
         F.col("src"), F.col("dst").alias("b"), F.col("dd").alias("db")
     )
@@ -212,10 +219,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("src").alias("a"), "b", "c")
     )
-    members = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")
@@ -321,6 +326,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("85 * coalesce(incoming, 0L) div 100")
                 ).cast("long").alias("pr"),
             )
+            # each iteration reads the previous ranks TWICE (share
+            # emission + join-back); without materialization the
+            # unrolled plan recomputes pr_{i-1} per reference — a
+            # 2^iters blowup.  Persisting each frontier keeps every
+            # iteration computed exactly once (the GraphX/Pregel
+            # iteration posture; values unchanged).
+            .persist()
         )
     return pr.select("node", F.col("pr").alias("pr_fixed"))
 
@@ -371,9 +383,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     common>=3 support floor keeps the output the interesting pairs,
     not every incidental co-neighbor."""
     edges = cooccurrence_edges(spark, sf_dir)
+    # persisted: three consumers (degree count + both wedge sides)
+    # would otherwise each rebuild the lineitem self-join edge list
     und = edges.select(
         F.col("u").alias("node"), F.col("v").alias("other")
-    ).unionAll(edges.select(F.col("v"), F.col("u")))
+    ).unionAll(edges.select(F.col("v"), F.col("u"))).persist()
     deg = und.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
@@ -459,6 +473,14 @@ def graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h).cast("long"))
+            # each hop's frontier is read TWICE (visited union + next
+            # expansion), and the anti-join re-reads the whole visited
+            # chain — unpersisted, the unrolled plan recomputes every
+            # earlier hop per reference (combinatorial).  Persisting
+            # each frontier keeps every hop computed exactly once (the
+            # same iteration posture as connected_components; values
+            # unchanged).
+            .persist()
         )
         visited = visited.unionAll(nxt)
         frontier = nxt.select("node")

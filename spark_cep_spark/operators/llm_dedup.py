@@ -1340,10 +1340,14 @@ def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the stride-1 explode is the op's inherent 8x cost
     (the suffix-array equivalent pays the same); shingles are hashed
-    BEFORE the shuffle (fixed-width keys, never raw text), the
-    first-occurrence table is one min-aggregate, the join back is
-    hash-partitioned on the same key, and the span-union window is
-    per-document (bounded by doc length). Two fixed-width shuffles +
+    BEFORE the shuffle (fixed-width keys, never raw text); the
+    first-occurrence doc is min(doc_id) OVER the shingle-hash
+    partition — one shuffle of the shingle stream, evaluated on the
+    same pass that feeds the dup filter, instead of a separate
+    min-aggregate plus a join back (which would hash every shingle
+    TWICE: md5 is the dominant per-row cost here); the span-union
+    window is per-document (bounded by doc length). Skew-safe: h is
+    a hash, so the partition is uniform. Two fixed-width shuffles +
     one per-doc window."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -1362,9 +1366,10 @@ def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "s.pos", "s.h")
-    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("fd"))
     dup = (
-        sh.join(firsts, "h")
+        sh.withColumn(
+            "fd", F.min("doc_id").over(W.partitionBy("h"))
+        )
         .filter(F.col("doc_id") > F.col("fd"))
         .select("doc_id", "pos")
     )

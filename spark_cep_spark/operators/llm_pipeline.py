@@ -337,7 +337,11 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = d.select("doc_id", F.explode(grams_expr("w", 5)).alias("gram"))
     ev = g.filter(F.col("doc_id") % 7 == 0).select("gram").distinct()
-    tr = g.filter(F.col("doc_id") % 7 != 0).select("doc_id", "gram").distinct()
+    # no pre-distinct on the training side: countDistinct already
+    # dedups per doc, and the broadcast semi-join runs map-side — so
+    # only grams that HIT the benchmark set ever reach a shuffle,
+    # instead of shuffling every (doc, gram) pair once to dedup it.
+    tr = g.filter(F.col("doc_id") % 7 != 0).select("doc_id", "gram")
     return (
         tr.join(F.broadcast(ev), "gram")
         .groupBy("doc_id")

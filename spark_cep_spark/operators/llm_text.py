@@ -1100,10 +1100,11 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: bigrams come from zipping each token array with its
     own tail (ONE codegen projection — never a positional self-join
-    of exploded tokens); the n2/n1 counts are map-side-combinable
-    word-count aggregates; the score joins are equi-joins on the
-    bigram/unigram keys, co-partitioned with the groupBys that built
-    them (AQE reuses the partitioning). No broadcast hints — the
+    of exploded tokens); the pair counts are one map-side-combinable
+    word-count aggregate, the unigram counts its w1-rollup; the score
+    join is ONE equi-join on the bigram key, co-partitioned with the
+    groupBy that built it (AQE reuses the partitioning). No broadcast
+    hints — the
     bigram vocabulary of a web corpus does not fit an executor (the
     text_bigram_lm lesson). Per-doc avg-of-ln is rounded at 6dp on
     both engines (summation-order ulps)."""
@@ -1122,13 +1123,19 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_pair")
     )
-    n1 = big.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("long").alias("n_first")
+    # n(w1 ·) is the w1-rollup of the pair counts — summing n_pair
+    # over a w1 window of the ALREADY-AGGREGATED n2 table gives the
+    # same number as re-counting the raw bigram stream, without a
+    # second explode+shuffle of it; carrying n_first on the n2 row
+    # also folds the two score joins (on (w1,w2) and on w1) into one.
+    # Skew-safe: the window partition is bounded by |vocab|, not by
+    # corpus size (hot-word mass was collapsed by the n2 aggregate).
+    n2j = n2.withColumn(
+        "n_first", F.sum("n_pair").over(W.partitionBy("w1"))
     )
     nll = F.log(F.col("n_first") * 1.0 / F.col("n_pair"))
     return (
-        big.join(n2, ["w1", "w2"])
-        .join(n1, "w1")
+        big.join(n2j, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
