@@ -301,26 +301,50 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.n") * F.lit(t) <= F.col("b.n"))
             & (F.col("b.n") * F.lit(t) <= F.col("a.n")),
         )
+        # only the pair ids survive the dedup shuffle (na/nb are
+        # recovered as size(toks) after the array join — same count
+        # as cnt.n by construction)
         .select(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
 
-    # exact verification on the (small) candidate set only
-    ta = tok.alias("ta")
-    tb = tok.alias("tb")
+    # Exact verification on the candidate set only — each pair joins
+    # to the two docs' token ARRAYS (one row per doc) and the overlap
+    # is size(array_intersect(...)), evaluated in whole-stage codegen.
+    # The previous spelling re-joined candidates through the EXPLODED
+    # token table twice and re-aggregated: |cand| x tokens-per-doc
+    # intermediate rows plus a pair-keyed hash aggregate — on the
+    # near-dup-dense fixture 6.5M candidate pairs ballooned to ~150M
+    # join rows (verify alone 36 s at sf0.1; whole op 28.6 -> 8.3 s
+    # after).  Same integers (shared, na, nb) per pair, so the output
+    # is value-identical; at scale the pair->doc-set joins are plain
+    # hash joins on doc_id, never wider than the candidate stream.
+    sets = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
     pair = (
-        cand.join(ta, F.col("da") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("db") == F.col("tb.doc_id")) & (F.col("ta.tok") == F.col("tb.tok")),
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("da"), F.col("toks").alias("ta")
+            ),
+            "da",
         )
-        .groupBy("da", "db", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(
+            sets.select(
+                F.col("doc_id").alias("db"), F.col("toks").alias("tb")
+            ),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            F.size("ta").alias("na"),
+            F.size("tb").alias("nb"),
+            F.size(F.array_intersect("ta", "tb")).alias("shared"),
+        )
     )
     jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
     return pair.filter(jac >= t).select(
@@ -573,6 +597,9 @@ def _cc_two_phase(
         .localCheckpoint()
     )
     rounds = 0
+    e_count = e.count()  # carried across rounds: e is always the
+    # previous round's (checkpointed) small, so its cardinality is
+    # already known — re-counting it cost one job per round
     for _ in range(max_iters):
         rounds += 1
         # large-star: per node u over the SYMMETRIZED neighborhood,
@@ -603,10 +630,17 @@ def _cc_two_phase(
             .distinct()
             .localCheckpoint()
         )
+        # fixpoint test: both sides are DISTINCT by construction, so
+        # equal cardinality + (small ⊆ e, via an empty anti-join) ⇔
+        # set equality.  subtract() paid an extra distinct + full
+        # shuffle per round; the anti-join streams and isEmpty()
+        # short-circuits at the first witness.  Same boolean, exact.
+        small_count = small.count()
         converged = (
-            small.count() == e.count() and small.subtract(e).count() == 0
+            small_count == e_count
+            and small.join(e, ["u", "v"], "left_anti").isEmpty()
         )
-        e = small
+        e, e_count = small, small_count
         if converged:
             break
     # star forest → labels; roots and isolated vertices label themselves

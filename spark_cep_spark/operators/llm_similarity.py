@@ -1900,30 +1900,31 @@ def _pca_power_partials(spark: SparkSession, sf_dir: str, dim: int = 64):
             )
 
     p = e.mapInPandas(partials, "n long, sx array<long>, sxy array<long>")
-    agg = p.agg(
-        F.sum("n").cast("long").alias("n"),
-        F.array(
-            *[
-                F.sum(F.element_at("sx", i + 1)).cast("long")
-                for i in range(dim)
-            ]
-        ).alias("sx"),
-        F.array(
-            *[
-                F.sum(F.element_at("sxy", i + 1)).cast("long")
-                for i in range(dim * dim)
-            ]
-        ).alias("sxy"),
+    # ONE sum over posexploded (idx, val) rows — slot 0 is n, slots
+    # 1..d are sx, slots d+1..d+d^2 are sxy.  The previous spelling
+    # (one F.sum per array element: 4,161 aggregate expressions for
+    # d=64) cost ~25 s of pure Catalyst planning/codegen on a
+    # millisecond of data; exploding to narrow rows plans ONE
+    # aggregate and the map-side partial agg collapses each task to
+    # <= d^2+d+1 rows before the (only) shuffle — the emb_covariance
+    # shape.  Integer sums are associative, so the reduced values are
+    # bit-identical to the wide-aggregate spelling.
+    flat = p.select(
+        F.posexplode(
+            F.concat(F.array(F.col("n")), F.col("sx"), F.col("sxy"))
+        ).alias("idx", "val")
     )
-    # bounded-by-contract collect: exactly ONE row of d + d^2 + 1
-    # int64s (d=64 -> ~33 KB) — the model-sized result of the
-    # distributed pass, same class as the kmeans centroid collect
-    row = agg.collect()[0]
-    n = row["n"]
+    # bounded-by-contract collect: exactly d^2 + d + 1 int64 rows
+    # (d=64 -> ~33 KB) — the model-sized result of the distributed
+    # pass, same class as the kmeans centroid collect
+    slots = [0] * (1 + dim + dim * dim)
+    for r in flat.groupBy("idx").agg(F.sum("val").alias("s")).collect():
+        slots[r["idx"]] = r["s"] or 0
+    n = slots[0]
     if not n:  # zero valid vectors (empty/degenerate table)
         return 0, np.zeros((dim, dim))
-    sx = np.array(row["sx"], dtype=np.float64)
-    sxy = np.array(row["sxy"], dtype=np.float64).reshape(dim, dim)
+    sx = np.array(slots[1 : 1 + dim], dtype=np.float64)
+    sxy = np.array(slots[1 + dim :], dtype=np.float64).reshape(dim, dim)
     cov = (n * sxy - np.outer(sx, sx)) / (n * n * 1e6)
     return n, cov
 

@@ -33,6 +33,10 @@ BATCH_KEYS = [
     "join_inner_equi",
     "win_topk_per_group",
     "dedup_exact",
+    # optimization-round continuation (straggler pass 2)
+    "emb_pca_power",
+    "dedup_jaccard",
+    "graph_components",
 ]
 
 STREAM_NFA_SQL = """
@@ -58,6 +62,10 @@ def main():
     ap.add_argument("--out", default="plans/r11")
     ap.add_argument("--suffix", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", default=None, help="comma-separated key subset")
+    ap.add_argument(
+        "--no-stream", action="store_true", help="skip the streaming NFA plan"
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, args.src)
@@ -68,7 +76,8 @@ def main():
     spark = get_spark("plans_r11")
     os.makedirs(args.out, exist_ok=True)
 
-    for key in BATCH_KEYS:
+    keys = BATCH_KEYS if not args.only else args.only.split(",")
+    for key in keys:
         fn = spark_cep_spark.QUERIES.get(key)
         if fn is None:
             print(f"skip {key} (absent in this tree)")
@@ -78,6 +87,9 @@ def main():
         with open(path, "w") as f:
             f.write(explain_str(df))
         print(f"wrote {path}")
+
+    if args.no_stream:
+        return
 
     # streaming NFA (the bench's nfa_variants query)
     from spark_cep_spark.operators.cep_sql import match_recognize
