@@ -265,8 +265,9 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this runs ONLY on LSH candidate pairs, never all-pairs."""
     t = 0.8
     d = table(spark, sf_dir, "documents")
-    # five consumers of the token explode (cnt, freq, the ranked join,
-    # and both verify sides) — persist so it tokenizes once
+    # three consumers of the token explode (cnt, freq, the ranked
+    # join — round 11 moved verification onto per-doc token arrays,
+    # off the exploded index) — persist so it tokenizes once
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).persist()

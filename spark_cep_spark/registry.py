@@ -116,81 +116,16 @@ def load_all() -> None:
     _LOADED = True
 
 
-# The first 50 keys the driver will check this round, in order. See the
-# module docstring ("DRIVER WINDOW") for the selection rationale.
-# Round 11 window = the first 50 of round-10's NEXT_ROTATION, verbatim
-# (stream_stream_join / stream_tumbling / text_* lead — the
-# oldest-driver-evidence re-confirmation cohort; every key has driver
-# evidence since r10, so the window now advances the freshness
-# frontier). Keys NEW in round 11 are appended at the end as they land
-# (window holds 50; each append pushes the window's last staged key
-# back to NEXT_ROTATION's front).
+# The first 50 keys the driver will check this round, in order. See
+# the module docstring ("DRIVER WINDOW") for the selection rationale.
+# Round 12 window = the first 50 of round-11's NEXT_ROTATION,
+# verbatim (standing ladder, VERDICT r11 item 8: cep_sql_run_agg /
+# text_rep_signals lead — the cohort staged for re-confirmation,
+# including all round-11-optimized run-agg family keys). The
+# rotated-out round-11 window re-enters NEXT_ROTATION's back.
 DRIVER_PRIORITY: list[str] = [
-    # round-11 window = first 50 of round-10's NEXT_ROTATION, verbatim.
-    "stream_stream_join",
-    "stream_tumbling",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_sentiment",
-    "text_stats",
-    "text_tokens",
-    "udaf_grouped",
-    "udf_surface",
-    "udtf_tokens",
-    "win_frame_rows",
-    "win_rolling_corr",
-    "cep_run_agg",
-    "sql_exists_flag",
-    "join_null_safe",
-    "rollup_wow",
-    "cep_funnel_latency",
-    "stream_wau",
-    "sql_pivot",
-    "sql_unpivot",
-    "merge_incremental_agg",
-    "win_share_of_total",
-    "stream_retention",
-    "win_pareto_share",
-    "graph_components",
-    "join_scd2_pit",
-    "merge_snapshot_diff",
-    "agg_bitmap_retention",
-    "join_bloom_pruned",
-    "agg_bitmap_distinct",
-    "scan_zorder",
-    "sql_qualify",
-    "stream_distinct_users",
-    "rollup_lttb",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    # NEW in round 11 (appends push the window's last staged keys back
-    # to NEXT_ROTATION's front — see the module docstring)
-    "cep_multi_rules_mixed",
-    "cep_sql_permute_confirm",
-]
-
-# Keys to rotate into DRIVER_PRIORITY next round: the remainder of the
-# staged re-confirmation cohort first, then the displaced round-10
-# window (freshest driver evidence) at the back. Window keys displaced
-# by keys NEW in round 11 are prepended as they land. The round-12
-# window = the FIRST 50 of this list, verbatim.
-NEXT_ROTATION: list[str] = [
-    # displaced from the round-11 window by round-11 keys
     "cep_sql_run_agg",
     "text_rep_signals",
-    # remainder of the staged re-confirmation cohort
     "text_gopher_rules",
     "pipeline_ccnet_buckets",
     "pipeline_dsir_weights",
@@ -239,6 +174,12 @@ NEXT_ROTATION: list[str] = [
     "pipeline_bpe_tokens",
     "cep_sql_run_agg_times",
     "cep_sql_run_agg_multikey",
+]
+
+# Keys to rotate into DRIVER_PRIORITY next round: the remainder of
+# round-11's NEXT_ROTATION first, then the displaced round-11 window
+# (freshest driver evidence — r11 50/50 green) at the back.
+NEXT_ROTATION: list[str] = [
     "win_acf",
     "rollup_seasonal",
     "graph_shortest_path",
@@ -303,7 +244,6 @@ NEXT_ROTATION: list[str] = [
     "stream_asof_ttl",
     "feat_hashed_cross",
     "win_decay_score",
-    # displaced round-10 window (freshest driver evidence — r10 green)
     "set_intersect_all",
     "sim_range_search",
     "agg_benford",
@@ -354,6 +294,56 @@ NEXT_ROTATION: list[str] = [
     "cep_sql_two_groups",
     "cep_sql_leading_kleene_rows",
     "cep_multi_pattern",
+    "stream_stream_join",
+    "stream_tumbling",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_sentiment",
+    "text_stats",
+    "text_tokens",
+    "udaf_grouped",
+    "udf_surface",
+    "udtf_tokens",
+    "win_frame_rows",
+    "win_rolling_corr",
+    "cep_run_agg",
+    "sql_exists_flag",
+    "join_null_safe",
+    "rollup_wow",
+    "cep_funnel_latency",
+    "stream_wau",
+    "sql_pivot",
+    "sql_unpivot",
+    "merge_incremental_agg",
+    "win_share_of_total",
+    "stream_retention",
+    "win_pareto_share",
+    "graph_components",
+    "join_scd2_pit",
+    "merge_snapshot_diff",
+    "agg_bitmap_retention",
+    "join_bloom_pruned",
+    "agg_bitmap_distinct",
+    "scan_zorder",
+    "sql_qualify",
+    "stream_distinct_users",
+    "rollup_lttb",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "cep_multi_rules_mixed",
+    "cep_sql_permute_confirm",
 ]
 
 

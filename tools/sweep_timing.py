@@ -72,7 +72,8 @@ def main() -> None:
             rows.append((key, float("nan")))
             print(f"E {key:32s} {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    rows.sort(key=lambda r: -(r[1] if r[1] == r[1] else 1e9))
+    # valid timings slowest-first; errored keys (NaN) sink to the bottom
+    rows.sort(key=lambda r: -r[1] if r[1] == r[1] else 1e9)
     print("| key | best-of-%d (s) |" % args.reps)
     print("| --- | --- |")
     for key, secs in rows:
