@@ -686,27 +686,42 @@ _CLUSTER_CTE = """
 """
 
 
-def _cluster_edges(d: DataFrame) -> DataFrame:
-    """Spark twin of _CLUSTER_CTE's `edges`: docs sharing any md5 band."""
-    docs = d.select("doc_id", F.md5("text").alias("fp"))
-    bands = reduce(
-        DataFrame.unionByName,
-        [
-            docs.select(
-                "doc_id",
-                F.lit(i + 1).alias("idx"),
-                F.substring("fp", 1 + 8 * i, 3).alias("b"),
-            )
-            for i in range(4)
-        ],
+def _cluster_edges(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of _CLUSTER_CTE's `edges`: docs sharing any md5 band.
+
+    Round 12 (guide §2.1, the graph_triangles corner-explode pattern):
+    the band table was a 4-way UNION of projections of the md5 scan —
+    Catalyst re-plans the scan per branch, and the self-join reads the
+    union on BOTH sides, so the text scan + md5 ran 8x.  posexplode
+    builds all 4 bands in ONE pass (idx values unchanged vs the
+    unioned F.lit(i + 1): pos 0..3 shifted +1), and .persist() shares
+    the one band build across both join sides — the same edge SET
+    reaches the distinct, so downstream CC output is unchanged.
+
+    Returns (edges, bands); connected_components eagerly checkpoints
+    the edge list on entry, so callers unpersist `bands` right after
+    it returns (the round-8 never-leak-a-persist discipline)."""
+    bands = (
+        d.select("doc_id", F.md5("text").alias("fp"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[F.substring("fp", 1 + 8 * i, 3) for i in range(4)]
+                )
+            ).alias("idx", "b"),
+        )
+        .select("doc_id", (F.col("idx") + 1).alias("idx"), "b")
+        .persist()
     )
     x, y = bands.alias("x"), bands.alias("y")
-    return (
+    edges = (
         x.join(y, (F.col("x.idx") == F.col("y.idx")) & (F.col("x.b") == F.col("y.b")))
         .filter(F.col("x.doc_id") != F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
         .distinct()
     )
+    return edges, bands
 
 
 @register(
@@ -726,7 +741,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-hop chains (clusters up to 9 docs), so propagation genuinely
     iterates."""
     d = table(spark, sf_dir, "documents")
-    return connected_components(_cluster_edges(d), d, "doc_id")
+    edges, bands = _cluster_edges(d)
+    out = connected_components(edges, d, "doc_id")
+    bands.unpersist()
+    return out
 
 
 @register(
@@ -758,7 +776,9 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit pushes the rank-1 filter below the sort at
     scale) — no new quadratic stage on top of the candidate graph."""
     d = table(spark, sf_dir, "documents")
-    clusters = connected_components(_cluster_edges(d), d, "doc_id")
+    edges, bands = _cluster_edges(d)
+    clusters = connected_components(edges, d, "doc_id")
+    bands.unpersist()
     scored = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("cluster_rep").orderBy(
         F.col("n_chars").desc(), "doc_id"

@@ -41,6 +41,20 @@ def _dot(a, b):
     )
 
 
+def _write_tiny_table(spark, rows, schema: str, path: str) -> None:
+    """Write a driver-built metadata table (centroids/codebooks: tens
+    of rows) as ONE parquet file.  `createDataFrame(list).coalesce(1)`
+    slices the list into defaultParallelism Python partitions and then
+    runs ALL of them sequentially inside the single coalesced task —
+    ~150 ms of Python-worker dispatch x 32 slices = ~5 s per write
+    (measured round 12, guide §4.1: the boundary is per-PARTITION, not
+    per-row).  A single-slice parallelize keeps one Python partition
+    end to end: same file, same rows, ~0.5 s."""
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    ).write.mode("overwrite").parquet(path)
+
+
 def valid_vectors(df: DataFrame, vec_col: str = "embedding", dim=None) -> DataFrame:
     """Drop malformed vectors BEFORE any Arrow/numpy stage: NULL
     embeddings, empty arrays, wrong-dimension (ragged) vectors, and
@@ -1799,10 +1813,9 @@ class IvfIndex:
             (int(i), [float(x) for x in c])
             for i, c in enumerate(model.clusterCenters())
         ]
-        spark.createDataFrame(
-            centers, f"cell int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "centroids")
+        _write_tiny_table(
+            spark, centers, "cell int, centroid array<double>",
+            os.path.join(path, "centroids"),
         )
         return IvfIndex(spark, path, id_col, vec_col)
 
@@ -2437,10 +2450,9 @@ class IvfPqIndex:
                 (int(i), [float(x) for x in c])
                 for i, c in enumerate(model.clusterCenters())
             ]
-        spark.createDataFrame(
-            centers, "cell int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "centroids")
+        _write_tiny_table(
+            spark, centers, "cell int, centroid array<double>",
+            os.path.join(path, "centroids"),
         )
         # bounded driver-side PQ training sample (first train_cap by
         # id — deterministic), the standard PQ recipe
@@ -2454,10 +2466,9 @@ class IvfPqIndex:
             for s in range(n_sub)
             for c in range(n_codes)
         ]
-        spark.createDataFrame(
-            book_rows, "sub int, code int, center array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "codebooks")
+        _write_tiny_table(
+            spark, book_rows, "sub int, code int, center array<double>",
+            os.path.join(path, "codebooks"),
         )
         idx = IvfPqIndex(spark, path, id_col, vec_col)
         cl, C, bks = idx._load_tables()

@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from spark_cep_spark.streaming.bucketed import bucketed_stateful_apply
+
 if TYPE_CHECKING:  # only for typing; avoid circular import
     from spark_cep_spark.operators.cep import Pattern
 
@@ -873,12 +875,8 @@ def kleene_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -998,12 +996,8 @@ def threshold_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -1133,12 +1127,8 @@ def absence_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -1628,12 +1618,8 @@ def compile_stream(
                 cols["match_no"] = mn_numbers
             yield pd.DataFrame(cols)
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -1926,12 +1912,8 @@ def compile_stream_multi(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -2724,12 +2706,12 @@ def compile_stream_variants(
             cols[label_col] = [r["_label"] for _, r in out_rows]
             yield pd.DataFrame(cols)
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    # round 12: group by a hash bucket of the key instead of the key —
+    # Spark's per-group state protocol was the measured drain floor
+    # (1,500-12,000 tiny groups per batch); `process` runs unchanged
+    # per key inside each bucket (streaming/bucketed.py)
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -2851,12 +2833,8 @@ def alert_throttle_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -2978,12 +2956,8 @@ def transition_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -3108,12 +3082,8 @@ def sessionize_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -3251,12 +3221,8 @@ def anomaly_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -3394,12 +3360,8 @@ def trendcorr_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -3534,12 +3496,8 @@ def cusum_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -3678,12 +3636,8 @@ def trendruns_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -3819,12 +3773,8 @@ def vshape_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -3974,12 +3924,8 @@ def rollmedian_stream(
                 }
             )
 
-    raw = prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    raw = bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
     return raw.select(
         "key",
@@ -4117,12 +4063,8 @@ def holt_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -4243,12 +4185,8 @@ def ewma_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -4373,12 +4311,8 @@ def drawdown_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -4494,12 +4428,8 @@ def retention_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -4838,12 +4768,8 @@ def run_agg_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -5303,12 +5229,8 @@ def twap_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
 
 
@@ -5464,10 +5386,6 @@ def asof_enrich_stream(
                 }
             )
 
-    return prepared.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return bucketed_stateful_apply(
+        prepared, process, out_schema, state_schema, "append"
     )
